@@ -1,0 +1,121 @@
+"""Event-stream analytics over the `events` table (batch path).
+
+The same transformations run incrementally via Structured Streaming in
+``iceberg_go_distributed_spark.streaming``; here they are registered as
+batch queries with DuckDB oracles.
+
+NB: events.ts is parquet TIMESTAMP(NANOS); our loader truncates to µs,
+and the oracles do the same via ``CAST(ts AS TIMESTAMP)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from . import query
+
+
+@query(
+    "ev_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="time-bucketed rollup (streaming-window equivalent)",
+)
+def ev_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias("total_value"),
+    )
+
+
+@query(
+    "ev_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), g AS (
+      SELECT user_id,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="30-min-gap sessionization via lag window",
+)
+def ev_sessions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("is_new").cast("bigint").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "ev_top_users_by_purchase",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY purchase_value DESC, user_id
+    LIMIT 10
+    """,
+    doc="conditional agg + deterministic top-k",
+)
+def ev_top_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))"
+                " ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+            ).alias("purchase_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("purchase_value"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ev_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    doc="latest-event-per-key dedup (row_number window)",
+)
+def ev_latest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
