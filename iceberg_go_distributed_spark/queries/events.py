@@ -1,8 +1,5 @@
-"""Event-stream analytics over the `events` table (batch path).
-
-The same transformations run incrementally via Structured Streaming in
-``iceberg_go_distributed_spark.streaming``; here they are registered as
-batch queries with DuckDB oracles.
+"""Event-stream analytics over the `events` table (batch path),
+registered as batch queries with DuckDB oracles.
 
 NB: events.ts is parquet TIMESTAMP(NANOS); our loader truncates to µs,
 and the oracles do the same via ``CAST(ts AS TIMESTAMP)``.

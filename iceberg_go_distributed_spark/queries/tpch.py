@@ -221,8 +221,8 @@ def q6(spark, sf_dir):
                     JOIN customer ON c_custkey = o_custkey
                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
@@ -244,8 +244,8 @@ def q7(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
         )
     )
     return (
@@ -333,7 +333,7 @@ PROFIT = (
                 JOIN supplier ON s_suppkey = l_suppkey
                 JOIN orders   ON o_orderkey = l_orderkey
                 JOIN nation   ON s_nationkey = n_nationkey
-      WHERE p_name LIKE '%green%'
+      WHERE p_name LIKE '%bolt%'
     ) profit
     GROUP BY nation, o_year
     """,
@@ -342,7 +342,7 @@ PROFIT = (
 def q9(spark, sf_dir):
     part, li, supp, orders, nation = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
     return (
-        li.join(F.broadcast(part.where(F.col("p_name").like("%green%"))), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(F.broadcast(part.where(F.col("p_name").like("%bolt%"))), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -472,8 +472,6 @@ def q14(spark, sf_dir):
 )
 def q15(spark, sf_dir):
     li, supp = _t(spark, sf_dir, "lineitem", "supplier")
-    from pyspark.sql import Window
-
     rev = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -482,9 +480,9 @@ def q15(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.expr(f"CAST(SUM({REV}) AS DOUBLE)").alias("total_revenue"))
     )
-    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).where(
-        F.col("total_revenue") == F.col("mx")
-    )
+    # scalar max as a 1-row broadcast: scales (no single-partition window)
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(F.col("total_revenue") == F.col("mx"))
     return top.join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no")).select(
         "s_suppkey", "s_name", "total_revenue"
     )
@@ -596,7 +594,8 @@ def q19(spark, sf_dir):
       WHERE c_acctbal > (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         FROM customer WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     ) custsale
     GROUP BY cntrycode
     """,
@@ -604,19 +603,20 @@ def q19(spark, sf_dir):
 )
 def q22(spark, sf_dir):
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    # exact decimal sum / count: order-independent, matches the oracle bit-for-bit
-    row = (
-        cust.where(F.col("c_acctbal") > 0.0)
-        .agg(
-            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").alias("s"),
-            F.count("*").alias("n"),
-        )
-        .collect()[0]
+    # exact decimal sum / count: order-independent, matches the oracle bit-for-bit.
+    # 1-row broadcast cross-join keeps the plan lazy and fully distributed
+    # (no driver collect()).
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").alias("avg_bal")
     )
-    avg_bal = row["s"] / row["n"]
     return (
-        cust.where(F.col("c_acctbal") > F.lit(avg_bal))
-        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .select((F.col("c_custkey") % 10).alias("cntrycode"), "c_acctbal")
         .groupBy("cntrycode")
         .agg(

@@ -1,0 +1,82 @@
+"""Every registered query vs its DuckDB oracle at sf0.001.
+
+Mirrors the driver's CORRECTNESS gate: row count, column names, and
+order-insensitive value comparison (columns sorted by name, rows sorted).
+Floats compared with tiny relative tolerance; everything else exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from iceberg_go_distributed_spark.queries import all_queries
+
+REGISTRY = all_queries()
+ORACLE_CASES = sorted(n for n, qd in REGISTRY.items() if qd.oracle)
+ROWS_ONLY_CASES = sorted(n for n, qd in REGISTRY.items() if not qd.oracle)
+
+
+def _normalize(val):
+    if val is None:
+        return None
+    if isinstance(val, float):
+        return val
+    if hasattr(val, "isoformat"):  # datetime/date
+        return val.isoformat()
+    if isinstance(val, list):
+        return tuple(_normalize(v) for v in val)
+    return val
+
+
+def _sort_key(row):
+    return tuple((v is None, str(v)) for v in row)
+
+
+def compare_results(spark_rows, spark_cols, duck_rows, duck_cols):
+    assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    # reorder both to columns sorted by name (case-insensitive), rows sorted
+    s_order = [i for i, _ in sorted(enumerate(spark_cols), key=lambda t: t[1].lower())]
+    d_order = [i for i, _ in sorted(enumerate(duck_cols), key=lambda t: t[1].lower())]
+    s = sorted(
+        (tuple(_normalize(r[i]) for i in s_order) for r in spark_rows), key=_sort_key
+    )
+    d = sorted(
+        (tuple(_normalize(r[i]) for i in d_order) for r in duck_rows), key=_sort_key
+    )
+    for ri, (sr, dr) in enumerate(zip(s, d)):
+        for ci, (sv, dv) in enumerate(zip(sr, dr)):
+            if isinstance(sv, float) or isinstance(dv, float):
+                if sv is None or dv is None:
+                    assert sv == dv, f"row {ri} col {ci}: {sv!r} != {dv!r}"
+                else:
+                    assert math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9), (
+                        f"row {ri} col {ci}: {sv!r} != {dv!r}"
+                    )
+            else:
+                assert sv == dv, f"row {ri} col {ci}: {sv!r} != {dv!r}"
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, ducks, sf_dir, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    duck = ducks.execute(qd.oracle)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+    compare_results(spark_rows, df.columns, duck_rows, duck_cols)
+    assert len(spark_rows) > 0, f"{name}: vacuous test (0 rows on both sides)"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_query_runs(spark, sf_dir, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, sf_dir)
+    assert df.count() >= 0
