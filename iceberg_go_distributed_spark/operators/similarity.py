@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (`embeddings` table:
+vec_id bigint, embedding array<float>, label int).
+
+Three plans with the same output contract (query_id, neighbor_id, cos):
+
+  - cosine_topk   — brute-force: broadcast the (small) query set against
+                    the full corpus; the baseline and the oracle shape.
+  - ann_ivf_topk  — IVF-style: restrict the search to the query's cell
+                    (here the precomputed `label` partition); at scale
+                    the cell assignment comes from a trained coarse
+                    quantizer, and the join prunes to ~1/n_cells of the
+                    corpus per probe.
+  - ann_lsh_topk  — random-hyperplane LSH: 16-bit signs bucket both
+                    sides; candidates share the bucket, then exact
+                    cosine re-ranks. The scale path when no cell
+                    assignment exists.
+
+Determinism: all arithmetic is element-wise double (float32 inputs are
+exactly representable), folded left-to-right — bit-identical between
+Spark's `aggregate` and DuckDB's `list_dot_product`, so oracles can
+hash-match. Ties broken by neighbor_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 4 planes → 16 buckets: sized so buckets stay populated at the test
+# scale factors (500–5000 vectors). At corpus scale you raise planes so
+# bucket occupancy ~ target candidate count (e.g. 20 planes for 1e9
+# vectors) and multi-probe neighboring buckets for recall.
+LSH_PLANES = 4
+EMBED_DIM = 64
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(vec_col))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, max_query_id: int = 10, k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force exact top-k cosine for query vectors vec_id < max_query_id.
+
+    The query set is broadcast; the corpus is scanned once with no
+    shuffle of the embedding column — the right brute-force plan at any
+    corpus size (cost is O(|corpus| * |queries| * dim) map-side work).
+    """
+    base = with_norm(emb, vec_col)
+    q = base.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("_cos", _dot("_qv", vec_col) / (F.col("_qn") * F.col("_norm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "_cos")
+    )
+    return _topk(scored, k)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    max_query_id: int = 20,
+    k: int = 3,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-pruned top-k: search only the query's cell (`cell_col`).
+
+    The candidate join keys on the cell, so the probe touches one cell's
+    partition instead of the corpus — the IVF pruning contract. With a
+    real quantizer the cell would be argmin-centroid; here the table
+    ships a precomputed assignment.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(cell_col).alias("_qcell"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(q),
+            (F.col(cell_col) == F.col("_qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("_cos", _dot("_qv", vec_col) / (F.col("_qn") * F.col("_norm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "_cos")
+    )
+    return _topk(scored, k)
+
+
+def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded so the literal values
+    are exactly representable and identical in Spark and oracle SQL."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def _bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    emb: DataFrame, max_query_id: int = 10, k: int = 3, vec_col: str = "embedding"
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's
+    16-bit hyperplane-sign bucket; exact cosine re-ranks inside it.
+
+    At scale the corpus is hash-partitioned (or written bucketed) by
+    `_bucket`, so a probe is a partition-pruned lookup, not a scan.
+    """
+    planes = lsh_planes()
+    base = with_norm(emb, vec_col).withColumn("_bucket", _bucket(vec_col, planes))
+    q = base.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_bucket").alias("_qb"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(q),
+            (F.col("_bucket") == F.col("_qb")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("_cos", _dot("_qv", vec_col) / (F.col("_qn") * F.col("_norm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "_cos")
+    )
+    return _topk(scored, k)

@@ -1,0 +1,98 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting. All built-in Spark SQL functions (JVM-side,
+codegen'd); every function is a per-row map, so these scale embarrassingly
+— no shuffle until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hex15
+
+# Function words used by both the quality score and the language-ID
+# heuristic. Chosen from the corpus vocabulary's closed-class words.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish tokens,
+    characters net of spaces, mean token length."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    bpe = F.expr(f"size(regexp_extract_all({text_col}, '{BPE_RE}', 0))")
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        n_chars.alias("n_chars_nospace"),
+        F.round(n_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + a boolean keep-flag, the standard
+    pretraining-filter shape (length window, stopword ratio, alpha ratio)."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    total = F.length(F.col(text_col))
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
+    alpha_ratio = F.round(alpha.cast("double") / total, 6)
+    keep = (n_tokens >= 10) & (n_tokens <= 120) & (stop_ratio <= F.lit(0.5))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram-free language-ID heuristic: a doc is 'en' when it contains
+    any English function word; 'unknown' otherwise. (A real system would
+    score char-n-gram profiles per language; the contract — a predicted
+    lang column to compare against ground truth — is the same.)"""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))")
+    pred = F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    return docs.select(F.col(id_col), F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    max_doc_id: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Bottom-sketch fingerprint per doc: the minimum 60-bit hash over
+    word n-gram shingles plus the distinct-shingle count. Two docs with
+    equal fingerprints are near-certain shingle-set overlaps — the
+    cheapest containment prefilter (1 value/doc vs 64 for MinHash)."""
+    from .dedup import shingle_sets
+
+    sh = shingle_sets(docs.where(F.col(id_col) < max_doc_id), text_col, id_col, n)
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    return (
+        ex.withColumn("_h", hex15(F.col("_s")))
+        .groupBy(id_col)
+        .agg(
+            F.min("_h").alias("fingerprint"),
+            F.countDistinct("_s").alias("n_shingles"),
+        )
+    )

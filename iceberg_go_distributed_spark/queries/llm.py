@@ -1,7 +1,323 @@
-"""LLM training-data pipeline queries (dedup, similarity, text analysis).
+"""LLM-data-pipeline queries over `documents` / `embeddings`, each with
+a DuckDB oracle that reproduces the result exactly (the Spark side is
+the scale path — banded LSH / bucketed ANN — the oracle is the naive
+all-pairs/brute-force definition of the same answer).
 
-Populated by the operators package; placeholders filled in as each
-operator lands.
+Cross-engine determinism contract (see operators/hashing.py):
+  - hashes: first 15 hex chars of md5 → 60-bit BIGINT, both engines;
+  - float math: element-wise double, left-to-right folds, ROUND(x, 6);
+  - ties: broken by id columns.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ..datasets import load_table
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.hashing import hex15_sql
+
+# ---------------------------------------------------------------- dedup
+
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@query(
+    "llm_dedup_exact",
+    oracle=f"""
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           MAX(c) AS max_dup
+    FROM (SELECT {_NORM_SQL} AS k, COUNT(*) AS c FROM documents GROUP BY 1)
+    """,
+    doc="exact dedup on normalized text: group stats (hash-groupBy, one shuffle)",
+)
+def llm_dedup_exact(spark, sf_dir):
+    groups = D.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("dup_count").alias("n_docs"),
+        F.max("dup_count").alias("max_dup"),
+    )
+
+
+_FP_SQL = "md5(array_to_string(string_split(text, ' ')[1:8], ' '))"
+
+
+@query(
+    "llm_dedup_fingerprint",
+    oracle=f"""
+    SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY {_FP_SQL}
+    HAVING COUNT(*) > 1
+    """,
+    doc="prefix-fingerprint dedup: duplicate families by 8-token head",
+)
+def llm_dedup_fingerprint(spark, sf_dir):
+    groups = D.fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+    return groups.where(F.col("dup_count") > 1).select("kept_doc_id", "dup_count")
+
+
+_SHINGLES_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(len(w) - 2),
+                        i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3])))
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM w)
+"""
+
+
+@query(
+    "llm_dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+    doc="MinHash-LSH near-dup pairs (banded, verified) vs all-pairs oracle",
+)
+def llm_dedup_minhash(spark, sf_dir):
+    return D.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t),
+    h AS (SELECT doc_id, {hex15_sql('t')} AS h, cnt FROM tok),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM s)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=_simhash_oracle(5),
+    doc="SimHash near-dup pairs, pigeonhole-banded (exact recall) vs all-pairs oracle",
+)
+def llm_dedup_simhash(spark, sf_dir):
+    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=5)
+
+
+@query(
+    "llm_ngram_topk",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           ROUND(CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(q.s, c.s))), 6) AS jaccard
+    FROM sh q JOIN sh c ON c.doc_id <> q.doc_id
+    WHERE q.doc_id < 5
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.doc_id
+        ORDER BY CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(q.s, c.s))) DESC,
+                 c.doc_id) <= 1
+    """,
+    doc="exact n-gram-Jaccard nearest neighbor for 5 query docs (broadcast)",
+)
+def llm_ngram_topk(spark, sf_dir):
+    return D.ngram_topk_similar(load_table(spark, sf_dir, "documents"), max_query_id=5, k=1)
+
+
+# ------------------------------------------------------------- similarity
+
+_EMB_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@query(
+    "llm_ann_bruteforce",
+    oracle=f"""
+    WITH {_EMB_CTE}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) <= 5
+    """,
+    doc="brute-force cosine top-5 for 10 query vectors (broadcast, map-only)",
+)
+def llm_ann_bruteforce(spark, sf_dir):
+    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), max_query_id=10, k=5)
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH {_EMB_CTE}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+    FROM n q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) <= 3
+    """,
+    doc="IVF-cell-pruned cosine top-3 (search only the query's cell)",
+)
+def llm_ann_ivf(spark, sf_dir):
+    return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), max_query_id=20, k=3)
+
+
+def _lsh_oracle() -> str:
+    planes = S.lsh_planes()
+    def plane_sql(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH {_EMB_CTE},
+    bkt AS (SELECT vec_id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM n)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+    FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) <= 3
+    """
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=_lsh_oracle(),
+    doc="random-hyperplane LSH-bucketed ANN top-3 (bucket join, exact rerank)",
+)
+def llm_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), max_query_id=10, k=3)
+
+
+# ---------------------------------------------------------- text analysis
+
+@query(
+    "llm_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
+           length(replace(text, ' ', '')) AS n_chars_nospace,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS mean_token_len
+    FROM documents
+    """,
+    doc="per-doc token accounting: whitespace + BPE-ish regex tokenization",
+)
+def llm_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.token_stats(docs)
+    return stats.withColumn(
+        "mean_token_len",
+        F.round(F.col("n_chars_nospace").cast("double") / F.col("n_tokens"), 6),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           CAST(len(string_split(text, ' ')) BETWEEN 10 AND 120
+                AND CAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                    / len(string_split(text, ' ')) <= 0.5 AS INT) AS keep
+    FROM documents
+    """,
+    doc="pretraining quality filter: length window + stopword/alpha ratios",
+)
+def llm_quality_filter(spark, sf_dir):
+    feats = T.quality_features(load_table(spark, sf_dir, "documents"))
+    return feats.withColumn("keep", F.col("keep").cast("int"))
+
+
+@query(
+    "llm_langid_accuracy",
+    oracle=f"""
+    SELECT lang AS lang_true,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_STOP_LIST}))) > 0
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="function-word language-ID heuristic vs ground-truth lang column",
+)
+def llm_langid_accuracy(spark, sf_dir):
+    pred = T.langid(load_table(spark, sf_dir, "documents"))
+    return pred.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
+
+
+@query(
+    "llm_doc_fingerprints",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE doc_id < 50)
+    SELECT doc_id, MIN({hex15_sql('sgl')}) AS fingerprint,
+           COUNT(DISTINCT sgl) AS n_shingles
+    FROM ex GROUP BY doc_id
+    """,
+    doc="bottom-sketch doc fingerprint: min 60-bit shingle hash per doc",
+)
+def llm_doc_fingerprints(spark, sf_dir):
+    return T.doc_fingerprints(load_table(spark, sf_dir, "documents"), max_doc_id=50)
+
+
+# ------------------------------------------------------------- multimodal
+
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
+           CAST(list_sum(list_transform(range(least(64, length(text))),
+                                        i -> ascii(substr(text, i + 1, 1)))) % 997
+                AS BIGINT) AS checksum
+    FROM documents
+    """,
+    doc="binary-payload feature extraction via Arrow-batched mapInPandas",
+)
+def llm_multimodal_features(spark, sf_dir):
+    mm = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_features(mm)
