@@ -1,0 +1,508 @@
+"""Catalogs: the 13-method interface (ref catalog/catalog.go:89-126)
+with two backends:
+
+  - FileSystemCatalog — metadata files under <table>/metadata/ with a
+    `version-hint.text` pointer; commit atomicity via os.rename (POSIX
+    atomic within a filesystem), mirroring iceberg's HadoopCatalog
+    layout;
+  - SqlCatalog — sqlite3 with the reference's two-table layout
+    {catalog_name, table_namespace, table_name, metadata_location,
+    previous_metadata_location} and the transactional compare-and-swap
+    UPDATE commit (ref catalog/sql/sql.go:136-154, 328-397).
+
+Both raise CommitConflictError on a lost CAS race — the retry loop
+lives in Transaction/distributed-snapshot commit, matching the
+reference's optimistic-concurrency design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+import uuid as _uuid
+from typing import Iterable, Optional
+
+from .metadata import (
+    MetadataBuilder,
+    TableMetadata,
+    new_table_metadata,
+    parse_metadata_file,
+)
+from .partitioning import PartitionSpec
+from .types import Schema
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+class NoSuchNamespaceError(Exception):
+    pass
+
+
+class CommitConflictError(Exception):
+    """Optimistic-concurrency CAS failure — caller may refresh + retry."""
+
+
+def _identifier(name: str | tuple) -> tuple[str, str]:
+    """(namespace, table) from 'ns.table' or ('ns','table')."""
+    if isinstance(name, tuple):
+        ns, tbl = name
+        return ns, tbl
+    parts = name.split(".")
+    if len(parts) == 1:
+        return "default", parts[0]
+    return ".".join(parts[:-1]), parts[-1]
+
+
+class Catalog:
+    """ref catalog/catalog.go:89-126."""
+
+    name = "catalog"
+
+    # -- tables
+    def create_table(
+        self,
+        identifier,
+        schema: Schema,
+        spec: Optional[PartitionSpec] = None,
+        properties: Optional[dict] = None,
+        location: Optional[str] = None,
+    ):
+        raise NotImplementedError
+
+    def load_table(self, identifier):
+        raise NotImplementedError
+
+    def drop_table(self, identifier) -> None:
+        raise NotImplementedError
+
+    def rename_table(self, src, dst):
+        raise NotImplementedError
+
+    def table_exists(self, identifier) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def list_tables(self, namespace: str) -> list[tuple[str, str]]:
+        raise NotImplementedError
+
+    def commit_table(
+        self, identifier, base_metadata_location: Optional[str], new_metadata: TableMetadata
+    ) -> str:
+        """CAS commit; returns the new metadata location."""
+        raise NotImplementedError
+
+    # -- namespaces
+    def create_namespace(self, namespace: str, properties: Optional[dict] = None) -> None:
+        raise NotImplementedError
+
+    def drop_namespace(self, namespace: str) -> None:
+        raise NotImplementedError
+
+    def list_namespaces(self) -> list[str]:
+        raise NotImplementedError
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return namespace in self.list_namespaces()
+
+    def load_namespace_properties(self, namespace: str) -> dict:
+        raise NotImplementedError
+
+    def update_namespace_properties(
+        self, namespace: str, removals: Iterable[str] = (), updates: Optional[dict] = None
+    ) -> None:
+        raise NotImplementedError
+
+    # shared helper
+    def _new_metadata(self, schema, spec, location, properties) -> TableMetadata:
+        return new_table_metadata(
+            schema, spec or PartitionSpec.unpartitioned(), location, properties
+        )
+
+
+def _write_metadata_file(metadata: TableMetadata, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(metadata.to_json(), f, indent=2)
+    os.rename(tmp, path)
+
+
+class FileSystemCatalog(Catalog):
+    """Hadoop-style catalog: table dir layout
+    <warehouse>/<ns>/<table>/metadata/v{N}.metadata.json + version-hint."""
+
+    name = "fs"
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _table_dir(self, identifier) -> str:
+        ns, tbl = _identifier(identifier)
+        return os.path.join(self.warehouse, ns, tbl)
+
+    def _meta_dir(self, identifier) -> str:
+        return os.path.join(self._table_dir(identifier), "metadata")
+
+    def _hint_path(self, identifier) -> str:
+        return os.path.join(self._meta_dir(identifier), "version-hint.text")
+
+    def _version_path(self, identifier, version: int) -> str:
+        return os.path.join(self._meta_dir(identifier), f"v{version}.metadata.json")
+
+    def _current_version(self, identifier) -> Optional[int]:
+        try:
+            with open(self._hint_path(identifier)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def create_table(self, identifier, schema, spec=None, properties=None, location=None):
+        from .table import Table
+
+        if self._current_version(identifier) is not None:
+            raise TableAlreadyExistsError(str(identifier))
+        location = location or self._table_dir(identifier)
+        md = self._new_metadata(schema, spec, location, properties)
+        path = self._version_path(identifier, 1)
+        _write_metadata_file(md, path)
+        self._swap_hint(identifier, 1, expect=None)
+        return Table(identifier, md, path, self)
+
+    def load_table(self, identifier):
+        from .table import Table
+
+        v = self._current_version(identifier)
+        if v is None:
+            raise NoSuchTableError(str(identifier))
+        path = self._version_path(identifier, v)
+        return Table(identifier, parse_metadata_file(path), path, self)
+
+    def drop_table(self, identifier) -> None:
+        import shutil
+
+        if self._current_version(identifier) is None:
+            raise NoSuchTableError(str(identifier))
+        shutil.rmtree(self._table_dir(identifier), ignore_errors=True)
+
+    def rename_table(self, src, dst):
+        if self._current_version(src) is None:
+            raise NoSuchTableError(str(src))
+        if self._current_version(dst) is not None:
+            raise TableAlreadyExistsError(str(dst))
+        os.makedirs(os.path.dirname(self._table_dir(dst)), exist_ok=True)
+        os.rename(self._table_dir(src), self._table_dir(dst))
+        return self.load_table(dst)
+
+    def list_tables(self, namespace: str) -> list[tuple[str, str]]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            raise NoSuchNamespaceError(namespace)
+        return [
+            (namespace, t)
+            for t in sorted(os.listdir(ns_dir))
+            if os.path.isdir(os.path.join(ns_dir, t, "metadata"))
+        ]
+
+    def _swap_hint(self, identifier, new_version: int, expect: Optional[int]) -> None:
+        """Atomic version bump: write hint to temp + rename; the version
+        file itself is created exclusively so concurrent committers
+        racing to the same version collide there first."""
+        hint = self._hint_path(identifier)
+        current = self._current_version(identifier)
+        if current != expect:
+            raise CommitConflictError(
+                f"expected version {expect}, found {current} for {identifier}"
+            )
+        tmp = f"{hint}.tmp-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(hint), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.rename(tmp, hint)
+
+    def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
+        current = self._current_version(identifier)
+        if current is None:
+            raise NoSuchTableError(str(identifier))
+        current_path = self._version_path(identifier, current)
+        if base_metadata_location is not None and current_path != base_metadata_location:
+            raise CommitConflictError(
+                f"base {base_metadata_location} is stale; current is {current_path}"
+            )
+        new_version = current + 1
+        new_path = self._version_path(identifier, new_version)
+        # exclusive create: the loser of a race fails here
+        try:
+            fd = os.open(f"{new_path}.lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(f"concurrent commit in flight for {identifier}")
+        try:
+            _write_metadata_file(new_metadata, new_path)
+            self._swap_hint(identifier, new_version, expect=current)
+        finally:
+            os.close(fd)
+            os.unlink(f"{new_path}.lock")
+        return new_path
+
+    def create_namespace(self, namespace: str, properties=None) -> None:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+        if properties:
+            with open(os.path.join(self.warehouse, namespace, ".props.json"), "w") as f:
+                json.dump(properties, f)
+
+    def drop_namespace(self, namespace: str) -> None:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            raise NoSuchNamespaceError(namespace)
+        if any(os.path.isdir(os.path.join(ns_dir, d, "metadata")) for d in os.listdir(ns_dir)):
+            raise ValueError(f"namespace {namespace} is not empty")
+        import shutil
+
+        shutil.rmtree(ns_dir)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def load_namespace_properties(self, namespace: str) -> dict:
+        p = os.path.join(self.warehouse, namespace, ".props.json")
+        if not os.path.isdir(os.path.dirname(p)):
+            raise NoSuchNamespaceError(namespace)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def update_namespace_properties(self, namespace, removals=(), updates=None) -> None:
+        props = self.load_namespace_properties(namespace)
+        for k in removals:
+            props.pop(k, None)
+        props.update(updates or {})
+        with open(os.path.join(self.warehouse, namespace, ".props.json"), "w") as f:
+            json.dump(props, f)
+
+
+class SqlCatalog(Catalog):
+    """SQL-database catalog — two-table layout + CAS UPDATE commit
+    (ref catalog/sql/sql.go:136-154 schema, :328-397 commit)."""
+
+    name = "sql"
+
+    def __init__(self, db_path: str, warehouse: str, catalog_name: str = "default"):
+        self.db_path = db_path
+        self.warehouse = warehouse
+        self.catalog_name = catalog_name
+        os.makedirs(warehouse, exist_ok=True)
+        with self._conn() as con:
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                    catalog_name TEXT NOT NULL,
+                    table_namespace TEXT NOT NULL,
+                    table_name TEXT NOT NULL,
+                    metadata_location TEXT,
+                    previous_metadata_location TEXT,
+                    PRIMARY KEY (catalog_name, table_namespace, table_name))"""
+            )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+                    catalog_name TEXT NOT NULL,
+                    namespace TEXT NOT NULL,
+                    property_key TEXT NOT NULL,
+                    property_value TEXT,
+                    PRIMARY KEY (catalog_name, namespace, property_key))"""
+            )
+
+    def _conn(self):
+        con = sqlite3.connect(self.db_path, timeout=30)
+        con.isolation_level = None  # manual transactions
+        return con
+
+    def _table_dir(self, identifier) -> str:
+        ns, tbl = _identifier(identifier)
+        return os.path.join(self.warehouse, ns, tbl)
+
+    def _metadata_path(self, identifier, version: int) -> str:
+        return os.path.join(
+            self._table_dir(identifier),
+            "metadata",
+            f"{version:05d}-{_uuid.uuid4()}.metadata.json",
+        )
+
+    def create_table(self, identifier, schema, spec=None, properties=None, location=None):
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        location = location or self._table_dir(identifier)
+        md = self._new_metadata(schema, spec, location, properties)
+        path = self._metadata_path(identifier, 1)
+        _write_metadata_file(md, path)
+        with self._conn() as con:
+            try:
+                con.execute(
+                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                    (self.catalog_name, ns, tbl, path),
+                )
+            except sqlite3.IntegrityError:
+                raise TableAlreadyExistsError(str(identifier)) from None
+        return Table(identifier, md, path, self)
+
+    def load_table(self, identifier):
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.catalog_name, ns, tbl),
+            ).fetchone()
+        if row is None or row[0] is None:
+            raise NoSuchTableError(str(identifier))
+        return Table(identifier, parse_metadata_file(row[0]), row[0], self)
+
+    def drop_table(self, identifier) -> None:
+        ns, tbl = _identifier(identifier)
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.catalog_name, ns, tbl),
+            )
+            if cur.rowcount == 0:
+                raise NoSuchTableError(str(identifier))
+
+    def rename_table(self, src, dst):
+        ns_s, t_s = _identifier(src)
+        ns_d, t_d = _identifier(dst)
+        with self._conn() as con:
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                    "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                    (ns_d, t_d, self.catalog_name, ns_s, t_s),
+                )
+            except sqlite3.IntegrityError:
+                raise TableAlreadyExistsError(str(dst)) from None
+            if cur.rowcount == 0:
+                raise NoSuchTableError(str(src))
+        return self.load_table(dst)
+
+    def list_tables(self, namespace: str) -> list[tuple[str, str]]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT table_namespace, table_name FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? ORDER BY table_name",
+                (self.catalog_name, namespace),
+            ).fetchall()
+        return [(r[0], r[1]) for r in rows]
+
+    def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
+        """Transactional compare-and-swap — ref catalog/sql/sql.go:328-397."""
+        ns, tbl = _identifier(identifier)
+        version = len(new_metadata.metadata_log) + 1
+        new_path = self._metadata_path(identifier, version)
+        _write_metadata_file(new_metadata, new_path)
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location=?, "
+                    "previous_metadata_location=? "
+                    "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
+                    "AND metadata_location=?",
+                    (new_path, base_metadata_location, self.catalog_name, ns, tbl,
+                     base_metadata_location),
+                )
+                if cur.rowcount != 1:
+                    con.execute("ROLLBACK")
+                    os.unlink(new_path)
+                    raise CommitConflictError(
+                        f"CAS failed for {identifier}: base {base_metadata_location} is stale"
+                    )
+                con.execute("COMMIT")
+            except sqlite3.Error:
+                con.execute("ROLLBACK")
+                raise
+        return new_path
+
+    def create_namespace(self, namespace: str, properties=None) -> None:
+        with self._conn() as con:
+            con.execute(
+                "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?, ?, 'exists', 'true')",
+                (self.catalog_name, namespace),
+            )
+            for k, v in (properties or {}).items():
+                con.execute(
+                    "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?, ?, ?, ?)",
+                    (self.catalog_name, namespace, k, str(v)),
+                )
+
+    def drop_namespace(self, namespace: str) -> None:
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace {namespace} is not empty")
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
+                (self.catalog_name, namespace),
+            )
+            if cur.rowcount == 0:
+                raise NoSuchNamespaceError(namespace)
+
+    def list_namespaces(self) -> list[str]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
+                "WHERE catalog_name=? ORDER BY namespace",
+                (self.catalog_name,),
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def load_namespace_properties(self, namespace: str) -> dict:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT property_key, property_value FROM iceberg_namespace_properties "
+                "WHERE catalog_name=? AND namespace=?",
+                (self.catalog_name, namespace),
+            ).fetchall()
+        if not rows:
+            raise NoSuchNamespaceError(namespace)
+        return {k: v for k, v in rows if k != "exists"}
+
+    def update_namespace_properties(self, namespace, removals=(), updates=None) -> None:
+        self.load_namespace_properties(namespace)
+        with self._conn() as con:
+            for k in removals:
+                con.execute(
+                    "DELETE FROM iceberg_namespace_properties "
+                    "WHERE catalog_name=? AND namespace=? AND property_key=?",
+                    (self.catalog_name, namespace, k),
+                )
+            for k, v in (updates or {}).items():
+                con.execute(
+                    "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?, ?, ?, ?)",
+                    (self.catalog_name, namespace, k, str(v)),
+                )
+
+
+_CATALOG_REGISTRY = {"fs": FileSystemCatalog, "sql": SqlCatalog}
+
+
+def load_catalog(kind: str, **kwargs) -> Catalog:
+    """scheme→factory registry — ref catalog/registry.go:80-131."""
+    if kind not in _CATALOG_REGISTRY:
+        raise ValueError(f"unknown catalog kind {kind!r}; have {sorted(_CATALOG_REGISTRY)}")
+    return _CATALOG_REGISTRY[kind](**kwargs)

@@ -1,0 +1,546 @@
+"""The four-level pruning cascade's decision kernels (SURVEY §4.1):
+
+  1. inclusive_projection — rewrite a row filter through the partition
+     spec's transforms into partition-space (ref evaluators.go:561-609,
+     transforms.go Project methods + truncateNumber/truncateArray
+     boundary math at transforms.go:989-1060);
+  2. manifest_evaluator — prune whole manifests via partition field
+     summaries (ref evaluators.go:39-534);
+  3. expression_evaluator — evaluate the projected filter on each
+     file's concrete partition tuple (ref visitors.go:189-381);
+  4. inclusive_metrics_evaluator — prune files via column metrics:
+     lower/upper bounds + null/NaN counts (ref evaluators.go:666-1198).
+
+All pure Python, all inclusive (false positives allowed, false
+negatives never) — soundness is what the pruning-on-vs-off correctness
+entry checks. Parquet row-group pruning (level 5) is delegated to
+Spark's parquet filter pushdown.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+from .conversions import from_bytes
+from .expressions import (
+    AlwaysFalse,
+    AlwaysTrue,
+    And,
+    BoundLiteralPredicate,
+    BoundPredicate,
+    BoundSetPredicate,
+    BoundUnaryPredicate,
+    Expression,
+    Literal,
+    Not,
+    Operation,
+    Or,
+    UnboundPredicate,
+    and_,
+    bind_expr,
+    evaluate,
+    literal,
+    or_,
+    rewrite_not,
+)
+from .transforms import (
+    BucketTransform,
+    DayTransform,
+    HourTransform,
+    IdentityTransform,
+    MonthTransform,
+    Transform,
+    TruncateTransform,
+    VoidTransform,
+    YearTransform,
+)
+from .types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IcebergType,
+    IntegerType,
+    LongType,
+    NestedField,
+    Schema,
+    StringType,
+    StructType,
+)
+
+ROWS_MIGHT_MATCH, ROWS_CANNOT_MATCH = True, False
+IN_PREDICATE_LIMIT = 200  # ref evaluators.go inPredicateLimit
+
+
+# ------------------------------------------------------------- projection
+
+def _project_literal(t: Transform, lit: Literal, src: IcebergType) -> Literal:
+    v = t.apply(lit.value, src)
+    return Literal(v, t.result_type(src))
+
+
+def project_predicate(
+    t: Transform, name: str, pred: BoundPredicate
+) -> Optional[UnboundPredicate]:
+    """Transform.Project — rewrite a bound row predicate into an unbound
+    predicate on the partition column `name`. Returns None when the
+    transform cannot answer for that predicate (inclusive fallback)."""
+    src = pred.term.type
+
+    if isinstance(t, VoidTransform):
+        return None
+
+    if isinstance(pred, BoundUnaryPredicate):
+        return UnboundPredicate(pred.op_, name)
+
+    if isinstance(t, IdentityTransform):
+        if isinstance(pred, BoundLiteralPredicate):
+            return UnboundPredicate(pred.op_, name, (pred.literal,))
+        if isinstance(pred, BoundSetPredicate):
+            return UnboundPredicate(
+                pred.op_, name, tuple(Literal(v, src) for v in sorted(pred.values, key=str))
+            )
+        return None
+
+    if isinstance(t, BucketTransform):
+        # ref transforms.go:349-374 — only EQ / IN project through a hash
+        if isinstance(pred, BoundLiteralPredicate) and pred.op_ == Operation.EQ:
+            return UnboundPredicate(
+                Operation.EQ, name, (_project_literal(t, pred.literal, src),)
+            )
+        if isinstance(pred, BoundSetPredicate) and pred.op_ == Operation.IN:
+            lits = tuple(
+                _project_literal(t, Literal(v, src), src)
+                for v in sorted(pred.values, key=str)
+            )
+            return UnboundPredicate(Operation.IN, name, lits)
+        return None
+
+    # order-preserving transforms
+    if isinstance(t, TruncateTransform) and isinstance(src, (StringType, BinaryType)):
+        # truncateArray — ref transforms.go:1018-1040
+        if isinstance(pred, BoundLiteralPredicate):
+            lit = _project_literal(t, pred.literal, src)
+            op_map = {
+                Operation.LT: Operation.LT_EQ,
+                Operation.LT_EQ: Operation.LT_EQ,
+                Operation.GT: Operation.GT_EQ,
+                Operation.GT_EQ: Operation.GT_EQ,
+                Operation.EQ: Operation.EQ,
+                Operation.STARTS_WITH: Operation.STARTS_WITH,
+                Operation.NOT_STARTS_WITH: Operation.NOT_STARTS_WITH,
+            }
+            if pred.op_ in op_map:
+                return UnboundPredicate(op_map[pred.op_], name, (lit,))
+            return None
+        if isinstance(pred, BoundSetPredicate) and pred.op_ == Operation.IN:
+            lits = tuple(
+                _project_literal(t, Literal(v, src), src)
+                for v in sorted(pred.values, key=str)
+            )
+            return UnboundPredicate(Operation.IN, name, lits)
+        return None
+
+    if isinstance(t, (TruncateTransform, YearTransform, MonthTransform, DayTransform, HourTransform)):
+        # truncateNumber — ref transforms.go:989-1016
+        if isinstance(pred, BoundLiteralPredicate):
+            b = pred.literal
+            if pred.op_ == Operation.LT:
+                return UnboundPredicate(
+                    Operation.LT_EQ, name, (_project_literal(t, b.decrement(), src),)
+                )
+            if pred.op_ == Operation.LT_EQ:
+                return UnboundPredicate(
+                    Operation.LT_EQ, name, (_project_literal(t, b, src),)
+                )
+            if pred.op_ == Operation.GT:
+                return UnboundPredicate(
+                    Operation.GT_EQ, name, (_project_literal(t, b.increment(), src),)
+                )
+            if pred.op_ == Operation.GT_EQ:
+                return UnboundPredicate(
+                    Operation.GT_EQ, name, (_project_literal(t, b, src),)
+                )
+            if pred.op_ == Operation.EQ:
+                return UnboundPredicate(
+                    Operation.EQ, name, (_project_literal(t, b, src),)
+                )
+            return None
+        if isinstance(pred, BoundSetPredicate) and pred.op_ == Operation.IN:
+            lits = tuple(
+                _project_literal(t, Literal(v, src), src)
+                for v in sorted(pred.values, key=str)
+            )
+            return UnboundPredicate(Operation.IN, name, lits)
+        return None
+
+    return None
+
+
+def partition_type(spec, schema: Schema) -> StructType:
+    """StructType of the partition tuple for a spec (partitions.py owns
+    the spec class; duck-typed here to keep this module Spark-free)."""
+    fields = []
+    for pf in spec.fields:
+        src = schema.find_field_by_id(pf.source_id)
+        if src is None:
+            raise ValueError(f"partition source field {pf.source_id} not in schema")
+        fields.append(
+            NestedField(pf.field_id, pf.name, pf.transform.result_type(src.field_type))
+        )
+    return StructType(*fields)
+
+
+def inclusive_projection(
+    schema: Schema, spec, case_sensitive: bool = True
+) -> Callable[[Expression], Expression]:
+    """ref evaluators.go:561-609 (newInclusiveProjection)."""
+
+    def project(row_filter: Expression) -> Expression:
+        bound = bind_expr(rewrite_not(row_filter), schema, case_sensitive)
+        return _project_expr(bound)
+
+    def _project_expr(e: Expression) -> Expression:
+        if isinstance(e, (AlwaysTrue, AlwaysFalse)):
+            return e
+        if isinstance(e, And):
+            return and_(_project_expr(e.left), _project_expr(e.right))
+        if isinstance(e, Or):
+            return or_(_project_expr(e.left), _project_expr(e.right))
+        if isinstance(e, Not):
+            raise ValueError("rewrite_not must run before projection")
+        if isinstance(e, BoundPredicate):
+            parts = []
+            for pf in spec.fields:
+                if pf.source_id == e.term.field.field_id:
+                    p = project_predicate(pf.transform, pf.name, e)
+                    if p is not None:
+                        parts.append(p)
+            # inclusive: unprojectable predicate → no constraint
+            return and_(*parts) if parts else AlwaysTrue()
+        raise TypeError(f"cannot project {e!r}")
+
+    return project
+
+
+# ------------------------------------------------------- manifest evaluator
+
+def _is_nan_lit(v: Any) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+def manifest_evaluator(
+    spec, schema: Schema, partition_filter: Expression, case_sensitive: bool = True
+) -> Callable[[Any], bool]:
+    """Prune manifests by partition field summaries —
+    ref evaluators.go:39-534. `partition_filter` is already in
+    partition space (output of inclusive_projection)."""
+    part_schema = Schema(0, partition_type(spec, schema).fields)
+    bound = bind_expr(rewrite_not(partition_filter), part_schema, case_sensitive)
+    pos_by_name = {f.name: i for i, f in enumerate(part_schema.fields)}
+
+    def eval_manifest(manifest) -> bool:
+        parts = manifest.partitions
+        if not parts:
+            return ROWS_MIGHT_MATCH
+        return _eval(bound, parts)
+
+    def _bounds(field, t: IcebergType):
+        lo = from_bytes(t, field.lower_bound) if field.lower_bound is not None else None
+        hi = from_bytes(t, field.upper_bound) if field.upper_bound is not None else None
+        return lo, hi
+
+    def _eval(e: Expression, parts) -> bool:
+        if isinstance(e, AlwaysTrue):
+            return ROWS_MIGHT_MATCH
+        if isinstance(e, AlwaysFalse):
+            return ROWS_CANNOT_MATCH
+        if isinstance(e, And):
+            return _eval(e.left, parts) and _eval(e.right, parts)
+        if isinstance(e, Or):
+            return _eval(e.left, parts) or _eval(e.right, parts)
+        if isinstance(e, Not):
+            return not _eval(e.child, parts)
+
+        assert isinstance(e, BoundPredicate)
+        field = parts[pos_by_name[e.term.name]]
+        t = e.term.type
+        op = e.op_
+
+        if op == Operation.IS_NULL:
+            return field.contains_null  # evaluators.go:211
+        if op == Operation.NOT_NULL:
+            # evaluators.go:222-236
+            all_null = field.contains_null and field.lower_bound is None
+            if all_null and isinstance(t, (FloatType, DoubleType)):
+                all_null = field.contains_nan is not None and not field.contains_nan
+            return ROWS_CANNOT_MATCH if all_null else ROWS_MIGHT_MATCH
+        if op == Operation.IS_NAN:
+            if field.contains_nan is not None and not field.contains_nan:
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        if op == Operation.NOT_NAN:
+            # all-NaN manifests: contains_nan true, no bounds, no nulls
+            if (
+                field.contains_nan is True
+                and not field.contains_null
+                and field.lower_bound is None
+            ):
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+
+        if isinstance(e, BoundLiteralPredicate):
+            lit = e.literal.value
+            if op == Operation.LT:
+                lo, _ = _bounds(field, t)
+                if field.lower_bound is None or lit <= lo:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.LT_EQ:
+                lo, _ = _bounds(field, t)
+                if field.lower_bound is None or lit < lo:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.GT:
+                _, hi = _bounds(field, t)
+                if field.upper_bound is None or lit >= hi:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.GT_EQ:
+                _, hi = _bounds(field, t)
+                if field.upper_bound is None or lit > hi:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.EQ:
+                if field.lower_bound is None or field.upper_bound is None:
+                    return ROWS_CANNOT_MATCH
+                lo, hi = _bounds(field, t)
+                if lo > lit or lit > hi:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_EQ:
+                return ROWS_MIGHT_MATCH  # bounds aren't exact min/max
+            if op == Operation.STARTS_WITH:
+                # evaluators.go:397-464
+                prefix = _as_str(lit)
+                if field.lower_bound is None or field.upper_bound is None:
+                    return ROWS_CANNOT_MATCH
+                lo, hi = _bounds(field, t)
+                lo_s = _as_str(lo)[: len(prefix)]
+                hi_s = _as_str(hi)[: len(prefix)]
+                if lo_s > prefix or hi_s < prefix:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_STARTS_WITH:
+                # evaluators.go:466-517
+                if field.contains_null or field.lower_bound is None or field.upper_bound is None:
+                    return ROWS_MIGHT_MATCH
+                prefix = _as_str(lit)
+                lo_s, hi_s = _as_str(_bounds(field, t)[0]), _as_str(_bounds(field, t)[1])
+                if len(lo_s) >= len(prefix) and lo_s.startswith(prefix):
+                    if len(hi_s) >= len(prefix) and hi_s.startswith(prefix):
+                        return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+
+        if isinstance(e, BoundSetPredicate):
+            if op == Operation.IN:
+                if field.lower_bound is None:
+                    return ROWS_CANNOT_MATCH
+                if len(e.values) > IN_PREDICATE_LIMIT:
+                    return ROWS_MIGHT_MATCH
+                lo, hi = _bounds(field, t)
+                if all(v < lo for v in e.values):
+                    return ROWS_CANNOT_MATCH
+                if field.upper_bound is not None and all(v > hi for v in e.values):
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_IN:
+                return ROWS_MIGHT_MATCH
+        raise TypeError(f"manifest evaluator cannot handle {e!r}")
+
+    return eval_manifest
+
+
+def _as_str(v: Any) -> str:
+    return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else str(v)
+
+
+# -------------------------------------------------------- metrics evaluator
+
+def inclusive_metrics_evaluator(
+    schema: Schema, expr: Expression, case_sensitive: bool = True, include_empty_files: bool = False
+) -> Callable[[Any], bool]:
+    """Prune data files by column metrics — ref evaluators.go:666-1198.
+
+    DataFile duck type: record_count, value_counts / null_value_counts /
+    nan_value_counts / lower_bounds / upper_bounds dicts keyed by field
+    id (bounds are serialized bytes)."""
+    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
+
+    def eval_file(f) -> bool:
+        if not include_empty_files and f.record_count == 0:
+            return ROWS_CANNOT_MATCH
+        if f.record_count < 0:
+            return ROWS_MIGHT_MATCH
+        return _eval(bound, f)
+
+    def contains_nulls_only(f, fid: int) -> bool:
+        vc = (f.value_counts or {}).get(fid)
+        nc = (f.null_value_counts or {}).get(fid)
+        return vc is not None and nc is not None and vc == nc
+
+    def contains_nans_only(f, fid: int) -> bool:
+        nanc = (f.nan_value_counts or {}).get(fid)
+        vc = (f.value_counts or {}).get(fid)
+        return nanc is not None and vc is not None and nanc == vc
+
+    def bound_val(f, which: str, fid: int, t: IcebergType):
+        b = (getattr(f, which) or {}).get(fid)
+        return None if b is None else from_bytes(t, b)
+
+    def _eval(e: Expression, f) -> bool:
+        if isinstance(e, AlwaysTrue):
+            return ROWS_MIGHT_MATCH
+        if isinstance(e, AlwaysFalse):
+            return ROWS_CANNOT_MATCH
+        if isinstance(e, And):
+            return _eval(e.left, f) and _eval(e.right, f)
+        if isinstance(e, Or):
+            return _eval(e.left, f) or _eval(e.right, f)
+        if isinstance(e, Not):
+            return not _eval(e.child, f)
+
+        assert isinstance(e, BoundPredicate)
+        fid = e.term.field.field_id
+        t = e.term.type
+        op = e.op_
+
+        if op == Operation.IS_NULL:
+            nc = (f.null_value_counts or {}).get(fid)
+            return ROWS_CANNOT_MATCH if nc == 0 else ROWS_MIGHT_MATCH
+        if op == Operation.NOT_NULL:
+            return ROWS_CANNOT_MATCH if contains_nulls_only(f, fid) else ROWS_MIGHT_MATCH
+        if op == Operation.IS_NAN:
+            nanc = (f.nan_value_counts or {}).get(fid)
+            if nanc == 0:
+                return ROWS_CANNOT_MATCH
+            if contains_nulls_only(f, fid):
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        if op == Operation.NOT_NAN:
+            return ROWS_CANNOT_MATCH if contains_nans_only(f, fid) else ROWS_MIGHT_MATCH
+
+        if isinstance(e, BoundLiteralPredicate):
+            if contains_nulls_only(f, fid) or (
+                op != Operation.STARTS_WITH
+                and op != Operation.NOT_STARTS_WITH
+                and contains_nans_only(f, fid)
+            ):
+                if op in (
+                    Operation.LT,
+                    Operation.LT_EQ,
+                    Operation.GT,
+                    Operation.GT_EQ,
+                    Operation.EQ,
+                ):
+                    return ROWS_CANNOT_MATCH
+                if op in (Operation.STARTS_WITH,):
+                    return ROWS_CANNOT_MATCH
+            if op == Operation.STARTS_WITH and contains_nulls_only(f, fid):
+                return ROWS_CANNOT_MATCH
+            lit = e.literal.value
+            if op == Operation.LT:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None and not _is_nan_lit(lo) and lo >= lit:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.LT_EQ:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.GT:
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None and not _is_nan_lit(hi) and hi <= lit:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.GT_EQ:
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.EQ:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                    return ROWS_CANNOT_MATCH
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_EQ:
+                return ROWS_MIGHT_MATCH
+            if op == Operation.STARTS_WITH:
+                prefix = _as_str(lit)
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None and _as_str(lo)[: len(prefix)] > prefix:
+                    return ROWS_CANNOT_MATCH
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None and _as_str(hi)[: len(prefix)] < prefix:
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_STARTS_WITH:
+                # ref evaluators.go:1143-1195
+                if (f.null_value_counts or {}).get(fid, 1) > 0:
+                    return ROWS_MIGHT_MATCH
+                prefix = _as_str(lit)
+                lo = bound_val(f, "lower_bounds", fid, t)
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if lo is None or hi is None:
+                    return ROWS_MIGHT_MATCH
+                lo_s, hi_s = _as_str(lo), _as_str(hi)
+                if len(lo_s) >= len(prefix) and lo_s.startswith(prefix):
+                    if len(hi_s) >= len(prefix) and hi_s.startswith(prefix):
+                        return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+
+        if isinstance(e, BoundSetPredicate):
+            if op == Operation.IN:
+                if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                    return ROWS_CANNOT_MATCH
+                if len(e.values) > IN_PREDICATE_LIMIT:
+                    return ROWS_MIGHT_MATCH
+                values = set(e.values)
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None:
+                    if _is_nan_lit(lo):
+                        return ROWS_MIGHT_MATCH
+                    values = {v for v in values if v >= lo}
+                    if not values:
+                        return ROWS_CANNOT_MATCH
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None:
+                    if _is_nan_lit(hi):
+                        return ROWS_MIGHT_MATCH
+                    values = {v for v in values if v <= hi}
+                    if not values:
+                        return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            if op == Operation.NOT_IN:
+                return ROWS_MIGHT_MATCH
+        raise TypeError(f"metrics evaluator cannot handle {e!r}")
+
+    return eval_file
+
+
+# ------------------------------------------------------ partition evaluator
+
+def expression_evaluator(
+    schema: Schema, expr: Expression, case_sensitive: bool = True
+) -> Callable[[dict], bool]:
+    """Row-level evaluator over partition dicts — SURVEY §3.1 step 5a."""
+    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
+
+    def eval_row(row: dict) -> bool:
+        return evaluate(bound, row)
+
+    return eval_row

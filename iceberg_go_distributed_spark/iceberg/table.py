@@ -1,0 +1,383 @@
+"""Table + Scan: the read path.
+
+Scan planning is driver-side pure Python (O(manifests), not O(rows)) —
+the four-level cascade of SURVEY §3.1 steps 4-6 — and execution is one
+`spark.read.parquet(*pruned_files)` plus a residual `filter` Column
+(step 7; Catalyst adds parquet row-group pruning on top). Mirrors
+table/table.go:361-379 (Scan builder), table/scanner.go:410-460
+(PlanFiles), scanner.go:177-210 (ref / time-travel resolution).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field, replace
+from typing import Any, Iterable, Optional, Sequence
+
+from .evaluators import (
+    expression_evaluator,
+    inclusive_metrics_evaluator,
+    inclusive_projection,
+    manifest_evaluator,
+)
+from .expressions import AlwaysTrue, Expression, to_spark_column
+from .manifest import (
+    DataFile,
+    ManifestContent,
+    ManifestEntry,
+    ManifestFile,
+    read_manifest,
+)
+from .metadata import MAIN_BRANCH, Snapshot, TableMetadata
+from .partitioning import PartitionSpec
+from .types import Schema, schema_to_spark_ddl
+
+
+@dataclass(frozen=True)
+class FileScanTask:
+    """ref table/scanner.go:462-466."""
+
+    file: DataFile
+    delete_files: tuple[DataFile, ...] = ()
+    start: int = 0
+    length: int = 0
+
+
+@dataclass(frozen=True)
+class Scan:
+    """Immutable scan config — ref table/table.go:285-379 (options)."""
+
+    table: "Table"
+    row_filter: Expression = field(default_factory=AlwaysTrue)
+    selected_fields: tuple[str, ...] = ("*",)
+    snapshot_id: Optional[int] = None
+    as_of_timestamp_ms: Optional[int] = None
+    use_ref: Optional[str] = None
+    limit: Optional[int] = None
+    case_sensitive: bool = True
+    concurrency: int = 8
+
+    # -------------------------------------------------------- with_* opts
+
+    def with_filter(self, expr: Expression) -> "Scan":
+        return replace(self, row_filter=expr)
+
+    def select(self, *fields: str) -> "Scan":
+        return replace(self, selected_fields=tuple(fields))
+
+    def use_snapshot(self, snapshot_id: int) -> "Scan":
+        return replace(self, snapshot_id=snapshot_id)
+
+    def as_of(self, timestamp_ms: int) -> "Scan":
+        return replace(self, as_of_timestamp_ms=timestamp_ms)
+
+    def use_branch_or_tag(self, name: str) -> "Scan":
+        return replace(self, use_ref=name)
+
+    def with_limit(self, n: int) -> "Scan":
+        return replace(self, limit=n)
+
+    # ---------------------------------------------------------- resolution
+
+    def snapshot(self) -> Optional[Snapshot]:
+        """ref table/scanner.go:177-210, 411-427."""
+        md = self.table.metadata
+        if self.snapshot_id is not None:
+            snap = md.snapshot_by_id(self.snapshot_id)
+            if snap is None:
+                raise ValueError(f"snapshot {self.snapshot_id} not found")
+            return snap
+        if self.use_ref is not None:
+            snap = md.snapshot_by_ref(self.use_ref)
+            if snap is None:
+                raise ValueError(f"ref {self.use_ref!r} not found")
+            return snap
+        if self.as_of_timestamp_ms is not None:
+            snap = md.snapshot_as_of(self.as_of_timestamp_ms)
+            if snap is None:
+                raise ValueError(f"no snapshot as of {self.as_of_timestamp_ms}")
+            return snap
+        return md.current_snapshot()
+
+    def projection(self) -> Schema:
+        """Schema pinned to the scanned snapshot — ref scanner.go:212-236."""
+        md = self.table.metadata
+        snap = self.snapshot()
+        schema = md.current_schema()
+        if snap is not None and snap.schema_id is not None:
+            schema = md.schema_by_id(snap.schema_id)
+        if self.selected_fields == ("*",):
+            return schema
+        return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
+
+    # ------------------------------------------------------------ planning
+
+    def plan_files(self) -> list[FileScanTask]:
+        """Four-level pruning — ref table/scanner.go:410-460."""
+        md = self.table.metadata
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        schema = md.current_schema()
+        if snap.schema_id is not None:
+            schema = md.schema_by_id(snap.schema_id)
+
+        manifests = [
+            m for m in snap.manifests() if m.content == ManifestContent.DATA
+        ]
+
+        # level 1+2: partition projection + manifest pruning, per spec id
+        # (ref scanner.go:238-243 buildPartitionProjection, :313-339)
+        proj_by_spec: dict[int, Expression] = {}
+        man_eval_by_spec: dict[int, Any] = {}
+        part_eval_by_spec: dict[int, Any] = {}
+        metrics_eval = inclusive_metrics_evaluator(
+            schema, self.row_filter, self.case_sensitive
+        )
+
+        def evals_for(spec_id: int):
+            if spec_id not in proj_by_spec:
+                spec = md.spec_by_id(spec_id)
+                proj = inclusive_projection(schema, spec, self.case_sensitive)(
+                    self.row_filter
+                )
+                proj_by_spec[spec_id] = proj
+                man_eval_by_spec[spec_id] = manifest_evaluator(
+                    spec, schema, proj, self.case_sensitive
+                )
+                part_schema = Schema(0, spec.partition_type(schema).fields)
+                part_eval_by_spec[spec_id] = expression_evaluator(
+                    part_schema, proj, self.case_sensitive
+                )
+            return man_eval_by_spec[spec_id], part_eval_by_spec[spec_id]
+
+        pruned_manifests = []
+        for m in manifests:
+            man_eval, _ = evals_for(m.partition_spec_id)
+            if man_eval(m):
+                pruned_manifests.append(m)
+
+        # level 3+4: per-entry partition-tuple + metrics pruning, manifests
+        # fetched concurrently (ref scanner.go:343-406 errgroup workers)
+        def entries_of(m: ManifestFile) -> list[ManifestEntry]:
+            _, part_eval = evals_for(m.partition_spec_id)
+            out = []
+            for e in read_manifest(m.manifest_path):
+                if not part_eval(e.data_file.partition):
+                    continue
+                if not metrics_eval(e.data_file):
+                    continue
+                out.append(e)
+            return out
+
+        tasks: list[FileScanTask] = []
+        if pruned_manifests:
+            with ThreadPoolExecutor(
+                max_workers=min(self.concurrency, len(pruned_manifests))
+            ) as pool:
+                for entry_list in pool.map(entries_of, pruned_manifests):
+                    for e in entry_list:
+                        tasks.append(FileScanTask(file=e.data_file))
+        return tasks
+
+    # ----------------------------------------------------------- execution
+
+    def to_df(self, spark):
+        """Data-plane execution — SURVEY §3.1 step 7. The driver/executor
+        boundary is exactly here: everything above was metadata-only."""
+        from pyspark.sql import functions as F
+
+        tasks = self.plan_files()
+        proj = self.projection()
+        md = self.table.metadata
+        snap = self.snapshot()
+        schema = md.current_schema()
+        if snap is not None and snap.schema_id is not None:
+            schema = md.schema_by_id(snap.schema_id)
+
+        if not tasks:
+            return spark.createDataFrame([], schema_to_spark_ddl(proj))
+
+        files = [t.file.file_path for t in tasks]
+        # full-schema read (field defaults/renames handled at metadata
+        # level); Catalyst prunes columns + pushes the residual filter
+        # into the parquet row-group scan.
+        df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+        if not isinstance(self.row_filter, AlwaysTrue):
+            from .expressions import bind_expr, rewrite_not
+
+            bound = bind_expr(
+                rewrite_not(self.row_filter), schema, self.case_sensitive
+            )
+            df = df.where(to_spark_column(bound))
+        if self.selected_fields != ("*",):
+            df = df.select(*[F.col(f.name) for f in proj.fields])
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df
+
+
+class StaticTable:
+    """Base for Table: metadata accessors shared with staged tables."""
+
+    metadata: TableMetadata
+
+    def schema(self) -> Schema:
+        return self.metadata.current_schema()
+
+    def spec(self) -> PartitionSpec:
+        return self.metadata.default_spec()
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.metadata.properties
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+
+class Table(StaticTable):
+    """ref table/table.go:381-448."""
+
+    def __init__(self, identifier, metadata: TableMetadata, metadata_location: str, catalog):
+        self.identifier = identifier
+        self.metadata = metadata
+        self.metadata_location = metadata_location
+        self.catalog = catalog
+
+    def __repr__(self) -> str:
+        return f"Table({self.identifier}, location={self.location!r})"
+
+    def refresh(self) -> "Table":
+        t = self.catalog.load_table(self.identifier)
+        self.metadata, self.metadata_location = t.metadata, t.metadata_location
+        return self
+
+    def scan(self, row_filter: Expression | None = None, **kwargs) -> Scan:
+        return Scan(table=self, row_filter=row_filter or AlwaysTrue(), **kwargs)
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        return self.metadata.current_snapshot()
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Optional[Snapshot]:
+        return self.metadata.snapshot_as_of(timestamp_ms)
+
+    def history(self) -> list:
+        return list(self.metadata.snapshot_log)
+
+    def refs(self) -> dict:
+        return dict(self.metadata.refs)
+
+    # ------------------------------------------------------------- write
+
+    def transaction(self) -> "Transaction":
+        from .transaction import Transaction
+
+        return Transaction(self)
+
+    def append(self, df, spark=None, snapshot_properties: Optional[dict] = None) -> None:
+        """Append a Spark DataFrame via the distributed-snapshot protocol
+        (SURVEY §3.3: driver=coordinator, executors=workers)."""
+        from .write import append_distributed
+
+        append_distributed(self, df, snapshot_properties=snapshot_properties)
+
+    def begin_distributed_snapshot(self, properties: Optional[dict] = None):
+        from .write import begin_distributed_snapshot
+
+        return begin_distributed_snapshot(self, properties)
+
+    def commit_distributed_snapshot(self, ds, manifests, summary_props=None) -> None:
+        from .write import commit_distributed_snapshot
+
+        commit_distributed_snapshot(self, ds, manifests, summary_props)
+
+    # ---------------------------------------------------- metadata tables
+
+    def all_manifests(self) -> list[ManifestFile]:
+        """ref table/table.go:132 (AllManifests)."""
+        out, seen = [], set()
+        for snap in self.metadata.snapshots:
+            for m in snap.manifests():
+                if m.manifest_path not in seen:
+                    seen.add(m.manifest_path)
+                    out.append(m)
+        return out
+
+    def inspect_snapshots(self, spark):
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.manifest_list,
+                s.summary.operation,
+            )
+            for s in self.metadata.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_id bigint, sequence_number bigint, "
+            "committed_at_ms bigint, manifest_list string, operation string",
+        )
+
+    def inspect_manifests(self, spark):
+        snap = self.current_snapshot()
+        rows = [
+            (
+                m.manifest_path,
+                m.manifest_length,
+                m.partition_spec_id,
+                int(m.content),
+                m.added_snapshot_id,
+                m.added_files_count,
+                m.existing_files_count,
+                m.deleted_files_count,
+                m.added_rows_count,
+            )
+            for m in (snap.manifests() if snap else [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length bigint, partition_spec_id int, content int, "
+            "added_snapshot_id bigint, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "added_rows_count bigint",
+        )
+
+    def inspect_files(self, spark):
+        snap = self.current_snapshot()
+        rows = []
+        if snap is not None:
+            for m in snap.manifests():
+                for e in read_manifest(m.manifest_path):
+                    df_ = e.data_file
+                    rows.append(
+                        (
+                            df_.file_path,
+                            df_.file_format,
+                            int(df_.content),
+                            df_.record_count,
+                            df_.file_size_in_bytes,
+                            str(df_.partition),
+                        )
+                    )
+        return spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, content int, "
+            "record_count bigint, file_size_in_bytes bigint, partition string",
+        )
+
+    def inspect_history(self, spark):
+        rows = [(e.timestamp_ms, e.snapshot_id) for e in self.metadata.snapshot_log]
+        return spark.createDataFrame(rows, "made_current_at_ms bigint, snapshot_id bigint")
+
+    def inspect_refs(self, spark):
+        rows = [
+            (name, r.snapshot_ref_type, r.snapshot_id)
+            for name, r in self.metadata.refs.items()
+        ]
+        return spark.createDataFrame(rows, "name string, type string, snapshot_id bigint")

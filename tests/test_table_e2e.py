@@ -1,0 +1,279 @@
+"""End-to-end table layer: create → append (distributed-snapshot write)
+→ scan with pruning → verify vs the raw parquet. Plus catalog CRUD,
+time travel, refs, metadata round-trips and the concurrent-commit
+conflict (ports table/distributed_snapshot_test.go:56,131)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import (
+    CommitConflictError,
+    FileSystemCatalog,
+    NoSuchTableError,
+    SqlCatalog,
+    TableAlreadyExistsError,
+)
+from iceberg_go_distributed_spark.iceberg.metadata import (
+    TableMetadata,
+    parse_metadata_file,
+)
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+LINEITEM_SCHEMA = Schema.of(
+    0,
+    NestedField(1, "l_orderkey", ty.LongType(), required=True),
+    NestedField(2, "l_partkey", ty.LongType()),
+    NestedField(3, "l_suppkey", ty.LongType()),
+    NestedField(4, "l_linenumber", ty.IntegerType()),
+    NestedField(5, "l_quantity", ty.DoubleType()),
+    NestedField(6, "l_extendedprice", ty.DoubleType()),
+    NestedField(7, "l_discount", ty.DoubleType()),
+    NestedField(8, "l_tax", ty.DoubleType()),
+    NestedField(9, "l_returnflag", ty.StringType()),
+    NestedField(10, "l_linestatus", ty.StringType()),
+    NestedField(11, "l_shipdate", ty.TimestampType()),
+)
+
+
+@pytest.fixture()
+def fs_catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def lineitem_df(spark, sf_dir):
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    df = load_table(spark, sf_dir, "lineitem")
+    # testdata ship dates are timestamps already; cast to be safe
+    return df
+
+
+def test_catalog_crud(fs_catalog):
+    s = Schema.of(0, NestedField(1, "id", ty.LongType(), required=True))
+    t = fs_catalog.create_table("db.t1", s)
+    assert fs_catalog.table_exists("db.t1")
+    with pytest.raises(TableAlreadyExistsError):
+        fs_catalog.create_table("db.t1", s)
+    assert fs_catalog.list_tables("db") == [("db", "t1")]
+    t2 = fs_catalog.rename_table("db.t1", "db.t2")
+    assert t2.schema().fields[0].name == "id"
+    assert not fs_catalog.table_exists("db.t1")
+    fs_catalog.drop_table("db.t2")
+    with pytest.raises(NoSuchTableError):
+        fs_catalog.load_table("db.t2")
+
+
+def test_sql_catalog_crud(tmp_path):
+    cat = SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"))
+    s = Schema.of(0, NestedField(1, "id", ty.LongType(), required=True))
+    cat.create_namespace("db", {"owner": "x"})
+    cat.create_table("db.t1", s)
+    assert cat.table_exists("db.t1")
+    assert cat.list_tables("db") == [("db", "t1")]
+    assert cat.load_namespace_properties("db") == {"owner": "x"}
+    cat.update_namespace_properties("db", updates={"k": "v"})
+    assert cat.load_namespace_properties("db")["k"] == "v"
+    with pytest.raises(ValueError):
+        cat.drop_namespace("db")
+    cat.rename_table("db.t1", "db.t2")
+    cat.drop_table("db.t2")
+    cat.drop_namespace("db")
+
+
+def test_metadata_roundtrip(fs_catalog):
+    s = Schema.of(
+        0,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "cat", ty.StringType()),
+    )
+    spec = spec_from(s, ("cat", "identity"), ("id", "bucket[4]"))
+    t = fs_catalog.create_table("db.part", s, spec=spec, properties={"k": "v"})
+    md2 = parse_metadata_file(t.metadata_location)
+    assert md2.table_uuid == t.metadata.table_uuid
+    assert md2.current_schema().fields == s.fields
+    assert md2.default_spec().fields[1].transform.num_buckets == 4
+    assert md2.properties == {"k": "v"}
+
+
+def test_append_scan_roundtrip(fs_catalog, spark, lineitem_df, ducks):
+    t = fs_catalog.create_table("db.lineitem", LINEITEM_SCHEMA)
+    t.append(lineitem_df)
+
+    snap = t.current_snapshot()
+    assert snap is not None
+    assert snap.summary.operation == "append"
+    n_expected = lineitem_df.count()
+    assert int(snap.summary.properties["total-records"]) == n_expected
+
+    # full scan
+    df = t.scan().to_df(spark)
+    assert df.count() == n_expected
+
+    # filtered scan matches raw-parquet filter
+    expr = E.greater_than("l_quantity", 45.0)
+    got = t.scan(row_filter=expr).to_df(spark).count()
+    want = lineitem_df.where("l_quantity > 45.0").count()
+    assert got == want > 0
+
+    # projection + limit
+    df3 = t.scan(row_filter=expr).select("l_orderkey", "l_quantity").with_limit(7).to_df(spark)
+    assert df3.columns == ["l_orderkey", "l_quantity"]
+    assert df3.count() == 7
+
+
+def test_append_twice_and_time_travel(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li2", LINEITEM_SCHEMA)
+    small = lineitem_df.limit(100)
+    t.append(small)
+    first = t.current_snapshot()
+    t.append(small)
+    second = t.current_snapshot()
+    assert second.parent_snapshot_id == first.snapshot_id
+    assert second.sequence_number == first.sequence_number + 1
+    assert t.scan().to_df(spark).count() == 200
+    # snapshot-id time travel
+    assert t.scan(snapshot_id=first.snapshot_id).to_df(spark).count() == 100
+    # as-of-timestamp travel
+    assert (
+        t.scan().as_of(first.timestamp_ms).to_df(spark).count() == 100
+    )
+    assert len(t.history()) == 2
+    assert int(second.summary.properties["total-records"]) == 200
+
+
+def test_branches_and_tags(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li3", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(50))
+    first = t.current_snapshot()
+    tx = t.transaction()
+    tx.set_ref("v1_tag", first.snapshot_id, ref_type="tag")
+    tx.commit()
+    t.append(lineitem_df.limit(100))
+    assert t.scan().to_df(spark).count() == 150
+    assert t.scan(use_ref="v1_tag").to_df(spark).count() == 50
+    assert t.refs()["v1_tag"].snapshot_ref_type == "tag"
+
+
+def test_partitioned_append_and_pruning(fs_catalog, spark, lineitem_df):
+    spec = spec_from(LINEITEM_SCHEMA, ("l_shipdate", "year"), ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.li_part", LINEITEM_SCHEMA, spec=spec)
+    small = lineitem_df.limit(2000)
+    t.append(small)
+
+    # partition paths are hive-style
+    snap = t.current_snapshot()
+    files = [
+        e.data_file.file_path
+        for m in snap.manifests()
+        for e in __import__(
+            "iceberg_go_distributed_spark.iceberg.manifest", fromlist=["read_manifest"]
+        ).read_manifest(m.manifest_path)
+    ]
+    assert all("l_shipdate_year=" in p and "l_returnflag=" in p for p in files)
+
+    # identity-partition pruning: only R-flag files planned
+    expr = E.equal("l_returnflag", "R")
+    tasks = t.scan(row_filter=expr).plan_files()
+    assert tasks and all("l_returnflag=R" in x.file.file_path for x in tasks)
+
+    # correctness: pruned scan == unpruned filter (soundness check)
+    got = t.scan(row_filter=expr).to_df(spark).count()
+    want = small.where("l_returnflag = 'R'").count()
+    assert got == want > 0
+
+    # year-transform pruning on the timestamp column
+    expr2 = E.greater_than_or_equal("l_shipdate", "1997-01-01T00:00:00")
+    n_all = len(t.scan().plan_files())
+    n_pruned = len(t.scan(row_filter=expr2).plan_files())
+    assert n_pruned < n_all
+    got2 = t.scan(row_filter=expr2).to_df(spark).count()
+    want2 = small.where("l_shipdate >= timestamp'1997-01-01'").count()
+    assert got2 == want2 > 0
+
+
+def test_metrics_pruning_skips_files(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_metrics", LINEITEM_SCHEMA)
+    # two appends with disjoint orderkey ranges → per-file bounds disjoint
+    lo = lineitem_df.where("l_orderkey < 500")
+    hi = lineitem_df.where("l_orderkey >= 1000")
+    t.append(lo)
+    t.append(hi)
+    all_tasks = t.scan().plan_files()
+    hit = t.scan(row_filter=E.less_than("l_orderkey", 250)).plan_files()
+    assert len(hit) < len(all_tasks), "metrics pruning should drop the hi files"
+    got = t.scan(row_filter=E.less_than("l_orderkey", 250)).to_df(spark).count()
+    want = lineitem_df.where("l_orderkey < 250").count()
+    assert got == want > 0
+
+
+def test_concurrent_commit_conflict(fs_catalog, spark, lineitem_df):
+    """Port of table/distributed_snapshot_test.go:131 — two writers on
+    the same base: the second CAS must fail, and the retry loop in
+    commit_data_files must succeed."""
+    from iceberg_go_distributed_spark.iceberg.write import (
+        begin_distributed_snapshot,
+        commit_data_files,
+        write_data_files,
+    )
+
+    t = fs_catalog.create_table("db.li_conflict", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10))
+
+    t_a = fs_catalog.load_table("db.li_conflict")
+    t_b = fs_catalog.load_table("db.li_conflict")
+
+    ds_a = begin_distributed_snapshot(t_a)
+    files_a = write_data_files(
+        lineitem_df.limit(5), t_a.schema(), t_a.spec(), t_a.location, ds_a.commit_uuid
+    )
+    ds_b = begin_distributed_snapshot(t_b)
+    files_b = write_data_files(
+        lineitem_df.limit(5), t_b.schema(), t_b.spec(), t_b.location, ds_b.commit_uuid
+    )
+
+    # writer A commits first
+    commit_data_files(t_a, files_a, max_retries=0)
+    # writer B's first CAS fails against the stale base…
+    with pytest.raises(CommitConflictError):
+        commit_data_files(t_b, files_b, max_retries=0)
+    # …and succeeds with the retry loop (refresh + re-reserve)
+    commit_data_files(t_b, files_b, max_retries=2)
+    t_b.refresh()
+    assert t_b.scan().to_df(spark).count() == 20
+
+
+def test_transaction_properties_and_expire(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_props", LINEITEM_SCHEMA)
+    tx = t.transaction()
+    tx.set_properties({"owner": "me", "write.target-file-size-bytes": "1048576"})
+    tx.commit()
+    assert t.properties["owner"] == "me"
+
+    t.append(lineitem_df.limit(10))
+    t.append(lineitem_df.limit(10))
+    t.append(lineitem_df.limit(10))
+    assert len(t.metadata.snapshots) == 3
+    tx = t.transaction()
+    tx.expire_snapshots(retain_last=1)
+    tx.commit()
+    assert len(t.metadata.snapshots) == 1
+    assert t.scan().to_df(spark).count() == 30  # current snapshot untouched
+
+
+def test_metadata_tables(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_meta", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(20))
+    assert t.inspect_snapshots(spark).count() == 1
+    assert t.inspect_manifests(spark).count() == 1
+    assert t.inspect_files(spark).count() >= 1
+    assert t.inspect_history(spark).count() == 1
+    assert t.inspect_refs(spark).count() == 1
+    row = t.inspect_files(spark).first()
+    assert row.record_count > 0 and row.file_format == "PARQUET"
