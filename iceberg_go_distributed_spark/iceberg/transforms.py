@@ -250,20 +250,21 @@ class BucketTransform(Transform):
             src, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)
         )
 
+        # NB: no type hints — `from __future__ import annotations` would
+        # stringify them and pyspark's hint inference can't resolve the strings.
         if int_like:
 
-            @F.pandas_udf(SparkInt())
-            def _bucket(s: pd.Series) -> pd.Series:
+            def _bucket_fn(s):
                 return _bucket_int64_np(s, n)
 
         else:
             src_t = src
 
-            @F.pandas_udf(SparkInt())
-            def _bucket(s: pd.Series) -> pd.Series:
+            def _bucket_fn(s):
                 return s.map(lambda v: bucket_value(v, src_t, n))
 
-        return _bucket(col)
+        _bucket_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(SparkInt())(_bucket_fn)(col)
 
 
 def _bucket_int64_np(s, n: int):

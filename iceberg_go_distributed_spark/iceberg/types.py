@@ -422,3 +422,40 @@ def spark_type(t: IcebergType) -> str:
 
 def schema_to_spark_ddl(schema: Schema) -> str:
     return ", ".join(f"`{f.name}` {spark_type(f.field_type)}" for f in schema.fields)
+
+
+def schema_from_spark(spark_schema, schema_id: int = 0) -> Schema:
+    """Derive an Iceberg schema (fresh sequential field IDs) from a
+    pyspark StructType — the create-table path for Spark-born data."""
+    from pyspark.sql import types as st
+
+    mapping = [
+        (st.BooleanType, BooleanType),
+        (st.IntegerType, IntegerType),
+        (st.ShortType, IntegerType),
+        (st.ByteType, IntegerType),
+        (st.LongType, LongType),
+        (st.FloatType, FloatType),
+        (st.DoubleType, DoubleType),
+        (st.DateType, DateType),
+        (st.StringType, StringType),
+        (st.BinaryType, BinaryType),
+    ]
+
+    def conv(dt) -> IcebergType:
+        if isinstance(dt, st.DecimalType):
+            return DecimalType(dt.precision, dt.scale)
+        if isinstance(dt, st.TimestampNTZType):
+            return TimestampType()
+        if isinstance(dt, st.TimestampType):
+            return TimestampType()  # stored as µs; tz-naive in testdata
+        for spark_t, ice_t in mapping:
+            if isinstance(dt, spark_t):
+                return ice_t()
+        raise TypeError(f"no iceberg mapping for spark type {dt}")
+
+    fields = [
+        NestedField(i + 1, f.name, conv(f.dataType), required=not f.nullable)
+        for i, f in enumerate(spark_schema.fields)
+    ]
+    return Schema(schema_id, tuple(fields))

@@ -1,6 +1,243 @@
-"""Iceberg table-layer queries (scan/filter/project/limit, time travel,
-partition-transform pruning, deletes) registered against the engine's own
-table format. Populated as the table layer lands.
+"""Driver-visible correctness entries for the Iceberg table layer.
+
+Each query builds a real table under /tmp (FileSystemCatalog), writes
+driver testdata through the distributed-snapshot append, reads it back
+through `Table.scan` (four-level pruning + Spark execution), and
+aggregates — and the DuckDB oracle computes the same answer directly on
+the raw parquet. A value match therefore proves write→commit→plan→scan
+round-trip fidelity, not just query algebra.
+
+Determinism notes: appends `repartition(1)` (single writer task) or
+repartition by the partition key (one file per partition), so file
+counts are stable across executors; money sums use exact DECIMAL.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from . import query
+from ..datasets import load_table
+
+_WH_ROOT = "/tmp/iceberg_go_distributed_spark_wh"
+
+
+def _fresh_catalog(name: str, sf_dir: str):
+    from ..iceberg.catalog import FileSystemCatalog
+
+    wh = os.path.join(_WH_ROOT, name, os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(wh, ignore_errors=True)
+    return FileSystemCatalog(wh)
+
+
+def _lineitem_table(spark, sf_dir, name, spec_defs=(), single_file=True):
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog(name, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    spec = spec_from(schema, *spec_defs) if spec_defs else None
+    t = cat.create_table(f"db.{name}", schema, spec=spec)
+    t.append(li.coalesce(1) if single_file and not spec_defs else li)
+    return t, li
+
+
+@query(
+    "ice_write_scan_filter",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 30.0
+    GROUP BY l_returnflag
+    """,
+    doc="table round-trip: append via distributed snapshot, filtered scan back",
+)
+def ice_write_scan_filter(spark, sf_dir):
+    from ..iceberg import expressions as E
+
+    t, _ = _lineitem_table(spark, sf_dir, "ice_rt")
+    df = t.scan(row_filter=E.greater_than("l_quantity", 30.0)).to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "ice_partition_prune",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="transform-aware partition pruning: year(l_shipdate) spec, pruned scan == raw filter",
+)
+def ice_partition_prune(spark, sf_dir):
+    from ..iceberg import expressions as E
+
+    t, _ = _lineitem_table(
+        spark, sf_dir, "ice_part", spec_defs=(("l_shipdate", "year"),), single_file=False
+    )
+    scan = t.scan(row_filter=E.greater_than_or_equal("l_shipdate", "1997-01-01T00:00:00"))
+    # the plan must actually prune: planned files < total files
+    n_all = len(t.scan().plan_files())
+    n_pruned = len(scan.plan_files())
+    assert n_pruned < n_all, f"partition pruning inactive: {n_pruned}/{n_all}"
+    return scan.to_df(spark).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@query(
+    "ice_prune_soundness",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey < 700
+    """,
+    doc="metrics pruning soundness: pruned file set loses no qualifying rows",
+)
+def ice_prune_soundness(spark, sf_dir):
+    from ..iceberg import expressions as E
+
+    cat = _fresh_catalog("ice_sound", sf_dir)
+    from ..iceberg.types import schema_from_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    t = cat.create_table("db.ice_sound", schema)
+    # three appends with disjoint orderkey ranges → disjoint file bounds
+    for lo, hi in ((0, 500), (500, 1000), (1000, 1 << 60)):
+        t.append(li.where(f"l_orderkey >= {lo} AND l_orderkey < {hi}").coalesce(1))
+    scan = t.scan(row_filter=E.less_than("l_orderkey", 700))
+    n_all = len(t.scan().plan_files())
+    n_hit = len(scan.plan_files())
+    assert n_hit < n_all, f"metrics pruning inactive: {n_hit}/{n_all}"
+    return scan.to_df(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "ice_time_travel",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS snap1_rows,
+      (SELECT COUNT(*) FROM orders) AS snap2_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS tag_rows
+    """,
+    doc="time travel: snapshot-id, current, and tag reads of the same table",
+)
+def ice_time_travel(spark, sf_dir):
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_tt", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    schema = schema_from_spark(orders.schema)
+    t = cat.create_table("db.ice_tt", schema)
+    t.append(orders.where("o_orderkey < 2000").coalesce(1))
+    first = t.current_snapshot()
+    tx = t.transaction()
+    tx.set_ref("v1", first.snapshot_id, ref_type="tag")
+    tx.commit()
+    t.append(orders.where("o_orderkey >= 2000").coalesce(1))
+
+    snap1 = t.scan(snapshot_id=first.snapshot_id).to_df(spark).count()
+    snap2 = t.scan().to_df(spark).count()
+    tag = t.scan(use_ref="v1").to_df(spark).count()
+    return spark.createDataFrame(
+        [(snap1, snap2, tag)], "snap1_rows bigint, snap2_rows bigint, tag_rows bigint"
+    )
+
+
+@query(
+    "ice_snapshot_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
+           CAST(2 AS INT) AS n_snapshots,
+           CAST(COUNT(DISTINCT year(l_shipdate)) AS BIGINT) AS n_files
+    FROM lineitem
+    """,
+    doc="snapshot summary counters + files metadata table vs raw facts",
+)
+def ice_snapshot_summary(spark, sf_dir):
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_sum", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    spec = spec_from(schema, ("l_shipdate", "year"))
+    t = cat.create_table("db.ice_sum", schema, spec=spec)
+    half = li.where("l_orderkey % 2 = 0")
+    other = li.where("l_orderkey % 2 = 1")
+    t.append(half)
+    t.append(other)
+    total = int(t.current_snapshot().summary.properties["total-records"])
+    n_snapshots = len(t.metadata.snapshots)
+    # files metadata table: year-partitioned fanout → distinct years per append;
+    # count distinct partitions (both appends cover every year)
+    files_df = t.inspect_files(spark)
+    n_partitions = files_df.select("partition").distinct().count()
+    return spark.createDataFrame(
+        [(total, n_snapshots, n_partitions)],
+        "total_records bigint, n_snapshots int, n_files bigint",
+    )
+
+
+@query(
+    "ice_bucket_partitioning",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN s_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM supplier
+    """,
+    doc="bucket[8] fanout write + full scan round-trip (bit-exact murmur3 bucketing)",
+)
+def ice_bucket_partitioning(spark, sf_dir):
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_bkt", sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    schema = schema_from_spark(supp.schema)
+    spec = spec_from(schema, ("s_suppkey", "bucket[8]"))
+    t = cat.create_table("db.ice_bkt", schema, spec=spec)
+    t.append(supp)
+    # buckets must match the driver-side pure-Python transform bit-for-bit
+    from ..iceberg.manifest import read_manifest
+    from ..iceberg.transforms import BucketTransform
+    from ..iceberg.types import LongType
+
+    bt = BucketTransform(8)
+    for m in t.current_snapshot().manifests():
+        for e in read_manifest(m.manifest_path):
+            b = e.data_file.partition["s_suppkey_bucket"]
+            assert 0 <= b < 8
+    # round-trip scan + a bucket-pruned point lookup
+    from ..iceberg import expressions as E
+
+    probe_key = 3
+    expected_bucket = bt.apply(probe_key, LongType())
+    tasks = t.scan(row_filter=E.equal("s_suppkey", probe_key)).plan_files()
+    assert all(
+        x.file.partition["s_suppkey_bucket"] == expected_bucket for x in tasks
+    ), "bucket pruning planned a wrong bucket"
+    df = t.scan().to_df(spark)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CASE WHEN s_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_pos"
+        ),
+    )
