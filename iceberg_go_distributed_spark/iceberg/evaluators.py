@@ -544,3 +544,156 @@ def expression_evaluator(
         return evaluate(bound, row)
 
     return eval_row
+
+
+# --------------------------------------------------------- strict evaluator
+
+ROWS_MUST_MATCH, ROWS_MIGHT_NOT_MATCH = True, False
+
+
+def strict_metrics_evaluator(
+    schema: Schema, expr: Expression, case_sensitive: bool = True
+) -> Callable[[Any], bool]:
+    """Strict evaluation: True only when EVERY row in the file matches —
+    ref evaluators.go:1200-1563 (newStrictMetricsEvaluator). Used for
+    whole-file delete/rewrite decisions (a file that must-match a delete
+    predicate is dropped without rewriting)."""
+    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
+
+    def eval_file(f) -> bool:
+        if f.record_count <= 0:
+            # empty files trivially match every predicate
+            return ROWS_MUST_MATCH if f.record_count == 0 else ROWS_MIGHT_NOT_MATCH
+        return _eval(bound, f)
+
+    # ref evaluators.go:1555-1565 — missing counts are treated as
+    # "known no nulls/nans" for strict evaluation
+    def can_contain_nulls(f, fid: int) -> bool:
+        nc = (f.null_value_counts or {}).get(fid)
+        return nc is not None and nc > 0
+
+    def can_contain_nans(f, fid: int) -> bool:
+        nanc = (f.nan_value_counts or {}).get(fid)
+        return nanc is not None and nanc > 0
+
+    def contains_nulls_only(f, fid: int) -> bool:
+        vc = (f.value_counts or {}).get(fid)
+        nc = (f.null_value_counts or {}).get(fid)
+        return vc is not None and nc is not None and vc == nc
+
+    def contains_nans_only(f, fid: int) -> bool:
+        nanc = (f.nan_value_counts or {}).get(fid)
+        vc = (f.value_counts or {}).get(fid)
+        return nanc is not None and vc is not None and nanc == vc
+
+    def bound_val(f, which: str, fid: int, t: IcebergType):
+        b = (getattr(f, which) or {}).get(fid)
+        return None if b is None else from_bytes(t, b)
+
+    def _eval(e: Expression, f) -> bool:
+        if isinstance(e, AlwaysTrue):
+            return ROWS_MUST_MATCH
+        if isinstance(e, AlwaysFalse):
+            return ROWS_MIGHT_NOT_MATCH
+        if isinstance(e, And):
+            return _eval(e.left, f) and _eval(e.right, f)
+        if isinstance(e, Or):
+            return _eval(e.left, f) or _eval(e.right, f)
+        if isinstance(e, Not):
+            return not _eval(e.child, f)
+
+        assert isinstance(e, BoundPredicate)
+        fid = e.term.field.field_id
+        t = e.term.type
+        op = e.op_
+
+        if op == Operation.IS_NULL:
+            return contains_nulls_only(f, fid)
+        if op == Operation.NOT_NULL:
+            nc = (f.null_value_counts or {}).get(fid)
+            return nc == 0
+        if op == Operation.IS_NAN:
+            return contains_nans_only(f, fid)
+        if op == Operation.NOT_NAN:
+            nanc = (f.nan_value_counts or {}).get(fid)
+            if nanc == 0:
+                return ROWS_MUST_MATCH
+            return contains_nulls_only(f, fid)
+
+        if isinstance(e, BoundLiteralPredicate):
+            lit = e.literal.value
+            if op == Operation.NOT_EQ:
+                # null rows match NOT_EQ under strict semantics (ref :1428)
+                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                    return ROWS_MUST_MATCH
+                lo = bound_val(f, "lower_bounds", fid, t)
+                if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                    return ROWS_MUST_MATCH
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                    return ROWS_MUST_MATCH
+                return ROWS_MIGHT_NOT_MATCH
+            # all other value predicates: any null/NaN row breaks must-match
+            if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                return ROWS_MIGHT_NOT_MATCH
+            if op == Operation.LT:
+                hi = bound_val(f, "upper_bounds", fid, t)
+                return hi is not None and not _is_nan_lit(hi) and hi < lit
+            if op == Operation.LT_EQ:
+                hi = bound_val(f, "upper_bounds", fid, t)
+                return hi is not None and not _is_nan_lit(hi) and hi <= lit
+            if op == Operation.GT:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                return lo is not None and not _is_nan_lit(lo) and lo > lit
+            if op == Operation.GT_EQ:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                return lo is not None and not _is_nan_lit(lo) and lo >= lit
+            if op == Operation.EQ:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                hi = bound_val(f, "upper_bounds", fid, t)
+                return (
+                    lo is not None
+                    and hi is not None
+                    and lo == lit
+                    and hi == lit
+                )
+            if op == Operation.STARTS_WITH:
+                lo = bound_val(f, "lower_bounds", fid, t)
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if lo is None or hi is None:
+                    return ROWS_MIGHT_NOT_MATCH
+                p = _as_str(lit)
+                lo_s, hi_s = _as_str(lo), _as_str(hi)
+                return (
+                    len(lo_s) >= len(p)
+                    and lo_s.startswith(p)
+                    and len(hi_s) >= len(p)
+                    and hi_s.startswith(p)
+                )
+            return ROWS_MIGHT_NOT_MATCH
+
+        if isinstance(e, BoundSetPredicate):
+            if op == Operation.NOT_IN:
+                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                    return ROWS_MUST_MATCH
+                lo = bound_val(f, "lower_bounds", fid, t)
+                hi = bound_val(f, "upper_bounds", fid, t)
+                if lo is not None and not _is_nan_lit(lo) and all(v < lo for v in e.values):
+                    return ROWS_MUST_MATCH
+                if hi is not None and not _is_nan_lit(hi) and all(v > hi for v in e.values):
+                    return ROWS_MUST_MATCH
+                return ROWS_MIGHT_NOT_MATCH
+            if op == Operation.IN:
+                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                    return ROWS_MIGHT_NOT_MATCH
+                lo = bound_val(f, "lower_bounds", fid, t)
+                hi = bound_val(f, "upper_bounds", fid, t)
+                return (
+                    lo is not None
+                    and hi is not None
+                    and lo == hi
+                    and lo in e.values
+                )
+        return ROWS_MIGHT_NOT_MATCH
+
+    return eval_file

@@ -689,6 +689,79 @@ def evaluate(expr: Expression, row: dict) -> bool:
     raise TypeError(f"cannot evaluate {expr!r}")
 
 
+# ----------------------------------------------------------- pandas compiler
+
+def to_pandas_mask(expr: Expression, pdf):
+    """Evaluate a bound expression over a pandas DataFrame → boolean
+    Series. Used by the executor-side positional-delete writer, which
+    (like the reference's arrow_scanner) processes one parquet file at a
+    time and needs vectorized residual evaluation without a JVM."""
+    import numpy as np
+    import pandas as pd
+
+    from .conversions import days_to_date, micros_to_datetime
+
+    def series(term: BoundReference) -> "pd.Series":
+        return pdf[term.name]
+
+    def lit_value(l: Literal):
+        if isinstance(l.type, DateType):
+            return days_to_date(l.value)
+        if isinstance(l.type, (TimestampType, TimestampTzType)):
+            return pd.Timestamp(micros_to_datetime(l.value, tz=False))
+        return l.value
+
+    if isinstance(expr, AlwaysTrue):
+        return pd.Series(True, index=pdf.index)
+    if isinstance(expr, AlwaysFalse):
+        return pd.Series(False, index=pdf.index)
+    if isinstance(expr, And):
+        return to_pandas_mask(expr.left, pdf) & to_pandas_mask(expr.right, pdf)
+    if isinstance(expr, Or):
+        return to_pandas_mask(expr.left, pdf) | to_pandas_mask(expr.right, pdf)
+    if isinstance(expr, Not):
+        return ~to_pandas_mask(expr.child, pdf)
+    if isinstance(expr, BoundUnaryPredicate):
+        s = series(expr.term)
+        if expr.op_ == Operation.IS_NULL:
+            return s.isna()
+        if expr.op_ == Operation.NOT_NULL:
+            return s.notna()
+        if expr.op_ in (Operation.IS_NAN, Operation.NOT_NAN):
+            # pandas float64 cannot distinguish null from NaN; arrow-read
+            # files preserve the distinction only via the validity mask,
+            # so treat NaN as "not-null float that != itself".
+            nan = pd.Series(
+                [isinstance(v, float) and v != v for v in s], index=pdf.index
+            )
+            return nan if expr.op_ == Operation.IS_NAN else ~nan
+    if isinstance(expr, BoundLiteralPredicate):
+        s = series(expr.term)
+        lv = lit_value(expr.literal)
+        op = expr.op_
+        if op == Operation.EQ:
+            return (s == lv).fillna(False)
+        if op == Operation.NOT_EQ:
+            return (s != lv).fillna(False) & s.notna()
+        if op == Operation.LT:
+            return (s < lv).fillna(False)
+        if op == Operation.LT_EQ:
+            return (s <= lv).fillna(False)
+        if op == Operation.GT:
+            return (s > lv).fillna(False)
+        if op == Operation.GT_EQ:
+            return (s >= lv).fillna(False)
+        if op == Operation.STARTS_WITH:
+            return s.astype("string").str.startswith(str(expr.literal.value)).fillna(False)
+        if op == Operation.NOT_STARTS_WITH:
+            return (~s.astype("string").str.startswith(str(expr.literal.value))).fillna(False)
+    if isinstance(expr, BoundSetPredicate):
+        s = series(expr.term)
+        isin = s.isin(list(expr.values))
+        return isin if expr.op_ == Operation.IN else (~isin & s.notna())
+    raise TypeError(f"cannot compile {expr!r} to a pandas mask")
+
+
 # ----------------------------------------------------------- spark compiler
 
 def to_spark_column(expr: Expression):

@@ -430,10 +430,37 @@ def write_manifest(
     )
 
 
-def read_manifest(path: str, discard_deleted: bool = True) -> list[ManifestEntry]:
-    """ref manifest.go:774 (ReadManifest)."""
+POSITIONAL_DELETE_FILE_PATH_ID = 2147483546  # spec reserved field ids
+POSITIONAL_DELETE_POS_ID = 2147483545
+
+
+def positional_delete_schema() -> Schema:
+    """Delete-file schema {file_path, pos} — ref manifest.go:2395."""
+    from .types import NestedField
+
+    return Schema(
+        0,
+        (
+            NestedField(POSITIONAL_DELETE_FILE_PATH_ID, "file_path", StringType(), True),
+            NestedField(POSITIONAL_DELETE_POS_ID, "pos", LongType(), True),
+        ),
+    )
+
+
+def read_manifest(
+    path: str,
+    discard_deleted: bool = True,
+    inherit_sequence_number: Optional[int] = None,
+) -> list[ManifestEntry]:
+    """ref manifest.go:774 (ReadManifest). ADDED entries written without
+    an explicit sequence number inherit the manifest's (spec: sequence
+    number inheritance)."""
     _, _, records = avro_io.read_ocf(path)
     entries = [_entry_from_avro(r) for r in records]
+    if inherit_sequence_number is not None:
+        for e in entries:
+            if e.sequence_number is None:
+                e.sequence_number = inherit_sequence_number
     if discard_deleted:
         entries = [e for e in entries if e.status != ManifestEntryStatus.DELETED]
     return entries

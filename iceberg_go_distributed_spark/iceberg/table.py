@@ -44,6 +44,24 @@ class FileScanTask:
     length: int = 0
 
 
+def _delete_covers_path(delete_file: DataFile, data_path: str) -> bool:
+    """file_path-bounds check for positional-delete matching —
+    ref scanner.go:285-309 (metrics-match on file_path)."""
+    from .manifest import POSITIONAL_DELETE_FILE_PATH_ID as FP
+
+    lo = (delete_file.lower_bounds or {}).get(FP)
+    hi = (delete_file.upper_bounds or {}).get(FP)
+    if lo is None or hi is None:
+        return True  # no bounds → must assume it may apply
+    try:
+        lo_s = lo.decode("utf-8")
+        hi_s = hi.decode("utf-8")
+    except Exception:
+        return True
+    # upper bound may be truncated+incremented; prefix compare is safe
+    return lo_s[: len(data_path)] <= data_path <= hi_s or data_path.startswith(hi_s)
+
+
 @dataclass(frozen=True)
 class Scan:
     """Immutable scan config — ref table/table.go:285-379 (options)."""
@@ -123,8 +141,10 @@ class Scan:
         if snap.schema_id is not None:
             schema = md.schema_by_id(snap.schema_id)
 
-        manifests = [
-            m for m in snap.manifests() if m.content == ManifestContent.DATA
+        all_manifests = snap.manifests()
+        manifests = [m for m in all_manifests if m.content == ManifestContent.DATA]
+        delete_manifests = [
+            m for m in all_manifests if m.content == ManifestContent.DELETES
         ]
 
         # level 1+2: partition projection + manifest pruning, per spec id
@@ -163,7 +183,9 @@ class Scan:
         def entries_of(m: ManifestFile) -> list[ManifestEntry]:
             _, part_eval = evals_for(m.partition_spec_id)
             out = []
-            for e in read_manifest(m.manifest_path):
+            for e in read_manifest(
+                m.manifest_path, inherit_sequence_number=m.sequence_number
+            ):
                 if not part_eval(e.data_file.partition):
                     continue
                 if not metrics_eval(e.data_file):
@@ -171,14 +193,41 @@ class Scan:
                 out.append(e)
             return out
 
-        tasks: list[FileScanTask] = []
+        data_entries: list[ManifestEntry] = []
         if pruned_manifests:
             with ThreadPoolExecutor(
                 max_workers=min(self.concurrency, len(pruned_manifests))
             ) as pool:
                 for entry_list in pool.map(entries_of, pruned_manifests):
-                    for e in entry_list:
-                        tasks.append(FileScanTask(file=e.data_file))
+                    data_entries.extend(entry_list)
+
+        # delete matching — ref scanner.go:268-309: gate delete manifests
+        # by min data sequence number, then per data file keep deletes
+        # with seq >= data seq whose file_path bounds cover the path.
+        delete_entries: list[ManifestEntry] = []
+        if delete_manifests and data_entries:
+            min_data_seq = min(e.sequence_number or 0 for e in data_entries)
+            for m in delete_manifests:
+                if m.sequence_number < min_data_seq:
+                    continue
+                delete_entries.extend(
+                    read_manifest(
+                        m.manifest_path, inherit_sequence_number=m.sequence_number
+                    )
+                )
+            delete_entries.sort(key=lambda e: e.sequence_number or 0)
+
+        tasks: list[FileScanTask] = []
+        for e in data_entries:
+            dels: tuple = ()
+            if delete_entries:
+                dels = tuple(
+                    d.data_file
+                    for d in delete_entries
+                    if (d.sequence_number or 0) >= (e.sequence_number or 0)
+                    and _delete_covers_path(d.data_file, e.data_file.file_path)
+                )
+            tasks.append(FileScanTask(file=e.data_file, delete_files=dels))
         return tasks
 
     # ----------------------------------------------------------- execution
@@ -200,10 +249,13 @@ class Scan:
             return spark.createDataFrame([], schema_to_spark_ddl(proj))
 
         files = [t.file.file_path for t in tasks]
-        # full-schema read (field defaults/renames handled at metadata
-        # level); Catalyst prunes columns + pushes the residual filter
-        # into the parquet row-group scan.
-        df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+        if any(t.delete_files for t in tasks):
+            df = self._read_with_deletes(spark, tasks, schema)
+        else:
+            # full-schema read (field defaults/renames handled at metadata
+            # level); Catalyst prunes columns + pushes the residual filter
+            # into the parquet row-group scan.
+            df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -216,6 +268,52 @@ class Scan:
         if self.limit is not None:
             df = df.limit(self.limit)
         return df
+
+    def _read_with_deletes(self, spark, tasks, schema: Schema):
+        """Merge-on-read: per data file, read with pyarrow (file-order
+        row positions, as the reference's per-file arrow_scanner does)
+        and drop deleted positions — ref arrow_scanner.go:102-190.
+
+        At 100 TB you would instead disable parquet split-planning and
+        anti-join `(input_file, row_pos)` JVM-side; the per-file Arrow
+        path keeps exact position semantics under local testing and
+        still distributes one-file-per-task."""
+        import json as _json
+
+        work = [
+            (t.file.file_path, _json.dumps([d.file_path for d in t.delete_files]))
+            for t in tasks
+        ]
+        files_df = spark.createDataFrame(
+            work, "data_file string, delete_files string"
+        ).repartition(min(len(work), 64))
+        ddl = schema_to_spark_ddl(schema)
+        col_names = [f.name for f in schema.fields]
+
+        def read_task(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    tbl = pq.read_table(row.data_file, columns=col_names)
+                    frame = tbl.to_pandas()
+                    dels = _json.loads(row.delete_files)
+                    if dels:
+                        drop: set[int] = set()
+                        for dpath in dels:
+                            dt = pq.read_table(dpath).to_pandas()
+                            drop.update(
+                                int(p)
+                                for p in dt.loc[
+                                    dt["file_path"] == row.data_file, "pos"
+                                ]
+                            )
+                        if drop:
+                            frame = frame[~frame.index.isin(drop)]
+                    yield frame
+
+        return files_df.mapInPandas(read_task, ddl)
 
 
 class StaticTable:
@@ -283,6 +381,25 @@ class Table(StaticTable):
         from .write import append_distributed
 
         append_distributed(self, df, snapshot_properties=snapshot_properties)
+
+    def delete_where(self, spark, expr) -> None:
+        """Row-level delete: strict-matching files dropped whole, partial
+        files get position deletes (merge-on-read)."""
+        from .write import delete_where
+
+        delete_where(self, spark, expr)
+
+    def overwrite_where(self, df, expr) -> None:
+        """Copy-on-write replace of rows matching expr with df's rows."""
+        from .write import overwrite_where
+
+        overwrite_where(self, df, expr)
+
+    def add_files(self, paths: list) -> None:
+        """Register existing parquet files (stats from footers)."""
+        from .write import add_files
+
+        add_files(self, paths)
 
     def begin_distributed_snapshot(self, properties: Optional[dict] = None):
         from .write import begin_distributed_snapshot

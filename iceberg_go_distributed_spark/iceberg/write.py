@@ -466,3 +466,306 @@ def commit_distributed_snapshot(table, ds, manifests, summary_props=None) -> Non
         parent_snapshot_id=ds.parent_snapshot_id,
     )
     tx.commit()
+
+
+# ------------------------------------------------ deletes & overwrite (DML)
+
+def _rewrite_parent_manifests(md, removed_paths: set, commit_uuid: str, tag: str):
+    """Carry forward the parent's manifests, dropping entries for
+    `removed_paths`; untouched manifests are reused as-is (ref
+    snapshot_producers.go:104-243 overwriteFiles: rewrites carried-over
+    manifests dropping deleted entries)."""
+    from .manifest import (
+        ManifestContent,
+        read_manifest,
+        write_manifest,
+    )
+
+    parent = md.current_snapshot()
+    carried = []
+    if parent is None:
+        return carried
+    for i, m in enumerate(parent.manifests()):
+        entries = read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number)
+        if m.content == ManifestContent.DATA and any(
+            e.data_file.file_path in removed_paths for e in entries
+        ):
+            kept = [e for e in entries if e.data_file.file_path not in removed_paths]
+            if not kept:
+                continue  # whole manifest dropped
+            for e in kept:
+                e.status = ManifestEntryStatus.EXISTING
+            path = os.path.join(
+                md.location, "metadata", f"{commit_uuid}-{tag}-rw{i}.avro"
+            )
+            spec = md.spec_by_id(m.partition_spec_id)
+            schema = md.current_schema()
+            mf = write_manifest(path, spec, schema, parent.snapshot_id, kept)
+            mf.sequence_number = m.sequence_number
+            mf.min_sequence_number = m.min_sequence_number
+            carried.append(mf)
+        else:
+            carried.append(m)
+    return carried
+
+
+def _commit_manifests(table, new_manifests, carried, operation: str, extra_summary=None,
+                      snapshot_id=None, commit_uuid=None, parent_snapshot_id=None):
+    """Generalized snapshot commit from explicit manifest sets."""
+    import time as _time
+
+    from .metadata import Snapshot, Summary
+    from .transaction import (
+        AddSnapshotUpdate,
+        AssertRefSnapshotID,
+        AssertTableUUID,
+        SetSnapshotRef,
+    )
+
+    md = table.metadata
+    ds_sid = snapshot_id if snapshot_id is not None else begin_distributed_snapshot(table).snapshot_id
+    uuid_ = commit_uuid or str(_uuid.uuid4())
+    parent_id = parent_snapshot_id if parent_snapshot_id is not None else md.current_snapshot_id
+    tx = table.transaction()
+    seq = tx._builder.next_sequence_number()
+    for m in new_manifests:
+        m.sequence_number = seq
+        m.min_sequence_number = seq
+    list_path = os.path.join(md.location, "metadata", f"snap-{ds_sid}-1-{uuid_}.avro")
+    os.makedirs(os.path.dirname(list_path), exist_ok=True)
+    from .manifest import write_manifest_list
+
+    write_manifest_list(list_path, list(new_manifests) + list(carried))
+    snap = Snapshot(
+        snapshot_id=ds_sid,
+        parent_snapshot_id=parent_id,
+        sequence_number=seq,
+        timestamp_ms=int(_time.time() * 1000),
+        manifest_list=list_path,
+        summary=Summary(operation, extra_summary or {}),
+        schema_id=md.current_schema_id,
+    )
+    tx.apply(
+        [AddSnapshotUpdate(snap), SetSnapshotRef(MAIN_BRANCH, ds_sid)],
+        [AssertTableUUID(md.table_uuid), AssertRefSnapshotID(MAIN_BRANCH, parent_id)],
+    )
+    tx.commit()
+
+
+def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid: str):
+    """Executor-side: per matched data file, read it with pyarrow, apply
+    the (bound) predicate as a pandas mask, emit sorted (file_path, pos)
+    delete rows — the merge-on-read write half (spec position deletes;
+    ref manifest.go:2395 PositionalDeleteSchema)."""
+    import pandas as pd
+
+    from .expressions import bind_expr, extract_field_names, rewrite_not, to_pandas_mask
+    from .manifest import positional_delete_schema
+
+    md = table.metadata
+    schema = md.current_schema()
+    bound = bind_expr(rewrite_not(expr), schema)
+    needed = sorted(extract_field_names(bound))
+    location = md.location
+    del_schema = positional_delete_schema()
+
+    spark = spark_or_df_provider
+    files_df = spark.createDataFrame(
+        [(t.file.file_path,) for t in tasks], "data_file string"
+    ).repartition(min(len(tasks), 32))
+
+    def task(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rows = {"file_path": [], "pos": []}
+        for pdf in batches:
+            for data_path in pdf["data_file"]:
+                tbl = pq.read_table(data_path, columns=needed)
+                frame = tbl.to_pandas()
+                mask = to_pandas_mask(bound, frame)
+                for pos in frame.index[mask.to_numpy()].tolist():
+                    rows["file_path"].append(data_path)
+                    rows["pos"].append(int(pos))
+        if not rows["pos"]:
+            yield pd.DataFrame({"descriptor": []}).astype({"descriptor": "string"})
+            return
+        out = pd.DataFrame(rows).sort_values(["file_path", "pos"])
+        d = os.path.join(location, "data")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.parquet")
+        apa = _arrow_schema(del_schema)
+        pq_tbl = pa.Table.from_pandas(out, schema=apa, preserve_index=False)
+        pq.write_table(pq_tbl, path, compression="zstd")
+        stats = _stats_from_parquet(path, del_schema)
+        dfile = DataFile(
+            file_path=path,
+            file_format="PARQUET",
+            partition={},
+            file_size_in_bytes=os.path.getsize(path),
+            content=__import__(
+                "iceberg_go_distributed_spark.iceberg.manifest", fromlist=["DataFileContent"]
+            ).DataFileContent.POSITION_DELETES,
+            **stats,
+        )
+        yield pd.DataFrame({"descriptor": [_encode_descriptor(dfile)]})
+
+    import pyarrow.parquet  # noqa: F401  (fail fast on driver if missing)
+
+    descs = [
+        _decode_descriptor(r.descriptor)
+        for r in files_df.mapInPandas(task, _DESCRIPTOR_SCHEMA).collect()
+        if r.descriptor
+    ]
+    for d in descs:
+        d.content = __import__(
+            "iceberg_go_distributed_spark.iceberg.manifest", fromlist=["DataFileContent"]
+        ).DataFileContent.POSITION_DELETES
+    return descs
+
+
+def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
+    """Row-level delete. Whole files that *strictly* match the predicate
+    are dropped copy-on-write style (no rewrite needed); partially
+    matching files get position-delete files (merge-on-read) — the
+    read path anti-joins them (ref scanner.go:285-309 matching +
+    arrow_scanner.go:153-190 application)."""
+    from .evaluators import strict_metrics_evaluator
+    from .manifest import ManifestContent, ManifestEntry, ManifestEntryStatus, write_manifest
+
+    md = table.metadata
+    schema = md.current_schema()
+    tasks = table.scan(row_filter=expr).plan_files()
+    if not tasks:
+        return
+    strict = strict_metrics_evaluator(schema, expr)
+    full = [t for t in tasks if strict(t.file)]
+    partial = [t for t in tasks if not strict(t.file)]
+    ds = begin_distributed_snapshot(table)
+
+    removed = {t.file.file_path for t in full}
+    new_manifests = []
+    if partial:
+        delete_files = write_position_deletes(spark, table, partial, expr, ds.commit_uuid)
+        if delete_files:
+            entries = [
+                ManifestEntry(
+                    status=ManifestEntryStatus.ADDED,
+                    snapshot_id=ds.snapshot_id,
+                    sequence_number=None,
+                    file_sequence_number=None,
+                    data_file=f,
+                )
+                for f in delete_files
+            ]
+            path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-deletes-m0.avro")
+            mf = write_manifest(
+                path, md.default_spec(), schema, ds.snapshot_id, entries,
+                content=ManifestContent.DELETES,
+            )
+            new_manifests.append(mf)
+
+    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "del")
+    _commit_manifests(
+        table,
+        new_manifests,
+        carried,
+        operation="delete",
+        extra_summary={"deleted-data-files": str(len(removed))},
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+
+
+def overwrite_where(table, df, expr) -> None:
+    """Copy-on-write overwrite: rewrite partially-matching files without
+    the matching rows, drop strictly-matching files, append `df` — one
+    OVERWRITE snapshot (ref transaction.go:408-497 ReplaceDataFiles +
+    snapshot_producers.go:104-243)."""
+    from .evaluators import strict_metrics_evaluator
+    from .expressions import bind_expr, not_, rewrite_not, to_spark_column
+    from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
+
+    md = table.metadata
+    schema = md.current_schema()
+    spark = df.sparkSession
+    tasks = table.scan(row_filter=expr).plan_files()
+    strict = strict_metrics_evaluator(schema, expr)
+    removed = {t.file.file_path for t in tasks}
+    partial_files = [t.file.file_path for t in tasks if not strict(t.file)]
+    ds = begin_distributed_snapshot(table)
+
+    # survivors of partial files (rows NOT matching) get rewritten together
+    # with the new data — one distributed write pass
+    to_write = df
+    if partial_files:
+        bound = bind_expr(rewrite_not(not_(expr)), schema)
+        from .types import schema_to_spark_ddl
+
+        survivors = (
+            spark.read.schema(schema_to_spark_ddl(schema))
+            .parquet(*partial_files)
+            .where(to_spark_column(bound))
+        )
+        to_write = df.select(survivors.columns).unionByName(survivors)
+
+    data_files = write_data_files(
+        to_write, schema, md.default_spec(), md.location, ds.commit_uuid
+    )
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=ds.snapshot_id,
+            sequence_number=None,
+            file_sequence_number=None,
+            data_file=f,
+        )
+        for f in data_files
+    ]
+    new_manifests = []
+    if entries:
+        path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-ow-m0.avro")
+        new_manifests.append(
+            write_manifest(path, md.default_spec(), schema, ds.snapshot_id, entries)
+        )
+    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "ow")
+    _commit_manifests(
+        table,
+        new_manifests,
+        carried,
+        operation="overwrite",
+        extra_summary={"replaced-data-files": str(len(removed))},
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+
+
+def add_files(table, paths: list[str]) -> None:
+    """Register existing Parquet files as data files, stats harvested
+    from footers — ref transaction.go:499-564 (AddFiles) +
+    arrow_utils.go:1189-1257 (filesToDataFiles)."""
+    from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
+
+    md = table.metadata
+    schema = md.current_schema()
+    if md.default_spec().fields:
+        raise ValueError("add_files supports unpartitioned tables only")
+    ds = begin_distributed_snapshot(table)
+    files = []
+    for p in paths:
+        stats = _stats_from_parquet(p, schema)
+        files.append(
+            DataFile(
+                file_path=p,
+                file_format="PARQUET",
+                partition={},
+                file_size_in_bytes=os.path.getsize(p),
+                **stats,
+            )
+        )
+    commit_data_files(table, files, operation="append")

@@ -241,3 +241,63 @@ def ice_bucket_partitioning(spark, sf_dir):
             "n_pos"
         ),
     )
+
+
+@query(
+    "ice_positional_deletes",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE NOT (l_quantity > 45.0)
+    GROUP BY l_returnflag
+    """,
+    doc="merge-on-read: positional-delete write + anti-join scan == raw filter",
+)
+def ice_positional_deletes(spark, sf_dir):
+    from ..iceberg import expressions as E
+
+    t, _ = _lineitem_table(spark, sf_dir, "ice_del")
+    t.delete_where(spark, E.greater_than("l_quantity", 45.0))
+    assert t.current_snapshot().summary.operation == "delete"
+    # the scan must be applying real delete files (MOR), not a rewrite
+    tasks = t.scan().plan_files()
+    assert any(x.delete_files for x in tasks), "expected positional delete files"
+    df = t.scan().to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )
+
+
+@query(
+    "ice_overwrite",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM lineitem WHERE l_linenumber = 1) AS BIGINT) AS n_replaced,
+      CAST(0 AS BIGINT) AS n_nonzero_replaced
+    """,
+    doc="copy-on-write overwrite: replace matching rows, preserve the rest",
+)
+def ice_overwrite(spark, sf_dir):
+    from ..iceberg import expressions as E
+
+    t, li = _lineitem_table(spark, sf_dir, "ice_ow")
+    replacement = li.where("l_linenumber = 1").withColumn("l_quantity", F.lit(0.0))
+    t.overwrite_where(replacement, E.equal("l_linenumber", 1))
+    assert t.current_snapshot().summary.operation == "overwrite"
+    df = t.scan().to_df(spark)
+    return spark.createDataFrame(
+        [
+            (
+                df.count(),
+                df.where("l_linenumber = 1").count(),
+                df.where("l_linenumber = 1 AND l_quantity != 0.0").count(),
+            )
+        ],
+        "n_rows bigint, n_replaced bigint, n_nonzero_replaced bigint",
+    )
