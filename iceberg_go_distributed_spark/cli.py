@@ -1,0 +1,155 @@
+"""`python -m iceberg_go_distributed_spark` — the reference CLI's
+command set (cmd/iceberg/main.go:39-93): list / describe / schema /
+spec / uuid / location / create / drop / files / rename /
+properties get|set|remove, against an fs or sql catalog."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _catalog(args):
+    from .iceberg.catalog import load_catalog
+
+    if args.catalog == "sql":
+        return load_catalog("sql", db_path=args.db, warehouse=args.warehouse)
+    return load_catalog("fs", warehouse=args.warehouse)
+
+
+def _print(obj) -> None:
+    print(json.dumps(obj, indent=2, default=str))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="iceberg", description=__doc__)
+    p.add_argument("--warehouse", default="./warehouse")
+    p.add_argument("--catalog", choices=("fs", "sql"), default="fs")
+    p.add_argument("--db", default="./catalog.db", help="sqlite path for --catalog sql")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="list namespaces or tables")
+    sp.add_argument("namespace", nargs="?")
+
+    for name in ("describe", "schema", "spec", "uuid", "location", "files", "history", "snapshots"):
+        sp = sub.add_parser(name)
+        sp.add_argument("table")
+
+    sp = sub.add_parser("create")
+    sp.add_argument("table")
+    sp.add_argument("--schema-json", required=True, help="Iceberg schema JSON")
+    sp.add_argument("--partition-spec", default=None, help='e.g. "col:day,col2:bucket[8]"')
+
+    sp = sub.add_parser("drop")
+    sp.add_argument("table")
+
+    sp = sub.add_parser("rename")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+
+    sp = sub.add_parser("properties")
+    sp.add_argument("action", choices=("get", "set", "remove"))
+    sp.add_argument("table")
+    sp.add_argument("key", nargs="?")
+    sp.add_argument("value", nargs="?")
+
+    args = p.parse_args(argv)
+    cat = _catalog(args)
+
+    if args.cmd == "list":
+        if args.namespace:
+            for ns, t in cat.list_tables(args.namespace):
+                print(f"{ns}.{t}")
+        else:
+            for ns in cat.list_namespaces():
+                print(ns)
+        return 0
+
+    if args.cmd == "create":
+        from .iceberg.partitioning import spec_from
+        from .iceberg.types import Schema
+
+        schema = Schema.from_json(json.loads(args.schema_json))
+        spec = None
+        if args.partition_spec:
+            defs = []
+            for part in args.partition_spec.split(","):
+                col, transform = part.split(":", 1)
+                defs.append((col.strip(), transform.strip()))
+            spec = spec_from(schema, *defs)
+        t = cat.create_table(args.table, schema, spec=spec)
+        print(f"created {args.table} at {t.location}")
+        return 0
+
+    if args.cmd == "drop":
+        cat.drop_table(args.table)
+        print(f"dropped {args.table}")
+        return 0
+
+    if args.cmd == "rename":
+        cat.rename_table(args.src, args.dst)
+        print(f"renamed {args.src} -> {args.dst}")
+        return 0
+
+    t = cat.load_table(args.table)
+
+    if args.cmd == "describe":
+        md = t.metadata
+        _print(
+            {
+                "identifier": str(args.table),
+                "uuid": md.table_uuid,
+                "location": md.location,
+                "current-snapshot-id": md.current_snapshot_id,
+                "schema": md.current_schema().to_json(),
+                "partition-spec": md.default_spec().to_json(),
+                "properties": md.properties,
+            }
+        )
+    elif args.cmd == "schema":
+        _print(t.schema().to_json())
+    elif args.cmd == "spec":
+        _print(t.spec().to_json())
+    elif args.cmd == "uuid":
+        print(t.metadata.table_uuid)
+    elif args.cmd == "location":
+        print(t.location)
+    elif args.cmd == "files":
+        from .iceberg.manifest import read_manifest
+
+        snap = t.current_snapshot()
+        if snap:
+            for m in snap.manifests():
+                for e in read_manifest(m.manifest_path):
+                    print(
+                        f"{e.data_file.file_path}\t{e.data_file.record_count}\t"
+                        f"{e.data_file.file_size_in_bytes}"
+                    )
+    elif args.cmd == "history":
+        for e in t.history():
+            print(f"{e.timestamp_ms}\t{e.snapshot_id}")
+    elif args.cmd == "snapshots":
+        for s in t.metadata.snapshots:
+            print(f"{s.snapshot_id}\t{s.sequence_number}\t{s.summary.operation}")
+    elif args.cmd == "properties":
+        if args.action == "get":
+            if args.key:
+                print(t.properties.get(args.key, ""))
+            else:
+                _print(t.properties)
+        elif args.action == "set":
+            tx = t.transaction()
+            tx.set_properties({args.key: args.value})
+            tx.commit()
+            print(f"set {args.key}={args.value}")
+        else:
+            tx = t.transaction()
+            tx.remove_properties(args.key)
+            tx.commit()
+            print(f"removed {args.key}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

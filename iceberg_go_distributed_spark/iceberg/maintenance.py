@@ -1,0 +1,185 @@
+"""Table maintenance: orphan-file cleanup, manifest merging, metadata
+housekeeping, location providers.
+
+  - delete_orphan_files   — ref table/orphan_cleanup.go:164-456
+  - merge_manifests       — ref table/snapshot_producers.go:245-418
+                            (merge-append bin-packing: 8MB target,
+                            min-count 100 — commit.manifest.* props)
+  - location providers    — ref table/locations.go:38-171 (simple vs
+                            object-store hashed paths)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+from .manifest import (
+    ManifestContent,
+    ManifestEntry,
+    ManifestEntryStatus,
+    read_manifest,
+    write_manifest,
+)
+
+MANIFEST_MERGE_ENABLED = "commit.manifest-merge.enabled"
+MANIFEST_TARGET_SIZE = "commit.manifest.target-size-bytes"  # default 8MB
+MANIFEST_MIN_MERGE_COUNT = "commit.manifest.min-count-to-merge"  # default 100
+OBJECT_STORE_ENABLED = "write.object-storage.enabled"
+
+
+# ------------------------------------------------------------------ orphans
+
+def referenced_files(table) -> set[str]:
+    """Every file any snapshot can reach — ref orphan_cleanup.go:229
+    (getReferencedFiles): data files, manifests, manifest lists,
+    metadata JSONs (current + log), statistics files."""
+    refs: set[str] = {table.metadata_location}
+    for entry in table.metadata.metadata_log:
+        refs.add(entry.metadata_file)
+    for snap in table.metadata.snapshots:
+        refs.add(snap.manifest_list)
+        for m in snap.manifests():
+            refs.add(m.manifest_path)
+            for e in read_manifest(m.manifest_path, discard_deleted=False):
+                refs.add(e.data_file.file_path)
+    return refs
+
+
+def _normalize(p: str) -> str:
+    """Scheme/authority-insensitive comparison — ref orphan_cleanup.go
+    URI normalization (file:///a == /a)."""
+    u = urllib.parse.urlparse(p)
+    return u.path if u.scheme in ("", "file") else p
+
+
+def delete_orphan_files(
+    table,
+    older_than_ms: Optional[int] = None,
+    dry_run: bool = False,
+    concurrency: int = 8,
+) -> list[str]:
+    """List the table location, diff against referenced files, delete
+    unreferenced files older than the cutoff (default 3 days, matching
+    the reference's safety default). Returns the orphan list.
+
+    At 100 TB the listing itself is the bottleneck: the same anti-join
+    runs in Spark (listing DataFrame vs referenced-files DataFrame);
+    driver-side listing is fine at test scale and keeps this dependency-
+    free."""
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) - 3 * 86400_000
+    refs = {_normalize(p) for p in referenced_files(table)}
+    location = table.location
+    orphans: list[str] = []
+    for root, _dirs, files in os.walk(location):
+        for fn in files:
+            if fn == "version-hint.text" or fn.endswith(".lock"):
+                continue
+            p = os.path.join(root, fn)
+            if _normalize(p) in refs:
+                continue
+            try:
+                mtime_ms = int(os.path.getmtime(p) * 1000)
+            except OSError:
+                continue
+            if mtime_ms < cutoff:
+                orphans.append(p)
+    if not dry_run and orphans:
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            list(pool.map(lambda p: os.path.exists(p) and os.unlink(p), orphans))
+    return sorted(orphans)
+
+
+# ----------------------------------------------------------- manifest merge
+
+def merge_manifests(table, target_size_bytes: Optional[int] = None, min_count: Optional[int] = None) -> bool:
+    """Bin-pack small data manifests of the current snapshot into merged
+    manifests — ref snapshot_producers.go:245-373 (mergeManager). A new
+    snapshot ('replace') referencing the merged manifests is committed.
+    Returns True if a merge happened."""
+    from .write import _commit_manifests, begin_distributed_snapshot
+
+    md = table.metadata
+    props = md.properties
+    target = target_size_bytes or int(props.get(MANIFEST_TARGET_SIZE, str(8 * 1024 * 1024)))
+    minc = min_count if min_count is not None else int(props.get(MANIFEST_MIN_MERGE_COUNT, "100"))
+    snap = md.current_snapshot()
+    if snap is None:
+        return False
+    manifests = snap.manifests()
+    data_m = [m for m in manifests if m.content == ManifestContent.DATA]
+    other_m = [m for m in manifests if m.content != ManifestContent.DATA]
+    small = [m for m in data_m if m.manifest_length < target]
+    if len(small) < minc:
+        return False
+
+    # bin-pack small manifests into ≥target groups (greedy by size)
+    bins: list[list] = []
+    cur: list = []
+    cur_size = 0
+    for m in sorted(small, key=lambda m: m.manifest_length):
+        cur.append(m)
+        cur_size += m.manifest_length
+        if cur_size >= target:
+            bins.append(cur)
+            cur, cur_size = [], 0
+    if cur:
+        bins.append(cur)
+
+    ds = begin_distributed_snapshot(table)
+    merged = []
+    schema = md.current_schema()
+    for i, group in enumerate(bins):
+        entries: list[ManifestEntry] = []
+        spec_id = group[0].partition_spec_id
+        for m in group:
+            for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+                e.status = ManifestEntryStatus.EXISTING
+                entries.append(e)
+        path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-merged-m{i}.avro")
+        mf = write_manifest(path, md.spec_by_id(spec_id), schema, ds.snapshot_id, entries)
+        mf.sequence_number = min(m.sequence_number for m in group)
+        mf.min_sequence_number = min(m.min_sequence_number for m in group)
+        merged.append(mf)
+
+    keep = [m for m in data_m if m.manifest_length >= target] + other_m
+    _commit_manifests(
+        table,
+        [],
+        merged + keep,
+        operation="replace",
+        extra_summary={"manifests-merged": str(len(small))},
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True
+
+
+# ------------------------------------------------------- location providers
+
+def simple_location(table_location: str, partition_path: str, filename: str) -> str:
+    """<loc>/data/<partition>/<file> — ref locations.go:38-76."""
+    parts = [table_location, "data"]
+    if partition_path:
+        parts.append(partition_path)
+    parts.append(filename)
+    return os.path.join(*parts)
+
+
+def object_store_location(table_location: str, partition_path: str, filename: str) -> str:
+    """Base2 entropy dirs spread object-store prefixes —
+    ref locations.go:114-160 (objectStoreLocationProvider). The hash is
+    over the data-file name, rendered as 4 x 4-bit binary dirs."""
+    from .transforms import murmur3_32
+
+    h = murmur3_32(filename.encode("utf-8"))
+    dirs = "/".join(format((h >> (28 - 4 * i)) & 0xF, "04b") for i in range(4))
+    parts = [table_location, "data", dirs]
+    if partition_path:
+        parts.append(partition_path)
+    parts.append(filename)
+    return os.path.join(*parts)

@@ -118,13 +118,28 @@ class Scan:
             return snap
         return md.current_snapshot()
 
-    def projection(self) -> Schema:
-        """Schema pinned to the scanned snapshot — ref scanner.go:212-236."""
+    def _is_time_travel(self) -> bool:
+        return (
+            self.snapshot_id is not None
+            or self.as_of_timestamp_ms is not None
+            or self.use_ref is not None
+        )
+
+    def _scan_schema(self) -> Schema:
+        """Current schema for head scans; pinned to the snapshot's
+        schema only for time travel — ref scanner.go:212-236."""
         md = self.table.metadata
         snap = self.snapshot()
-        schema = md.current_schema()
-        if snap is not None and snap.schema_id is not None:
-            schema = md.schema_by_id(snap.schema_id)
+        if (
+            self._is_time_travel()
+            and snap is not None
+            and snap.schema_id is not None
+        ):
+            return md.schema_by_id(snap.schema_id)
+        return md.current_schema()
+
+    def projection(self) -> Schema:
+        schema = self._scan_schema()
         if self.selected_fields == ("*",):
             return schema
         return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
@@ -137,9 +152,7 @@ class Scan:
         snap = self.snapshot()
         if snap is None:
             return []
-        schema = md.current_schema()
-        if snap.schema_id is not None:
-            schema = md.schema_by_id(snap.schema_id)
+        schema = self._scan_schema()
 
         all_manifests = snap.manifests()
         manifests = [m for m in all_manifests if m.content == ManifestContent.DATA]
@@ -239,11 +252,7 @@ class Scan:
 
         tasks = self.plan_files()
         proj = self.projection()
-        md = self.table.metadata
-        snap = self.snapshot()
-        schema = md.current_schema()
-        if snap is not None and snap.schema_id is not None:
-            schema = md.schema_by_id(snap.schema_id)
+        schema = self._scan_schema()
 
         if not tasks:
             return spark.createDataFrame([], schema_to_spark_ddl(proj))
@@ -252,10 +261,14 @@ class Scan:
         if any(t.delete_files for t in tasks):
             df = self._read_with_deletes(spark, tasks, schema)
         else:
-            # full-schema read (field defaults/renames handled at metadata
-            # level); Catalyst prunes columns + pushes the residual filter
-            # into the parquet row-group scan.
-            df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+            # field-id-based read: columns resolve by the parquet field
+            # ids our writer stamps, so renames/evolution are safe;
+            # Catalyst prunes columns + pushes the residual filter into
+            # the parquet row-group scan.
+            from .types import schema_to_spark_struct
+
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -381,6 +394,18 @@ class Table(StaticTable):
         from .write import append_distributed
 
         append_distributed(self, df, snapshot_properties=snapshot_properties)
+
+    def update_schema(self):
+        """Schema evolution builder — ref table/update_schema.go:89-944."""
+        from .evolution import UpdateSchema
+
+        return UpdateSchema(self)
+
+    def update_spec(self):
+        """Partition-spec evolution — ref table/update_spec.go:35-411."""
+        from .evolution import UpdateSpec
+
+        return UpdateSpec(self)
 
     def delete_where(self, spark, expr) -> None:
         """Row-level delete: strict-matching files dropped whole, partial

@@ -424,6 +424,48 @@ def schema_to_spark_ddl(schema: Schema) -> str:
     return ", ".join(f"`{f.name}` {spark_type(f.field_type)}" for f in schema.fields)
 
 
+def schema_to_spark_struct(schema: Schema):
+    """pyspark StructType with `parquet.field.id` metadata per field, so
+    Spark's field-id-based parquet resolution (`spark.sql.parquet.
+    fieldId.read.enabled`) maps file columns by ID — names can evolve
+    freely (the Spark-native equivalent of the reference's ID-based
+    column translation, visitors.go TranslateColumnNames)."""
+    from pyspark.sql import types as st
+
+    simple = {
+        "boolean": st.BooleanType(),
+        "int": st.IntegerType(),
+        "bigint": st.LongType(),
+        "float": st.FloatType(),
+        "double": st.DoubleType(),
+        "date": st.DateType(),
+        "timestamp_ntz": st.TimestampNTZType(),
+        "timestamp": st.TimestampType(),
+        "string": st.StringType(),
+        "binary": st.BinaryType(),
+    }
+
+    def conv(t: IcebergType):
+        if isinstance(t, DecimalType):
+            return st.DecimalType(t.precision, t.scale)
+        ddl = spark_type(t)
+        if ddl in simple:
+            return simple[ddl]
+        return st._parse_datatype_string(ddl)
+
+    return st.StructType(
+        [
+            st.StructField(
+                f.name,
+                conv(f.field_type),
+                nullable=not f.required,
+                metadata={"parquet.field.id": f.field_id},
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def schema_from_spark(spark_schema, schema_id: int = 0) -> Schema:
     """Derive an Iceberg schema (fresh sequential field IDs) from a
     pyspark StructType — the create-table path for Spark-born data."""

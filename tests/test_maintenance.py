@@ -1,0 +1,143 @@
+"""Maintenance ops: orphan cleanup, manifest merge, location providers,
+name sanitization, name mapping."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.maintenance import (
+    delete_orphan_files,
+    merge_manifests,
+    object_store_location,
+    referenced_files,
+    simple_location,
+)
+from iceberg_go_distributed_spark.iceberg.sanitize import (
+    apply_name_mapping,
+    make_compatible_name,
+    name_mapping_from_json,
+    name_mapping_from_schema,
+    name_mapping_to_json,
+    sanitize_column_names,
+    valid_avro_name,
+)
+from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+from tests.test_table_e2e import LINEITEM_SCHEMA
+
+
+@pytest.fixture()
+def fs_catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def lineitem_df(spark, sf_dir):
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_orphan_cleanup(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_orphan", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(100).coalesce(1))
+
+    # plant orphans: a stray data file and a stray metadata file
+    stray1 = os.path.join(t.location, "data", "stray.parquet")
+    stray2 = os.path.join(t.location, "metadata", "stray.avro")
+    for p in (stray1, stray2):
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    old = time.time() - 10 * 86400
+    os.utime(stray1, (old, old))
+    os.utime(stray2, (old, old))
+
+    refs = referenced_files(t)
+    assert any(p.endswith(".parquet") for p in refs)
+
+    # dry run: lists but doesn't delete
+    listed = delete_orphan_files(t, dry_run=True)
+    assert set(listed) == {stray1, stray2}
+    assert os.path.exists(stray1)
+
+    # real run deletes only the aged orphans, never referenced files
+    deleted = delete_orphan_files(t)
+    assert set(deleted) == {stray1, stray2}
+    assert not os.path.exists(stray1) and not os.path.exists(stray2)
+    assert t.scan().to_df(spark).count() == 100  # table intact
+
+    # young orphans survive the age cutoff
+    young = os.path.join(t.location, "data", "young.parquet")
+    with open(young, "wb") as f:
+        f.write(b"junk")
+    assert delete_orphan_files(t) == []
+    assert os.path.exists(young)
+
+
+def test_manifest_merge(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_merge", LINEITEM_SCHEMA)
+    for i in range(6):
+        t.append(lineitem_df.where(f"l_orderkey % 6 = {i}").coalesce(1))
+    snap = t.current_snapshot()
+    assert len(snap.manifests()) == 6
+
+    # below min-count → no-op
+    assert not merge_manifests(t, min_count=100)
+    # force merge
+    assert merge_manifests(t, min_count=2)
+    t.refresh()
+    merged = t.current_snapshot()
+    assert merged.summary.operation == "replace"
+    assert len(merged.manifests()) < 6
+    assert t.scan().to_df(spark).count() == lineitem_df.count()
+
+
+def test_location_providers():
+    assert simple_location("/wh/t", "a=1", "f.parquet") == "/wh/t/data/a=1/f.parquet"
+    p = object_store_location("/wh/t", "a=1", "f.parquet")
+    # 4 x 4-bit binary dirs between data/ and the partition path
+    mid = p.split("/data/")[1].split("/a=1/")[0]
+    parts = mid.split("/")
+    assert len(parts) == 4 and all(set(x) <= {"0", "1"} and len(x) == 4 for x in parts)
+    # deterministic
+    assert p == object_store_location("/wh/t", "a=1", "f.parquet")
+    assert p != object_store_location("/wh/t", "a=1", "g.parquet")
+
+
+def test_sanitize_names():
+    # schema.go semantics: leading digit → _d, special runes → _xHEX
+    assert valid_avro_name("abc_123")
+    assert not valid_avro_name("9x")
+    assert not valid_avro_name("a.b")
+    assert make_compatible_name("valid_name") == "valid_name"
+    assert make_compatible_name("9x") == "_9x"
+    assert make_compatible_name("a.b") == "a_x2Eb"
+    assert make_compatible_name("a b") == "a_x20b"
+
+    s = Schema.of(
+        0,
+        NestedField(1, "a.b", ty.StringType()),
+        NestedField(2, "ok", ty.LongType()),
+    )
+    out = sanitize_column_names(s)
+    assert [f.name for f in out.fields] == ["a_x2Eb", "ok"]
+    assert [f.field_id for f in out.fields] == [1, 2]  # ids untouched
+
+
+def test_name_mapping_roundtrip():
+    s = Schema.of(
+        0,
+        NestedField(1, "id", ty.LongType()),
+        NestedField(2, "data", ty.StringType()),
+    )
+    m = name_mapping_from_schema(s)
+    j = name_mapping_to_json(m)
+    m2 = name_mapping_from_json(j)
+    assert apply_name_mapping(m2, "id") == 1
+    assert apply_name_mapping(m2, "data") == 2
+    assert apply_name_mapping(m2, "nope") is None

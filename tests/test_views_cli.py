@@ -1,0 +1,62 @@
+"""Views + CLI command set (cmd/iceberg/main.go:39-93)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog, NoSuchTableError
+from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+from iceberg_go_distributed_spark.iceberg.view import create_view, drop_view, load_view
+
+
+def test_view_roundtrip(tmp_path, spark):
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    spark.range(10).createOrReplaceTempView("nums")
+    v = create_view(cat, "db.even_nums", "SELECT id FROM nums WHERE id % 2 = 0")
+    v2 = load_view(cat, "db.even_nums")
+    assert v2.metadata.view_uuid == v.metadata.view_uuid
+    assert v2.sql() == "SELECT id FROM nums WHERE id % 2 = 0"
+    df = v2.register(spark)
+    assert df.count() == 5
+    assert spark.sql("SELECT COUNT(*) c FROM even_nums").first().c == 5
+    drop_view(cat, "db.even_nums")
+    with pytest.raises(NoSuchTableError):
+        load_view(cat, "db.even_nums")
+
+
+def _cli(tmp_path, *argv):
+    out = subprocess.run(
+        [sys.executable, "-m", "iceberg_go_distributed_spark",
+         "--warehouse", str(tmp_path / "wh"), *argv],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout
+
+
+def test_cli_lifecycle(tmp_path):
+    schema = Schema.of(
+        0,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "ts", ty.TimestampType()),
+    )
+    sj = json.dumps(schema.to_json())
+    assert "created" in _cli(tmp_path, "create", "db.t1", "--schema-json", sj,
+                             "--partition-spec", "ts:day")
+    assert "db.t1" in _cli(tmp_path, "list", "db")
+    desc = json.loads(_cli(tmp_path, "describe", "db.t1"))
+    assert desc["partition-spec"]["fields"][0]["transform"] == "day"
+    assert len(_cli(tmp_path, "uuid", "db.t1").strip()) == 36
+    _cli(tmp_path, "properties", "set", "db.t1", "owner", "cli")
+    assert _cli(tmp_path, "properties", "get", "db.t1", "owner").strip() == "cli"
+    _cli(tmp_path, "properties", "remove", "db.t1", "owner")
+    assert _cli(tmp_path, "properties", "get", "db.t1", "owner").strip() == ""
+    _cli(tmp_path, "rename", "db.t1", "db.t2")
+    assert "db.t2" in _cli(tmp_path, "list", "db")
+    _cli(tmp_path, "drop", "db.t2")
+    assert "db.t2" not in _cli(tmp_path, "list", "db")
