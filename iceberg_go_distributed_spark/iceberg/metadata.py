@@ -207,6 +207,10 @@ class TableMetadata:
     default_sort_order_id: int = 0
     refs: dict[str, SnapshotRef] = field(default_factory=dict)
     format_version: int = SUPPORTED_FORMAT_VERSION
+    # Puffin statistics-file entries — parsed and carried, not consumed
+    # by the planner (ref table/statistics.go:26-90)
+    statistics: list = field(default_factory=list)
+    partition_statistics: list = field(default_factory=list)
 
     # ------------------------------------------------------------ accessors
 
@@ -277,6 +281,12 @@ class TableMetadata:
             "snapshots": [s.to_json() for s in self.snapshots],
             "snapshot-log": [e.to_json() for e in self.snapshot_log],
             "metadata-log": [e.to_json() for e in self.metadata_log],
+            **({"statistics": self.statistics} if self.statistics else {}),
+            **(
+                {"partition-statistics": self.partition_statistics}
+                if self.partition_statistics
+                else {}
+            ),
         }
 
     @staticmethod
@@ -347,6 +357,8 @@ class TableMetadata:
             default_sort_order_id=default_sort,
             refs=refs,
             format_version=2,  # we always write v2
+            statistics=obj.get("statistics", []),
+            partition_statistics=obj.get("partition-statistics", []),
         )
 
 
@@ -409,8 +421,11 @@ class MetadataBuilder:
             sort_orders=list(base.sort_orders),
             properties=dict(base.properties),
             refs=dict(base.refs),
+            statistics=list(base.statistics),
+            partition_statistics=list(base.partition_statistics),
         )
         self._reserved_ids: set[int] = set()
+        self.trimmed_metadata_files: list[str] = []
 
     # ---------------------------------------------------------- snapshots
 
@@ -554,6 +569,21 @@ class MetadataBuilder:
         self.m.location = location
         return self
 
+    def set_statistics(self, stats: dict) -> "MetadataBuilder":
+        """Upsert a statistics-file entry keyed by snapshot-id —
+        ref table/statistics.go + updates.go SetStatistics."""
+        sid = stats.get("snapshot-id")
+        self.m.statistics = [
+            s for s in self.m.statistics if s.get("snapshot-id") != sid
+        ] + [stats]
+        return self
+
+    def remove_statistics(self, snapshot_id: int) -> "MetadataBuilder":
+        self.m.statistics = [
+            s for s in self.m.statistics if s.get("snapshot-id") != snapshot_id
+        ]
+        return self
+
     def assign_uuid(self, u: str) -> "MetadataBuilder":
         if self.m.table_uuid and self.m.table_uuid != u:
             self.m = replace(self.m, table_uuid=u)
@@ -569,6 +599,8 @@ class MetadataBuilder:
         )
         keep = int(self.m.properties.get("write.metadata.previous-versions-max", "100"))
         if len(self.m.metadata_log) > keep:
+            trimmed = self.m.metadata_log[:-keep]
+            self.trimmed_metadata_files.extend(e.metadata_file for e in trimmed)
             self.m.metadata_log = self.m.metadata_log[-keep:]
         return self
 

@@ -491,13 +491,56 @@ class Transaction:
         if not self.updates:
             return
         new_md = self._builder.build()
+        logged_md, trimmed = self._with_log(new_md)
         new_location = self.table.catalog.commit_table(
-            self.table.identifier, self.base_location, self._with_log(new_md)
+            self.table.identifier, self.base_location, logged_md
         )
-        self.table.metadata = new_md
+        self.table.metadata = logged_md
         self.table.metadata_location = new_location
+        self._post_commit_cleanup(logged_md, trimmed)
 
-    def _with_log(self, md: TableMetadata) -> TableMetadata:
+    def _post_commit_cleanup(self, md: TableMetadata, trimmed: list[str]) -> None:
+        """Delete metadata JSON trimmed out of the log after commit when
+        write.metadata.delete-after-commit.enabled — ref table.go:247-279
+        + properties.go:70-77."""
+        import os
+
+        if md.properties.get("write.metadata.delete-after-commit.enabled", "false") != "true":
+            return
+        for path in trimmed:
+            try:
+                if os.path.exists(path) and path != self.table.metadata_location:
+                    os.unlink(path)
+            except OSError:
+                pass
+
+    def _with_log(self, md: TableMetadata) -> tuple[TableMetadata, list[str]]:
         b = MetadataBuilder(md)
         b.append_metadata_log(self.base_location)
-        return b.build()
+        return b.build(), b.trimmed_metadata_files
+
+
+@dataclass
+class SetStatistics(Update):
+    """ref table/updates.go SetStatistics (Puffin stats entry)."""
+
+    statistics: dict
+    action = "set-statistics"
+
+    def apply(self, b):
+        b.set_statistics(self.statistics)
+
+    def to_json(self):
+        return {"action": self.action, "statistics": self.statistics}
+
+
+@dataclass
+class RemoveStatistics(Update):
+    snapshot_id: int
+    action = "remove-statistics"
+
+    def apply(self, b):
+        b.remove_statistics(self.snapshot_id)
+
+    def to_json(self):
+        return {"action": self.action, "snapshot-id": self.snapshot_id}

@@ -421,7 +421,9 @@ def commit_data_files(
         )
         parent = md.current_snapshot()
         parent_summary = parent.summary.properties if parent else {}
-        summary = Summary(operation, _summary_props(data_files, parent_summary))
+        props = _summary_props(data_files, parent_summary)
+        props.update({str(k): str(v) for k, v in (snapshot_properties or {}).items()})
+        summary = Summary(operation, props)
         tx = table.transaction()
         try:
             tx.commit_snapshot_from_manifests(

@@ -160,3 +160,39 @@ def ann_lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "_cos")
     )
     return _topk(scored, k)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a coarse cell.
+
+    Blocking on the precomputed cell assignment (IVF-style) turns the
+    quadratic all-pairs problem into per-cell quadratic work — the
+    standard semantic-dedup shape (SemDeDup-style: cluster, then compare
+    within clusters only). The self-join keys on the cell, so the
+    shuffle distributes by cell and no cross-cell pair is ever formed.
+    Output: (vec_a, vec_b, cos) exact within-cell pairs >= threshold.
+    """
+    base = with_norm(emb, vec_col)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(cell_col).alias("_cell"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(cell_col).alias("_cellb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        a.join(b, (F.col("_cell") == F.col("_cellb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("_cos", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .where(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos"))
+    )

@@ -321,3 +321,18 @@ def llm_doc_fingerprints(spark, sf_dir):
 def llm_multimodal_features(spark, sf_dir):
     mm = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.decode_features(mm)
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH {_EMB_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs, IVF-cell-blocked (never cross-cell all-pairs)",
+)
+def llm_dedup_embedding(spark, sf_dir):
+    return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
