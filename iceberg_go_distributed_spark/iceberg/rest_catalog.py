@@ -1,0 +1,180 @@
+"""Iceberg REST catalog client — ref catalog/rest/rest.go (1213 LoC).
+
+Implements the subset of the REST spec the reference exercises for
+table lifecycle: config, namespace CRUD, table list/load/create/drop/
+rename, and the updates+requirements commit POST (the wire shapes come
+from our Update/Requirement `to_json`, which use the REST action
+names, so commits round-trip through any conformant server).
+
+Uses urllib only (no external deps); auth = static bearer token if
+provided (the reference's OAuth dance is out of scope — token may come
+from the environment).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Optional
+
+from .catalog import (
+    Catalog,
+    CommitConflictError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+    _identifier,
+)
+from .metadata import TableMetadata
+from .partitioning import PartitionSpec
+from .types import Schema
+
+
+class RestError(Exception):
+    def __init__(self, status: int, body: str):
+        self.status = status
+        super().__init__(f"REST catalog error {status}: {body[:300]}")
+
+
+class RestCatalog(Catalog):
+    name = "rest"
+
+    def __init__(self, uri: str, token: Optional[str] = None, warehouse: Optional[str] = None):
+        self.uri = uri.rstrip("/")
+        self.token = token
+        self.warehouse = warehouse
+        # config endpoint merges server defaults/overrides
+        try:
+            cfg = self._get("/v1/config")
+            overrides = cfg.get("overrides", {})
+            self.warehouse = overrides.get("warehouse", self.warehouse)
+        except RestError:
+            pass
+
+    # ------------------------------------------------------------ plumbing
+
+    def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        url = f"{self.uri}{path}"
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        req.add_header("Content-Type", "application/json")
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                payload = resp.read()
+                return json.loads(payload) if payload else {}
+        except urllib.error.HTTPError as e:
+            body_s = e.read().decode(errors="replace")
+            if e.code == 404:
+                raise NoSuchTableError(body_s) from None
+            if e.code == 409:
+                if "conflict" in body_s.lower() or "commit" in body_s.lower():
+                    raise CommitConflictError(body_s) from None
+                raise TableAlreadyExistsError(body_s) from None
+            raise RestError(e.code, body_s) from None
+
+    def _get(self, path: str) -> dict:
+        return self._req("GET", path)
+
+    @staticmethod
+    def _ns_path(ns: str) -> str:
+        return urllib.parse.quote(ns.replace(".", "\x1f"), safe="")
+
+    # -------------------------------------------------------------- tables
+
+    def create_table(self, identifier, schema: Schema, spec=None, properties=None, location=None):
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        body = {
+            "name": tbl,
+            "schema": schema.to_json(),
+            "partition-spec": (spec or PartitionSpec.unpartitioned()).to_json(),
+            "properties": dict(properties or {}),
+        }
+        if location:
+            body["location"] = location
+        resp = self._req("POST", f"/v1/namespaces/{self._ns_path(ns)}/tables", body)
+        md = TableMetadata.from_json(resp["metadata"])
+        return Table(identifier, md, resp.get("metadata-location", ""), self)
+
+    def load_table(self, identifier):
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        resp = self._get(f"/v1/namespaces/{self._ns_path(ns)}/tables/{tbl}")
+        md = TableMetadata.from_json(resp["metadata"])
+        return Table(identifier, md, resp.get("metadata-location", ""), self)
+
+    def drop_table(self, identifier) -> None:
+        ns, tbl = _identifier(identifier)
+        self._req("DELETE", f"/v1/namespaces/{self._ns_path(ns)}/tables/{tbl}")
+
+    def rename_table(self, src, dst):
+        ns_s, t_s = _identifier(src)
+        ns_d, t_d = _identifier(dst)
+        self._req(
+            "POST",
+            "/v1/tables/rename",
+            {
+                "source": {"namespace": [ns_s], "name": t_s},
+                "destination": {"namespace": [ns_d], "name": t_d},
+            },
+        )
+        return self.load_table(dst)
+
+    def list_tables(self, namespace: str):
+        resp = self._get(f"/v1/namespaces/{self._ns_path(namespace)}/tables")
+        return [
+            (".".join(t["namespace"]), t["name"]) for t in resp.get("identifiers", [])
+        ]
+
+    def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
+        """The REST commit is updates+requirements, not a metadata blob:
+        the transaction layer calls us with the already-built metadata,
+        and we ship its delta via `commit_via_updates` instead."""
+        raise NotImplementedError(
+            "REST commits go through commit_via_updates(updates, requirements)"
+        )
+
+    def commit_via_updates(self, identifier, updates, requirements) -> TableMetadata:
+        ns, tbl = _identifier(identifier)
+        body = {
+            "identifier": {"namespace": [ns], "name": tbl},
+            "updates": [u.to_json() for u in updates],
+            "requirements": [r.to_json() for r in requirements],
+        }
+        resp = self._req(
+            "POST", f"/v1/namespaces/{self._ns_path(ns)}/tables/{tbl}", body
+        )
+        return TableMetadata.from_json(resp["metadata"])
+
+    # ----------------------------------------------------------- namespaces
+
+    def create_namespace(self, namespace: str, properties=None) -> None:
+        self._req(
+            "POST",
+            "/v1/namespaces",
+            {"namespace": [namespace], "properties": dict(properties or {})},
+        )
+
+    def drop_namespace(self, namespace: str) -> None:
+        self._req("DELETE", f"/v1/namespaces/{self._ns_path(namespace)}")
+
+    def list_namespaces(self):
+        resp = self._get("/v1/namespaces")
+        return [".".join(n) for n in resp.get("namespaces", [])]
+
+    def load_namespace_properties(self, namespace: str) -> dict:
+        resp = self._get(f"/v1/namespaces/{self._ns_path(namespace)}")
+        return resp.get("properties", {})
+
+    def update_namespace_properties(self, namespace, removals=(), updates=None) -> None:
+        self._req(
+            "POST",
+            f"/v1/namespaces/{self._ns_path(namespace)}/properties",
+            {"removals": list(removals), "updates": dict(updates or {})},
+        )

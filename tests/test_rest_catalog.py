@@ -1,0 +1,287 @@
+"""REST catalog client against an in-process conformance server.
+
+The fake server stores metadata in memory and implements the endpoints
+the client uses, including the updates+requirements commit with
+AssertRefSnapshotID conflict checking — so the test proves our
+Update/Requirement JSON is a self-consistent wire protocol."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import (
+    CommitConflictError,
+    NoSuchTableError,
+)
+from iceberg_go_distributed_spark.iceberg.metadata import (
+    MetadataBuilder,
+    TableMetadata,
+    new_table_metadata,
+)
+from iceberg_go_distributed_spark.iceberg.partitioning import PartitionSpec
+from iceberg_go_distributed_spark.iceberg.rest_catalog import RestCatalog
+from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+
+class _State:
+    def __init__(self):
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.namespaces: dict[str, dict] = {"default": {}}
+
+
+def _apply_updates(md_json: dict, updates: list[dict], requirements: list[dict]) -> dict:
+    md = TableMetadata.from_json(md_json)
+    # requirement validation (subset: ref + uuid)
+    for r in requirements:
+        if r["type"] == "assert-ref-snapshot-id":
+            ref = md.refs.get(r["ref"])
+            actual = ref.snapshot_id if ref else None
+            if actual != r.get("snapshot-id"):
+                raise _Conflict(f"ref {r['ref']} moved")
+        elif r["type"] == "assert-table-uuid":
+            if md.table_uuid != r["uuid"]:
+                raise _Conflict("uuid mismatch")
+    b = MetadataBuilder(md)
+    from iceberg_go_distributed_spark.iceberg.metadata import Snapshot
+
+    for u in updates:
+        a = u["action"]
+        if a == "add-snapshot":
+            b.add_snapshot(Snapshot.from_json(u["snapshot"]))
+        elif a == "set-snapshot-ref":
+            b.set_snapshot_ref(u["ref-name"], u["snapshot-id"], u.get("type", "branch"))
+        elif a == "set-properties":
+            b.set_properties(u["updates"])
+        elif a == "remove-properties":
+            b.remove_properties(u["removals"])
+        elif a == "add-schema":
+            b.add_schema(Schema.from_json(u["schema"]))
+        elif a == "set-current-schema":
+            b.set_current_schema(u["schema-id"])
+    return b.build().to_json()
+
+
+class _Conflict(Exception):
+    pass
+
+
+def _make_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj=None):
+            body = json.dumps(obj or {}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def do_GET(self):
+            parts = [p for p in self.path.split("/") if p]
+            if parts == ["v1", "config"]:
+                return self._send(200, {"overrides": {}, "defaults": {}})
+            if parts == ["v1", "namespaces"]:
+                return self._send(
+                    200, {"namespaces": [[n] for n in sorted(state.namespaces)]}
+                )
+            if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                return self._send(200, {"namespace": [ns], "properties": state.namespaces[ns]})
+            if len(parts) == 4 and parts[3] == "tables":
+                ns = parts[2]
+                ids = [
+                    {"namespace": [n], "name": t}
+                    for (n, t) in sorted(state.tables)
+                    if n == ns
+                ]
+                return self._send(200, {"identifiers": ids})
+            if len(parts) == 5 and parts[3] == "tables":
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                return self._send(
+                    200,
+                    {"metadata": state.tables[key], "metadata-location": f"mem://{key}"},
+                )
+            return self._send(404, {"error": "unknown"})
+
+        def do_POST(self):
+            parts = [p for p in self.path.split("/") if p]
+            body = self._body()
+            if parts == ["v1", "namespaces"]:
+                ns = body["namespace"][0]
+                state.namespaces[ns] = body.get("properties", {})
+                return self._send(200, {"namespace": [ns]})
+            if parts == ["v1", "tables", "rename"]:
+                src = (body["source"]["namespace"][0], body["source"]["name"])
+                dst = (body["destination"]["namespace"][0], body["destination"]["name"])
+                if src not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                if dst in state.tables:
+                    return self._send(409, {"error": "already exists"})
+                state.tables[dst] = state.tables.pop(src)
+                return self._send(200, {})
+            if len(parts) == 4 and parts[3] == "tables":
+                ns, name = parts[2], body["name"]
+                key = (ns, name)
+                if key in state.tables:
+                    return self._send(409, {"error": "table already exists"})
+                md = new_table_metadata(
+                    Schema.from_json(body["schema"]),
+                    PartitionSpec.from_json(body.get("partition-spec", {})),
+                    body.get("location", f"mem://{ns}/{name}"),
+                    body.get("properties", {}),
+                )
+                state.tables[key] = md.to_json()
+                return self._send(
+                    200, {"metadata": state.tables[key], "metadata-location": f"mem://{key}"}
+                )
+            if len(parts) == 5 and parts[3] == "tables":
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                try:
+                    state.tables[key] = _apply_updates(
+                        state.tables[key], body["updates"], body["requirements"]
+                    )
+                except _Conflict as e:
+                    return self._send(409, {"error": f"commit conflict: {e}"})
+                return self._send(
+                    200, {"metadata": state.tables[key], "metadata-location": f"mem://{key}"}
+                )
+            if len(parts) == 4 and parts[3] == "properties":
+                ns = parts[2]
+                props = state.namespaces.setdefault(ns, {})
+                for k in body.get("removals", []):
+                    props.pop(k, None)
+                props.update(body.get("updates", {}))
+                return self._send(200, {})
+            return self._send(404, {"error": "unknown"})
+
+        def do_DELETE(self):
+            parts = [p for p in self.path.split("/") if p]
+            if len(parts) == 5 and parts[3] == "tables":
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                del state.tables[key]
+                return self._send(204)
+            if len(parts) == 3:
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                del state.namespaces[ns]
+                return self._send(204)
+            return self._send(404, {"error": "unknown"})
+
+    return Handler
+
+
+@pytest.fixture()
+def rest_server():
+    state = _State()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+SCHEMA = Schema.of(
+    0,
+    NestedField(1, "id", ty.LongType(), required=True),
+    NestedField(2, "data", ty.StringType()),
+)
+
+
+def test_rest_catalog_lifecycle(rest_server):
+    cat = RestCatalog(rest_server, token="t0ken")
+    cat.create_namespace("db", {"owner": "rest"})
+    assert "db" in cat.list_namespaces()
+    assert cat.load_namespace_properties("db")["owner"] == "rest"
+
+    t = cat.create_table("db.t1", SCHEMA)
+    assert t.schema().fields[0].name == "id"
+    assert cat.list_tables("db") == [("db", "t1")]
+    t2 = cat.load_table("db.t1")
+    assert t2.metadata.table_uuid == t.metadata.table_uuid
+
+    cat.rename_table("db.t1", "db.t2")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.t1")
+    cat.drop_table("db.t2")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.t2")
+
+
+def test_rest_commit_updates_and_conflict(rest_server):
+    """Commit via the wire-format updates/requirements, then force an
+    AssertRefSnapshotID conflict — the distributed-snapshot guard over
+    REST (ref rest.go commit path + distributed_snapshot_test.go:131)."""
+    from iceberg_go_distributed_spark.iceberg.metadata import Snapshot, Summary
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AddSnapshotUpdate,
+        AssertRefSnapshotID,
+        AssertTableUUID,
+        SetProperties,
+        SetSnapshotRef,
+    )
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("db")
+    t = cat.create_table("db.c1", SCHEMA)
+
+    # property commit round-trips
+    md = cat.commit_via_updates(
+        "db.c1", [SetProperties({"k": "v"})], [AssertTableUUID(t.metadata.table_uuid)]
+    )
+    assert md.properties["k"] == "v"
+
+    snap = Snapshot(
+        snapshot_id=1001,
+        sequence_number=1,
+        timestamp_ms=md.last_updated_ms + 10,
+        manifest_list="mem://snap-1001.avro",
+        summary=Summary("append"),
+    )
+    md = cat.commit_via_updates(
+        "db.c1",
+        [AddSnapshotUpdate(snap), SetSnapshotRef("main", 1001)],
+        [AssertRefSnapshotID("main", None)],
+    )
+    assert md.current_snapshot_id == 1001
+
+    # stale parent → 409 → CommitConflictError
+    snap2 = Snapshot(
+        snapshot_id=1002,
+        sequence_number=2,
+        timestamp_ms=md.last_updated_ms + 10,
+        manifest_list="mem://snap-1002.avro",
+        summary=Summary("append"),
+    )
+    with pytest.raises(CommitConflictError):
+        cat.commit_via_updates(
+            "db.c1",
+            [AddSnapshotUpdate(snap2), SetSnapshotRef("main", 1002)],
+            [AssertRefSnapshotID("main", None)],  # stale: main is at 1001
+        )
+    # correct parent succeeds
+    md = cat.commit_via_updates(
+        "db.c1",
+        [AddSnapshotUpdate(snap2), SetSnapshotRef("main", 1002)],
+        [AssertRefSnapshotID("main", 1001)],
+    )
+    assert md.current_snapshot_id == 1002
