@@ -282,6 +282,17 @@ class Scan:
             df = df.limit(self.limit)
         return df
 
+    def to_arrow(self, spark):
+        """Materialize the scan as a pyarrow Table —
+        ref table/scanner.go:514-531 (ToArrowTable)."""
+        return self.to_df(spark).toArrow()
+
+    def to_pandas(self, spark):
+        return self.to_df(spark).toPandas()
+
+    def count(self, spark) -> int:
+        return self.to_df(spark).count()
+
     def _read_with_deletes(self, spark, tasks, schema: Schema):
         """Merge-on-read: per data file, read with pyarrow (file-order
         row positions, as the reference's per-file arrow_scanner does)

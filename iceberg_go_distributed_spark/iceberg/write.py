@@ -225,6 +225,7 @@ def _encode_descriptor(df: DataFile) -> str:
             "lower_bounds": hexmap(df.lower_bounds),
             "upper_bounds": hexmap(df.upper_bounds),
             "split_offsets": df.split_offsets,
+            "sort_order_id": df.sort_order_id,
         }
     )
 
@@ -250,6 +251,7 @@ def _decode_descriptor(s: str) -> DataFile:
         lower_bounds=unhex(d.get("lower_bounds")),
         upper_bounds=unhex(d.get("upper_bounds")),
         split_offsets=d.get("split_offsets"),
+        sort_order_id=d.get("sort_order_id"),
     )
 
 
@@ -259,6 +261,8 @@ def write_data_files(
     spec: PartitionSpec,
     location: str,
     commit_uuid: str,
+    sort_order=None,
+    target_file_size: int = TARGET_FILE_SIZE_BYTES,
 ):
     """Executor-side Parquet writing via mapInPandas; returns the list of
     DataFile descriptors (driver-side, O(files)).
@@ -285,10 +289,26 @@ def write_data_files(
         data = data.select("*", *part_cols)
         data = data.repartition(*[F.col(f"__part_{n}") for n in part_names])
 
+    # declarative sort order: sort rows inside each task before writing and
+    # stamp the order id on the data files — ref table/sorting.go +
+    # manifest.go:2263 (SortOrderID); sorting stays executor-local (no
+    # extra shuffle), matching the reference's write-side-only semantics.
+    sort_order_id = None
+    if sort_order is not None and sort_order.fields:
+        by_id = {f.field_id: f.name for f in schema.fields}
+        sort_cols = []
+        for sf in sort_order.fields:
+            c = F.col(by_id[sf.source_id])
+            c = c.desc() if sf.direction == "desc" else c.asc()
+            sort_cols.append(c)
+        data = data.sortWithinPartitions(*sort_cols)
+        sort_order_id = sort_order.order_id
+
     arrow_schema_fields = [(f.name, f.field_type) for f in schema.fields]
     spec_fields = [(pf.name, str(pf.transform)) for pf in spec.fields]
     schema_pickle = schema
     spec_pickle = spec
+    target_size = target_file_size
 
     def write_task(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -303,6 +323,22 @@ def write_data_files(
         paths: dict[tuple, str] = {}
         parts: dict[tuple, dict] = {}
         counter = [0]
+
+        done: list[str] = []
+
+        def close_one(key: tuple) -> None:
+            writers.pop(key).close()
+            path = paths.pop(key)
+            stats = _stats_from_parquet(path, schema_pickle)
+            dfile = DataFile(
+                file_path=path,
+                file_format="PARQUET",
+                partition=parts.pop(key),
+                file_size_in_bytes=os.path.getsize(path),
+                sort_order_id=sort_order_id,
+                **stats,
+            )
+            done.append(_encode_descriptor(dfile))
 
         def writer_for(key: tuple, part_values: dict):
             if key not in writers:
@@ -322,9 +358,26 @@ def write_data_files(
                 parts[key] = dict(part_values)
             return writers[key]
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        def maybe_roll(key: tuple) -> None:
+            # rolling writer: split a partition's stream at the target
+            # file size — ref rolling_data_writer.go:112-215 (512MB
+            # default via write.target-file-size-bytes)
+            if key in paths and os.path.getsize(paths[key]) >= target_size:
+                close_one(key)
+
+        # rows per write_table call = rolling-check granularity, scaled to
+        # the target so production targets (512MB) keep large row groups
+        # while tiny test targets still split
+        CHUNK = max(1024, min(65536, target_size // 256))
+
+        def chunks(frame):
+            for i in range(0, len(frame), CHUNK):
+                yield frame.iloc[i : i + CHUNK]
+
+        for whole in batches:
+            if len(whole) == 0:
                 continue
+            pdf = whole
             if spec_pickle.fields:
                 grouped = pdf.groupby(
                     [f"__part_{n}" for n in part_names], dropna=False, sort=False
@@ -335,30 +388,23 @@ def write_data_files(
                         n: (None if pd.isna(k) else (int(k) if hasattr(k, "item") else k))
                         for n, k in zip(part_names, key)
                     }
-                    tbl = pa.Table.from_pandas(
-                        g[field_names], schema=aschema, preserve_index=False
-                    )
-                    writer_for(tuple(key), part_values).write_table(tbl)
+                    for piece in chunks(g[field_names]):
+                        tbl = pa.Table.from_pandas(
+                            piece, schema=aschema, preserve_index=False
+                        )
+                        writer_for(tuple(key), part_values).write_table(tbl)
+                        maybe_roll(tuple(key))
             else:
-                tbl = pa.Table.from_pandas(
-                    pdf[field_names], schema=aschema, preserve_index=False
-                )
-                writer_for((), {}).write_table(tbl)
+                for piece in chunks(pdf[field_names]):
+                    tbl = pa.Table.from_pandas(
+                        piece, schema=aschema, preserve_index=False
+                    )
+                    writer_for((), {}).write_table(tbl)
+                    maybe_roll(())
 
-        out = []
-        for key, w in writers.items():
-            w.close()
-            path = paths[key]
-            stats = _stats_from_parquet(path, schema_pickle)
-            dfile = DataFile(
-                file_path=path,
-                file_format="PARQUET",
-                partition=parts[key],
-                file_size_in_bytes=os.path.getsize(path),
-                **stats,
-            )
-            out.append(_encode_descriptor(dfile))
-        yield pd.DataFrame({"descriptor": out})
+        for key in list(writers):
+            close_one(key)
+        yield pd.DataFrame({"descriptor": done})
 
     desc = data.mapInPandas(write_task, _DESCRIPTOR_SCHEMA)
     return [_decode_descriptor(r.descriptor) for r in desc.collect()]
@@ -448,8 +494,20 @@ def append_distributed(table, df, snapshot_properties: Optional[dict] = None) ->
     the distributed-snapshot protocol (our default write path)."""
     ds = begin_distributed_snapshot(table, snapshot_properties)
     md = table.metadata
+    order = next(
+        (o for o in md.sort_orders if o.order_id == md.default_sort_order_id), None
+    )
+    target = int(
+        md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
+    )
     data_files = write_data_files(
-        df, md.current_schema(), md.default_spec(), md.location, ds.commit_uuid
+        df,
+        md.current_schema(),
+        md.default_spec(),
+        md.location,
+        ds.commit_uuid,
+        sort_order=order,
+        target_file_size=target,
     )
     commit_data_files(
         table, data_files, operation="append", snapshot_properties=snapshot_properties

@@ -1,0 +1,78 @@
+"""Write-path tuning: rolling file writer + declarative sort orders."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.metadata import SortField, SortOrder
+from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+from tests.test_table_e2e import LINEITEM_SCHEMA
+
+
+@pytest.fixture()
+def lineitem_df(spark, sf_dir):
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_rolling_writer_splits_at_target(tmp_path, spark, lineitem_df):
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.li_roll", LINEITEM_SCHEMA)
+    tx = t.transaction()
+    tx.set_properties({"write.target-file-size-bytes": "16384"})  # 16 KiB
+    tx.commit()
+    t.append(lineitem_df.coalesce(1))  # one task → rolling must split
+    snap = t.current_snapshot()
+    files = [
+        e.data_file
+        for m in snap.manifests()
+        for e in read_manifest(m.manifest_path)
+    ]
+    assert len(files) > 1, "expected the rolling writer to split the stream"
+    assert t.scan().to_df(spark).count() == lineitem_df.count()
+    # every file but the last of each task should be >= target
+    assert sum(f.record_count for f in files) == lineitem_df.count()
+
+
+def test_sort_order_applied_and_recorded(tmp_path, spark, lineitem_df):
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    order = SortOrder(1, (SortField(source_id=1, direction="asc"),))  # l_orderkey
+    t = cat.create_table("db.li_sorted", LINEITEM_SCHEMA)
+    # install the sort order
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AddSortOrderUpdate,
+        AssertTableUUID,
+        SetDefaultSortOrder,
+    )
+
+    tx = t.transaction()
+    tx.apply(
+        [AddSortOrderUpdate(order), SetDefaultSortOrder(1)],
+        [AssertTableUUID(t.metadata.table_uuid)],
+    )
+    tx.commit()
+    t.append(lineitem_df.limit(500).coalesce(1))
+    files = [
+        e.data_file
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    ]
+    assert all(f.sort_order_id == 1 for f in files)
+    # rows in the file really are sorted by l_orderkey
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(files[0].file_path, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+    assert keys == sorted(keys)
+
+
+def test_scan_to_arrow(tmp_path, spark, lineitem_df):
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.li_arrow", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(50).coalesce(1))
+    tbl = t.scan().select("l_orderkey", "l_quantity").to_arrow(spark)
+    assert tbl.num_rows == 50
+    assert tbl.column_names == ["l_orderkey", "l_quantity"]
+    assert t.scan().count(spark) == 50
