@@ -231,15 +231,26 @@ class Scan:
             delete_entries.sort(key=lambda e: e.sequence_number or 0)
 
         tasks: list[FileScanTask] = []
+        from .manifest import DataFileContent
+
         for e in data_entries:
             dels: tuple = ()
             if delete_entries:
-                dels = tuple(
-                    d.data_file
-                    for d in delete_entries
-                    if (d.sequence_number or 0) >= (e.sequence_number or 0)
-                    and _delete_covers_path(d.data_file, e.data_file.file_path)
-                )
+                picked = []
+                for d in delete_entries:
+                    d_seq = d.sequence_number or 0
+                    e_seq = e.sequence_number or 0
+                    if d.data_file.content == DataFileContent.POSITION_DELETES:
+                        # positional: applies to same-or-older data (>=)
+                        if d_seq >= e_seq and _delete_covers_path(
+                            d.data_file, e.data_file.file_path
+                        ):
+                            picked.append(d.data_file)
+                    elif d.data_file.content == DataFileContent.EQUALITY_DELETES:
+                        # equality: applies to strictly older data (>)
+                        if d_seq > e_seq:
+                            picked.append(d.data_file)
+                dels = tuple(picked)
             tasks.append(FileScanTask(file=e.data_file, delete_files=dels))
         return tasks
 
@@ -257,9 +268,22 @@ class Scan:
         if not tasks:
             return spark.createDataFrame([], schema_to_spark_ddl(proj))
 
+        from .manifest import DataFileContent
+
         files = [t.file.file_path for t in tasks]
-        if any(t.delete_files for t in tasks):
-            df = self._read_with_deletes(spark, tasks, schema)
+        has_pos = any(
+            d.content == DataFileContent.POSITION_DELETES
+            for t in tasks
+            for d in t.delete_files
+        )
+        eq_files: dict[str, DataFile] = {
+            d.file_path: d
+            for t in tasks
+            for d in t.delete_files
+            if d.content == DataFileContent.EQUALITY_DELETES
+        }
+        if has_pos or eq_files:
+            df = self._read_with_deletes(spark, tasks, schema, eq_files)
         else:
             # field-id-based read: columns resolve by the parquet field
             # ids our writer stamps, so renames/evolution are safe;
@@ -293,7 +317,7 @@ class Scan:
     def count(self, spark) -> int:
         return self.to_df(spark).count()
 
-    def _read_with_deletes(self, spark, tasks, schema: Schema):
+    def _read_with_deletes(self, spark, tasks, schema: Schema, eq_files=None):
         """Merge-on-read: per data file, read with pyarrow (file-order
         row positions, as the reference's per-file arrow_scanner does)
         and drop deleted positions — ref arrow_scanner.go:102-190.
@@ -304,8 +328,19 @@ class Scan:
         still distributes one-file-per-task."""
         import json as _json
 
+        from .manifest import DataFileContent
+
         work = [
-            (t.file.file_path, _json.dumps([d.file_path for d in t.delete_files]))
+            (
+                t.file.file_path,
+                _json.dumps(
+                    [
+                        d.file_path
+                        for d in t.delete_files
+                        if d.content == DataFileContent.POSITION_DELETES
+                    ]
+                ),
+            )
             for t in tasks
         ]
         files_df = spark.createDataFrame(
@@ -337,7 +372,45 @@ class Scan:
                             frame = frame[~frame.index.isin(drop)]
                     yield frame
 
-        return files_df.mapInPandas(read_task, ddl)
+        df = files_df.mapInPandas(read_task, ddl)
+
+        # equality deletes: one JVM-side left_anti join per delete file's
+        # key set. Applicability was already resolved per data file at
+        # plan time; grouping by applicable-set keeps sequence semantics
+        # exact (a data file written after the delete is exempt).
+        if eq_files:
+            by_name = {f.field_id: f.name for f in schema.fields}
+            groups: dict[frozenset, list] = {}
+            for t in tasks:
+                key = frozenset(
+                    d.file_path
+                    for d in t.delete_files
+                    if d.content == DataFileContent.EQUALITY_DELETES
+                )
+                groups.setdefault(key, []).append(t)
+            if len(groups) == 1:
+                (only_key,) = groups
+                for path in only_key:
+                    eqf = eq_files[path]
+                    cols = [by_name[i] for i in (eqf.equality_ids or [])]
+                    keys = spark.read.parquet(path).select(*cols).dropDuplicates()
+                    df = df.join(keys, on=cols, how="left_anti")
+            else:
+                parts = []
+                for key, group_tasks in groups.items():
+                    # recurse per group without eq handling, then anti-join
+                    # that group's applicable key files
+                    sub_df = self._read_with_deletes(spark, group_tasks, schema, None)
+                    for path in key:
+                        eqf = eq_files[path]
+                        cols = [by_name[i] for i in (eqf.equality_ids or [])]
+                        keys = spark.read.parquet(path).select(*cols).dropDuplicates()
+                        sub_df = sub_df.join(keys, on=cols, how="left_anti")
+                    parts.append(sub_df)
+                df = parts[0]
+                for p_ in parts[1:]:
+                    df = df.unionByName(p_)
+        return df
 
 
 class StaticTable:
@@ -424,6 +497,13 @@ class Table(StaticTable):
         from .write import delete_where
 
         delete_where(self, spark, expr)
+
+    def delete_by_keys(self, keys_df, key_columns: list) -> None:
+        """Equality deletes: drop every row whose key tuple appears in
+        keys_df (CDC/upsert delete shape, merge-on-read)."""
+        from .write import delete_by_keys
+
+        delete_by_keys(self, keys_df, key_columns)
 
     def overwrite_where(self, df, expr) -> None:
         """Copy-on-write replace of rows matching expr with df's rows."""

@@ -829,3 +829,72 @@ def add_files(table, paths: list[str]) -> None:
             )
         )
     commit_data_files(table, files, operation="append")
+
+
+def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
+    """Equality deletes: remove every row whose `key_columns` tuple
+    appears in `keys_df` — the CDC/upsert delete shape. Workers write
+    equality-delete files (just the key columns + equality_ids); the
+    scan anti-joins them against data files with lower sequence numbers
+    (spec equality deletes; ref manifest.go content type
+    EqualityDeletes).
+
+    Scale: the delete files are O(|keys|), applied as one JVM-side
+    left_anti join per scan — no data rewrite (merge-on-read)."""
+    from .manifest import (
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        write_manifest,
+    )
+    from .types import Schema
+
+    md = table.metadata
+    schema = md.current_schema()
+    fields = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"unknown key column {c!r}")
+        fields.append(f)
+    eq_ids = [f.field_id for f in fields]
+    eq_schema = Schema(0, tuple(fields))
+    ds = begin_distributed_snapshot(table)
+
+    # executors write the key files (same rolling/stat machinery)
+    files = write_data_files(
+        keys_df.select(*key_columns).dropDuplicates(),
+        eq_schema,
+        PartitionSpec.unpartitioned(),
+        md.location,
+        f"{ds.commit_uuid}-eqdel",
+    )
+    for f in files:
+        f.content = DataFileContent.EQUALITY_DELETES
+        f.equality_ids = eq_ids
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=ds.snapshot_id,
+            sequence_number=None,
+            file_sequence_number=None,
+            data_file=f,
+        )
+        for f in files
+    ]
+    path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-eqdel-m0.avro")
+    mf = write_manifest(
+        path, PartitionSpec.unpartitioned(), eq_schema, ds.snapshot_id, entries,
+        content=ManifestContent.DELETES,
+    )
+    _commit_manifests(
+        table,
+        [mf],
+        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "eq"),
+        operation="delete",
+        extra_summary={"added-equality-delete-files": str(len(files))},
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )

@@ -116,3 +116,35 @@ def ev_latest(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "ts")
     )
+
+
+@query(
+    "ev_skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="two-phase salted aggregation: skew-proof groupBy on a low-cardinality key",
+)
+def ev_skew_salted_agg(spark, sf_dir):
+    """Aggregation on a heavily-skewed low-cardinality key (event_type
+    has ~6 values). The salted two-phase plan spreads each hot key over
+    SALT partial groups before the final combine, so no single reducer
+    owns a hot key at 100 TB. Exact decimal partials keep the result
+    bit-identical to the direct aggregation."""
+    from ..datasets import load_table
+
+    SALT = 16
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(SALT)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        F.expr("CAST(SUM(_sum) AS DOUBLE)").alias("total_value"),
+    )

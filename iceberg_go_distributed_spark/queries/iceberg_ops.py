@@ -301,3 +301,26 @@ def ice_overwrite(spark, sf_dir):
         ],
         "n_rows bigint, n_replaced bigint, n_nonzero_replaced bigint",
     )
+
+
+@query(
+    "ice_equality_deletes",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem
+                                     WHERE l_linenumber = 7)) AS BIGINT) AS n_after,
+      CAST(0 AS BIGINT) AS n_deleted_keys_present
+    """,
+    doc="equality deletes (CDC shape): key-file anti-join on scan",
+)
+def ice_equality_deletes(spark, sf_dir):
+    t, li = _lineitem_table(spark, sf_dir, "ice_eq")
+    victims = li.where("l_linenumber = 7").select("l_orderkey").distinct()
+    t.delete_by_keys(victims, ["l_orderkey"])
+    df = t.scan().to_df(spark)
+    remaining = df.count()
+    present = df.join(victims, "l_orderkey", "left_semi").count()
+    return spark.createDataFrame(
+        [(remaining, present)], "n_after bigint, n_deleted_keys_present bigint"
+    )

@@ -165,3 +165,48 @@ def test_add_files(fs_catalog, spark, lineitem_df, tmp_path, sf_dir):
     # stats harvested: metrics pruning works on the registered file
     tasks = t.scan(row_filter=E.less_than("l_orderkey", -1)).plan_files()
     assert tasks == []
+
+
+def test_equality_deletes(fs_catalog, spark, lineitem_df):
+    """CDC-shape equality deletes: keys written once, applied to all
+    older data files; rows appended after the delete are exempt."""
+    t = fs_catalog.create_table("db.li_eq", LINEITEM_SCHEMA)
+    t.append(lineitem_df.where("l_orderkey < 800").coalesce(1))
+    n0 = t.scan().to_df(spark).count()
+
+    victims = lineitem_df.where("l_orderkey < 100").select("l_orderkey").distinct()
+    n_victim_rows = lineitem_df.where("l_orderkey < 100 AND l_orderkey < 800").count()
+    t.delete_by_keys(victims, ["l_orderkey"])
+    assert t.current_snapshot().summary.operation == "delete"
+
+    df = t.scan().to_df(spark)
+    assert df.count() == n0 - n_victim_rows
+    assert df.where("l_orderkey < 100").count() == 0
+
+    # rows appended AFTER the equality delete keep the deleted keys
+    t.append(lineitem_df.where("l_orderkey < 50").coalesce(1))
+    n_new = lineitem_df.where("l_orderkey < 50").count()
+    df2 = t.scan().to_df(spark)
+    assert df2.where("l_orderkey < 100").count() == n_new
+    assert df2.count() == n0 - n_victim_rows + n_new
+
+
+def test_equality_plus_positional_deletes(fs_catalog, spark, lineitem_df):
+    """Both delete kinds stack on the same table."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    t = fs_catalog.create_table("db.li_mixed", LINEITEM_SCHEMA)
+    t.append(lineitem_df.where("l_orderkey < 600").coalesce(1))
+    base = lineitem_df.where("l_orderkey < 600")
+    t.delete_by_keys(
+        base.where("l_linenumber = 7").select("l_orderkey").distinct(), ["l_orderkey"]
+    )
+    t.delete_where(spark, E.greater_than("l_quantity", 45.0))
+    df = t.scan().to_df(spark)
+    import pyspark.sql.functions as F
+
+    keys7 = {r.l_orderkey for r in base.where("l_linenumber = 7").select("l_orderkey").distinct().collect()}
+    want = base.where(
+        (~F.col("l_orderkey").isin(list(keys7))) & (F.col("l_quantity") <= 45.0)
+    ).count()
+    assert df.count() == want
