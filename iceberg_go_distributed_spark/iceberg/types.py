@@ -484,6 +484,12 @@ def schema_from_spark(spark_schema, schema_id: int = 0) -> Schema:
         (st.BinaryType, BinaryType),
     ]
 
+    next_id = [0]
+
+    def nid() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
     def conv(dt) -> IcebergType:
         if isinstance(dt, st.DecimalType):
             return DecimalType(dt.precision, dt.scale)
@@ -491,13 +497,29 @@ def schema_from_spark(spark_schema, schema_id: int = 0) -> Schema:
             return TimestampType()
         if isinstance(dt, st.TimestampType):
             return TimestampType()  # stored as µs; tz-naive in testdata
+        if isinstance(dt, st.ArrayType):
+            return ListType(nid(), conv(dt.elementType), not dt.containsNull)
+        if isinstance(dt, st.MapType):
+            kid, vid = nid(), nid()
+            return MapType(kid, conv(dt.keyType), vid, conv(dt.valueType), not dt.valueContainsNull)
+        if isinstance(dt, st.StructType):
+            return StructType(
+                *[
+                    NestedField(nid(), f.name, conv(f.dataType), required=not f.nullable)
+                    for f in dt.fields
+                ]
+            )
         for spark_t, ice_t in mapping:
             if isinstance(dt, spark_t):
                 return ice_t()
         raise TypeError(f"no iceberg mapping for spark type {dt}")
 
+    # two passes so top-level fields get ids 1..N before nested ids
+    tops = [(f.name, f.dataType, f.nullable) for f in spark_schema.fields]
+    next_id[0] = len(tops)
+    field_ids = list(range(1, len(tops) + 1))
     fields = [
-        NestedField(i + 1, f.name, conv(f.dataType), required=not f.nullable)
-        for i, f in enumerate(spark_schema.fields)
+        NestedField(fid, name, conv(dt), required=not nullable)
+        for fid, (name, dt, nullable) in zip(field_ids, tops)
     ]
     return Schema(schema_id, tuple(fields))

@@ -110,6 +110,16 @@ def _arrow_type(t: IcebergType):
         return pa.binary()
     if isinstance(t, DecimalType):
         return pa.decimal128(t.precision, t.scale)
+    from .types import ListType, MapType, StructType
+
+    if isinstance(t, ListType):
+        return pa.list_(_arrow_type(t.element))
+    if isinstance(t, MapType):
+        return pa.map_(_arrow_type(t.key), _arrow_type(t.value))
+    if isinstance(t, StructType):
+        return pa.struct(
+            [pa.field(f.name, _arrow_type(f.field_type), nullable=not f.required) for f in t.fields]
+        )
     raise TypeError(f"no arrow mapping for {t}")
 
 
@@ -188,7 +198,9 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
     upper_b: dict[int, bytes] = {}
     for f in schema.fields:
         fid = f.field_id
-        if fid in lowers:
+        # bounds are defined for primitive columns only (nested leaves
+        # would need their own field ids; spec writers skip them too)
+        if fid in lowers and f.field_type.is_primitive():
             lo, hi = _truncate_bounds(f.field_type, lowers[fid], uppers[fid])
             lower_b[fid] = to_bytes(f.field_type, lo)
             upper_b[fid] = to_bytes(f.field_type, hi)
@@ -412,15 +424,22 @@ def write_data_files(
 
 # ------------------------------------------------------------- coordinator
 
-def _summary_props(data_files: list[DataFile], parent_summary: dict) -> dict[str, str]:
-    """Snapshot summary counters — ref table/snapshots.go:89-179."""
+def _summary_props(
+    data_files: list[DataFile],
+    parent_summary: dict,
+    partition_limit: int = 0,
+) -> dict[str, str]:
+    """Snapshot summary counters — ref table/snapshots.go:89-179 — plus
+    the per-partition summaries of SnapshotSummaryCollector
+    (snapshots.go:358-443), capped by write.summary.partition-limit
+    (0 = off, the reference default)."""
     added_files = len(data_files)
     added_records = sum(f.record_count for f in data_files)
     added_size = sum(f.file_size_in_bytes for f in data_files)
     prev_files = int(parent_summary.get("total-data-files", "0"))
     prev_records = int(parent_summary.get("total-records", "0"))
     prev_size = int(parent_summary.get("total-files-size", "0"))
-    return {
+    out = {
         "added-data-files": str(added_files),
         "added-records": str(added_records),
         "added-files-size": str(added_size),
@@ -431,6 +450,18 @@ def _summary_props(data_files: list[DataFile], parent_summary: dict) -> dict[str
         "total-position-deletes": parent_summary.get("total-position-deletes", "0"),
         "total-equality-deletes": parent_summary.get("total-equality-deletes", "0"),
     }
+    partitions: dict[str, tuple[int, int]] = {}
+    for f in data_files:
+        if not f.partition:
+            continue
+        key = "/".join(f"{k}={v}" for k, v in sorted(f.partition.items()))
+        n, sz = partitions.get(key, (0, 0))
+        partitions[key] = (n + f.record_count, sz + f.file_size_in_bytes)
+    out["changed-partition-count"] = str(len(partitions))
+    if 0 < len(partitions) <= partition_limit:
+        for key, (n, sz) in sorted(partitions.items()):
+            out[f"partitions.{key}"] = f"added-records={n},added-files-size={sz}"
+    return out
 
 
 def commit_data_files(
@@ -467,7 +498,8 @@ def commit_data_files(
         )
         parent = md.current_snapshot()
         parent_summary = parent.summary.properties if parent else {}
-        props = _summary_props(data_files, parent_summary)
+        limit = int(md.properties.get("write.summary.partition-limit", "0"))
+        props = _summary_props(data_files, parent_summary, partition_limit=limit)
         props.update({str(k): str(v) for k, v in (snapshot_properties or {}).items()})
         summary = Summary(operation, props)
         tx = table.transaction()

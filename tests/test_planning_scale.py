@@ -1,0 +1,139 @@
+"""Metadata-plane scalability: planning cost is O(manifests + entries),
+pruning drops work before anything touches Spark. Builds a synthetic
+2,000-file / 20-manifest table (no Spark, no parquet — metadata only)
+and checks pruning ratios + planning latency."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.conversions import to_bytes
+from iceberg_go_distributed_spark.iceberg.manifest import (
+    DataFile,
+    ManifestEntry,
+    ManifestEntryStatus,
+    write_manifest,
+)
+from iceberg_go_distributed_spark.iceberg.metadata import Snapshot, Summary
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.transaction import (
+    AddSnapshotUpdate,
+    AssertTableUUID,
+    SetSnapshotRef,
+)
+from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+SCHEMA = Schema.of(
+    0,
+    NestedField(1, "id", ty.LongType(), required=True),
+    NestedField(2, "day_key", ty.IntegerType(), required=True),
+)
+
+N_MANIFESTS = 20
+FILES_PER_MANIFEST = 100  # → 2,000 files
+
+
+@pytest.fixture()
+def big_table(tmp_path):
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    spec = spec_from(SCHEMA, ("day_key", "identity"))
+    t = cat.create_table("db.big", SCHEMA, spec=spec)
+    manifests = []
+    for m_i in range(N_MANIFESTS):
+        entries = []
+        for f_i in range(FILES_PER_MANIFEST):
+            day = m_i * FILES_PER_MANIFEST + f_i  # each file its own day
+            id_lo, id_hi = day * 1000, day * 1000 + 999
+            entries.append(
+                ManifestEntry(
+                    status=ManifestEntryStatus.ADDED,
+                    snapshot_id=1,
+                    sequence_number=1,
+                    file_sequence_number=1,
+                    data_file=DataFile(
+                        file_path=f"/data/day={day}/f{f_i}.parquet",
+                        partition={"day_key": day},
+                        record_count=1000,
+                        file_size_in_bytes=10_000,
+                        value_counts={1: 1000, 2: 1000},
+                        null_value_counts={1: 0, 2: 0},
+                        lower_bounds={
+                            1: to_bytes(ty.LongType(), id_lo),
+                            2: to_bytes(ty.IntegerType(), day),
+                        },
+                        upper_bounds={
+                            1: to_bytes(ty.LongType(), id_hi),
+                            2: to_bytes(ty.IntegerType(), day),
+                        },
+                    ),
+                )
+            )
+        path = os.path.join(t.location, "metadata", f"synthetic-m{m_i}.avro")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        mf = write_manifest(path, spec, SCHEMA, 1, entries)
+        mf.sequence_number = mf.min_sequence_number = 1
+        manifests.append(mf)
+    from iceberg_go_distributed_spark.iceberg.manifest import write_manifest_list
+
+    list_path = os.path.join(t.location, "metadata", "snap-1.avro")
+    write_manifest_list(list_path, manifests)
+    snap = Snapshot(
+        snapshot_id=1,
+        sequence_number=1,
+        timestamp_ms=t.metadata.last_updated_ms + 1,
+        manifest_list=list_path,
+        summary=Summary("append"),
+        schema_id=0,
+    )
+    tx = t.transaction()
+    tx.apply(
+        [AddSnapshotUpdate(snap), SetSnapshotRef("main", 1)],
+        [AssertTableUUID(t.metadata.table_uuid)],
+    )
+    tx.commit()
+    return t
+
+
+def test_full_plan_counts(big_table):
+    tasks = big_table.scan().plan_files()
+    assert len(tasks) == N_MANIFESTS * FILES_PER_MANIFEST
+
+
+def test_manifest_level_pruning(big_table):
+    """A single-day filter must prune 19/20 manifests via partition
+    summaries before any manifest is even read."""
+    tasks = big_table.scan(row_filter=E.equal("day_key", 1234)).plan_files()
+    assert len(tasks) == 1
+    assert tasks[0].file.partition["day_key"] == 1234
+
+
+def test_metrics_level_pruning(big_table):
+    tasks = big_table.scan(row_filter=E.equal("id", 1_234_567)).plan_files()
+    assert len(tasks) == 1
+    assert tasks[0].file.file_path.startswith("/data/day=1234/")
+
+
+def test_range_pruning_ratio(big_table):
+    tasks = big_table.scan(
+        row_filter=E.and_(
+            E.greater_than_or_equal("day_key", 500), E.less_than("day_key", 600)
+        )
+    ).plan_files()
+    assert len(tasks) == 100
+
+
+def test_planning_latency(big_table):
+    """2,000 files must plan in well under a second once manifests are
+    warm — the metadata plane is O(entries) pure Python."""
+    big_table.scan(row_filter=E.equal("day_key", 7)).plan_files()  # warm
+    t0 = time.perf_counter()
+    for day in (3, 777, 1500):
+        big_table.scan(row_filter=E.equal("day_key", day)).plan_files()
+    dt = (time.perf_counter() - t0) / 3
+    assert dt < 1.0, f"planning too slow: {dt:.3f}s per pruned scan"

@@ -277,3 +277,21 @@ def test_metadata_tables(fs_catalog, spark, lineitem_df):
     assert t.inspect_refs(spark).count() == 1
     row = t.inspect_files(spark).first()
     assert row.record_count > 0 and row.file_format == "PARQUET"
+
+
+def test_nested_types_roundtrip(fs_catalog, spark, sf_dir):
+    """embeddings table (array<float>) through the full table layer."""
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = fs_catalog.create_table("db.emb", schema_from_spark(emb.schema))
+    t.append(emb.coalesce(1))
+    df = t.scan().to_df(spark)
+    assert df.count() == emb.count()
+    row = df.orderBy("vec_id").first()
+    want = emb.orderBy("vec_id").first()
+    assert row.vec_id == want.vec_id
+    assert row.embedding == want.embedding  # list<float> values intact
+    got = t.scan(row_filter=E.less_than("vec_id", 10)).to_df(spark).count()
+    assert got == emb.where("vec_id < 10").count()

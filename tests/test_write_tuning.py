@@ -76,3 +76,26 @@ def test_scan_to_arrow(tmp_path, spark, lineitem_df):
     assert tbl.num_rows == 50
     assert tbl.column_names == ["l_orderkey", "l_quantity"]
     assert t.scan().count(spark) == 50
+
+
+def test_partition_summaries_in_snapshot(tmp_path, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+    t = cat.create_table("db.li_psum", LINEITEM_SCHEMA, spec=spec)
+    tx = t.transaction()
+    tx.set_properties({"write.summary.partition-limit": "10"})
+    tx.commit()
+    t.append(lineitem_df.limit(1000))
+    props = t.current_snapshot().summary.properties
+    assert int(props["changed-partition-count"]) >= 2
+    part_keys = [k for k in props if k.startswith("partitions.")]
+    assert part_keys and all("added-records=" in props[k] for k in part_keys)
+
+    # limit 0 (default) suppresses per-partition entries
+    t2 = cat.create_table("db.li_psum2", LINEITEM_SCHEMA, spec=spec)
+    t2.append(lineitem_df.limit(1000))
+    props2 = t2.current_snapshot().summary.properties
+    assert not [k for k in props2 if k.startswith("partitions.")]
+    assert "changed-partition-count" in props2
