@@ -25,6 +25,11 @@ HEADLINE = [
     "q18_large_volume_customers",
     "ev_sessionization",
     "ev_hourly_rollup",
+    # table layer: distributed-snapshot write + pruned scan round-trip
+    "ice_write_scan_filter",
+    # LLM pipeline: banded near-dup and brute-force ANN
+    "llm_dedup_minhash",
+    "llm_ann_bruteforce",
 ]
 
 

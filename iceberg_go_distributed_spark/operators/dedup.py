@@ -151,7 +151,11 @@ def minhash_near_dups(
     threshold (32 bands × 2 rows ⇒ miss prob at J=0.5 is ~1e-4, and
     ~1e-8 for the J≈0.9 planted dups in the testdata).
     """
-    sh = shingle_sets(docs, text_col, id_col, n)
+    # the shingle pipeline feeds three consumers (signatures + both
+    # verification sides) — persist it so Spark computes it once; at
+    # corpus scale this is the materialize-the-shingle-table step any
+    # MinHash pipeline does before banding
+    sh = shingle_sets(docs, text_col, id_col, n).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
