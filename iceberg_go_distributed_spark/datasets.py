@@ -30,8 +30,10 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
+def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
+    """Load one testdata table; sf_dir=None falls back to
+    $SPARK_GRAFT_SF_DIR (DEFAULT_SF_DIR)."""
+    path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — Spark rejects it natively.
         # Read ns-as-long, truncate to µs (same as DuckDB's ns→µs cast).
@@ -43,7 +45,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES) -> None:
     """Register each table as a temp view for spark.sql use."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

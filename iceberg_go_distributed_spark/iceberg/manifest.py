@@ -447,6 +447,23 @@ def positional_delete_schema() -> Schema:
     )
 
 
+# Manifests are immutable once written (new state = new file), so raw
+# record caching is safe and makes repeated scans O(entries) in Python
+# with no re-decode. Entries are rebuilt per call (callers mutate them).
+_OCF_CACHE: dict[str, list] = {}
+_OCF_CACHE_MAX = 256
+
+
+def _read_manifest_records(path: str) -> list:
+    cached = _OCF_CACHE.get(path)
+    if cached is None:
+        _, _, cached = avro_io.read_ocf(path)
+        if len(_OCF_CACHE) >= _OCF_CACHE_MAX:
+            _OCF_CACHE.pop(next(iter(_OCF_CACHE)))
+        _OCF_CACHE[path] = cached
+    return cached
+
+
 def read_manifest(
     path: str,
     discard_deleted: bool = True,
@@ -455,7 +472,7 @@ def read_manifest(
     """ref manifest.go:774 (ReadManifest). ADDED entries written without
     an explicit sequence number inherit the manifest's (spec: sequence
     number inheritance)."""
-    _, _, records = avro_io.read_ocf(path)
+    records = _read_manifest_records(path)
     entries = [_entry_from_avro(r) for r in records]
     if inherit_sequence_number is not None:
         for e in entries:
