@@ -614,3 +614,84 @@ class Table(StaticTable):
             for name, r in self.metadata.refs.items()
         ]
         return spark.createDataFrame(rows, "name string, type string, snapshot_id bigint")
+
+
+def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
+    """Distributed scan planning — SURVEY P4: when a snapshot's manifest
+    set exceeds driver memory, entry-level pruning (levels 3+4) runs in
+    executors via mapInPandas over manifest paths; the driver keeps only
+    manifest-level pruning (level 2, O(manifests)) and receives the
+    surviving DataFile descriptors (O(matching files)).
+
+    Pure-Python codec + evaluators ship to executors as pickled
+    closures; no Avro package or JVM reader is needed. Returns the same
+    tasks as Scan.plan_files (asserted by tests), so callers can switch
+    on snapshot size."""
+    import json as _json
+
+    import pandas as pd
+
+    from .evaluators import (
+        expression_evaluator,
+        inclusive_metrics_evaluator,
+        inclusive_projection,
+        manifest_evaluator,
+    )
+    from .write import _decode_descriptor, _encode_descriptor
+
+    md = scan.table.metadata
+    snap = scan.snapshot()
+    if snap is None:
+        return []
+    schema = scan._scan_schema()
+    manifests = [
+        m for m in snap.manifests() if m.content == ManifestContent.DATA
+    ]
+
+    # driver side: manifest-level pruning only
+    spec_by_id = {m.partition_spec_id: md.spec_by_id(m.partition_spec_id) for m in manifests}
+    survivors = []
+    for m in manifests:
+        spec = spec_by_id[m.partition_spec_id]
+        proj = inclusive_projection(schema, spec, scan.case_sensitive)(scan.row_filter)
+        if manifest_evaluator(spec, schema, proj, scan.case_sensitive)(m):
+            survivors.append(m)
+    if not survivors:
+        return []
+
+    row_filter = scan.row_filter
+    case_sensitive = scan.case_sensitive
+    schema_p = schema
+    spec_by_id_p = spec_by_id
+
+    work = spark.createDataFrame(
+        [(m.manifest_path, m.partition_spec_id, m.sequence_number) for m in survivors],
+        "path string, spec_id int, seq bigint",
+    ).repartition(min(len(survivors), 64))
+
+    def prune(batches):
+        from .manifest import read_manifest
+
+        metrics_eval = inclusive_metrics_evaluator(schema_p, row_filter, case_sensitive)
+        part_evals = {}
+        out = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                spec = spec_by_id_p[row.spec_id]
+                if row.spec_id not in part_evals:
+                    proj = inclusive_projection(schema_p, spec, case_sensitive)(row_filter)
+                    part_schema = Schema(0, spec.partition_type(schema_p).fields)
+                    part_evals[row.spec_id] = expression_evaluator(
+                        part_schema, proj, case_sensitive
+                    )
+                part_eval = part_evals[row.spec_id]
+                for e in read_manifest(row.path, inherit_sequence_number=int(row.seq)):
+                    if not part_eval(e.data_file.partition):
+                        continue
+                    if not metrics_eval(e.data_file):
+                        continue
+                    out.append(_encode_descriptor(e.data_file))
+        yield pd.DataFrame({"descriptor": out})
+
+    rows = work.mapInPandas(prune, "descriptor string").collect()
+    return [FileScanTask(file=_decode_descriptor(r.descriptor)) for r in rows]

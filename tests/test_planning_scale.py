@@ -137,3 +137,21 @@ def test_planning_latency(big_table):
         big_table.scan(row_filter=E.equal("day_key", day)).plan_files()
     dt = (time.perf_counter() - t0) / 3
     assert dt < 1.0, f"planning too slow: {dt:.3f}s per pruned scan"
+
+
+def test_distributed_planning_matches_local(big_table, spark):
+    """plan_files_distributed must produce exactly the local planner's
+    file set (executor-side pruning, driver gets only descriptors)."""
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+
+    for expr in (
+        E.equal("day_key", 1234),
+        E.and_(E.greater_than_or_equal("day_key", 500), E.less_than("day_key", 600)),
+        E.equal("id", 1_234_567),
+    ):
+        local = {t.file.file_path for t in big_table.scan(row_filter=expr).plan_files()}
+        dist = {
+            t.file.file_path
+            for t in plan_files_distributed(big_table.scan(row_filter=expr), spark)
+        }
+        assert dist == local and local
