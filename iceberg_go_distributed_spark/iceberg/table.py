@@ -479,6 +479,15 @@ class Table(StaticTable):
 
         append_distributed(self, df, snapshot_properties=snapshot_properties)
 
+    def create_or_replace_view(self, spark, name: Optional[str] = None):
+        """Register the table's current state as a Spark temp view so
+        plain `spark.sql` works over it (the user-facing SQL front end;
+        re-register after commits to see new snapshots)."""
+        view_name = name or str(self.identifier).replace(".", "_")
+        df = self.scan().to_df(spark)
+        df.createOrReplaceTempView(view_name)
+        return df
+
     def update_schema(self):
         """Schema evolution builder — ref table/update_schema.go:89-944."""
         from .evolution import UpdateSchema

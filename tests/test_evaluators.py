@@ -321,3 +321,67 @@ def test_in_predicate_limit():
     assert _meval(E.is_in("id", big)), "should read: IN above limit not evaluated"
     small = list(range(INT_MIN - 210, INT_MIN - 10))  # 200 values, all below
     assert not _meval(E.is_in("id", small)), "should skip: all below lower bound"
+
+
+# ------- extended metrics truth tables (evaluators_test.go:1121-1460) -------
+
+MSCHEMA2 = ty.Schema.of(
+    1,
+    ty.NestedField(1, "id", ty.IntegerType(), required=True),
+    ty.NestedField(2, "str", ty.StringType()),
+    ty.NestedField(3, "always_5", ty.IntegerType()),
+)
+
+FILE_STR = DataFile(
+    file_path="s.parquet",
+    record_count=50,
+    value_counts={2: 50, 3: 50},
+    null_value_counts={2: 0, 3: 0},
+    lower_bounds={1: _i32(INT_MIN), 2: b"abc", 3: _i32(5)},
+    upper_bounds={1: _i32(INT_MAX), 2: b"abe", 3: _i32(5)},
+)
+
+
+def _m2(expr, f=FILE_STR):
+    return EV.inclusive_metrics_evaluator(MSCHEMA2, expr)(f)
+
+
+@pytest.mark.parametrize(
+    "expr,expected,msg",
+    [
+        (E.starts_with("str", "a"), True, "prefix shorter than bounds, in range"),
+        (E.starts_with("str", "ab"), True, "in range"),
+        (E.starts_with("str", "abc"), True, "matches lower bound"),
+        (E.starts_with("str", "abf"), False, "above upper bound prefix"),
+        (E.starts_with("str", "aa"), False, "below lower bound prefix"),
+        (E.starts_with("str", "abcd"), True, "longer than bounds, might match"),
+        (E.not_starts_with("str", "a"), False, "all values start with a"),
+        (E.not_starts_with("str", "ab"), False, "all values start with ab"),
+        (E.not_starts_with("str", "abc"), True, "upper abe doesn't start with abc"),
+        (E.equal("always_5", 5), True, "point range hit"),
+        (E.equal("always_5", 6), False, "point range miss"),
+        (E.is_in("always_5", [4, 6]), False, "set excludes point range"),
+        (E.is_in("always_5", [5, 6]), True, "set includes point"),
+        (E.less_than("always_5", 5), False, "nothing below point"),
+        (E.greater_than_or_equal("always_5", 5), True, "point qualifies"),
+    ],
+)
+def test_metrics_string_and_point_ranges(expr, expected, msg):
+    assert _m2(expr) == expected, msg
+
+
+def test_metrics_compound_expressions():
+    assert not _m2(E.and_(E.equal("always_5", 5), E.equal("id", INT_MIN - 1)))
+    assert _m2(E.and_(E.equal("always_5", 5), E.equal("id", INT_MIN)))
+    assert _m2(E.or_(E.equal("always_5", 99), E.equal("id", INT_MIN)))
+    assert not _m2(E.or_(E.equal("always_5", 99), E.equal("id", INT_MIN - 1)))
+    assert _m2(E.not_(E.equal("always_5", 99)))
+
+
+def test_case_insensitive_binding_in_evaluator():
+    ev = EV.inclusive_metrics_evaluator(
+        MSCHEMA2, E.equal("ALWAYS_5", 5), case_sensitive=False
+    )
+    assert ev(FILE_STR)
+    with pytest.raises(ValueError):
+        EV.inclusive_metrics_evaluator(MSCHEMA2, E.equal("ALWAYS_5", 5))(FILE_STR)

@@ -295,3 +295,21 @@ def test_nested_types_roundtrip(fs_catalog, spark, sf_dir):
     assert row.embedding == want.embedding  # list<float> values intact
     got = t.scan(row_filter=E.less_than("vec_id", 10)).to_df(spark).count()
     assert got == emb.where("vec_id < 10").count()
+
+
+def test_sql_over_table_view(fs_catalog, spark, lineitem_df):
+    """spark.sql over a registered table view — the user-facing SQL path."""
+    t = fs_catalog.create_table("db.li_sql", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(300).coalesce(1))
+    t.create_or_replace_view(spark, "li_sql")
+    row = spark.sql(
+        "SELECT l_returnflag, COUNT(*) n FROM li_sql GROUP BY 1 ORDER BY 2 DESC"
+    ).first()
+    want = (
+        lineitem_df.limit(300)
+        .groupBy("l_returnflag")
+        .count()
+        .orderBy("count", ascending=False)
+        .first()
+    )
+    assert row.l_returnflag == want.l_returnflag and row.n == want["count"]
