@@ -39,8 +39,15 @@ def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
         # Read ns-as-long, truncate to µs (same as DuckDB's ns→µs cast).
         apply_runtime_confs(spark)
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type is not None and not ts_type.startswith("timestamp"):
+            raise TypeError(
+                f"events.ts read as {ts_type!r}: expected bigint (ns-as-long) or "
+                "timestamp. spark.sql.legacy.parquet.nanosAsLong could not be "
+                f"applied (failed confs: {getattr(spark, '_failed_runtime_confs', [])})"
+            )
         return df
     return spark.read.parquet(path)
 

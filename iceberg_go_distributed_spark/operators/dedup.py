@@ -107,6 +107,8 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.min((F.col("_h") * a + b) % MERSENNE31).alias(f"m{i}")
         for i, (a, b) in enumerate(perms)
     ]
+    # shingle-set size rides along for the candidate length filter
+    aggs.append(F.count("*").alias("_n_shingles"))
     return base.groupBy(id_col).agg(*aggs)
 
 
@@ -115,22 +117,34 @@ def _band_key(j: int) -> F.Column:
     return F.concat_ws("_", *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band."""
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", threshold: float | None = None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band.
+
+    When `threshold` is given and the signature frame carries a
+    `_n_shingles` column, the classic length filter prunes candidates
+    before the distinct/verify stages: J(A,B) >= t implies
+    t <= |A|/|B| <= 1/t (a necessary condition, so recall is unchanged)."""
+    extra = ["_n_shingles"] if "_n_shingles" in sig.columns else []
     bands = sig.select(
         F.col(id_col),
+        *extra,
         F.posexplode(F.array(*[_band_key(j) for j in range(NUM_BANDS)])).alias(
             "band_idx", "band_key"
         ),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if threshold is not None and extra:
+        na, nb = F.col("a._n_shingles"), F.col("b._n_shingles")
+        cond = cond & (na * 1.0 / nb >= threshold) & (nb * 1.0 / na >= threshold)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
@@ -156,7 +170,9 @@ def minhash_near_dups(
     # corpus scale this is the materialize-the-shingle-table step any
     # MinHash pipeline does before banding
     sh = shingle_sets(docs, text_col, id_col, n).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col), id_col, threshold=threshold
+    )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
     jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))

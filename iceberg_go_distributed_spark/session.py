@@ -31,12 +31,17 @@ RUNTIME_CONFS = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (best effort)."""
+    """Apply runtime-settable confs to an existing session. Failures are
+    recorded on the session (`_failed_runtime_confs`) so downstream
+    loaders can raise a clear error near the cause instead of an obscure
+    reader failure (ADVICE: nanosAsLong vs events TIMESTAMP(NANOS))."""
+    failed: list[str] = []
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # static conf on this build — builder path sets it instead
+            failed.append(k)  # static conf on this build — builder sets it
+    spark._failed_runtime_confs = failed
     return spark
 
 
