@@ -520,6 +520,19 @@ class Table(StaticTable):
 
         overwrite_where(self, df, expr)
 
+    def upsert(self, df, key_columns: list) -> None:
+        """Single-snapshot MERGE: replace rows matching df's keys with
+        df's rows (equality-delete + data manifests commit together)."""
+        from .write import upsert
+
+        upsert(self, df, key_columns)
+
+    def rewrite_data_files(self, spark, target_file_size=None) -> bool:
+        """Small-file compaction into a 'replace' snapshot."""
+        from .write import rewrite_data_files
+
+        return rewrite_data_files(self, spark, target_file_size)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files

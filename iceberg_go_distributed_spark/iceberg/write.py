@@ -930,3 +930,144 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,
     )
+
+
+def upsert(table, df, key_columns: list[str]) -> None:
+    """MERGE/upsert in ONE snapshot: an equality-delete manifest for the
+    incoming keys plus a data manifest for the incoming rows commit
+    together, so readers never observe the delete without the insert.
+    The CDC apply shape: new rows replace any old rows with the same key
+    (rows in this batch are exempt from its own delete because equality
+    deletes only apply to strictly lower sequence numbers)."""
+    from .manifest import (
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        write_manifest,
+    )
+    from .types import Schema
+
+    md = table.metadata
+    schema = md.current_schema()
+    fields = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"unknown key column {c!r}")
+        fields.append(f)
+    eq_schema = Schema(0, tuple(fields))
+    ds = begin_distributed_snapshot(table)
+
+    # workers: new data files + equality-delete key files in one pass each
+    data_files = write_data_files(
+        df, schema, md.default_spec(), md.location, ds.commit_uuid
+    )
+    key_files = write_data_files(
+        df.select(*key_columns).dropDuplicates(),
+        eq_schema,
+        PartitionSpec.unpartitioned(),
+        md.location,
+        f"{ds.commit_uuid}-upsert-keys",
+    )
+    for f in key_files:
+        f.content = DataFileContent.EQUALITY_DELETES
+        f.equality_ids = [f2.field_id for f2 in fields]
+
+    def entries(files):
+        return [
+            ManifestEntry(
+                status=ManifestEntryStatus.ADDED,
+                snapshot_id=ds.snapshot_id,
+                sequence_number=None,
+                file_sequence_number=None,
+                data_file=f,
+            )
+            for f in files
+        ]
+
+    new_manifests = []
+    if data_files:
+        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-upsert-m0.avro")
+        new_manifests.append(
+            write_manifest(p, md.default_spec(), schema, ds.snapshot_id, entries(data_files))
+        )
+    if key_files:
+        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-upsert-d0.avro")
+        new_manifests.append(
+            write_manifest(
+                p, PartitionSpec.unpartitioned(), eq_schema, ds.snapshot_id,
+                entries(key_files), content=ManifestContent.DELETES,
+            )
+        )
+    parent = md.current_snapshot()
+    parent_summary = parent.summary.properties if parent else {}
+    props = _summary_props(data_files, parent_summary)
+    _commit_manifests(
+        table,
+        new_manifests,
+        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "up"),
+        operation="overwrite",
+        extra_summary=props,
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+
+
+def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> bool:
+    """Small-file compaction: bin-pack the current snapshot's data files
+    back to the target size in one 'replace' snapshot (same rows, fewer
+    files). Also materializes pending deletes — compacted files carry no
+    MOR baggage. ref Transaction.ReplaceDataFiles (transaction.go:408-497)
+    used for compaction."""
+    from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
+
+    md = table.metadata
+    target = target_file_size or int(
+        md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
+    )
+    tasks = table.scan().plan_files()
+    small = [t for t in tasks if t.file.file_size_in_bytes < target // 2]
+    has_deletes = any(t.delete_files for t in tasks)
+    if len(small) < 2 and not has_deletes:
+        return False
+
+    ds = begin_distributed_snapshot(table)
+    schema = md.current_schema()
+    # read through the scan (applies deletes), rewrite everything small;
+    # coalesce to ceil(total/target) partitions so the bin-packing
+    # actually merges small inputs instead of mirroring input splits
+    import math as _math
+
+    total = sum(t.file.file_size_in_bytes for t in tasks)
+    n_out = max(1, _math.ceil(total / target))
+    df = table.scan().to_df(spark).coalesce(n_out)
+    removed = {t.file.file_path for t in tasks}
+    data_files = write_data_files(
+        df, schema, md.default_spec(), md.location, ds.commit_uuid,
+        target_file_size=target,
+    )
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=ds.snapshot_id,
+            sequence_number=None,
+            file_sequence_number=None,
+            data_file=f,
+        )
+        for f in data_files
+    ]
+    p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-compact-m0.avro")
+    mf = write_manifest(p, md.default_spec(), schema, ds.snapshot_id, entries)
+    _commit_manifests(
+        table,
+        [mf],
+        [],  # full rewrite: no carried manifests (deletes are materialized)
+        operation="replace",
+        extra_summary={"rewritten-data-files": str(len(removed))},
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True

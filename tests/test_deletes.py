@@ -210,3 +210,56 @@ def test_equality_plus_positional_deletes(fs_catalog, spark, lineitem_df):
         (~F.col("l_orderkey").isin(list(keys7))) & (F.col("l_quantity") <= 45.0)
     ).count()
     assert df.count() == want
+
+
+def test_upsert_single_snapshot(fs_catalog, spark, lineitem_df):
+    """MERGE: one snapshot replaces keyed rows and inserts the batch."""
+    from pyspark.sql import functions as F
+
+    t = fs_catalog.create_table("db.li_upsert", LINEITEM_SCHEMA)
+    t.append(lineitem_df.where("l_orderkey < 500").coalesce(1))
+    n_before = t.scan().to_df(spark).count()
+    n_snapshots = len(t.metadata.snapshots)
+
+    batch = (
+        lineitem_df.where("l_orderkey < 100 OR (l_orderkey >= 1000 AND l_orderkey < 1100)")
+        .withColumn("l_quantity", F.lit(-1.0))
+    )
+    t.upsert(batch, ["l_orderkey"])
+
+    assert len(t.metadata.snapshots) == n_snapshots + 1  # ONE new snapshot
+    df = t.scan().to_df(spark)
+    # every batch key now maps exclusively to batch rows
+    assert df.where("l_orderkey < 100 AND l_quantity != -1.0").count() == 0
+    assert df.where("l_orderkey >= 1000 AND l_quantity != -1.0").count() == 0
+    # untouched keys unchanged
+    assert (
+        df.where("l_orderkey >= 100 AND l_orderkey < 500 AND l_quantity = -1.0").count()
+        == 0
+    )
+    want = (
+        lineitem_df.where("l_orderkey >= 100 AND l_orderkey < 500").count()
+        + batch.count()
+    )
+    assert df.count() == want
+
+
+def test_rewrite_data_files_compaction(fs_catalog, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+    t = fs_catalog.create_table("db.li_compact", LINEITEM_SCHEMA)
+    for i in range(5):
+        t.append(lineitem_df.where(f"l_orderkey % 5 = {i}").coalesce(1))
+    t.delete_where(spark, E.greater_than("l_quantity", 49.0))
+    n = t.scan().to_df(spark).count()
+    n_files_before = len(t.scan().plan_files())
+    assert n_files_before == 5
+
+    assert t.rewrite_data_files(spark)
+    assert t.current_snapshot().summary.operation == "replace"
+    tasks = t.scan().plan_files()
+    assert len(tasks) < n_files_before
+    assert not any(x.delete_files for x in tasks), "deletes materialized"
+    assert t.scan().to_df(spark).count() == n
+    # compacting an already-compact table is a no-op
+    assert not t.rewrite_data_files(spark)
