@@ -324,3 +324,32 @@ def ice_equality_deletes(spark, sf_dir):
     return spark.createDataFrame(
         [(remaining, present)], "n_after bigint, n_deleted_keys_present bigint"
     )
+
+
+@query(
+    "ice_upsert",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 10 = 0) AS BIGINT) AS n_upserted,
+      CAST(0 AS BIGINT) AS n_stale
+    """,
+    doc="single-snapshot MERGE/upsert: keyed replace + insert commit atomically",
+)
+def ice_upsert(spark, sf_dir):
+    t, li = _lineitem_table(spark, sf_dir, "ice_up")
+    n_snaps = len(t.metadata.snapshots)
+    batch = li.where("l_orderkey % 10 = 0").withColumn("l_tax", F.lit(9.99))
+    t.upsert(batch, ["l_orderkey"])
+    assert len(t.metadata.snapshots) == n_snaps + 1, "upsert must be ONE snapshot"
+    df = t.scan().to_df(spark)
+    return spark.createDataFrame(
+        [
+            (
+                df.count(),
+                df.where("l_tax = 9.99").count(),
+                df.where("l_orderkey % 10 = 0 AND l_tax != 9.99").count(),
+            )
+        ],
+        "n_rows bigint, n_upserted bigint, n_stale bigint",
+    )
