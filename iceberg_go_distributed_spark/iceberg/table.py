@@ -472,12 +472,24 @@ class Table(StaticTable):
 
         return Transaction(self)
 
-    def append(self, df, spark=None, snapshot_properties: Optional[dict] = None) -> None:
+    def append(
+        self,
+        df,
+        spark=None,
+        snapshot_properties: Optional[dict] = None,
+        branch: str = "main",
+    ) -> None:
         """Append a Spark DataFrame via the distributed-snapshot protocol
-        (SURVEY §3.3: driver=coordinator, executors=workers)."""
+        (SURVEY §3.3: driver=coordinator, executors=workers). `branch`
+        targets a non-main branch for write-audit-publish workflows; a
+        branch that doesn't exist yet is created implicitly with empty
+        ancestry (create it from a snapshot first via set_ref to branch
+        off existing data)."""
         from .write import append_distributed
 
-        append_distributed(self, df, snapshot_properties=snapshot_properties)
+        append_distributed(
+            self, df, snapshot_properties=snapshot_properties, branch=branch
+        )
 
     def create_or_replace_view(self, spark, name: Optional[str] = None):
         """Register the table's current state as a Spark temp view so

@@ -487,8 +487,18 @@ class Transaction:
     # -------------------------------------------------------------- commit
 
     def commit(self) -> None:
-        """ref transaction.go:608-635 + table.go:220-233 (doCommit)."""
+        """ref transaction.go:608-635 + table.go:220-233 (doCommit).
+
+        REST catalogs commit the update/requirement delta over the wire
+        (the server applies + CAS-checks); file/SQL catalogs commit the
+        locally-built metadata blob with their own CAS."""
         if not self.updates:
+            return
+        if hasattr(self.table.catalog, "commit_via_updates"):
+            new_md = self.table.catalog.commit_via_updates(
+                self.table.identifier, self.updates, self.requirements
+            )
+            self.table.metadata = new_md
             return
         new_md = self._builder.build()
         logged_md, trimmed = self._with_log(new_md)

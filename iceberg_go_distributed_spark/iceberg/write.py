@@ -70,13 +70,19 @@ class DistributedSnapshot:
     properties: dict[str, str]
 
 
-def begin_distributed_snapshot(table, properties: Optional[dict] = None) -> DistributedSnapshot:
-    """ref distributed_snapshot.go:52-76."""
+def begin_distributed_snapshot(
+    table, properties: Optional[dict] = None, branch: str = MAIN_BRANCH
+) -> DistributedSnapshot:
+    """ref distributed_snapshot.go:52-76. `branch` selects the parent:
+    writes target the branch head (WAP / audit-branch workflows)."""
     from .metadata import MetadataBuilder
 
     b = MetadataBuilder(table.metadata)
     sid = b.reserve_snapshot_id()
-    parent = table.metadata.current_snapshot_id
+    ref = table.metadata.refs.get(branch)
+    parent = ref.snapshot_id if ref else (
+        table.metadata.current_snapshot_id if branch == MAIN_BRANCH else None
+    )
     return DistributedSnapshot(
         snapshot_id=sid,
         parent_snapshot_id=parent,
@@ -470,12 +476,13 @@ def commit_data_files(
     operation: str = "append",
     snapshot_properties: Optional[dict] = None,
     max_retries: int = 4,
+    branch: str = MAIN_BRANCH,
 ) -> None:
     """Coordinator commit with the optimistic retry loop —
     ref distributed_snapshot.go:83-114 + design doc :89-93."""
     attempt = 0
     while True:
-        ds = begin_distributed_snapshot(table, snapshot_properties)
+        ds = begin_distributed_snapshot(table, snapshot_properties, branch=branch)
         md = table.metadata
         schema = md.current_schema()
         spec = md.default_spec()
@@ -496,7 +503,7 @@ def commit_data_files(
         manifest = write_manifest(
             manifest_path, spec, schema, ds.snapshot_id, entries
         )
-        parent = md.current_snapshot()
+        parent = md.snapshot_by_id(ds.parent_snapshot_id) if ds.parent_snapshot_id else None
         parent_summary = parent.summary.properties if parent else {}
         limit = int(md.properties.get("write.summary.partition-limit", "0"))
         props = _summary_props(data_files, parent_summary, partition_limit=limit)
@@ -510,6 +517,7 @@ def commit_data_files(
                 manifests=[manifest],
                 summary=summary,
                 parent_snapshot_id=ds.parent_snapshot_id,
+                branch=branch,
             )
             tx.commit()
             return
@@ -520,11 +528,13 @@ def commit_data_files(
             table.refresh()  # restart from reservation with fresh state
 
 
-def append_distributed(table, df, snapshot_properties: Optional[dict] = None) -> None:
+def append_distributed(
+    table, df, snapshot_properties: Optional[dict] = None, branch: str = MAIN_BRANCH
+) -> None:
     """Table.append: executors write, coordinator commits —
     ref table/table.go:123-130 + transaction.go:372-398, re-expressed as
     the distributed-snapshot protocol (our default write path)."""
-    ds = begin_distributed_snapshot(table, snapshot_properties)
+    ds = begin_distributed_snapshot(table, snapshot_properties, branch=branch)
     md = table.metadata
     order = next(
         (o for o in md.sort_orders if o.order_id == md.default_sort_order_id), None
@@ -542,7 +552,11 @@ def append_distributed(table, df, snapshot_properties: Optional[dict] = None) ->
         target_file_size=target,
     )
     commit_data_files(
-        table, data_files, operation="append", snapshot_properties=snapshot_properties
+        table,
+        data_files,
+        operation="append",
+        snapshot_properties=snapshot_properties,
+        branch=branch,
     )
 
 

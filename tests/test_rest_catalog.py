@@ -285,3 +285,24 @@ def test_rest_commit_updates_and_conflict(rest_server):
         [AssertRefSnapshotID("main", 1001)],
     )
     assert md.current_snapshot_id == 1002
+
+
+def test_transaction_commit_routes_through_rest(rest_server):
+    """Table.transaction().commit() on a REST-loaded table ships the
+    update delta over the wire instead of a metadata blob."""
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("db")
+    t = cat.create_table("db.tx", SCHEMA)
+    tx = t.transaction()
+    tx.set_properties({"via": "wire"})
+    tx.commit()
+    assert t.properties["via"] == "wire"
+    # server state agrees (fresh load)
+    t2 = cat.load_table("db.tx")
+    assert t2.properties["via"] == "wire"
+    # schema evolution through the same route
+    t2.update_schema().add_column("extra", __import__(
+        "iceberg_go_distributed_spark.iceberg.types", fromlist=["StringType"]
+    ).StringType()).commit()
+    t3 = cat.load_table("db.tx")
+    assert any(f.name == "extra" for f in t3.schema().fields)

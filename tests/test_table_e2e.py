@@ -313,3 +313,30 @@ def test_sql_over_table_view(fs_catalog, spark, lineitem_df):
         .first()
     )
     assert row.l_returnflag == want.l_returnflag and row.n == want["count"]
+
+
+def test_branch_targeted_writes(fs_catalog, spark, lineitem_df):
+    """Write-audit-publish: append to an audit branch, main unchanged;
+    publish = fast-forward main's ref to the branch head."""
+    t = fs_catalog.create_table("db.li_wap", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(100).coalesce(1))
+    main_head = t.current_snapshot().snapshot_id
+
+    # create the audit branch at main, then write to it twice
+    tx = t.transaction()
+    tx.set_ref("audit", main_head, ref_type="branch")
+    tx.commit()
+    t.append(lineitem_df.limit(50).coalesce(1), branch="audit")
+    t.append(lineitem_df.limit(25).coalesce(1), branch="audit")
+
+    # main unchanged, audit sees everything
+    assert t.current_snapshot().snapshot_id == main_head
+    assert t.scan().to_df(spark).count() == 100
+    assert t.scan(use_ref="audit").to_df(spark).count() == 175
+
+    # publish: fast-forward main to the audit head
+    audit_head = t.refs()["audit"].snapshot_id
+    tx = t.transaction()
+    tx.set_ref("main", audit_head)
+    tx.commit()
+    assert t.scan().to_df(spark).count() == 175
