@@ -318,14 +318,100 @@ class Scan:
         return self.to_df(spark).count()
 
     def _read_with_deletes(self, spark, tasks, schema: Schema, eq_files=None):
-        """Merge-on-read: per data file, read with pyarrow (file-order
-        row positions, as the reference's per-file arrow_scanner does)
-        and drop deleted positions — ref arrow_scanner.go:102-190.
+        """Merge-on-read dispatch: prefer the JVM-native path
+        (`_metadata.row_index` anti-join — keeps parquet pushdown and
+        split planning), fall back to the per-file Arrow path (the
+        reference's arrow_scanner shape) if the hidden metadata column
+        is unavailable."""
+        try:
+            df = self._read_with_pos_deletes_jvm(spark, tasks, schema)
+        except Exception:
+            df = self._read_with_deletes_arrow(spark, tasks, schema)
+        return self._apply_equality_deletes(spark, df, tasks, schema, eq_files)
 
-        At 100 TB you would instead disable parquet split-planning and
-        anti-join `(input_file, row_pos)` JVM-side; the per-file Arrow
-        path keeps exact position semantics under local testing and
-        still distributes one-file-per-task."""
+    def _read_with_pos_deletes_jvm(self, spark, tasks, schema: Schema):
+        """JVM-side MOR: read all planned files with the parquet
+        `_metadata` struct and left-anti join (file_path, row_index)
+        against the matched positional-delete files. Positional deletes
+        name exact file paths, and a delete can never name a file from a
+        later snapshot, so the global anti-join preserves the per-file
+        sequence-gated matching computed at plan time."""
+        from pyspark.sql import functions as F
+
+        from .manifest import DataFileContent
+        from .types import schema_to_spark_struct
+
+        pos_files = sorted(
+            {
+                d.file_path
+                for t in tasks
+                for d in t.delete_files
+                if d.content == DataFileContent.POSITION_DELETES
+            }
+        )
+        files = [t.file.file_path for t in tasks]
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
+        df = (
+            spark.read.schema(schema_to_spark_struct(schema))
+            .parquet(*files)
+            .withColumn("_fp", strip(F.col("_metadata.file_path")))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+        )
+        if pos_files:
+            dels = (
+                spark.read.parquet(*pos_files)
+                .select(
+                    strip(F.col("file_path")).alias("_fp"),
+                    F.col("pos").alias("_pos"),
+                )
+                .dropDuplicates()
+            )
+            df = df.join(dels, ["_fp", "_pos"], "left_anti")
+        return df.drop("_fp", "_pos")
+
+    def _apply_equality_deletes(self, spark, df, tasks, schema: Schema, eq_files):
+        from pyspark.sql import functions as F
+
+        from .manifest import DataFileContent
+
+        if not eq_files:
+            return df
+        by_name = {f.field_id: f.name for f in schema.fields}
+        groups: dict[frozenset, list] = {}
+        for t in tasks:
+            key = frozenset(
+                d.file_path
+                for d in t.delete_files
+                if d.content == DataFileContent.EQUALITY_DELETES
+            )
+            groups.setdefault(key, []).append(t)
+        if len(groups) == 1:
+            (only_key,) = groups
+            for path in only_key:
+                eqf = eq_files[path]
+                cols = [by_name[i] for i in (eqf.equality_ids or [])]
+                keys = spark.read.parquet(path).select(*cols).dropDuplicates()
+                df = df.join(keys, on=cols, how="left_anti")
+            return df
+        parts = []
+        for key, group_tasks in groups.items():
+            sub_df = self._read_with_deletes(spark, group_tasks, schema, None)
+            for path in key:
+                eqf = eq_files[path]
+                cols = [by_name[i] for i in (eqf.equality_ids or [])]
+                keys = spark.read.parquet(path).select(*cols).dropDuplicates()
+                sub_df = sub_df.join(keys, on=cols, how="left_anti")
+            parts.append(sub_df)
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        return df
+
+    def _read_with_deletes_arrow(self, spark, tasks, schema: Schema):
+        """Fallback MOR: per data file, read with pyarrow (file-order
+        row positions, as the reference's per-file arrow_scanner does)
+        and drop deleted positions — ref arrow_scanner.go:102-190."""
         import json as _json
 
         from .manifest import DataFileContent
@@ -372,45 +458,7 @@ class Scan:
                             frame = frame[~frame.index.isin(drop)]
                     yield frame
 
-        df = files_df.mapInPandas(read_task, ddl)
-
-        # equality deletes: one JVM-side left_anti join per delete file's
-        # key set. Applicability was already resolved per data file at
-        # plan time; grouping by applicable-set keeps sequence semantics
-        # exact (a data file written after the delete is exempt).
-        if eq_files:
-            by_name = {f.field_id: f.name for f in schema.fields}
-            groups: dict[frozenset, list] = {}
-            for t in tasks:
-                key = frozenset(
-                    d.file_path
-                    for d in t.delete_files
-                    if d.content == DataFileContent.EQUALITY_DELETES
-                )
-                groups.setdefault(key, []).append(t)
-            if len(groups) == 1:
-                (only_key,) = groups
-                for path in only_key:
-                    eqf = eq_files[path]
-                    cols = [by_name[i] for i in (eqf.equality_ids or [])]
-                    keys = spark.read.parquet(path).select(*cols).dropDuplicates()
-                    df = df.join(keys, on=cols, how="left_anti")
-            else:
-                parts = []
-                for key, group_tasks in groups.items():
-                    # recurse per group without eq handling, then anti-join
-                    # that group's applicable key files
-                    sub_df = self._read_with_deletes(spark, group_tasks, schema, None)
-                    for path in key:
-                        eqf = eq_files[path]
-                        cols = [by_name[i] for i in (eqf.equality_ids or [])]
-                        keys = spark.read.parquet(path).select(*cols).dropDuplicates()
-                        sub_df = sub_df.join(keys, on=cols, how="left_anti")
-                    parts.append(sub_df)
-                df = parts[0]
-                for p_ in parts[1:]:
-                    df = df.unionByName(p_)
-        return df
+        return files_df.mapInPandas(read_task, ddl)
 
 
 class StaticTable:
