@@ -141,3 +141,46 @@ def test_name_mapping_roundtrip():
     assert apply_name_mapping(m2, "id") == 1
     assert apply_name_mapping(m2, "data") == 2
     assert apply_name_mapping(m2, "nope") is None
+
+
+def test_puffin_roundtrip(tmp_path):
+    from iceberg_go_distributed_spark.iceberg.puffin import (
+        BlobMetadata,
+        read_puffin,
+        write_puffin,
+    )
+
+    path = str(tmp_path / "x.puffin")
+    blobs = [
+        (BlobMetadata("ndv-exact-v1", [1], 10, 2, properties={"ndv": "42"}), b"42"),
+        (BlobMetadata("ndv-exact-v1", [2], 10, 2, properties={"ndv": "7"}), b"7"),
+    ]
+    info = write_puffin(path, blobs, {"created-by": "test"})
+    assert info["size"] > info["footer_size"] > 0
+    metas, props, payloads = read_puffin(path)
+    assert props == {"created-by": "test"}
+    assert [m.fields for m in metas] == [[1], [2]]
+    assert metas[0].properties["ndv"] == "42"
+    assert payloads[0] == b"42" and payloads[1] == b"7"
+
+
+def test_compute_ndv_statistics(fs_catalog, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.puffin import (
+        compute_ndv_statistics,
+        read_puffin,
+    )
+
+    t = fs_catalog.create_table("db.li_stats", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(500).coalesce(1))
+    entry = compute_ndv_statistics(t, spark, columns=["l_orderkey", "l_returnflag"])
+
+    # entry landed in table metadata and survives reload
+    t2 = fs_catalog.load_table("db.li_stats")
+    assert t2.metadata.statistics[0]["statistics-path"] == entry["statistics-path"]
+
+    metas, _, _ = read_puffin(entry["statistics-path"])
+    ndv_by_field = {m.fields[0]: int(m.properties["ndv"]) for m in metas}
+    want_orderkey = lineitem_df.limit(500).select("l_orderkey").distinct().count()
+    want_flag = lineitem_df.limit(500).select("l_returnflag").distinct().count()
+    assert ndv_by_field[1] == want_orderkey
+    assert ndv_by_field[9] == want_flag
