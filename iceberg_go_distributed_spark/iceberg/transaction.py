@@ -415,12 +415,61 @@ class Transaction:
         self,
         older_than_ms: Optional[int] = None,
         retain_last: int = 1,
+        now_ms: Optional[int] = None,
     ) -> "Transaction":
-        """Retention walk — ref table/transaction.go:276-363."""
+        """Retention walk — ref table/transaction.go:276-363, honoring
+        per-ref retention (refs.go): stale tags/branches beyond
+        max-ref-age-ms are dropped first, then each surviving branch
+        protects its ancestor chain per min-snapshots-to-keep /
+        max-snapshot-age-ms before general expiry applies."""
+        from .metadata import MAIN_BRANCH
+
         md = self._builder.build()
-        referenced = {r.snapshot_id for r in md.refs.values()}
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+
+        # 1. drop refs past their max-ref-age (main is never dropped)
+        stale_refs = []
+        for name, r in md.refs.items():
+            if name == MAIN_BRANCH or r.max_ref_age_ms is None:
+                continue
+            snap = md.snapshot_by_id(r.snapshot_id)
+            if snap is not None and now - snap.timestamp_ms > r.max_ref_age_ms:
+                stale_refs.append(name)
+        if stale_refs:
+            self.apply(
+                [RemoveSnapshotRef(n) for n in stale_refs],
+                [AssertTableUUID(self.base.table_uuid)],
+            )
+            md = self._builder.build()
+
+        # 2. protected ancestors per branch retention
+        by_id = {s.snapshot_id: s for s in md.snapshots}
+        keep: set[int] = set()
+        for name, r in md.refs.items():
+            keep.add(r.snapshot_id)
+            if r.snapshot_ref_type != "branch":
+                continue
+            min_keep = r.min_snapshots_to_keep or 1
+            max_age = r.max_snapshot_age_ms
+            cur = by_id.get(r.snapshot_id)
+            kept = 0
+            while cur is not None:
+                # age protection only applies when the ref sets an age;
+                # otherwise just the min-snapshots-to-keep chain is kept
+                within_age = max_age is not None and now - cur.timestamp_ms <= max_age
+                if kept < min_keep or within_age:
+                    keep.add(cur.snapshot_id)
+                    kept += 1
+                    cur = (
+                        by_id.get(cur.parent_snapshot_id)
+                        if cur.parent_snapshot_id
+                        else None
+                    )
+                else:
+                    break
+
+        # 3. general expiry over the remainder
         ordered = sorted(md.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
-        keep: set[int] = set(referenced)
         keep.update(s.snapshot_id for s in ordered[:retain_last])
         expired = [
             s.snapshot_id

@@ -340,3 +340,41 @@ def test_branch_targeted_writes(fs_catalog, spark, lineitem_df):
     tx.set_ref("main", audit_head)
     tx.commit()
     assert t.scan().to_df(spark).count() == 175
+
+
+def test_expire_honors_ref_retention(fs_catalog, spark, lineitem_df):
+    """refs.go retention: stale tags dropped via max-ref-age-ms; branch
+    ancestors protected via min-snapshots-to-keep."""
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AssertTableUUID,
+        SetSnapshotRef,
+    )
+    from iceberg_go_distributed_spark.iceberg.metadata import SnapshotRef
+
+    t = fs_catalog.create_table("db.li_ret", LINEITEM_SCHEMA)
+    for _ in range(4):
+        t.append(lineitem_df.limit(20).coalesce(1))
+    snaps = [s.snapshot_id for s in sorted(t.metadata.snapshots, key=lambda s: s.timestamp_ms)]
+    now = t.metadata.last_updated_ms
+
+    # stale tag on the oldest snapshot (max-ref-age 1ms → expired)
+    tx = t.transaction()
+    tx.apply([SetSnapshotRef("old_tag", snaps[0], "tag")], [AssertTableUUID(t.metadata.table_uuid)])
+    tx.commit()
+    t.metadata.refs["old_tag"] = SnapshotRef(snaps[0], "tag", max_ref_age_ms=1)
+    # main branch protects its last 3 ancestors
+    main = t.metadata.refs["main"]
+    t.metadata.refs["main"] = SnapshotRef(
+        main.snapshot_id, "branch", min_snapshots_to_keep=3, max_snapshot_age_ms=1
+    )
+
+    tx = t.transaction()
+    tx.expire_snapshots(retain_last=1, now_ms=now + 10_000)
+    tx.commit()
+
+    ids = {s.snapshot_id for s in t.metadata.snapshots}
+    assert "old_tag" not in t.metadata.refs, "stale tag must be dropped"
+    # head + 2 ancestors protected by min-snapshots-to-keep=3
+    assert snaps[3] in ids and snaps[2] in ids and snaps[1] in ids
+    assert snaps[0] not in ids, "beyond branch retention and tag gone"
+    assert t.scan().to_df(spark).count() == 80
