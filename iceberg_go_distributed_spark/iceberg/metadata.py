@@ -478,9 +478,18 @@ class MetadataBuilder:
         ref_type: str = "branch",
         **retention,
     ) -> "MetadataBuilder":
-        """ref table/metadata.go:687-803."""
+        """ref table/metadata.go:687-803. Retention settings on an
+        existing ref are preserved unless explicitly overridden —
+        a plain branch advance must not wipe retention policy."""
         if self.m.snapshot_by_id(snapshot_id) is None:
             raise CommitStateError(f"cannot set {ref_name}: unknown snapshot {snapshot_id}")
+        prev = self.m.refs.get(ref_name)
+        if prev is not None and prev.snapshot_ref_type == ref_type and not retention:
+            retention = {
+                "min_snapshots_to_keep": prev.min_snapshots_to_keep,
+                "max_snapshot_age_ms": prev.max_snapshot_age_ms,
+                "max_ref_age_ms": prev.max_ref_age_ms,
+            }
         self.m.refs[ref_name] = SnapshotRef(snapshot_id, ref_type, **retention)
         if ref_name == MAIN_BRANCH:
             snap = self.m.snapshot_by_id(snapshot_id)
@@ -506,6 +515,14 @@ class MetadataBuilder:
         self.m.snapshots = [s for s in self.m.snapshots if s.snapshot_id not in drop]
         self.m.snapshot_log = [
             e for e in self.m.snapshot_log if e.snapshot_id not in drop
+        ]
+        # statistics entries of expired snapshots go with them (Java/Go
+        # engines do the same; dangling snapshot-ids are invalid state)
+        self.m.statistics = [
+            st for st in self.m.statistics if st.get("snapshot-id") not in drop
+        ]
+        self.m.partition_statistics = [
+            st for st in self.m.partition_statistics if st.get("snapshot-id") not in drop
         ]
         return self
 

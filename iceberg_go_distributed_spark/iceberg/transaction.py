@@ -154,18 +154,40 @@ class SetSnapshotRef(Update):
     ref_name: str
     snapshot_id: int
     ref_type: str = "branch"
+    min_snapshots_to_keep: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    max_ref_age_ms: Optional[int] = None
     action = "set-snapshot-ref"
 
+    def _retention(self) -> dict:
+        out = {}
+        if self.min_snapshots_to_keep is not None:
+            out["min_snapshots_to_keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            out["max_snapshot_age_ms"] = self.max_snapshot_age_ms
+        if self.max_ref_age_ms is not None:
+            out["max_ref_age_ms"] = self.max_ref_age_ms
+        return out
+
     def apply(self, b):
-        b.set_snapshot_ref(self.ref_name, self.snapshot_id, self.ref_type)
+        b.set_snapshot_ref(
+            self.ref_name, self.snapshot_id, self.ref_type, **self._retention()
+        )
 
     def to_json(self):
-        return {
+        out = {
             "action": self.action,
             "ref-name": self.ref_name,
             "snapshot-id": self.snapshot_id,
             "type": self.ref_type,
         }
+        if self.min_snapshots_to_keep is not None:
+            out["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            out["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        if self.max_ref_age_ms is not None:
+            out["max-ref-age-ms"] = self.max_ref_age_ms
+        return out
 
 
 @dataclass
@@ -400,9 +422,11 @@ class Transaction:
         self.apply(ups, [AssertTableUUID(self.base.table_uuid)])
         return self
 
-    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "branch") -> "Transaction":
+    def set_ref(
+        self, name: str, snapshot_id: int, ref_type: str = "branch", **retention
+    ) -> "Transaction":
         self.apply(
-            [SetSnapshotRef(name, snapshot_id, ref_type)],
+            [SetSnapshotRef(name, snapshot_id, ref_type, **retention)],
             [AssertTableUUID(self.base.table_uuid)],
         )
         return self
@@ -422,18 +446,19 @@ class Transaction:
         max-ref-age-ms are dropped first, then each surviving branch
         protects its ancestor chain per min-snapshots-to-keep /
         max-snapshot-age-ms before general expiry applies."""
-        from .metadata import MAIN_BRANCH
-
         md = self._builder.build()
         now = now_ms if now_ms is not None else int(time.time() * 1000)
 
         # 1. drop refs past their max-ref-age (main is never dropped)
         stale_refs = []
         for name, r in md.refs.items():
-            if name == MAIN_BRANCH or r.max_ref_age_ms is None:
+            if name == MAIN_BRANCH:
                 continue
             snap = md.snapshot_by_id(r.snapshot_id)
-            if snap is not None and now - snap.timestamp_ms > r.max_ref_age_ms:
+            if snap is None:
+                # dangling ref (snapshot vanished) — dead either way
+                stale_refs.append(name)
+            elif r.max_ref_age_ms is not None and now - snap.timestamp_ms > r.max_ref_age_ms:
                 stale_refs.append(name)
         if stale_refs:
             self.apply(
@@ -446,7 +471,8 @@ class Transaction:
         by_id = {s.snapshot_id: s for s in md.snapshots}
         keep: set[int] = set()
         for name, r in md.refs.items():
-            keep.add(r.snapshot_id)
+            if r.snapshot_id in by_id:
+                keep.add(r.snapshot_id)
             if r.snapshot_ref_type != "branch":
                 continue
             min_keep = r.min_snapshots_to_keep or 1
@@ -460,11 +486,7 @@ class Transaction:
                 if kept < min_keep or within_age:
                     keep.add(cur.snapshot_id)
                     kept += 1
-                    cur = (
-                        by_id.get(cur.parent_snapshot_id)
-                        if cur.parent_snapshot_id
-                        else None
-                    )
+                    cur = by_id.get(cur.parent_snapshot_id)
                 else:
                     break
 

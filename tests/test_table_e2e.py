@@ -378,3 +378,43 @@ def test_expire_honors_ref_retention(fs_catalog, spark, lineitem_df):
     assert snaps[3] in ids and snaps[2] in ids and snaps[1] in ids
     assert snaps[0] not in ids, "beyond branch retention and tag gone"
     assert t.scan().to_df(spark).count() == 80
+
+
+def test_ref_retention_survives_commits(fs_catalog, spark, lineitem_df):
+    """Code-review regression: a branch advance must not wipe the ref's
+    retention settings, and retention is settable through the public API."""
+    t = fs_catalog.create_table("db.li_keepret", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    tx = t.transaction()
+    tx.set_ref(
+        "main",
+        t.current_snapshot().snapshot_id,
+        min_snapshots_to_keep=7,
+        max_ref_age_ms=123456,
+    )
+    tx.commit()
+    assert t.refs()["main"].min_snapshots_to_keep == 7
+
+    # two more appends advance main — retention must survive
+    t.append(lineitem_df.limit(10).coalesce(1))
+    t.append(lineitem_df.limit(10).coalesce(1))
+    r = t.refs()["main"]
+    assert r.min_snapshots_to_keep == 7 and r.max_ref_age_ms == 123456
+    # retention survives a metadata JSON round-trip too
+    t2 = fs_catalog.load_table("db.li_keepret")
+    assert t2.refs()["main"].min_snapshots_to_keep == 7
+
+
+def test_expire_drops_statistics_of_removed_snapshots(fs_catalog, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.puffin import compute_ndv_statistics
+
+    t = fs_catalog.create_table("db.li_statexp", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    compute_ndv_statistics(t, spark, columns=["l_orderkey"])
+    first = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(10).coalesce(1))
+    tx = t.transaction()
+    tx.expire_snapshots(retain_last=1)
+    tx.commit()
+    assert all(s.snapshot_id != first for s in t.metadata.snapshots)
+    assert all(st["snapshot-id"] != first for st in t.metadata.statistics)
