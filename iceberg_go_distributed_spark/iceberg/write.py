@@ -147,16 +147,31 @@ def _arrow_schema(schema: Schema):
 
 # ------------------------------------------------------------ file stats
 
+def _increment_string(s: str):
+    """Increment the last incrementable codepoint (skipping surrogates
+    and the U+10FFFF ceiling, walking left as needed); None if every
+    position overflows — caller then drops the upper bound, matching
+    the reference's TruncateUpper fallback."""
+    chars = list(s)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000
+        if cp <= 0x10FFFF:
+            chars[i] = chr(cp)
+            return "".join(chars[: i + 1])
+    return None
+
+
 def _truncate_bounds(t: IcebergType, lo, hi):
     """truncate(16) metrics mode — ref parquet_files.go:103 +
     properties.go:37-38. Lower truncates down; upper truncates then
-    increments the last codepoint so it stays an upper bound."""
+    increments so it stays an upper bound (None = bound dropped)."""
     if isinstance(t, StringType) and isinstance(lo, str):
         if len(lo) > METRICS_TRUNCATE:
             lo = lo[:METRICS_TRUNCATE]
         if len(hi) > METRICS_TRUNCATE:
-            cut = hi[:METRICS_TRUNCATE]
-            hi = cut[:-1] + chr(ord(cut[-1]) + 1)
+            hi = _increment_string(hi[:METRICS_TRUNCATE])
     return lo, hi
 
 
@@ -177,7 +192,15 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
     split_offsets: list[int] = []
     for rg_i in range(meta.num_row_groups):
         rg = meta.row_group(rg_i)
-        split_offsets.append(rg.column(0).file_offset)
+        c0 = rg.column(0)
+        # row-group start = first page offset of the first chunk (the
+        # chunk's file_offset points past its pages — verified pyarrow)
+        starts = [
+            o
+            for o in (c0.dictionary_page_offset, c0.data_page_offset)
+            if o is not None and o > 0
+        ]
+        split_offsets.append(min(starts) if starts else 4)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
             name = col.path_in_schema.split(".")[0]
@@ -185,9 +208,8 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
             if f is None:
                 continue
             fid = f.field_id
-            value_counts[fid] = value_counts.get(fid, 0) + col.num_values + (
-                col.statistics.null_count if col.statistics and col.statistics.has_null_count else 0
-            )
+            # parquet num_values already includes nulls (logical values)
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
             col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
             st = col.statistics
             if st is None:
@@ -209,7 +231,8 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
         if fid in lowers and f.field_type.is_primitive():
             lo, hi = _truncate_bounds(f.field_type, lowers[fid], uppers[fid])
             lower_b[fid] = to_bytes(f.field_type, lo)
-            upper_b[fid] = to_bytes(f.field_type, hi)
+            if hi is not None:
+                upper_b[fid] = to_bytes(f.field_type, hi)
     return {
         "record_count": meta.num_rows,
         "value_counts": value_counts,
@@ -219,6 +242,32 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
         "column_sizes": col_sizes,
         "split_offsets": split_offsets,
     }
+
+
+def _partition_key_value(k):
+    """Normalize a pandas groupby key to the Iceberg internal partition
+    representation: numpy scalars unbox losslessly (.item(), never
+    int()-truncation), timestamps become epoch-µs ints, dates epoch-day
+    ints — keeping manifest values comparable with projected literals."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    if k is None or (isinstance(k, float) and k != k) or k is pd.NaT:
+        return None
+    if isinstance(k, pd.Timestamp):
+        return int(k.value // 1000)  # ns → µs
+    if isinstance(k, _dt.datetime):
+        from .conversions import datetime_to_micros
+
+        return datetime_to_micros(k)
+    if isinstance(k, _dt.date):
+        from .conversions import date_to_days
+
+        return date_to_days(k)
+    if hasattr(k, "item"):
+        return k.item()
+    return k
 
 
 # -------------------------------------------------------- executor writer
@@ -327,6 +376,11 @@ def write_data_files(
     schema_pickle = schema
     spec_pickle = spec
     target_size = target_file_size
+    float_fields = [
+        (f.name, f.field_id)
+        for f in schema.fields
+        if isinstance(f.field_type, (FloatType, DoubleType))
+    ]
 
     def write_task(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -348,6 +402,12 @@ def write_data_files(
             writers.pop(key).close()
             path = paths.pop(key)
             stats = _stats_from_parquet(path, schema_pickle)
+            # the pandas bridge folds float NaN into null on write
+            # (pa.Table.from_pandas treats NaN as missing), so written
+            # files contain zero literal NaNs — record exact zeros so
+            # the metrics/strict evaluators are precise. (A mapInArrow
+            # writer would preserve NaN-vs-null; round-3 candidate.)
+            stats["nan_value_counts"] = {fid: 0 for _, fid in float_fields}
             dfile = DataFile(
                 file_path=path,
                 file_format="PARQUET",
@@ -403,8 +463,7 @@ def write_data_files(
                 for key, g in grouped:
                     key = key if isinstance(key, tuple) else (key,)
                     part_values = {
-                        n: (None if pd.isna(k) else (int(k) if hasattr(k, "item") else k))
-                        for n, k in zip(part_names, key)
+                        n: _partition_key_value(k) for n, k in zip(part_names, key)
                     }
                     for piece in chunks(g[field_names]):
                         tbl = pa.Table.from_pandas(
@@ -616,7 +675,8 @@ def _rewrite_parent_manifests(md, removed_paths: set, commit_uuid: str, tag: str
 
 
 def _commit_manifests(table, new_manifests, carried, operation: str, extra_summary=None,
-                      snapshot_id=None, commit_uuid=None, parent_snapshot_id=None):
+                      snapshot_id=None, commit_uuid=None, parent_snapshot_id=None,
+                      extra_updates=None):
     """Generalized snapshot commit from explicit manifest sets."""
     import time as _time
 
@@ -652,7 +712,7 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
         schema_id=md.current_schema_id,
     )
     tx.apply(
-        [AddSnapshotUpdate(snap), SetSnapshotRef(MAIN_BRANCH, ds_sid)],
+        list(extra_updates or []) + [AddSnapshotUpdate(snap), SetSnapshotRef(MAIN_BRANCH, ds_sid)],
         [AssertTableUUID(md.table_uuid), AssertRefSnapshotID(MAIN_BRANCH, parent_id)],
     )
     tx.commit()
@@ -802,21 +862,28 @@ def overwrite_where(table, df, expr) -> None:
     tasks = table.scan(row_filter=expr).plan_files()
     strict = strict_metrics_evaluator(schema, expr)
     removed = {t.file.file_path for t in tasks}
-    partial_files = [t.file.file_path for t in tasks if not strict(t.file)]
     ds = begin_distributed_snapshot(table)
 
-    # survivors of partial files (rows NOT matching) get rewritten together
-    # with the new data — one distributed write pass
+    # survivors of partial files (rows NOT matching) get rewritten
+    # together with the new data — read through the MOR machinery so
+    # pending position/equality deletes stay applied (a raw parquet
+    # read would resurrect deleted rows into the rewritten files)
     to_write = df
-    if partial_files:
-        bound = bind_expr(rewrite_not(not_(expr)), schema)
-        from .types import schema_to_spark_ddl
+    partial_tasks = [t for t in tasks if not strict(t.file)]
+    if partial_tasks:
+        from .manifest import DataFileContent
 
-        survivors = (
-            spark.read.schema(schema_to_spark_ddl(schema))
-            .parquet(*partial_files)
-            .where(to_spark_column(bound))
-        )
+        bound = bind_expr(rewrite_not(not_(expr)), schema)
+        scan = table.scan()
+        eq_map = {
+            d.file_path: d
+            for t in partial_tasks
+            for d in t.delete_files
+            if d.content == DataFileContent.EQUALITY_DELETES
+        }
+        survivors = scan._read_with_deletes(
+            spark, partial_tasks, schema, eq_map or None
+        ).where(to_spark_column(bound))
         to_write = df.select(survivors.columns).unionByName(survivors)
 
     data_files = write_data_files(
@@ -877,6 +944,19 @@ def add_files(table, paths: list[str]) -> None:
     commit_data_files(table, files, operation="append")
 
 
+def _unpartitioned_spec_for(md):
+    """Equality-delete manifests are unpartitioned (global deletes); use
+    the table's existing unpartitioned spec when one exists, else mint a
+    new spec id (committed alongside via AddPartitionSpecUpdate) so the
+    manifest-list row's partition_spec_id matches the entries' empty
+    partition struct."""
+    for sp in md.partition_specs:
+        if not sp.fields:
+            return sp, False
+    new_id = max(sp.spec_id for sp in md.partition_specs) + 1
+    return PartitionSpec(new_id, ()), True
+
+
 def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     """Equality deletes: remove every row whose `key_columns` tuple
     appears in `keys_df` — the CDC/upsert delete shape. Workers write
@@ -907,12 +987,13 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     eq_ids = [f.field_id for f in fields]
     eq_schema = Schema(0, tuple(fields))
     ds = begin_distributed_snapshot(table)
+    del_spec, minted = _unpartitioned_spec_for(md)
 
     # executors write the key files (same rolling/stat machinery)
     files = write_data_files(
         keys_df.select(*key_columns).dropDuplicates(),
         eq_schema,
-        PartitionSpec.unpartitioned(),
+        del_spec,
         md.location,
         f"{ds.commit_uuid}-eqdel",
     )
@@ -929,9 +1010,11 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
         )
         for f in files
     ]
+    from .transaction import AddPartitionSpecUpdate
+
     path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-eqdel-m0.avro")
     mf = write_manifest(
-        path, PartitionSpec.unpartitioned(), eq_schema, ds.snapshot_id, entries,
+        path, del_spec, eq_schema, ds.snapshot_id, entries,
         content=ManifestContent.DELETES,
     )
     _commit_manifests(
@@ -943,6 +1026,7 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,
+        extra_updates=[AddPartitionSpecUpdate(del_spec)] if minted else None,
     )
 
 
@@ -972,6 +1056,7 @@ def upsert(table, df, key_columns: list[str]) -> None:
         fields.append(f)
     eq_schema = Schema(0, tuple(fields))
     ds = begin_distributed_snapshot(table)
+    del_spec, minted = _unpartitioned_spec_for(md)
 
     # workers: new data files + equality-delete key files in one pass each
     data_files = write_data_files(
@@ -980,7 +1065,7 @@ def upsert(table, df, key_columns: list[str]) -> None:
     key_files = write_data_files(
         df.select(*key_columns).dropDuplicates(),
         eq_schema,
-        PartitionSpec.unpartitioned(),
+        del_spec,
         md.location,
         f"{ds.commit_uuid}-upsert-keys",
     )
@@ -1010,10 +1095,12 @@ def upsert(table, df, key_columns: list[str]) -> None:
         p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-upsert-d0.avro")
         new_manifests.append(
             write_manifest(
-                p, PartitionSpec.unpartitioned(), eq_schema, ds.snapshot_id,
+                p, del_spec, eq_schema, ds.snapshot_id,
                 entries(key_files), content=ManifestContent.DELETES,
             )
         )
+    from .transaction import AddPartitionSpecUpdate
+
     parent = md.current_snapshot()
     parent_summary = parent.summary.properties if parent else {}
     props = _summary_props(data_files, parent_summary)
@@ -1026,6 +1113,7 @@ def upsert(table, df, key_columns: list[str]) -> None:
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,
+        extra_updates=[AddPartitionSpecUpdate(del_spec)] if minted and key_files else None,
     )
 
 
@@ -1042,22 +1130,35 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
         md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
     )
     tasks = table.scan().plan_files()
-    small = [t for t in tasks if t.file.file_size_in_bytes < target // 2]
-    has_deletes = any(t.delete_files for t in tasks)
-    if len(small) < 2 and not has_deletes:
+    victims = [
+        t
+        for t in tasks
+        if t.file.file_size_in_bytes < target // 2 or t.delete_files
+    ]
+    if len(victims) < 2 and not any(t.delete_files for t in victims):
         return False
 
     ds = begin_distributed_snapshot(table)
     schema = md.current_schema()
-    # read through the scan (applies deletes), rewrite everything small;
-    # coalesce to ceil(total/target) partitions so the bin-packing
-    # actually merges small inputs instead of mirroring input splits
+    # rewrite ONLY the small/delete-carrying files (well-sized clean
+    # files are carried forward untouched); read the victims through the
+    # MOR machinery so pending deletes are materialized, and coalesce to
+    # ceil(total/target) partitions so bin-packing actually merges
     import math as _math
 
-    total = sum(t.file.file_size_in_bytes for t in tasks)
+    from .manifest import DataFileContent
+
+    total = sum(t.file.file_size_in_bytes for t in victims)
     n_out = max(1, _math.ceil(total / target))
-    df = table.scan().to_df(spark).coalesce(n_out)
-    removed = {t.file.file_path for t in tasks}
+    scan = table.scan()
+    eq_map = {
+        d.file_path: d
+        for t in victims
+        for d in t.delete_files
+        if d.content == DataFileContent.EQUALITY_DELETES
+    }
+    df = scan._read_with_deletes(spark, victims, schema, eq_map or None).coalesce(n_out)
+    removed = {t.file.file_path for t in victims}
     data_files = write_data_files(
         df, schema, md.default_spec(), md.location, ds.commit_uuid,
         target_file_size=target,
@@ -1074,10 +1175,14 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
     ]
     p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-compact-m0.avro")
     mf = write_manifest(p, md.default_spec(), schema, ds.snapshot_id, entries)
+    # carry untouched data manifests minus rewritten entries; delete
+    # manifests are carried too — rewritten files got fresh paths and a
+    # higher sequence number, so stale deletes no longer apply to them
+    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "compact")
     _commit_manifests(
         table,
         [mf],
-        [],  # full rewrite: no carried manifests (deletes are materialized)
+        carried,
         operation="replace",
         extra_summary={"rewritten-data-files": str(len(removed))},
         snapshot_id=ds.snapshot_id,

@@ -263,3 +263,61 @@ def test_rewrite_data_files_compaction(fs_catalog, spark, lineitem_df):
     assert t.scan().to_df(spark).count() == n
     # compacting an already-compact table is a no-op
     assert not t.rewrite_data_files(spark)
+
+
+def test_overwrite_does_not_resurrect_deleted_rows(fs_catalog, spark, lineitem_df):
+    """Code-review regression: overwrite must read survivors through the
+    MOR path — raw parquet reads would bring MOR-deleted rows back."""
+    from pyspark.sql import functions as F
+
+    t = fs_catalog.create_table("db.li_resur", LINEITEM_SCHEMA)
+    t.append(lineitem_df.coalesce(1))
+    t.delete_where(spark, E.greater_than("l_quantity", 45.0))  # MOR deletes
+    n_after_del = t.scan().to_df(spark).count()
+
+    replacement = lineitem_df.where(
+        "l_linenumber = 1 AND l_quantity <= 45.0"
+    ).withColumn("l_extendedprice", F.lit(0.0))
+    t.overwrite_where(replacement, E.equal("l_linenumber", 1))
+
+    df = t.scan().to_df(spark)
+    # no deleted (qty>45) rows may reappear
+    assert df.where("l_quantity > 45.0").count() == 0
+    want = (
+        lineitem_df.where("l_quantity <= 45.0 AND l_linenumber != 1").count()
+        + replacement.count()
+    )
+    assert df.count() == want
+
+
+def test_compaction_leaves_wellsized_files_alone(fs_catalog, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+    t = fs_catalog.create_table("db.li_scope", LINEITEM_SCHEMA)
+    t.append(lineitem_df.coalesce(1))  # one big-ish file (~170KB at sf0.001)
+    for i in range(3):
+        t.append(lineitem_df.limit(20 + i).coalesce(1))  # three tiny files
+    before = {
+        e.data_file.file_path
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    }
+    big = max(
+        (
+            e.data_file
+            for m in t.current_snapshot().manifests()
+            for e in read_manifest(m.manifest_path)
+        ),
+        key=lambda f: f.file_size_in_bytes,
+    ).file_path
+
+    assert t.rewrite_data_files(spark, target_file_size=64 * 1024)
+    after = {
+        e.data_file.file_path
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    }
+    assert big in after, "well-sized file must be carried, not rewritten"
+    assert len(after) < len(before)
+    n_expected = lineitem_df.count() + 20 + 21 + 22
+    assert t.scan().to_df(spark).count() == n_expected
