@@ -10,10 +10,12 @@ table/table.go:361-379 (Scan builder), table/scanner.go:410-460
 
 from __future__ import annotations
 
-import os
+import logging
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field, replace
-from typing import Any, Iterable, Optional, Sequence
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
 
 from .evaluators import (
     expression_evaluator,
@@ -323,11 +325,76 @@ class Scan:
         split planning), fall back to the per-file Arrow path (the
         reference's arrow_scanner shape) if the hidden metadata column
         is unavailable."""
+        groups = self._eq_delete_groups(tasks) if eq_files else None
+        if groups and len(groups) > 1:
+            # several distinct eq-delete sets: read per group (a single
+            # upfront read would be discarded anyway)
+            parts = []
+            for key, group_tasks in groups.items():
+                sub = self._read_pos_only(spark, group_tasks, schema)
+                sub = self._anti_join_eq_keys(spark, sub, key, eq_files, schema)
+                parts.append(sub)
+            df = parts[0]
+            for p_ in parts[1:]:
+                df = df.unionByName(p_)
+            return df
+        df = self._read_pos_only(spark, tasks, schema)
+        if groups:
+            (only_key,) = groups
+            df = self._anti_join_eq_keys(spark, df, only_key, eq_files, schema)
+        return df
+
+    def _read_pos_only(self, spark, tasks, schema: Schema):
         try:
-            df = self._read_with_pos_deletes_jvm(spark, tasks, schema)
+            return self._read_with_pos_deletes_jvm(spark, tasks, schema)
         except Exception:
-            df = self._read_with_deletes_arrow(spark, tasks, schema)
-        return self._apply_equality_deletes(spark, df, tasks, schema, eq_files)
+            logger.warning(
+                "JVM merge-on-read path failed; falling back to the per-file "
+                "Arrow reader (no parquet pushdown for this scan)",
+                exc_info=True,
+            )
+            return self._read_with_deletes_arrow(spark, tasks, schema)
+
+    @staticmethod
+    def _eq_delete_groups(tasks):
+        from .manifest import DataFileContent
+
+        groups: dict[frozenset, list] = {}
+        for t in tasks:
+            key = frozenset(
+                d.file_path
+                for d in t.delete_files
+                if d.content == DataFileContent.EQUALITY_DELETES
+            )
+            groups.setdefault(key, []).append(t)
+        return groups
+
+    def _anti_join_eq_keys(self, spark, df, key, eq_files, schema: Schema):
+        """Null-safe anti-join per equality-delete file (Iceberg eq-delete
+        semantics: NULL key values match NULL), with key files read by
+        field id so key-column renames stay safe."""
+        from pyspark.sql import functions as F
+
+        from .types import schema_to_spark_struct
+
+        by_id = {f.field_id: f for f in schema.fields}
+        for path in key:
+            eqf = eq_files[path]
+            fields = [by_id[i] for i in (eqf.equality_ids or []) if i in by_id]
+            if not fields:
+                continue
+            eq_schema = Schema(0, tuple(fields))
+            keys = (
+                spark.read.schema(schema_to_spark_struct(eq_schema))
+                .parquet(path)
+                .dropDuplicates()
+            )
+            cond = None
+            for f in fields:
+                c = df[f.name].eqNullSafe(keys[f.name])
+                cond = c if cond is None else (cond & c)
+            df = df.join(keys, on=cond, how="left_anti")
+        return df
 
     def _read_with_pos_deletes_jvm(self, spark, tasks, schema: Schema):
         """JVM-side MOR: read all planned files with the parquet
@@ -369,44 +436,6 @@ class Scan:
             )
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         return df.drop("_fp", "_pos")
-
-    def _apply_equality_deletes(self, spark, df, tasks, schema: Schema, eq_files):
-        from pyspark.sql import functions as F
-
-        from .manifest import DataFileContent
-
-        if not eq_files:
-            return df
-        by_name = {f.field_id: f.name for f in schema.fields}
-        groups: dict[frozenset, list] = {}
-        for t in tasks:
-            key = frozenset(
-                d.file_path
-                for d in t.delete_files
-                if d.content == DataFileContent.EQUALITY_DELETES
-            )
-            groups.setdefault(key, []).append(t)
-        if len(groups) == 1:
-            (only_key,) = groups
-            for path in only_key:
-                eqf = eq_files[path]
-                cols = [by_name[i] for i in (eqf.equality_ids or [])]
-                keys = spark.read.parquet(path).select(*cols).dropDuplicates()
-                df = df.join(keys, on=cols, how="left_anti")
-            return df
-        parts = []
-        for key, group_tasks in groups.items():
-            sub_df = self._read_with_deletes(spark, group_tasks, schema, None)
-            for path in key:
-                eqf = eq_files[path]
-                cols = [by_name[i] for i in (eqf.equality_ids or [])]
-                keys = spark.read.parquet(path).select(*cols).dropDuplicates()
-                sub_df = sub_df.join(keys, on=cols, how="left_anti")
-            parts.append(sub_df)
-        df = parts[0]
-        for p_ in parts[1:]:
-            df = df.unionByName(p_)
-        return df
 
     def _read_with_deletes_arrow(self, spark, tasks, schema: Schema):
         """Fallback MOR: per data file, read with pyarrow (file-order
@@ -525,7 +554,7 @@ class Table(StaticTable):
         df,
         spark=None,
         snapshot_properties: Optional[dict] = None,
-        branch: str = "main",
+        branch: str = MAIN_BRANCH,
     ) -> None:
         """Append a Spark DataFrame via the distributed-snapshot protocol
         (SURVEY §3.3: driver=coordinator, executors=workers). `branch`
@@ -543,7 +572,12 @@ class Table(StaticTable):
         """Register the table's current state as a Spark temp view so
         plain `spark.sql` works over it (the user-facing SQL front end;
         re-register after commits to see new snapshots)."""
-        view_name = name or str(self.identifier).replace(".", "_")
+        ident = (
+            "_".join(self.identifier)
+            if isinstance(self.identifier, tuple)
+            else str(self.identifier)
+        )
+        view_name = name or ident.replace(".", "_")
         df = self.scan().to_df(spark)
         df.createOrReplaceTempView(view_name)
         return df
@@ -726,18 +760,22 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
     if snap is None:
         return []
     schema = scan._scan_schema()
-    manifests = [
-        m for m in snap.manifests() if m.content == ManifestContent.DATA
-    ]
+    all_manifests = snap.manifests()
+    if any(m.content == ManifestContent.DELETES for m in all_manifests):
+        # delete matching is driver-side; distributed entry pruning would
+        # silently drop delete files — use the exact local planner
+        return scan.plan_files()
+    manifests = [m for m in all_manifests if m.content == ManifestContent.DATA]
 
-    # driver side: manifest-level pruning only
+    # driver side: manifest-level pruning only (evaluators per spec id)
     spec_by_id = {m.partition_spec_id: md.spec_by_id(m.partition_spec_id) for m in manifests}
-    survivors = []
-    for m in manifests:
-        spec = spec_by_id[m.partition_spec_id]
+    man_eval_by_spec = {}
+    for spec_id, spec in spec_by_id.items():
         proj = inclusive_projection(schema, spec, scan.case_sensitive)(scan.row_filter)
-        if manifest_evaluator(spec, schema, proj, scan.case_sensitive)(m):
-            survivors.append(m)
+        man_eval_by_spec[spec_id] = manifest_evaluator(
+            spec, schema, proj, scan.case_sensitive
+        )
+    survivors = [m for m in manifests if man_eval_by_spec[m.partition_spec_id](m)]
     if not survivors:
         return []
 

@@ -275,6 +275,22 @@ def _partition_key_value(k):
 _DESCRIPTOR_SCHEMA = "descriptor string"
 
 
+def _encode_partition(p: dict) -> dict:
+    """JSON-safe partition dict: bytes values (binary/fixed/decimal
+    partition columns read back from Avro) ride as tagged hex."""
+    out = {}
+    for k, v in (p or {}).items():
+        out[k] = {"__hex__": v.hex()} if isinstance(v, (bytes, bytearray)) else v
+    return out
+
+
+def _decode_partition(p: dict) -> dict:
+    return {
+        k: bytes.fromhex(v["__hex__"]) if isinstance(v, dict) and "__hex__" in v else v
+        for k, v in (p or {}).items()
+    }
+
+
 def _encode_descriptor(df: DataFile) -> str:
     def hexmap(m):
         return {k: v.hex() for k, v in m.items()} if m else None
@@ -283,7 +299,7 @@ def _encode_descriptor(df: DataFile) -> str:
         {
             "file_path": df.file_path,
             "file_format": df.file_format,
-            "partition": df.partition,
+            "partition": _encode_partition(df.partition),
             "record_count": df.record_count,
             "file_size_in_bytes": df.file_size_in_bytes,
             "column_sizes": df.column_sizes,
@@ -309,7 +325,7 @@ def _decode_descriptor(s: str) -> DataFile:
     return DataFile(
         file_path=d["file_path"],
         file_format=d["file_format"],
-        partition=d.get("partition") or {},
+        partition=_decode_partition(d.get("partition")),
         record_count=d["record_count"],
         file_size_in_bytes=d["file_size_in_bytes"],
         column_sizes=intkeys(d.get("column_sizes")),

@@ -22,6 +22,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # the table layer resolves parquet columns by the field ids it writes
+    # (rename-safe reads); engine-level on purpose — documented in README
+    "spark.sql.parquet.fieldId.read.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dimension tables (region/nation/customer/supplier/part at test SFs)

@@ -321,3 +321,31 @@ def test_compaction_leaves_wellsized_files_alone(fs_catalog, spark, lineitem_df)
     assert len(after) < len(before)
     n_expected = lineitem_df.count() + 20 + 21 + 22
     assert t.scan().to_df(spark).count() == n_expected
+
+
+def test_equality_delete_null_keys(fs_catalog, spark):
+    """Iceberg eq-delete semantics: NULL key values match NULL rows."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id bigint, k string"
+    )
+    t = fs_catalog.create_table("db.eq_null", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    victims = spark.createDataFrame([(None,), ("a",)], "k string")
+    t.delete_by_keys(victims, ["k"])
+    left = {r.id for r in t.scan().to_df(spark).collect()}
+    assert left == {3}, f"null-keyed rows must be deleted too, got {left}"
+
+
+def test_distributed_planner_refuses_delete_tables(fs_catalog, spark, lineitem_df):
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+
+    t = fs_catalog.create_table("db.dp_del", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(200).coalesce(1))
+    t.delete_where(spark, E.greater_than("l_quantity", 45.0))
+    tasks = plan_files_distributed(t.scan(), spark)
+    assert any(x.delete_files for x in tasks), (
+        "distributed planner must fall back to exact local planning on "
+        "tables with delete files"
+    )
