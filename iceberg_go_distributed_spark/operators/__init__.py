@@ -26,6 +26,16 @@ from .dedup import (  # noqa: F401
     simhash_near_dups,
     simhash_signatures,
 )
-from .similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk  # noqa: F401
-from .text import langid, quality_features, token_stats  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dups,
+)
+from .text import (  # noqa: F401
+    doc_fingerprints,
+    langid,
+    quality_features,
+    token_stats,
+)
 from .multimodal import attach_binary_payload, decode_features  # noqa: F401

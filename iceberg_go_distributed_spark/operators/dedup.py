@@ -168,7 +168,10 @@ def minhash_near_dups(
     # the shingle pipeline feeds three consumers (signatures + both
     # verification sides) — persist it so Spark computes it once; at
     # corpus scale this is the materialize-the-shingle-table step any
-    # MinHash pipeline does before banding
+    # MinHash pipeline does before banding. The cached frame lives until
+    # the session drops it (the result is lazy, so this function cannot
+    # unpersist); batch callers processing many corpora should
+    # `spark.catalog.clearCache()` between them
     sh = shingle_sets(docs, text_col, id_col, n).persist()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, id_col), id_col, threshold=threshold

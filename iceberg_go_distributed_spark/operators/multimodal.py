@@ -30,12 +30,14 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Model a multimodal table: payload = opaque bytes, meta = typed
     struct. (Here the bytes are the utf-8 text; a real pipeline would
     read image/audio blobs through the same schema.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
     return docs.select(
         "doc_id",
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         F.struct(
             F.lit("text/plain").alias("content_type"),
-            F.length(F.col(text_col)).alias("n_bytes"),
+            # byte length of the payload itself, not the char count
+            F.length(payload).alias("n_bytes"),
         ).alias("meta"),
     )
 
@@ -66,8 +68,12 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     """Extract per-payload features via Arrow-batched mapInPandas."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none_feats = {"n_bytes": None, "head_hex": None, "checksum": None}
         for pdf in batches:
-            feats = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+            feats = [
+                none_feats if p is None else _decode_payload(bytes(p))
+                for p in pdf["payload"]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

@@ -114,7 +114,9 @@ def ann_ivf_topk(
     return _topk(scored, k)
 
 
-def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM, seed: int = 7) -> list[list[float]]:
+def lsh_planes(
+    n_planes: int = LSH_PLANES, dim: int = EMBED_DIM, seed: int = 7
+) -> list[list[float]]:
     """Deterministic random hyperplanes, rounded so the literal values
     are exactly representable and identical in Spark and oracle SQL."""
     rng = np.random.default_rng(seed)
@@ -138,12 +140,18 @@ def ann_lsh_topk(
     emb: DataFrame, max_query_id: int = 10, k: int = 3, vec_col: str = "embedding"
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
-    16-bit hyperplane-sign bucket; exact cosine re-ranks inside it.
+    hyperplane-sign bucket; exact cosine re-ranks inside it.
 
     At scale the corpus is hash-partitioned (or written bucketed) by
     `_bucket`, so a probe is a partition-pruned lookup, not a scan.
     """
-    planes = lsh_planes()
+    from pyspark.sql import functions as F2
+
+    # planes must match the embedding dimensionality — a short plane
+    # array would null out every dot product and collapse all vectors
+    # into one bucket (silent brute-force)
+    dim = emb.select(F2.size(vec_col)).first()[0]
+    planes = lsh_planes(dim=dim)
     base = with_norm(emb, vec_col).withColumn("_bucket", _bucket(vec_col, planes))
     q = base.where(F.col("vec_id") < max_query_id).select(
         F.col("vec_id").alias("query_id"),

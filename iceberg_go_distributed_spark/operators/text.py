@@ -16,7 +16,7 @@ from .hashing import hex15
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
-BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def _words(text_col: str) -> Column:
@@ -52,7 +52,16 @@ def quality_features(
     total = F.length(F.col(text_col))
     stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
     alpha_ratio = F.round(alpha.cast("double") / total, 6)
-    keep = (n_tokens >= 10) & (n_tokens <= 120) & (stop_ratio <= F.lit(0.5))
+    # C4/Gopher-style gate: a length window, a MINIMUM function-word
+    # presence (gibberish has none), an upper stopword bound (boilerplate
+    # is mostly function words), and a minimum alphabetic share
+    keep = (
+        (n_tokens >= 10)
+        & (n_tokens <= 120)
+        & (stop_ratio >= F.lit(0.02))
+        & (stop_ratio <= F.lit(0.5))
+        & (alpha_ratio >= F.lit(0.6))
+    )
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -62,7 +71,12 @@ def quality_features(
     )
 
 
-def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def langid(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
     """n-gram-free language-ID heuristic: a doc is 'en' when it contains
     any English function word; 'unknown' otherwise. (A real system would
     score char-n-gram profiles per language; the contract — a predicted
@@ -70,7 +84,7 @@ def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))")
     pred = F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unknown"))
-    return docs.select(F.col(id_col), F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+    return docs.select(F.col(id_col), F.col(lang_col).alias("lang_true"), pred.alias("lang_pred"))
 
 
 def doc_fingerprints(
@@ -93,6 +107,8 @@ def doc_fingerprints(
         .groupBy(id_col)
         .agg(
             F.min("_h").alias("fingerprint"),
-            F.countDistinct("_s").alias("n_shingles"),
+            # shingle_sets already deduplicates, so a plain count equals
+            # the distinct count without the distinct-aggregate path
+            F.count("*").alias("n_shingles"),
         )
     )

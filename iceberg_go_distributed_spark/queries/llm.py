@@ -227,7 +227,7 @@ def llm_ann_lsh(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS n_bpe_tokens,
            length(replace(text, ' ', '')) AS n_chars_nospace,
            ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS mean_token_len
@@ -260,7 +260,9 @@ _STOP_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
            CAST(len(string_split(text, ' ')) BETWEEN 10 AND 120
                 AND CAST(len(list_filter(string_split(text, ' '),
                                          t -> t IN ({_STOP_LIST}))) AS DOUBLE)
-                    / len(string_split(text, ' ')) <= 0.5 AS INT) AS keep
+                    / len(string_split(text, ' ')) BETWEEN 0.02 AND 0.5
+                AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(text) >= 0.6 AS INT) AS keep
     FROM documents
     """,
     doc="pretraining quality filter: length window + stopword/alpha ratios",
