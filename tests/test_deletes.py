@@ -349,3 +349,71 @@ def test_distributed_planner_refuses_delete_tables(fs_catalog, spark, lineitem_d
         "distributed planner must fall back to exact local planning on "
         "tables with delete files"
     )
+
+
+# -------- extended strict-evaluator corpus (evaluators_test.go:2166+) --------
+
+F_WITH_NANS = DataFile(
+    file_path="n.parquet",
+    record_count=10,
+    value_counts={1: 10, 2: 10},
+    null_value_counts={1: 0, 2: 0},
+    nan_value_counts={1: 0},
+    lower_bounds={1: _i32(30)},
+    upper_bounds={1: _i32(79)},
+)
+
+F_ALL_NULLS = DataFile(
+    file_path="an.parquet",
+    record_count=10,
+    value_counts={1: 10, 2: 10},
+    null_value_counts={1: 0, 2: 10},
+    lower_bounds={1: _i32(30)},
+    upper_bounds={1: _i32(79)},
+)
+
+
+def test_strict_nan_and_null_columns():
+    # all-null string column: IS_NULL must match, NOT_NULL must not
+    assert _strict(E.is_null("maybe_null"), F_ALL_NULLS)
+    assert not _strict(E.not_null("maybe_null"), F_ALL_NULLS)
+    # value predicate on all-null column can never must-match
+    assert not _strict(E.equal("maybe_null", "x"), F_ALL_NULLS)
+    # NOT_EQ on a column that can contain nulls must-matches (null != x)
+    assert _strict(E.not_equal("maybe_null", "x"), F_ALL_NULLS)
+
+
+def test_strict_compound_and_not():
+    assert _strict(
+        E.and_(E.less_than("id", 100), E.greater_than("id", 29)), F_RANGE
+    )
+    assert not _strict(
+        E.and_(E.less_than("id", 100), E.greater_than("id", 30)), F_RANGE
+    )
+    assert _strict(
+        E.or_(E.less_than("id", 10), E.greater_than_or_equal("id", 30)), F_RANGE
+    )
+    # NOT(LT 100) = GT_EQ 100: no row >= 100 → might-not under strict
+    assert not _strict(E.not_(E.less_than("id", 100)), F_RANGE)
+    # NOT(GT 100) = LT_EQ 100: every row <= 100 → must match
+    assert _strict(E.not_(E.greater_than("id", 100)), F_RANGE)
+
+
+def test_strict_starts_with_bounds():
+    f = DataFile(
+        file_path="s.parquet",
+        record_count=5,
+        value_counts={2: 5},
+        null_value_counts={2: 0},
+        lower_bounds={2: b"apple"},
+        upper_bounds={2: b"apricot"},
+    )
+    assert _strict(E.starts_with("maybe_null", "ap"), f)
+    assert not _strict(E.starts_with("maybe_null", "app"), f)
+    assert not _strict(E.starts_with("maybe_null", "b"), f)
+
+
+def test_strict_empty_file_matches_everything():
+    empty = DataFile(file_path="e.parquet", record_count=0)
+    assert _strict(E.equal("id", 12345), empty)
+    assert _strict(E.is_null("maybe_null"), empty)
