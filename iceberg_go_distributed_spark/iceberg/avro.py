@@ -67,10 +67,6 @@ def _read_bytes(buf: BinaryIO) -> bytes:
 
 # ------------------------------------------------------------- datum codec
 
-def _union_branches(schema: Any) -> list:
-    return schema if isinstance(schema, list) else None
-
-
 def _schema_type(schema: Any) -> str:
     if isinstance(schema, str):
         return schema
@@ -128,7 +124,12 @@ def write_datum(out: BinaryIO, schema: Any, value: Any) -> None:
     elif t == "bytes":
         _write_bytes(out, bytes(value))
     elif t == "fixed":
-        out.write(bytes(value))
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError(
+                f"fixed({schema['size']}) value has {len(b)} bytes"
+            )
+        out.write(b)
     elif t == "record":
         for f in schema["fields"]:
             try:
@@ -162,7 +163,10 @@ def read_datum(buf: BinaryIO, schema: Any) -> Any:
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) != b"\x00"
+        b = buf.read(1)
+        if not b:
+            raise EOFError("unexpected end of avro data")
+        return b != b"\x00"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":

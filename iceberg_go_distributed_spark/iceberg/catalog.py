@@ -21,6 +21,7 @@ import json
 import os
 import sqlite3
 import time
+from contextlib import closing
 import uuid as _uuid
 from typing import Iterable, Optional
 
@@ -176,7 +177,19 @@ class FileSystemCatalog(Catalog):
         location = location or self._table_dir(identifier)
         md = self._new_metadata(schema, spec, location, properties)
         path = self._version_path(identifier, 1)
-        _write_metadata_file(md, path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # exclusive create: a racing creator loses HERE instead of
+        # silently overwriting the winner's v1 metadata via tmp+rename
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise TableAlreadyExistsError(str(identifier)) from None
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(md.to_json(), f, indent=2)
+        except BaseException:
+            os.unlink(path)
+            raise
         self._swap_hint(identifier, 1, expect=None)
         return Table(identifier, md, path, self)
 
@@ -307,7 +320,7 @@ class SqlCatalog(Catalog):
         self.warehouse = warehouse
         self.catalog_name = catalog_name
         os.makedirs(warehouse, exist_ok=True)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             con.execute(
                 """CREATE TABLE IF NOT EXISTS iceberg_tables (
                     catalog_name TEXT NOT NULL,
@@ -346,11 +359,14 @@ class SqlCatalog(Catalog):
         from .table import Table
 
         ns, tbl = _identifier(identifier)
+        if ns not in self.list_namespaces():
+            # match the reference sql catalog: tables need a namespace row
+            raise NoSuchNamespaceError(ns)
         location = location or self._table_dir(identifier)
         md = self._new_metadata(schema, spec, location, properties)
         path = self._metadata_path(identifier, 1)
         _write_metadata_file(md, path)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             try:
                 con.execute(
                     "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
@@ -364,7 +380,7 @@ class SqlCatalog(Catalog):
         from .table import Table
 
         ns, tbl = _identifier(identifier)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             row = con.execute(
                 "SELECT metadata_location FROM iceberg_tables "
                 "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
@@ -376,7 +392,7 @@ class SqlCatalog(Catalog):
 
     def drop_table(self, identifier) -> None:
         ns, tbl = _identifier(identifier)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             cur = con.execute(
                 "DELETE FROM iceberg_tables "
                 "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
@@ -388,7 +404,7 @@ class SqlCatalog(Catalog):
     def rename_table(self, src, dst):
         ns_s, t_s = _identifier(src)
         ns_d, t_d = _identifier(dst)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             try:
                 cur = con.execute(
                     "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
@@ -402,7 +418,7 @@ class SqlCatalog(Catalog):
         return self.load_table(dst)
 
     def list_tables(self, namespace: str) -> list[tuple[str, str]]:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             rows = con.execute(
                 "SELECT table_namespace, table_name FROM iceberg_tables "
                 "WHERE catalog_name=? AND table_namespace=? ORDER BY table_name",
@@ -416,17 +432,28 @@ class SqlCatalog(Catalog):
         version = len(new_metadata.metadata_log) + 1
         new_path = self._metadata_path(identifier, version)
         _write_metadata_file(new_metadata, new_path)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             con.execute("BEGIN IMMEDIATE")
             try:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET metadata_location=?, "
-                    "previous_metadata_location=? "
-                    "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
-                    "AND metadata_location=?",
-                    (new_path, base_metadata_location, self.catalog_name, ns, tbl,
-                     base_metadata_location),
-                )
+                if base_metadata_location is None:
+                    # staged-create first commit: CAS against NULL needs
+                    # IS NULL ('= NULL' never matches in SQL)
+                    cur = con.execute(
+                        "UPDATE iceberg_tables SET metadata_location=?, "
+                        "previous_metadata_location=NULL "
+                        "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
+                        "AND metadata_location IS NULL",
+                        (new_path, self.catalog_name, ns, tbl),
+                    )
+                else:
+                    cur = con.execute(
+                        "UPDATE iceberg_tables SET metadata_location=?, "
+                        "previous_metadata_location=? "
+                        "WHERE catalog_name=? AND table_namespace=? AND table_name=? "
+                        "AND metadata_location=?",
+                        (new_path, base_metadata_location, self.catalog_name, ns, tbl,
+                         base_metadata_location),
+                    )
                 if cur.rowcount != 1:
                     con.execute("ROLLBACK")
                     os.unlink(new_path)
@@ -440,7 +467,7 @@ class SqlCatalog(Catalog):
         return new_path
 
     def create_namespace(self, namespace: str, properties=None) -> None:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             con.execute(
                 "INSERT OR REPLACE INTO iceberg_namespace_properties VALUES (?, ?, 'exists', 'true')",
                 (self.catalog_name, namespace),
@@ -454,7 +481,7 @@ class SqlCatalog(Catalog):
     def drop_namespace(self, namespace: str) -> None:
         if self.list_tables(namespace):
             raise ValueError(f"namespace {namespace} is not empty")
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             cur = con.execute(
                 "DELETE FROM iceberg_namespace_properties WHERE catalog_name=? AND namespace=?",
                 (self.catalog_name, namespace),
@@ -463,7 +490,7 @@ class SqlCatalog(Catalog):
                 raise NoSuchNamespaceError(namespace)
 
     def list_namespaces(self) -> list[str]:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             rows = con.execute(
                 "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
                 "WHERE catalog_name=? ORDER BY namespace",
@@ -472,7 +499,7 @@ class SqlCatalog(Catalog):
         return [r[0] for r in rows]
 
     def load_namespace_properties(self, namespace: str) -> dict:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             rows = con.execute(
                 "SELECT property_key, property_value FROM iceberg_namespace_properties "
                 "WHERE catalog_name=? AND namespace=?",
@@ -484,7 +511,7 @@ class SqlCatalog(Catalog):
 
     def update_namespace_properties(self, namespace, removals=(), updates=None) -> None:
         self.load_namespace_properties(namespace)
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             for k in removals:
                 con.execute(
                     "DELETE FROM iceberg_namespace_properties "

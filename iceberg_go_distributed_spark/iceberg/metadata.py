@@ -306,9 +306,20 @@ class TableMetadata:
             raise ValueError(f"current-schema-id {current_schema_id} not found in schemas")
         specs = [PartitionSpec.from_json(s) for s in obj.get("partition-specs", [])]
         if not specs:
-            if fv == 1 and "partition-spec" not in obj:
-                raise ValueError("v1 metadata missing partition-spec")
-            specs = [PartitionSpec.unpartitioned()]
+            if fv == 1:
+                if "partition-spec" not in obj:
+                    raise ValueError("v1 metadata missing partition-spec")
+                # v1 legacy field: a bare partition-field list (spec id 0)
+                from .partitioning import PartitionField
+
+                legacy = obj["partition-spec"]
+                specs = [
+                    PartitionSpec(
+                        0, tuple(PartitionField.from_json(f) for f in legacy)
+                    )
+                ]
+            else:
+                specs = [PartitionSpec.unpartitioned()]
         default_spec_id = obj.get("default-spec-id", specs[0].spec_id)
         if not any(s.spec_id == default_spec_id for s in specs):
             raise ValueError(f"default-spec-id {default_spec_id} not found")
@@ -602,7 +613,7 @@ class MetadataBuilder:
         return self
 
     def assign_uuid(self, u: str) -> "MetadataBuilder":
-        if self.m.table_uuid and self.m.table_uuid != u:
+        if self.m.table_uuid != u:
             self.m = replace(self.m, table_uuid=u)
         return self
 
@@ -614,11 +625,15 @@ class MetadataBuilder:
         self.m.metadata_log.append(
             MetadataLogEntry(metadata_file, int(time.time() * 1000))
         )
-        keep = int(self.m.properties.get("write.metadata.previous-versions-max", "100"))
+        keep = max(
+            0,
+            int(self.m.properties.get("write.metadata.previous-versions-max", "100")),
+        )
         if len(self.m.metadata_log) > keep:
-            trimmed = self.m.metadata_log[:-keep]
+            # NB: log[-0:] would be the whole list — handle keep == 0 explicitly
+            trimmed = self.m.metadata_log[:-keep] if keep else self.m.metadata_log
             self.trimmed_metadata_files.extend(e.metadata_file for e in trimmed)
-            self.m.metadata_log = self.m.metadata_log[-keep:]
+            self.m.metadata_log = self.m.metadata_log[-keep:] if keep else []
         return self
 
     def build(self) -> TableMetadata:
