@@ -91,6 +91,12 @@ def project_predicate(
         return None
 
     if isinstance(pred, BoundUnaryPredicate):
+        if pred.op_ in (Operation.IS_NAN, Operation.NOT_NAN) and not isinstance(
+            t, IdentityTransform
+        ):
+            # NaN checks don't survive value-mangling transforms (a
+            # bucket/truncate partition column isn't float) — no constraint
+            return None
         return UnboundPredicate(pred.op_, name)
 
     if isinstance(t, IdentityTransform):
@@ -120,6 +126,19 @@ def project_predicate(
     if isinstance(t, TruncateTransform) and isinstance(src, (StringType, BinaryType)):
         # truncateArray — ref transforms.go:1018-1040
         if isinstance(pred, BoundLiteralPredicate):
+            if pred.op_ == Operation.NOT_STARTS_WITH:
+                # only sound when the whole prefix fits in the truncate
+                # width: then every row of a partition shares the prefix
+                # decision. A longer prefix truncates to a value the
+                # partition CAN start with while rows still mismatch —
+                # projecting would prune matching rows (unsound).
+                if len(pred.literal.value) <= t.width:
+                    return UnboundPredicate(
+                        Operation.NOT_STARTS_WITH,
+                        name,
+                        (_project_literal(t, pred.literal, src),),
+                    )
+                return None
             lit = _project_literal(t, pred.literal, src)
             op_map = {
                 Operation.LT: Operation.LT_EQ,
@@ -128,7 +147,6 @@ def project_predicate(
                 Operation.GT_EQ: Operation.GT_EQ,
                 Operation.EQ: Operation.EQ,
                 Operation.STARTS_WITH: Operation.STARTS_WITH,
-                Operation.NOT_STARTS_WITH: Operation.NOT_STARTS_WITH,
             }
             if pred.op_ in op_map:
                 return UnboundPredicate(op_map[pred.op_], name, (lit,))
@@ -623,9 +641,12 @@ def strict_metrics_evaluator(
         if isinstance(e, BoundLiteralPredicate):
             lit = e.literal.value
             if op == Operation.NOT_EQ:
-                # null rows match NOT_EQ under strict semantics (ref :1428)
+                # DIVERGENCE from ref evaluators.go:1428 (which returns
+                # must-match when any null/NaN exists): a null row does
+                # NOT satisfy `x != v`, and this evaluator authorizes
+                # whole-file deletes — soundness wins over fidelity
                 if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
-                    return ROWS_MUST_MATCH
+                    return ROWS_MIGHT_NOT_MATCH
                 lo = bound_val(f, "lower_bounds", fid, t)
                 if lo is not None and not _is_nan_lit(lo) and lo > lit:
                     return ROWS_MUST_MATCH
@@ -674,8 +695,9 @@ def strict_metrics_evaluator(
 
         if isinstance(e, BoundSetPredicate):
             if op == Operation.NOT_IN:
+                # same soundness divergence as NOT_EQ above
                 if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
-                    return ROWS_MUST_MATCH
+                    return ROWS_MIGHT_NOT_MATCH
                 lo = bound_val(f, "lower_bounds", fid, t)
                 hi = bound_val(f, "upper_bounds", fid, t)
                 if lo is not None and not _is_nan_lit(lo) and all(v < lo for v in e.values):

@@ -181,14 +181,21 @@ class Literal:
         return None
 
     def increment(self) -> "Literal":
-        """ref literals.go:464-478 — boundary math for projections."""
+        """ref literals.go:464-478 — boundary math for projections
+        (decimals step by one unscaled unit, as the reference does)."""
         if isinstance(self.type, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)):
             return Literal(self.value + 1, self.type)
+        if isinstance(self.type, DecimalType):
+            step = Decimal(1).scaleb(-self.type.scale)
+            return Literal(self.value + step, self.type)
         raise TypeError(f"cannot increment {self.type}")
 
     def decrement(self) -> "Literal":
         if isinstance(self.type, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)):
             return Literal(self.value - 1, self.type)
+        if isinstance(self.type, DecimalType):
+            step = Decimal(1).scaleb(-self.type.scale)
+            return Literal(self.value - step, self.type)
         raise TypeError(f"cannot decrement {self.type}")
 
 
@@ -429,10 +436,14 @@ class UnboundPredicate(Expression):
             return BoundLiteralPredicate(op, ref, cast)
 
         if op in _SET_OPS:
-            lits = [
-                (l if isinstance(l, Literal) else literal(l)).to(field.field_type)
-                for l in self.literals
-            ]
+            lits = []
+            for l in self.literals:
+                cast = (l if isinstance(l, Literal) else literal(l)).to(field.field_type)
+                if cast is None:
+                    raise ValueError(
+                        f"cannot cast literal {l!r} to {field.field_type} for {self.term}"
+                    )
+                lits.append(cast)  # ABOVE_MAX/BELOW_MIN sentinels drop below
             kept = tuple(
                 sorted(
                     {l.value for l in lits if isinstance(l, Literal)},
@@ -704,12 +715,17 @@ def to_pandas_mask(expr: Expression, pdf):
     def series(term: BoundReference) -> "pd.Series":
         return pdf[term.name]
 
+    def conv_value(v, t: IcebergType):
+        if isinstance(t, DateType):
+            return days_to_date(v)
+        if isinstance(t, TimestampTzType):
+            return pd.Timestamp(micros_to_datetime(v, tz=True))
+        if isinstance(t, (TimestampType,)):
+            return pd.Timestamp(micros_to_datetime(v, tz=False))
+        return v
+
     def lit_value(l: Literal):
-        if isinstance(l.type, DateType):
-            return days_to_date(l.value)
-        if isinstance(l.type, (TimestampType, TimestampTzType)):
-            return pd.Timestamp(micros_to_datetime(l.value, tz=False))
-        return l.value
+        return conv_value(l.value, l.type)
 
     if isinstance(expr, AlwaysTrue):
         return pd.Series(True, index=pdf.index)
@@ -728,12 +744,16 @@ def to_pandas_mask(expr: Expression, pdf):
         if expr.op_ == Operation.NOT_NULL:
             return s.notna()
         if expr.op_ in (Operation.IS_NAN, Operation.NOT_NAN):
-            # pandas float64 cannot distinguish null from NaN; arrow-read
-            # files preserve the distinction only via the validity mask,
-            # so treat NaN as "not-null float that != itself".
+            # pandas float64 folds null into NaN; when the caller stashed
+            # an arrow validity mask (__isnull_<col>, see
+            # write_position_deletes) use it so nulls are NOT treated as
+            # NaN — otherwise fall back to the conflated check.
             nan = pd.Series(
                 [isinstance(v, float) and v != v for v in s], index=pdf.index
             )
+            null_col = f"__isnull_{expr.term.name}"
+            if null_col in pdf.columns:
+                nan = nan & ~pdf[null_col]
             return nan if expr.op_ == Operation.IS_NAN else ~nan
     if isinstance(expr, BoundLiteralPredicate):
         s = series(expr.term)
@@ -757,7 +777,8 @@ def to_pandas_mask(expr: Expression, pdf):
             return (~s.astype("string").str.startswith(str(expr.literal.value))).fillna(False)
     if isinstance(expr, BoundSetPredicate):
         s = series(expr.term)
-        isin = s.isin(list(expr.values))
+        vals = [conv_value(v, expr.term.type) for v in expr.values]
+        isin = s.isin(vals)
         return isin if expr.op_ == Operation.IN else (~isin & s.notna())
     raise TypeError(f"cannot compile {expr!r} to a pandas mask")
 
@@ -775,12 +796,17 @@ def to_spark_column(expr: Expression):
     from .types import TimestampType as _Ts
     from .types import TimestampTzType as _TsTz
 
+    def conv_value(v, t):
+        if isinstance(t, _Date):
+            return days_to_date(v)
+        if isinstance(t, _TsTz):
+            return micros_to_datetime(v, tz=True)
+        if isinstance(t, _Ts):
+            return micros_to_datetime(v, tz=False)
+        return v
+
     def lit_value(l: Literal):
-        if isinstance(l.type, _Date):
-            return F.lit(days_to_date(l.value))
-        if isinstance(l.type, (_Ts, _TsTz)):
-            return F.lit(micros_to_datetime(l.value, tz=False))
-        return F.lit(l.value)
+        return F.lit(conv_value(l.value, l.type))
 
     if isinstance(expr, AlwaysTrue):
         return F.lit(True)
@@ -822,11 +848,11 @@ def to_spark_column(expr: Expression):
             return ~c.startswith(str(expr.literal.value))
     if isinstance(expr, BoundSetPredicate):
         c = F.col(expr.term.name)
-        vals = sorted(expr.values, key=lambda v: str(v))
-        if isinstance(next(iter(expr.values), None), (int, float, str)):
-            col_in = c.isin(vals)
-        else:
-            col_in = c.isin([F.lit(v) for v in vals])
+        vals = [
+            conv_value(v, expr.term.type)
+            for v in sorted(expr.values, key=lambda v: str(v))
+        ]
+        col_in = c.isin([F.lit(v) for v in vals])
         return col_in if expr.op_ == Operation.IN else ~col_in
     if isinstance(expr, UnboundPredicate):
         raise ValueError("bind the expression before compiling to Spark")

@@ -290,11 +290,16 @@ class Scan:
             # field-id-based read: columns resolve by the parquet field
             # ids our writer stamps, so renames/evolution are safe;
             # Catalyst prunes columns + pushes the residual filter into
-            # the parquet row-group scan.
-            from .types import schema_to_spark_struct
+            # the parquet row-group scan. Tables carrying a name mapping
+            # contain add_files-registered files WITHOUT field ids —
+            # those resolve by (mapped) name instead.
+            if "schema.name-mapping.default" in self.table.metadata.properties:
+                df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+            else:
+                from .types import schema_to_spark_struct
 
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -417,11 +422,14 @@ class Scan:
             }
         )
         files = [t.file.file_path for t in tasks]
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if "schema.name-mapping.default" in self.table.metadata.properties:
+            reader = spark.read.schema(schema_to_spark_ddl(schema))
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            reader = spark.read.schema(schema_to_spark_struct(schema))
         strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
         df = (
-            spark.read.schema(schema_to_spark_struct(schema))
-            .parquet(*files)
+            reader.parquet(*files)
             .withColumn("_fp", strip(F.col("_metadata.file_path")))
             .withColumn("_pos", F.col("_metadata.row_index"))
         )

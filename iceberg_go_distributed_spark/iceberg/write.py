@@ -768,6 +768,14 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
             for data_path in pdf["data_file"]:
                 tbl = pq.read_table(data_path, columns=needed)
                 frame = tbl.to_pandas()
+                # arrow validity masks let IS_NAN distinguish real NaN
+                # from null (pandas folds both into NaN)
+                import pyarrow.compute as pc
+
+                for cname in needed:
+                    frame[f"__isnull_{cname}"] = pc.is_null(
+                        tbl[cname]
+                    ).to_pandas().to_numpy()
                 mask = to_pandas_mask(bound, frame)
                 for pos in frame.index[mask.to_numpy()].tolist():
                     rows["file_path"].append(data_path)
@@ -946,7 +954,15 @@ def add_files(table, paths: list[str]) -> None:
         raise ValueError("add_files supports unpartitioned tables only")
     ds = begin_distributed_snapshot(table)
     files = []
+    missing_field_ids = False
+    import pyarrow.parquet as pq
+
     for p in paths:
+        arrow_schema = pq.read_schema(p)
+        if not any(
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in arrow_schema
+        ):
+            missing_field_ids = True
         stats = _stats_from_parquet(p, schema)
         files.append(
             DataFile(
@@ -957,6 +973,21 @@ def add_files(table, paths: list[str]) -> None:
                 **stats,
             )
         )
+    if missing_field_ids and "schema.name-mapping.default" not in table.metadata.properties:
+        # files without field ids need name mapping for ID recovery
+        # (ref name_mapping.go:85 / spec 'schema.name-mapping.default');
+        # its presence also tells the scan to resolve columns by name
+        from .sanitize import name_mapping_from_schema, name_mapping_to_json
+
+        tx = table.transaction()
+        tx.set_properties(
+            {
+                "schema.name-mapping.default": name_mapping_to_json(
+                    name_mapping_from_schema(schema)
+                )
+            }
+        )
+        tx.commit()
     commit_data_files(table, files, operation="append")
 
 

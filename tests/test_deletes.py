@@ -379,8 +379,9 @@ def test_strict_nan_and_null_columns():
     assert not _strict(E.not_null("maybe_null"), F_ALL_NULLS)
     # value predicate on all-null column can never must-match
     assert not _strict(E.equal("maybe_null", "x"), F_ALL_NULLS)
-    # NOT_EQ on a column that can contain nulls must-matches (null != x)
-    assert _strict(E.not_equal("maybe_null", "x"), F_ALL_NULLS)
+    # NOT_EQ with nulls present cannot must-match (null fails x != v);
+    # soundness divergence from the reference's unexercised shortcut
+    assert not _strict(E.not_equal("maybe_null", "x"), F_ALL_NULLS)
 
 
 def test_strict_compound_and_not():
@@ -417,3 +418,75 @@ def test_strict_empty_file_matches_everything():
     empty = DataFile(file_path="e.parquet", record_count=0)
     assert _strict(E.equal("id", 12345), empty)
     assert _strict(E.is_null("maybe_null"), empty)
+
+
+def test_external_file_nan_vs_null(fs_catalog, spark, tmp_path):
+    """Review regression bundle: add_files on a foreign parquet (no
+    field ids) sets a name mapping so scans resolve by name, and
+    IS_NAN deletes only true NaN rows, never nulls (arrow validity)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "x": pa.array([5.0, float("nan"), None], pa.float64()),
+            }
+        ),
+        path,
+    )
+    t = fs_catalog.create_table(
+        "db.ext_nan",
+        Schema.of(
+            0,
+            NestedField(1, "id", ty.LongType(), required=True),
+            NestedField(2, "x", ty.DoubleType()),
+        ),
+    )
+    t.add_files([path])
+    assert "schema.name-mapping.default" in t.properties
+    assert t.scan().to_df(spark).count() == 3
+    t.delete_where(spark, E.is_nan("x"))
+    assert sorted(r.id for r in t.scan().to_df(spark).collect()) == [1, 3]
+
+
+def test_date_set_predicates_through_compilers(fs_catalog, spark):
+    """Review regression: IN/NOT_IN date literals convert to real dates
+    in both the Spark and pandas compilers."""
+    import datetime
+
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    ddf = spark.createDataFrame(
+        [
+            (1, datetime.date(2020, 1, 1)),
+            (2, datetime.date(2021, 6, 1)),
+            (3, datetime.date(2022, 3, 3)),
+        ],
+        "id bigint, d date",
+    )
+    t = fs_catalog.create_table("db.din", schema_from_spark(ddf.schema))
+    t.append(ddf.coalesce(1))
+    n = t.scan(
+        row_filter=E.is_in("d", [datetime.date(2021, 6, 1)])
+    ).to_df(spark).count()
+    assert n == 1
+    t.delete_where(
+        spark, E.is_in("d", [datetime.date(2020, 1, 1), datetime.date(2022, 3, 3)])
+    )
+    assert sorted(r.id for r in t.scan().to_df(spark).collect()) == [2]
+
+
+def test_not_eq_delete_sound_with_nulls(fs_catalog, spark):
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, None)], "id bigint, x double")
+    t = fs_catalog.create_table("db.ne_sound", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.not_equal("x", 7.0))
+    # x=5 deleted; x=7 kept; null kept (null != 7 is NULL, not true)
+    assert sorted(r.id for r in t.scan().to_df(spark).collect()) == [2, 3]
