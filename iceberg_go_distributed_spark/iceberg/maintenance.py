@@ -116,18 +116,32 @@ def merge_manifests(table, target_size_bytes: Optional[int] = None, min_count: O
     if len(small) < minc:
         return False
 
-    # bin-pack small manifests into ≥target groups (greedy by size)
+    # Bin-pack small manifests into ≥target groups (greedy by size), but
+    # never mix partition specs in one bin: a merged manifest is written
+    # under a single spec, and re-keying a foreign-spec entry's partition
+    # tuple by that spec's field names would silently null its partition
+    # values (and then wrongly prune the file at scan time). The reference
+    # groups per spec before merging — ref snapshot_producers.go:255-257.
+    by_spec: dict[int, list] = {}
+    for m in small:
+        by_spec.setdefault(m.partition_spec_id, []).append(m)
     bins: list[list] = []
-    cur: list = []
-    cur_size = 0
-    for m in sorted(small, key=lambda m: m.manifest_length):
-        cur.append(m)
-        cur_size += m.manifest_length
-        if cur_size >= target:
+    for spec_manifests in by_spec.values():
+        cur: list = []
+        cur_size = 0
+        for m in sorted(spec_manifests, key=lambda m: m.manifest_length):
+            cur.append(m)
+            cur_size += m.manifest_length
+            if cur_size >= target:
+                bins.append(cur)
+                cur, cur_size = [], 0
+        if cur:
             bins.append(cur)
-            cur, cur_size = [], 0
-    if cur:
-        bins.append(cur)
+    # single-manifest bins gain nothing from a rewrite — keep them as-is
+    singletons = [b[0] for b in bins if len(b) == 1]
+    bins = [b for b in bins if len(b) > 1]
+    if not bins:
+        return False
 
     ds = begin_distributed_snapshot(table)
     merged = []
@@ -145,13 +159,14 @@ def merge_manifests(table, target_size_bytes: Optional[int] = None, min_count: O
         mf.min_sequence_number = min(m.min_sequence_number for m in group)
         merged.append(mf)
 
-    keep = [m for m in data_m if m.manifest_length >= target] + other_m
+    keep = [m for m in data_m if m.manifest_length >= target] + singletons + other_m
+    n_merged = sum(len(b) for b in bins)
     _commit_manifests(
         table,
         [],
         merged + keep,
         operation="replace",
-        extra_summary={"manifests-merged": str(len(small))},
+        extra_summary={"manifests-merged": str(n_merged)},
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,

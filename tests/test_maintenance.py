@@ -97,6 +97,41 @@ def test_manifest_merge(fs_catalog, spark, lineitem_df):
     assert t.scan().to_df(spark).count() == lineitem_df.count()
 
 
+def test_manifest_merge_spec_evolution(fs_catalog, spark, lineitem_df):
+    """Merging must never mix partition specs in one manifest: a foreign-
+    spec entry re-keyed under another spec's field names would get null
+    partition values and then be wrongly pruned at scan time (silent
+    missing rows) — ref snapshot_producers.go:255-257 groups per spec."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+    t = fs_catalog.create_table("db.li_merge_specs", LINEITEM_SCHEMA)
+    li = lineitem_df.limit(300).cache()
+    for i in range(3):
+        t.append(li.where(f"l_orderkey % 3 = {i}").coalesce(1))  # spec 0 (unpartitioned)
+    t.update_spec().add_field("l_returnflag", "identity").commit()
+    for i in range(3):
+        t.append(li.where(f"l_orderkey % 3 = {i}"))  # spec 1 (identity on flag)
+    total = 2 * li.count()  # each spec era appended the full 300 rows once
+    want_A = 2 * li.where("l_returnflag = 'A'").count()
+
+    assert merge_manifests(t, min_count=2)
+    t.refresh()
+    snap = t.current_snapshot()
+    # no merged manifest may contain entries from a different spec
+    for m in snap.manifests():
+        spec = t.metadata.spec_by_id(m.partition_spec_id)
+        names = [f.name for f in spec.fields]
+        for e in read_manifest(m.manifest_path, discard_deleted=False):
+            if names:  # spec-1 entries must keep real partition values
+                assert e.data_file.partition.get(names[0]) is not None
+    assert t.scan().to_df(spark).count() == total
+    # partition-filtered scan still finds the spec-1 files (prune soundness)
+    got_A = t.scan(row_filter=E.equal("l_returnflag", "A")).to_df(spark).count()
+    assert got_A == want_A
+    li.unpersist()
+
+
 def test_location_providers():
     assert simple_location("/wh/t", "a=1", "f.parquet") == "/wh/t/data/a=1/f.parquet"
     p = object_store_location("/wh/t", "a=1", "f.parquet")
