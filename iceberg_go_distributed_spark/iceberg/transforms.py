@@ -235,20 +235,30 @@ class BucketTransform(Transform):
         return bucket_value(v, src, self.num_buckets)
 
     def spark_column(self, col, src: IcebergType):
-        """Vectorized pandas_udf; numpy murmur3 for the int64 fast path.
+        """Vectorized pandas_udf; numpy murmur3 for every bucketable type.
 
         This is the one transform that cannot stay JVM-side (Spark's
         hash() has a different seed/layout); Arrow batching keeps it
-        ~vectorized. Used only in the write fanout, never in scans.
+        vectorized. Used only in the write fanout, never in scans.
+
+        Dtype notes (what pyspark's Arrow bridge hands the udf):
+          - int/long → int64 (nullable → float64 or Int64), timestamps →
+            datetime64[ns] — int64 fast path hashes the 8-byte LE layout.
+          - DateType → **object Series of datetime.date** (NOT datetime64),
+            so it must be converted to epoch days first: the raw int64
+            path would either TypeError on .astype or, coerced, hash
+            micros instead of days and produce wrong buckets.
+          - strings/binary → object Series; hashed via the padded-buffer
+            batch murmur3 (per-row work is only the utf-8 encode).
+          - decimal/uuid/fixed → object; per-row byte serialization
+            (minimal big-endian unscaled / uuid.bytes), batch hash.
         """
         import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.types import IntegerType as SparkInt
 
         n = self.num_buckets
-        int_like = isinstance(
-            src, (IntegerType, LongType, DateType, TimeType, TimestampType, TimestampTzType)
-        )
+        int_like = isinstance(src, (IntegerType, LongType, TimeType, TimestampType, TimestampTzType))
 
         # NB: no type hints — `from __future__ import annotations` would
         # stringify them and pyspark's hint inference can't resolve the strings.
@@ -257,51 +267,163 @@ class BucketTransform(Transform):
             def _bucket_fn(s):
                 return _bucket_int64_np(s, n)
 
-        else:
-            src_t = src
+        elif isinstance(src, DateType):
 
             def _bucket_fn(s):
-                return s.map(lambda v: bucket_value(v, src_t, n))
+                import numpy as np
+
+                mask = s.isna().to_numpy()
+                # datetime.date objects → epoch days (iceberg hashes days,
+                # not micros, for date columns — ref transforms.go:249-283)
+                days = (
+                    pd.to_datetime(s, errors="coerce")
+                    .to_numpy(dtype="datetime64[ns]")
+                    .astype("datetime64[D]")
+                    .astype("int64")
+                )
+                days[mask] = 0
+                return _finish_bucket(_murmur3_int64_batch(days), mask, n)
+
+        else:
+            to_bytes = _byte_serializer(src)
+
+            def _bucket_fn(s):
+                # object Series can carry NaN (not None) for nulls
+                vals = [None if pd.isna(v) else to_bytes(v) for v in s.tolist()]
+                return _bucket_bytes_np(vals, n)
 
         _bucket_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
         return F.pandas_udf(SparkInt())(_bucket_fn)(col)
 
 
-def _bucket_int64_np(s, n: int):
-    """numpy-vectorized murmur3_x86_32 over 8-byte LE int64 values."""
+def _byte_serializer(src: IcebergType) -> Callable[[Any], bytes]:
+    """Per-value byte layout for the batch hasher — ref transforms.go:249-283."""
+    if isinstance(src, StringType):
+        return lambda v: str(v).encode("utf-8")
+    if isinstance(src, (BinaryType, FixedType)):
+        return lambda v: bytes(v)
+    if isinstance(src, UUIDType):
+        import uuid as _uuid
+
+        return lambda v: (v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v))).bytes
+    if isinstance(src, DecimalType):
+        scale = src.scale
+        return lambda v: decimal_to_bytes(v if isinstance(v, Decimal) else Decimal(str(v)), scale)
+    raise TypeError(f"bucket cannot transform {src}")
+
+
+def _mix_k(k):
     import numpy as np
-    import pandas as pd
 
-    mask = s.isna()
-    vals = s.fillna(0).to_numpy()
-    if vals.dtype.kind == "M":  # datetime64 → µs
-        vals = vals.astype("datetime64[us]").astype("int64")
-    v = vals.astype("uint64")
-    lo = (v & np.uint64(0xFFFFFFFF)).astype("uint32")
-    hi = (v >> np.uint64(32)).astype("uint32")
-    c1 = np.uint32(0xCC9E2D51)
-    c2 = np.uint32(0x1B873593)
+    k = (k * np.uint32(0xCC9E2D51)).astype("uint32")
+    k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype("uint32")
+    return (k * np.uint32(0x1B873593)).astype("uint32")
 
-    def mix_k(k):
-        k = (k * c1).astype("uint32")
-        k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype("uint32")
-        return (k * c2).astype("uint32")
 
-    h = np.zeros(len(v), dtype="uint32")
-    for blk in (lo, hi):
-        h = h ^ mix_k(blk)
-        h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype("uint32")
-        h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype("uint32")
-    h = h ^ np.uint32(8)
+def _avalanche(h):
+    import numpy as np
+
     h = h ^ (h >> np.uint32(16))
     h = (h * np.uint32(0x85EBCA6B)).astype("uint32")
     h = h ^ (h >> np.uint32(13))
     h = (h * np.uint32(0xC2B2AE35)).astype("uint32")
-    h = h ^ (h >> np.uint32(16))
+    return h ^ (h >> np.uint32(16))
+
+
+def _finish_bucket(h, mask, n: int):
+    """uint32 hashes → nullable Int32 bucket Series."""
+    import numpy as np
+    import pandas as pd
+
     out = ((h & np.uint32(MAX_INT32)) % np.uint32(n)).astype("int32")
     res = pd.Series(out).astype("Int32")
-    res[mask.to_numpy()] = None
+    res[mask] = None
     return res
+
+
+def _murmur3_int64_batch(vals):
+    """murmur3_x86_32 over 8-byte LE int64 values (two fixed blocks)."""
+    import numpy as np
+
+    v = vals.astype("uint64")
+    lo = (v & np.uint64(0xFFFFFFFF)).astype("uint32")
+    hi = (v >> np.uint64(32)).astype("uint32")
+    h = np.zeros(len(v), dtype="uint32")
+    for blk in (lo, hi):
+        h = h ^ _mix_k(blk)
+        h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype("uint32")
+        h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype("uint32")
+    return _avalanche(h ^ np.uint32(8))
+
+
+def _bucket_int64_np(s, n: int):
+    """numpy-vectorized bucket over an int64-like pandas Series."""
+    import numpy as np
+
+    mask = s.isna().to_numpy()
+    vals = s.fillna(0).to_numpy()
+    if vals.dtype.kind == "M":  # datetime64 → µs
+        vals = vals.astype("datetime64[us]").astype("int64")
+    return _finish_bucket(_murmur3_int64_batch(vals.astype("int64")), mask, n)
+
+
+# Rows longer than this fall back to scalar hashing: the padded batch
+# buffer is n_rows × max_len bytes, which a single long outlier would blow
+# up. Partition keys are short; this guards pathological inputs only.
+_BATCH_MAX_LEN = 4096
+
+
+def _bucket_bytes_np(vals: list, n: int):
+    """numpy-vectorized murmur3_x86_32 over variable-length byte rows.
+
+    Rows are scattered into one zero-padded (n_rows × W) uint8 buffer
+    (vectorized: one np.repeat/arange scatter), viewed as little-endian
+    uint32 words, then hashed with masked block updates: word j is a
+    *full* block for rows with len ≥ 4(j+1) (mix + rotate + mult-add), a
+    *tail* block for rows with 4j < len < 4(j+1) (mix + xor only — the
+    zero padding already gives the spec's tail layout), and a no-op for
+    shorter rows. O(max_len/4) vectorized passes instead of per-row
+    Python murmur.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_rows = len(vals)
+    if n_rows == 0:
+        return pd.Series([], dtype="Int32")
+    mask = np.fromiter((v is None for v in vals), dtype=bool, count=n_rows)
+    lengths = np.fromiter((0 if v is None else len(v) for v in vals), dtype="int64", count=n_rows)
+
+    long_rows = lengths > _BATCH_MAX_LEN
+    if long_rows.any():
+        out = pd.Series(
+            [None if v is None else _bucket_bytes(v, n) for v in vals], dtype="Int32"
+        )
+        return out
+
+    max_len = int(lengths.max())
+    w4 = max(4, ((max_len + 3) // 4) * 4)
+    padded = np.zeros((n_rows, w4), dtype="uint8")
+    flat = np.frombuffer(b"".join(v for v in vals if v), dtype="uint8")
+    if flat.size:
+        row_idx = np.repeat(np.arange(n_rows), lengths)
+        col_idx = np.arange(flat.size, dtype="int64") - np.repeat(
+            np.cumsum(lengths) - lengths, lengths
+        )
+        padded[row_idx, col_idx] = flat
+    words = padded.view("<u4")
+
+    h = np.zeros(n_rows, dtype="uint32")
+    for j in range(words.shape[1]):
+        km = _mix_k(words[:, j])
+        hx = h ^ km
+        hf = ((hx << np.uint32(13)) | (hx >> np.uint32(19))).astype("uint32")
+        hf = (hf * np.uint32(5) + np.uint32(0xE6546B64)).astype("uint32")
+        full = lengths >= (j + 1) * 4
+        tail = (lengths > j * 4) & ~full
+        h = np.where(full, hf, np.where(tail, hx, h))
+    h = _avalanche(h ^ lengths.astype("uint32"))
+    return _finish_bucket(h, mask, n)
 
 
 @dataclass(frozen=True, eq=False)

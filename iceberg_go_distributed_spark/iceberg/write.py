@@ -218,6 +218,11 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if st.has_min_max:
                 mn, mx = st.min, st.max
+                # never let NaN poison bounds (NaN compares false with
+                # everything; the evaluators rely on ordered bounds —
+                # ref parquet_files.go skips NaN bounds the same way)
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    continue
                 if fid not in lowers or mn < lowers[fid]:
                     lowers[fid] = mn
                 if fid not in uppers or mx > uppers[fid]:
@@ -305,6 +310,7 @@ def _encode_descriptor(df: DataFile) -> str:
             "column_sizes": df.column_sizes,
             "value_counts": df.value_counts,
             "null_value_counts": df.null_value_counts,
+            "nan_value_counts": df.nan_value_counts,
             "lower_bounds": hexmap(df.lower_bounds),
             "upper_bounds": hexmap(df.upper_bounds),
             "split_offsets": df.split_offsets,
@@ -331,6 +337,7 @@ def _decode_descriptor(s: str) -> DataFile:
         column_sizes=intkeys(d.get("column_sizes")),
         value_counts=intkeys(d.get("value_counts")),
         null_value_counts=intkeys(d.get("null_value_counts")),
+        nan_value_counts=intkeys(d.get("nan_value_counts")),
         lower_bounds=unhex(d.get("lower_bounds")),
         upper_bounds=unhex(d.get("upper_bounds")),
         split_offsets=d.get("split_offsets"),
@@ -398,9 +405,14 @@ def write_data_files(
         if isinstance(f.field_type, (FloatType, DoubleType))
     ]
 
-    def write_task(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def write_task(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow (not mapInPandas): the pandas bridge folds float NaN
+        # into null (pa.Table.from_pandas treats NaN as missing), silently
+        # changing user data on append. Arrow batches keep NaN-vs-null
+        # distinct end-to-end, and real nan_value_counts are harvested
+        # from isnan over valid values — ref manifest.go:1925-1991.
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
@@ -410,6 +422,7 @@ def write_data_files(
         writers: dict[tuple, Any] = {}
         paths: dict[tuple, str] = {}
         parts: dict[tuple, dict] = {}
+        nan_counts: dict[tuple, dict[int, int]] = {}
         counter = [0]
 
         done: list[str] = []
@@ -418,12 +431,8 @@ def write_data_files(
             writers.pop(key).close()
             path = paths.pop(key)
             stats = _stats_from_parquet(path, schema_pickle)
-            # the pandas bridge folds float NaN into null on write
-            # (pa.Table.from_pandas treats NaN as missing), so written
-            # files contain zero literal NaNs — record exact zeros so
-            # the metrics/strict evaluators are precise. (A mapInArrow
-            # writer would preserve NaN-vs-null; round-3 candidate.)
-            stats["nan_value_counts"] = {fid: 0 for _, fid in float_fields}
+            counts = nan_counts.pop(key)
+            stats["nan_value_counts"] = {fid: counts.get(fid, 0) for _, fid in float_fields}
             dfile = DataFile(
                 file_path=path,
                 file_format="PARQUET",
@@ -450,6 +459,7 @@ def write_data_files(
                 writers[key] = pq.ParquetWriter(path, aschema, compression="zstd")
                 paths[key] = path
                 parts[key] = dict(part_values)
+                nan_counts[key] = {}
             return writers[key]
 
         def maybe_roll(key: tuple) -> None:
@@ -464,42 +474,55 @@ def write_data_files(
         # while tiny test targets still split
         CHUNK = max(1024, min(65536, target_size // 256))
 
-        def chunks(frame):
-            for i in range(0, len(frame), CHUNK):
-                yield frame.iloc[i : i + CHUNK]
+        def write_group(key: tuple, part_values: dict, tbl: "pa.Table") -> None:
+            tbl = tbl.select(field_names).cast(aschema)
+            for i in range(0, tbl.num_rows, CHUNK):
+                piece = tbl.slice(i, CHUNK)
+                w = writer_for(key, part_values)
+                w.write_table(piece)
+                acc = nan_counts[key]
+                for fname, fid in float_fields:
+                    c = pc.sum(pc.is_nan(piece[fname])).as_py()
+                    if c:
+                        acc[fid] = acc.get(fid, 0) + c
+                maybe_roll(key)
 
-        for whole in batches:
-            if len(whole) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pdf = whole
-            if spec_pickle.fields:
-                grouped = pdf.groupby(
-                    [f"__part_{n}" for n in part_names], dropna=False, sort=False
+            tbl = pa.Table.from_batches([batch])
+            if not spec_pickle.fields:
+                write_group((), {}, tbl)
+                continue
+            # group rows by the transform columns, arrow-side: dictionary-
+            # encode each partition column, fold the codes into one int64
+            # key (null = code 0), then filter per distinct key. After the
+            # repartition above, a task usually sees one or few groups.
+            combined = None
+            for n in part_names:
+                col = tbl[f"__part_{n}"].combine_chunks()
+                enc = col.dictionary_encode()
+                codes = pc.add(pc.fill_null(pc.cast(enc.indices, pa.int64()), -1), 1)
+                card = len(enc.dictionary) + 1
+                combined = (
+                    codes if combined is None else pc.add(pc.multiply(combined, card), codes)
                 )
-                for key, g in grouped:
-                    key = key if isinstance(key, tuple) else (key,)
-                    part_values = {
-                        n: _partition_key_value(k) for n, k in zip(part_names, key)
-                    }
-                    for piece in chunks(g[field_names]):
-                        tbl = pa.Table.from_pandas(
-                            piece, schema=aschema, preserve_index=False
-                        )
-                        writer_for(tuple(key), part_values).write_table(tbl)
-                        maybe_roll(tuple(key))
-            else:
-                for piece in chunks(pdf[field_names]):
-                    tbl = pa.Table.from_pandas(
-                        piece, schema=aschema, preserve_index=False
-                    )
-                    writer_for((), {}).write_table(tbl)
-                    maybe_roll(())
+            for uval in pc.unique(combined):
+                mask = pc.equal(combined, uval)
+                sub = tbl.filter(mask)
+                key_vals = tuple(sub[f"__part_{n}"][0].as_py() for n in part_names)
+                part_values = {
+                    n: _partition_key_value(v) for n, v in zip(part_names, key_vals)
+                }
+                write_group(key_vals, part_values, sub)
 
         for key in list(writers):
             close_one(key)
-        yield pd.DataFrame({"descriptor": done})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(done, type=pa.string())], names=["descriptor"]
+        )
 
-    desc = data.mapInPandas(write_task, _DESCRIPTOR_SCHEMA)
+    desc = data.mapInArrow(write_task, _DESCRIPTOR_SCHEMA)
     return [_decode_descriptor(r.descriptor) for r in desc.collect()]
 
 

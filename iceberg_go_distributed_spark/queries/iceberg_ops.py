@@ -327,6 +327,65 @@ def ice_equality_deletes(spark, sf_dir):
 
 
 @query(
+    "ice_nan_roundtrip",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+      CAST(SUM(CASE WHEN l_orderkey % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(SUM(CASE WHEN l_orderkey % 7 IN (0, 1) THEN 0
+                    ELSE CAST(l_discount AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_finite
+    FROM lineitem
+    """,
+    doc="NaN-preserving append: NaN stays NaN (not null) through write+scan; real nan_value_counts",
+)
+def ice_nan_roundtrip(spark, sf_dir):
+    """The write path must not fold float NaN into null (the pandas
+    bridge does; mapInArrow keeps them distinct — ref manifest.go:
+    1925-1991 tracks NaN counts separately from null counts)."""
+    from ..iceberg import expressions as E
+    from ..iceberg.manifest import read_manifest
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_nan", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_discount",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(float("nan")))
+        .when(F.col("l_orderkey") % 7 == 1, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount")),
+    )
+    schema = schema_from_spark(li.schema)
+    t = cat.create_table("db.ice_nan", schema)
+    t.append(li.coalesce(1))
+
+    expected_nan = li.where("isnan(l_discount)").count()
+    # manifest metrics must carry the *real* NaN count, not a guess
+    fid = next(f.field_id for f in schema.fields if f.name == "l_discount")
+    manifest_nans = sum(
+        e.data_file.nan_value_counts.get(fid, 0)
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    )
+    assert manifest_nans == expected_nan, (
+        f"manifest nan_value_counts {manifest_nans} != written NaNs {expected_nan}"
+    )
+    # NaN-predicate scan goes through the evaluators + residual filter
+    n_nan_scan = t.scan(row_filter=E.is_nan("l_discount")).to_df(spark).count()
+    assert n_nan_scan == expected_nan, "is_nan scan lost NaN rows (folded to null?)"
+
+    df = t.scan().to_df(spark)
+    return df.agg(
+        F.sum(F.when(F.isnan("l_discount"), 1).otherwise(0)).cast("bigint").alias("n_nan"),
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.expr(
+            "CAST(SUM(CASE WHEN isnan(l_discount) OR l_discount IS NULL THEN 0 "
+            "ELSE CAST(l_discount AS DECIMAL(12,2)) END) AS DOUBLE)"
+        ).alias("sum_finite"),
+    )
+
+
+@query(
     "ice_upsert",
     oracle="""
     SELECT

@@ -147,3 +147,79 @@ def test_numpy_bucket_matches_scalar():
             assert got is pd.NA or got is None
         else:
             assert got == T.BucketTransform(128).apply(v, ty.LongType()), v
+
+
+def test_numpy_bytes_bucket_matches_scalar():
+    """Batch murmur3 over variable-length byte rows == per-value path,
+    incl. the spec vectors, empty string, embedded/trailing nulls, 4-byte
+    block boundaries, and a >4096-byte row (scalar fallback branch)."""
+    import pandas as pd
+
+    from iceberg_go_distributed_spark.iceberg.transforms import _bucket_bytes_np
+
+    cases = [
+        b"",
+        b"iceberg",
+        b"foobar",
+        b"abc",  # tail-only (3 bytes)
+        b"abcd",  # exactly one block
+        b"abcde",  # block + 1 tail byte
+        b"\x00\x01\x02\x03",  # spec binary vector
+        b"a\x00\x00",  # trailing nulls must count toward length
+        "héllo wörld".encode("utf-8"),
+        b"x" * 4095,
+        None,
+    ]
+    out = _bucket_bytes_np(list(cases), 128)
+    for v, got in zip(cases, out):
+        if v is None:
+            assert got is pd.NA or got is None
+        else:
+            want = (T.murmur3_32(v) & T.MAX_INT32) % 128
+            assert got == want, v
+    # long-row fallback branch (> _BATCH_MAX_LEN)
+    big = [b"y" * 5000, b"iceberg", None]
+    out2 = _bucket_bytes_np(big, 128)
+    assert out2[0] == (T.murmur3_32(big[0]) & T.MAX_INT32) % 128
+    assert out2[1] == (T.murmur3_32(b"iceberg") & T.MAX_INT32) % 128
+    assert out2[2] is pd.NA or out2[2] is None
+
+
+def test_bucket_spark_column_parity(spark):
+    """Executor-path (pandas_udf) == scalar bucket_value for every source
+    type incl. DateType (which arrives as object datetime.date — the
+    int64 fast path would crash or hash micros instead of days)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 34, "iceberg", date(2017, 11, 16), datetime(2017, 11, 16, 22, 31, 8), Decimal("14.20"), bytearray(b"\x00\x01\x02\x03")),
+        (2, -5, "foobar", date(1969, 12, 31), datetime(1969, 12, 31, 23, 0, 0), Decimal("0.01"), bytearray(b"")),
+        (3, None, None, None, None, None, None),
+        (4, 0, "", date(1970, 1, 1), datetime(1970, 1, 1), Decimal("-3.50"), bytearray(b"a\x00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, i long, s string, d date, ts timestamp_ntz, dec decimal(9,2), b binary"
+    )
+    n = 64
+    b = T.BucketTransform(n)
+    specs = [
+        ("i", ty.LongType()),
+        ("s", ty.StringType()),
+        ("d", ty.DateType()),
+        ("ts", ty.TimestampType()),
+        ("dec", ty.DecimalType(9, 2)),
+        ("b", ty.BinaryType()),
+    ]
+    out = df.select(
+        "id", *[b.spark_column(F.col(c), t).alias(f"b_{c}") for c, t in specs]
+    ).orderBy("id").collect()
+    for row, src_row in zip(out, rows):
+        for (c, t), v in zip(specs, src_row[1:]):
+            got = row[f"b_{c}"]
+            if t.__class__ is ty.TimestampType and v is not None:
+                v = datetime_to_micros(v)
+            if t.__class__ is ty.BinaryType and v is not None:
+                v = bytes(v)
+            want = b.apply(v, t)
+            assert got == want, (c, v, got, want)

@@ -78,6 +78,46 @@ def test_scan_to_arrow(tmp_path, spark, lineitem_df):
     assert t.scan().count(spark) == 50
 
 
+def test_bucket_date_partitioned_write(tmp_path, spark):
+    """Fanout write partitioned by bucket(N, date_col): Spark hands the
+    pandas_udf object-dtype datetime.date values, which must hash as
+    epoch *days* (not micros) to match the driver-side pure-Python
+    transform — ref transforms.go:249-283."""
+    from datetime import date
+
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+    from iceberg_go_distributed_spark.iceberg.transforms import BucketTransform
+    from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+    schema = Schema.of(
+        0,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "d", ty.DateType()),
+    )
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    spec = spec_from(schema, ("d", "bucket[4]"))
+    t = cat.create_table("db.date_bucket", schema, spec=spec)
+    rows = [(i, date(2017, 11, (i % 28) + 1)) for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, d date")
+    t.append(df)
+
+    # manifest partition values must match the scalar transform exactly
+    bt = BucketTransform(4)
+    files = [
+        e.data_file
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    ]
+    assert files
+    seen = set()
+    for f in files:
+        seen.add(f.partition["d_bucket"])
+    want = {bt.apply(d, ty.DateType()) for _, d in rows}
+    assert seen == want  # includes the None bucket
+    assert t.scan().to_df(spark).count() == len(rows)
+
+
 def test_partition_summaries_in_snapshot(tmp_path, spark, lineitem_df):
     from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
 
