@@ -769,11 +769,10 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
         return []
     schema = scan._scan_schema()
     all_manifests = snap.manifests()
-    if any(m.content == ManifestContent.DELETES for m in all_manifests):
-        # delete matching is driver-side; distributed entry pruning would
-        # silently drop delete files — use the exact local planner
-        return scan.plan_files()
     manifests = [m for m in all_manifests if m.content == ManifestContent.DATA]
+    delete_manifests = [
+        m for m in all_manifests if m.content == ManifestContent.DELETES
+    ]
 
     # driver side: manifest-level pruning only (evaluators per spec id)
     spec_by_id = {m.partition_spec_id: md.spec_by_id(m.partition_spec_id) for m in manifests}
@@ -787,24 +786,49 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
     if not survivors:
         return []
 
+    # delete manifests gated by the lower bound on any surviving data
+    # entry's sequence number (manifest min_sequence_number): a delete
+    # older than every data entry can never apply — ref scanner.go:268-281
+    min_data_seq = min(m.min_sequence_number or 0 for m in survivors)
+    live_delete_manifests = [
+        m for m in delete_manifests if m.sequence_number >= min_data_seq
+    ]
+
     row_filter = scan.row_filter
     case_sensitive = scan.case_sensitive
     schema_p = schema
     spec_by_id_p = spec_by_id
 
+    # one executor job reads BOTH kinds: data manifests get entry-level
+    # pruning (levels 3+4); delete manifests just decode their entries.
+    # The driver then runs the same sequence-gated matching the local
+    # planner uses, but over O(matching + delete files) descriptors, not
+    # O(all entries) — the manifest reads themselves were distributed.
     work = spark.createDataFrame(
-        [(m.manifest_path, m.partition_spec_id, m.sequence_number) for m in survivors],
-        "path string, spec_id int, seq bigint",
-    ).repartition(min(len(survivors), 64))
+        [(m.manifest_path, m.partition_spec_id, m.sequence_number, 0) for m in survivors]
+        + [
+            (m.manifest_path, m.partition_spec_id, m.sequence_number, 1)
+            for m in live_delete_manifests
+        ],
+        "path string, spec_id int, seq bigint, is_delete int",
+    ).repartition(min(len(survivors) + len(live_delete_manifests), 64))
 
     def prune(batches):
         from .manifest import read_manifest
 
         metrics_eval = inclusive_metrics_evaluator(schema_p, row_filter, case_sensitive)
         part_evals = {}
-        out = []
+        kinds, seqs, out = [], [], []
         for pdf in batches:
             for _, row in pdf.iterrows():
+                if row.is_delete:
+                    for e in read_manifest(
+                        row.path, inherit_sequence_number=int(row.seq)
+                    ):
+                        kinds.append(1)
+                        seqs.append(e.sequence_number or 0)
+                        out.append(_encode_descriptor(e.data_file))
+                    continue
                 spec = spec_by_id_p[row.spec_id]
                 if row.spec_id not in part_evals:
                     proj = inclusive_projection(schema_p, spec, case_sensitive)(row_filter)
@@ -818,8 +842,32 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
                         continue
                     if not metrics_eval(e.data_file):
                         continue
+                    kinds.append(0)
+                    seqs.append(e.sequence_number or 0)
                     out.append(_encode_descriptor(e.data_file))
-        yield pd.DataFrame({"descriptor": out})
+        yield pd.DataFrame({"kind": kinds, "seq": seqs, "descriptor": out})
 
-    rows = work.mapInPandas(prune, "descriptor string").collect()
-    return [FileScanTask(file=_decode_descriptor(r.descriptor)) for r in rows]
+    rows = work.mapInPandas(prune, "kind int, seq bigint, descriptor string").collect()
+    data_rows = [(r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 0]
+    delete_rows = sorted(
+        ((r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 1),
+        key=lambda t: t[0],
+    )
+
+    from .manifest import DataFileContent
+
+    tasks: list[FileScanTask] = []
+    for e_seq, dfile in data_rows:
+        dels: tuple = ()
+        if delete_rows:
+            picked = []
+            for d_seq, ddf in delete_rows:
+                if ddf.content == DataFileContent.POSITION_DELETES:
+                    if d_seq >= e_seq and _delete_covers_path(ddf, dfile.file_path):
+                        picked.append(ddf)
+                elif ddf.content == DataFileContent.EQUALITY_DELETES:
+                    if d_seq > e_seq:
+                        picked.append(ddf)
+            dels = tuple(picked)
+        tasks.append(FileScanTask(file=dfile, delete_files=dels))
+    return tasks

@@ -304,6 +304,8 @@ def _encode_descriptor(df: DataFile) -> str:
         {
             "file_path": df.file_path,
             "file_format": df.file_format,
+            "content": int(df.content),
+            "equality_ids": df.equality_ids,
             "partition": _encode_partition(df.partition),
             "record_count": df.record_count,
             "file_size_in_bytes": df.file_size_in_bytes,
@@ -328,9 +330,13 @@ def _decode_descriptor(s: str) -> DataFile:
     def intkeys(m):
         return {int(k): v for k, v in m.items()} if m else None
 
+    from .manifest import DataFileContent
+
     return DataFile(
         file_path=d["file_path"],
         file_format=d["file_format"],
+        content=DataFileContent(d.get("content", 0)),
+        equality_ids=d.get("equality_ids"),
         partition=_decode_partition(d.get("partition")),
         record_count=d["record_count"],
         file_size_in_bytes=d["file_size_in_bytes"],

@@ -139,6 +139,32 @@ def test_planning_latency(big_table):
     assert dt < 1.0, f"planning too slow: {dt:.3f}s per pruned scan"
 
 
+def test_distributed_planning_matches_local_under_deletes(tmp_path, spark, sf_dir):
+    """Equivalence on a real table carrying positional + equality deletes
+    AND a pruning filter: identical (file → delete set) maps."""
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = load_table(spark, sf_dir, "lineitem").limit(400)
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.dp_eq", schema_from_spark(li.schema))
+    for lo, hi in ((0, 500), (500, 1200), (1200, 1 << 60)):
+        t.append(li.where(f"l_orderkey >= {lo} AND l_orderkey < {hi}").coalesce(1))
+    t.delete_where(spark, E.greater_than("l_quantity", 40.0))
+    victims = li.where("l_linenumber = 5").select("l_orderkey").distinct()
+    t.delete_by_keys(victims, ["l_orderkey"])
+
+    for expr in (None, E.less_than("l_orderkey", 900)):
+        scan = t.scan(row_filter=expr) if expr is not None else t.scan()
+        as_map = lambda tasks: {
+            x.file.file_path: sorted(d.file_path for d in x.delete_files)
+            for x in tasks
+        }
+        local, dist = scan.plan_files(), plan_files_distributed(scan, spark)
+        assert as_map(dist) == as_map(local) and local
+
+
 def test_distributed_planning_matches_local(big_table, spark):
     """plan_files_distributed must produce exactly the local planner's
     file set (executor-side pruning, driver gets only descriptors)."""
