@@ -60,9 +60,20 @@ def _write_bytes(out: BinaryIO, b: bytes) -> None:
     out.write(b)
 
 
+def _read_exact(buf: BinaryIO, n: int) -> bytes:
+    """Read exactly n bytes; short reads mean a truncated/corrupt file
+    and must fail loudly, never silently decode short values."""
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(f"unexpected end of avro data: wanted {n} bytes, got {len(data)}")
+    return data
+
+
 def _read_bytes(buf: BinaryIO) -> bytes:
     n = _read_long(buf)
-    return buf.read(n)
+    if n < 0:
+        raise ValueError(f"negative avro bytes length {n}")
+    return _read_exact(buf, n)
 
 
 # ------------------------------------------------------------- datum codec
@@ -170,15 +181,15 @@ def read_datum(buf: BinaryIO, schema: Any) -> Any:
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "bytes":
         return _read_bytes(buf)
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     if t == "record":
         return {f["name"]: read_datum(buf, f["type"]) for f in schema["fields"]}
     if t == "array":

@@ -144,6 +144,8 @@ class FileSystemCatalog(Catalog):
     <warehouse>/<ns>/<table>/metadata/v{N}.metadata.json + version-hint."""
 
     name = "fs"
+    # commit locks older than this are treated as crash leftovers
+    LOCK_TTL_SECONDS = 60.0
 
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -255,17 +257,42 @@ class FileSystemCatalog(Catalog):
             )
         new_version = current + 1
         new_path = self._version_path(identifier, new_version)
-        # exclusive create: the loser of a race fails here
+        # exclusive create: the loser of a race fails here. A lock left by
+        # a hard-crashed committer (SIGKILL between create and cleanup)
+        # would otherwise block this version forever — locks older than
+        # the TTL are reclaimable. Breaking one can't clobber a committed
+        # version: the version file itself is also exclusive-create.
+        lock = f"{new_path}.lock"
         try:
-            fd = os.open(f"{new_path}.lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            raise CommitConflictError(f"concurrent commit in flight for {identifier}")
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                age = 0.0  # lock vanished — the racer is live, not stale
+            if age < self.LOCK_TTL_SECONDS:
+                raise CommitConflictError(
+                    f"concurrent commit in flight for {identifier}"
+                )
+            try:  # stale: break it and retry the exclusive create once
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"concurrent commit in flight for {identifier}"
+                )
         try:
             _write_metadata_file(new_metadata, new_path)
             self._swap_hint(identifier, new_version, expect=current)
         finally:
             os.close(fd)
-            os.unlink(f"{new_path}.lock")
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # a TTL-reclaimer broke our lock; version file decides
         return new_path
 
     def create_namespace(self, namespace: str, properties=None) -> None:

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import io
 
+import pytest
+
 from iceberg_go_distributed_spark.iceberg import avro as A
 from iceberg_go_distributed_spark.iceberg import types as ty
 from iceberg_go_distributed_spark.iceberg.conversions import from_bytes, to_bytes
@@ -122,6 +124,44 @@ def test_manifest_list_roundtrip(tmp_path):
     assert got[0].added_snapshot_id == 777
     assert got[0].partitions[0].lower_bound == b"a"
     assert got[0].content == mf.content
+
+
+def test_truncated_avro_fails_loudly(tmp_path):
+    """Short reads on fixed/float/bytes payloads must raise EOFError,
+    never silently decode short values — mirrors write-side validation."""
+    import io
+    import struct
+
+    from iceberg_go_distributed_spark.iceberg.avro import read_datum, write_datum
+
+    # fixed
+    buf = io.BytesIO()
+    write_datum(buf, {"type": "fixed", "name": "f8", "size": 8}, b"12345678")
+    data = buf.getvalue()
+    with pytest.raises(EOFError):
+        read_datum(io.BytesIO(data[:5]), {"type": "fixed", "name": "f8", "size": 8})
+    # bytes with a length prefix longer than the payload
+    buf2 = io.BytesIO()
+    write_datum(buf2, "bytes", b"abcdef")
+    with pytest.raises(EOFError):
+        read_datum(io.BytesIO(buf2.getvalue()[:4]), "bytes")
+    # double truncated mid-value
+    with pytest.raises(EOFError):
+        read_datum(io.BytesIO(struct.pack("<d", 1.5)[:3]), "double")
+    # truncated manifest file body
+    spec = spec_from(SCHEMA)
+    path = str(tmp_path / "trunc.avro")
+    write_manifest(
+        path, spec, SCHEMA, 1,
+        [ManifestEntry(ManifestEntryStatus.ADDED, 1, 1, 1,
+                       DataFile(file_path="/d/x.parquet", record_count=1))],
+    )
+    whole = open(path, "rb").read()
+    bad = str(tmp_path / "bad.avro")
+    with open(bad, "wb") as f:
+        f.write(whole[: len(whole) - 7])
+    with pytest.raises((EOFError, ValueError)):  # sync-marker / short-read
+        read_manifest(bad)
 
 
 def test_deleted_entries_discarded(tmp_path):

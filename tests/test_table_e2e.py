@@ -249,6 +249,29 @@ def test_concurrent_commit_conflict(fs_catalog, spark, lineitem_df):
     assert t_b.scan().to_df(spark).count() == 20
 
 
+def test_stale_commit_lock_reclaimed(fs_catalog, spark, lineitem_df):
+    """A lock left by a hard-crashed committer must not block the
+    version forever: locks older than LOCK_TTL_SECONDS are broken."""
+    import os
+    import time
+
+    t = fs_catalog.create_table("db.li_lock", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    v = int(open(os.path.join(t.location, "metadata", "version-hint.text")).read())
+    stale = os.path.join(t.location, "metadata", f"v{v + 1}.metadata.json.lock")
+    with open(stale, "w"):
+        pass
+    # fresh lock → genuine conflict
+    with pytest.raises(CommitConflictError):
+        t.append(lineitem_df.limit(5).coalesce(1))
+    # aged past the TTL → reclaimed, commit goes through
+    old = time.time() - fs_catalog.LOCK_TTL_SECONDS - 5
+    os.utime(stale, (old, old))
+    t.append(lineitem_df.limit(5).coalesce(1))
+    assert t.scan().to_df(spark).count() == 15
+    assert not os.path.exists(stale)
+
+
 def test_transaction_properties_and_expire(fs_catalog, spark, lineitem_df):
     t = fs_catalog.create_table("db.li_props", LINEITEM_SCHEMA)
     tx = t.transaction()
