@@ -230,7 +230,12 @@ def write_ocf(
     codec: str = "deflate",
 ) -> None:
     own = isinstance(path_or_file, (str, os.PathLike))
-    out: BinaryIO = open(path_or_file, "wb") if own else path_or_file
+    if own:
+        from . import fileio
+
+        out: BinaryIO = fileio.open_output(str(path_or_file))
+    else:
+        out = path_or_file
     try:
         sync = os.urandom(SYNC_SIZE)
         out.write(MAGIC)
@@ -278,7 +283,12 @@ def write_ocf(
 def read_ocf(path_or_file) -> tuple[dict, dict[str, bytes], list[dict]]:
     """Returns (schema, metadata, records)."""
     own = isinstance(path_or_file, (str, os.PathLike))
-    f: BinaryIO = open(path_or_file, "rb") if own else path_or_file
+    if own:
+        from . import fileio
+
+        f: BinaryIO = fileio.open_input(str(path_or_file))
+    else:
+        f = path_or_file
     try:
         if f.read(4) != MAGIC:
             raise ValueError("not an avro object container file")

@@ -132,11 +132,20 @@ class Catalog:
 
 
 def _write_metadata_file(metadata: TableMetadata, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(metadata.to_json(), f, indent=2)
-    os.rename(tmp, path)
+    from . import fileio
+
+    payload = json.dumps(metadata.to_json(), indent=2).encode()
+    if fileio.is_local(path):
+        # local: write-temp + rename for atomic visibility
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+    else:
+        # object stores: PUT is already all-or-nothing; commit atomicity
+        # comes from the catalog CAS (SQL/REST), not the filesystem
+        fileio.write_bytes(path, payload)
 
 
 class FileSystemCatalog(Catalog):
@@ -343,10 +352,12 @@ class SqlCatalog(Catalog):
     name = "sql"
 
     def __init__(self, db_path: str, warehouse: str, catalog_name: str = "default"):
+        from . import fileio
+
         self.db_path = db_path
         self.warehouse = warehouse
         self.catalog_name = catalog_name
-        os.makedirs(warehouse, exist_ok=True)
+        fileio.makedirs(warehouse)  # object-store warehouses need no mkdir
         with closing(self._conn()) as con, con:
             con.execute(
                 """CREATE TABLE IF NOT EXISTS iceberg_tables (

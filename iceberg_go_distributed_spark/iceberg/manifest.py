@@ -412,9 +412,11 @@ def write_manifest(
     existing = [e for e in entries if e.status == ManifestEntryStatus.EXISTING]
     deleted = [e for e in entries if e.status == ManifestEntryStatus.DELETED]
     seqs = [e.sequence_number for e in entries if e.sequence_number is not None]
+    from . import fileio
+
     return ManifestFile(
         manifest_path=path,
-        manifest_length=os.path.getsize(path),
+        manifest_length=fileio.size(path),
         partition_spec_id=spec.spec_id,
         content=content,
         sequence_number=max(seqs) if seqs else 0,

@@ -378,7 +378,9 @@ def parse_metadata_file(path: str) -> TableMetadata:
     support (table/table.go:450 isGzippedMetadataJson)."""
     import gzip
 
-    with open(path, "rb") as f:
+    from . import fileio
+
+    with fileio.open_input(path) as f:
         head = f.read(2)
         f.seek(0)
         data = gzip.open(f).read() if head == b"\x1f\x8b" else f.read()

@@ -69,7 +69,9 @@ def write_puffin(
 ) -> dict:
     """Write a Puffin file; returns {size, footer_size} for the
     metadata statistics entry."""
-    with open(path, "wb") as f:
+    from . import fileio
+
+    with fileio.open_output(path) as f:
         f.write(MAGIC)
         metas = []
         for meta, payload in blobs:
@@ -92,8 +94,9 @@ def write_puffin(
 
 def read_puffin(path: str) -> tuple[list[BlobMetadata], dict, dict[int, bytes]]:
     """Returns (blob metadatas, file properties, payloads by index)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    from . import fileio
+
+    data = fileio.read_bytes(path)
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise ValueError("not a puffin file (bad magic)")
     flags = struct.unpack("<i", data[-8:-4])[0]

@@ -293,13 +293,28 @@ class Scan:
             # the parquet row-group scan. Tables carrying a name mapping
             # contain add_files-registered files WITHOUT field ids —
             # those resolve by (mapped) name instead.
-            if "schema.name-mapping.default" in self.table.metadata.properties:
-                df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
-            else:
-                from .types import schema_to_spark_struct
+            try:
+                if "schema.name-mapping.default" in self.table.metadata.properties:
+                    df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+                else:
+                    from .types import schema_to_spark_struct
 
-                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-                df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
+                    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                    df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
+            except Exception:
+                from . import fileio
+
+                if all(fileio.is_local(f) for f in files):
+                    raise
+                # object-store table but no Hadoop connector for the
+                # scheme in this Spark: distributed per-file Arrow read
+                # (real clusters ship s3a:// and never take this branch)
+                logger.warning(
+                    "JVM parquet reader cannot open %s; using the "
+                    "distributed Arrow reader",
+                    files[0].split("://", 1)[0] + "://",
+                )
+                df = self._read_files_arrow(spark, files, schema)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -389,11 +404,23 @@ class Scan:
             if not fields:
                 continue
             eq_schema = Schema(0, tuple(fields))
-            keys = (
-                spark.read.schema(schema_to_spark_struct(eq_schema))
-                .parquet(path)
-                .dropDuplicates()
-            )
+            from . import fileio
+
+            if fileio.is_local(path):
+                keys = (
+                    spark.read.schema(schema_to_spark_struct(eq_schema))
+                    .parquet(path)
+                    .dropDuplicates()
+                )
+            else:
+                # key files are small (distinct delete keys) — a driver
+                # arrow read avoids needing a JVM FileSystem for the scheme
+                keys = spark.createDataFrame(
+                    fileio.read_parquet_table(
+                        path, columns=[f.name for f in fields]
+                    ).to_pandas(),
+                    schema=schema_to_spark_ddl(eq_schema),
+                ).dropDuplicates()
             cond = None
             for f in fields:
                 c = df[f.name].eqNullSafe(keys[f.name])
@@ -445,6 +472,30 @@ class Scan:
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         return df.drop("_fp", "_pos")
 
+    def _read_files_arrow(self, spark, files: list, schema: Schema):
+        """Distributed per-file Arrow read for URIs the JVM has no
+        FileSystem for (metadata-plane fileio resolves them instead)."""
+        from . import fileio as _fileio
+
+        files_df = spark.createDataFrame(
+            [(f,) for f in files], "data_file string"
+        ).repartition(min(len(files), 64))
+        ddl = schema_to_spark_ddl(schema)
+        col_names = [f.name for f in schema.fields]
+        fileio_cfg = _fileio.env_config()
+
+        def read_task(batches):
+            from . import fileio
+
+            fileio.apply_config(fileio_cfg)
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    yield fileio.read_parquet_table(
+                        row.data_file, columns=col_names
+                    ).to_pandas()
+
+        return files_df.mapInPandas(read_task, ddl)
+
     def _read_with_deletes_arrow(self, spark, tasks, schema: Schema):
         """Fallback MOR: per data file, read with pyarrow (file-order
         row positions, as the reference's per-file arrow_scanner does)
@@ -466,25 +517,28 @@ class Scan:
             )
             for t in tasks
         ]
+        from . import fileio as _fileio
+
         files_df = spark.createDataFrame(
             work, "data_file string, delete_files string"
         ).repartition(min(len(work), 64))
         ddl = schema_to_spark_ddl(schema)
         col_names = [f.name for f in schema.fields]
+        fileio_cfg = _fileio.env_config()
 
         def read_task(batches):
-            import pandas as pd
-            import pyarrow.parquet as pq
+            from . import fileio
 
+            fileio.apply_config(fileio_cfg)
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    tbl = pq.read_table(row.data_file, columns=col_names)
+                    tbl = fileio.read_parquet_table(row.data_file, columns=col_names)
                     frame = tbl.to_pandas()
                     dels = _json.loads(row.delete_files)
                     if dels:
                         drop: set[int] = set()
                         for dpath in dels:
-                            dt = pq.read_table(dpath).to_pandas()
+                            dt = fileio.read_parquet_table(dpath).to_pandas()
                             drop.update(
                                 int(p)
                                 for p in dt.loc[
@@ -813,9 +867,15 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
         "path string, spec_id int, seq bigint, is_delete int",
     ).repartition(min(len(survivors) + len(live_delete_manifests), 64))
 
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
+
     def prune(batches):
+        from . import fileio
         from .manifest import read_manifest
 
+        fileio.apply_config(fileio_cfg)
         metrics_eval = inclusive_metrics_evaluator(schema_p, row_filter, case_sensitive)
         part_evals = {}
         kinds, seqs, out = [], [], []

@@ -182,7 +182,9 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
 
     from .conversions import to_bytes
 
-    meta = pq.read_metadata(path)
+    from . import fileio
+
+    meta = fileio.read_parquet_metadata(path)
     by_name = {f.name: f for f in schema.fields}
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
@@ -405,6 +407,9 @@ def write_data_files(
     schema_pickle = schema
     spec_pickle = spec
     target_size = target_file_size
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
     float_fields = [
         (f.name, f.field_id)
         for f in schema.fields
@@ -423,12 +428,16 @@ def write_data_files(
 
         from pyspark import TaskContext
 
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
         task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
         aschema = _arrow_schema(schema_pickle)
         writers: dict[tuple, Any] = {}
         paths: dict[tuple, str] = {}
         parts: dict[tuple, dict] = {}
         nan_counts: dict[tuple, dict[int, int]] = {}
+        est_bytes: dict[tuple, int] = {}
         counter = [0]
 
         done: list[str] = []
@@ -436,6 +445,7 @@ def write_data_files(
         def close_one(key: tuple) -> None:
             writers.pop(key).close()
             path = paths.pop(key)
+            est_bytes.pop(key, None)
             stats = _stats_from_parquet(path, schema_pickle)
             counts = nan_counts.pop(key)
             stats["nan_value_counts"] = {fid: counts.get(fid, 0) for _, fid in float_fields}
@@ -443,7 +453,7 @@ def write_data_files(
                 file_path=path,
                 file_format="PARQUET",
                 partition=parts.pop(key),
-                file_size_in_bytes=os.path.getsize(path),
+                file_size_in_bytes=fileio.size(path),
                 sort_order_id=sort_order_id,
                 **stats,
             )
@@ -458,21 +468,32 @@ def write_data_files(
                     d = os.path.join(location, "data", part_path)
                 else:
                     d = os.path.join(location, "data")
-                os.makedirs(d, exist_ok=True)
+                fileio.makedirs(d)
                 fname = f"00000-{task_id}-{counter[0]}-{commit_uuid}.parquet"
                 counter[0] += 1
                 path = os.path.join(d, fname)
-                writers[key] = pq.ParquetWriter(path, aschema, compression="zstd")
+                writers[key] = fileio.parquet_writer(path, aschema, compression="zstd")
                 paths[key] = path
                 parts[key] = dict(part_values)
                 nan_counts[key] = {}
+                est_bytes[key] = 0
             return writers[key]
 
         def maybe_roll(key: tuple) -> None:
             # rolling writer: split a partition's stream at the target
             # file size — ref rolling_data_writer.go:112-215 (512MB
-            # default via write.target-file-size-bytes)
-            if key in paths and os.path.getsize(paths[key]) >= target_size:
+            # default via write.target-file-size-bytes). Local files use
+            # the exact on-disk size; object-store writers buffer until
+            # close, so roll on accumulated in-memory batch bytes there
+            # (conservative: uncompressed >= compressed, files roll early).
+            if key not in paths:
+                return
+            sz = (
+                os.path.getsize(paths[key])
+                if fileio.is_local(paths[key])
+                else est_bytes[key]
+            )
+            if sz >= target_size:
                 close_one(key)
 
         # rows per write_table call = rolling-check granularity, scaled to
@@ -486,6 +507,7 @@ def write_data_files(
                 piece = tbl.slice(i, CHUNK)
                 w = writer_for(key, part_values)
                 w.write_table(piece)
+                est_bytes[key] += piece.nbytes
                 acc = nan_counts[key]
                 for fname, fid in float_fields:
                     c = pc.sum(pc.is_nan(piece[fname])).as_py()
@@ -593,7 +615,9 @@ def commit_data_files(
         manifest_path = os.path.join(
             md.location, "metadata", f"{ds.commit_uuid}-m{attempt}.avro"
         )
-        os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+        from . import fileio
+
+        fileio.makedirs(os.path.dirname(manifest_path))
         entries = [
             ManifestEntry(
                 status=ManifestEntryStatus.ADDED,
@@ -743,7 +767,9 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
         m.sequence_number = seq
         m.min_sequence_number = seq
     list_path = os.path.join(md.location, "metadata", f"snap-{ds_sid}-1-{uuid_}.avro")
-    os.makedirs(os.path.dirname(list_path), exist_ok=True)
+    from . import fileio
+
+    fileio.makedirs(os.path.dirname(list_path))
     from .manifest import write_manifest_list
 
     write_manifest_list(list_path, list(new_manifests) + list(carried))
@@ -784,6 +810,9 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
     files_df = spark.createDataFrame(
         [(t.file.file_path,) for t in tasks], "data_file string"
     ).repartition(min(len(tasks), 32))
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
 
     def task(batches):
         import pyarrow as pa
@@ -791,11 +820,14 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
 
         from pyspark import TaskContext
 
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
         task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
         rows = {"file_path": [], "pos": []}
         for pdf in batches:
             for data_path in pdf["data_file"]:
-                tbl = pq.read_table(data_path, columns=needed)
+                tbl = fileio.read_parquet_table(data_path, columns=needed)
                 frame = tbl.to_pandas()
                 # arrow validity masks let IS_NAN distinguish real NaN
                 # from null (pandas folds both into NaN)
@@ -814,17 +846,18 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
             return
         out = pd.DataFrame(rows).sort_values(["file_path", "pos"])
         d = os.path.join(location, "data")
-        os.makedirs(d, exist_ok=True)
+        fileio.makedirs(d)
         path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.parquet")
         apa = _arrow_schema(del_schema)
         pq_tbl = pa.Table.from_pandas(out, schema=apa, preserve_index=False)
-        pq.write_table(pq_tbl, path, compression="zstd")
+        with fileio.parquet_writer(path, apa, compression="zstd") as w:
+            w.write_table(pq_tbl)
         stats = _stats_from_parquet(path, del_schema)
         dfile = DataFile(
             file_path=path,
             file_format="PARQUET",
             partition={},
-            file_size_in_bytes=os.path.getsize(path),
+            file_size_in_bytes=fileio.size(path),
             content=__import__(
                 "iceberg_go_distributed_spark.iceberg.manifest", fromlist=["DataFileContent"]
             ).DataFileContent.POSITION_DELETES,
@@ -992,13 +1025,15 @@ def add_files(table, paths: list[str]) -> None:
             (f.metadata or {}).get(b"PARQUET:field_id") for f in arrow_schema
         ):
             missing_field_ids = True
+        from . import fileio
+
         stats = _stats_from_parquet(p, schema)
         files.append(
             DataFile(
                 file_path=p,
                 file_format="PARQUET",
                 partition={},
-                file_size_in_bytes=os.path.getsize(p),
+                file_size_in_bytes=fileio.size(p),
                 **stats,
             )
         )
