@@ -6,14 +6,18 @@ rename, and the updates+requirements commit POST (the wire shapes come
 from our Update/Requirement `to_json`, which use the REST action
 names, so commits round-trip through any conformant server).
 
-Uses urllib only (no external deps); auth = static bearer token if
-provided (the reference's OAuth dance is out of scope — token may come
-from the environment).
+Uses urllib only (no external deps). Auth is either a static bearer
+token or the OAuth2 client-credentials flow (ref catalog/rest/rest.go
+token endpoint): pass ``credential="client_id:client_secret"`` and the
+client exchanges it at ``{uri}/v1/oauth/tokens`` (or a custom
+``oauth2_server_uri``) before any catalog call, refreshes ahead of
+expiry, and retries once on a 401.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -41,10 +45,25 @@ class RestError(Exception):
 class RestCatalog(Catalog):
     name = "rest"
 
-    def __init__(self, uri: str, token: Optional[str] = None, warehouse: Optional[str] = None):
+    # refresh this long before the token's stated expiry
+    TOKEN_REFRESH_SLACK_S = 30.0
+
+    def __init__(
+        self,
+        uri: str,
+        token: Optional[str] = None,
+        warehouse: Optional[str] = None,
+        credential: Optional[str] = None,
+        scope: str = "catalog",
+        oauth2_server_uri: Optional[str] = None,
+    ):
         self.uri = uri.rstrip("/")
         self.token = token
         self.warehouse = warehouse
+        self.credential = credential
+        self.scope = scope
+        self.oauth2_server_uri = oauth2_server_uri
+        self._token_expires_at: Optional[float] = None
         # config endpoint merges server defaults/overrides
         try:
             cfg = self._get("/v1/config")
@@ -53,9 +72,51 @@ class RestCatalog(Catalog):
         except RestError:
             pass
 
+    # ---------------------------------------------------------------- oauth
+
+    def _fetch_token(self) -> None:
+        """client-credentials grant — ref rest.go fetchAccessToken: POST
+        form-encoded to /v1/oauth/tokens (or the dedicated auth server)."""
+        client_id, _, client_secret = (self.credential or "").partition(":")
+        if not client_secret:  # "secret" shorthand: empty client_id
+            client_id, client_secret = "", client_id
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "scope": self.scope,
+            }
+        ).encode()
+        url = self.oauth2_server_uri or f"{self.uri}/v1/oauth/tokens"
+        req = urllib.request.Request(url, data=form, method="POST")
+        req.add_header("Content-Type", "application/x-www-form-urlencoded")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                payload = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            raise RestError(e.code, e.read().decode(errors="replace")) from None
+        self.token = payload["access_token"]
+        expires_in = payload.get("expires_in")
+        self._token_expires_at = (
+            time.monotonic() + float(expires_in) if expires_in else None
+        )
+
+    def _ensure_token(self) -> None:
+        if not self.credential:
+            return
+        if self.token is None or (
+            self._token_expires_at is not None
+            and time.monotonic() >= self._token_expires_at - self.TOKEN_REFRESH_SLACK_S
+        ):
+            self._fetch_token()
+
     # ------------------------------------------------------------ plumbing
 
-    def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+    def _req(
+        self, method: str, path: str, body: Optional[dict] = None, _retry_auth: bool = True
+    ) -> dict:
+        self._ensure_token()
         url = f"{self.uri}{path}"
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
@@ -68,6 +129,10 @@ class RestCatalog(Catalog):
                 return json.loads(payload) if payload else {}
         except urllib.error.HTTPError as e:
             body_s = e.read().decode(errors="replace")
+            if e.code == 401 and self.credential and _retry_auth:
+                # token revoked/expired server-side: re-exchange and retry once
+                self.token = None
+                return self._req(method, path, body, _retry_auth=False)
             if e.code == 404:
                 raise NoSuchTableError(body_s) from None
             if e.code == 409:

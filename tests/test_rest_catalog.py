@@ -29,9 +29,15 @@ from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
 
 
 class _State:
-    def __init__(self):
+    def __init__(self, require_oauth: bool = False):
         self.tables: dict[tuple[str, str], dict] = {}
         self.namespaces: dict[str, dict] = {"default": {}}
+        # oauth mode: client-credentials exchange mints tokens; every
+        # catalog endpoint 401s without a currently-valid one
+        self.require_oauth = require_oauth
+        self.clients: dict[str, str] = {"svc": "s3cr3t"}
+        self.issued_tokens: set[str] = set()
+        self.token_counter = 0
 
 
 def _apply_updates(md_json: dict, updates: list[dict], requirements: list[dict]) -> dict:
@@ -87,8 +93,23 @@ def _make_handler(state: _State):
             n = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(n)) if n else {}
 
+        def _raw_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def _authorized(self) -> bool:
+            if not state.require_oauth:
+                return True
+            auth = self.headers.get("Authorization", "")
+            return (
+                auth.startswith("Bearer ")
+                and auth[len("Bearer ") :] in state.issued_tokens
+            )
+
         def do_GET(self):
             parts = [p for p in self.path.split("/") if p]
+            if not self._authorized():
+                return self._send(401, {"error": "unauthorized"})
             if parts == ["v1", "config"]:
                 return self._send(200, {"overrides": {}, "defaults": {}})
             if parts == ["v1", "namespaces"]:
@@ -120,6 +141,25 @@ def _make_handler(state: _State):
 
         def do_POST(self):
             parts = [p for p in self.path.split("/") if p]
+            if parts == ["v1", "oauth", "tokens"]:
+                import urllib.parse as _up
+
+                form = dict(_up.parse_qsl(self._raw_body().decode()))
+                ok = (
+                    form.get("grant_type") == "client_credentials"
+                    and state.clients.get(form.get("client_id", "")) == form.get("client_secret")
+                )
+                if not ok:
+                    return self._send(401, {"error": "invalid_client"})
+                state.token_counter += 1
+                tok = f"tok-{state.token_counter}"
+                state.issued_tokens.add(tok)
+                return self._send(
+                    200,
+                    {"access_token": tok, "token_type": "bearer", "expires_in": 3600},
+                )
+            if not self._authorized():
+                return self._send(401, {"error": "unauthorized"})
             body = self._body()
             if parts == ["v1", "namespaces"]:
                 ns = body["namespace"][0]
@@ -173,6 +213,8 @@ def _make_handler(state: _State):
 
         def do_DELETE(self):
             parts = [p for p in self.path.split("/") if p]
+            if not self._authorized():
+                return self._send(401, {"error": "unauthorized"})
             if len(parts) == 5 and parts[3] == "tables":
                 key = (parts[2], parts[4])
                 if key not in state.tables:
@@ -197,6 +239,16 @@ def rest_server():
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+@pytest.fixture()
+def oauth_rest_server():
+    state = _State(require_oauth=True)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}", state
     server.shutdown()
 
 
@@ -306,3 +358,52 @@ def test_transaction_commit_routes_through_rest(rest_server):
     ).StringType()).commit()
     t3 = cat.load_table("db.tx")
     assert any(f.name == "extra" for f in t3.schema().fields)
+
+
+def test_oauth_client_credentials_flow(oauth_rest_server):
+    """Token exchange before catalog calls, and re-exchange + retry when
+    the server revokes the token — ref catalog/rest/rest.go OAuth."""
+    from iceberg_go_distributed_spark.iceberg.rest_catalog import RestError
+
+    uri, state = oauth_rest_server
+
+    # no credential, no token → every call 401s
+    bare = RestCatalog.__new__(RestCatalog)
+    bare.uri = uri
+    bare.token = None
+    bare.credential = None
+    bare._token_expires_at = None
+    with pytest.raises(RestError) as ei:
+        bare._get("/v1/namespaces")
+    assert ei.value.status == 401
+
+    # wrong secret → the token endpoint itself rejects
+    with pytest.raises(RestError):
+        RestCatalog(uri, credential="svc:wrong").list_namespaces()
+
+    # correct client credentials → exchange, then calls work
+    cat = RestCatalog(uri, credential="svc:s3cr3t")
+    cat.create_namespace("db")
+    t = cat.create_table("db.t1", SCHEMA)
+    assert cat.list_tables("db") == [("db", "t1")]
+    assert cat.token in state.issued_tokens
+    assert state.token_counter >= 1
+
+    # server-side revocation → 401 → client re-exchanges and retries once
+    before = state.token_counter
+    state.issued_tokens.clear()
+    assert cat.load_table("db.t1").metadata.table_uuid == t.metadata.table_uuid
+    assert state.token_counter == before + 1  # exactly one re-exchange
+
+
+def test_oauth_token_refresh_before_expiry(oauth_rest_server):
+    """A token near its expires_in horizon is refreshed proactively."""
+    uri, state = oauth_rest_server
+    cat = RestCatalog(uri, credential="svc:s3cr3t")
+    first = state.token_counter
+    # simulate the expiry horizon passing
+    import time as _time
+
+    cat._token_expires_at = _time.monotonic() + 5  # < refresh slack (30s)
+    cat.list_namespaces()
+    assert state.token_counter == first + 1
