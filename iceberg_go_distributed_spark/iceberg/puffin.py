@@ -4,12 +4,24 @@ Implements the Puffin spec's binary layout (magic `PFA1`, concatenated
 blobs, JSON footer with blob metadata, footer size + flags + trailing
 magic) so files we write are structurally valid for any Puffin reader.
 
-Blob payloads: NDV blobs carry the distinct count in the blob
-metadata's `properties.ndv` (where Iceberg engines read it) with a
-compact payload under a custom type (`ndv-exact-v1`) — we compute exact
-NDVs with Spark rather than serializing DataSketches theta sketches
-(the standard `apache-datasketches-theta-v1` payload needs the Java
-sketch wire format; the property-based consumption path is identical).
+INTEROP NOTE (NDV consumption path). Iceberg engines that use NDV for
+cost-based planning (Trino, Spark, the reference's statistics.go parse)
+read the distinct count from the statistics entry's
+``blob-metadata[].properties.ndv`` string — they do NOT deserialize the
+blob payload to get the number. We therefore:
+
+  - put the exact NDV in ``properties.ndv`` (the consumed field), and
+  - write the payload under a custom type ``ndv-exact-v1`` (a decimal
+    ASCII count) instead of ``apache-datasketches-theta-v1``.
+
+What is NOT provided: a payload readable by DataSketches' Java/C++
+``CompactSketch.wrap`` — that requires the sketches' murmur3-x64-128
+hash wire format, and this environment has no DataSketches library to
+validate such bytes against; an unverifiable payload mislabeled with
+the standard type would be worse than an honest custom one. Engines
+that *merge* sketches across snapshots (rather than reading
+properties.ndv) would recompute; `test_ndv_properties_consumption`
+pins the consumed path.
 
 ref table/statistics.go:26-90 (StatisticsFile metadata entries, which
 `Table.compute_statistics` fills in via SetStatistics).
@@ -147,10 +159,12 @@ def compute_ndv_statistics(table, spark, columns: Optional[list[str]] = None) ->
                 str(ndv).encode(),
             )
         )
+    from . import fileio
+
     path = os.path.join(
         md.location, "metadata", f"stats-{snap.snapshot_id}.puffin"
     )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fileio.makedirs(os.path.dirname(path))
     info = write_puffin(path, blobs, {"created-by": "iceberg_go_distributed_spark"})
     entry = {
         "snapshot-id": snap.snapshot_id,

@@ -199,6 +199,32 @@ def test_puffin_roundtrip(tmp_path):
     assert payloads[0] == b"42" and payloads[1] == b"7"
 
 
+def test_ndv_properties_consumption(fs_catalog, spark, lineitem_df):
+    """Engines read NDV from the statistics entry's
+    blob-metadata[].properties.ndv (Trino/Spark CBO path, and the
+    reference's statistics.go parse) — never from the payload. Assert
+    the consumed field is present, integer-parseable, and correct via
+    ONLY the table-metadata JSON (no puffin read)."""
+    from iceberg_go_distributed_spark.iceberg.puffin import compute_ndv_statistics
+
+    t = fs_catalog.create_table("db.li_ndvprops", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(400).coalesce(1))
+    compute_ndv_statistics(t, spark, columns=["l_returnflag", "l_linestatus"])
+
+    t2 = fs_catalog.load_table("db.li_ndvprops")
+    (entry,) = t2.metadata.statistics
+    assert entry["snapshot-id"] == t2.current_snapshot().snapshot_id
+    by_field = {
+        bm["fields"][0]: bm["properties"]["ndv"] for bm in entry["blob-metadata"]
+    }
+    fid_flag = next(f.field_id for f in t2.schema().fields if f.name == "l_returnflag")
+    fid_stat = next(f.field_id for f in t2.schema().fields if f.name == "l_linestatus")
+    want_flag = lineitem_df.limit(400).select("l_returnflag").distinct().count()
+    want_stat = lineitem_df.limit(400).select("l_linestatus").distinct().count()
+    assert int(by_field[fid_flag]) == want_flag
+    assert int(by_field[fid_stat]) == want_stat
+
+
 def test_compute_ndv_statistics(fs_catalog, spark, lineitem_df):
     from iceberg_go_distributed_spark.iceberg.puffin import (
         compute_ndv_statistics,
