@@ -46,6 +46,16 @@ class FileScanTask:
     length: int = 0
 
 
+def _ensure_field_id_reads(spark) -> None:
+    """Field-id-based parquet column resolution, set once per session
+    (sessions built by session.py already have it; this covers
+    user-owned sessions without mutating conf on every scan)."""
+    if getattr(spark, "_iceberg_field_id_reads", False):
+        return
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark._iceberg_field_id_reads = True
+
+
 def _delete_covers_path(delete_file: DataFile, data_path: str) -> bool:
     """file_path-bounds check for positional-delete matching —
     ref scanner.go:285-309 (metrics-match on file_path)."""
@@ -299,7 +309,7 @@ class Scan:
                 else:
                     from .types import schema_to_spark_struct
 
-                    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                    _ensure_field_id_reads(spark)
                     df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
             except Exception:
                 from . import fileio
@@ -452,7 +462,7 @@ class Scan:
         if "schema.name-mapping.default" in self.table.metadata.properties:
             reader = spark.read.schema(schema_to_spark_ddl(schema))
         else:
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            _ensure_field_id_reads(spark)
             reader = spark.read.schema(schema_to_spark_struct(schema))
         strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
         df = (

@@ -136,21 +136,43 @@ def _bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+_DIM_MEMO: dict[int, int] = {}
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    """Embedding width via a one-row probe, memoized per logical plan so
+    bench/batch loops don't pay a Spark job per call."""
+    from pyspark.sql import functions as F2
+
+    key = hash((emb._jdf.queryExecution().logical().semanticHash(), vec_col))
+    if key not in _DIM_MEMO:
+        _DIM_MEMO[key] = emb.select(F2.size(vec_col)).first()[0]
+    return _DIM_MEMO[key]
+
+
 def ann_lsh_topk(
-    emb: DataFrame, max_query_id: int = 10, k: int = 3, vec_col: str = "embedding"
+    emb: DataFrame,
+    max_query_id: int = 10,
+    k: int = 3,
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
     hyperplane-sign bucket; exact cosine re-ranks inside it.
 
     At scale the corpus is hash-partitioned (or written bucketed) by
     `_bucket`, so a probe is a partition-pruned lookup, not a scan.
+    Pass `dim` when known (embeddings tables have fixed width) to skip
+    the one-row dimensionality probe; repeated callers on the same
+    DataFrame hit a per-plan memo instead of re-running the job.
     """
     from pyspark.sql import functions as F2
 
     # planes must match the embedding dimensionality — a short plane
     # array would null out every dot product and collapse all vectors
     # into one bucket (silent brute-force)
-    dim = emb.select(F2.size(vec_col)).first()[0]
+    if dim is None:
+        dim = _dim_of(emb, vec_col)
     planes = lsh_planes(dim=dim)
     base = with_norm(emb, vec_col).withColumn("_bucket", _bucket(vec_col, planes))
     q = base.where(F.col("vec_id") < max_query_id).select(

@@ -56,12 +56,19 @@ def _lineitem_table(spark, sf_dir, name, spec_defs=(), single_file=True):
     WHERE l_quantity > 30.0
     GROUP BY l_returnflag
     """,
-    doc="table round-trip: append via distributed snapshot, filtered scan back",
+    doc="table round-trip: parallel append via distributed snapshot, filtered scan back",
 )
 def ice_write_scan_filter(spark, sf_dir):
     from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
 
-    t, _ = _lineitem_table(spark, sf_dir, "ice_rt")
+    # parallel writers are the point of the distributed-snapshot design
+    # (coordinator reserves the snapshot, every task writes its own
+    # files); 8 fixed partitions keep the file count deterministic
+    cat = _fresh_catalog("ice_rt", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_rt", schema_from_spark(li.schema))
+    t.append(li.repartition(8))
     df = t.scan(row_filter=E.greater_than("l_quantity", 30.0)).to_df(spark)
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -27,6 +27,9 @@ RUNTIME_CONFS = {
     "spark.sql.parquet.fieldId.read.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bigger Arrow batches: fewer JVM<->Python roundtrips in the
+    # mapInArrow write path and larger parquet row groups per write call
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # dimension tables (region/nation/customer/supplier/part at test SFs)
     # should broadcast; at 100 TB the big fact tables never fit here anyway.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
