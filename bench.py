@@ -46,8 +46,16 @@ def main() -> None:
     spark = build_spark(app_name="bench")
     reg = all_queries()
 
-    # warm the JVM + parquet footers so timings measure the engine, not startup
+    # Warm the fixed startup costs so timings measure the engine, not
+    # process launch: JVM + codegen (q6), parquet footers of every table
+    # the headline set touches, and the executor Python-worker pool
+    # (mapInArrow spawns workers on first use; the distributed write
+    # path pays ~2s once per session otherwise).
     reg["q6_forecast_revenue"].fn(spark, sf_dir).count()
+    for tbl in ("documents", "embeddings", "customer", "orders", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
+    warm = spark.range(32).repartition(8)
+    warm.mapInArrow(lambda it: it, warm.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -9,8 +9,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import hex15
-
 # Function words used by both the quality score and the language-ID
 # heuristic. Chosen from the corpus vocabulary's closed-class words.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -101,10 +99,10 @@ def doc_fingerprints(
     from .dedup import shingle_sets
 
     sh = shingle_sets(docs.where(F.col(id_col) < max_doc_id), text_col, id_col, n)
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    # shingle_sets already carries the 60-bit hex15 hash per shingle
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("_h"))
     return (
-        ex.withColumn("_h", hex15(F.col("_s")))
-        .groupBy(id_col)
+        ex.groupBy(id_col)
         .agg(
             F.min("_h").alias("fingerprint"),
             # shingle_sets already deduplicates, so a plain count equals
