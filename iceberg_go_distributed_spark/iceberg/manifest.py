@@ -106,6 +106,13 @@ class DataFile:
     split_offsets: Optional[list[int]] = None
     equality_ids: Optional[list[int]] = None
     sort_order_id: Optional[int] = None
+    # v3 deletion-vector fields — ref manifest.go:1792-1793,2364-2365.
+    # Parsed and preserved on read so v3 manifests round-trip; this
+    # writer never emits them (positional deletes are written as v2
+    # delete files, not DVs).
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
 
     @property
     def distinct_value_counts(self):  # parsed, never populated by writers
@@ -352,6 +359,9 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
         split_offsets=d.get("split_offsets"),
         equality_ids=d.get("equality_ids"),
         sort_order_id=d.get("sort_order_id"),
+        referenced_data_file=d.get("referenced_data_file"),
+        content_offset=d.get("content_offset"),
+        content_size_in_bytes=d.get("content_size_in_bytes"),
     )
     return ManifestEntry(
         status=ManifestEntryStatus(obj["status"]),

@@ -52,6 +52,11 @@ class Snapshot:
     summary: Summary
     parent_snapshot_id: Optional[int] = None
     schema_id: Optional[int] = None
+    # v3 row lineage: the first row ID assigned to rows in this snapshot
+    # and the number of rows it added — ref table/snapshots.go:257-258.
+    # Parsed and preserved; this writer never assigns row IDs (v2).
+    first_row_id: Optional[int] = None
+    added_rows: Optional[int] = None
 
     def to_json(self) -> dict:
         out: dict[str, Any] = {
@@ -65,6 +70,10 @@ class Snapshot:
             out["parent-snapshot-id"] = self.parent_snapshot_id
         if self.schema_id is not None:
             out["schema-id"] = self.schema_id
+        if self.first_row_id is not None:
+            out["first-row-id"] = self.first_row_id
+        if self.added_rows is not None:
+            out["added-rows"] = self.added_rows
         return out
 
     @staticmethod
@@ -77,6 +86,8 @@ class Snapshot:
             summary=Summary.from_json(obj.get("summary", {})),
             parent_snapshot_id=obj.get("parent-snapshot-id"),
             schema_id=obj.get("schema-id"),
+            first_row_id=obj.get("first-row-id"),
+            added_rows=obj.get("added-rows"),
         )
 
     def manifests(self):
@@ -211,6 +222,10 @@ class TableMetadata:
     # by the planner (ref table/statistics.go:26-90)
     statistics: list = field(default_factory=list)
     partition_statistics: list = field(default_factory=list)
+    # v3 row lineage: the next row ID this table would assign — ref
+    # table/metadata.go:1772-1796 (metadataV3.NextRowID). Read-plane
+    # only; commits to v3 tables are rejected (see MetadataBuilder).
+    next_row_id: Optional[int] = None
 
     # ------------------------------------------------------------ accessors
 
@@ -261,6 +276,11 @@ class TableMetadata:
     def to_json(self) -> dict:
         return {
             "format-version": self.format_version,
+            **(
+                {"next-row-id": self.next_row_id}
+                if self.format_version >= 3 and self.next_row_id is not None
+                else {}
+            ),
             "table-uuid": self.table_uuid,
             "location": self.location,
             "last-sequence-number": self.last_sequence_number,
@@ -292,7 +312,7 @@ class TableMetadata:
     @staticmethod
     def from_json(obj: dict) -> "TableMetadata":
         fv = obj.get("format-version")
-        if fv not in (1, 2):
+        if fv not in (1, 2, 3):
             raise ValueError(f"unsupported format version: {fv}")
         if "table-uuid" not in obj:
             raise ValueError("missing table-uuid")
@@ -367,9 +387,12 @@ class TableMetadata:
             sort_orders=orders,
             default_sort_order_id=default_sort,
             refs=refs,
-            format_version=2,  # we always write v2
+            # v1 is upgraded to the v2 shape we write; v3 stays v3 so the
+            # builder can reject write paths that would break row lineage
+            format_version=3 if fv == 3 else 2,
             statistics=obj.get("statistics", []),
             partition_statistics=obj.get("partition-statistics", []),
+            next_row_id=obj.get("next-row-id"),
         )
 
 
@@ -457,6 +480,16 @@ class MetadataBuilder:
 
     def add_snapshot(self, snapshot: Snapshot) -> "MetadataBuilder":
         """Invariants — ref table/metadata.go:435-474."""
+        if self.m.format_version >= 3:
+            # v3 snapshots must assign first-row-id / carry row lineage
+            # through manifests; this writer produces v2 manifests. A
+            # silent v2-style commit would corrupt lineage for every
+            # other v3 reader, so refuse loudly. (Reads of v3 tables,
+            # including time travel, work — only commits are gated.)
+            raise CommitStateError(
+                "committing to a format-version 3 table is not supported "
+                "(row lineage would be lost); this engine reads v3 and writes v2"
+            )
         if not self.m.schemas:
             raise CommitStateError("cannot add snapshot before adding a schema")
         if not self.m.partition_specs:
@@ -542,6 +575,17 @@ class MetadataBuilder:
     # ------------------------------------------------------ schema / spec
 
     def add_schema(self, schema: Schema) -> "MetadataBuilder":
+        # v3-only types (ns-timestamps) cannot enter a v1/v2 table —
+        # ref table/metadata_schema_comptability.go:73-130
+        from .types import min_format_version_for_type
+
+        for f in schema.fields:
+            need = min_format_version_for_type(f.field_type)
+            if need > self.m.format_version:
+                raise CommitStateError(
+                    f"column {f.name!r} ({f.field_type.name}) requires format "
+                    f"version {need}, table is v{self.m.format_version}"
+                )
         if any(s.schema_id == schema.schema_id for s in self.m.schemas):
             self.m.schemas = [
                 schema if s.schema_id == schema.schema_id else s for s in self.m.schemas

@@ -241,6 +241,16 @@ class Scan:
                     )
                 )
             delete_entries.sort(key=lambda e: e.sequence_number or 0)
+            for d in delete_entries:
+                # v3 deletion vectors are puffin blobs, not parquet
+                # delete files — reading one as parquet would silently
+                # drop the wrong rows, so refuse loudly until DV decode
+                # exists (ref manifest.go:2364 ContentOffset, v3+ only)
+                if d.data_file.content_offset is not None:
+                    raise NotImplementedError(
+                        f"deletion vector {d.data_file.file_path!r} "
+                        "(v3 puffin DV) is not supported by this reader"
+                    )
 
         tasks: list[FileScanTask] = []
         from .manifest import DataFileContent

@@ -77,6 +77,14 @@ class TimestampTzType(PrimitiveType):
     name = "timestamptz"  # µs UTC, ref types.go:656
 
 
+class TimestampNsType(PrimitiveType):
+    name = "timestamp_ns"  # ns, no tz, v3+ only — ref types.go:704-716
+
+
+class TimestampTzNsType(PrimitiveType):
+    name = "timestamptz_ns"  # ns UTC, v3+ only — ref types.go:718-730
+
+
 class StringType(PrimitiveType):
     name = "string"  # ref types.go:668
 
@@ -234,11 +242,28 @@ _PRIMITIVES: dict[str, PrimitiveType] = {
         TimeType,
         TimestampType,
         TimestampTzType,
+        TimestampNsType,
+        TimestampTzNsType,
         StringType,
         UUIDType,
         BinaryType,
     )
 }
+
+
+def min_format_version_for_type(t: IcebergType) -> int:
+    """Minimum table format version a type requires — ref
+    table/metadata_schema_comptability.go:117-130. ns-timestamps are
+    v3-only; everything else reads back to v1."""
+    if isinstance(t, (TimestampNsType, TimestampTzNsType)):
+        return 3
+    if isinstance(t, StructType):
+        return max((min_format_version_for_type(f.field_type) for f in t.fields), default=1)
+    if isinstance(t, ListType):
+        return min_format_version_for_type(t.element)
+    if isinstance(t, MapType):
+        return max(min_format_version_for_type(t.key), min_format_version_for_type(t.value))
+    return 1
 
 _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _FIXED_RE = re.compile(r"^fixed\[\s*(\d+)\s*\]$")
@@ -396,6 +421,11 @@ _SPARK_SIMPLE = {
     "time": "bigint",  # Spark has no TIME type; µs-since-midnight marker
     "timestamp": "timestamp_ntz",
     "timestamptz": "timestamp",
+    # v3 ns-timestamps: Spark's timestamps are µs, so reads downcast
+    # ns→µs — the same policy the reference applies to Arrow
+    # (table/arrow_utils.go:388 downcastNsTimestamp)
+    "timestamp_ns": "timestamp_ntz",
+    "timestamptz_ns": "timestamp",
     "string": "string",
     "uuid": "string",  # canonical text form
     "binary": "binary",

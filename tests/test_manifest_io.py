@@ -176,3 +176,33 @@ def test_deleted_entries_discarded(tmp_path):
     )
     assert len(read_manifest(path, discard_deleted=True)) == 1
     assert len(read_manifest(path, discard_deleted=False)) == 2
+
+
+def test_v3_deletion_vector_fields_parse():
+    """v3 manifests carry DV pointers on delete entries (ref
+    manifest.go:1792-1793); the reader must surface them so the scan
+    can refuse loudly instead of misreading puffin as parquet."""
+    from iceberg_go_distributed_spark.iceberg.manifest import _entry_from_avro
+
+    rec = {
+        "status": 1,
+        "snapshot_id": 7,
+        "sequence_number": 3,
+        "file_sequence_number": 3,
+        "data_file": {
+            "content": 1,
+            "file_path": "s3://b/deletes/dv.puffin",
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": 10,
+            "file_size_in_bytes": 128,
+            "referenced_data_file": "s3://b/data/f1.parquet",
+            "content_offset": 4,
+            "content_size_in_bytes": 64,
+        },
+    }
+    e = _entry_from_avro(rec)
+    df = e.data_file
+    assert df.referenced_data_file == "s3://b/data/f1.parquet"
+    assert df.content_offset == 4
+    assert df.content_size_in_bytes == 64

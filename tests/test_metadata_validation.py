@@ -186,3 +186,79 @@ def test_v1_parses_with_defaults():
     assert md.current_schema().fields[0].name == "x"
     assert md.default_spec().is_unpartitioned()
     assert md.format_version == 2  # we upgrade on write
+
+
+# --------------------------------------------------------------------- v3
+
+def _valid_v3() -> dict:
+    """V3 variant of the golden doc: ns-timestamp column, row lineage
+    (next-row-id / first-row-id / added-rows) — mirrors the reference's
+    metadataV3 surface (table/metadata.go:1772-1796)."""
+    doc = copy.deepcopy(VALID_V2)
+    doc["format-version"] = 3
+    doc["next-row-id"] = 4000
+    doc["schemas"][1]["fields"].append(
+        {"id": 4, "name": "ts_ns", "required": False, "type": "timestamp_ns"}
+    )
+    doc["last-column-id"] = 4
+    doc["snapshots"][1]["first-row-id"] = 1000
+    doc["snapshots"][1]["added-rows"] = 3000
+    return doc
+
+
+def test_v3_parses_and_roundtrips():
+    md = TableMetadata.from_json(_valid_v3())
+    assert md.format_version == 3
+    assert md.next_row_id == 4000
+    snap = md.current_snapshot()
+    assert snap.first_row_id == 1000 and snap.added_rows == 3000
+    ts_ns = md.current_schema().fields[-1].field_type
+    assert ts_ns.name == "timestamp_ns"
+    out = md.to_json()
+    assert out["format-version"] == 3
+    assert out["next-row-id"] == 4000
+    snap_out = [s for s in out["snapshots"] if s.get("first-row-id") is not None]
+    assert snap_out and snap_out[0]["added-rows"] == 3000
+    # parse the emitted JSON again — full round trip
+    again = TableMetadata.from_json(out)
+    assert again.next_row_id == 4000
+
+
+def test_v3_ns_timestamp_maps_to_spark_microseconds():
+    from iceberg_go_distributed_spark.iceberg.types import (
+        TimestampNsType,
+        TimestampTzNsType,
+        min_format_version_for_type,
+        spark_type,
+    )
+
+    # downcast policy: ns → Spark's µs timestamps (ref arrow_utils.go:388)
+    assert spark_type(TimestampNsType()) == "timestamp_ntz"
+    assert spark_type(TimestampTzNsType()) == "timestamp"
+    assert min_format_version_for_type(TimestampNsType()) == 3
+    assert min_format_version_for_type(TimestampTzNsType()) == 3
+
+
+def test_v3_commit_rejected_but_reads_work():
+    from iceberg_go_distributed_spark.iceberg.metadata import Snapshot, Summary
+
+    md = TableMetadata.from_json(_valid_v3())
+    # reads: time travel over the v3 snapshot log works
+    assert md.snapshot_as_of(1515100955771).snapshot_id == 3051729675574597004
+    # writes: adding a snapshot would break row lineage — refused
+    snap = Snapshot(1, 35, 1999999999999, "s3://a/b/3.avro", Summary("append"))
+    with pytest.raises(CommitStateError, match="format-version 3"):
+        MetadataBuilder(md).add_snapshot(snap)
+
+
+def test_ns_type_gated_out_of_v2_schema():
+    from iceberg_go_distributed_spark.iceberg.types import (
+        NestedField,
+        Schema,
+        TimestampNsType,
+    )
+
+    md = TableMetadata.from_json(VALID_V2)
+    bad = Schema.of(9, NestedField(10, "ts", TimestampNsType(), required=False))
+    with pytest.raises(CommitStateError, match="requires format"):
+        MetadataBuilder(md).add_schema(bad)
