@@ -259,7 +259,21 @@ def partition_record_schema(spec: PartitionSpec, schema: Schema) -> dict:
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def data_file_schema(spec: PartitionSpec, schema: Schema) -> dict:
+def data_file_schema(
+    spec: PartitionSpec, schema: Schema, dv_fields: bool = False
+) -> dict:
+    # v3 deletion-vector columns (spec field ids 143-145); only written
+    # when an entry actually carries them so v2 manifests keep the
+    # exact v2 shape — ref manifest.go:1792-1793
+    extra = (
+        [
+            _f("referenced_data_file", _nullable("string"), 143, None),
+            _f("content_offset", _nullable("long"), 144, None),
+            _f("content_size_in_bytes", _nullable("long"), 145, None),
+        ]
+        if dv_fields
+        else []
+    )
     return {
         "type": "record",
         "name": "r2",
@@ -280,11 +294,14 @@ def data_file_schema(spec: PartitionSpec, schema: Schema) -> dict:
             _f("split_offsets", _nullable({"type": "array", "items": "long", "element-id": 133}), 132, None),
             _f("equality_ids", _nullable({"type": "array", "items": "long", "element-id": 136}), 135, None),
             _f("sort_order_id", _nullable("int"), 140, None),
+            *extra,
         ],
     }
 
 
-def manifest_entry_schema(spec: PartitionSpec, schema: Schema) -> dict:
+def manifest_entry_schema(
+    spec: PartitionSpec, schema: Schema, dv_fields: bool = False
+) -> dict:
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -293,7 +310,7 @@ def manifest_entry_schema(spec: PartitionSpec, schema: Schema) -> dict:
             _f("snapshot_id", _nullable("long"), 1, None),
             _f("sequence_number", _nullable("long"), 3, None),
             _f("file_sequence_number", _nullable("long"), 4, None),
-            _f("data_file", data_file_schema(spec, schema), 2),
+            _f("data_file", data_file_schema(spec, schema, dv_fields), 2),
         ],
     }
 
@@ -336,6 +353,11 @@ def _entry_to_avro(e: ManifestEntry, spec: PartitionSpec) -> dict:
             "split_offsets": df.split_offsets,
             "equality_ids": df.equality_ids,
             "sort_order_id": df.sort_order_id,
+            # harmless extras when the writer schema omits DV fields:
+            # write_ocf marshals by schema, unknown keys are dropped
+            "referenced_data_file": df.referenced_data_file,
+            "content_offset": df.content_offset,
+            "content_size_in_bytes": df.content_size_in_bytes,
         },
     }
 
@@ -387,7 +409,8 @@ def write_manifest(
     from .conversions import to_bytes
 
     entries = list(entries)
-    avro_schema = manifest_entry_schema(spec, schema)
+    has_dv = any(e.data_file.content_offset is not None for e in entries)
+    avro_schema = manifest_entry_schema(spec, schema, dv_fields=has_dv)
     meta = {
         "schema": __import__("json").dumps(schema.to_json()),
         "partition-spec": __import__("json").dumps([f.to_json() for f in spec.fields]),

@@ -124,6 +124,61 @@ def read_puffin(path: str) -> tuple[list[BlobMetadata], dict, dict[int, bytes]]:
     return metas, footer.get("properties", {}), payloads
 
 
+# ------------------------------------------------------- deletion vectors
+
+# Iceberg v3 `deletion-vector-v1` blob layout (Iceberg spec, Deletion
+# Vectors): u32 BE length of (magic + vector), 4 magic bytes D1 D3 39 64,
+# the 64-bit portable Roaring bitmap, u32 BE CRC-32 of (magic + vector).
+# DataFile.content_offset points at the length word; content_size_in_bytes
+# covers the whole framed blob.
+DV_MAGIC = b"\xd1\xd3\x39\x64"
+
+
+def serialize_deletion_vector(positions) -> bytes:
+    """Frame sorted deleted-row positions as a `deletion-vector-v1` blob."""
+    import zlib
+
+    from .roaring import serialize_portable64
+
+    body = DV_MAGIC + serialize_portable64(positions)
+    return (
+        struct.pack(">I", len(body)) + body + struct.pack(">I", zlib.crc32(body))
+    )
+
+
+def parse_deletion_vector(blob: bytes):
+    """Decode a `deletion-vector-v1` blob → sorted uint64 positions.
+    Verifies framing and CRC so a truncated/corrupt vector fails loudly
+    (deleting the wrong rows is silent data corruption)."""
+    import zlib
+
+    from .roaring import deserialize_portable64
+
+    (length,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4 : 4 + length]
+    if len(body) != length:
+        raise ValueError("deletion vector truncated")
+    if body[:4] != DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    (crc,) = struct.unpack_from(">I", blob, 4 + length)
+    if zlib.crc32(body) != crc:
+        raise ValueError("deletion vector CRC mismatch")
+    return deserialize_portable64(body[4:])
+
+
+def read_deletion_vector(path: str, offset: int, size: int):
+    """Read one DV from a puffin file by manifest pointer
+    (referenced via DataFile.content_offset/content_size_in_bytes)."""
+    from . import fileio
+
+    with fileio.open_input(path) as f:
+        f.seek(offset)
+        blob = f.read(size)
+    if len(blob) != size:
+        raise ValueError(f"short read of deletion vector at {path}:{offset}")
+    return parse_deletion_vector(blob)
+
+
 def compute_ndv_statistics(table, spark, columns: Optional[list[str]] = None) -> dict:
     """Compute exact per-column NDVs for the current snapshot, write one
     Puffin file, and commit a SetStatistics entry. Returns the entry."""

@@ -241,16 +241,6 @@ class Scan:
                     )
                 )
             delete_entries.sort(key=lambda e: e.sequence_number or 0)
-            for d in delete_entries:
-                # v3 deletion vectors are puffin blobs, not parquet
-                # delete files — reading one as parquet would silently
-                # drop the wrong rows, so refuse loudly until DV decode
-                # exists (ref manifest.go:2364 ContentOffset, v3+ only)
-                if d.data_file.content_offset is not None:
-                    raise NotImplementedError(
-                        f"deletion vector {d.data_file.file_path!r} "
-                        "(v3 puffin DV) is not supported by this reader"
-                    )
 
         tasks: list[FileScanTask] = []
         from .manifest import DataFileContent
@@ -263,8 +253,18 @@ class Scan:
                     d_seq = d.sequence_number or 0
                     e_seq = e.sequence_number or 0
                     if d.data_file.content == DataFileContent.POSITION_DELETES:
+                        if d.data_file.content_offset is not None:
+                            # v3 deletion vector: targets exactly one
+                            # data file (referenced_data_file is
+                            # required for DVs)
+                            if (
+                                d_seq >= e_seq
+                                and d.data_file.referenced_data_file
+                                == e.data_file.file_path
+                            ):
+                                picked.append(d.data_file)
                         # positional: applies to same-or-older data (>=)
-                        if d_seq >= e_seq and _delete_covers_path(
+                        elif d_seq >= e_seq and _delete_covers_path(
                             d.data_file, e.data_file.file_path
                         ):
                             picked.append(d.data_file)
@@ -466,6 +466,22 @@ class Scan:
                 for t in tasks
                 for d in t.delete_files
                 if d.content == DataFileContent.POSITION_DELETES
+                and d.content_offset is None
+            }
+        )
+        # v3 deletion vectors: (target data file, puffin path, offset, size)
+        dv_descriptors = sorted(
+            {
+                (
+                    d.referenced_data_file,
+                    d.file_path,
+                    d.content_offset,
+                    d.content_size_in_bytes,
+                )
+                for t in tasks
+                for d in t.delete_files
+                if d.content == DataFileContent.POSITION_DELETES
+                and d.content_offset is not None
             }
         )
         files = [t.file.file_path for t in tasks]
@@ -480,6 +496,7 @@ class Scan:
             .withColumn("_fp", strip(F.col("_metadata.file_path")))
             .withColumn("_pos", F.col("_metadata.row_index"))
         )
+        dels = None
         if pos_files:
             dels = (
                 spark.read.parquet(*pos_files)
@@ -489,8 +506,52 @@ class Scan:
                 )
                 .dropDuplicates()
             )
+        if dv_descriptors:
+            dv_df = self._deletion_vector_positions(spark, dv_descriptors)
+            dels = dv_df if dels is None else dels.unionByName(dv_df)
+        if dels is not None:
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         return df.drop("_fp", "_pos")
+
+    @staticmethod
+    def _deletion_vector_positions(spark, descriptors):
+        """Decode v3 deletion vectors into a (_fp, _pos) frame for the
+        MOR anti-join. Decode runs executor-side (one task per vector
+        via mapInArrow), so a delete-heavy table with thousands of DVs
+        never funnels bitmap bytes through the driver; each task seeks
+        straight to its blob (content_offset/size from the manifest)."""
+        import pyarrow as pa
+
+        from . import fileio as _fileio
+
+        fileio_cfg = _fileio.env_config()
+        desc_df = spark.createDataFrame(
+            [(t, p, int(o), int(s)) for t, p, o, s in descriptors],
+            "target string, dv_path string, offset long, size long",
+        ).repartition(min(len(descriptors), 64))
+
+        def decode(batches):
+            import re
+
+            from . import fileio, puffin
+
+            fileio.apply_config(fileio_cfg)
+            for batch in batches:
+                for row in batch.to_pylist():
+                    positions = puffin.read_deletion_vector(
+                        row["dv_path"], row["offset"], row["size"]
+                    )
+                    # strip the scheme exactly as the data side's
+                    # regexp_replace("^[a-z0-9]+:(//)?") does
+                    target = re.sub(r"^[a-z0-9]+:(//)?", "", row["target"])
+                    yield pa.record_batch(
+                        {
+                            "_fp": pa.array([target] * len(positions)),
+                            "_pos": pa.array(positions.astype("int64")),
+                        }
+                    )
+
+        return desc_df.mapInArrow(decode, "_fp string, _pos long")
 
     def _read_files_arrow(self, spark, files: list, schema: Schema):
         """Distributed per-file Arrow read for URIs the JVM has no
@@ -529,7 +590,15 @@ class Scan:
                 t.file.file_path,
                 _json.dumps(
                     [
-                        d.file_path
+                        {
+                            "path": d.file_path,
+                            # v3 DV pointer (puffin blob) vs v2 parquet file
+                            "dv": (
+                                [d.content_offset, d.content_size_in_bytes]
+                                if d.content_offset is not None
+                                else None
+                            ),
+                        }
                         for d in t.delete_files
                         if d.content == DataFileContent.POSITION_DELETES
                     ]
@@ -556,9 +625,19 @@ class Scan:
                     frame = tbl.to_pandas()
                     dels = _json.loads(row.delete_files)
                     if dels:
+                        from . import puffin
+
                         drop: set[int] = set()
-                        for dpath in dels:
-                            dt = fileio.read_parquet_table(dpath).to_pandas()
+                        for d in dels:
+                            if d["dv"] is not None:
+                                drop.update(
+                                    int(p)
+                                    for p in puffin.read_deletion_vector(
+                                        d["path"], d["dv"][0], d["dv"][1]
+                                    )
+                                )
+                                continue
+                            dt = fileio.read_parquet_table(d["path"]).to_pandas()
                             drop.update(
                                 int(p)
                                 for p in dt.loc[
@@ -943,7 +1022,11 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
             picked = []
             for d_seq, ddf in delete_rows:
                 if ddf.content == DataFileContent.POSITION_DELETES:
-                    if d_seq >= e_seq and _delete_covers_path(ddf, dfile.file_path):
+                    if ddf.content_offset is not None:
+                        # v3 DV: exact referenced-file match
+                        if d_seq >= e_seq and ddf.referenced_data_file == dfile.file_path:
+                            picked.append(ddf)
+                    elif d_seq >= e_seq and _delete_covers_path(ddf, dfile.file_path):
                         picked.append(ddf)
                 elif ddf.content == DataFileContent.EQUALITY_DELETES:
                     if d_seq > e_seq:

@@ -319,6 +319,12 @@ def _encode_descriptor(df: DataFile) -> str:
             "upper_bounds": hexmap(df.upper_bounds),
             "split_offsets": df.split_offsets,
             "sort_order_id": df.sort_order_id,
+            # v3 deletion-vector pointer — must survive the descriptor
+            # round trip or a distributed plan would misread the puffin
+            # blob as a parquet delete file
+            "referenced_data_file": df.referenced_data_file,
+            "content_offset": df.content_offset,
+            "content_size_in_bytes": df.content_size_in_bytes,
         }
     )
 
@@ -350,6 +356,9 @@ def _decode_descriptor(s: str) -> DataFile:
         upper_bounds=unhex(d.get("upper_bounds")),
         split_offsets=d.get("split_offsets"),
         sort_order_id=d.get("sort_order_id"),
+        referenced_data_file=d.get("referenced_data_file"),
+        content_offset=d.get("content_offset"),
+        content_size_in_bytes=d.get("content_size_in_bytes"),
     )
 
 

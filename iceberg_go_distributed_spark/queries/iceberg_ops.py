@@ -419,3 +419,97 @@ def ice_upsert(spark, sf_dir):
         ],
         "n_rows bigint, n_upserted bigint, n_stale bigint",
     )
+
+
+@query(
+    "ice_deletion_vector",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 13 != 0
+    GROUP BY l_returnflag
+    """,
+    doc="v3 deletion vector applied at scan: puffin roaring bitmap MOR",
+)
+def ice_deletion_vector(spark, sf_dir):
+    """Simulates a table written by an external v3 writer: a puffin
+    deletion vector (portable Roaring bitmap of row positions, Iceberg
+    spec Deletion Vectors) over our own appended data file, applied at
+    scan through the positional MOR anti-join. Positions are chosen as
+    the physical rows where l_orderkey % 13 == 0, so the DV-filtered
+    scan must equal the SQL complement predicate."""
+    import copy
+    import time as _time
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..iceberg.manifest import (
+        DataFile,
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        write_manifest,
+        write_manifest_list,
+    )
+    from ..iceberg.metadata import Snapshot, SnapshotLogEntry, SnapshotRef, Summary
+    from ..iceberg.puffin import BlobMetadata, serialize_deletion_vector, write_puffin
+    from ..iceberg.table import Table
+
+    t, _ = _lineitem_table(spark, sf_dir, "ice_dv")
+    [task] = t.scan().plan_files()
+    data_path = task.file.file_path
+    keys = pq.read_table(data_path, columns=["l_orderkey"])["l_orderkey"].to_numpy(
+        zero_copy_only=False
+    )
+    positions = np.flatnonzero(keys % 13 == 0)
+
+    loc = t.location
+    dv_path = os.path.join(loc, "data", "dv.puffin")
+    meta = BlobMetadata("deletion-vector-v1", [], 99, 2)
+    write_puffin(dv_path, [(meta, serialize_deletion_vector(positions))])
+    dv_file = DataFile(
+        file_path=dv_path,
+        file_format="PUFFIN",
+        content=DataFileContent.POSITION_DELETES,
+        record_count=len(positions),
+        file_size_in_bytes=meta.length,
+        referenced_data_file=data_path,
+        content_offset=meta.offset,
+        content_size_in_bytes=meta.length,
+    )
+    entry = ManifestEntry(
+        status=ManifestEntryStatus.ADDED,
+        snapshot_id=99,
+        sequence_number=2,
+        file_sequence_number=2,
+        data_file=dv_file,
+    )
+    dm_path = os.path.join(loc, "metadata", "dv-m0.avro")
+    mf = write_manifest(
+        dm_path, t.metadata.default_spec(), t.schema(), 99, [entry],
+        content=ManifestContent.DELETES,
+    )
+    old = t.current_snapshot()
+    ml_path = os.path.join(loc, "metadata", "dv-list.avro")
+    write_manifest_list(ml_path, list(old.manifests()) + [mf])
+    md = copy.deepcopy(t.metadata)
+    snap = Snapshot(99, 2, int(_time.time() * 1000), ml_path, Summary("delete"),
+                    parent_snapshot_id=old.snapshot_id, schema_id=t.schema().schema_id)
+    md.snapshots.append(snap)
+    md.current_snapshot_id = 99
+    md.last_sequence_number = 2
+    md.refs["main"] = SnapshotRef(99, "branch")
+    md.snapshot_log.append(SnapshotLogEntry(99, snap.timestamp_ms))
+    t_dv = Table(t.identifier, md, t.metadata_location, t.catalog)
+
+    df = t_dv.scan().to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
