@@ -586,6 +586,14 @@ class MetadataBuilder:
                     f"column {f.name!r} ({f.field_type.name}) requires format "
                     f"version {need}, table is v{self.m.format_version}"
                 )
+            # field default values are v3+ — ref
+            # metadata_schema_comptability.go:99-106
+            if f.initial_default is not None and self.m.format_version < 3:
+                raise CommitStateError(
+                    f"column {f.name!r} has initial-default "
+                    f"{f.initial_default!r}; defaults require format version 3, "
+                    f"table is v{self.m.format_version}"
+                )
         if any(s.schema_id == schema.schema_id for s in self.m.schemas):
             self.m.schemas = [
                 schema if s.schema_id == schema.schema_id else s for s in self.m.schemas

@@ -321,7 +321,16 @@ class Scan:
 
                     _ensure_field_id_reads(spark)
                     df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
-            except Exception:
+                df = self._apply_initial_defaults(
+                    spark,
+                    df,
+                    files,
+                    schema,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
+                    ),
+                )
+            except Exception:  # noqa: BLE001 — reroute to the Arrow reader
                 from . import fileio
 
                 if all(fileio.is_local(f) for f in files):
@@ -511,7 +520,76 @@ class Scan:
             dels = dv_df if dels is None else dels.unionByName(dv_df)
         if dels is not None:
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
+        df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
         return df.drop("_fp", "_pos")
+
+    def _apply_initial_defaults(self, spark, df, files, schema: Schema, fp_expr):
+        """v3 field default values (initial-default): rows read from
+        files that physically LACK a defaulted column take the default;
+        files that contain the column keep their stored values,
+        including explicit nulls (so this is when(missing, default),
+        never coalesce). Which files lack which columns is probed from
+        parquet footers executor-side — one footer read per file, only
+        when the schema actually carries defaults — and joined back on
+        file path, so no O(files) driver loop and no lit-list that
+        would blow up at a million files."""
+        defaults = [f for f in schema.fields if f.initial_default is not None]
+        if not defaults:
+            return df
+        from pyspark.sql import functions as F
+
+        from . import fileio as _fileio
+        from .types import spark_type
+
+        cfg = _fileio.env_config()
+        want = [(f.field_id, f.name) for f in defaults]
+        uniq = sorted(set(files))
+        files_df = spark.createDataFrame(
+            [(p,) for p in uniq], "path string"
+        ).repartition(min(len(uniq), 64))
+
+        def probe(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from . import fileio
+
+            fileio.apply_config(cfg)
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    with fileio.open_input(p) as f:
+                        arrow_schema = pq.read_schema(f)
+                    ids, names = set(), set(arrow_schema.names)
+                    for fld in arrow_schema:
+                        m = fld.metadata or {}
+                        fid = m.get(b"PARQUET:field_id")
+                        if fid is not None:
+                            ids.add(int(fid))
+                    row = {"path": p}
+                    for fid, name in want:
+                        present = fid in ids if ids else name in names
+                        row[f"_missing_{name}"] = not present
+                    rows.append(row)
+                yield pd.DataFrame(rows)
+
+        flag_ddl = ", ".join(
+            ["path string"] + [f"`_missing_{n}` boolean" for _, n in want]
+        )
+        flags = files_df.mapInPandas(probe, flag_ddl).withColumn(
+            "_dflt_fp",
+            F.regexp_replace(F.col("path"), "^[a-z0-9]+:(//)?", ""),
+        ).drop("path")
+        df = df.join(flags, fp_expr == F.col("_dflt_fp"), "left")
+        for f in defaults:
+            df = df.withColumn(
+                f.name,
+                F.when(
+                    F.col(f"_missing_{f.name}"),
+                    F.lit(f.initial_default).cast(spark_type(f.field_type)),
+                ).otherwise(F.col(f.name)),
+            )
+        return df.drop("_dflt_fp", *[f"_missing_{n}" for _, n in want])
 
     @staticmethod
     def _deletion_vector_positions(spark, descriptors):
