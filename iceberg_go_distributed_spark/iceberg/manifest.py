@@ -106,6 +106,9 @@ class DataFile:
     split_offsets: Optional[list[int]] = None
     equality_ids: Optional[list[int]] = None
     sort_order_id: Optional[int] = None
+    # v3 row lineage: first row ID of this data file (avro id 142) —
+    # ref manifest.go:1791,2360-2361. Parse-and-preserve only.
+    first_row_id: Optional[int] = None
     # v3 deletion-vector fields — ref manifest.go:1792-1793,2364-2365.
     # Parsed and preserved on read so v3 manifests round-trip; this
     # writer never emits them (positional deletes are written as v2
@@ -149,6 +152,11 @@ class ManifestFile:
     deleted_rows_count: int = 0
     partitions: list[FieldSummary] = field(default_factory=list)
     key_metadata: Optional[bytes] = None
+    # v3 row lineage: first row ID of this manifest's data files —
+    # assigned by a v3 manifest-list writer (ref manifest.go:1481-1485,
+    # avro field id 520). Parsed and preserved; never assigned by this
+    # v2 writer.
+    first_row_id: Optional[int] = None
 
     def has_added_files(self) -> bool:
         return self.added_files_count > 0
@@ -381,6 +389,7 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
         split_offsets=d.get("split_offsets"),
         equality_ids=d.get("equality_ids"),
         sort_order_id=d.get("sort_order_id"),
+        first_row_id=d.get("first_row_id"),
         referenced_data_file=d.get("referenced_data_file"),
         content_offset=d.get("content_offset"),
         content_size_in_bytes=d.get("content_size_in_bytes"),
@@ -565,6 +574,7 @@ def read_manifest_list(path: str) -> list[ManifestFile]:
                 deleted_rows_count=r["deleted_rows_count"],
                 partitions=[FieldSummary.from_avro(s) for s in r.get("partitions") or []],
                 key_metadata=r.get("key_metadata"),
+                first_row_id=r.get("first_row_id"),
             )
         )
     return out

@@ -206,3 +206,44 @@ def test_v3_deletion_vector_fields_parse():
     assert df.referenced_data_file == "s3://b/data/f1.parquet"
     assert df.content_offset == 4
     assert df.content_size_in_bytes == 64
+
+
+def test_v3_manifest_list_first_row_id_parses(tmp_path):
+    """A v3 manifest list (written elsewhere) carries first_row_id
+    (avro field id 520, ref manifest.go:1481-1485); the reader must
+    surface it."""
+    import copy
+
+    from iceberg_go_distributed_spark.iceberg import avro as avro_io
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        MANIFEST_LIST_V2_SCHEMA,
+        _f,
+        _nullable,
+        read_manifest_list,
+    )
+
+    v3_schema = copy.deepcopy(MANIFEST_LIST_V2_SCHEMA)
+    v3_schema["fields"].append(_f("first_row_id", _nullable("long"), 520, None))
+    rec = {
+        "manifest_path": "m1.avro",
+        "manifest_length": 100,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": 7,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "partitions": None,
+        "added_rows_count": 500,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "key_metadata": None,
+        "first_row_id": 12345,
+    }
+    path = str(tmp_path / "ml-v3.avro")
+    avro_io.write_ocf(path, v3_schema, [rec])
+    [mf] = read_manifest_list(path)
+    assert mf.first_row_id == 12345
+    assert mf.added_rows_count == 500
