@@ -324,3 +324,73 @@ def ngram_topk_similar(
         .where(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over the verified near-dup pair graph:
+    (doc_id, cluster_id) for every doc that has at least one near-dup,
+    with cluster_id = the minimum doc id in its component. This is the
+    step a pretraining pipeline runs after pair generation — "keep one
+    representative per duplicate cluster" needs components, not pairs
+    (A~B, B~C must collapse A,B,C together even when A~C was never a
+    candidate pair).
+
+    Distributed min-label propagation: each round is one join + one
+    min-aggregate, both keyed by node id, converging in O(component
+    diameter) rounds — near-dup components are shallow (they form
+    around shared boilerplate), so rounds stay single-digit. At 100 TB
+    the per-round shuffle is O(edges), never materializing components
+    driver-side; the driver only runs the convergence counter. (The
+    alternating large-star/small-star formulation from the
+    map-reduce CC literature is the drop-in upgrade if diameters grow.)
+    """
+    pairs = minhash_near_dups(docs, threshold, text_col, id_col, n).select(
+        "doc_a", "doc_b"
+    )
+    # undirected: propagate labels both ways
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["doc_a"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "node")
+            .where(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -513,3 +513,37 @@ def ice_deletion_vector(spark, sf_dir):
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
         ).alias("sum_price"),
     )
+
+
+@query(
+    "ice_incremental_scan",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 3 != 0
+    GROUP BY l_returnflag
+    """,
+    doc="incremental append scan: rows added after a checkpoint snapshot",
+)
+def ice_incremental_scan(spark, sf_dir):
+    """Changelog-consumer read: three appends, checkpoint after the
+    first, incremental scan returns exactly the later two batches."""
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_inc", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_inc", schema_from_spark(li.schema))
+    t.append(li.where("l_orderkey % 3 = 0").coalesce(1))
+    checkpoint = t.current_snapshot().snapshot_id
+    t.append(li.where("l_orderkey % 3 = 1").coalesce(1))
+    t.append(li.where("l_orderkey % 3 = 2").coalesce(1))
+
+    df = t.incremental_append_scan(from_snapshot_id=checkpoint).to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )

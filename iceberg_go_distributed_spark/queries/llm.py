@@ -338,3 +338,29 @@ def llm_multimodal_features(spark, sf_dir):
 )
 def llm_dedup_embedding(spark, sf_dir):
     return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(d, n) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.n)
+    SELECT d AS doc_id, MIN(n) AS cluster_id
+    FROM reach GROUP BY d
+    """,
+    doc="near-dup clusters: connected components over the verified pair graph (min-label propagation vs recursive-CTE closure)",
+)
+def llm_dedup_clusters(spark, sf_dir):
+    return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
