@@ -198,3 +198,105 @@ def object_store_location(table_location: str, partition_path: str, filename: st
         parts.append(partition_path)
     parts.append(filename)
     return os.path.join(*parts)
+
+
+# --------------------------------------------------- partition statistics
+
+def compute_partition_statistics(table) -> dict:
+    """Compute the spec's partition-statistics file for the current
+    snapshot and commit a SetPartitionStatistics entry — ref
+    table/statistics.go:79-87 (PartitionStatisticsFile).
+
+    One parquet file of per-partition rollups (partition struct,
+    spec_id, data file/record/byte counts, delete-file counts,
+    last-updated snapshot), sorted by partition for reader-side binary
+    search. Driver cost is O(live files) descriptor iteration — the
+    same order as scan planning — and no row data is touched.
+    """
+    import pyarrow as pa
+
+    from . import fileio
+    from .manifest import DataFileContent, ManifestContent, read_manifest
+    from .transaction import AssertTableUUID, SetPartitionStatistics
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        raise ValueError("table has no snapshot to analyze")
+
+    # unified partition tuple: union of field names across specs
+    all_names: list[str] = []
+    for spec in md.partition_specs:
+        for f in spec.fields:
+            if f.name not in all_names:
+                all_names.append(f.name)
+
+    agg: dict[tuple, dict] = {}
+    for m in snap.manifests():
+        for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+            df = e.data_file
+            key = tuple(df.partition.get(n) for n in all_names)
+            row = agg.setdefault(
+                key,
+                {
+                    "spec_id": m.partition_spec_id,
+                    "data_record_count": 0,
+                    "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "position_delete_record_count": 0,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": 0,
+                    "equality_delete_file_count": 0,
+                    "last_updated_snapshot_id": e.snapshot_id or snap.snapshot_id,
+                },
+            )
+            if m.content == ManifestContent.DATA:
+                row["data_record_count"] += df.record_count
+                row["data_file_count"] += 1
+                row["total_data_file_size_in_bytes"] += df.file_size_in_bytes
+            elif df.content == DataFileContent.POSITION_DELETES:
+                row["position_delete_record_count"] += df.record_count
+                row["position_delete_file_count"] += 1
+            elif df.content == DataFileContent.EQUALITY_DELETES:
+                row["equality_delete_record_count"] += df.record_count
+                row["equality_delete_file_count"] += 1
+
+    keys = sorted(agg.keys(), key=lambda k: tuple(str(v) for v in k))
+    cols: dict[str, list] = {
+        "partition": [
+            {n: k[i] for i, n in enumerate(all_names)} if all_names else {}
+            for k in keys
+        ],
+        "spec_id": [agg[k]["spec_id"] for k in keys],
+    }
+    for stat in (
+        "data_record_count",
+        "data_file_count",
+        "total_data_file_size_in_bytes",
+        "position_delete_record_count",
+        "position_delete_file_count",
+        "equality_delete_record_count",
+        "equality_delete_file_count",
+        "last_updated_snapshot_id",
+    ):
+        cols[stat] = [agg[k][stat] for k in keys]
+
+    # pyarrow infers the partition struct type from the dicts
+    tbl = pa.table(cols)
+
+    path = os.path.join(
+        md.location, "metadata", f"partition-stats-{snap.snapshot_id}.parquet"
+    )
+    fileio.makedirs(os.path.dirname(path))
+    with fileio.parquet_writer(path, tbl.schema) as w:
+        w.write_table(tbl)
+
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": fileio.size(path),
+    }
+    tx = table.transaction()
+    tx.apply([SetPartitionStatistics(entry)], [AssertTableUUID(md.table_uuid)])
+    tx.commit()
+    return entry

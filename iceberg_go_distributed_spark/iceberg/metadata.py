@@ -666,6 +666,23 @@ class MetadataBuilder:
         ]
         return self
 
+    def set_partition_statistics(self, stats: dict) -> "MetadataBuilder":
+        """Upsert a partition-statistics-file entry keyed by snapshot-id
+        — ref table/statistics.go:79-87 (PartitionStatisticsFile)."""
+        sid = stats.get("snapshot-id")
+        self.m.partition_statistics = [
+            s for s in self.m.partition_statistics if s.get("snapshot-id") != sid
+        ] + [stats]
+        return self
+
+    def remove_partition_statistics(self, snapshot_id: int) -> "MetadataBuilder":
+        self.m.partition_statistics = [
+            s
+            for s in self.m.partition_statistics
+            if s.get("snapshot-id") != snapshot_id
+        ]
+        return self
+
     def assign_uuid(self, u: str) -> "MetadataBuilder":
         if self.m.table_uuid != u:
             self.m = replace(self.m, table_uuid=u)

@@ -1067,6 +1067,67 @@ class Table(StaticTable):
             "record_count bigint, file_size_in_bytes bigint, partition string",
         )
 
+    def inspect_entries(self, spark):
+        """Manifest entries of the current snapshot with their status
+        and sequence numbers (the `entries` metadata table)."""
+        snap = self.current_snapshot()
+        rows = []
+        if snap is not None:
+            for m in snap.manifests():
+                for e in read_manifest(
+                    m.manifest_path,
+                    discard_deleted=False,
+                    inherit_sequence_number=m.sequence_number,
+                ):
+                    rows.append(
+                        (
+                            int(e.status),
+                            e.snapshot_id,
+                            e.sequence_number,
+                            e.file_sequence_number,
+                            e.data_file.file_path,
+                            int(e.data_file.content),
+                            e.data_file.record_count,
+                        )
+                    )
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id bigint, sequence_number bigint, "
+            "file_sequence_number bigint, file_path string, content int, "
+            "record_count bigint",
+        )
+
+    def inspect_partitions(self, spark):
+        """Per-partition rollup of the current snapshot (the
+        `partitions` metadata table): live data-file count, record
+        count, and bytes per distinct partition tuple."""
+        snap = self.current_snapshot()
+        rows = []
+        if snap is not None:
+            for m in snap.manifests():
+                if m.content != ManifestContent.DATA:
+                    continue
+                for e in read_manifest(m.manifest_path):
+                    df_ = e.data_file
+                    key = str(
+                        dict(sorted(df_.partition.items()))
+                    ) if df_.partition else "{}"
+                    rows.append(
+                        (key, m.partition_spec_id, df_.record_count, df_.file_size_in_bytes)
+                    )
+        base = spark.createDataFrame(
+            rows,
+            "partition string, spec_id int, record_count bigint, "
+            "file_size_in_bytes bigint",
+        )
+        from pyspark.sql import functions as F
+
+        return base.groupBy("partition", "spec_id").agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_size_bytes"),
+        )
+
     def inspect_history(self, spark):
         rows = [(e.timestamp_ms, e.snapshot_id) for e in self.metadata.snapshot_log]
         return spark.createDataFrame(rows, "made_current_at_ms bigint, snapshot_id bigint")

@@ -625,3 +625,29 @@ class RemoveStatistics(Update):
 
     def to_json(self):
         return {"action": self.action, "snapshot-id": self.snapshot_id}
+
+
+@dataclass
+class SetPartitionStatistics(Update):
+    """ref table/statistics.go:79-87 (PartitionStatisticsFile entry)."""
+
+    statistics: dict
+    action = "set-partition-statistics"
+
+    def apply(self, b):
+        b.set_partition_statistics(self.statistics)
+
+    def to_json(self):
+        return {"action": self.action, "partition-statistics": self.statistics}
+
+
+@dataclass
+class RemovePartitionStatistics(Update):
+    snapshot_id: int
+    action = "remove-partition-statistics"
+
+    def apply(self, b):
+        b.remove_partition_statistics(self.snapshot_id)
+
+    def to_json(self):
+        return {"action": self.action, "snapshot-id": self.snapshot_id}

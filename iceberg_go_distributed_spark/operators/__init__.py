@@ -21,6 +21,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     fingerprint_dedup,
     minhash_near_dups,
+    near_dup_clusters,
     ngram_topk_similar,
     shingle_sets,
     simhash_near_dups,

@@ -148,3 +148,59 @@ def ev_skew_salted_agg(spark, sf_dir):
         F.sum("_n").alias("n"),
         F.expr("CAST(SUM(_sum) AS DOUBLE)").alias("total_value"),
     )
+
+
+@query(
+    "ev_stream_sessionize",
+    # no oracle: custom stateful streaming (applyInPandasWithState) is
+    # not SQL-expressible — the driver records the weaker rows-only
+    # check; batch parity is pinned by
+    # tests/test_streaming.py::test_sessionize_stream_matches_batch
+    doc="stateful streaming sessionization (applyInPandasWithState, event-time timeout)",
+)
+def ev_stream_sessionize(spark, sf_dir):
+    """Runs the 30-min-gap stateful sessionization over the events
+    table as a bounded stream (availableNow) and returns the completed
+    sessions. One source file → one micro-batch → deterministic output."""
+    import os
+
+    from ..streaming import sessionize_stream
+
+    # ts is parquet TIMESTAMP(NANOS): stream-read it ns-as-long and
+    # truncate to µs, the same policy load_table applies for batch
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    # the file streaming source requires a DIRECTORY; stage the single
+    # events file into one via symlink (copy if symlinks unavailable)
+    src = os.path.join(
+        "/tmp/iceberg_go_distributed_spark_stream",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts bigint")
+        .parquet(src)
+        .select(
+            "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+        )
+    )
+    name = "ev_stream_sessions"
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

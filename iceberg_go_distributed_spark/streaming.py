@@ -67,3 +67,89 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Custom stateful streaming operator: per-user gap sessionization
+    with `applyInPandasWithState` (Arrow-batched state, event-time
+    timeout) — the shape Spark's built-in windowed aggs cannot express
+    (a session ends `gap` after its LAST event, not on a fixed grid).
+
+    Emits one row per COMPLETED session: a session closes when a later
+    event of the same user arrives past the gap, or when event time
+    passes last_event + gap (watermark-driven timeout). Open sessions
+    ride in state — bounded: one (start, last, count) triple per active
+    user, so state size is O(active users), never O(events).
+
+    Inside a batch the per-user work is vectorized (numpy diff for
+    session boundaries); only the stitch with carried state is scalar.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    out_cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        carried = state.get if state.exists else None  # (start, last, n) in ns
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is done
+            s, e, n = carried
+            state.remove()
+            yield pd.DataFrame(
+                [[uid, pd.Timestamp(s), pd.Timestamp(e), n]], columns=out_cols
+            )
+            return
+
+        ts = np.sort(
+            np.concatenate(
+                [pdf[ts_col].values.astype("datetime64[ns]").astype("int64") for pdf in pdfs]
+            )
+        )
+        if ts.size == 0:
+            return
+        # vectorized session boundaries within the batch
+        brk = np.flatnonzero(np.diff(ts) > gap_ns)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [ts.size - 1]))
+        sessions = [
+            [int(ts[s]), int(ts[e]), int(e - s + 1)] for s, e in zip(starts, ends)
+        ]
+        # stitch the carried open session with the first batch session
+        if carried is not None:
+            cs, ce, cn = carried
+            if sessions[0][0] - ce <= gap_ns:
+                sessions[0] = [cs, sessions[0][1], cn + sessions[0][2]]
+            else:
+                sessions.insert(0, [cs, ce, cn])
+        *closed, last = sessions
+        state.update((last[0], last[1], last[2]))
+        state.setTimeoutTimestamp((last[1] + gap_ns) // 1_000_000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                [[uid, pd.Timestamp(s), pd.Timestamp(e), n] for s, e, n in closed],
+                columns=out_cols,
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id bigint, session_start timestamp_ntz, "
+                "session_end timestamp_ntz, n_events int"
+            ),
+            stateStructType="session_start long, last_ts long, n_events long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -245,3 +245,39 @@ def test_compute_ndv_statistics(fs_catalog, spark, lineitem_df):
     want_flag = lineitem_df.limit(500).select("l_returnflag").distinct().count()
     assert ndv_by_field[1] == want_orderkey
     assert ndv_by_field[9] == want_flag
+
+
+def test_partition_statistics_file(fs_catalog, spark, sf_dir):
+    """Partition-statistics file (ref statistics.go:79-87): per-partition
+    rollups written as sorted parquet + SetPartitionStatistics commit."""
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        compute_partition_statistics,
+    )
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    spec = spec_from(schema, ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.pstats", schema, spec=spec)
+    t.append(li)
+
+    entry = compute_partition_statistics(t)
+    assert t.metadata.partition_statistics == [entry]
+    stats = pq.read_table(entry["statistics-path"]).to_pylist()
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {r["partition"]["l_returnflag"]: r["data_record_count"] for r in stats}
+    assert got == want
+    assert all(r["data_file_count"] >= 1 for r in stats)
+    # sorted by partition for reader-side binary search
+    keys = [r["partition"]["l_returnflag"] for r in stats]
+    assert keys == sorted(keys)
+    # survives a metadata round trip
+    t2 = fs_catalog.load_table("db.pstats")
+    assert t2.metadata.partition_statistics == [entry]

@@ -47,3 +47,75 @@ def test_windowed_event_counts_batch_parity(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
     assert rolled.agg(F.sum("n")).first()[0] == events.count()
     assert rolled.count() == direct.count()
+
+
+def test_sessionize_stream_matches_batch(tmp_path, spark, sf_dir):
+    """Stateful sessionization (applyInPandasWithState) must agree with
+    the batch lag-window definition on every CLOSED session; each
+    user's final session stays open in state (nothing after it can
+    close it in a bounded input)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.streaming import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src_dir = str(tmp_path / "src")
+    events.coalesce(2).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    # batch truth: sessions per user via lag-gap; drop each user's last
+    w = Window.partitionBy("user_id").orderBy("us")
+    e = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess", F.sum("is_new").over(w))
+    )
+    sessions = e.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    last = sessions.groupBy("user_id").agg(F.max("sess").alias("sess"))
+    closed = sessions.join(last, ["user_id", "sess"], "left_anti")
+    want_closed = {
+        (r.user_id, r.session_start, r.session_end, int(r.n_events))
+        for r in closed.collect()
+    }
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, int(r.n_events))
+        for r in sessions.collect()
+    }
+    # every gap-closed session is emitted, and nothing that isn't a true
+    # session ever is
+    assert want_closed <= got <= all_sessions and len(want_closed) > 0
+    # the only extras are final sessions flushed by event-time TIMEOUT —
+    # legal exactly when the watermark could pass last_event + gap
+    import datetime
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    gap = datetime.timedelta(minutes=30)
+    for _, _, session_end, _ in got - want_closed:
+        assert session_end + gap <= max_ts

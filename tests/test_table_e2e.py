@@ -300,6 +300,27 @@ def test_metadata_tables(fs_catalog, spark, lineitem_df):
     assert t.inspect_refs(spark).count() == 1
     row = t.inspect_files(spark).first()
     assert row.record_count > 0 and row.file_format == "PARQUET"
+    ent = t.inspect_entries(spark).first()
+    assert ent.status == 1 and ent.record_count == 20  # ADDED
+    part = t.inspect_partitions(spark).collect()
+    assert len(part) == 1  # unpartitioned → one "{}" tuple
+    assert part[0].record_count == 20 and part[0].file_count >= 1
+
+
+def test_partitions_metadata_table_partitioned(fs_catalog, spark, lineitem_df):
+    from pyspark.sql import functions as F
+
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.li_part_meta", LINEITEM_SCHEMA, spec=spec)
+    t.append(lineitem_df)
+    parts = {r.partition: r.record_count for r in t.inspect_partitions(spark).collect()}
+    want = {
+        f"{{'l_returnflag': '{r.l_returnflag}'}}": r.n
+        for r in lineitem_df.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert parts == want
 
 
 def test_nested_types_roundtrip(fs_catalog, spark, sf_dir):
