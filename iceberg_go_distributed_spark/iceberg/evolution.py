@@ -135,6 +135,21 @@ class UpdateSchema:
             return self.base
         tx = self.table.transaction()
         tx.add_schema(new_schema, make_current=True)
+        # keep the name mapping in sync (ref name_mapping.go:144
+        # UpdateNameMapping): renamed fields keep old names AND gain the
+        # new one, so ID-less files written under either name resolve
+        nm_json = self.table.metadata.properties.get("schema.name-mapping.default")
+        if nm_json:
+            from .sanitize import (
+                name_mapping_from_json,
+                name_mapping_to_json,
+                update_name_mapping,
+            )
+
+            updated = update_name_mapping(name_mapping_from_json(nm_json), new_schema)
+            tx.set_properties(
+                {"schema.name-mapping.default": name_mapping_to_json(updated)}
+            )
         tx.commit()
         return new_schema
 

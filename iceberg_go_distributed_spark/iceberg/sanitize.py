@@ -120,3 +120,38 @@ def apply_name_mapping(mapping: list[MappedField], name: str) -> Optional[int]:
         if name in m.names:
             return m.field_id
     return None
+
+
+def update_name_mapping(
+    mapping: list[MappedField], schema: Schema
+) -> list[MappedField]:
+    """Sync a name mapping with an evolved schema — ref
+    name_mapping.go:144 (UpdateNameMapping):
+
+    - a renamed field keeps its OLD names (files written under them
+      still resolve) and gains the new one;
+    - a name reassigned to a DIFFERENT field id is removed from its old
+      entry first (one name must resolve to one id);
+    - added fields get fresh entries; dropped fields keep theirs
+      (historic files may still carry the column).
+    """
+    by_id = {m.field_id: m for m in mapping}
+    current = {f.field_id: f.name for f in schema.fields}
+    out: list[MappedField] = []
+    for m in mapping:
+        names = [
+            n
+            for n in m.names
+            # drop names now owned by a different live field
+            if not any(
+                n == cur_name and fid != m.field_id
+                for fid, cur_name in current.items()
+            )
+        ]
+        if m.field_id in current and current[m.field_id] not in names:
+            names.append(current[m.field_id])
+        out.append(MappedField(names=names, field_id=m.field_id, fields=m.fields))
+    for f in schema.fields:
+        if f.field_id not in by_id:
+            out.append(MappedField(names=[f.name], field_id=f.field_id))
+    return out

@@ -325,7 +325,7 @@ class Scan:
             # those resolve by (mapped) name instead.
             try:
                 if "schema.name-mapping.default" in self.table.metadata.properties:
-                    df = spark.read.schema(schema_to_spark_ddl(schema)).parquet(*files)
+                    df = self._read_with_name_mapping(spark, files, schema)
                 else:
                     from .types import schema_to_spark_struct
 
@@ -504,17 +504,20 @@ class Scan:
             }
         )
         files = [t.file.file_path for t in tasks]
+        strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
         if "schema.name-mapping.default" in self.table.metadata.properties:
-            reader = spark.read.schema(schema_to_spark_ddl(schema))
+            # grouped multi-name read: ID-less files may carry any
+            # mapped (pre-rename) column name; _fp/_pos selected inside
+            # each group before the union
+            df = self._read_with_name_mapping(spark, files, schema, with_pos=True)
         else:
             _ensure_field_id_reads(spark)
             reader = spark.read.schema(schema_to_spark_struct(schema))
-        strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
-        df = (
-            reader.parquet(*files)
-            .withColumn("_fp", strip(F.col("_metadata.file_path")))
-            .withColumn("_pos", F.col("_metadata.row_index"))
-        )
+            df = (
+                reader.parquet(*files)
+                .withColumn("_fp", strip(F.col("_metadata.file_path")))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
         dels = None
         if pos_files:
             dels = (
@@ -532,6 +535,99 @@ class Scan:
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
         return df.drop("_fp", "_pos")
+
+    def _read_with_name_mapping(self, spark, files, schema: Schema, with_pos=False):
+        """Read for tables carrying `schema.name-mapping.default`
+        (ID-less files registered via add_files): each schema field may
+        live under ANY of its mapped names in a given file (renames
+        keep old physical names — ref name_mapping.go:144). Files are
+        probed for their column names executor-side, grouped by the
+        resulting field→file-column assignment (group count is bounded
+        by schema versions, not files), and each group reads with its
+        own physical schema then aliases to current names. Columns
+        absent from a file read as null, matching ID-based resolution."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from . import fileio as _fileio
+        from .sanitize import name_mapping_from_json
+        from .types import spark_type
+
+        mapping = name_mapping_from_json(
+            self.table.metadata.properties["schema.name-mapping.default"]
+        )
+        names_by_id = {m.field_id: list(m.names) for m in mapping}
+        cfg = _fileio.env_config()
+        uniq = sorted(set(files))
+        files_df = spark.createDataFrame(
+            [(p,) for p in uniq], "path string"
+        ).repartition(min(len(uniq), 64))
+
+        def probe(batches):
+            import pyarrow.parquet as pq
+
+            from . import fileio
+
+            fileio.apply_config(cfg)
+            for pdf in batches:
+                rows = []
+                for p in pdf["path"]:
+                    with fileio.open_input(p) as f:
+                        cols = ",".join(pq.read_schema(f).names)
+                    rows.append({"path": p, "cols": cols})
+                yield pd.DataFrame(rows)
+
+        file_cols = {
+            r.path: set(r.cols.split(","))
+            for r in files_df.mapInPandas(probe, "path string, cols string").collect()
+        }
+
+        def assignment(path: str) -> tuple:
+            have = file_cols[path]
+            out = []
+            for f in schema.fields:
+                if f.name in have:
+                    out.append(f.name)
+                    continue
+                alt = next(
+                    (n for n in names_by_id.get(f.field_id, []) if n in have), None
+                )
+                out.append(alt)  # None → column absent, read as null
+            return tuple(out)
+
+        groups: dict[tuple, list[str]] = {}
+        for p in uniq:
+            groups.setdefault(assignment(p), []).append(p)
+
+        parts = []
+        for assign, paths in groups.items():
+            ddl = ", ".join(
+                f"`{src}` {spark_type(f.field_type)}"
+                for src, f in zip(assign, schema.fields)
+                if src is not None
+            )
+            g = spark.read.schema(ddl).parquet(*paths)
+            cols = [
+                (
+                    F.col(f"`{src}`").alias(f.name)
+                    if src is not None
+                    else F.lit(None).cast(spark_type(f.field_type)).alias(f.name)
+                )
+                for src, f in zip(assign, schema.fields)
+            ]
+            if with_pos:
+                # positional-MOR callers need (file, row) before the union
+                cols += [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
+                    ).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                ]
+            parts.append(g.select(*cols))
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        return df
 
     def _apply_initial_defaults(self, spark, df, files, schema: Schema, fp_expr):
         """v3 field default values (initial-default): rows read from

@@ -159,3 +159,72 @@ def test_update_spec_evolution(fs_catalog, spark, lineitem_df):
 
     spec3 = t.update_spec().rename_field("l_returnflag", "rf").commit()
     assert spec3.fields[0].name == "rf"
+
+
+def test_rename_keeps_name_mapping_in_sync(fs_catalog, spark, tmp_path):
+    """Tables with ID-less files (add_files → name mapping) must still
+    resolve those files after a rename: the mapping entry keeps the old
+    name and gains the new one (ref name_mapping.go:144)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+    schema = Schema.of(
+        1,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "payload", ty.StringType()),
+    )
+    t = fs_catalog.create_table("db.nm_sync", schema)
+    # external file WITHOUT field ids → registered via name mapping
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "payload": ["a", "b"]}), ext
+    )
+    t.add_files([ext])
+    assert "schema.name-mapping.default" in t.metadata.properties
+
+    t.update_schema().rename_column("payload", "body").commit()
+    nm = json.loads(t.metadata.properties["schema.name-mapping.default"])
+    entry = next(m for m in nm if m.get("field-id") == 2)
+    assert set(entry["names"]) == {"payload", "body"}
+
+    # the ID-less file still reads, now under the new column name
+    df = t.scan().to_df(spark)
+    rows = {r.id: r.body for r in df.collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_rename_then_delete_on_id_less_files(fs_catalog, spark, tmp_path):
+    """MOR path on a name-mapping table after a rename: the grouped
+    multi-name read must resolve old-named ID-less files AND apply the
+    positional deletes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+    schema = Schema.of(
+        1,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "payload", ty.StringType()),
+    )
+    t = fs_catalog.create_table("db.nm_mor", schema)
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array(range(10), pa.int64()), "payload": [f"p{i}" for i in range(10)]}
+        ),
+        ext,
+    )
+    t.add_files([ext])
+    t.update_schema().rename_column("payload", "body").commit()
+    t.delete_where(spark, E.greater_than_or_equal("id", 7))
+
+    rows = {r.id: r.body for r in t.scan().to_df(spark).collect()}
+    assert rows == {i: f"p{i}" for i in range(7)}
