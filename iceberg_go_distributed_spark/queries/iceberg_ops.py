@@ -547,3 +547,24 @@ def ice_incremental_scan(spark, sf_dir):
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
         ).alias("sum_price"),
     )
+
+
+@query(
+    "ice_partitions_table",
+    oracle="""
+    SELECT '{''l_returnflag'': ''' || l_returnflag || '''}' AS partition,
+           COUNT(*) AS record_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="partitions metadata table: per-partition rollup matches raw data",
+)
+def ice_partitions_table(spark, sf_dir):
+    """inspect_partitions over an identity-partitioned table must equal
+    a plain GROUP BY on the raw data — proves the fanout writer routed
+    every row to its partition and manifests carry true counts."""
+    t, _ = _lineitem_table(
+        spark, sf_dir, "ice_pt", spec_defs=(("l_returnflag", "identity"),),
+        single_file=False,
+    )
+    return t.inspect_partitions(spark).select("partition", "record_count")
