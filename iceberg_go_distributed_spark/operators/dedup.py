@@ -365,30 +365,27 @@ def near_dup_clusters(
         .persist()
     )
     labels.count()
+    prev = labels  # persisted frame the current labels derive from
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["node"])
             .groupBy("doc_a")
             .agg(F.min("label").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["doc_a"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        # one joined frame serves both the convergence counter and the
+        # next label set — no separate old-vs-new join per round
+        joined = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["doc_a"], "left"
+        ).select(F.col("node"), F.col("label"), F.col("_nmin")).persist()
+        changed = joined.where(F.col("_nmin") < F.col("label")).count()
+        prev.unpersist()  # joined is materialized; the old cache can go
+        prev = joined
+        labels = joined.select(
+            F.col("node"),
+            F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
+                "label"
+            ),
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "node")
-            .where(F.col("new.label") != F.col("old.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
         if changed == 0:
             break
     return labels.select(
