@@ -248,8 +248,15 @@ def compute_partition_statistics(table) -> dict:
                     "equality_delete_record_count": 0,
                     "equality_delete_file_count": 0,
                     "last_updated_snapshot_id": e.snapshot_id or snap.snapshot_id,
+                    "_last_seq": e.sequence_number or 0,
                 },
             )
+            # "last updated" = the HIGHEST-sequence snapshot touching the
+            # partition, not whichever manifest happened to come first
+            seq = e.sequence_number or 0
+            if seq > row["_last_seq"]:
+                row["_last_seq"] = seq
+                row["last_updated_snapshot_id"] = e.snapshot_id or snap.snapshot_id
             if m.content == ManifestContent.DATA:
                 row["data_record_count"] += df.record_count
                 row["data_file_count"] += 1

@@ -325,22 +325,36 @@ class Scan:
             # those resolve by (mapped) name instead.
             try:
                 if "schema.name-mapping.default" in self.table.metadata.properties:
-                    df = self._read_with_name_mapping(spark, files, schema)
+                    if any(f.initial_default is not None for f in schema.fields):
+                        # defaults need per-row file identity: carry _fp
+                        # through the grouped union (no _metadata there)
+                        df = self._read_with_name_mapping(
+                            spark, files, schema, with_pos=True
+                        )
+                        df = self._apply_initial_defaults(
+                            spark, df, files, schema, F.col("_fp")
+                        ).drop("_fp", "_pos")
+                    else:
+                        df = self._read_with_name_mapping(spark, files, schema)
                 else:
                     from .types import schema_to_spark_struct
 
                     _ensure_field_id_reads(spark)
                     df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
-                df = self._apply_initial_defaults(
-                    spark,
-                    df,
-                    files,
-                    schema,
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
-                    ),
-                )
+                    df = self._apply_initial_defaults(
+                        spark,
+                        df,
+                        files,
+                        schema,
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
+                        ),
+                    )
             except Exception:  # noqa: BLE001 — reroute to the Arrow reader
+                # NOTE: the Arrow fallback applies neither initial-
+                # defaults nor multi-name resolution — it exists for
+                # object-store schemes the local JVM lacks; real
+                # clusters ship the connector and never take it
                 from . import fileio
 
                 if all(fileio.is_local(f) for f in files):
@@ -553,6 +567,8 @@ class Scan:
         from .sanitize import name_mapping_from_json
         from .types import spark_type
 
+        import json as _json
+
         mapping = name_mapping_from_json(
             self.table.metadata.properties["schema.name-mapping.default"]
         )
@@ -562,6 +578,11 @@ class Scan:
         files_df = spark.createDataFrame(
             [(p,) for p in uniq], "path string"
         ).repartition(min(len(uniq), 64))
+        # the field→file-column assignment is computed executor-side so
+        # only (path, small assignment key) crosses to the driver — the
+        # driver already holds the O(files) path list from planning, but
+        # never the per-file column inventories
+        field_keys = [(f.field_id, f.name) for f in schema.fields]
 
         def probe(batches):
             import pyarrow.parquet as pq
@@ -573,31 +594,24 @@ class Scan:
                 rows = []
                 for p in pdf["path"]:
                     with fileio.open_input(p) as f:
-                        cols = ",".join(pq.read_schema(f).names)
-                    rows.append({"path": p, "cols": cols})
+                        have = set(pq.read_schema(f).names)
+                    out = []
+                    for fid, name in field_keys:
+                        if name in have:
+                            out.append(name)
+                        else:
+                            out.append(
+                                next(
+                                    (n for n in names_by_id.get(fid, []) if n in have),
+                                    None,  # column absent, read as null
+                                )
+                            )
+                    rows.append({"path": p, "assign": _json.dumps(out)})
                 yield pd.DataFrame(rows)
 
-        file_cols = {
-            r.path: set(r.cols.split(","))
-            for r in files_df.mapInPandas(probe, "path string, cols string").collect()
-        }
-
-        def assignment(path: str) -> tuple:
-            have = file_cols[path]
-            out = []
-            for f in schema.fields:
-                if f.name in have:
-                    out.append(f.name)
-                    continue
-                alt = next(
-                    (n for n in names_by_id.get(f.field_id, []) if n in have), None
-                )
-                out.append(alt)  # None → column absent, read as null
-            return tuple(out)
-
         groups: dict[tuple, list[str]] = {}
-        for p in uniq:
-            groups.setdefault(assignment(p), []).append(p)
+        for r in files_df.mapInPandas(probe, "path string, assign string").collect():
+            groups.setdefault(tuple(_json.loads(r.assign)), []).append(r.path)
 
         parts = []
         for assign, paths in groups.items():
@@ -648,7 +662,21 @@ class Scan:
         from .types import spark_type
 
         cfg = _fileio.env_config()
-        want = [(f.field_id, f.name) for f in defaults]
+        # ID-less files may store a defaulted column under ANY of its
+        # mapped (pre-rename) names — flagging by current name alone
+        # would overwrite real stored values with the default
+        alt_names: dict[int, list[str]] = {}
+        nm_json = self.table.metadata.properties.get("schema.name-mapping.default")
+        if nm_json:
+            from .sanitize import name_mapping_from_json
+
+            alt_names = {
+                m.field_id: list(m.names) for m in name_mapping_from_json(nm_json)
+            }
+        want = [
+            (f.field_id, f.name, sorted({f.name, *alt_names.get(f.field_id, [])}))
+            for f in defaults
+        ]
         uniq = sorted(set(files))
         files_df = spark.createDataFrame(
             [(p,) for p in uniq], "path string"
@@ -673,14 +701,18 @@ class Scan:
                         if fid is not None:
                             ids.add(int(fid))
                     row = {"path": p}
-                    for fid, name in want:
-                        present = fid in ids if ids else name in names
+                    for fid, name, aliases in want:
+                        present = (
+                            fid in ids
+                            if ids
+                            else any(a in names for a in aliases)
+                        )
                         row[f"_missing_{name}"] = not present
                     rows.append(row)
                 yield pd.DataFrame(rows)
 
         flag_ddl = ", ".join(
-            ["path string"] + [f"`_missing_{n}` boolean" for _, n in want]
+            ["path string"] + [f"`_missing_{n}` boolean" for _, n, _a in want]
         )
         flags = files_df.mapInPandas(probe, flag_ddl).withColumn(
             "_dflt_fp",
@@ -695,7 +727,7 @@ class Scan:
                     F.lit(f.initial_default).cast(spark_type(f.field_type)),
                 ).otherwise(F.col(f.name)),
             )
-        return df.drop("_dflt_fp", *[f"_missing_{n}" for _, n in want])
+        return df.drop("_dflt_fp", *[f"_missing_{n}" for _, n, _a in want])
 
     @staticmethod
     def _deletion_vector_positions(spark, descriptors):

@@ -388,6 +388,15 @@ def near_dup_clusters(
         )
         if changed == 0:
             break
+    else:
+        # partially-propagated labels would silently split components
+        # (callers would keep several "representatives" of one duplicate
+        # cluster) — refuse instead
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations or "
+            "switch to the large-star/small-star formulation for this graph"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

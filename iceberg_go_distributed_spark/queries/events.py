@@ -172,20 +172,29 @@ def ev_stream_sessionize(spark, sf_dir):
 
     apply_runtime_confs(spark)
     # the file streaming source requires a DIRECTORY; stage the single
-    # events file into one via symlink (copy if symlinks unavailable)
+    # events file into one via symlink (copy if symlinks unavailable).
+    # Keyed by the REAL path (not the basename) so two datasets with the
+    # same dir name never alias, and a stale/dangling link is replaced.
+    import hashlib
+
+    target = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
     src = os.path.join(
         "/tmp/iceberg_go_distributed_spark_stream",
-        os.path.basename(sf_dir.rstrip("/")),
+        hashlib.md5(target.encode()).hexdigest()[:12],
     )
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.path.realpath(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
         try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+            os.symlink(target, link)
         except OSError:
             import shutil
 
-            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+            shutil.copyfile(target, link)
     stream = (
         spark.readStream.schema("user_id bigint, ts bigint")
         .parquet(src)

@@ -123,11 +123,19 @@ def sessionize_stream(
         sessions = [
             [int(ts[s]), int(ts[e]), int(e - s + 1)] for s, e in zip(starts, ends)
         ]
-        # stitch the carried open session with the first batch session
+        # stitch the carried open session with the first batch session;
+        # min/max both ends — a late-but-admitted event (within the
+        # watermark) may sort BEFORE the carried last_ts, and taking the
+        # batch end unconditionally would regress session_end and fire
+        # the timeout early
         if carried is not None:
             cs, ce, cn = carried
             if sessions[0][0] - ce <= gap_ns:
-                sessions[0] = [cs, sessions[0][1], cn + sessions[0][2]]
+                sessions[0] = [
+                    min(cs, sessions[0][0]),
+                    max(ce, sessions[0][1]),
+                    cn + sessions[0][2],
+                ]
             else:
                 sessions.insert(0, [cs, ce, cn])
         *closed, last = sessions
