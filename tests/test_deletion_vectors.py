@@ -257,3 +257,33 @@ def test_distributed_planning_matches_local_with_dv(
     # and the DV actually survived the round trip with its pointer
     dv_dels = [d for x in dist for d in x.delete_files if d.content_offset is not None]
     assert dv_dels and dv_dels[0].content_size_in_bytes > 0
+
+
+def test_roaring_roundtrip_property():
+    """Property: serialize→deserialize is identity on arbitrary
+    position sets, across container-type boundaries (array <= 4096 <
+    bitmap) and 16/32-bit key splits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**62 - 1),
+            max_size=300,
+        )
+    )
+    def check(positions):
+        out = deserialize_portable64(serialize_portable64(positions))
+        assert out.tolist() == sorted(set(positions))
+
+    check()
+
+
+def test_roaring_dense_boundary():
+    """Exactly 4096 values (array max) and 4097 (first bitmap) in one
+    container round-trip."""
+    base = 7 << 16
+    for n in (4096, 4097):
+        vals = [base + i for i in range(n)]
+        assert deserialize_portable64(serialize_portable64(vals)).tolist() == vals
