@@ -294,7 +294,22 @@ class FileSystemCatalog(Catalog):
                     f"concurrent commit in flight for {identifier}"
                 )
         try:
-            _write_metadata_file(new_metadata, new_path)
+            # The version file is exclusive-create (not tmp+rename): if a
+            # TTL-reclaimer broke our lock and committed v{N} while we were
+            # stalled, our resumed write must LOSE here, not silently
+            # replace the committed metadata.
+            try:
+                vfd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"version {new_version} already committed for {identifier}"
+                ) from None
+            try:
+                with os.fdopen(vfd, "wb") as f:
+                    f.write(json.dumps(new_metadata.to_json(), indent=2).encode())
+            except BaseException:
+                os.unlink(new_path)
+                raise
             self._swap_hint(identifier, new_version, expect=current)
         finally:
             os.close(fd)

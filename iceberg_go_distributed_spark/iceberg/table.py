@@ -323,24 +323,53 @@ class Scan:
             # the parquet row-group scan. Tables carrying a name mapping
             # contain add_files-registered files WITHOUT field ids —
             # those resolve by (mapped) name instead.
-            try:
-                if "schema.name-mapping.default" in self.table.metadata.properties:
-                    if any(f.initial_default is not None for f in schema.fields):
-                        # defaults need per-row file identity: carry _fp
-                        # through the grouped union (no _metadata there)
-                        df = self._read_with_name_mapping(
-                            spark, files, schema, with_pos=True
-                        )
-                        df = self._apply_initial_defaults(
-                            spark, df, files, schema, F.col("_fp")
-                        ).drop("_fp", "_pos")
-                    else:
-                        df = self._read_with_name_mapping(spark, files, schema)
+            has_defaults = any(f.initial_default is not None for f in schema.fields)
+            if "schema.name-mapping.default" in self.table.metadata.properties:
+                # No Arrow fallback here: it resolves columns by a single
+                # physical name and applies no defaults, so rerouting a
+                # name-mapped table would return wrong data (nulls for
+                # renamed columns) instead of an error. Let failures
+                # (including transient object-store errors) propagate.
+                if has_defaults:
+                    # defaults need per-row file identity: carry _fp
+                    # through the grouped union (no _metadata there)
+                    df = self._read_with_name_mapping(
+                        spark, files, schema, with_pos=True
+                    )
+                    df = self._apply_initial_defaults(
+                        spark, df, files, schema, F.col("_fp")
+                    ).drop("_fp", "_pos")
                 else:
-                    from .types import schema_to_spark_struct
+                    df = self._read_with_name_mapping(spark, files, schema)
+            else:
+                from .types import schema_to_spark_struct
 
-                    _ensure_field_id_reads(spark)
-                    df = spark.read.schema(schema_to_spark_struct(schema)).parquet(*files)
+                _ensure_field_id_reads(spark)
+                try:
+                    # narrow try: only the JVM path-resolution / scheme
+                    # lookup — defaults application stays outside so its
+                    # own bugs propagate instead of rerouting
+                    df = spark.read.schema(schema_to_spark_struct(schema)).parquet(
+                        *files
+                    )
+                except Exception:  # noqa: BLE001 — reroute to the Arrow reader
+                    from . import fileio
+
+                    if all(fileio.is_local(f) for f in files) or has_defaults:
+                        # local files: a real error, not a missing scheme.
+                        # defaults present: the Arrow fallback would drop
+                        # them — fail loudly rather than return wrong data
+                        raise
+                    # object-store table but no Hadoop connector for the
+                    # scheme in this Spark: distributed per-file Arrow read
+                    # (real clusters ship s3a:// and never take this branch)
+                    logger.warning(
+                        "JVM parquet reader cannot open %s; using the "
+                        "distributed Arrow reader",
+                        files[0].split("://", 1)[0] + "://",
+                    )
+                    df = self._read_files_arrow(spark, files, schema)
+                else:
                     df = self._apply_initial_defaults(
                         spark,
                         df,
@@ -350,24 +379,6 @@ class Scan:
                             F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
                         ),
                     )
-            except Exception:  # noqa: BLE001 — reroute to the Arrow reader
-                # NOTE: the Arrow fallback applies neither initial-
-                # defaults nor multi-name resolution — it exists for
-                # object-store schemes the local JVM lacks; real
-                # clusters ship the connector and never take it
-                from . import fileio
-
-                if all(fileio.is_local(f) for f in files):
-                    raise
-                # object-store table but no Hadoop connector for the
-                # scheme in this Spark: distributed per-file Arrow read
-                # (real clusters ship s3a:// and never take this branch)
-                logger.warning(
-                    "JVM parquet reader cannot open %s; using the "
-                    "distributed Arrow reader",
-                    files[0].split("://", 1)[0] + "://",
-                )
-                df = self._read_files_arrow(spark, files, schema)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 

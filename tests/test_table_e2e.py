@@ -272,6 +272,30 @@ def test_stale_commit_lock_reclaimed(fs_catalog, spark, lineitem_df):
     assert not os.path.exists(stale)
 
 
+def test_resumed_stalled_committer_cannot_clobber(fs_catalog, spark, lineitem_df):
+    """If committer A stalls past the TTL and committer B reclaims the lock
+    and commits v{N}, A's resumed write must fail with a conflict — NOT
+    silently replace B's committed v{N}.metadata.json."""
+    import os
+
+    t = fs_catalog.create_table("db.li_clobber", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    v = int(open(os.path.join(t.location, "metadata", "version-hint.text")).read())
+
+    # Simulate B's committed version file landing (written by the racer
+    # that broke A's stale lock) while A is about to write the same path.
+    # A's base check still passes — the hint swap is what A's write races.
+    committed = os.path.join(t.location, "metadata", f"v{v + 1}.metadata.json")
+    sentinel = b'{"committed-by": "B"}'
+    with open(committed, "wb") as f:
+        f.write(sentinel)
+
+    with pytest.raises(CommitConflictError):
+        fs_catalog.commit_table("db.li_clobber", t.metadata_location, t.metadata)
+    # B's committed bytes are untouched — tmp+rename would have clobbered
+    assert open(committed, "rb").read() == sentinel
+
+
 def test_transaction_properties_and_expire(fs_catalog, spark, lineitem_df):
     t = fs_catalog.create_table("db.li_props", LINEITEM_SCHEMA)
     tx = t.transaction()
