@@ -35,13 +35,20 @@ def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
     $SPARK_GRAFT_SF_DIR (DEFAULT_SF_DIR)."""
     path = os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) — Spark rejects it natively.
-        # Read ns-as-long, truncate to µs (same as DuckDB's ns→µs cast).
+        # ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS) isAdjustedToUTC=false in
+        # others. Normalize every shape to session-TZ TIMESTAMP (UTC):
+        #  - bigint  = ns-as-long (nanosAsLong conf) → truncate to µs,
+        #    same as DuckDB's ns→µs cast
+        #  - timestamp_ntz → cast; wall-clock == instant under UTC,
+        #    matching the oracles' CAST(ts AS TIMESTAMP)
         apply_runtime_confs(spark)
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         elif ts_type is not None and not ts_type.startswith("timestamp"):
             raise TypeError(
                 f"events.ts read as {ts_type!r}: expected bigint (ns-as-long) or "

@@ -17,6 +17,7 @@ reference's optimistic-concurrency design.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sqlite3
@@ -131,10 +132,17 @@ class Catalog:
         )
 
 
+def _metadata_payload(metadata: TableMetadata) -> bytes:
+    """Single source of truth for the on-disk metadata.json encoding —
+    shared by initial writes and FS-catalog commits so the two can't
+    drift."""
+    return json.dumps(metadata.to_json(), indent=2).encode()
+
+
 def _write_metadata_file(metadata: TableMetadata, path: str) -> None:
     from . import fileio
 
-    payload = json.dumps(metadata.to_json(), indent=2).encode()
+    payload = _metadata_payload(metadata)
     if fileio.is_local(path):
         # local: write-temp + rename for atomic visibility
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -272,6 +280,7 @@ class FileSystemCatalog(Catalog):
         # the TTL are reclaimable. Breaking one can't clobber a committed
         # version: the version file itself is also exclusive-create.
         lock = f"{new_path}.lock"
+        reclaimed_stale_lock = False
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -289,28 +298,50 @@ class FileSystemCatalog(Catalog):
                 pass
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                reclaimed_stale_lock = True
             except FileExistsError:
                 raise CommitConflictError(
                     f"concurrent commit in flight for {identifier}"
                 )
         try:
-            # The version file is exclusive-create (not tmp+rename): if a
-            # TTL-reclaimer broke our lock and committed v{N} while we were
-            # stalled, our resumed write must LOSE here, not silently
-            # replace the committed metadata.
+            if reclaimed_stale_lock and os.path.exists(new_path):
+                # The dead lock holder published v{N} but died before
+                # swapping the hint — the commit never became visible
+                # (verified: hint still reads `current`), so the orphan
+                # would wedge this version forever. Safe to clear under
+                # the same >TTL staleness assumption that let us break
+                # the lock.
+                if self._current_version(identifier) == current:
+                    with contextlib.suppress(OSError):
+                        os.unlink(new_path)
+            # Publish via tmp-write + hard-link: the link is atomic (no
+            # reader or crash can observe a partial v{N}) AND exclusive
+            # (EEXIST — if a TTL-reclaimer broke our lock and committed
+            # v{N} while we were stalled, our resumed publish must LOSE,
+            # not silently replace committed metadata).
+            tmp = f"{new_path}.tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(_metadata_payload(new_metadata))
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                vfd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, new_path)
             except FileExistsError:
                 raise CommitConflictError(
                     f"version {new_version} already committed for {identifier}"
                 ) from None
+            finally:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
             try:
-                with os.fdopen(vfd, "wb") as f:
-                    f.write(json.dumps(new_metadata.to_json(), indent=2).encode())
+                self._swap_hint(identifier, new_version, expect=current)
             except BaseException:
-                os.unlink(new_path)
+                # We hold the lock and the hint never pointed at v{N}:
+                # unpublish so a failed swap can't strand an orphan that
+                # blocks the next committer until TTL reclaim.
+                with contextlib.suppress(OSError):
+                    os.unlink(new_path)
                 raise
-            self._swap_hint(identifier, new_version, expect=current)
         finally:
             os.close(fd)
             try:

@@ -236,6 +236,15 @@ MANIFEST_LIST_V2_SCHEMA = {
     ],
 }
 
+# v3 manifest list = v2 + row-lineage assignment column (spec field 520)
+# — ref internal/avro_schemas.go:497 / manifest.go:1478-1486
+MANIFEST_LIST_V3_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": MANIFEST_LIST_V2_SCHEMA["fields"]
+    + [_f("first_row_id", _nullable("long"), 520, None)],
+}
+
 
 def _avro_type_for(t: IcebergType) -> Any:
     """Partition-value avro types (subset used in partition tuples)."""
@@ -268,11 +277,13 @@ def partition_record_schema(spec: PartitionSpec, schema: Schema) -> dict:
 
 
 def data_file_schema(
-    spec: PartitionSpec, schema: Schema, dv_fields: bool = False
+    spec: PartitionSpec, schema: Schema, dv_fields: bool = False,
+    lineage_fields: bool = False,
 ) -> dict:
-    # v3 deletion-vector columns (spec field ids 143-145); only written
-    # when an entry actually carries them so v2 manifests keep the
-    # exact v2 shape — ref manifest.go:1792-1793
+    # v3 deletion-vector columns (spec field ids 143-145) and the row
+    # lineage column (142); only written when an entry actually carries
+    # them so v2 manifests keep the exact v2 shape — ref
+    # manifest.go:1791-1793
     extra = (
         [
             _f("referenced_data_file", _nullable("string"), 143, None),
@@ -282,6 +293,8 @@ def data_file_schema(
         if dv_fields
         else []
     )
+    if lineage_fields:
+        extra = [_f("first_row_id", _nullable("long"), 142, None)] + extra
     return {
         "type": "record",
         "name": "r2",
@@ -308,7 +321,8 @@ def data_file_schema(
 
 
 def manifest_entry_schema(
-    spec: PartitionSpec, schema: Schema, dv_fields: bool = False
+    spec: PartitionSpec, schema: Schema, dv_fields: bool = False,
+    lineage_fields: bool = False,
 ) -> dict:
     return {
         "type": "record",
@@ -318,7 +332,7 @@ def manifest_entry_schema(
             _f("snapshot_id", _nullable("long"), 1, None),
             _f("sequence_number", _nullable("long"), 3, None),
             _f("file_sequence_number", _nullable("long"), 4, None),
-            _f("data_file", data_file_schema(spec, schema, dv_fields), 2),
+            _f("data_file", data_file_schema(spec, schema, dv_fields, lineage_fields), 2),
         ],
     }
 
@@ -361,8 +375,9 @@ def _entry_to_avro(e: ManifestEntry, spec: PartitionSpec) -> dict:
             "split_offsets": df.split_offsets,
             "equality_ids": df.equality_ids,
             "sort_order_id": df.sort_order_id,
-            # harmless extras when the writer schema omits DV fields:
-            # write_ocf marshals by schema, unknown keys are dropped
+            # harmless extras when the writer schema omits DV/lineage
+            # fields: write_ocf marshals by schema, unknown keys dropped
+            "first_row_id": df.first_row_id,
             "referenced_data_file": df.referenced_data_file,
             "content_offset": df.content_offset,
             "content_size_in_bytes": df.content_size_in_bytes,
@@ -419,7 +434,10 @@ def write_manifest(
 
     entries = list(entries)
     has_dv = any(e.data_file.content_offset is not None for e in entries)
-    avro_schema = manifest_entry_schema(spec, schema, dv_fields=has_dv)
+    has_lineage = any(e.data_file.first_row_id is not None for e in entries)
+    avro_schema = manifest_entry_schema(
+        spec, schema, dv_fields=has_dv, lineage_fields=has_lineage
+    )
     meta = {
         "schema": __import__("json").dumps(schema.to_json()),
         "partition-spec": __import__("json").dumps([f.to_json() for f in spec.fields]),
@@ -512,26 +530,65 @@ def read_manifest(
     path: str,
     discard_deleted: bool = True,
     inherit_sequence_number: Optional[int] = None,
+    inherit_first_row_id: Optional[int] = None,
 ) -> list[ManifestEntry]:
     """ref manifest.go:774 (ReadManifest). ADDED entries written without
     an explicit sequence number inherit the manifest's (spec: sequence
-    number inheritance)."""
+    number inheritance). With `inherit_first_row_id` (the manifest's
+    assigned first_row_id, v3 row lineage), data files with a null
+    first_row_id are assigned one by position: the running id starts at
+    the manifest's and advances by each data file's record_count."""
     records = _read_manifest_records(path)
     entries = [_entry_from_avro(r) for r in records]
     if inherit_sequence_number is not None:
         for e in entries:
             if e.sequence_number is None:
                 e.sequence_number = inherit_sequence_number
+    if inherit_first_row_id is not None:
+        running = inherit_first_row_id
+        for e in entries:
+            if e.data_file.content != DataFileContent.DATA:
+                continue
+            if e.data_file.first_row_id is None:
+                e.data_file.first_row_id = running
+            running += e.data_file.record_count
     if discard_deleted:
         entries = [e for e in entries if e.status != ManifestEntryStatus.DELETED]
     return entries
 
 
-def write_manifest_list(path: str, manifests: Iterable[ManifestFile]) -> None:
-    """ref manifest.go:1521 (WriteManifestList)."""
+def write_manifest_list(
+    path: str,
+    manifests: Iterable[ManifestFile],
+    format_version: int = 2,
+    first_row_id: Optional[int] = None,
+    snapshot_id: Optional[int] = None,
+    sequence_number: Optional[int] = None,
+    parent_snapshot_id: Optional[int] = None,
+) -> int:
+    """ref manifest.go:1521 (WriteManifestList).
+
+    For v3 the list writer performs row-lineage assignment (ref
+    manifest.go:1478-1486, mirroring Java ManifestListWriter): every
+    DATA manifest with a null first_row_id — newly written ones AND
+    pre-upgrade carried ones — is assigned the running id, which then
+    advances by the manifest's existing+added row counts. Returns the
+    total number of row ids consumed (the snapshot's `added-rows`);
+    0 for v2."""
+    manifests = list(manifests)
+    assigned = 0
+    if format_version >= 3:
+        if first_row_id is None:
+            raise ValueError("v3 manifest lists require first_row_id")
+        next_id = first_row_id
+        for m in manifests:
+            if m.content == ManifestContent.DATA and m.first_row_id is None:
+                m.first_row_id = next_id
+                next_id += m.existing_rows_count + m.added_rows_count
+        assigned = next_id - first_row_id
 
     def row(m: ManifestFile) -> dict:
-        return {
+        out = {
             "manifest_path": m.manifest_path,
             "manifest_length": m.manifest_length,
             "partition_spec_id": m.partition_spec_id,
@@ -548,8 +605,27 @@ def write_manifest_list(path: str, manifests: Iterable[ManifestFile]) -> None:
             "deleted_rows_count": m.deleted_rows_count,
             "key_metadata": m.key_metadata,
         }
+        if format_version >= 3:
+            out["first_row_id"] = m.first_row_id
+        return out
 
-    avro_io.write_ocf(path, MANIFEST_LIST_V2_SCHEMA, (row(m) for m in manifests))
+    # OCF metadata keys as the reference writes them (manifest.go:1388-1415)
+    meta = {"format-version": str(format_version)}
+    if snapshot_id is not None:
+        meta["snapshot-id"] = str(snapshot_id)
+    if sequence_number is not None:
+        meta["sequence-number"] = str(sequence_number)
+    if format_version >= 3:
+        meta["first-row-id"] = str(first_row_id)
+    if snapshot_id is not None:
+        meta["parent-snapshot-id"] = (
+            str(parent_snapshot_id) if parent_snapshot_id is not None else "null"
+        )
+    schema_ = (
+        MANIFEST_LIST_V3_SCHEMA if format_version >= 3 else MANIFEST_LIST_V2_SCHEMA
+    )
+    avro_io.write_ocf(path, schema_, (row(m) for m in manifests), metadata=meta)
+    return assigned
 
 
 def read_manifest_list(path: str) -> list[ManifestFile]:

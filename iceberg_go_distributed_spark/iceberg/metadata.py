@@ -53,8 +53,9 @@ class Snapshot:
     parent_snapshot_id: Optional[int] = None
     schema_id: Optional[int] = None
     # v3 row lineage: the first row ID assigned to rows in this snapshot
-    # and the number of rows it added — ref table/snapshots.go:257-258.
-    # Parsed and preserved; this writer never assigns row IDs (v2).
+    # and the number of rows it consumed — ref table/snapshots.go:257-258.
+    # Assigned by the v3 commit path (manifest-list writer allocates per
+    # data manifest; MetadataBuilder.add_snapshot advances next-row-id).
     first_row_id: Optional[int] = None
     added_rows: Optional[int] = None
 
@@ -481,15 +482,25 @@ class MetadataBuilder:
     def add_snapshot(self, snapshot: Snapshot) -> "MetadataBuilder":
         """Invariants — ref table/metadata.go:435-474."""
         if self.m.format_version >= 3:
-            # v3 snapshots must assign first-row-id / carry row lineage
-            # through manifests; this writer produces v2 manifests. A
-            # silent v2-style commit would corrupt lineage for every
-            # other v3 reader, so refuse loudly. (Reads of v3 tables,
-            # including time travel, work — only commits are gated.)
-            raise CommitStateError(
-                "committing to a format-version 3 table is not supported "
-                "(row lineage would be lost); this engine reads v3 and writes v2"
-            )
+            # v3 row lineage (spec v3; ref metadata.go:1789-1856,
+            # snapshots.go:257): every snapshot carries first-row-id +
+            # added-rows, and table next-row-id advances past the ids the
+            # snapshot consumed. A lineage-less snapshot on a v3 table
+            # would corrupt row ids for every other reader — refuse.
+            if snapshot.first_row_id is None or snapshot.added_rows is None:
+                raise CommitStateError(
+                    "v3 snapshots must carry first-row-id and added-rows "
+                    "(row lineage); commit through the v3-aware write path"
+                )
+            next_id = self.m.next_row_id or 0
+            if snapshot.first_row_id < next_id:
+                raise CommitStateError(
+                    f"snapshot first-row-id {snapshot.first_row_id} overlaps "
+                    f"already-assigned ids (next-row-id {next_id})"
+                )
+            if snapshot.added_rows < 0:
+                raise CommitStateError("snapshot added-rows must be >= 0")
+            self.m.next_row_id = snapshot.first_row_id + snapshot.added_rows
         if not self.m.schemas:
             raise CommitStateError("cannot add snapshot before adding a schema")
         if not self.m.partition_specs:

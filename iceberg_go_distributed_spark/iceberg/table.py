@@ -1082,10 +1082,26 @@ class Table(StaticTable):
 
     def delete_where(self, spark, expr) -> None:
         """Row-level delete: strict-matching files dropped whole, partial
-        files get position deletes (merge-on-read)."""
+        files get position deletes (merge-on-read; puffin deletion
+        vectors on v3 tables)."""
         from .write import delete_where
 
         delete_where(self, spark, expr)
+
+    def upgrade_format_version(self, version: int) -> "Table":
+        """Upgrade the table's format version (e.g. v2 → v3). Upgrading
+        to v3 initializes the row-id space (next-row-id = 0); existing
+        manifests are assigned first-row-id lazily at the next commit
+        (spec v3 upgrade semantics; ref metadata.go:1789-1856)."""
+        from .transaction import AssertTableUUID, UpgradeFormatVersion
+
+        tx = self.transaction()
+        tx.apply(
+            [UpgradeFormatVersion(version)],
+            [AssertTableUUID(self.metadata.table_uuid)],
+        )
+        tx.commit()
+        return self
 
     def delete_by_keys(self, keys_df, key_columns: list) -> None:
         """Equality deletes: drop every row whose key tuple appears in

@@ -60,6 +60,10 @@ class UpgradeFormatVersion(Update):
         if self.format_version < b.m.format_version:
             raise CommitStateError("cannot downgrade format version")
         b.m.format_version = self.format_version
+        if self.format_version >= 3 and b.m.next_row_id is None:
+            # row-id space starts empty on upgrade; pre-upgrade manifests
+            # get first_row_id lazily at the next commit's list write
+            b.m.next_row_id = 0
 
     def to_json(self):
         return {"action": self.action, "format-version": self.format_version}
@@ -536,7 +540,20 @@ class Transaction:
             f"snap-{snapshot_id}-1-{commit_uuid}.avro",
         )
         os.makedirs(os.path.dirname(list_path), exist_ok=True)
-        write_manifest_list(list_path, all_manifests)
+        # v3: the list writer assigns row-lineage ids to data manifests
+        # lacking one (new + pre-upgrade carried); the snapshot records
+        # the id range it consumed — ref manifest.go:1478-1486
+        fv = md.format_version
+        first_row_id = (md.next_row_id or 0) if fv >= 3 else None
+        assigned = write_manifest_list(
+            list_path,
+            all_manifests,
+            format_version=fv,
+            first_row_id=first_row_id,
+            snapshot_id=snapshot_id,
+            sequence_number=seq,
+            parent_snapshot_id=parent_snapshot_id,
+        )
         snap = Snapshot(
             snapshot_id=snapshot_id,
             parent_snapshot_id=parent_snapshot_id,
@@ -545,6 +562,8 @@ class Transaction:
             manifest_list=list_path,
             summary=summary,
             schema_id=md.current_schema_id,
+            first_row_id=first_row_id,
+            added_rows=assigned if fv >= 3 else None,
         )
         self.apply(
             [AddSnapshotUpdate(snap), SetSnapshotRef(branch, snapshot_id)],

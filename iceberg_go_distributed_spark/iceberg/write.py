@@ -713,23 +713,38 @@ def commit_distributed_snapshot(table, ds, manifests, summary_props=None) -> Non
 
 # ------------------------------------------------ deletes & overwrite (DML)
 
-def _rewrite_parent_manifests(md, removed_paths: set, commit_uuid: str, tag: str):
+def _rewrite_parent_manifests(
+    md, removed_paths: set, commit_uuid: str, tag: str,
+    replaced_dv_refs: Optional[set] = None,
+):
     """Carry forward the parent's manifests, dropping entries for
     `removed_paths`; untouched manifests are reused as-is (ref
     snapshot_producers.go:104-243 overwriteFiles: rewrites carried-over
-    manifests dropping deleted entries)."""
+    manifests dropping deleted entries).
+
+    v3: rewritten data manifests materialize each kept file's
+    first_row_id (inherited from the manifest's assignment) so row
+    lineage survives the rewrite, and the new manifest keeps the old
+    first_row_id — no ids are re-burned. `replaced_dv_refs` drops
+    deletion-vector entries whose referenced data file got a new DV
+    this commit (spec: at most one DV per data file)."""
     from .manifest import (
         ManifestContent,
         read_manifest,
         write_manifest,
     )
 
+    v3 = md.format_version >= 3
     parent = md.current_snapshot()
     carried = []
     if parent is None:
         return carried
     for i, m in enumerate(parent.manifests()):
-        entries = read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number)
+        entries = read_manifest(
+            m.manifest_path,
+            inherit_sequence_number=m.sequence_number,
+            inherit_first_row_id=m.first_row_id if v3 else None,
+        )
         if m.content == ManifestContent.DATA and any(
             e.data_file.file_path in removed_paths for e in entries
         ):
@@ -744,6 +759,35 @@ def _rewrite_parent_manifests(md, removed_paths: set, commit_uuid: str, tag: str
             spec = md.spec_by_id(m.partition_spec_id)
             schema = md.current_schema()
             mf = write_manifest(path, spec, schema, parent.snapshot_id, kept)
+            mf.sequence_number = m.sequence_number
+            mf.min_sequence_number = m.min_sequence_number
+            mf.first_row_id = m.first_row_id
+            carried.append(mf)
+        elif m.content == ManifestContent.DELETES and replaced_dv_refs and any(
+            e.data_file.content_offset is not None
+            and e.data_file.referenced_data_file in replaced_dv_refs
+            for e in entries
+        ):
+            kept = [
+                e
+                for e in entries
+                if not (
+                    e.data_file.content_offset is not None
+                    and e.data_file.referenced_data_file in replaced_dv_refs
+                )
+            ]
+            if not kept:
+                continue
+            for e in kept:
+                e.status = ManifestEntryStatus.EXISTING
+            path = os.path.join(
+                md.location, "metadata", f"{commit_uuid}-{tag}-dvrw{i}.avro"
+            )
+            spec = md.spec_by_id(m.partition_spec_id)
+            mf = write_manifest(
+                path, spec, md.current_schema(), parent.snapshot_id, kept,
+                content=ManifestContent.DELETES,
+            )
             mf.sequence_number = m.sequence_number
             mf.min_sequence_number = m.min_sequence_number
             carried.append(mf)
@@ -781,7 +825,17 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
     fileio.makedirs(os.path.dirname(list_path))
     from .manifest import write_manifest_list
 
-    write_manifest_list(list_path, list(new_manifests) + list(carried))
+    fv = md.format_version
+    first_row_id = (md.next_row_id or 0) if fv >= 3 else None
+    assigned = write_manifest_list(
+        list_path,
+        list(new_manifests) + list(carried),
+        format_version=fv,
+        first_row_id=first_row_id,
+        snapshot_id=ds_sid,
+        sequence_number=seq,
+        parent_snapshot_id=parent_id,
+    )
     snap = Snapshot(
         snapshot_id=ds_sid,
         parent_snapshot_id=parent_id,
@@ -790,6 +844,8 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
         manifest_list=list_path,
         summary=Summary(operation, extra_summary or {}),
         schema_id=md.current_schema_id,
+        first_row_id=first_row_id,
+        added_rows=assigned if fv >= 3 else None,
     )
     tx.apply(
         list(extra_updates or []) + [AddSnapshotUpdate(snap), SetSnapshotRef(MAIN_BRANCH, ds_sid)],
@@ -888,12 +944,150 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
     return descs
 
 
+def write_deletion_vectors(
+    spark, table, tasks, expr, commit_uuid: str, snapshot_id: int = 0
+):
+    """Executor-side v3 delete-write half: per partially-matching data
+    file, evaluate the (bound) predicate as a pandas mask, union the
+    matched positions with the file's existing deletion vector (spec:
+    at most one DV per data file — the new DV replaces the old), and
+    write ONE puffin file per task holding a `deletion-vector-v1` blob
+    per referenced data file. The reference parses these manifest fields
+    (manifest.go:1792-1793) but never writes DVs; the blob layout here
+    follows the Iceberg v3 spec (puffin.py)."""
+    import pandas as pd
+
+    from .expressions import bind_expr, extract_field_names, rewrite_not, to_pandas_mask
+
+    md = table.metadata
+    schema = md.current_schema()
+    bound = bind_expr(rewrite_not(expr), schema)
+    needed = sorted(extract_field_names(bound))
+    location = md.location
+    seq_hint = md.last_sequence_number + 1
+
+    rows = []
+    for t in tasks:
+        dv = next((d for d in t.delete_files if d.content_offset is not None), None)
+        rows.append(
+            (
+                t.file.file_path,
+                dv.file_path if dv else None,
+                dv.content_offset if dv else None,
+                dv.content_size_in_bytes if dv else None,
+            )
+        )
+    files_df = spark.createDataFrame(
+        rows, "data_file string, dv_path string, dv_offset bigint, dv_size bigint"
+    ).repartition(min(len(rows), 32))
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
+
+    def task(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from pyspark import TaskContext
+
+        from . import fileio
+        from .manifest import DataFileContent
+        from .puffin import (
+            BlobMetadata,
+            read_deletion_vector,
+            serialize_deletion_vector,
+            write_puffin,
+        )
+
+        fileio.apply_config(fileio_cfg)
+        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        blobs: list = []
+        refs: list = []
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                tbl = fileio.read_parquet_table(rec.data_file, columns=needed)
+                frame = tbl.to_pandas()
+                for cname in needed:
+                    frame[f"__isnull_{cname}"] = pc.is_null(
+                        tbl[cname]
+                    ).to_pandas().to_numpy()
+                mask = to_pandas_mask(bound, frame)
+                positions = np.flatnonzero(mask.to_numpy()).astype(np.uint64)
+                if rec.dv_path is not None and not pd.isna(rec.dv_path):
+                    old = read_deletion_vector(
+                        rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                    )
+                    positions = np.union1d(
+                        positions, np.asarray(old, dtype=np.uint64)
+                    )
+                if len(positions) == 0:
+                    continue
+                blobs.append(
+                    (
+                        BlobMetadata(
+                            type="deletion-vector-v1",
+                            fields=[],
+                            snapshot_id=snapshot_id,
+                            sequence_number=seq_hint,
+                            properties={
+                                "referenced-data-file": rec.data_file,
+                                "cardinality": str(len(positions)),
+                            },
+                        ),
+                        serialize_deletion_vector(positions),
+                    )
+                )
+                refs.append((rec.data_file, int(len(positions))))
+        if not blobs:
+            yield pd.DataFrame({"descriptor": []}).astype({"descriptor": "string"})
+            return
+        d = os.path.join(location, "data")
+        fileio.makedirs(d)
+        path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.puffin")
+        write_puffin(path, blobs)
+        size = fileio.size(path)
+        out = []
+        for (meta, _), (ref_path, card) in zip(blobs, refs):
+            out.append(
+                _encode_descriptor(
+                    DataFile(
+                        file_path=path,
+                        file_format="PUFFIN",
+                        partition={},
+                        record_count=card,
+                        file_size_in_bytes=size,
+                        content=DataFileContent.POSITION_DELETES,
+                        referenced_data_file=ref_path,
+                        content_offset=meta.offset,
+                        content_size_in_bytes=meta.length,
+                    )
+                )
+            )
+        yield pd.DataFrame({"descriptor": out})
+
+    import pyarrow.parquet  # noqa: F401  (fail fast on driver if missing)
+
+    from .manifest import DataFileContent as _DFC
+
+    descs = [
+        _decode_descriptor(r.descriptor)
+        for r in files_df.mapInPandas(task, _DESCRIPTOR_SCHEMA).collect()
+        if r.descriptor
+    ]
+    for d in descs:
+        d.content = _DFC.POSITION_DELETES
+    return descs
+
+
 def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     """Row-level delete. Whole files that *strictly* match the predicate
     are dropped copy-on-write style (no rewrite needed); partially
     matching files get position-delete files (merge-on-read) — the
     read path anti-joins them (ref scanner.go:285-309 matching +
-    arrow_scanner.go:153-190 application)."""
+    arrow_scanner.go:153-190 application). On v3 tables the
+    merge-on-read half writes puffin deletion vectors instead of
+    parquet position-delete files (spec v3: new position deletes MUST
+    be DVs), replacing any prior DV for the same data file."""
     from .evaluators import strict_metrics_evaluator
     from .manifest import ManifestContent, ManifestEntry, ManifestEntryStatus, write_manifest
 
@@ -909,8 +1103,17 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
 
     removed = {t.file.file_path for t in full}
     new_manifests = []
+    replaced_dv_refs: set = set()
     if partial:
-        delete_files = write_position_deletes(spark, table, partial, expr, ds.commit_uuid)
+        if md.format_version >= 3:
+            delete_files = write_deletion_vectors(
+                spark, table, partial, expr, ds.commit_uuid, ds.snapshot_id
+            )
+            replaced_dv_refs = {f.referenced_data_file for f in delete_files}
+        else:
+            delete_files = write_position_deletes(
+                spark, table, partial, expr, ds.commit_uuid
+            )
         if delete_files:
             entries = [
                 ManifestEntry(
@@ -929,7 +1132,10 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
             )
             new_manifests.append(mf)
 
-    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "del")
+    carried = _rewrite_parent_manifests(
+        md, removed, ds.commit_uuid, "del",
+        replaced_dv_refs=replaced_dv_refs or None,
+    )
     _commit_manifests(
         table,
         new_manifests,

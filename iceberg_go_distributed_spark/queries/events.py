@@ -195,13 +195,28 @@ def ev_stream_sessionize(spark, sf_dir):
             import shutil
 
             shutil.copyfile(target, link)
-    stream = (
-        spark.readStream.schema("user_id bigint, ts bigint")
-        .parquet(src)
-        .select(
-            "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    # match the stream schema to the file's actual ts encoding (testdata
+    # generations vary: TIMESTAMP(NANOS) → ns-as-long bigint, or
+    # TIMESTAMP(MICROS) ntz/utc) and normalize to session-TZ TIMESTAMP
+    # exactly as datasets.load_table does for batch
+    import pyarrow.parquet as _pq
+
+    ts_arrow = str(_pq.read_schema(target).field("ts").type)
+    if ts_arrow.startswith("timestamp[ns"):
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint")
+            .parquet(src)
+            .select(
+                "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+            )
         )
-    )
+    else:
+        declared = "timestamp" if "tz=" in ts_arrow else "timestamp_ntz"
+        stream = (
+            spark.readStream.schema(f"user_id bigint, ts {declared}")
+            .parquet(src)
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        )
     name = "ev_stream_sessions"
     q = (
         sessionize_stream(stream, gap_minutes=30)

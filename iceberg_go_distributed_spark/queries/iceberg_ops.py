@@ -516,6 +516,52 @@ def ice_deletion_vector(spark, sf_dir):
 
 
 @query(
+    "ice_v3_write",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 10.0
+    GROUP BY l_returnflag
+    """,
+    doc="v3 write path: upgrade, row-lineage appends, DV delete, MOR scan",
+)
+def ice_v3_write(spark, sf_dir):
+    """Full v3 round trip through OUR writer (the reference only parses
+    this surface — manifest.go:1791-1793, metadata.go:1789-1856): create
+    a table, upgrade to format-version 3, append twice (the manifest
+    list writer assigns first-row-id per data manifest and the commit
+    advances next-row-id), then delete_where — which on v3 writes a
+    puffin deletion vector per touched data file, not parquet position
+    deletes — and scan back through the DV merge-on-read path."""
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_v3w", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_v3w", schema_from_spark(li.schema))
+    t.upgrade_format_version(3)
+    t.append(li.where("l_orderkey % 2 = 0").coalesce(1))
+    t.append(li.where("l_orderkey % 2 = 1").coalesce(1))
+    t.delete_where(spark, E.less_than("l_quantity", 10.0))
+
+    md = t.metadata
+    total = li.count()
+    if md.next_row_id != total:
+        raise AssertionError(
+            f"row lineage drift: next-row-id {md.next_row_id} != {total}"
+        )
+    df = t.scan().to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
+
+
+@query(
     "ice_incremental_scan",
     oracle="""
     SELECT l_returnflag,
@@ -552,7 +598,7 @@ def ice_incremental_scan(spark, sf_dir):
 @query(
     "ice_partitions_table",
     oracle="""
-    SELECT '{''l_returnflag'': ''' || l_returnflag || '''}' AS partition,
+    SELECT l_returnflag,
            COUNT(*) AS record_count
     FROM lineitem
     GROUP BY l_returnflag
@@ -562,9 +608,19 @@ def ice_incremental_scan(spark, sf_dir):
 def ice_partitions_table(spark, sf_dir):
     """inspect_partitions over an identity-partitioned table must equal
     a plain GROUP BY on the raw data — proves the fanout writer routed
-    every row to its partition and manifests carry true counts."""
+    every row to its partition and manifests carry true counts.
+
+    The partition tuple renders as ``{'l_returnflag': 'A'}``; we project
+    the bare value so the oracle SQL stays free of literal braces (which
+    some templating layers treat as placeholders).
+    """
     t, _ = _lineitem_table(
         spark, sf_dir, "ice_pt", spec_defs=(("l_returnflag", "identity"),),
         single_file=False,
     )
-    return t.inspect_partitions(spark).select("partition", "record_count")
+    return t.inspect_partitions(spark).select(
+        F.regexp_extract("partition", r"'l_returnflag': '([^']*)'", 1).alias(
+            "l_returnflag"
+        ),
+        "record_count",
+    )

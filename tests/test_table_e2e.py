@@ -296,6 +296,39 @@ def test_resumed_stalled_committer_cannot_clobber(fs_catalog, spark, lineitem_df
     assert open(committed, "rb").read() == sentinel
 
 
+def test_orphaned_unpublished_version_is_healed(fs_catalog, spark, lineitem_df):
+    """A committer that hard-crashed between publishing v{N} and swapping
+    the version hint leaves an orphan v{N} (possibly truncated, under the
+    old O_EXCL+write scheme) plus its lock. Once the lock ages past the
+    TTL the next commit must clear the never-visible orphan and go
+    through — not raise CommitConflictError forever (ADVICE r4, medium)."""
+    import os
+    import time
+
+    t = fs_catalog.create_table("db.li_orphan", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    v = int(open(os.path.join(t.location, "metadata", "version-hint.text")).read())
+
+    meta = os.path.join(t.location, "metadata")
+    orphan = os.path.join(meta, f"v{v + 1}.metadata.json")
+    with open(orphan, "wb") as f:
+        f.write(b'{"truncated-by-crash')  # partial JSON — unreadable
+    lock = orphan + ".lock"
+    with open(lock, "w"):
+        pass
+    old = time.time() - fs_catalog.LOCK_TTL_SECONDS - 5
+    os.utime(lock, (old, old))
+
+    t.append(lineitem_df.limit(5).coalesce(1))  # must heal, not wedge
+    assert t.scan().to_df(spark).count() == 15
+    # the healed v{N} is complete, parseable metadata, not the orphan bytes
+    import json as _json
+
+    _json.load(open(orphan))
+    # and no stray tmp files remain
+    assert not [p for p in os.listdir(meta) if ".tmp-" in p]
+
+
 def test_transaction_properties_and_expire(fs_catalog, spark, lineitem_df):
     t = fs_catalog.create_table("db.li_props", LINEITEM_SCHEMA)
     tx = t.transaction()

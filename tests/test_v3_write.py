@@ -1,0 +1,229 @@
+"""v3 write path: row lineage (next-row-id / first-row-id / added-rows)
+and puffin deletion vectors written by delete_where.
+
+The reference parses the v3 surface (manifest.go:1791-1793 lineage + DV
+fields, metadata.go:1789-1856 next-row-id) but never writes it; these
+tests pin our writer's spec compliance end to end: upgrade → append
+(lineage assignment) → delete (DV write) → scan (DV application) →
+second delete (DV merge-and-replace, at most one DV per data file).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.manifest import (
+    DataFileContent,
+    ManifestContent,
+    read_manifest,
+)
+from iceberg_go_distributed_spark.iceberg.metadata import CommitStateError
+
+from test_table_e2e import LINEITEM_SCHEMA
+
+
+@pytest.fixture()
+def fs_catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def lineitem_df(spark, sf_dir):
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _v3_table(fs_catalog, lineitem_df, name="db.v3", rows=200, files=1):
+    t = fs_catalog.create_table(name, LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(rows)
+    t.append(df.coalesce(files) if files else df)
+    return t
+
+
+def test_v3_append_assigns_row_lineage(fs_catalog, spark, lineitem_df):
+    t = _v3_table(fs_catalog, lineitem_df, rows=150)
+    md = t.metadata
+    assert md.format_version == 3
+    snap = t.current_snapshot()
+    assert snap.first_row_id == 0
+    assert snap.added_rows == 150
+    assert md.next_row_id == 150
+    # manifest list carries the assigned first_row_id per data manifest
+    [m] = [m for m in snap.manifests() if m.content == ManifestContent.DATA]
+    assert m.first_row_id == 0
+    # second append starts where the first left off
+    t.append(lineitem_df.limit(50).coalesce(1))
+    snap2 = t.current_snapshot()
+    assert snap2.first_row_id == 150
+    assert snap2.added_rows == 50
+    assert t.metadata.next_row_id == 200
+    # carried manifest keeps its assignment; only the new one is assigned
+    firsts = sorted(
+        m.first_row_id
+        for m in snap2.manifests()
+        if m.content == ManifestContent.DATA
+    )
+    assert firsts == [0, 150]
+
+
+def test_v3_upgrade_assigns_preexisting_manifests(fs_catalog, spark, lineitem_df):
+    """v2-era manifests have no first_row_id; the first post-upgrade
+    commit assigns them (reference manifest.go:1478-1486 semantics)."""
+    t = fs_catalog.create_table("db.up", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(100).coalesce(1))  # v2 commit
+    t.upgrade_format_version(3)
+    assert t.metadata.next_row_id == 0
+    t.append(lineitem_df.limit(40).coalesce(1))  # first v3 commit
+    snap = t.current_snapshot()
+    assert snap.first_row_id == 0
+    # both the new manifest (40) and the carried v2-era one (100) consume ids
+    assert snap.added_rows == 140
+    assert t.metadata.next_row_id == 140
+    assert all(
+        m.first_row_id is not None
+        for m in snap.manifests()
+        if m.content == ManifestContent.DATA
+    )
+
+
+def test_v3_lineage_less_snapshot_refused():
+    """A v2-style snapshot (no lineage) on a v3 table must be refused."""
+    from dataclasses import replace
+
+    from iceberg_go_distributed_spark.iceberg.metadata import (
+        MetadataBuilder,
+        Snapshot,
+        Summary,
+        new_table_metadata,
+    )
+    from iceberg_go_distributed_spark.iceberg.partitioning import PartitionSpec
+
+    md = replace(
+        new_table_metadata(
+            LINEITEM_SCHEMA, PartitionSpec.unpartitioned(), "/tmp/x", {}
+        ),
+        format_version=3,
+        next_row_id=0,
+    )
+    b = MetadataBuilder(md)
+    snap = Snapshot(
+        snapshot_id=1,
+        sequence_number=1,
+        timestamp_ms=md.last_updated_ms,
+        manifest_list="x.avro",
+        summary=Summary("append"),
+    )
+    with pytest.raises(CommitStateError, match="row lineage"):
+        b.add_snapshot(snap)
+    # overlapping first-row-id is refused too
+    with pytest.raises(CommitStateError, match="overlaps"):
+        b2 = MetadataBuilder(replace(md, next_row_id=100))
+        b2.add_snapshot(replace(snap, first_row_id=50, added_rows=10))
+
+
+def test_v3_delete_where_writes_deletion_vector(fs_catalog, spark, lineitem_df):
+    t = _v3_table(fs_catalog, lineitem_df, rows=200)
+    before = t.scan().to_df(spark).count()
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    expected = lineitem_df.limit(200).where("l_linenumber != 1").count()
+    assert t.scan().to_df(spark).count() == expected < before
+
+    # the delete produced a puffin DV entry, not a parquet delete file
+    snap = t.current_snapshot()
+    dms = [m for m in snap.manifests() if m.content == ManifestContent.DELETES]
+    assert dms, "delete manifest missing"
+    dvs = [
+        e.data_file
+        for m in dms
+        for e in read_manifest(m.manifest_path)
+        if e.data_file.content == DataFileContent.POSITION_DELETES
+    ]
+    assert len(dvs) == 1
+    dv = dvs[0]
+    assert dv.file_format == "PUFFIN"
+    assert dv.file_path.endswith(".puffin")
+    assert dv.referenced_data_file and dv.content_offset is not None
+    # and the blob itself round-trips through the spec codec
+    from iceberg_go_distributed_spark.iceberg.puffin import read_deletion_vector
+
+    positions = read_deletion_vector(
+        dv.file_path, dv.content_offset, dv.content_size_in_bytes
+    )
+    assert len(positions) == dv.record_count == before - expected
+
+
+def test_v3_second_delete_merges_dv(fs_catalog, spark, lineitem_df):
+    """Spec: at most one DV per data file — a second delete must write a
+    merged DV (old ∪ new positions) and drop the superseded entry."""
+    t = _v3_table(fs_catalog, lineitem_df, rows=200)
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    n1 = t.scan().to_df(spark).count()
+    t.delete_where(spark, E.equal("l_linenumber", 2))
+    expected = (
+        lineitem_df.limit(200).where("l_linenumber NOT IN (1, 2)").count()
+    )
+    assert t.scan().to_df(spark).count() == expected < n1
+
+    snap = t.current_snapshot()
+    dvs = [
+        e.data_file
+        for m in snap.manifests()
+        if m.content == ManifestContent.DELETES
+        for e in read_manifest(m.manifest_path)
+        if e.data_file.content_offset is not None
+    ]
+    # one (merged) DV per referenced data file, never two
+    refs = [d.referenced_data_file for d in dvs]
+    assert len(refs) == len(set(refs)) == 1
+    from iceberg_go_distributed_spark.iceberg.puffin import read_deletion_vector
+
+    merged = read_deletion_vector(
+        dvs[0].file_path, dvs[0].content_offset, dvs[0].content_size_in_bytes
+    )
+    assert len(merged) == 200 - expected  # union of both predicates
+
+
+def test_v3_time_travel_and_delete_preserve_lineage(
+    fs_catalog, spark, lineitem_df
+):
+    """Deletes on a v3 table must not disturb prior manifests' row-id
+    assignments, and time travel to a pre-delete snapshot still works."""
+    t = fs_catalog.create_table("db.v3rw", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(200)
+    t.append(df.where("l_orderkey % 2 = 0").coalesce(1))
+    t.append(df.where("l_orderkey % 2 = 1").coalesce(1))
+    snap_before = t.current_snapshot()
+    evens = df.where("l_orderkey % 2 = 0").count()
+    odds = df.where("l_orderkey % 2 = 1").count()
+
+    # no-op delete: nothing matches, no snapshot is committed
+    t.delete_where(spark, E.equal("l_orderkey", -1))
+    assert t.current_snapshot().snapshot_id == snap_before.snapshot_id
+
+    # partial delete across both files → DVs, data manifests untouched
+    t.delete_where(spark, E.equal("l_linenumber", 3))
+    expected = df.where("l_linenumber != 3").count()
+    assert t.scan().to_df(spark).count() == expected
+
+    # time travel to the pre-delete snapshot still sees everything
+    assert (
+        t.scan(snapshot_id=snap_before.snapshot_id).to_df(spark).count()
+        == evens + odds
+    )
+    # row ids: every data manifest still carries its original assignment
+    firsts = [
+        m.first_row_id
+        for m in t.current_snapshot().manifests()
+        if m.content == ManifestContent.DATA
+    ]
+    assert sorted(firsts) == [0, evens]
+    # the delete snapshot consumed no new row ids
+    assert t.metadata.next_row_id == evens + odds
+    assert t.current_snapshot().added_rows == 0
