@@ -186,10 +186,7 @@ def minhash_near_dups(
     # the shingle pipeline feeds three consumers (signatures + both
     # verification sides) — persist it so Spark computes it once; at
     # corpus scale this is the materialize-the-shingle-table step any
-    # MinHash pipeline does before banding. The cached frame lives until
-    # the session drops it (the result is lazy, so this function cannot
-    # unpersist); batch callers processing many corpora should
-    # `spark.catalog.clearCache()` between them
+    # MinHash pipeline does before banding.
     sh = shingle_sets(docs, text_col, id_col, n).persist()
     # the banded self-join reads signatures from both sides; without a
     # persist Spark computes the 65-column aggregate twice (AQE's
@@ -197,17 +194,29 @@ def minhash_near_dups(
     # would otherwise dedupe). The signature table is 65 longs/doc —
     # ~0.5 KB/doc, MEMORY_AND_DISK, negligible next to the corpus.
     sig = minhash_signatures(sh, id_col).persist()
-    cand = lsh_candidate_pairs(sig, id_col, threshold=threshold)
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
-    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    try:
+        cand = lsh_candidate_pairs(sig, id_col, threshold=threshold)
+        sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
+        sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
+        jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
+            F.array_union("_sa", "_sb")
+        )
+        result = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        # Materialize the (small, O(duplicate-pairs)) result to executor
+        # storage and cut its lineage, so every intermediate cache can be
+        # released NOW — deterministic cache lifetime instead of "until
+        # someone calls clearCache()". The checkpoint blocks are owned by
+        # the returned frame and are reclaimed when it is dropped.
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+        sig.unpersist()
 
 
 def simhash_signatures(
@@ -326,6 +335,28 @@ def ngram_topk_similar(
     )
 
 
+def _canonical_edges(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected edge set as distinct (min, max) pairs, self-loops out."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame):
+    """Order-independent set fingerprint (count, xor of row hashes) —
+    one cheap action per round for the convergence check; xor collision
+    odds are 2^-64 per comparison."""
+    row = edges.agg(
+        F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("x")
+    ).first()
+    return (row.n, row.x)
+
+
 def near_dup_clusters(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -342,61 +373,67 @@ def near_dup_clusters(
     (A~B, B~C must collapse A,B,C together even when A~C was never a
     candidate pair).
 
-    Distributed min-label propagation: each round is one join + one
-    min-aggregate, both keyed by node id, converging in O(component
-    diameter) rounds — near-dup components are shallow (they form
-    around shared boilerplate), so rounds stay single-digit. At 100 TB
-    the per-round shuffle is O(edges), never materializing components
-    driver-side; the driver only runs the convergence counter. (The
-    alternating large-star/small-star formulation from the
-    map-reduce CC literature is the drop-in upgrade if diameters grow.)
-    """
-    pairs = minhash_near_dups(docs, threshold, text_col, id_col, n).select(
-        "doc_a", "doc_b"
-    )
-    # undirected: propagate labels both ways
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    labels.count()
-    prev = labels  # persisted frame the current labels derive from
+    Alternating large-star/small-star rounds (the map-reduce CC
+    construction of Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): each round is two groupBy-min aggregations + joins
+    keyed by node id, and the edge set contracts toward disjoint stars
+    centered on each component's minimum in O(log² n) rounds — unlike
+    plain min-label propagation this does NOT degrade to O(diameter)
+    on chain-shaped components (100-doc near-dup chains converge in a
+    handful of rounds; see test_dedup_clusters_path_graph). Per-round
+    shuffle is O(edges); components never materialize driver-side —
+    the driver only compares edge-set fingerprints. The result is
+    eagerly checkpointed so every intermediate cache is released before
+    returning (deterministic cache lifetime)."""
+    pairs = minhash_near_dups(docs, threshold, text_col, id_col, n)
+    # Each round derives from the previous several times over (bi-direct
+    # union, two self-aggregating joins) — without lineage truncation the
+    # logical plan grows exponentially across rounds and overflows the
+    # analyzer stack by round ~10. localCheckpoint materializes the edge
+    # set to executor storage AND cuts lineage: every round starts from a
+    # flat scan of ~O(edges) blocks. Blocks of superseded rounds are
+    # released by the context cleaner when their frame is dropped; none
+    # of this touches the SQL cache manager (no clearCache() debt).
+    cur = _canonical_edges(pairs, "doc_a", "doc_b").localCheckpoint(eager=True)
+    prev_fp = _edge_fingerprint(cur)
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["node"])
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("_nmin"))
+        # both orientations; canonical pairs make the union distinct
+        bi = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        mins = bi.groupBy("a").agg(F.min("b").alias("_mb"))
+        mins = mins.select("a", F.least(F.col("_mb"), F.col("a")).alias("m"))
+        ls = _canonical_edges(
+            bi.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b")),
         )
-        # one joined frame serves both the convergence counter and the
-        # next label set — no separate old-vs-new join per round
-        joined = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["doc_a"], "left"
-        ).select(F.col("node"), F.col("label"), F.col("_nmin")).persist()
-        changed = joined.where(F.col("_nmin") < F.col("label")).count()
-        prev.unpersist()  # joined is materialized; the old cache can go
-        prev = joined
-        labels = joined.select(
-            F.col("node"),
-            F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        if changed == 0:
-            break
+        # small-star on (a < b): every smaller neighbor and the center
+        # itself link to m = min of the smaller neighborhood
+        sm = ls.groupBy("b").agg(F.min("a").alias("m"))
+        cur = _canonical_edges(
+            ls.join(sm, "b")
+            .select(F.col("a"), F.col("m").alias("b"))
+            .union(sm.select(F.col("b").alias("a"), F.col("m").alias("b"))),
+        ).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break  # fixed point: disjoint stars centered on minima
+        prev_fp = fp
     else:
-        # partially-propagated labels would silently split components
-        # (callers would keep several "representatives" of one duplicate
-        # cluster) — refuse instead
+        # a partial contraction would silently split components (callers
+        # would keep several "representatives" of one duplicate cluster)
+        # — refuse instead
         raise RuntimeError(
-            f"label propagation did not converge in {max_iterations} rounds "
-            f"({changed} labels still changing); raise max_iterations or "
-            "switch to the large-star/small-star formulation for this graph"
+            f"large-star/small-star did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
         )
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    bi = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        bi.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias(id_col),
+            F.least(F.col("_mb"), F.col("a")).alias("cluster_id"),
+        )
     )
+    return labels.localCheckpoint(eager=True)

@@ -1,0 +1,111 @@
+"""Dedup operator unit tests: connected-components convergence on
+deep (chain-shaped) graphs and deterministic cache lifetime.
+
+The oracle suite (test_queries_oracle) pins result correctness against
+DuckDB; these tests pin the properties the oracle can't see — round
+complexity on adversarial graph shapes and the absence of cache leaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.operators.dedup import (
+    minhash_near_dups,
+    near_dup_clusters,
+)
+
+
+def _chain_docs(spark, n_docs=120, window=50, step=5):
+    """Doc i = tokens[i*step : i*step+window] over one long distinct
+    token stream: adjacent docs share ~(window-step)/(window+step)
+    shingles (J≈0.8), docs far apart share none — one connected
+    component whose diameter grows with n_docs (the shape that defeats
+    O(diameter) label propagation)."""
+    stream = [f"w{i}" for i in range(n_docs * step + window)]
+    rows = [
+        (i, " ".join(stream[i * step : i * step + window]))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _union_find_closure(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_path_graph(spark):
+    """A 120-doc chain converges (large-star/small-star is O(log² n)
+    rounds; plain min-label propagation needs O(n) and would blow the
+    iteration cap) and collapses to a single cluster rooted at doc 0."""
+    docs = _chain_docs(spark, n_docs=120)
+    out = near_dup_clusters(docs, threshold=0.5, max_iterations=15)
+    rows = out.collect()
+    assert len(rows) == 120
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_dedup_clusters_match_pair_closure(spark, sf_dir):
+    """Cluster assignment equals the transitive closure of the verified
+    pair graph (same pairs the operator consumes)."""
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    ]
+    expected = _union_find_closure(pairs)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_operators_release_caches(spark, sf_dir):
+    """minhash_near_dups / near_dup_clusters must not leave persisted
+    DataFrames behind: long-lived sessions running many corpora would
+    otherwise accumulate cache until clearCache(). The returned frames
+    are eagerly checkpointed, so intermediates are released before
+    return; only the result's own (GC-owned) checkpoint blocks remain,
+    which the CacheManager does not track."""
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    cache_manager.clearCache()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    assert pairs.count() > 0
+    assert cache_manager.isEmpty(), "minhash_near_dups leaked cached frames"
+
+    clusters = near_dup_clusters(docs, threshold=0.5)
+    assert clusters.count() > 0
+    assert cache_manager.isEmpty(), "near_dup_clusters leaked cached frames"
+
+
+def test_dedup_clusters_empty_graph(spark):
+    """No near-dup pairs → empty result, no crash, no cache leak."""
+    docs = spark.createDataFrame(
+        [(i, f"utterly unique document number {i} " + " ".join(f"t{i}_{j}" for j in range(30)))
+         for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = near_dup_clusters(docs, threshold=0.9)
+    assert out.count() == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
