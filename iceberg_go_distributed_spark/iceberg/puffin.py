@@ -7,21 +7,15 @@ magic) so files we write are structurally valid for any Puffin reader.
 INTEROP NOTE (NDV consumption path). Iceberg engines that use NDV for
 cost-based planning (Trino, Spark, the reference's statistics.go parse)
 read the distinct count from the statistics entry's
-``blob-metadata[].properties.ndv`` string — they do NOT deserialize the
-blob payload to get the number. We therefore:
-
-  - put the exact NDV in ``properties.ndv`` (the consumed field), and
-  - write the payload under a custom type ``ndv-exact-v1`` (a decimal
-    ASCII count) instead of ``apache-datasketches-theta-v1``.
-
-What is NOT provided: a payload readable by DataSketches' Java/C++
-``CompactSketch.wrap`` — that requires the sketches' murmur3-x64-128
-hash wire format, and this environment has no DataSketches library to
-validate such bytes against; an unverifiable payload mislabeled with
-the standard type would be worse than an honest custom one. Engines
-that *merge* sketches across snapshots (rather than reading
-properties.ndv) would recompute; `test_ndv_properties_consumption`
-pins the consumed path.
+``blob-metadata[].properties.ndv`` string — they do NOT need to
+deserialize the blob payload. We put the exact NDV in
+``properties.ndv`` (the consumed field; `test_ndv_properties_consumption`
+pins that path) AND write the payload as a genuine
+``apache-datasketches-theta-v1`` compact sketch (theta.py implements
+the public serial-version-3 wire format with canonical
+murmur3-x64-128 hashing, pinned bit-exact by the SMHasher verification
+value in tests), so engines that merge sketches across snapshots can
+consume the blobs too.
 
 ref table/statistics.go:26-90 (StatisticsFile metadata entries, which
 `Table.compute_statistics` fills in via SetStatistics).
@@ -179,13 +173,39 @@ def read_deletion_vector(path: str, offset: int, size: int):
     return parse_deletion_vector(blob)
 
 
+def _column_theta_hashes(df, c: str, k: int) -> list:
+    """The <= k+1 smallest DataSketches update hashes of the column's
+    distinct values. Hashing runs executor-side over the distinct frame
+    (per-value Python, but only on distinct values of a maintenance
+    pass); the k+1-smallest selection is a distributed TakeOrdered, so
+    the driver receives at most k+1 longs no matter the column's
+    cardinality."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .theta import theta_hash_value
+
+    def hash_part(batches):
+        for pdf in batches:
+            vals = pdf[c].dropna().unique()
+            yield pd.DataFrame(
+                {"h": [theta_hash_value(v) for v in vals]}, dtype="int64"
+            )
+
+    hashed = df.select(c).distinct().mapInPandas(hash_part, "h bigint")
+    return [r.h for r in hashed.where(F.col("h") > 0).orderBy("h").limit(k + 1).collect()]
+
+
 def compute_ndv_statistics(table, spark, columns: Optional[list[str]] = None) -> dict:
-    """Compute exact per-column NDVs for the current snapshot, write one
-    Puffin file, and commit a SetStatistics entry. Returns the entry."""
+    """Compute per-column NDVs for the current snapshot, write one
+    Puffin file of `apache-datasketches-theta-v1` blobs (exact NDV in
+    properties.ndv, a real compact theta sketch as the payload), and
+    commit a SetStatistics entry. Returns the entry."""
     import os
 
     from pyspark.sql import functions as F
 
+    from .theta import DEFAULT_LG_K, serialize_compact_theta
     from .transaction import AssertTableUUID, SetStatistics
 
     md = table.metadata
@@ -202,16 +222,17 @@ def compute_ndv_statistics(table, spark, columns: Optional[list[str]] = None) ->
     blobs = []
     for c in cols:
         ndv = int(row[c])
+        hashes = _column_theta_hashes(df, c, 1 << DEFAULT_LG_K)
         blobs.append(
             (
                 BlobMetadata(
-                    type="ndv-exact-v1",
+                    type="apache-datasketches-theta-v1",
                     fields=[by_name[c]],
                     snapshot_id=snap.snapshot_id,
                     sequence_number=snap.sequence_number,
                     properties={"ndv": str(ndv)},
                 ),
-                str(ndv).encode(),
+                serialize_compact_theta(hashes),
             )
         )
     from . import fileio
