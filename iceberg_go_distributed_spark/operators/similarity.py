@@ -156,6 +156,8 @@ def ann_lsh_topk(
     k: int = 3,
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_planes: int = LSH_PLANES,
+    n_probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
     hyperplane-sign bucket; exact cosine re-ranks inside it.
@@ -165,15 +167,22 @@ def ann_lsh_topk(
     Pass `dim` when known (embeddings tables have fixed width) to skip
     the one-row dimensionality probe; repeated callers on the same
     DataFrame hit a per-plan memo instead of re-running the job.
-    """
-    from pyspark.sql import functions as F2
 
+    Multi-probe (`n_probes` > 1): a true neighbor that lands in an
+    adjacent bucket differs in exactly the sign bits whose hyperplane
+    margin |q·p| is smallest, so each query also probes the buckets
+    reached by flipping its `n_probes - 1` lowest-margin bits (Lv et
+    al., "Multi-Probe LSH"). That recovers recall without re-hashing
+    or widening buckets; buckets partition the corpus, so the probe
+    fan-out never duplicates a candidate pair. Cost scales linearly
+    with n_probes on the query side only.
+    """
     # planes must match the embedding dimensionality — a short plane
     # array would null out every dot product and collapse all vectors
     # into one bucket (silent brute-force)
     if dim is None:
         dim = _dim_of(emb, vec_col)
-    planes = lsh_planes(dim=dim)
+    planes = lsh_planes(n_planes=n_planes, dim=dim)
     base = with_norm(emb, vec_col).withColumn("_bucket", _bucket(vec_col, planes))
     q = base.where(F.col("vec_id") < max_query_id).select(
         F.col("vec_id").alias("query_id"),
@@ -181,6 +190,23 @@ def ann_lsh_topk(
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
+    if n_probes > 1:
+        margins = F.array(
+            *[_dot("_qv", F.array(*[F.lit(x) for x in p])) for p in planes]
+        )
+        # probe list = own bucket + flips of the lowest-|margin| bits;
+        # all codegen'd array ops, one explode per query row
+        probe_expr = (
+            "concat(array(_qb), transform(slice(transform("
+            "array_sort(transform(_margins, (m, i) -> named_struct("
+            "'a', abs(m), 'i', i))), s -> s.i), 1, {p}), "
+            "i -> _qb ^ shiftleft(1L, i)))"
+        ).format(p=n_probes - 1)
+        q = (
+            q.withColumn("_margins", margins)
+            .withColumn("_qb", F.explode(F.expr(probe_expr)))
+            .drop("_margins")
+        )
     scored = (
         base.join(
             F.broadcast(q),
