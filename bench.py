@@ -61,21 +61,26 @@ def main() -> None:
     # page-cache luck; the minimum is the engine's repeatable cost.
     # Cache is cleared between runs so operator-internal persists
     # (minhash shingles/signatures) are rebuilt, not reused.
+    # Both raw timings are reported next to the best so a run taken on
+    # a loaded machine is self-diagnosing: a large spread between the
+    # two attempts means external contention, not an engine regression.
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in reg:
             continue
-        best = None
+        attempts = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = reg[name].fn(spark, sf_dir)
             df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            attempts.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+        timings[name] = round(min(attempts), 4)
+        raw[name] = [round(a, 4) for a in attempts]
 
     total = round(sum(timings.values()), 4)
+    spread = round(sum(max(a) - min(a) for a in raw.values()), 4)
     print(
         json.dumps(
             {
@@ -83,6 +88,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "raw_runs": raw,
+                # sum over queries of |run1 - run2|: high spread relative
+                # to the total flags a contended machine
+                "spread_sec": spread,
                 "sf": sf,
             }
         )
