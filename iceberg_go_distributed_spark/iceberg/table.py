@@ -88,11 +88,17 @@ class Scan:
     limit: Optional[int] = None
     case_sensitive: bool = True
     concurrency: int = 8
+    include_row_lineage: bool = False
 
     # -------------------------------------------------------- with_* opts
 
     def with_filter(self, expr: Expression) -> "Scan":
         return replace(self, row_filter=expr)
+
+    def with_row_lineage(self) -> "Scan":
+        """Expose the v3 row-lineage virtual column `_row_id` (spec v3:
+        file's first_row_id + physical row position). v3 tables only."""
+        return replace(self, include_row_lineage=True)
 
     def select(self, *fields: str) -> "Scan":
         return replace(self, selected_fields=tuple(fields))
@@ -219,7 +225,9 @@ class Scan:
             _, part_eval = evals_for(m.partition_spec_id)
             out = []
             for e in read_manifest(
-                m.manifest_path, inherit_sequence_number=m.sequence_number
+                m.manifest_path,
+                inherit_sequence_number=m.sequence_number,
+                inherit_first_row_id=m.first_row_id,
             ):
                 if not part_eval(e.data_file.partition):
                     continue
@@ -314,8 +322,55 @@ class Scan:
             for d in t.delete_files
             if d.content == DataFileContent.EQUALITY_DELETES
         }
+        lineage = None
+        if self.include_row_lineage:
+            # v3 row lineage: _row_id = data file's first_row_id (assigned
+            # by the manifest-list writer, inherited per file at plan
+            # time) + the row's physical position. Computed JVM-side from
+            # _metadata.row_index + a broadcast (file → first_row_id) map.
+            md = self.table.metadata
+            if md.format_version < 3:
+                raise ValueError("_row_id requires a format-version 3 table")
+            if "schema.name-mapping.default" in md.properties:
+                raise NotImplementedError(
+                    "row lineage over name-mapped (ID-less) files is not supported"
+                )
+            missing = [t for t in tasks if t.file.first_row_id is None]
+            if missing:
+                raise ValueError(
+                    f"{len(missing)} data files lack first_row_id; commit once "
+                    "post-upgrade so the manifest list assigns row ids"
+                )
+            import re as _re
+
+            lineage = spark.createDataFrame(
+                [
+                    (
+                        _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
+                        t.file.first_row_id,
+                    )
+                    for t in tasks
+                ],
+                "_fp string, _first_row_id bigint",
+            )
         if has_pos or eq_files:
-            df = self._read_with_deletes(spark, tasks, schema, eq_files)
+            df = self._read_with_deletes(
+                spark, tasks, schema, eq_files, keep_pos=lineage is not None
+            )
+        elif lineage is not None:
+            from .types import schema_to_spark_struct
+
+            _ensure_field_id_reads(spark)
+            df = (
+                spark.read.schema(schema_to_spark_struct(schema))
+                .parquet(*files)
+                .withColumn(
+                    "_fp",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""),
+                )
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+            df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
         else:
             # field-id-based read: columns resolve by the parquet field
             # ids our writer stamps, so renames/evolution are safe;
@@ -379,6 +434,15 @@ class Scan:
                             F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
                         ),
                     )
+        if lineage is not None:
+            df = (
+                df.join(F.broadcast(lineage), "_fp")
+                .withColumn(
+                    "_row_id",
+                    (F.col("_first_row_id") + F.col("_pos")).cast("long"),
+                )
+                .drop("_fp", "_pos", "_first_row_id")
+            )
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -387,7 +451,10 @@ class Scan:
             )
             df = df.where(to_spark_column(bound))
         if self.selected_fields != ("*",):
-            df = df.select(*[F.col(f.name) for f in proj.fields])
+            cols = [F.col(f.name) for f in proj.fields]
+            if lineage is not None:
+                cols.append(F.col("_row_id"))
+            df = df.select(*cols)
         if self.limit is not None:
             df = df.limit(self.limit)
         return df
@@ -403,35 +470,42 @@ class Scan:
     def count(self, spark) -> int:
         return self.to_df(spark).count()
 
-    def _read_with_deletes(self, spark, tasks, schema: Schema, eq_files=None):
+    def _read_with_deletes(
+        self, spark, tasks, schema: Schema, eq_files=None, keep_pos=False
+    ):
         """Merge-on-read dispatch: prefer the JVM-native path
         (`_metadata.row_index` anti-join — keeps parquet pushdown and
         split planning), fall back to the per-file Arrow path (the
         reference's arrow_scanner shape) if the hidden metadata column
-        is unavailable."""
+        is unavailable. `keep_pos` keeps the `_fp`/`_pos` columns in the
+        output (row-lineage reads derive `_row_id` from them)."""
         groups = self._eq_delete_groups(tasks) if eq_files else None
         if groups and len(groups) > 1:
             # several distinct eq-delete sets: read per group (a single
             # upfront read would be discarded anyway)
             parts = []
             for key, group_tasks in groups.items():
-                sub = self._read_pos_only(spark, group_tasks, schema)
+                sub = self._read_pos_only(spark, group_tasks, schema, keep_pos)
                 sub = self._anti_join_eq_keys(spark, sub, key, eq_files, schema)
                 parts.append(sub)
             df = parts[0]
             for p_ in parts[1:]:
                 df = df.unionByName(p_)
             return df
-        df = self._read_pos_only(spark, tasks, schema)
+        df = self._read_pos_only(spark, tasks, schema, keep_pos)
         if groups:
             (only_key,) = groups
             df = self._anti_join_eq_keys(spark, df, only_key, eq_files, schema)
         return df
 
-    def _read_pos_only(self, spark, tasks, schema: Schema):
+    def _read_pos_only(self, spark, tasks, schema: Schema, keep_pos=False):
         try:
-            return self._read_with_pos_deletes_jvm(spark, tasks, schema)
+            return self._read_with_pos_deletes_jvm(spark, tasks, schema, keep_pos)
         except Exception:
+            if keep_pos:
+                # the Arrow fallback has no _metadata.row_index; silently
+                # rerouting would break _row_id derivation
+                raise
             logger.warning(
                 "JVM merge-on-read path failed; falling back to the per-file "
                 "Arrow reader (no parquet pushdown for this scan)",
@@ -492,7 +566,7 @@ class Scan:
             df = df.join(keys, on=cond, how="left_anti")
         return df
 
-    def _read_with_pos_deletes_jvm(self, spark, tasks, schema: Schema):
+    def _read_with_pos_deletes_jvm(self, spark, tasks, schema: Schema, keep_pos=False):
         """JVM-side MOR: read all planned files with the parquet
         `_metadata` struct and left-anti join (file_path, row_index)
         against the matched positional-delete files. Positional deletes
@@ -559,7 +633,7 @@ class Scan:
         if dels is not None:
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
-        return df.drop("_fp", "_pos")
+        return df if keep_pos else df.drop("_fp", "_pos")
 
     def _read_with_name_mapping(self, spark, files, schema: Schema, with_pos=False):
         """Read for tables carrying `schema.name-mapping.default`

@@ -189,6 +189,41 @@ def test_v3_second_delete_merges_dv(fs_catalog, spark, lineitem_df):
     assert len(merged) == 200 - expected  # union of both predicates
 
 
+def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
+    """The `_row_id` virtual column (Scan.with_row_lineage): dense and
+    unique across appends, and STABLE — a DV delete removes ids without
+    renumbering the survivors."""
+    t = fs_catalog.create_table("db.v3rid", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(200)
+    t.append(df.where("l_orderkey % 2 = 0").coalesce(1))
+    t.append(df.where("l_orderkey % 2 = 1").coalesce(1))
+    total = df.count()
+
+    before = t.scan().with_row_lineage().to_df(spark)
+    assert "_row_id" in before.columns
+    rows = before.select("_row_id", "l_orderkey", "l_linenumber").collect()
+    assert sorted(r._row_id for r in rows) == list(range(total))
+    by_key = {(r.l_orderkey, r.l_linenumber): r._row_id for r in rows}
+
+    t.delete_where(spark, E.equal("l_linenumber", 2))
+    after = t.scan().with_row_lineage().to_df(spark)
+    rows2 = after.select("_row_id", "l_orderkey", "l_linenumber").collect()
+    assert all(r.l_linenumber != 2 for r in rows2)
+    # survivors keep their exact pre-delete ids (lineage stability)
+    assert {(r.l_orderkey, r.l_linenumber): r._row_id for r in rows2} == {
+        k: v for k, v in by_key.items() if k[1] != 2
+    }
+
+    # projection keeps the virtual column; v2 tables refuse
+    proj = t.scan().with_row_lineage().select("l_orderkey").to_df(spark)
+    assert set(proj.columns) == {"l_orderkey", "_row_id"}
+    t2 = fs_catalog.create_table("db.v2rid", LINEITEM_SCHEMA)
+    t2.append(lineitem_df.limit(10).coalesce(1))
+    with pytest.raises(ValueError, match="format-version 3"):
+        t2.scan().with_row_lineage().to_df(spark)
+
+
 def test_v3_time_travel_and_delete_preserve_lineage(
     fs_catalog, spark, lineitem_df
 ):
