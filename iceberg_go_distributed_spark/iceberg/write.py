@@ -1171,6 +1171,20 @@ def overwrite_where(table, df, expr) -> None:
     # read would resurrect deleted rows into the rewritten files)
     to_write = df
     partial_tasks = [t for t in tasks if not strict(t.file)]
+    if partial_tasks and md.format_version >= 3:
+        # rewriting a partial file copies its SURVIVING rows into new
+        # files, which would silently renumber their _row_id (spec v3:
+        # unchanged rows keep their ids; preserving them requires
+        # materializing a _row_id column into the rewritten parquet,
+        # which this writer does not do yet). delete_where + append is
+        # the lineage-safe equivalent.
+        from .metadata import CommitStateError
+
+        raise CommitStateError(
+            "copy-on-write overwrite of partially-matching files on a "
+            "format-version 3 table would renumber surviving rows' "
+            "_row_id; use delete_where(expr) + append(df) instead"
+        )
     if partial_tasks:
         from .manifest import DataFileContent
 
@@ -1452,6 +1466,18 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
     from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
 
     md = table.metadata
+    if md.format_version >= 3:
+        # compaction copies rows into new files — without materializing a
+        # _row_id column into the compacted parquet (not implemented),
+        # every copied row would be silently renumbered. Refuse, as the
+        # pre-round-5 writer refused all v3 commits.
+        from .metadata import CommitStateError
+
+        raise CommitStateError(
+            "rewrite_data_files on a format-version 3 table would "
+            "renumber _row_id for every compacted row; row-lineage-"
+            "preserving compaction is not implemented"
+        )
     target = target_file_size or int(
         md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
     )

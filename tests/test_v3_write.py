@@ -224,6 +224,51 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_equality_deletes_and_upsert(fs_catalog, spark, lineitem_df):
+    """Equality deletes stay legal in v3 (only position-delete FILES are
+    replaced by DVs); upsert = eq-delete + append, and the appended rows
+    get fresh row ids."""
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3eq", rows=100)
+    first_ids = t.metadata.next_row_id
+    df = lineitem_df.limit(100)
+    from pyspark.sql import functions as F
+
+    updated = df.where("l_linenumber = 1").withColumn("l_quantity", F.lit(99.0))
+    t.upsert(updated, key_columns=["l_orderkey", "l_linenumber"])
+    out = t.scan().to_df(spark)
+    assert out.count() == 100
+    n_updated = updated.count()
+    assert out.where("l_quantity = 99.0").count() == n_updated
+    # the upsert's append consumed new row ids
+    assert t.metadata.next_row_id == first_ids + n_updated
+
+
+def test_v3_lineage_unsafe_rewrites_refused(fs_catalog, spark, lineitem_df):
+    """Copy-on-write paths that would renumber surviving rows' _row_id
+    refuse on v3: partial-file overwrite and compaction. A strict
+    whole-file overwrite (no surviving rows to renumber) still works."""
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3cow", rows=100)
+    df = lineitem_df.limit(100)
+
+    with pytest.raises(CommitStateError, match="_row_id"):
+        t.overwrite_where(
+            df.where("l_linenumber = 1"), E.equal("l_linenumber", 1)
+        )
+    with pytest.raises(CommitStateError, match="_row_id"):
+        t.rewrite_data_files(spark)
+
+    # whole-file replacement: every row in the single file matches an
+    # always-true-for-this-file predicate via the strict evaluator
+    lo = df.agg({"l_orderkey": "min"}).first()[0]
+    t2 = _v3_table(fs_catalog, lineitem_df, name="db.v3cow2", rows=100)
+    t2.overwrite_where(
+        df.where("l_orderkey >= 0"), E.greater_than_or_equal("l_orderkey", lo)
+    )
+    assert t2.scan().to_df(spark).count() == 100
+    # replacement rows were assigned fresh ids
+    assert t2.metadata.next_row_id == 200
+
+
 def test_v3_time_travel_and_delete_preserve_lineage(
     fs_catalog, spark, lineitem_df
 ):
