@@ -562,6 +562,99 @@ def ice_v3_write(spark, sf_dir):
 
 
 @query(
+    "ice_row_lineage",
+    oracle="""
+    WITH numbered AS (
+      SELECT l_returnflag, l_linenumber,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_id
+    FROM numbered
+    WHERE l_linenumber != 3
+    GROUP BY l_returnflag
+    """,
+    doc="v3 row lineage: _row_id stable through a DV delete",
+)
+def ice_row_lineage(spark, sf_dir):
+    """Proves the _row_id virtual column end to end: rows written in a
+    known total order get positional ids (ROW_NUMBER parity with the
+    oracle), and a deletion-vector delete removes ids WITHOUT
+    renumbering survivors — the oracle numbers the full table first and
+    filters after, so any renumbering would break the hash match.
+    (l_orderkey, l_linenumber) is a unique key, making the order total
+    and the ids deterministic."""
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_rid", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_rid", schema_from_spark(li.schema))
+    t.upgrade_format_version(3)
+    # orderBy then coalesce(1): partitions merge in order, so the file's
+    # physical row order — and therefore _row_id — is the sort order
+    t.append(li.orderBy("l_orderkey", "l_linenumber").coalesce(1))
+    t.delete_where(spark, E.equal("l_linenumber", 3))
+    df = t.scan().with_row_lineage().to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("_row_id").cast("bigint").alias("sum_row_id"),
+    )
+
+
+@query(
+    "ice_theta_ndv",
+    oracle="""
+    SELECT 'l_linestatus' AS col, COUNT(DISTINCT l_linestatus) AS ndv FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey' AS col, COUNT(DISTINCT l_orderkey) AS ndv FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag' AS col, COUNT(DISTINCT l_returnflag) AS ndv FROM lineitem
+    """,
+    doc="statistics: theta-sketch NDV blobs match exact distinct counts",
+)
+def ice_theta_ndv(spark, sf_dir):
+    """Driver-visible proof of the apache-datasketches-theta-v1 blobs:
+    compute_ndv_statistics writes the puffin file, the sketch payloads
+    are parsed back with the independent wire-format reader, and each
+    estimate is checked against the exact count — equal in exact mode
+    (NDV <= k), within 5×RSE in KMV estimation mode (l_orderkey at
+    sf >= 0.01 exceeds k = 4096, so estimation mode runs under the
+    driver). The hash-matched result is the exact properties.ndv the
+    consumption path reads."""
+    from ..iceberg.puffin import compute_ndv_statistics, read_puffin
+    from ..iceberg.theta import _MAX_THETA, parse_compact_theta
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_theta", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_theta", schema_from_spark(li.schema))
+    t.append(li.coalesce(1))
+    cols = ["l_linestatus", "l_orderkey", "l_returnflag"]
+    entry = compute_ndv_statistics(t, spark, columns=cols)
+
+    by_id = {f.field_id: f.name for f in t.schema().fields}
+    metas, _, payloads = read_puffin(entry["statistics-path"])
+    rows = []
+    for i, m in enumerate(metas):
+        sketch = parse_compact_theta(payloads[i])
+        ndv = int(m.properties["ndv"])
+        est = sketch["estimate"]
+        if sketch["theta"] == _MAX_THETA:
+            ok = int(round(est)) == ndv  # exact mode
+        else:
+            ok = abs(est - ndv) / ndv <= 5 / 64  # 5 × RSE at lg_k=12
+        if not ok:
+            raise AssertionError(
+                f"sketch estimate {est} inconsistent with exact ndv {ndv}"
+            )
+        rows.append((by_id[m.fields[0]], ndv))
+    return spark.createDataFrame(sorted(rows), "col string, ndv bigint")
+
+
+@query(
     "ice_incremental_scan",
     oracle="""
     SELECT l_returnflag,
