@@ -150,6 +150,29 @@ def ev_skew_salted_agg(spark, sf_dir):
     )
 
 
+_STAGING_CLEANUP_REGISTERED = False
+
+
+def _register_stream_staging_cleanup() -> None:
+    """The file-stream source needs a directory, so the single events
+    file is staged under /tmp via symlink — a global side effect of a
+    'query'. Remove the staging root at interpreter exit so repeated
+    runs don't accumulate directories (links are tiny; this is hygiene,
+    not space pressure)."""
+    global _STAGING_CLEANUP_REGISTERED
+    if _STAGING_CLEANUP_REGISTERED:
+        return
+    import atexit
+    import shutil
+
+    atexit.register(
+        shutil.rmtree,
+        "/tmp/iceberg_go_distributed_spark_stream",
+        ignore_errors=True,
+    )
+    _STAGING_CLEANUP_REGISTERED = True
+
+
 @query(
     "ev_stream_sessionize",
     # no oracle: custom stateful streaming (applyInPandasWithState) is
@@ -182,6 +205,7 @@ def ev_stream_sessionize(spark, sf_dir):
         "/tmp/iceberg_go_distributed_spark_stream",
         hashlib.md5(target.encode()).hexdigest()[:12],
     )
+    _register_stream_staging_cleanup()
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
     if os.path.lexists(link) and (

@@ -135,6 +135,43 @@ def test_s3_positional_deletes(s3_catalog, spark, lineitem_df):
     li.unpersist()
 
 
+def test_s3_v3_deletion_vector_write(s3_catalog, spark, lineitem_df):
+    """v3 write plane against the object store: the upgrade commit, the
+    lineage-assigning manifest list, the executor-written puffin DV,
+    and the DV merge-on-read scan all ride the S3 seams."""
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestContent,
+        read_manifest,
+    )
+    from iceberg_go_distributed_spark.iceberg.puffin import read_deletion_vector
+
+    li = lineitem_df.limit(250).cache()
+    t = s3_catalog.create_table(
+        "db.li_s3_v3", LINEITEM_SCHEMA, location=f"s3://{BUCKET}/db/li_s3_v3"
+    )
+    t.upgrade_format_version(3)
+    t.append(li.coalesce(1))
+    assert t.metadata.next_row_id == 250
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    want = li.where("l_linenumber != 1").count()
+    assert t.scan().to_df(spark).count() == want
+
+    snap = t.current_snapshot()
+    dvs = [
+        e.data_file
+        for m in snap.manifests()
+        if m.content == ManifestContent.DELETES
+        for e in read_manifest(m.manifest_path)
+        if e.data_file.content_offset is not None
+    ]
+    assert len(dvs) == 1 and dvs[0].file_path.startswith("s3://")
+    positions = read_deletion_vector(
+        dvs[0].file_path, dvs[0].content_offset, dvs[0].content_size_in_bytes
+    )
+    assert len(positions) == 250 - want
+    li.unpersist()
+
+
 def test_s3_puffin_statistics(s3_catalog, spark, lineitem_df):
     from iceberg_go_distributed_spark.iceberg.puffin import (
         compute_ndv_statistics,
