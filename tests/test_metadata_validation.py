@@ -239,16 +239,27 @@ def test_v3_ns_timestamp_maps_to_spark_microseconds():
     assert min_format_version_for_type(TimestampTzNsType()) == 3
 
 
-def test_v3_commit_rejected_but_reads_work():
+def test_v3_commit_requires_row_lineage():
+    """v3 commits are supported (round 5) but only with row lineage: a
+    lineage-less snapshot is refused, a lineage-carrying one advances
+    next-row-id. Reads (time travel) work either way."""
+    from dataclasses import replace
+
     from iceberg_go_distributed_spark.iceberg.metadata import Snapshot, Summary
 
     md = TableMetadata.from_json(_valid_v3())
     # reads: time travel over the v3 snapshot log works
     assert md.snapshot_as_of(1515100955771).snapshot_id == 3051729675574597004
-    # writes: adding a snapshot would break row lineage — refused
+    # a v2-style snapshot (no lineage fields) would break row lineage
     snap = Snapshot(1, 35, 1999999999999, "s3://a/b/3.avro", Summary("append"))
-    with pytest.raises(CommitStateError, match="format-version 3"):
+    with pytest.raises(CommitStateError, match="row lineage"):
         MetadataBuilder(md).add_snapshot(snap)
+    # the lineage-carrying equivalent commits and advances next-row-id
+    base = md.next_row_id
+    good = replace(snap, first_row_id=base, added_rows=123)
+    b = MetadataBuilder(md)
+    b.add_snapshot(good)
+    assert b.m.next_row_id == base + 123
 
 
 def test_ns_type_gated_out_of_v2_schema():
