@@ -218,6 +218,80 @@ def ann_lsh_topk(
     return _topk(scored, k)
 
 
+def _assign_cells(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, cell): nearest centroid by dot product, ties to the
+    lowest cell id. Centroids are broadcast (they are tiny by
+    construction); the corpus never shuffles."""
+    scored = emb.select("vec_id", vec_col).crossJoin(F.broadcast(cents)).withColumn(
+        "_d", _dot(vec_col, "_c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    n_cells: int = 8,
+    max_query_id: int = 20,
+    k: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: one deterministic
+    Lloyd refinement (seeds = the first `n_cells` vectors, assign,
+    recompute means, reassign), then each query searches only its
+    trained cell — the real IVF shape, vs `ann_ivf_topk` which trusts
+    a precomputed assignment.
+
+    Distribution: assignment is a broadcast of `n_cells` centroids and
+    a map-side argmax (corpus never shuffles); the mean recomputation
+    is a posexplode + groupBy(cell, pos) with map-side partial sums —
+    the shuffle carries at most cells × dim rows per partition, the
+    standard distributed k-means step. Determinism for the oracle:
+    element sums run in exact DECIMAL(27,10) (order-independent), the
+    mean is rounded to 6 dp, and dot products fold left-to-right —
+    bit-identical to the DuckDB formulation."""
+    seeds = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col(vec_col).alias("_c")
+    )
+    a0 = _assign_cells(emb, seeds, vec_col)
+    ex = a0.join(emb, "vec_id").select(
+        "cell", F.posexplode(vec_col).alias("pos", "_v")
+    )
+    elems = ex.groupBy("cell", "pos").agg(
+        F.round(
+            F.sum(F.col("_v").cast("decimal(27,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("_m")
+    )
+    cents = (
+        elems.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_m"))).alias("_s"))
+        .select("cell", F.expr("transform(_s, x -> x._m)").alias("_c"))
+    )
+    a1 = _assign_cells(emb, cents, vec_col)
+
+    na = with_norm(emb, vec_col).join(a1, "vec_id")
+    q = na.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("_qcell"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        na.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("_qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("_cos", _dot("_qv", vec_col) / (F.col("_qn") * F.col("_norm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "_cos")
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -190,6 +190,54 @@ def llm_ann_ivf(spark, sf_dir):
     return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), max_query_id=20, k=3)
 
 
+@query(
+    "llm_ann_ivf_trained",
+    oracle=f"""
+    WITH {_EMB_CTE},
+    seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+    a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, s.c) DESC, s.cell) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    mx AS (
+      SELECT a0.cell, r.idx,
+             ROUND(CAST(SUM(CAST(e.v[r.idx] AS DECIMAL(27,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM a0 JOIN e USING (vec_id)
+      CROSS JOIN (SELECT CAST(range AS INT) AS idx FROM range(1, 65)) r
+      GROUP BY a0.cell, r.idx),
+    cents AS (SELECT cell, LIST(m ORDER BY idx) AS c FROM mx GROUP BY cell),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, t.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, t.c) DESC, t.cell) AS rn
+        FROM e CROSS JOIN cents t) WHERE rn = 1),
+    na AS (SELECT n.vec_id, n.v, n.nrm, a1.cell FROM n JOIN a1 USING (vec_id))
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+    FROM na q JOIN na c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) <= 3
+    """,
+    doc="IVF with a TRAINED quantizer: one Lloyd step from fixed seeds, then cell-pruned top-3",
+)
+def llm_ann_ivf_trained(spark, sf_dir):
+    """Distributed k-means refinement (seed → assign → exact-decimal
+    elementwise means → reassign) followed by cell-pruned search; the
+    oracle replays the identical training arithmetic in SQL, so the
+    hash match proves the trained assignment, not just the search."""
+    return S.ivf_trained_topk(
+        load_table(spark, sf_dir, "embeddings"), n_cells=8, max_query_id=20, k=3
+    )
+
+
 def _lsh_oracle() -> str:
     planes = S.lsh_planes()
     def plane_sql(p):
