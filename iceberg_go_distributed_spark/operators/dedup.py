@@ -437,3 +437,36 @@ def near_dup_clusters(
         )
     )
     return labels.localCheckpoint(eager=True)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_max_id: int = 5,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: every (corpus doc, benchmark doc) pair
+    whose exact n-gram Jaccard meets the threshold — the pre-training
+    hygiene step that keeps eval data out of the training set. Here the
+    benchmark set is docs with id < `benchmark_max_id`; in production it
+    is a separate (small) benchmark table, which is exactly why the
+    benchmark side is broadcast: the corpus is scanned once map-side and
+    never shuffles, at any corpus size. Output: (doc_id, benchmark_id,
+    jaccard), one row per contaminated pair, exact values.
+    """
+    sh = shingle_sets(docs, text_col, id_col, n)
+    bench = sh.where(F.col(id_col) < benchmark_max_id).select(
+        F.col(id_col).alias("benchmark_id"), F.col("shingles").alias("_sb")
+    )
+    corpus = sh.where(F.col(id_col) >= benchmark_max_id)
+    jac = F.size(F.array_intersect("shingles", "_sb")) / F.size(
+        F.array_union("shingles", "_sb")
+    )
+    return (
+        corpus.join(F.broadcast(bench))
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col(id_col), "benchmark_id", F.round("jaccard", 6).alias("jaccard"))
+    )

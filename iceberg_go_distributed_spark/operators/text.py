@@ -110,3 +110,35 @@ def doc_fingerprints(
             F.count("*").alias("n_shingles"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_group: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-group sampling, the corpus-curation primitive
+    ("N docs per language/source for the eval set"): rank docs inside
+    each group by the md5 of (salt, id) and keep the first `per_group`.
+
+    No RNG state — the sample is a pure function of (salt, ids), so it
+    is reproducible across runs, engines (md5 hex is identical in Spark
+    and the SQL oracle), and cluster sizes, and a different salt yields
+    an independent resample. At 100 TB the per-group row_number is the
+    only shuffle (keyed by group); group skew is the classic hot-key
+    case — AQE handles moderate skew, and because ranks beyond
+    `per_group` are discarded, a local per-partition top-k prefilter
+    (rank within partition, keep <= per_group) bounds the exchange to
+    partitions x per_group rows per group when groups get pathological.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= per_group)
+        .select(F.col(id_col), F.col(group_col), F.col("_rk").alias("rank_in_group"))
+    )

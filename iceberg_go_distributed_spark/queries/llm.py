@@ -146,6 +146,50 @@ def llm_ngram_topk(spark, sf_dir):
     return D.ngram_topk_similar(load_table(spark, sf_dir, "documents"), max_query_id=5, k=1)
 
 
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT c.doc_id AS doc_id, q.doc_id AS benchmark_id,
+           ROUND(CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(q.s, c.s))), 6) AS jaccard
+    FROM sh c JOIN sh q ON q.doc_id < 50 AND c.doc_id >= 50
+    WHERE CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(q.s, c.s))) >= 0.3
+    """,
+    doc="benchmark decontamination: corpus docs overlapping the benchmark set",
+)
+def llm_decontaminate(spark, sf_dir):
+    """Eval-set hygiene: exact n-gram Jaccard of every corpus doc
+    against the (broadcast) benchmark set — the corpus never shuffles."""
+    return D.decontaminate(
+        load_table(spark, sf_dir, "documents"), benchmark_max_id=50, threshold=0.3
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, rank_in_group FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(concat('sample-v1:', CAST(doc_id AS VARCHAR))),
+                          doc_id) AS rank_in_group
+      FROM documents) t
+    WHERE rank_in_group <= 20
+    """,
+    doc="deterministic per-language sample (salted-md5 rank, reproducible)",
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Reproducible stratified sampling: the per-group rank is a pure
+    function of (salt, doc_id) via md5, so the SQL oracle draws the
+    IDENTICAL sample — randomness without RNG state."""
+    from ..operators.text import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"), per_group=20)
+
+
 # ------------------------------------------------------------- similarity
 
 _EMB_CTE = """
