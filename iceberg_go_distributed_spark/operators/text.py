@@ -142,3 +142,59 @@ def stratified_sample(
         .where(F.col("_rk") <= per_group)
         .select(F.col(id_col), F.col(group_col), F.col("_rk").alias("rank_in_group"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    shape): documents are concatenated in id order into one token
+    stream, which is cut into fixed `seq_len` sequences; each doc
+    reports the sequence and offset where it starts. Output:
+    (doc_id, n_tokens, start_seq, start_offset).
+
+    The exclusive prefix sum over doc token counts is computed with the
+    two-phase construction, NOT a global window (a partition-less
+    `ROWS UNBOUNDED PRECEDING` window collapses to a single task — the
+    classic scale-killer): range-partition by id, local cumulative sums
+    per partition, then an O(partitions) driver collect of partition
+    totals broadcast back as offsets. The result is independent of the
+    partitioning, so range-sampling nondeterminism cannot change it.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.size(_words(text_col)).alias("n_tokens")
+    ).repartitionByRange(32, F.col(id_col))
+    tok = tok.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tok.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = {
+        r._pid: r.total
+        for r in local.groupBy("_pid").agg(F.max("_cum").alias("total")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = local.sparkSession.createDataFrame(
+        sorted(offsets.items()), "_pid int, _off bigint"
+    )
+    prefix = F.col("_cum") + F.col("_off") - F.col("n_tokens")  # exclusive
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (prefix / seq_len).cast("bigint").alias("start_seq"),
+            (prefix % seq_len).cast("bigint").alias("start_offset"),
+        )
+    )

@@ -190,6 +190,33 @@ def llm_sample_stratified(spark, sf_dir):
     return stratified_sample(load_table(spark, sf_dir, "documents"), per_group=20)
 
 
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(FLOOR((SUM(len(string_split(text, ' ')))
+                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - len(string_split(text, ' '))) / 2048.0) AS BIGINT)
+               AS start_seq,
+           CAST((SUM(len(string_split(text, ' ')))
+                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - len(string_split(text, ' '))) % 2048 AS BIGINT)
+               AS start_offset
+    FROM documents
+    """,
+    doc="concat-and-chunk sequence packing via distributed two-phase prefix sum",
+)
+def llm_pack_sequences(spark, sf_dir):
+    """The oracle uses the textbook global window; the Spark side
+    computes the same exclusive prefix sum with the two-phase
+    partition-local + broadcast-offsets construction, because the
+    global window is a single-task bottleneck at corpus scale."""
+    from ..operators.text import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=2048)
+
+
 # ------------------------------------------------------------- similarity
 
 _EMB_CTE = """
