@@ -79,3 +79,70 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
             yield out
 
     return multimodal.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_head_hex string"
+
+
+def sample_frames(
+    multimodal: DataFrame,
+    frame_size: int = 32,
+    stride: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over opaque payloads: treat each
+    payload as a sequence of fixed-size raw frames (the post-codec
+    representation — e.g. raw YUV planes), emit every `stride`-th full
+    frame's descriptor. The byte slicing is real (no codec needed for
+    fixed-size frames); a container-format pipeline would swap the
+    slicer for a demuxer with the same 1→N mapInPandas explode shape.
+    Map-only: no shuffle, executor memory bounded by the Arrow batch.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_head_hex": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                for i in range(0, len(b) // frame_size, stride):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(len(fr))
+                    rows["frame_head_hex"].append(fr[:8].hex().upper())
+            yield pd.DataFrame(rows)
+
+    return multimodal.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, content_type string, n_bytes bigint"
+)
+
+
+def resize_stub(
+    multimodal: DataFrame, target_bytes: int = 256
+) -> DataFrame:
+    """Where image resizing plugs in: DETERMINISTIC FAKE — a real
+    pipeline decodes, resizes, re-encodes (PIL/libvips); this container
+    ships no codecs, so the 'resize' is a byte truncation that keeps
+    the payload-in/payload-out contract, schema, and batch plumbing
+    production-shaped (swap the lambda body for the codec call)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None if p is None else bytes(p)[:target_bytes]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "content_type": ["application/x-resized"] * len(payloads),
+                    "n_bytes": [None if p is None else len(p) for p in payloads],
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)

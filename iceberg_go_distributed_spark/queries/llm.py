@@ -445,6 +445,34 @@ def llm_multimodal_features(spark, sf_dir):
 
 
 @query(
+    "llm_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx
+               FROM documents WHERE doc_id < 50),
+    f AS (SELECT doc_id, hx,
+                 unnest(range(0, length(hx) // 64, 4)) AS i
+          FROM p)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           32 AS frame_len,
+           substring(hx, CAST(i * 64 + 1 AS BIGINT), 16) AS frame_head_hex
+    FROM f
+    """,
+    doc="video-style frame sampling: every 4th 32-byte frame per payload (mapInPandas 1-to-N)",
+)
+def llm_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque payloads (raw fixed-size frames, the
+    post-codec video representation); the oracle mirrors the byte
+    slicing in hex space (hex offsets = 2 x byte offsets)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return M.sample_frames(
+        M.attach_binary_payload(docs), frame_size=32, stride=4
+    )
+
+
+@query(
     "llm_dedup_embedding",
     oracle=f"""
     WITH {_EMB_CTE}
