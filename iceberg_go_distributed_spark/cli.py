@@ -54,6 +54,10 @@ def main(argv=None) -> int:
     sp.add_argument("key", nargs="?")
     sp.add_argument("value", nargs="?")
 
+    sp = sub.add_parser("upgrade", help="upgrade the table's format version")
+    sp.add_argument("table")
+    sp.add_argument("--format-version", type=int, default=3)
+
     args = p.parse_args(argv)
     cat = _catalog(args)
 
@@ -101,7 +105,13 @@ def main(argv=None) -> int:
                 "identifier": str(args.table),
                 "uuid": md.table_uuid,
                 "location": md.location,
+                "format-version": md.format_version,
                 "current-snapshot-id": md.current_snapshot_id,
+                **(
+                    {"next-row-id": md.next_row_id}
+                    if md.format_version >= 3
+                    else {}
+                ),
                 "schema": md.current_schema().to_json(),
                 "partition-spec": md.default_spec().to_json(),
                 "properties": md.properties,
@@ -132,6 +142,9 @@ def main(argv=None) -> int:
     elif args.cmd == "snapshots":
         for s in t.metadata.snapshots:
             print(f"{s.snapshot_id}\t{s.sequence_number}\t{s.summary.operation}")
+    elif args.cmd == "upgrade":
+        t.upgrade_format_version(args.format_version)
+        print(f"upgraded {args.table} to format-version {args.format_version}")
     elif args.cmd == "properties":
         if args.action == "get":
             if args.key:

@@ -56,6 +56,10 @@ def test_cli_lifecycle(tmp_path):
     assert _cli(tmp_path, "properties", "get", "db.t1", "owner").strip() == "cli"
     _cli(tmp_path, "properties", "remove", "db.t1", "owner")
     assert _cli(tmp_path, "properties", "get", "db.t1", "owner").strip() == ""
+    assert desc["format-version"] == 2 and "next-row-id" not in desc
+    assert "format-version 3" in _cli(tmp_path, "upgrade", "db.t1")
+    desc3 = json.loads(_cli(tmp_path, "describe", "db.t1"))
+    assert desc3["format-version"] == 3 and desc3["next-row-id"] == 0
     _cli(tmp_path, "rename", "db.t1", "db.t2")
     assert "db.t2" in _cli(tmp_path, "list", "db")
     _cli(tmp_path, "drop", "db.t2")
