@@ -224,6 +224,34 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_manifest_list_wire_parity(fs_catalog, spark, lineitem_df):
+    """The v3 manifest list carries the OCF metadata keys and the
+    first_row_id column (avro field id 520) exactly as the reference's
+    list writer emits them (manifest.go:1397-1417,1478-1486 /
+    internal/avro_schemas.go:497), so a reference-style reader can
+    consume our lists."""
+    import json as _json
+
+    from iceberg_go_distributed_spark.iceberg import avro as avro_io
+
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3wire", rows=50)
+    snap = t.current_snapshot()
+    schema, meta, records = avro_io.read_ocf(snap.manifest_list)
+    meta_s = {k: v.decode() for k, v in meta.items() if k != "avro.schema"}
+    assert meta_s["format-version"] == "3"
+    assert meta_s["snapshot-id"] == str(snap.snapshot_id)
+    assert meta_s["sequence-number"] == str(snap.sequence_number)
+    assert meta_s["first-row-id"] == "0"
+    assert meta_s["parent-snapshot-id"] == "null"
+
+    avro_schema = _json.loads(meta["avro.schema"])
+    frid = next(
+        f for f in avro_schema["fields"] if f["name"] == "first_row_id"
+    )
+    assert frid["field-id"] == 520
+    assert records[0]["first_row_id"] == 0
+
+
 def test_v3_equality_deletes_and_upsert(fs_catalog, spark, lineitem_df):
     """Equality deletes stay legal in v3 (only position-delete FILES are
     replaced by DVs); upsert = eq-delete + append, and the appended rows
