@@ -69,6 +69,12 @@ def _apply_updates(md_json: dict, updates: list[dict], requirements: list[dict])
             b.add_schema(Schema.from_json(u["schema"]))
         elif a == "set-current-schema":
             b.set_current_schema(u["schema-id"])
+        elif a == "upgrade-format-version":
+            from iceberg_go_distributed_spark.iceberg.transaction import (
+                UpgradeFormatVersion,
+            )
+
+            UpgradeFormatVersion(u["format-version"]).apply(b)
     return b.build().to_json()
 
 
@@ -358,6 +364,50 @@ def test_transaction_commit_routes_through_rest(rest_server):
     ).StringType()).commit()
     t3 = cat.load_table("db.tx")
     assert any(f.name == "extra" for f in t3.schema().fields)
+
+
+def test_rest_v3_upgrade_and_lineage_commit(rest_server):
+    """The v3 surface over the wire: upgrade-format-version ships as an
+    update action, and an add-snapshot update carries first-row-id/
+    added-rows so the server-side builder advances next-row-id — the
+    lineage fields survive the updates/requirements protocol."""
+    import time as _time
+
+    from iceberg_go_distributed_spark.iceberg.metadata import Snapshot, Summary
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AddSnapshotUpdate,
+        AssertTableUUID,
+        SetSnapshotRef,
+    )
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("dbv3")
+    t = cat.create_table("dbv3.tv3", SCHEMA)
+    t.upgrade_format_version(3)
+    assert t.metadata.format_version == 3
+    assert t.metadata.next_row_id == 0
+
+    snap = Snapshot(
+        snapshot_id=42,
+        sequence_number=1,
+        timestamp_ms=int(_time.time() * 1000),
+        manifest_list="memory://tv3/snap-42.avro",
+        summary=Summary("append"),
+        first_row_id=0,
+        added_rows=77,
+    )
+    tx = t.transaction()
+    tx.apply(
+        [AddSnapshotUpdate(snap), SetSnapshotRef("main", 42)],
+        [AssertTableUUID(t.metadata.table_uuid)],
+    )
+    tx.commit()
+
+    t2 = cat.load_table("dbv3.tv3")
+    assert t2.metadata.format_version == 3
+    assert t2.metadata.next_row_id == 77
+    assert t2.current_snapshot().first_row_id == 0
+    assert t2.current_snapshot().added_rows == 77
 
 
 def test_oauth_client_credentials_flow(oauth_rest_server):
