@@ -36,6 +36,46 @@ def ev_hourly(spark, sf_dir):
 
 
 @query(
+    "ev_sliding_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ), x AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS window_start,
+             event_type, value
+      FROM e)
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM x
+    GROUP BY 1, 2
+    """,
+    doc="sliding-window rollup (1h windows every 30min; each event in 2 windows)",
+)
+def ev_sliding(spark, sf_dir):
+    """Hopping/sliding windows via Spark's native window(slide) — each
+    event lands in exactly size/slide windows; the oracle generates the
+    same two epoch-aligned window starts per event explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
     "ev_sessionization",
     oracle="""
     WITH e AS (
