@@ -224,6 +224,60 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_concurrent_writers_get_disjoint_row_ids(
+    fs_catalog, spark, lineitem_df
+):
+    """Two writers racing on a v3 table: the loser's CAS retry must
+    re-reserve against refreshed metadata, so the two snapshots consume
+    DISJOINT row-id ranges — overlapping first-row-ids would silently
+    duplicate lineage (the overlap check in add_snapshot is the last
+    line of defense; the retry loop must make it unnecessary)."""
+    from iceberg_go_distributed_spark.iceberg.catalog import CommitConflictError
+    from iceberg_go_distributed_spark.iceberg.write import (
+        begin_distributed_snapshot,
+        commit_data_files,
+        write_data_files,
+    )
+
+    t_a = fs_catalog.create_table("db.v3race", LINEITEM_SCHEMA)
+    t_a.upgrade_format_version(3)
+    t_a.append(lineitem_df.limit(100).coalesce(1))
+    t_b = fs_catalog.load_table("db.v3race")
+
+    df = lineitem_df.limit(160)
+    ds_a = begin_distributed_snapshot(t_a)
+    files_a = write_data_files(
+        df.where("l_orderkey % 2 = 0").coalesce(1),
+        t_a.schema(), t_a.spec(), t_a.location, ds_a.commit_uuid,
+    )
+    ds_b = begin_distributed_snapshot(t_b)
+    files_b = write_data_files(
+        df.where("l_orderkey % 2 = 1").coalesce(1),
+        t_b.schema(), t_b.spec(), t_b.location, ds_b.commit_uuid,
+    )
+    n_a = sum(f.record_count for f in files_a)
+    n_b = sum(f.record_count for f in files_b)
+
+    commit_data_files(t_a, files_a, max_retries=0)
+    with pytest.raises(CommitConflictError):
+        commit_data_files(t_b, files_b, max_retries=0)
+    commit_data_files(t_b, files_b, max_retries=2)  # refresh + re-reserve
+
+    t_b.refresh()
+    snaps = {s.snapshot_id: s for s in t_b.metadata.snapshots}
+    ranges = sorted(
+        (s.first_row_id, s.first_row_id + s.added_rows)
+        for s in snaps.values()
+        if s.added_rows
+    )
+    # ranges tile [0, total) with no overlap
+    assert ranges[0][0] == 0
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 == lo2, f"row-id ranges overlap or gap: {ranges}"
+    assert ranges[-1][1] == 100 + n_a + n_b == t_b.metadata.next_row_id
+    assert t_b.scan().to_df(spark).count() == 100 + n_a + n_b
+
+
 def test_v3_manifest_list_wire_parity(fs_catalog, spark, lineitem_df):
     """The v3 manifest list carries the OCF metadata keys and the
     first_row_id column (avro field id 520) exactly as the reference's
