@@ -224,6 +224,60 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_write_sequence_against_model(fs_catalog, spark, lineitem_df):
+    """Deterministic pseudo-random interleaving of appends and DV
+    deletes on one v3 table, checked after every op against a local
+    pandas model — the stateful-workload shape unit oracles miss
+    (DV merges chaining across snapshots, lineage advancing only on
+    appends, deletes on already-thinned files)."""
+    import random
+
+    rng = random.Random(7)
+    base = lineitem_df.limit(600).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pool = base.toPandas()
+
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    t = fs_catalog.create_table("db.v3seq", schema_from_spark(base.schema))
+    t.upgrade_format_version(3)
+
+    import pandas as pd
+
+    model = pool.iloc[0:0]  # empty, dtype-preserving
+    appended = 0
+    next_slice = 0
+    for step in range(6):
+        if step % 2 == 0:  # append a fresh slice of the pool
+            k = rng.randint(50, 150)
+            chunk = pool.iloc[next_slice : next_slice + k]
+            next_slice += k
+            t.append(spark.createDataFrame(chunk).coalesce(1))
+            model = pd.concat([model, chunk], ignore_index=True)
+            appended += len(chunk)
+        else:  # DV delete on a quantity band
+            lo = rng.uniform(1, 40)
+            hi = lo + rng.uniform(1, 15)
+            t.delete_where(
+                spark,
+                E.and_(
+                    E.greater_than_or_equal("l_quantity", lo),
+                    E.less_than("l_quantity", hi),
+                ),
+            )
+            model = model[~((model.l_quantity >= lo) & (model.l_quantity < hi))]
+        assert t.scan().to_df(spark).count() == len(model), f"step {step}"
+        assert t.metadata.next_row_id == appended, f"step {step}"
+
+    got = (
+        t.scan().to_df(spark).toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    )
+    want = model.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
 def test_v3_concurrent_writers_get_disjoint_row_ids(
     fs_catalog, spark, lineitem_df
 ):
