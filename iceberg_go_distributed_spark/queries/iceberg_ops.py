@@ -655,6 +655,64 @@ def ice_theta_ndv(spark, sf_dir):
 
 
 @query(
+    "ice_changelog",
+    oracle="""
+    WITH first AS (
+      SELECT l_returnflag, l_linenumber,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ), second AS (
+      SELECT l_returnflag,
+             (SELECT COUNT(*) FROM first)
+               + ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    )
+    SELECT 'delete' AS change_type, l_returnflag,
+           COUNT(*) AS n, CAST(SUM(rid) AS BIGINT) AS sum_rid
+    FROM first WHERE l_linenumber = 2 GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'insert' AS change_type, l_returnflag,
+           COUNT(*) AS n, CAST(SUM(rid) AS BIGINT) AS sum_rid
+    FROM second GROUP BY l_returnflag
+    """,
+    doc="CDC changelog between snapshots via row lineage (insert/delete rows)",
+)
+def ice_changelog(spark, sf_dir):
+    """Row-level CDC on a v3 table: append (checkpoint), DV-delete,
+    append again, then `changelog_scan(checkpoint)` must emit exactly
+    the deleted rows (with their ORIGINAL row ids — numbering first,
+    filtering after, so survivor renumbering would break the match)
+    and the second append's rows as inserts (fresh ids)."""
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_cdc", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_cdc", schema_from_spark(li.schema))
+    t.upgrade_format_version(3)
+    t.append(
+        li.where("l_orderkey % 2 = 0")
+        .orderBy("l_orderkey", "l_linenumber")
+        .coalesce(1)
+    )
+    checkpoint = t.current_snapshot().snapshot_id
+    t.delete_where(spark, E.equal("l_linenumber", 2))
+    t.append(
+        li.where("l_orderkey % 2 = 1")
+        .orderBy("l_orderkey", "l_linenumber")
+        .coalesce(1)
+    )
+
+    df = t.changelog_scan(spark, from_snapshot_id=checkpoint)
+    return df.groupBy(
+        F.col("_change_type").alias("change_type"), F.col("l_returnflag")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_row_id").cast("bigint").alias("sum_rid"),
+    )
+
+
+@query(
     "ice_incremental_scan",
     oracle="""
     SELECT l_returnflag,

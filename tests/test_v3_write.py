@@ -224,6 +224,42 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_changelog_surfaces_updates_as_delete_insert(
+    fs_catalog, spark, lineitem_df
+):
+    """CDC via row lineage: an upsert replaces a row under a new
+    row id, so changelog_scan reports one delete (old id, old values)
+    plus one insert (new id, new values) per updated key."""
+    from pyspark.sql import functions as F
+
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3cdc", rows=120)
+    checkpoint = t.current_snapshot().snapshot_id
+    df = lineitem_df.limit(120)
+    updated = df.where("l_linenumber = 1").withColumn("l_quantity", F.lit(77.0))
+    n_upd = updated.count()
+    t.upsert(updated, key_columns=["l_orderkey", "l_linenumber"])
+
+    log = t.changelog_scan(spark, from_snapshot_id=checkpoint)
+    by_type = {
+        r._change_type: r.n
+        for r in log.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": n_upd, "insert": n_upd}
+    ins = log.where("_change_type = 'insert'")
+    assert ins.where("l_quantity = 77.0").count() == n_upd
+    # deletes carry the OLD values, not the replacements
+    dels = log.where("_change_type = 'delete'")
+    assert dels.where("l_quantity = 77.0").count() == 0
+    # and an empty window is an empty changelog
+    head = t.current_snapshot().snapshot_id
+    assert t.changelog_scan(spark, from_snapshot_id=head).count() == 0
+
+    t2 = fs_catalog.create_table("db.v2cdc", LINEITEM_SCHEMA)
+    t2.append(lineitem_df.limit(10).coalesce(1))
+    with pytest.raises(ValueError, match="format-version 3"):
+        t2.changelog_scan(spark, t2.current_snapshot().snapshot_id)
+
+
 def test_v3_write_sequence_against_model(fs_catalog, spark, lineitem_df):
     """Deterministic pseudo-random interleaving of appends and DV
     deletes on one v3 table, checked after every op against a local
