@@ -150,7 +150,18 @@ def merge_manifests(table, target_size_bytes: Optional[int] = None, min_count: O
         entries: list[ManifestEntry] = []
         spec_id = group[0].partition_spec_id
         for m in group:
-            for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+            # v3: materialize each file's inherited first_row_id into the
+            # merged manifest — without this the merged manifest (null
+            # first_row_id) would be assigned a FRESH range at the next
+            # manifest-list write, silently renumbering every row's
+            # _row_id. The merged ManifestFile itself stays null, so the
+            # list writer allocates a covering (unused) range — burned
+            # ids are safe, reused ids are not.
+            for e in read_manifest(
+                m.manifest_path,
+                inherit_sequence_number=m.sequence_number,
+                inherit_first_row_id=m.first_row_id,
+            ):
                 e.status = ManifestEntryStatus.EXISTING
                 entries.append(e)
         path = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-merged-m{i}.avro")

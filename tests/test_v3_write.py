@@ -224,6 +224,36 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         t2.scan().with_row_lineage().to_df(spark)
 
 
+def test_v3_manifest_merge_preserves_row_ids(fs_catalog, spark, lineitem_df):
+    """merge_manifests on a v3 table must materialize the per-file
+    first_row_id into the merged manifests: rows keep their exact
+    _row_id through the merge (a fresh manifest-level assignment would
+    otherwise silently renumber them)."""
+    from iceberg_go_distributed_spark.iceberg.maintenance import merge_manifests
+
+    t = fs_catalog.create_table("db.v3mm", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(120)
+    for k in range(4):  # four small manifests
+        t.append(df.where(f"l_orderkey % 4 = {k}").coalesce(1))
+    before = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert merge_manifests(t, min_count=2) is True
+    t.refresh()
+    after = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert after == before
+    # and the next append still gets a non-overlapping fresh range
+    n = len(before)
+    t.append(df.limit(0).union(df.where("l_orderkey % 4 = 0")).coalesce(1))
+    snap = t.current_snapshot()
+    assert snap.first_row_id >= n
+
+
 def test_v3_changelog_surfaces_updates_as_delete_insert(
     fs_catalog, spark, lineitem_df
 ):
