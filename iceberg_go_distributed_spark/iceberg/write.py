@@ -1136,12 +1136,22 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
         md, removed, ds.commit_uuid, "del",
         replaced_dv_refs=replaced_dv_refs or None,
     )
+    # summary counters named as the reference's builder names them —
+    # ref table/snapshots.go:67-80 (added-position-delete[-file]s)
+    summary = {"deleted-data-files": str(len(removed))}
+    if partial and delete_files:
+        summary["added-position-deletes"] = str(
+            sum(f.record_count for f in delete_files)
+        )
+        summary["added-position-delete-files"] = str(len(delete_files))
+        if replaced_dv_refs:
+            summary["added-dvs"] = str(len(delete_files))
     _commit_manifests(
         table,
         new_manifests,
         carried,
         operation="delete",
-        extra_summary={"deleted-data-files": str(len(removed))},
+        extra_summary=summary,
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,

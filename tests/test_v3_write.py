@@ -156,6 +156,11 @@ def test_v3_delete_where_writes_deletion_vector(fs_catalog, spark, lineitem_df):
         dv.file_path, dv.content_offset, dv.content_size_in_bytes
     )
     assert len(positions) == dv.record_count == before - expected
+    # snapshot summary carries the reference's position-delete counters
+    props = snap.summary.properties
+    assert props["added-position-deletes"] == str(before - expected)
+    assert props["added-position-delete-files"] == "1"
+    assert props["added-dvs"] == "1"
 
 
 def test_v3_second_delete_merges_dv(fs_catalog, spark, lineitem_df):
