@@ -468,6 +468,14 @@ class Scan:
         return self.to_df(spark).toPandas()
 
     def count(self, spark) -> int:
+        """Row count; filter-free scans of delete-free snapshots are
+        answered from manifest record counts alone — a pure metadata
+        operation, zero executor work at any table size. Any filter,
+        delete file, or limit falls back to the executed plan."""
+        if isinstance(self.row_filter, AlwaysTrue) and self.limit is None:
+            tasks = self.plan_files()
+            if not any(t.delete_files for t in tasks):
+                return sum(t.file.record_count for t in tasks)
         return self.to_df(spark).count()
 
     def _read_with_deletes(

@@ -519,3 +519,19 @@ def test_expire_drops_statistics_of_removed_snapshots(fs_catalog, spark, lineite
     tx.commit()
     assert all(s.snapshot_id != first for s in t.metadata.snapshots)
     assert all(st["snapshot-id"] != first for st in t.metadata.statistics)
+
+
+def test_count_metadata_fast_path(fs_catalog, spark, lineitem_df):
+    """Filter-free count of a delete-free snapshot comes from manifest
+    record counts (metadata only) and must agree with the executed
+    plan; any delete or filter falls back to the real scan."""
+    t = fs_catalog.create_table("db.li_count", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(300).coalesce(2))
+    assert t.scan().count(spark) == 300 == t.scan().to_df(spark).count()
+    # filter → executed plan
+    n_filtered = t.scan(row_filter=E.greater_than("l_quantity", 30.0)).count(spark)
+    assert n_filtered == lineitem_df.limit(300).where("l_quantity > 30.0").count()
+    # delete files present → executed plan (counts reflect the deletes)
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    want = lineitem_df.limit(300).where("l_linenumber != 1").count()
+    assert t.scan().count(spark) == want
