@@ -80,3 +80,17 @@ def test_query_runs(spark, sf_dir, name):
     qd = REGISTRY[name]
     df = qd.fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_registry_priority_window():
+    """The driver verifies only the first 50 registry entries per round;
+    every table-layer (ice_*) and curation (llm_*) oracle must be inside
+    that window — they are the components whose only hard correctness
+    signal is a driver row."""
+    names = list(REGISTRY)
+    window = set(names[:50])
+    inside = [n for n in names if n.startswith(("ice_", "llm_"))]
+    missing = [n for n in inside if n not in window]
+    assert not missing, f"priority window lost: {missing}"
+    # Tail entries must still be registered (local oracle coverage).
+    assert len(names) == len(set(names))
