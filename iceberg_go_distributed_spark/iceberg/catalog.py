@@ -18,6 +18,7 @@ reference's optimistic-concurrency design.
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import json
 import os
 import sqlite3
@@ -247,21 +248,62 @@ class FileSystemCatalog(Catalog):
             if os.path.isdir(os.path.join(ns_dir, t, "metadata"))
         ]
 
-    def _swap_hint(self, identifier, new_version: int, expect: Optional[int]) -> None:
-        """Atomic version bump: write hint to temp + rename; the version
-        file itself is created exclusively so concurrent committers
-        racing to the same version collide there first."""
+    @contextlib.contextmanager
+    def _hint_flock(self, identifier):
+        """Serialize hint-CAS decisions (swap, reclaim-time orphan clear)
+        for one table. flock is released by the kernel when the holder
+        dies, so unlike the TTL commit lock this cannot go stale; it only
+        serializes sub-millisecond critical sections on one host (this
+        catalog is local-filesystem by construction)."""
+        path = os.path.join(self._meta_dir(identifier), ".hint.flock")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # close releases the flock
+
+    @staticmethod
+    def _lock_token(lock_path: str) -> Optional[str]:
+        try:
+            with open(lock_path) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    def _swap_hint(
+        self,
+        identifier,
+        new_version: int,
+        expect: Optional[int],
+        commit_lock: Optional[str] = None,
+        token: Optional[str] = None,
+    ) -> None:
+        """Hint CAS: write hint to temp + rename, with the expect-check and
+        the rename under the hint flock so the check-then-rename pair is
+        atomic against every other swap and against reclaim-time orphan
+        clearing. When ``commit_lock``/``token`` are given, additionally
+        verify (under the same flock) that the commit lock still carries
+        OUR token — a committer whose stale lock was reclaimed by another
+        process must lose here instead of publishing a version the
+        reclaimer has already decided is dead."""
         hint = self._hint_path(identifier)
-        current = self._current_version(identifier)
-        if current != expect:
-            raise CommitConflictError(
-                f"expected version {expect}, found {current} for {identifier}"
-            )
-        tmp = f"{hint}.tmp-{_uuid.uuid4().hex[:8]}"
-        os.makedirs(os.path.dirname(hint), exist_ok=True)
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.rename(tmp, hint)
+        with self._hint_flock(identifier):
+            current = self._current_version(identifier)
+            if current != expect:
+                raise CommitConflictError(
+                    f"expected version {expect}, found {current} for {identifier}"
+                )
+            if commit_lock is not None and self._lock_token(commit_lock) != token:
+                raise CommitConflictError(
+                    f"commit lock for {identifier} was reclaimed while stalled"
+                )
+            tmp = f"{hint}.tmp-{_uuid.uuid4().hex[:8]}"
+            os.makedirs(os.path.dirname(hint), exist_ok=True)
+            with open(tmp, "w") as f:
+                f.write(str(new_version))
+            os.rename(tmp, hint)
 
     def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
         current = self._current_version(identifier)
@@ -280,6 +322,10 @@ class FileSystemCatalog(Catalog):
         # the TTL are reclaimable. Breaking one can't clobber a committed
         # version: the version file itself is also exclusive-create.
         lock = f"{new_path}.lock"
+        # Per-attempt token written into the lock file: _swap_hint re-reads
+        # it under the hint flock, so a committer whose stale lock was
+        # broken can never publish the hint after a reclaimer took over.
+        token = _uuid.uuid4().hex
         reclaimed_stale_lock = False
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -304,16 +350,22 @@ class FileSystemCatalog(Catalog):
                     f"concurrent commit in flight for {identifier}"
                 )
         try:
+            os.write(fd, token.encode())
+            os.fsync(fd)
             if reclaimed_stale_lock and os.path.exists(new_path):
                 # The dead lock holder published v{N} but died before
-                # swapping the hint — the commit never became visible
-                # (verified: hint still reads `current`), so the orphan
-                # would wedge this version forever. Safe to clear under
-                # the same >TTL staleness assumption that let us break
-                # the lock.
-                if self._current_version(identifier) == current:
-                    with contextlib.suppress(OSError):
-                        os.unlink(new_path)
+                # swapping the hint — the commit never became visible, so
+                # the orphan would wedge this version forever. The check
+                # and the unlink sit under the SAME flock that serializes
+                # every hint swap: if the presumed-dead holder is in fact
+                # a stalled zombie, its later swap re-reads the lock file,
+                # finds OUR token, and loses — so once we observe
+                # hint==current here, v{N} is unpublishable for good and
+                # safe to clear.
+                with self._hint_flock(identifier):
+                    if self._current_version(identifier) == current:
+                        with contextlib.suppress(OSError):
+                            os.unlink(new_path)
             # Publish via tmp-write + hard-link: the link is atomic (no
             # reader or crash can observe a partial v{N}) AND exclusive
             # (EEXIST — if a TTL-reclaimer broke our lock and committed
@@ -334,20 +386,40 @@ class FileSystemCatalog(Catalog):
                 with contextlib.suppress(OSError):
                     os.unlink(tmp)
             try:
-                self._swap_hint(identifier, new_version, expect=current)
+                self._swap_hint(
+                    identifier,
+                    new_version,
+                    expect=current,
+                    commit_lock=lock,
+                    token=token,
+                )
+            except CommitConflictError:
+                # Hint CAS or lock-token check failed: another committer
+                # owns this version now and new_path may be THEIR committed
+                # file — never unlink on this path. If it is still our
+                # never-published orphan, TTL reclaim heals it.
+                raise
             except BaseException:
-                # We hold the lock and the hint never pointed at v{N}:
-                # unpublish so a failed swap can't strand an orphan that
-                # blocks the next committer until TTL reclaim.
-                with contextlib.suppress(OSError):
-                    os.unlink(new_path)
+                # Non-conflict failure (I/O error, interrupt) with the hint
+                # still at `current`: unpublish our invisible v{N} so it
+                # can't wedge the next committer until TTL reclaim — but
+                # only while we still own the commit lock (token check
+                # under the flock). A reclaimer always rewrites the token
+                # BEFORE touching v{N}, so owning the token proves the
+                # file is ours; an inode comparison would not (freed
+                # inodes are reused immediately on most filesystems).
+                with self._hint_flock(identifier):
+                    if self._lock_token(lock) == token:
+                        with contextlib.suppress(OSError):
+                            os.unlink(new_path)
                 raise
         finally:
             os.close(fd)
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass  # a TTL-reclaimer broke our lock; version file decides
+            if self._lock_token(lock) == token:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+            # else: a TTL-reclaimer owns the lock now — leave theirs alone;
+            # the version file + flock'd hint CAS decide correctness.
         return new_path
 
     def create_namespace(self, namespace: str, properties=None) -> None:

@@ -229,3 +229,15 @@ def read_parquet_table(path: str, columns: Optional[list] = None):
         return pq.read_table(local_path(path), columns=columns)
     fs, p = resolve(path)
     return pq.read_table(p, columns=columns, filesystem=fs)
+
+
+def parquet_file(path: str):
+    """Open a streaming pq.ParquetFile (iter_batches) so callers can
+    evaluate predicates batch-wise with memory bounded by batch size,
+    not file size. Caller closes (contextlib.closing / with)."""
+    import pyarrow.parquet as pq
+
+    if is_local(path):
+        return pq.ParquetFile(local_path(path))
+    fs, p = resolve(path)
+    return pq.ParquetFile(fs.open_input_file(p))

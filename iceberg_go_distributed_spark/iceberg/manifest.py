@@ -535,9 +535,13 @@ def read_manifest(
     """ref manifest.go:774 (ReadManifest). ADDED entries written without
     an explicit sequence number inherit the manifest's (spec: sequence
     number inheritance). With `inherit_first_row_id` (the manifest's
-    assigned first_row_id, v3 row lineage), data files with a null
+    assigned first_row_id, v3 row lineage), live data files with a null
     first_row_id are assigned one by position: the running id starts at
-    the manifest's and advances by each data file's record_count."""
+    the manifest's and advances by record_count for exactly the files
+    that were assigned — files carrying an explicit first_row_id (e.g.
+    EXISTING entries rewritten by a merge-append) and DELETED entries do
+    NOT consume from the manifest's range, matching the spec/Java
+    assignment rule."""
     records = _read_manifest_records(path)
     entries = [_entry_from_avro(r) for r in records]
     if inherit_sequence_number is not None:
@@ -549,9 +553,11 @@ def read_manifest(
         for e in entries:
             if e.data_file.content != DataFileContent.DATA:
                 continue
+            if e.status == ManifestEntryStatus.DELETED:
+                continue
             if e.data_file.first_row_id is None:
                 e.data_file.first_row_id = running
-            running += e.data_file.record_count
+                running += e.data_file.record_count
     if discard_deleted:
         entries = [e for e in entries if e.status != ManifestEntryStatus.DELETED]
     return entries

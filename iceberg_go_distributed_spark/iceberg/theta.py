@@ -123,15 +123,29 @@ def theta_hash_value(v) -> int:
     """Hash one column value with the type conventions documented in the
     module header. Bytes pass through; ints hash as 8-byte LE longs;
     floats as their 8-byte LE double bits; everything else as the UTF-8
-    of str(v)."""
+    of str(v).
+
+    Java-parity edges: update(double) canonicalizes -0.0 to +0.0 before
+    doubleToLongBits, so sketches merge consistently across engines; a
+    Python int outside int64 (no Java update() accepts one — it would be
+    a BigInteger) falls back to the str convention instead of raising
+    executor-side and failing the whole statistics job."""
     if isinstance(v, bytes):
         data = v
     elif isinstance(v, bool):
         data = struct.pack("<q", int(v))
     elif isinstance(v, int):
-        data = struct.pack("<q", v)
+        if -(1 << 63) <= v < (1 << 63):
+            data = struct.pack("<q", v)
+        else:
+            data = str(v).encode("utf-8")
     elif isinstance(v, float):
-        data = struct.pack("<d", v)
+        if v != v:  # all NaN payloads → Java doubleToLongBits canonical NaN
+            data = struct.pack("<Q", 0x7FF8000000000000)
+        else:
+            if v == 0.0:
+                v = 0.0  # canonicalize -0.0 (Java update(double) parity)
+            data = struct.pack("<d", v)
     else:
         data = str(v).encode("utf-8")
     return theta_hash_bytes(data)

@@ -854,14 +854,45 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
     tx.commit()
 
 
+def _iter_matched_positions(data_path, needed, bound, batch_rows: int = 131072):
+    """Stream a data file's predicate-relevant columns batch-wise and
+    yield one uint64 ndarray of matched GLOBAL row positions per record
+    batch. Executor memory is bounded by `batch_rows`, not file size —
+    at the 512 MB target file size with wide predicate columns a whole-
+    file to_pandas() doubles executor memory (runs executor-side)."""
+    import contextlib as _ctx
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from . import fileio
+    from .expressions import to_pandas_mask
+
+    with _ctx.closing(fileio.parquet_file(data_path)) as pf:
+        start = 0
+        for batch in pf.iter_batches(batch_size=batch_rows, columns=needed):
+            frame = batch.to_pandas()
+            # arrow validity masks let IS_NAN distinguish real NaN from
+            # null (pandas folds both into NaN)
+            for cname in needed:
+                frame[f"__isnull_{cname}"] = pc.is_null(
+                    batch.column(cname)
+                ).to_numpy(zero_copy_only=False)
+            mask = to_pandas_mask(bound, frame).to_numpy()
+            idx = np.flatnonzero(mask)
+            if idx.size:
+                yield (start + idx).astype(np.uint64)
+            start += batch.num_rows
+
+
 def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid: str):
-    """Executor-side: per matched data file, read it with pyarrow, apply
-    the (bound) predicate as a pandas mask, emit sorted (file_path, pos)
-    delete rows — the merge-on-read write half (spec position deletes;
-    ref manifest.go:2395 PositionalDeleteSchema)."""
+    """Executor-side: per matched data file, stream it batch-wise with
+    pyarrow, apply the (bound) predicate as a pandas mask, emit sorted
+    (file_path, pos) delete rows — the merge-on-read write half (spec
+    position deletes; ref manifest.go:2395 PositionalDeleteSchema)."""
     import pandas as pd
 
-    from .expressions import bind_expr, extract_field_names, rewrite_not, to_pandas_mask
+    from .expressions import bind_expr, extract_field_names, rewrite_not
     from .manifest import positional_delete_schema
 
     md = table.metadata
@@ -892,20 +923,9 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
         rows = {"file_path": [], "pos": []}
         for pdf in batches:
             for data_path in pdf["data_file"]:
-                tbl = fileio.read_parquet_table(data_path, columns=needed)
-                frame = tbl.to_pandas()
-                # arrow validity masks let IS_NAN distinguish real NaN
-                # from null (pandas folds both into NaN)
-                import pyarrow.compute as pc
-
-                for cname in needed:
-                    frame[f"__isnull_{cname}"] = pc.is_null(
-                        tbl[cname]
-                    ).to_pandas().to_numpy()
-                mask = to_pandas_mask(bound, frame)
-                for pos in frame.index[mask.to_numpy()].tolist():
-                    rows["file_path"].append(data_path)
-                    rows["pos"].append(int(pos))
+                for pos_arr in _iter_matched_positions(data_path, needed, bound):
+                    rows["file_path"].extend([data_path] * len(pos_arr))
+                    rows["pos"].extend(int(p) for p in pos_arr)
         if not rows["pos"]:
             yield pd.DataFrame({"descriptor": []}).astype({"descriptor": "string"})
             return
@@ -948,16 +968,23 @@ def write_deletion_vectors(
     spark, table, tasks, expr, commit_uuid: str, snapshot_id: int = 0
 ):
     """Executor-side v3 delete-write half: per partially-matching data
-    file, evaluate the (bound) predicate as a pandas mask, union the
-    matched positions with the file's existing deletion vector (spec:
-    at most one DV per data file — the new DV replaces the old), and
-    write ONE puffin file per task holding a `deletion-vector-v1` blob
-    per referenced data file. The reference parses these manifest fields
-    (manifest.go:1792-1793) but never writes DVs; the blob layout here
-    follows the Iceberg v3 spec (puffin.py)."""
+    file, evaluate the (bound) predicate batch-wise as pandas masks,
+    union the matched positions with the file's existing deletion vector
+    (spec: at most one DV per data file — the new DV replaces the old),
+    and write ONE puffin file per task holding a `deletion-vector-v1`
+    blob per referenced data file. The reference parses these manifest
+    fields (manifest.go:1792-1793) but never writes DVs; the blob layout
+    here follows the Iceberg v3 spec (puffin.py).
+
+    Returns (descriptors, newly_deleted_total): each descriptor's
+    record_count is the DV's full cardinality (spec), while
+    newly_deleted_total counts only positions NOT already present in a
+    replaced DV — the value the snapshot summary's
+    added-position-deletes must report (repeated delete_where calls on
+    the same file must not double-count carried-over positions)."""
     import pandas as pd
 
-    from .expressions import bind_expr, extract_field_names, rewrite_not, to_pandas_mask
+    from .expressions import bind_expr, extract_field_names, rewrite_not
 
     md = table.metadata
     schema = md.current_schema()
@@ -1005,21 +1032,22 @@ def write_deletion_vectors(
         refs: list = []
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
-                tbl = fileio.read_parquet_table(rec.data_file, columns=needed)
-                frame = tbl.to_pandas()
-                for cname in needed:
-                    frame[f"__isnull_{cname}"] = pc.is_null(
-                        tbl[cname]
-                    ).to_pandas().to_numpy()
-                mask = to_pandas_mask(bound, frame)
-                positions = np.flatnonzero(mask.to_numpy()).astype(np.uint64)
+                parts = list(_iter_matched_positions(rec.data_file, needed, bound))
+                positions = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.empty(0, dtype=np.uint64)
+                )
+                newly = int(positions.size)
                 if rec.dv_path is not None and not pd.isna(rec.dv_path):
-                    old = read_deletion_vector(
-                        rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                    old = np.asarray(
+                        read_deletion_vector(
+                            rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                        ),
+                        dtype=np.uint64,
                     )
-                    positions = np.union1d(
-                        positions, np.asarray(old, dtype=np.uint64)
-                    )
+                    newly = int(np.setdiff1d(positions, old).size)
+                    positions = np.union1d(positions, old)
                 if len(positions) == 0:
                     continue
                 blobs.append(
@@ -1037,9 +1065,11 @@ def write_deletion_vectors(
                         serialize_deletion_vector(positions),
                     )
                 )
-                refs.append((rec.data_file, int(len(positions))))
+                refs.append((rec.data_file, int(len(positions)), newly))
         if not blobs:
-            yield pd.DataFrame({"descriptor": []}).astype({"descriptor": "string"})
+            yield pd.DataFrame(
+                {"descriptor": [], "new_positions": []}
+            ).astype({"descriptor": "string", "new_positions": "int64"})
             return
         d = os.path.join(location, "data")
         fileio.makedirs(d)
@@ -1047,7 +1077,8 @@ def write_deletion_vectors(
         write_puffin(path, blobs)
         size = fileio.size(path)
         out = []
-        for (meta, _), (ref_path, card) in zip(blobs, refs):
+        new_counts = []
+        for (meta, _), (ref_path, card, newly) in zip(blobs, refs):
             out.append(
                 _encode_descriptor(
                     DataFile(
@@ -1063,20 +1094,23 @@ def write_deletion_vectors(
                     )
                 )
             )
-        yield pd.DataFrame({"descriptor": out})
+            new_counts.append(newly)
+        yield pd.DataFrame({"descriptor": out, "new_positions": new_counts})
 
     import pyarrow.parquet  # noqa: F401  (fail fast on driver if missing)
 
     from .manifest import DataFileContent as _DFC
 
+    collected = files_df.mapInPandas(
+        task, "descriptor string, new_positions bigint"
+    ).collect()
     descs = [
-        _decode_descriptor(r.descriptor)
-        for r in files_df.mapInPandas(task, _DESCRIPTOR_SCHEMA).collect()
-        if r.descriptor
+        _decode_descriptor(r.descriptor) for r in collected if r.descriptor
     ]
+    newly_total = sum(int(r.new_positions) for r in collected if r.descriptor)
     for d in descs:
         d.content = _DFC.POSITION_DELETES
-    return descs
+    return descs, newly_total
 
 
 def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
@@ -1104,9 +1138,10 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     removed = {t.file.file_path for t in full}
     new_manifests = []
     replaced_dv_refs: set = set()
+    newly_deleted = None
     if partial:
         if md.format_version >= 3:
-            delete_files = write_deletion_vectors(
+            delete_files, newly_deleted = write_deletion_vectors(
                 spark, table, partial, expr, ds.commit_uuid, ds.snapshot_id
             )
             replaced_dv_refs = {f.referenced_data_file for f in delete_files}
@@ -1140,8 +1175,14 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     # ref table/snapshots.go:67-80 (added-position-delete[-file]s)
     summary = {"deleted-data-files": str(len(removed))}
     if partial and delete_files:
+        # v3: count only positions newly matched this call — a replaced
+        # DV's carried-over (unioned) positions were already reported by
+        # the snapshot that added them (ref snapshots.go builder counts
+        # added deletes, not total cardinality).
         summary["added-position-deletes"] = str(
-            sum(f.record_count for f in delete_files)
+            newly_deleted
+            if newly_deleted is not None
+            else sum(f.record_count for f in delete_files)
         )
         summary["added-position-delete-files"] = str(len(delete_files))
         if replaced_dv_refs:

@@ -161,8 +161,16 @@ def pack_sequences(
     `ROWS UNBOUNDED PRECEDING` window collapses to a single task — the
     classic scale-killer): range-partition by id, local cumulative sums
     per partition, then an O(partitions) driver collect of partition
-    totals broadcast back as offsets. The result is independent of the
-    partitioning, so range-sampling nondeterminism cannot change it.
+    totals broadcast back as offsets.
+
+    The locally-cumsummed frame is eagerly localCheckpoint-ed BEFORE the
+    totals collect: the final join then reuses the exact partitions the
+    totals were computed from. Without it, the collect and the returned
+    frame would be two executions of the same repartitionByRange plan,
+    and Spark's range-boundary sampling is not deterministic across
+    executions — rows could land in a different _pid than the one their
+    offset was computed for (deterministic-by-construction, not by
+    sampler implementation detail).
     """
     from pyspark.sql import Window
 
@@ -175,7 +183,9 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = tok.withColumn("_cum", F.sum("n_tokens").over(w))
+    local = tok.withColumn("_cum", F.sum("n_tokens").over(w)).localCheckpoint(
+        eager=True
+    )
     totals = {
         r._pid: r.total
         for r in local.groupBy("_pid").agg(F.max("_cum").alias("total")).collect()

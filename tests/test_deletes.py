@@ -502,3 +502,49 @@ def test_not_eq_delete_sound_with_nulls(fs_catalog, spark):
     t.delete_where(spark, E.not_equal("x", 7.0))
     # x=5 deleted; x=7 kept; null kept (null != 7 is NULL, not true)
     assert sorted(r.id for r in t.scan().to_df(spark).collect()) == [2, 3]
+
+
+def test_iter_matched_positions_batchwise_multi_rowgroup(tmp_path):
+    """Predicate evaluation streams record batches with positions offset
+    by batch start — executor memory bounded by batch size, not file
+    size (ADVICE/VERDICT r5): verify exact global positions on a file
+    with many row groups and with batch_rows smaller than a row group."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.expressions import (
+        bind_expr,
+        greater_than_or_equal,
+        is_nan,
+        or_,
+        rewrite_not,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+    from iceberg_go_distributed_spark.iceberg.write import _iter_matched_positions
+
+    n = 1000
+    vals = [float(i % 97) for i in range(n)]
+    vals[123] = float("nan")
+    vals[777] = float("nan")
+    path = str(tmp_path / "multi_rg.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(n)), "v": vals}), path, row_group_size=128
+    )
+    schema = Schema.of(
+        0,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "v", ty.DoubleType()),
+    )
+    expr = or_(greater_than_or_equal("v", 90.0), is_nan("v"))
+    bound = bind_expr(rewrite_not(expr), schema)
+
+    expect = sorted(
+        i for i, v in enumerate(vals) if (v != v) or v >= 90.0
+    )
+    for batch_rows in (64, 128, 100000):  # < rowgroup, == rowgroup, whole file
+        got = np.concatenate(
+            list(_iter_matched_positions(path, ["v"], bound, batch_rows=batch_rows))
+        )
+        assert got.tolist() == expect, batch_rows

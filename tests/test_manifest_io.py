@@ -247,3 +247,31 @@ def test_v3_manifest_list_first_row_id_parses(tmp_path):
     [mf] = read_manifest_list(path)
     assert mf.first_row_id == 12345
     assert mf.added_rows_count == 500
+
+
+def test_first_row_id_inheritance_skips_explicit_and_deleted(tmp_path):
+    """v3 row-lineage assignment on read: only LIVE data files with a
+    null first_row_id consume from the manifest's id range. EXISTING
+    entries carrying a materialized first_row_id (e.g. a merge-append
+    written by another engine) and DELETED entries must not advance the
+    running id (spec assignment rule; ADVICE r5, medium)."""
+    spec = spec_from(SCHEMA)
+    mk = lambda st, path, n, frid: ManifestEntry(
+        st, 1, 1, 1,
+        DataFile(file_path=path, record_count=n, first_row_id=frid),
+    )
+    entries = [
+        mk(ManifestEntryStatus.EXISTING, "/d/a.parquet", 100, 5000),  # explicit
+        mk(ManifestEntryStatus.ADDED, "/d/b.parquet", 10, None),      # assign
+        mk(ManifestEntryStatus.DELETED, "/d/c.parquet", 7, None),     # skip
+        mk(ManifestEntryStatus.ADDED, "/d/d.parquet", 20, None),      # assign
+    ]
+    path = str(tmp_path / "mixed.avro")
+    write_manifest(path, spec, SCHEMA, 1, entries)
+
+    got = read_manifest(path, discard_deleted=False, inherit_first_row_id=900)
+    by_path = {e.data_file.file_path: e.data_file.first_row_id for e in got}
+    assert by_path["/d/a.parquet"] == 5000  # untouched
+    assert by_path["/d/b.parquet"] == 900   # first assigned
+    assert by_path["/d/c.parquet"] is None  # deleted: never assigned
+    assert by_path["/d/d.parquet"] == 910   # advanced by b's 10 only

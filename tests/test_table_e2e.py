@@ -296,6 +296,79 @@ def test_resumed_stalled_committer_cannot_clobber(fs_catalog, spark, lineitem_df
     assert open(committed, "rb").read() == sentinel
 
 
+def test_reclaimed_zombie_cannot_swap_hint(fs_catalog, spark, lineitem_df):
+    """A committer whose stale lock was reclaimed (its token overwritten)
+    must lose the hint swap instead of making its version visible after
+    the reclaimer has decided that version is dead (ADVICE r5, medium)."""
+    import os
+
+    t = fs_catalog.create_table("db.li_zombie", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    v = fs_catalog._current_version("db.li_zombie")
+    lock = fs_catalog._version_path("db.li_zombie", v + 1) + ".lock"
+    with open(lock, "w") as f:  # reclaimer B now owns the lock
+        f.write("token-of-B")
+    with pytest.raises(CommitConflictError, match="reclaimed"):
+        fs_catalog._swap_hint(
+            "db.li_zombie", v + 1, expect=v, commit_lock=lock, token="token-of-A"
+        )
+    assert fs_catalog._current_version("db.li_zombie") == v  # hint untouched
+    os.unlink(lock)
+
+
+def test_failed_swap_never_unlinks_foreign_version(fs_catalog, spark, lineitem_df, monkeypatch):
+    """If the hint swap fails AFTER a reclaimer replaced our published
+    v{N} with its own committed file, the failure path must not unlink
+    the reclaimer's file — neither on a conflict (CAS/token loss) nor on
+    a non-conflict failure (inode guard) (ADVICE r5, medium)."""
+    import os
+
+    t = fs_catalog.create_table("db.li_guard", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+    t = fs_catalog.load_table("db.li_guard")  # fresh base for commit_table
+    v = fs_catalog._current_version("db.li_guard")
+    new_path = fs_catalog._version_path("db.li_guard", v + 1)
+    sentinel = b'{"committed-by": "B"}'
+    orig_swap = fs_catalog._swap_hint
+
+    def replace_then_fail(exc):
+        def swap(identifier, new_version, expect, commit_lock=None, token=None):
+            # A reclaimer always takes the commit lock (rewriting its
+            # token) BEFORE discarding our orphan and publishing its own.
+            with open(commit_lock, "w") as f:
+                f.write("token-of-B")
+            os.unlink(new_path)
+            with open(new_path, "wb") as f:
+                f.write(sentinel)
+            raise exc
+
+        return swap
+
+    for exc in (CommitConflictError("hint moved"), RuntimeError("io error")):
+        monkeypatch.setattr(fs_catalog, "_swap_hint", replace_then_fail(exc))
+        with pytest.raises(type(exc)):
+            fs_catalog.commit_table("db.li_guard", t.metadata_location, t.metadata)
+        assert open(new_path, "rb").read() == sentinel, type(exc).__name__
+        os.unlink(new_path)
+        # our committer must NOT have removed B's lock either
+        lock = new_path + ".lock"
+        assert open(lock).read() == "token-of-B"
+        os.unlink(lock)
+
+    # sanity: a genuine non-conflict failure with OUR file still in place
+    # does unpublish it (no wedge until TTL reclaim)
+    def just_fail(identifier, new_version, expect, commit_lock=None, token=None):
+        raise RuntimeError("io error")
+
+    monkeypatch.setattr(fs_catalog, "_swap_hint", just_fail)
+    with pytest.raises(RuntimeError):
+        fs_catalog.commit_table("db.li_guard", t.metadata_location, t.metadata)
+    assert not os.path.exists(new_path)
+    monkeypatch.setattr(fs_catalog, "_swap_hint", orig_swap)
+    fs_catalog.commit_table("db.li_guard", t.metadata_location, t.metadata)
+    assert fs_catalog._current_version("db.li_guard") == v + 1
+
+
 def test_orphaned_unpublished_version_is_healed(fs_catalog, spark, lineitem_df):
     """A committer that hard-crashed between publishing v{N} and swapping
     the version hint leaves an orphan v{N} (possibly truncated, under the

@@ -118,3 +118,22 @@ def test_compute_ndv_statistics_writes_real_sketches(spark, sf_dir, tmp_path):
         out = parse_compact_theta(payloads[i])
         assert out["count"] == int(m.properties["ndv"])  # exact mode here
         assert out["estimate"] == float(m.properties["ndv"])
+
+
+def test_hash_value_edge_cases():
+    """Java-parity edges (ADVICE r5, low): -0.0 hashes like +0.0, every
+    NaN payload hashes like the canonical NaN, and ints outside int64
+    fall back to str hashing instead of raising executor-side."""
+    import struct
+
+    from iceberg_go_distributed_spark.iceberg.theta import theta_hash_value
+
+    assert theta_hash_value(-0.0) == theta_hash_value(0.0)
+    weird_nan = struct.unpack("<d", struct.pack("<Q", 0x7FF0000000000001))[0]
+    assert theta_hash_value(weird_nan) == theta_hash_value(float("nan"))
+    big = 1 << 80
+    assert theta_hash_value(big) == theta_hash_value(str(big))
+    assert theta_hash_value(-(1 << 80)) == theta_hash_value(str(-(1 << 80)))
+    # int64 boundary values still take the long path (≠ their str hash)
+    for edge in ((1 << 63) - 1, -(1 << 63)):
+        assert theta_hash_value(edge) != theta_hash_value(str(edge))

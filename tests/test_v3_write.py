@@ -193,6 +193,17 @@ def test_v3_second_delete_merges_dv(fs_catalog, spark, lineitem_df):
     )
     assert len(merged) == 200 - expected  # union of both predicates
 
+    # summary counts only positions newly matched by the SECOND delete —
+    # not the carried-over union from the replaced DV (ADVICE r5, low)
+    n_first = 200 - n1
+    props = snap.summary.properties
+    assert props["added-position-deletes"] == str(len(merged) - n_first)
+    # ...and a fully-overlapping repeat delete adds zero
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    props2 = t.current_snapshot().summary.properties
+    assert props2["added-position-deletes"] == "0"
+    assert t.scan().to_df(spark).count() == expected  # rows unchanged
+
 
 def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
     """The `_row_id` virtual column (Scan.with_row_lineage): dense and
