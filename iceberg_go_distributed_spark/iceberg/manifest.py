@@ -494,6 +494,10 @@ def write_manifest(
 
 POSITIONAL_DELETE_FILE_PATH_ID = 2147483546  # spec reserved field ids
 POSITIONAL_DELETE_POS_ID = 2147483545
+# v3 row lineage — materialized into data files by row-copying writers
+# (compaction); readers prefer these over first_row_id + pos inheritance
+ROW_ID_FIELD_ID = 2147483540
+LAST_UPDATED_SEQ_FIELD_ID = 2147483539
 
 
 def positional_delete_schema() -> Schema:

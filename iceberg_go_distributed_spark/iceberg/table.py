@@ -45,6 +45,40 @@ class FileScanTask:
     delete_files: tuple[DataFile, ...] = ()
     start: int = 0
     length: int = 0
+    # manifest-entry data sequence number (v3 lineage: the inherited
+    # _last_updated_sequence_number for rows the file never rewrote)
+    data_sequence_number: Optional[int] = None
+
+
+def _lineage_read_struct(schema):
+    """Read struct extended with the spec's reserved row-lineage columns
+    (`_row_id` 2147483540, `_last_updated_sequence_number` 2147483539).
+    Files written by row-copying writers (compaction) materialize them;
+    files that never rewrote rows lack the ids and null-fill, so readers
+    can `coalesce(materialized, inherited)` per spec."""
+    from pyspark.sql import types as st
+
+    from .manifest import LAST_UPDATED_SEQ_FIELD_ID, ROW_ID_FIELD_ID
+    from .types import schema_to_spark_struct
+
+    base = schema_to_spark_struct(schema)
+    return st.StructType(
+        list(base.fields)
+        + [
+            st.StructField(
+                "_row_id",
+                st.LongType(),
+                True,
+                metadata={"parquet.field.id": ROW_ID_FIELD_ID},
+            ),
+            st.StructField(
+                "_last_updated_sequence_number",
+                st.LongType(),
+                True,
+                metadata={"parquet.field.id": LAST_UPDATED_SEQ_FIELD_ID},
+            ),
+        ]
+    )
 
 
 def _ensure_field_id_reads(spark) -> None:
@@ -291,7 +325,13 @@ class Scan:
                         if d_seq > e_seq:
                             picked.append(d.data_file)
                 dels = tuple(picked)
-            tasks.append(FileScanTask(file=e.data_file, delete_files=dels))
+            tasks.append(
+                FileScanTask(
+                    file=e.data_file,
+                    delete_files=dels,
+                    data_sequence_number=e.sequence_number,
+                )
+            )
         return tasks
 
     # ----------------------------------------------------------- execution
@@ -348,21 +388,20 @@ class Scan:
                     (
                         _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
                         t.file.first_row_id,
+                        t.data_sequence_number,
                     )
                     for t in tasks
                 ],
-                "_fp string, _first_row_id bigint",
+                "_fp string, _first_row_id bigint, _src_seq bigint",
             )
         if has_pos or eq_files:
             df = self._read_with_deletes(
                 spark, tasks, schema, eq_files, keep_pos=lineage is not None
             )
         elif lineage is not None:
-            from .types import schema_to_spark_struct
-
             _ensure_field_id_reads(spark)
             df = (
-                spark.read.schema(schema_to_spark_struct(schema))
+                spark.read.schema(_lineage_read_struct(schema))
                 .parquet(*files)
                 .withColumn(
                     "_fp",
@@ -435,13 +474,24 @@ class Scan:
                         ),
                     )
         if lineage is not None:
+            # spec: a materialized lineage value (written by row-copying
+            # writers, e.g. compaction) wins over inheritance from the
+            # file's first_row_id / data sequence number
             df = (
                 df.join(F.broadcast(lineage), "_fp")
                 .withColumn(
                     "_row_id",
-                    (F.col("_first_row_id") + F.col("_pos")).cast("long"),
+                    F.coalesce(
+                        F.col("_row_id"), F.col("_first_row_id") + F.col("_pos")
+                    ).cast("long"),
                 )
-                .drop("_fp", "_pos", "_first_row_id")
+                .withColumn(
+                    "_last_updated_sequence_number",
+                    F.coalesce(
+                        F.col("_last_updated_sequence_number"), F.col("_src_seq")
+                    ).cast("long"),
+                )
+                .drop("_fp", "_pos", "_first_row_id", "_src_seq")
             )
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
@@ -619,7 +669,10 @@ class Scan:
             df = self._read_with_name_mapping(spark, files, schema, with_pos=True)
         else:
             _ensure_field_id_reads(spark)
-            reader = spark.read.schema(schema_to_spark_struct(schema))
+            # keep_pos ⇒ a row-lineage read: also request the reserved
+            # materialized lineage columns (null-filled where absent)
+            struct = _lineage_read_struct(schema) if keep_pos else schema_to_spark_struct(schema)
+            reader = spark.read.schema(struct)
             df = (
                 reader.parquet(*files)
                 .withColumn("_fp", strip(F.col("_metadata.file_path")))
@@ -1190,15 +1243,39 @@ class Table(StaticTable):
 
         if self.metadata.format_version < 3:
             raise ValueError("changelog_scan requires a format-version 3 table")
-        from_df = self.scan(snapshot_id=from_snapshot_id).with_row_lineage().to_df(
-            spark
-        )
         to_scan = (
             self.scan(snapshot_id=to_snapshot_id)
             if to_snapshot_id is not None
             else self.scan()
         )
         to_df = to_scan.with_row_lineage().to_df(spark)
+        # append-only fast path: when every snapshot in (from, to] is an
+        # append, no row was ever removed — deletes = ∅ and inserts are
+        # exactly the rows whose _row_id was assigned after `from`
+        # (assignment is monotonic, so `_row_id >= min first_row_id over
+        # the range` is a map-side FILTER on the `to` scan: one lineage
+        # scan, zero joins, zero shuffles).
+        md = self.metadata
+        chain: list = []
+        cur = to_scan.snapshot()
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            chain.append(cur)
+            cur = (
+                md.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if cur is not None and chain and all(
+            s.summary.operation == "append" and s.first_row_id is not None
+            for s in chain
+        ):
+            threshold = min(s.first_row_id for s in chain)
+            return to_df.where(F.col("_row_id") >= threshold).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        from_df = self.scan(snapshot_id=from_snapshot_id).with_row_lineage().to_df(
+            spark
+        )
         inserts = to_df.join(
             from_df.select("_row_id"), "_row_id", "left_anti"
         ).withColumn("_change_type", F.lit("insert"))
@@ -1479,12 +1556,15 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
     # planner uses, but over O(matching + delete files) descriptors, not
     # O(all entries) — the manifest reads themselves were distributed.
     work = spark.createDataFrame(
-        [(m.manifest_path, m.partition_spec_id, m.sequence_number, 0) for m in survivors]
+        [
+            (m.manifest_path, m.partition_spec_id, m.sequence_number, 0, m.first_row_id)
+            for m in survivors
+        ]
         + [
-            (m.manifest_path, m.partition_spec_id, m.sequence_number, 1)
+            (m.manifest_path, m.partition_spec_id, m.sequence_number, 1, None)
             for m in live_delete_manifests
         ],
-        "path string, spec_id int, seq bigint, is_delete int",
+        "path string, spec_id int, seq bigint, is_delete int, first_row_id bigint",
     ).repartition(min(len(survivors) + len(live_delete_manifests), 64))
 
     from . import fileio as _fileio
@@ -1517,7 +1597,12 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
                         part_schema, proj, case_sensitive
                     )
                 part_eval = part_evals[row.spec_id]
-                for e in read_manifest(row.path, inherit_sequence_number=int(row.seq)):
+                frid = None if pd.isna(row.first_row_id) else int(row.first_row_id)
+                for e in read_manifest(
+                    row.path,
+                    inherit_sequence_number=int(row.seq),
+                    inherit_first_row_id=frid,
+                ):
                     if not part_eval(e.data_file.partition):
                         continue
                     if not metrics_eval(e.data_file):
@@ -1553,5 +1638,7 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
                     if d_seq > e_seq:
                         picked.append(ddf)
             dels = tuple(picked)
-        tasks.append(FileScanTask(file=dfile, delete_files=dels))
+        tasks.append(
+            FileScanTask(file=dfile, delete_files=dels, data_sequence_number=e_seq)
+        )
     return tasks

@@ -1517,17 +1517,16 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
     from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
 
     md = table.metadata
-    if md.format_version >= 3:
-        # compaction copies rows into new files — without materializing a
-        # _row_id column into the compacted parquet (not implemented),
-        # every copied row would be silently renumbered. Refuse, as the
-        # pre-round-5 writer refused all v3 commits.
+    v3 = md.format_version >= 3
+    if v3 and "schema.name-mapping.default" in md.properties:
+        # lineage reads over ID-less files are unsupported (table.py),
+        # so a row-copying rewrite cannot prove it preserved _row_id
         from .metadata import CommitStateError
 
         raise CommitStateError(
-            "rewrite_data_files on a format-version 3 table would "
-            "renumber _row_id for every compacted row; row-lineage-"
-            "preserving compaction is not implemented"
+            "rewrite_data_files on a format-version 3 table with a name "
+            "mapping would renumber _row_id (lineage reads over ID-less "
+            "files are not supported)"
         )
     target = target_file_size or int(
         md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
@@ -1560,12 +1559,96 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
         for d in t.delete_files
         if d.content == DataFileContent.EQUALITY_DELETES
     }
-    df = scan._read_with_deletes(spark, victims, schema, eq_map or None).coalesce(n_out)
+    write_schema = schema
+    if v3:
+        # v3 row lineage (spec "Row Lineage" rewrite rule): a writer that
+        # copies rows MUST materialize _row_id and
+        # _last_updated_sequence_number into the new files, otherwise
+        # manifest-list first_row_id assignment would silently renumber
+        # every compacted row. Read the victims with _fp/_pos kept (and
+        # any already-materialized lineage columns), derive each row's
+        # lineage from the source file's first_row_id / data sequence
+        # number, and write the two reserved columns alongside the data.
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .manifest import LAST_UPDATED_SEQ_FIELD_ID, ROW_ID_FIELD_ID
+        from .types import LongType, NestedField
+
+        no_id = [t for t in victims if t.file.first_row_id is None]
+        if no_id:
+            raise ValueError(
+                f"{len(no_id)} data files lack first_row_id; commit once "
+                "post-upgrade so the manifest list assigns row ids"
+            )
+        lineage_map = spark.createDataFrame(
+            [
+                (
+                    _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
+                    t.file.first_row_id,
+                    t.data_sequence_number,
+                )
+                for t in victims
+            ],
+            "_fp string, _first_row_id bigint, _src_seq bigint",
+        )
+        df = scan._read_with_deletes(
+            spark, victims, schema, eq_map or None, keep_pos=True
+        )
+        df = (
+            df.join(F.broadcast(lineage_map), "_fp")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("_first_row_id") + F.col("_pos")
+                ).cast("long"),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("_src_seq")
+                ).cast("long"),
+            )
+            .drop("_fp", "_pos", "_first_row_id", "_src_seq")
+        )
+        write_schema = Schema(
+            schema.schema_id,
+            schema.fields
+            + (
+                NestedField(ROW_ID_FIELD_ID, "_row_id", LongType()),
+                NestedField(
+                    LAST_UPDATED_SEQ_FIELD_ID,
+                    "_last_updated_sequence_number",
+                    LongType(),
+                ),
+            ),
+        )
+    else:
+        df = scan._read_with_deletes(spark, victims, schema, eq_map or None)
+    df = df.coalesce(n_out)
     removed = {t.file.file_path for t in victims}
     data_files = write_data_files(
-        df, schema, md.default_spec(), md.location, ds.commit_uuid,
+        df, write_schema, md.default_spec(), md.location, ds.commit_uuid,
         target_file_size=target,
     )
+    if v3:
+        # manifest column stats for the reserved lineage columns are
+        # meaningless (and record_count etc. are unaffected) — strip them
+        reserved = {ROW_ID_FIELD_ID, LAST_UPDATED_SEQ_FIELD_ID}
+        for f in data_files:
+            for attr in (
+                "column_sizes",
+                "value_counts",
+                "null_value_counts",
+                "nan_value_counts",
+                "lower_bounds",
+                "upper_bounds",
+            ):
+                m = getattr(f, attr, None)
+                if m:
+                    for k in reserved & set(m):
+                        del m[k]
     entries = [
         ManifestEntry(
             status=ManifestEntryStatus.ADDED,

@@ -306,6 +306,46 @@ def test_v3_changelog_surfaces_updates_as_delete_insert(
         t2.changelog_scan(spark, t2.current_snapshot().snapshot_id)
 
 
+def test_v3_changelog_append_only_fast_path(fs_catalog, spark, lineitem_df):
+    """When every snapshot in (from, to] is an append, the changelog is
+    a map-side filter on one lineage scan — no join in the executed
+    plan — and still returns exactly the appended rows as inserts."""
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3cfast", rows=100)
+    checkpoint = t.current_snapshot().snapshot_id
+    df = lineitem_df.limit(300)
+    second = df.where("l_orderkey % 3 = 1")
+    third = df.where("l_orderkey % 3 = 2")
+    t.append(second.coalesce(1))
+    t.append(third.coalesce(1))
+
+    log = t.changelog_scan(spark, from_snapshot_id=checkpoint)
+    plan = log._jdf.queryExecution().executedPlan().toString()
+    # fast path: a filter on one lineage scan — the only join left is
+    # the broadcast (file -> first_row_id) lineage map, never an anti-join
+    assert "LeftAnti" not in plan
+    assert log.where("_change_type = 'delete'").count() == 0
+    assert log.count() == second.count() + third.count()
+    keys = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in log.select("l_orderkey", "l_linenumber").collect()
+    }
+    expect = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in second.unionByName(third).collect()
+    }
+    assert keys == expect
+
+    # a delete inside the range disables the fast path but not the answer
+    t.delete_where(spark, E.equal("l_linenumber", 4))
+    log2 = t.changelog_scan(spark, from_snapshot_id=checkpoint)
+    plan2 = log2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan2
+    # net-changes semantics: deletes = rows live at `from` and gone at
+    # head, i.e. the FIRST append's l_linenumber=4 rows only
+    dels = log2.where("_change_type = 'delete'")
+    assert dels.count() == lineitem_df.limit(100).where("l_linenumber = 4").count()
+
+
 def test_v3_write_sequence_against_model(fs_catalog, spark, lineitem_df):
     """Deterministic pseudo-random interleaving of appends and DV
     deletes on one v3 table, checked after every op against a local
@@ -463,8 +503,10 @@ def test_v3_equality_deletes_and_upsert(fs_catalog, spark, lineitem_df):
 
 def test_v3_lineage_unsafe_rewrites_refused(fs_catalog, spark, lineitem_df):
     """Copy-on-write paths that would renumber surviving rows' _row_id
-    refuse on v3: partial-file overwrite and compaction. A strict
-    whole-file overwrite (no surviving rows to renumber) still works."""
+    refuse on v3: partial-file overwrite (compaction materializes
+    lineage instead — see test_v3_compaction_preserves_lineage). A
+    strict whole-file overwrite (no surviving rows to renumber) still
+    works."""
     t = _v3_table(fs_catalog, lineitem_df, name="db.v3cow", rows=100)
     df = lineitem_df.limit(100)
 
@@ -472,8 +514,6 @@ def test_v3_lineage_unsafe_rewrites_refused(fs_catalog, spark, lineitem_df):
         t.overwrite_where(
             df.where("l_linenumber = 1"), E.equal("l_linenumber", 1)
         )
-    with pytest.raises(CommitStateError, match="_row_id"):
-        t.rewrite_data_files(spark)
 
     # whole-file replacement: every row in the single file matches an
     # always-true-for-this-file predicate via the strict evaluator
@@ -485,6 +525,69 @@ def test_v3_lineage_unsafe_rewrites_refused(fs_catalog, spark, lineitem_df):
     assert t2.scan().to_df(spark).count() == 100
     # replacement rows were assigned fresh ids
     assert t2.metadata.next_row_id == 200
+
+
+def test_v3_compaction_preserves_lineage(fs_catalog, spark, lineitem_df):
+    """rewrite_data_files on v3 materializes the spec's reserved
+    `_row_id` / `_last_updated_sequence_number` columns (field ids
+    2147483540 / 2147483539) into the compacted parquet, so every
+    surviving row keeps its exact lineage through the rewrite — and
+    through a SECOND rewrite that re-reads the materialized columns."""
+    import pyarrow.parquet as pq
+
+    t = fs_catalog.create_table("db.v3compact", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(300)
+    for k in range(3):
+        t.append(df.where(f"l_orderkey % 3 = {k}").coalesce(1))
+    t.delete_where(spark, E.equal("l_linenumber", 2))
+    before = {
+        (r.l_orderkey, r.l_linenumber): (
+            r._row_id,
+            r._last_updated_sequence_number,
+        )
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+
+    assert t.rewrite_data_files(spark) is True
+    t.refresh()
+    after = {
+        (r.l_orderkey, r.l_linenumber): (
+            r._row_id,
+            r._last_updated_sequence_number,
+        )
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert after == before  # exact lineage stability through the rewrite
+
+    # the compacted parquet physically carries the reserved columns,
+    # stamped with the spec field ids
+    [task] = t.scan().plan_files()
+    assert not task.delete_files  # deletes were materialized away
+    pf_schema = pq.read_schema(task.file.file_path)
+    names = set(pf_schema.names)
+    assert {"_row_id", "_last_updated_sequence_number"} <= names
+    fid = pf_schema.field("_row_id").metadata[b"PARQUET:field_id"]
+    assert fid == b"2147483540"
+    # ...but the manifest's column stats don't track the reserved ids
+    assert 2147483540 not in (task.file.value_counts or {})
+
+    # a later append + second compaction: the re-read of materialized
+    # lineage keeps the full id multiset intact (fresh rows keep their
+    # fresh ids, old rows keep their old ids)
+    t.append(df.limit(7).coalesce(1))
+    ids = sorted(
+        r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    )
+    assert len(ids) == len(set(ids))
+    assert t.rewrite_data_files(spark) is True
+    t.refresh()
+    ids2 = sorted(
+        r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    )
+    assert ids2 == ids
 
 
 def test_v3_time_travel_and_delete_preserve_lineage(
