@@ -336,12 +336,33 @@ class Scan:
 
     # ----------------------------------------------------------- execution
 
+    def plan_files_auto(self, spark) -> list[FileScanTask]:
+        """Route planning by metadata size: small snapshots plan on the
+        driver (no job overhead); above the manifest-count threshold the
+        per-manifest entry reads fan out across executors
+        (plan_files_distributed), bounding driver work at O(manifests +
+        matching files) instead of O(all entries). Tunable per table via
+        `read.distributed-planning.min-manifests` (default 64)."""
+        snap = self.snapshot()
+        if snap is not None and spark is not None:
+            try:
+                threshold = int(
+                    self.table.metadata.properties.get(
+                        "read.distributed-planning.min-manifests", "64"
+                    )
+                )
+            except (TypeError, ValueError):
+                threshold = 64
+            if threshold > 0 and len(snap.manifests()) >= threshold:
+                return plan_files_distributed(self, spark)
+        return self.plan_files()
+
     def to_df(self, spark):
         """Data-plane execution — SURVEY §3.1 step 7. The driver/executor
         boundary is exactly here: everything above was metadata-only."""
         from pyspark.sql import functions as F
 
-        tasks = self.plan_files()
+        tasks = self.plan_files_auto(spark)
         proj = self.projection()
         schema = self._scan_schema()
 
@@ -523,7 +544,7 @@ class Scan:
         operation, zero executor work at any table size. Any filter,
         delete file, or limit falls back to the executed plan."""
         if isinstance(self.row_filter, AlwaysTrue) and self.limit is None:
-            tasks = self.plan_files()
+            tasks = self.plan_files_auto(spark)
             if not any(t.delete_files for t in tasks):
                 return sum(t.file.record_count for t in tasks)
         return self.to_df(spark).count()

