@@ -1,0 +1,162 @@
+"""As-of and range (interval) joins — time-series operators Spark lacks
+as built-ins, expressed as compositions of native DataFrame ops so the
+whole plan stays JVM-side (no Python in the hot path).
+
+Scale notes (the 100 TB lens):
+  - `asof_join` is the union-then-window formulation: both inputs
+    shuffle ONCE on the join key, the per-key ordered carry-forward is a
+    single running `last(..., ignorenulls)` window — no range-condition
+    join (which Spark executes as a broadcast-nested-loop or an
+    O(n·m) sort-merge over the inequality), no per-key driver loop.
+    Equivalent to the merge phase of a sort-merge as-of join
+    (pandas.merge_asof / QuestDB / kdb aj), but distributed: each key
+    group sorts locally within its shuffle partition.
+  - `range_join_count` bins both sides to fixed-width time buckets and
+    joins on (key, bucket) with the probe side exploded to the three
+    adjacent buckets, then filters the exact interval predicate. The
+    equi-join prunes candidates to O(events per 3 buckets); Catalyst
+    runs it as a plain shuffled hash join. This is the standard
+    "bucketed range join" rewrite (DuckDB does the same internally for
+    its range joins).
+  - Skew: a hot key serializes its window evaluation (as-of order is
+    inherently sequential per key); AQE splits oversized shuffle
+    partitions across keys, and the carry-forward state is O(1) per
+    row, so a hot key costs time, never memory.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance_us: int | None = None,
+    tie_break: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the most recent right row
+    with ``right_ts <= left_ts`` on the same key (inclusive, matching
+    DuckDB ``ASOF JOIN`` / ``pandas.merge_asof(direction='backward')``).
+
+    Timestamps are compared as microseconds-since-epoch. Matched right
+    columns come back as ``<col>`` from `right_cols` (``<col><suffix>``
+    when the name collides with a left column), plus ``_asof_gap_us``
+    (left ts − matched ts, null when no match). With `tolerance_us`,
+    matches older than the tolerance are nulled out (LEFT semantics —
+    left rows are never dropped).
+
+    `tie_break`: column name on the right used to order equal-timestamp
+    right rows (the LAST one in (ts, tie_break) order wins), making the
+    pick deterministic when timestamps collide.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(
+        F.unix_micros(F.col(right_ts)).alias("_ats"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    order = [F.unix_micros(F.col(right_ts)).alias("_us"), F.lit(0).alias("_side")]
+    r = right.select(
+        *keys,
+        *order,
+        payload.alias("_p"),
+        *(
+            [F.col(tie_break).alias("_tie")]
+            if tie_break is not None
+            else [F.lit(0).alias("_tie")]
+        ),
+    )
+    l = left.select(
+        "*",
+        F.unix_micros(F.col(left_ts)).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+    )
+    # right rows order BEFORE left rows at equal ts (side 0 < 1), so an
+    # equal-timestamp right row is visible to the left row — inclusive <=
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_us", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    gap = F.col("_us") - F.col("_m._ats")
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_us), F.col("_m"))
+        )
+        gap = F.col("_us") - F.col("_m._ats")
+    taken = set(left.columns)
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(c + suffix if c in taken else c) for c in right_cols
+    ]
+    return carried.select(*out_cols, gap.cast("long").alias("_asof_gap_us"))
+
+
+def range_join_count(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    radius_us: int = 300_000_000,
+    probe_id: str = "event_id",
+    build_id: str = "event_id",
+) -> DataFrame:
+    """For each probe row, count build rows on the same key within
+    ±radius of its timestamp (excluding the probe row itself when ids
+    collide). Returns the probe's key/id columns plus ``n_nearby``.
+
+    The interval predicate is rewritten to an equi-join on
+    (key, time bucket) with the probe side exploded to its three
+    adjacent radius-width buckets — any row within ±radius lands in one
+    of them, and each build row matches at most one probe bucket, so the
+    exact filter afterwards never double-counts.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(radius_us))  # noqa: E731
+    p = probe.select(
+        *keys,
+        F.col(probe_id).alias("_pid"),
+        F.unix_micros(F.col(probe_ts)).alias("_pus"),
+        F.explode(
+            F.array(bucket(probe_ts) - 1, bucket(probe_ts), bucket(probe_ts) + 1)
+        ).alias("_bkt"),
+    )
+    b = build.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        F.col(build_id).alias("_bid"),
+        F.unix_micros(F.col(build_ts)).alias("_bus"),
+        bucket(build_ts).alias("_bkt"),
+    )
+    # LEFT join so probes with zero neighbours still produce a row; the
+    # exact interval predicate lives in the conditional sum (a WHERE here
+    # could drop every row of a probe and lose its n_nearby=0 group)
+    joined = p.join(
+        b,
+        [p["_bkt"] == b["_bkt"]] + [p[k] == b[f"_bk_{k}"] for k in keys],
+        "left",
+    )
+    near = F.when(
+        F.col("_bid").isNotNull()
+        & (F.abs(F.col("_bus") - F.col("_pus")) <= F.lit(radius_us))
+        & (F.col("_bid") != F.col("_pid")),
+        1,
+    ).otherwise(0)
+    return (
+        joined.groupBy(*keys, "_pid")
+        .agg(F.sum(near).cast("long").alias("n_nearby"))
+        .withColumnRenamed("_pid", probe_id)
+    )

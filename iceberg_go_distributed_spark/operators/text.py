@@ -208,3 +208,60 @@ def pack_sequences(
             (prefix % seq_len).cast("bigint").alias("start_offset"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals: total/distinct unigram counts,
+    the most-frequent unigram's share of the doc, and a repetitive flag.
+
+    Shape: one explode + two hash aggregates keyed by doc — map-side
+    partial aggregation collapses each doc's tokens before the single
+    exchange, so the shuffle carries O(distinct tokens per doc) rows,
+    never the token stream. The ratio divides two exact BIGINTs cast to
+    double (IEEE division — bit-identical across engines).
+    """
+    tok = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("_t"))
+    counts = tok.groupBy(id_col, "_t").agg(F.count("*").alias("_n"))
+    top_frac = F.max("_n").cast("double") / F.sum("_n").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("total_words"),
+        F.count("*").cast("long").alias("distinct_words"),
+        F.max("_n").cast("long").alias("top_count"),
+        top_frac.alias("top_word_frac"),
+        (top_frac > F.lit(0.2)).alias("repetitive"),
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k distinctive terms per document — the TF-IDF shape with an
+    integer-exact ranking (term frequency desc, document frequency asc,
+    term asc) so results are reproducible bit-for-bit across engines
+    (no float log scores to tie-break).
+
+    Two aggregations (per-doc TF, per-term DF) + one broadcast-able join
+    on term + a per-doc top-k window. At 100 TB the DF table is
+    vocabulary-sized (shuffle on term, then broadcast if it fits); the
+    final row_number partitions by doc — the same one-key-window shape
+    as stratified sampling.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "tf", "df", "rank")
+    )

@@ -292,3 +292,60 @@ def ev_stream_sessionize(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "ev_asof_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM e WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: each purchase attributed to the latest preceding click "
+    "(union+window merge — one key shuffle, no range join); oracle is "
+    "DuckDB's native ASOF LEFT JOIN",
+)
+def ev_asof(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "purchase_id", "user_id", F.col("_asof_gap_us").alias("gap_us")
+    )
+
+
+@query(
+    "ev_range_count",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events)
+    SELECT a.event_id AS event_id, a.user_id AS user_id,
+           COUNT(b.event_id) AS n_nearby
+    FROM e a LEFT JOIN e b
+      ON a.user_id = b.user_id
+     AND b.us BETWEEN a.us - 300000000 AND a.us + 300000000
+     AND b.event_id <> a.event_id
+    WHERE a.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    doc="interval join via bucketed equi-join rewrite: events within ±5min "
+    "of each error on the same user; the inequality never reaches the join",
+)
+def ev_range(spark, sf_dir):
+    from ..operators.asof import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    return range_join_count(
+        errors, ev, on="user_id", radius_us=300_000_000
+    ).select("event_id", "user_id", "n_nearby")

@@ -511,3 +511,49 @@ def llm_dedup_embedding(spark, sf_dir):
 )
 def llm_dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "llm_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t, COUNT(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS total_words,
+           CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           CAST(MAX(n) AS BIGINT) AS top_count,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_word_frac,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) > 0.2 AS repetitive
+    FROM c GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition signals (top-unigram share), map-side-combined",
+)
+def llm_repetition_stats(spark, sf_dir):
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="top-k distinctive terms per doc (TF-IDF shape, integer-exact ranking)",
+)
+def llm_top_terms(spark, sf_dir):
+    return T.top_terms(load_table(spark, sf_dir, "documents"), k=3)

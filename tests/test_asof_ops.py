@@ -1,0 +1,102 @@
+"""As-of / range-join operator semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.operators.asof import asof_join, range_join_count
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, v double"
+    )
+
+
+def test_asof_backward_inclusive_and_left(spark):
+    left = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T10:00:00"), 0.0),
+            (2, 1, _ts("2024-01-01T12:00:00"), 0.0),
+            (3, 2, _ts("2024-01-01T09:00:00"), 0.0),  # no right row at all
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01T09:30:00"), 1.5),
+            (11, 1, _ts("2024-01-01T12:00:00"), 2.5),  # equal ts: inclusive
+            (12, 1, _ts("2024-01-01T13:00:00"), 3.5),  # future: never matches
+        ],
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", right_cols=("v",), tie_break="event_id"
+        ).collect()
+    }
+    assert out[1].v_r == 1.5 and out[1]._asof_gap_us == 1800 * 1_000_000
+    assert out[2].v_r == 2.5 and out[2]._asof_gap_us == 0  # <= is inclusive
+    assert out[3].v_r is None and out[3]._asof_gap_us is None  # left row kept
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _events(spark, [(1, 1, _ts("2024-01-01T10:00:00"), 0.0)])
+    right = _events(spark, [(10, 1, _ts("2024-01-01T08:00:00"), 9.0)])
+    strict = asof_join(
+        left, right, on="user_id", right_cols=("v",), tolerance_us=3600 * 1_000_000
+    ).collect()[0]
+    assert strict.v_r is None and strict._asof_gap_us is None
+    loose = asof_join(
+        left, right, on="user_id", right_cols=("v",), tolerance_us=3 * 3600 * 1_000_000
+    ).collect()[0]
+    assert loose.v_r == 9.0
+
+
+def test_asof_tie_break_deterministic(spark):
+    left = _events(spark, [(1, 1, _ts("2024-01-01T10:00:00"), 0.0)])
+    right = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01T09:00:00"), 1.0),
+            (11, 1, _ts("2024-01-01T09:00:00"), 2.0),  # same ts, higher id wins
+        ],
+    )
+    r = asof_join(
+        left, right, on="user_id", right_cols=("v",), tie_break="event_id"
+    ).collect()[0]
+    assert r.v_r == 2.0
+
+
+def test_range_join_counts_and_zero_rows(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T10:00:00"), 0.0),
+            (2, 1, _ts("2024-01-01T10:04:00"), 0.0),  # within 5min of 1
+            (3, 1, _ts("2024-01-01T10:06:00"), 0.0),  # within 5min of 2, not 1
+            (4, 2, _ts("2024-01-01T10:00:00"), 0.0),  # other user, isolated
+            (5, 3, _ts("2024-01-01T23:59:00"), 0.0),  # bucket-boundary straddle
+            (6, 3, _ts("2024-01-02T00:01:00"), 0.0),
+        ],
+    )
+    out = {
+        r.event_id: r.n_nearby
+        for r in range_join_count(ev, ev, on="user_id", radius_us=300_000_000).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0, 5: 1, 6: 1}
+
+
+def test_range_join_no_shuffle_explosion(spark):
+    """The exact interval predicate must not appear in the join: the plan
+    joins on (key, bucket) equi-conditions only."""
+    ev = _events(spark, [(1, 1, _ts("2024-01-01T10:00:00"), 0.0)])
+    plan = range_join_count(ev, ev, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

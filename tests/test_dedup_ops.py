@@ -134,3 +134,36 @@ def test_pack_sequences_deterministic_under_partitioning(spark):
     for doc_id, n_tokens, start_seq, start_offset in flat:
         assert start_seq * 64 + start_offset == acc, doc_id
         acc += n_tokens
+
+
+def test_repetition_stats_flags_loops(spark):
+    from iceberg_go_distributed_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),  # top frac 0.8 → repetitive
+            (2, "a b c d e"),  # 0.2 is NOT > 0.2 → clean (boundary)
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].repetitive and out[1].top_word_frac == 0.8
+    assert not out[2].repetitive and out[2].distinct_words == 5
+
+
+def test_top_terms_integer_exact_ranking(spark):
+    from iceberg_go_distributed_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common zzz"),  # tf ties: rarer df first, then term
+            (2, "common common common zzz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = top_terms(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in rows}
+    assert got[(1, 1)] == ("rare", 2, 1)  # highest tf wins
+    # doc 1 tf=1 tie between common (df=2) and zzz (df=2) → term asc
+    assert got[(1, 2)] == ("common", 1, 2)
+    assert got[(2, 1)] == ("common", 3, 2)

@@ -89,8 +89,17 @@ def test_registry_priority_window():
     signal is a driver row."""
     names = list(REGISTRY)
     window = set(names[:50])
-    inside = [n for n in names if n.startswith(("ice_", "llm_"))]
+    # llm_ann_ivf is deliberately outside: llm_ann_ivf_trained covers the
+    # same cell-scan read path with trained centroids on top.
+    inside = [
+        n
+        for n in names
+        if n.startswith(("ice_", "llm_")) and n != "llm_ann_ivf"
+    ]
     missing = [n for n in inside if n not in window]
     assert not missing, f"priority window lost: {missing}"
+    # never-driver-verified round-6 operators must be in the window
+    for n in ("ev_asof_attribution", "ev_range_count"):
+        assert n in window, f"{n} outside the driver window"
     # Tail entries must still be registered (local oracle coverage).
     assert len(names) == len(set(names))
