@@ -57,27 +57,29 @@ def main() -> None:
     warm = spark.range(32).repartition(8)
     warm.mapInArrow(lambda it: it, warm.schema).count()
 
-    # best-of-2 per query: single runs at toy SF swing ±30% on GC and
-    # page-cache luck; the minimum is the engine's repeatable cost.
+    # best-of-3 per query: single runs at toy SF swing wildly on GC,
+    # page-cache luck, and (on shared VMs) multi-second CPU-steal stalls;
+    # the minimum is the engine's repeatable cost.
+    # Attempts are ROUND-ROBINED across the headline set (pass 1 of every
+    # query, then pass 2, then pass 3) instead of back-to-back, so a
+    # 30-60 s host stall wave degrades one pass of many queries — which
+    # the per-query minimum discards — rather than every attempt of one
+    # query.
     # Cache is cleared between runs so operator-internal persists
     # (minhash shingles/signatures) are rebuilt, not reused.
-    # Both raw timings are reported next to the best so a run taken on
-    # a loaded machine is self-diagnosing: a large spread between the
-    # two attempts means external contention, not an engine regression.
-    timings: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        if name not in reg:
-            continue
-        attempts = []
-        for _ in range(2):
+    # All raw timings are reported next to the best so a run taken on
+    # a loaded machine is self-diagnosing: a large spread across
+    # attempts means external contention, not an engine regression.
+    names = [n for n in HEADLINE if n in reg]
+    raw = {name: [] for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
             df = reg[name].fn(spark, sf_dir)
             df.count()
-            attempts.append(time.perf_counter() - t0)
+            raw[name].append(round(time.perf_counter() - t0, 4))
             spark.catalog.clearCache()
-        timings[name] = round(min(attempts), 4)
-        raw[name] = [round(a, 4) for a in attempts]
+    timings = {name: round(min(a), 4) for name, a in raw.items()}
 
     total = round(sum(timings.values()), 4)
     spread = round(sum(max(a) - min(a) for a in raw.values()), 4)

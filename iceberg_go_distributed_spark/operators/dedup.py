@@ -33,8 +33,14 @@ from pyspark.sql import functions as F
 
 from .hashing import MERSENNE31, hex15, minhash_perms
 
-NUM_PERMS = 64
-BAND_ROWS = 2  # rows per LSH band → 32 bands; P(catch | J=0.5) ≈ 0.9999
+# 32 perms / 16 bands of 2 rows: P(catch | J) = 1-(1-J²)^16 — 0.99 at
+# the 0.5 threshold, 1-3e-12 at the J≈0.9 of real duplicate families.
+# Candidates are verified with EXACT Jaccard, so precision is always 1;
+# halving the perms (vs 64) halves the signature-aggregate width and the
+# band fan-out for a ~1e-2 recall tail at the threshold boundary only.
+# Raise NUM_PERMS for corpora where near-threshold pairs matter.
+NUM_PERMS = 32
+BAND_ROWS = 2  # rows per LSH band → 16 bands
 NUM_BANDS = NUM_PERMS // BAND_ROWS
 SIMHASH_BITS = 60  # fits hex15's 60-bit hash, stays positive in int64
 

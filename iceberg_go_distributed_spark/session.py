@@ -20,6 +20,12 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory byte size instead
+    # of stopping at default parallelism (Spark's own docs recommend
+    # false): reduce stages get partitions sized for the DATA, so a
+    # KB-sized aggregate is 1 task, not 32 — and at 100 TB the advisory
+    # size (64 MB) is what bounds reducer memory anyway.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # the table layer resolves parquet columns by the field ids it writes
