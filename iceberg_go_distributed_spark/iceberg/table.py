@@ -81,6 +81,28 @@ def _lineage_read_struct(schema):
     )
 
 
+def _lineage_ext_schema(schema):
+    """Iceberg schema extended with the reserved row-lineage fields, for
+    read paths that resolve columns by (mapped) NAME rather than field id
+    (`_read_with_name_mapping`). Name mappings never map the reserved
+    ids, so the probe falls back to the exact physical names — which is
+    precisely how row-copying writers (compaction) materialize them;
+    imported ID-less files lack the columns and read as null, leaving
+    inheritance to supply the values."""
+    from .manifest import LAST_UPDATED_SEQ_FIELD_ID, ROW_ID_FIELD_ID
+    from .types import LongType, NestedField, Schema
+
+    return Schema.of(
+        schema.schema_id,
+        *schema.fields,
+        NestedField(ROW_ID_FIELD_ID, "_row_id", LongType(), False),
+        NestedField(
+            LAST_UPDATED_SEQ_FIELD_ID, "_last_updated_sequence_number", LongType(), False
+        ),
+        identifier_field_ids=schema.identifier_field_ids,
+    )
+
+
 def _ensure_field_id_reads(spark) -> None:
     """Field-id-based parquet column resolution, set once per session
     (sessions built by session.py already have it; this covers
@@ -392,10 +414,6 @@ class Scan:
             md = self.table.metadata
             if md.format_version < 3:
                 raise ValueError("_row_id requires a format-version 3 table")
-            if "schema.name-mapping.default" in md.properties:
-                raise NotImplementedError(
-                    "row lineage over name-mapped (ID-less) files is not supported"
-                )
             missing = [t for t in tasks if t.file.first_row_id is None]
             if missing:
                 raise ValueError(
@@ -420,16 +438,26 @@ class Scan:
                 spark, tasks, schema, eq_files, keep_pos=lineage is not None
             )
         elif lineage is not None:
-            _ensure_field_id_reads(spark)
-            df = (
-                spark.read.schema(_lineage_read_struct(schema))
-                .parquet(*files)
-                .withColumn(
-                    "_fp",
-                    F.regexp_replace(F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""),
+            if "schema.name-mapping.default" in self.table.metadata.properties:
+                # ID-less (add_files-imported) files resolve columns by
+                # mapped name; the lineage columns resolve by their exact
+                # reserved names (compacted files) or null-fill (imports)
+                df = self._read_with_name_mapping(
+                    spark, files, _lineage_ext_schema(schema), with_pos=True
                 )
-                .withColumn("_pos", F.col("_metadata.row_index"))
-            )
+            else:
+                _ensure_field_id_reads(spark)
+                df = (
+                    spark.read.schema(_lineage_read_struct(schema))
+                    .parquet(*files)
+                    .withColumn(
+                        "_fp",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
+                        ),
+                    )
+                    .withColumn("_pos", F.col("_metadata.row_index"))
+                )
             df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
         else:
             # field-id-based read: columns resolve by the parquet field
@@ -686,8 +714,11 @@ class Scan:
         if "schema.name-mapping.default" in self.table.metadata.properties:
             # grouped multi-name read: ID-less files may carry any
             # mapped (pre-rename) column name; _fp/_pos selected inside
-            # each group before the union
-            df = self._read_with_name_mapping(spark, files, schema, with_pos=True)
+            # each group before the union. keep_pos ⇒ a row-lineage read:
+            # extend with the reserved lineage columns (resolved by their
+            # exact names in compacted files, null elsewhere)
+            nm_schema = _lineage_ext_schema(schema) if keep_pos else schema
+            df = self._read_with_name_mapping(spark, files, nm_schema, with_pos=True)
         else:
             _ensure_field_id_reads(spark)
             # keep_pos ⇒ a row-lineage read: also request the reserved

@@ -1518,16 +1518,10 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
 
     md = table.metadata
     v3 = md.format_version >= 3
-    if v3 and "schema.name-mapping.default" in md.properties:
-        # lineage reads over ID-less files are unsupported (table.py),
-        # so a row-copying rewrite cannot prove it preserved _row_id
-        from .metadata import CommitStateError
-
-        raise CommitStateError(
-            "rewrite_data_files on a format-version 3 table with a name "
-            "mapping would renumber _row_id (lineage reads over ID-less "
-            "files are not supported)"
-        )
+    # name-mapped v3 tables compact fine: the lineage read resolves
+    # ID-less files through the grouped name-mapping path (table.py
+    # _lineage_ext_schema), so the rewrite materializes exact _row_id
+    # values for imported rows too
     target = target_file_size or int(
         md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
     )

@@ -628,3 +628,62 @@ def test_v3_time_travel_and_delete_preserve_lineage(
     # the delete snapshot consumed no new row ids
     assert t.metadata.next_row_id == evens + odds
     assert t.current_snapshot().added_rows == 0
+
+
+def test_v3_lineage_over_name_mapped_files(fs_catalog, spark, tmp_path):
+    """Row lineage on a table carrying schema.name-mapping.default
+    (ID-less add_files imports): imported files inherit _row_id from
+    first_row_id + position via the grouped name-mapping read; engine
+    appends coexist; a DV delete keeps survivors' ids; and compaction
+    materializes lineage that the name-resolved reader then prefers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
+
+    ext = str(tmp_path / "imported.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "x": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            }
+        ),
+        ext,
+    )
+    t = fs_catalog.create_table(
+        "db.nm_lineage",
+        Schema.of(
+            0,
+            NestedField(1, "id", ty.LongType(), required=True),
+            NestedField(2, "x", ty.DoubleType()),
+        ),
+    )
+    t.upgrade_format_version(3)
+    t.add_files([ext])
+    assert "schema.name-mapping.default" in t.properties
+
+    # engine-written rows alongside the import
+    t.append(
+        spark.createDataFrame([(4, 40.0), (5, 50.0)], "id long, x double").coalesce(1)
+    )
+
+    rows = t.scan().with_row_lineage().to_df(spark).collect()
+    ids = {r.id: r._row_id for r in rows}
+    assert sorted(ids.values()) == [0, 1, 2, 3, 4]  # dense, unique
+    by_key = dict(ids)
+
+    # DV delete on a name-mapped v3 table: survivors keep exact ids
+    t.delete_where(spark, E.equal("id", 2))
+    after = {r.id: r._row_id for r in t.scan().with_row_lineage().to_df(spark).collect()}
+    assert after == {k: v for k, v in by_key.items() if k != 2}
+
+    # compaction materializes _row_id; the name-mapped reader must
+    # prefer the materialized values over re-inheritance
+    assert t.rewrite_data_files(spark) is True
+    t.refresh()
+    final = {r.id: r._row_id for r in t.scan().with_row_lineage().to_df(spark).collect()}
+    assert final == after
+    [task] = t.scan().plan_files()
+    assert {"_row_id"} <= set(pq.read_schema(task.file.file_path).names)
