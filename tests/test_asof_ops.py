@@ -100,3 +100,47 @@ def test_range_join_no_shuffle_explosion(spark):
     ev = _events(spark, [(1, 1, _ts("2024-01-01T10:00:00"), 0.0)])
     plan = range_join_count(ev, ev, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against the public reference semantics: for random
+    per-key event sets, asof_join == pandas.merge_asof(direction=
+    'backward') on the matched timestamp (gap), modulo merge_asof's
+    lack of key-aware tolerance edge cases (none generated here)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    base = 1_700_000_000_000_000
+    lrows, rrows = [], []
+    eid = 0
+    for user in range(6):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            lrows.append((eid, user, base + rng.randint(0, 10_000) * 1_000_000))
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rrows.append((eid, user, base + rng.randint(0, 10_000) * 1_000_000))
+
+    ldf = spark.createDataFrame(
+        [(i, u, us) for i, u, us in lrows], "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(i, u, us) for i, u, us in rrows], "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+
+    got = {
+        r.event_id: r._asof_gap_us
+        for r in asof_join(ldf, rdf, on="user_id", tie_break="event_id").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "us"]).sort_values("us", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["event_id", "user_id", "us"]).sort_values("us", kind="stable")
+    rp["rts"] = rp.us  # keep the matched right ts (merge consumes `us`)
+    m = pd.merge_asof(lp, rp, on="us", by="user_id", direction="backward", suffixes=("", "_r"))
+    want = {
+        int(row.event_id): None if pd.isna(row.rts) else int(row.us) - int(row.rts)
+        for _, row in m.iterrows()
+    }
+    assert got == want
