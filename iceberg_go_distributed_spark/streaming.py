@@ -161,3 +161,21 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    `dropDuplicatesWithinWatermark` keeps one row per key and expires
+    key state once the watermark passes it — the ingestion-dedup shape
+    for at-least-once upstream sources (kafka replays, retried batch
+    loads). State is O(distinct keys per watermark window), never
+    O(stream); the keyed state store shuffles once on the key columns,
+    the same exchange a batch dropDuplicates would take."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -174,3 +174,35 @@ def test_sessionize_agrees_with_native_session_window(tmp_path, spark, sf_dir):
     }
     assert len(got) > 0
     assert got <= native_set  # every emitted session is a true session
+
+
+def test_dedup_stream_drops_replayed_rows(tmp_path, spark, sf_dir):
+    """dropDuplicatesWithinWatermark dedup: a replayed (duplicated)
+    bounded stream yields exactly the batch-distinct row set."""
+    from pyspark.sql import functions as F
+
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.streaming import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(500)
+    src_dir = str(tmp_path / "src")
+    # write the same rows twice → an at-least-once source with replays
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        dedup_stream(stream, key_cols=("event_id",))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_out").select("event_id")
+    assert got.count() == 500
+    assert got.distinct().count() == 500
+    assert (
+        got.join(events.select("event_id"), "event_id", "left_anti").count() == 0
+    )
