@@ -349,3 +349,53 @@ def ev_range(spark, sf_dir):
     return range_join_count(
         errors, ev, on="user_id", radius_us=300_000_000
     ).select("event_id", "user_id", "n_nearby")
+
+
+@query(
+    "ev_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS tv FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS tc FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS tp FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > tc GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    doc="ordered funnel (view → click → purchase): progressive min-time "
+    "joins keyed by user — each stage is one keyed agg + one join, and "
+    "the funnel frontier only shrinks stage over stage",
+)
+def ev_funnel(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tv"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )

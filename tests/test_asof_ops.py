@@ -144,3 +144,33 @@ def test_asof_matches_pandas_merge_asof(spark):
         for _, row in m.iterrows()
     }
     assert got == want
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    """Randomized check: bucketed range join == brute-force interval
+    scan on arbitrary timestamps (including bucket-boundary cases)."""
+    import random
+
+    rng = random.Random(6)
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, rng.randint(0, 3), base + rng.randint(0, 2_000) * 1_000_000)
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    radius = 300_000_000
+    got = {
+        r.event_id: r.n_nearby
+        for r in range_join_count(ev, ev, on="user_id", radius_us=radius).collect()
+    }
+    want = {
+        i: sum(
+            1
+            for j, uj, usj in rows
+            if j != i and uj == u and abs(usj - usi) <= radius
+        )
+        for i, u, usi in rows
+    }
+    assert got == want
