@@ -179,3 +179,33 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def changelog_poll(table, spark, cursor: Optional[int]):
+    """One CDC consumption step — the poll-loop primitive a pipeline
+    scheduler runs against a v3 table (the Structured-Streaming-source
+    shape, minus the JVM DataSourceV2 registration PySpark cannot
+    express): refresh, diff against the consumer's cursor, advance.
+
+    Returns ``(changes_df | None, new_cursor)``:
+      - first call with ``cursor=None`` establishes the position at the
+        current snapshot and returns no rows (consume-from-now);
+      - subsequent calls return the row-level changelog
+        (`Table.changelog_scan`) between the cursor and the current
+        snapshot, or ``None`` when nothing was committed.
+
+    The cursor is a plain snapshot id — durable anywhere. Snapshot
+    expiry must retain the consumer horizon (`expire_snapshots`'s
+    retain-last / max-age knobs), the same contract every CDC log has.
+    Cost per poll: metadata-only when idle (no job is launched until
+    the returned frame is consumed); the changelog itself plans only
+    the snapshots in (cursor, head]."""
+    table.refresh()
+    snap = table.current_snapshot()
+    head = snap.snapshot_id if snap is not None else None
+    if cursor is None or head is None or head == cursor:
+        return None, (head if head is not None else cursor)
+    return (
+        table.changelog_scan(spark, from_snapshot_id=cursor, to_snapshot_id=head),
+        head,
+    )

@@ -206,3 +206,53 @@ def test_dedup_stream_drops_replayed_rows(tmp_path, spark, sf_dir):
     assert (
         got.join(events.select("event_id"), "event_id", "left_anti").count() == 0
     )
+
+
+def test_changelog_poll_consumes_commits_exactly_once(tmp_path, spark):
+    """The CDC poll loop: establish position, see nothing while idle,
+    then surface each commit's inserts/deletes exactly once as the
+    cursor advances."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        Schema,
+    )
+    from iceberg_go_distributed_spark.streaming import changelog_poll
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.cdc",
+        Schema.of(
+            0,
+            NestedField(1, "id", LongType(), required=True),
+            NestedField(2, "x", DoubleType()),
+        ),
+    )
+    t.upgrade_format_version(3)
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, x double").coalesce(1))
+
+    # first poll: establishes position at the current snapshot, no rows
+    df, cur = changelog_poll(t, spark, None)
+    assert df is None and cur == t.current_snapshot().snapshot_id
+
+    # idle poll: cursor unchanged, nothing to consume
+    df, cur2 = changelog_poll(t, spark, cur)
+    assert df is None and cur2 == cur
+
+    # commit an append + a DV delete from a SECOND handle (the writer),
+    # then poll from the consumer's stale handle
+    w = cat.load_table("db.cdc")
+    w.append(spark.createDataFrame([(3, 3.0)], "id long, x double").coalesce(1))
+    w.delete_where(spark, E.equal("id", 1))
+
+    df, cur3 = changelog_poll(t, spark, cur)
+    assert df is not None and cur3 == w.current_snapshot().snapshot_id
+    rows = {(r._change_type, r.id) for r in df.collect()}
+    assert rows == {("insert", 3), ("delete", 1)}
+
+    # next poll: consumed, nothing new
+    df, cur4 = changelog_poll(t, spark, cur3)
+    assert df is None and cur4 == cur3
