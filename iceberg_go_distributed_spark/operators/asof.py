@@ -42,65 +42,77 @@ def asof_join(
     tolerance_us: int | None = None,
     tie_break: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the most recent right row
-    with ``right_ts <= left_ts`` on the same key (inclusive, matching
-    DuckDB ``ASOF JOIN`` / ``pandas.merge_asof(direction='backward')``).
+    """As-of join: each left row picks the most recent right row with
+    ``right_ts <= left_ts`` (``direction='backward'``, inclusive —
+    DuckDB ``ASOF JOIN`` / ``pandas.merge_asof(direction='backward')``)
+    or the earliest right row with ``right_ts >= left_ts``
+    (``direction='forward'``) on the same key.
 
     Timestamps are compared as microseconds-since-epoch. Matched right
     columns come back as ``<col>`` from `right_cols` (``<col><suffix>``
     when the name collides with a left column), plus ``_asof_gap_us``
-    (left ts − matched ts, null when no match). With `tolerance_us`,
-    matches older than the tolerance are nulled out (LEFT semantics —
+    (|left ts − matched ts|, null when no match). With `tolerance_us`,
+    matches farther than the tolerance are nulled out (LEFT semantics —
     left rows are never dropped).
 
     `tie_break`: column name on the right used to order equal-timestamp
     right rows (the LAST one in (ts, tie_break) order wins), making the
     pick deterministic when timestamps collide.
+
+    Internal columns use a ``__asof_`` prefix so user columns cannot
+    collide with the machinery.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = 1 if direction == "backward" else -1
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(
-        F.unix_micros(F.col(right_ts)).alias("_ats"),
+        F.unix_micros(F.col(right_ts)).alias("ats"),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    order = [F.unix_micros(F.col(right_ts)).alias("_us"), F.lit(0).alias("_side")]
     r = right.select(
         *keys,
-        *order,
-        payload.alias("_p"),
+        (F.unix_micros(F.col(right_ts)) * sign).alias("__asof_us"),
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_p"),
         *(
-            [F.col(tie_break).alias("_tie")]
+            [F.col(tie_break).alias("__asof_tie")]
             if tie_break is not None
-            else [F.lit(0).alias("_tie")]
+            else [F.lit(0).alias("__asof_tie")]
         ),
     )
     l = left.select(
         "*",
-        F.unix_micros(F.col(left_ts)).alias("_us"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
-        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        (F.unix_micros(F.col(left_ts)) * sign).alias("__asof_us"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r.schema["__asof_p"].dataType).alias("__asof_p"),
+        F.lit(None).cast(r.schema["__asof_tie"].dataType).alias("__asof_tie"),
     )
     # right rows order BEFORE left rows at equal ts (side 0 < 1), so an
-    # equal-timestamp right row is visible to the left row — inclusive <=
+    # equal-timestamp right row is visible to the left row — inclusive.
+    # direction='forward' negates the ordering timestamp, turning
+    # "latest at-or-before" into "earliest at-or-after".
     merged = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_us", "_side", "_tie")
+        .orderBy("__asof_us", "__asof_side", "__asof_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).where(
-        F.col("_side") == 1
-    )
-    gap = F.col("_us") - F.col("_m._ats")
+    carried = merged.withColumn(
+        "__asof_m", F.last("__asof_p", ignorenulls=True).over(w)
+    ).where(F.col("__asof_side") == 1)
+    gap = (F.col("__asof_us") * sign - F.col("__asof_m.ats")) * sign
     if tolerance_us is not None:
         carried = carried.withColumn(
-            "_m", F.when(gap <= F.lit(tolerance_us), F.col("_m"))
+            "__asof_m", F.when(gap <= F.lit(tolerance_us), F.col("__asof_m"))
         )
-        gap = F.col("_us") - F.col("_m._ats")
+        gap = (F.col("__asof_us") * sign - F.col("__asof_m.ats")) * sign
     taken = set(left.columns)
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"_m.{c}").alias(c + suffix if c in taken else c) for c in right_cols
+        F.col(f"__asof_m.{c}").alias(c + suffix if c in taken else c)
+        for c in right_cols
     ]
     return carried.select(*out_cols, gap.cast("long").alias("_asof_gap_us"))
 

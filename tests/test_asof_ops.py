@@ -174,3 +174,25 @@ def test_range_join_matches_bruteforce_random(spark):
         for i, u, usi in rows
     }
     assert got == want
+
+
+def test_asof_forward_direction(spark):
+    left = _events(spark, [(1, 1, _ts("2024-01-01T10:00:00"), 0.0)])
+    right = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01T09:00:00"), 1.0),  # past: never matches
+            (11, 1, _ts("2024-01-01T10:30:00"), 2.0),  # earliest future wins
+            (12, 1, _ts("2024-01-01T11:00:00"), 3.0),
+        ],
+    )
+    r = asof_join(
+        left, right, on="user_id", right_cols=("v",), direction="forward"
+    ).collect()[0]
+    assert r.v_r == 2.0 and r._asof_gap_us == 1800 * 1_000_000
+    # tolerance in the forward direction
+    strict = asof_join(
+        left, right, on="user_id", right_cols=("v",),
+        direction="forward", tolerance_us=60 * 1_000_000,
+    ).collect()[0]
+    assert strict.v_r is None and strict._asof_gap_us is None
