@@ -89,6 +89,15 @@ class Catalog:
     def rename_table(self, src, dst):
         raise NotImplementedError
 
+    def register_table(self, identifier, metadata_location: str):
+        """Register an EXISTING table (its current metadata file) under
+        this catalog — ref catalog.go RegisterTable (REST/Glue in the
+        reference; all three backends here). No data or metadata is
+        rewritten beyond what the backend's resolution layout needs; the
+        table keeps its original `location`, so data/manifest paths
+        resolve unchanged."""
+        raise NotImplementedError
+
     def table_exists(self, identifier) -> bool:
         try:
             self.load_table(identifier)
@@ -221,6 +230,32 @@ class FileSystemCatalog(Catalog):
             raise NoSuchTableError(str(identifier))
         path = self._version_path(identifier, v)
         return Table(identifier, parse_metadata_file(path), path, self)
+
+    def register_table(self, identifier, metadata_location: str):
+        """FS layout resolves the current version from files under the
+        catalog's own metadata dir, so registration copies the metadata
+        payload in as v1 (exclusive-create, same race rule as
+        create_table). The metadata's `location` is untouched — data and
+        manifests keep resolving against the original table location."""
+        from .table import Table
+
+        if self._current_version(identifier) is not None:
+            raise TableAlreadyExistsError(str(identifier))
+        md = parse_metadata_file(metadata_location)
+        path = self._version_path(identifier, 1)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise TableAlreadyExistsError(str(identifier)) from None
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(_metadata_payload(md))
+        except BaseException:
+            os.unlink(path)
+            raise
+        self._swap_hint(identifier, 1, expect=None)
+        return Table(identifier, md, path, self)
 
     def drop_table(self, identifier) -> None:
         import shutil
@@ -545,6 +580,26 @@ class SqlCatalog(Catalog):
         if row is None or row[0] is None:
             raise NoSuchTableError(str(identifier))
         return Table(identifier, parse_metadata_file(row[0]), row[0], self)
+
+    def register_table(self, identifier, metadata_location: str):
+        """SQL catalogs point rows at metadata files, so registration is
+        one INSERT naming the existing location — nothing is copied; the
+        metadata is parsed once to validate it before the row lands."""
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        if ns not in self.list_namespaces():
+            raise NoSuchNamespaceError(ns)
+        md = parse_metadata_file(metadata_location)
+        with closing(self._conn()) as con, con:
+            try:
+                con.execute(
+                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                    (self.catalog_name, ns, tbl, metadata_location),
+                )
+            except sqlite3.IntegrityError:
+                raise TableAlreadyExistsError(str(identifier)) from None
+        return Table(identifier, md, metadata_location, self)
 
     def drop_table(self, identifier) -> None:
         ns, tbl = _identifier(identifier)

@@ -174,6 +174,23 @@ class RestCatalog(Catalog):
         md = TableMetadata.from_json(resp["metadata"])
         return Table(identifier, md, resp.get("metadata-location", ""), self)
 
+    def register_table(self, identifier, metadata_location: str):
+        """Spec endpoint POST /v1/namespaces/{ns}/register — ref
+        catalog/rest.go RegisterTable. The server adopts the existing
+        metadata file; nothing is rewritten."""
+        from .table import Table
+
+        ns, tbl = _identifier(identifier)
+        resp = self._req(
+            "POST",
+            f"/v1/namespaces/{self._ns_path(ns)}/register",
+            {"name": tbl, "metadata-location": metadata_location},
+        )
+        md = TableMetadata.from_json(resp["metadata"])
+        return Table(
+            identifier, md, resp.get("metadata-location", metadata_location), self
+        )
+
     def drop_table(self, identifier) -> None:
         ns, tbl = _identifier(identifier)
         self._req("DELETE", f"/v1/namespaces/{self._ns_path(ns)}/tables/{tbl}")

@@ -17,6 +17,7 @@ from iceberg_go_distributed_spark.iceberg import types as ty
 from iceberg_go_distributed_spark.iceberg.catalog import (
     CommitConflictError,
     NoSuchTableError,
+    TableAlreadyExistsError,
 )
 from iceberg_go_distributed_spark.iceberg.metadata import (
     MetadataBuilder,
@@ -180,6 +181,20 @@ def _make_handler(state: _State):
                     return self._send(409, {"error": "already exists"})
                 state.tables[dst] = state.tables.pop(src)
                 return self._send(200, {})
+            if len(parts) == 4 and parts[3] == "register":
+                ns, name = parts[2], body["name"]
+                key = (ns, name)
+                if key in state.tables:
+                    return self._send(409, {"error": "table already exists"})
+                with open(body["metadata-location"]) as f:
+                    state.tables[key] = json.load(f)
+                return self._send(
+                    200,
+                    {
+                        "metadata": state.tables[key],
+                        "metadata-location": body["metadata-location"],
+                    },
+                )
             if len(parts) == 4 and parts[3] == "tables":
                 ns, name = parts[2], body["name"]
                 key = (ns, name)
@@ -457,3 +472,26 @@ def test_oauth_token_refresh_before_expiry(oauth_rest_server):
     cat._token_expires_at = _time.monotonic() + 5  # < refresh slack (30s)
     cat.list_namespaces()
     assert state.token_counter == first + 1
+
+
+def test_rest_register_table(rest_server, tmp_path, spark):
+    """POST /v1/namespaces/{ns}/register adopts an existing metadata
+    file; the registered table scans identically and keeps its original
+    location."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+    src_cat = FileSystemCatalog(str(tmp_path / "src_wh"))
+    src = src_cat.create_table("db.src", SCHEMA)
+    src.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, data string").coalesce(1)
+    )
+
+    cat = RestCatalog(rest_server, token="t0ken")
+    cat.create_namespace("regdb")
+    reg = cat.register_table("regdb.adopted", src.metadata_location)
+    assert reg.metadata.table_uuid == src.metadata.table_uuid
+    assert sorted(
+        (r.id, r.data) for r in reg.scan().to_df(spark).collect()
+    ) == [(1, "a"), (2, "b")]
+    with pytest.raises(TableAlreadyExistsError):
+        cat.register_table("regdb.adopted", src.metadata_location)
