@@ -58,6 +58,12 @@ def main(argv=None) -> int:
     sp.add_argument("table")
     sp.add_argument("--format-version", type=int, default=3)
 
+    sp = sub.add_parser(
+        "register", help="register an existing table from its metadata file"
+    )
+    sp.add_argument("table")
+    sp.add_argument("metadata_location")
+
     args = p.parse_args(argv)
     cat = _catalog(args)
 
@@ -94,6 +100,11 @@ def main(argv=None) -> int:
     if args.cmd == "rename":
         cat.rename_table(args.src, args.dst)
         print(f"renamed {args.src} -> {args.dst}")
+        return 0
+
+    if args.cmd == "register":
+        t = cat.register_table(args.table, args.metadata_location)
+        print(f"registered {args.table} from {args.metadata_location} (location {t.location})")
         return 0
 
     t = cat.load_table(args.table)

@@ -64,3 +64,18 @@ def test_cli_lifecycle(tmp_path):
     assert "db.t2" in _cli(tmp_path, "list", "db")
     _cli(tmp_path, "drop", "db.t2")
     assert "db.t2" not in _cli(tmp_path, "list", "db")
+
+
+def test_cli_register(tmp_path):
+    schema = Schema.of(0, NestedField(1, "id", ty.LongType(), required=True))
+    sj = json.dumps(schema.to_json())
+    _cli(tmp_path, "create", "db.orig", "--schema-json", sj)
+    meta = json.loads(_cli(tmp_path, "describe", "db.orig"))
+    import os
+
+    wh = tmp_path / "wh"
+    meta_dir = wh / "db" / "orig" / "metadata"
+    [v1] = [f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]
+    out = _cli(tmp_path, "register", "db.copy", str(meta_dir / v1))
+    assert "registered db.copy" in out
+    assert json.loads(_cli(tmp_path, "describe", "db.copy"))["uuid"] == meta["uuid"]
