@@ -196,3 +196,24 @@ def test_asof_forward_direction(spark):
         direction="forward", tolerance_us=60 * 1_000_000,
     ).collect()[0]
     assert strict.v_r is None and strict._asof_gap_us is None
+
+
+def test_asof_composite_key(spark):
+    """Multi-column join keys: matches must respect EVERY key column."""
+    left = spark.createDataFrame(
+        [(1, 1, "eu", _ts("2024-01-01T10:00:00")), (2, 1, "us", _ts("2024-01-01T10:00:00"))],
+        "event_id bigint, user_id bigint, region string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, "eu", _ts("2024-01-01T09:00:00"), 1.0),
+         (1, "us", _ts("2024-01-01T09:30:00"), 2.0)],
+        "user_id bigint, region string, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: (r.v, r._asof_gap_us)
+        for r in asof_join(
+            left, right, on=["user_id", "region"], right_cols=("v",)
+        ).collect()
+    }
+    assert out[1] == (1.0, 3600 * 1_000_000)
+    assert out[2] == (2.0, 1800 * 1_000_000)
