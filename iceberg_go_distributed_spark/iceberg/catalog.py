@@ -234,14 +234,20 @@ class FileSystemCatalog(Catalog):
     def register_table(self, identifier, metadata_location: str):
         """FS layout resolves the current version from files under the
         catalog's own metadata dir, so registration copies the metadata
-        payload in as v1 (exclusive-create, same race rule as
-        create_table). The metadata's `location` is untouched — data and
-        manifests keep resolving against the original table location."""
+        file in as v1 (exclusive-create, same race rule as create_table).
+        The bytes are copied VERBATIM — re-serializing through our model
+        would silently drop any field an external writer set that we
+        don't round-trip — and parsed once for validation. The metadata's
+        `location` is untouched, so data and manifests keep resolving
+        against the original table location."""
+        from . import fileio
         from .table import Table
 
         if self._current_version(identifier) is not None:
             raise TableAlreadyExistsError(str(identifier))
-        md = parse_metadata_file(metadata_location)
+        with fileio.open_input(metadata_location) as f:
+            payload = f.read()
+        md = TableMetadata.from_json(json.loads(payload.decode("utf-8")))
         path = self._version_path(identifier, 1)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -250,7 +256,7 @@ class FileSystemCatalog(Catalog):
             raise TableAlreadyExistsError(str(identifier)) from None
         try:
             with os.fdopen(fd, "wb") as f:
-                f.write(_metadata_payload(md))
+                f.write(payload)
         except BaseException:
             os.unlink(path)
             raise

@@ -1278,7 +1278,7 @@ class Table(StaticTable):
     def changelog_scan(
         self,
         spark,
-        from_snapshot_id: int,
+        from_snapshot_id: Optional[int],
         to_snapshot_id: Optional[int] = None,
     ):
         """Row-level CDC between two snapshots of a v3 table, built on
@@ -1301,6 +1301,10 @@ class Table(StaticTable):
             else self.scan()
         )
         to_df = to_scan.with_row_lineage().to_df(spark)
+        if from_snapshot_id is None:
+            # from table creation: every live row is an insert — one
+            # lineage scan, no chain walk, no joins
+            return to_df.withColumn("_change_type", F.lit("insert"))
         # append-only fast path: when every snapshot in (from, to] is an
         # append, no row was ever removed — deletes = ∅ and inserts are
         # exactly the rows whose _row_id was assigned after `from`

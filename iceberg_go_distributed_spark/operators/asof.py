@@ -68,8 +68,15 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     sign = 1 if direction == "backward" else -1
     keys = [on] if isinstance(on, str) else list(on)
+    # SQL equality semantics: a NULL key matches nothing. The window
+    # partitioner would group null keys together, so null-keyed right
+    # rows are dropped up front (they can never match), which leaves
+    # null-keyed left partitions payload-free — their rows come out
+    # unmatched, exactly as DuckDB ASOF / merge_asof behave.
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     payload = F.struct(
-        F.unix_micros(F.col(right_ts)).alias("ats"),
+        F.unix_micros(F.col(right_ts)).alias("__asof_ats"),
         *[F.col(c).alias(c) for c in right_cols],
     )
     r = right.select(
@@ -103,12 +110,12 @@ def asof_join(
     carried = merged.withColumn(
         "__asof_m", F.last("__asof_p", ignorenulls=True).over(w)
     ).where(F.col("__asof_side") == 1)
-    gap = (F.col("__asof_us") * sign - F.col("__asof_m.ats")) * sign
+    gap = (F.col("__asof_us") * sign - F.col("__asof_m.__asof_ats")) * sign
     if tolerance_us is not None:
         carried = carried.withColumn(
             "__asof_m", F.when(gap <= F.lit(tolerance_us), F.col("__asof_m"))
         )
-        gap = (F.col("__asof_us") * sign - F.col("__asof_m.ats")) * sign
+        gap = (F.col("__asof_us") * sign - F.col("__asof_m.__asof_ats")) * sign
     taken = set(left.columns)
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"__asof_m.{c}").alias(c + suffix if c in taken else c)

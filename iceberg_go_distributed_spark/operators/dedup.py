@@ -114,7 +114,7 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     One explode + one hash-aggregate over the pre-hashed shingle longs
     (no string hashing here — `shingle_sets` did it once). The explode
     is narrow, so map-side partial aggregation collapses each doc to a
-    single 65-column row before the exchange: the shuffle carries one
+    single (NUM_PERMS+1)-column row before the exchange: the shuffle carries one
     row per doc, not one per shingle, at any corpus size. All codegen'd
     scalar arithmetic — measured 2.4× faster than the explode-free
     `array_min(transform(...))` formulation, whose higher-order lambdas
@@ -193,8 +193,9 @@ def minhash_near_dups(
 
     Output: (doc_a, doc_b, jaccard) — exact values, so the result is
     independent of the LSH parameters whenever band recall covers the
-    threshold (32 bands × 2 rows ⇒ miss prob at J=0.5 is ~1e-4, and
-    ~1e-8 for the J≈0.9 planted dups in the testdata).
+    threshold (16 bands × 2 rows ⇒ miss prob at J=0.5 is ~1e-2, and
+    ~3e-12 for the J≥0.9 planted dups in the testdata; candidates are
+    verified exactly, so precision is always 1).
     """
     # the shingle pipeline feeds three consumers (signatures + both
     # verification sides) — persist it so Spark computes it once; at
@@ -202,10 +203,11 @@ def minhash_near_dups(
     # MinHash pipeline does before banding.
     sh = shingle_sets(docs, text_col, id_col, n).persist()
     # the banded self-join reads signatures from both sides; without a
-    # persist Spark computes the 65-column aggregate twice (AQE's
-    # broadcast conversion removes the common exchange that ReuseExchange
-    # would otherwise dedupe). The signature table is 65 longs/doc —
-    # ~0.5 KB/doc, MEMORY_AND_DISK, negligible next to the corpus.
+    # persist Spark computes the (NUM_PERMS+1)-column aggregate twice
+    # (AQE's broadcast conversion removes the common exchange that
+    # ReuseExchange would otherwise dedupe). The signature table is
+    # NUM_PERMS+1 longs/doc — ~0.3 KB/doc at 32 perms, MEMORY_AND_DISK,
+    # negligible next to the corpus.
     sig = minhash_signatures(sh, id_col).persist()
     try:
         cand = lsh_candidate_pairs(sig, id_col, threshold=threshold)

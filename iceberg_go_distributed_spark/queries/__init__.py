@@ -98,15 +98,18 @@ _PRIORITY = [
     "llm_dedup_clusters",
     "llm_repetition_stats",
     "llm_top_terms",
-    # Event analytics core (sliding rollup shares machinery with hourly).
+    # Event analytics core (sliding rollup shares machinery with hourly;
+    # ev_top_users_by_purchase — five rounds driver-green, a plain
+    # agg+topk subsumed by q18's shape — yields its slot to the new
+    # funnel so every never-driver-verified operator has a driver row).
     "ev_hourly_rollup",
     "ev_sessionization",
-    "ev_top_users_by_purchase",
     "ev_latest_per_user",
     "ev_skew_salted_agg",
     "ev_stream_sessionize",
     "ev_asof_attribution",
     "ev_range_count",
+    "ev_funnel",
     # TPC-H representative slice: agg-heavy (q1), multi-join (q9),
     # semi-join on agg (q18). q3/q5/q13 moved to the locally-verified
     # tail after five consecutive driver-green rounds, alongside

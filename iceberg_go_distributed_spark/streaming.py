@@ -181,6 +181,12 @@ def dedup_stream(
     )
 
 
+# changelog_poll cursor value meaning "positioned before the table's
+# first snapshot" (established by polling an empty table). Snapshot ids
+# are positive in this engine, so -1 cannot collide.
+CHANGELOG_BEGINNING = -1
+
+
 def changelog_poll(table, spark, cursor: Optional[int]):
     """One CDC consumption step — the poll-loop primitive a pipeline
     scheduler runs against a v3 table (the Structured-Streaming-source
@@ -194,18 +200,30 @@ def changelog_poll(table, spark, cursor: Optional[int]):
         (`Table.changelog_scan`) between the cursor and the current
         snapshot, or ``None`` when nothing was committed.
 
-    The cursor is a plain snapshot id — durable anywhere. Snapshot
-    expiry must retain the consumer horizon (`expire_snapshots`'s
-    retain-last / max-age knobs), the same contract every CDC log has.
-    Cost per poll: metadata-only when idle (no job is launched until
-    the returned frame is consumed); the changelog itself plans only
-    the snapshots in (cursor, head]."""
+    The cursor is a plain snapshot id — durable anywhere — or
+    ``CHANGELOG_BEGINNING`` when the position was established on a
+    still-empty table (the first commit's rows must not be skipped, so
+    "positioned before any snapshot" is a real cursor value, distinct
+    from the not-yet-positioned ``None``). Snapshot expiry must retain
+    the consumer horizon (`expire_snapshots`'s retain-last / max-age
+    knobs), the same contract every CDC log has. Cost per poll:
+    metadata-only when idle (no job is launched until the returned
+    frame is consumed); the changelog itself plans only the snapshots
+    in (cursor, head]."""
     table.refresh()
     snap = table.current_snapshot()
     head = snap.snapshot_id if snap is not None else None
-    if cursor is None or head is None or head == cursor:
-        return None, (head if head is not None else cursor)
+    if cursor is None:
+        # establish position: at the head, or (empty table) at the
+        # explicit beginning so rows committed later are not lost
+        return None, (head if head is not None else CHANGELOG_BEGINNING)
+    if head is None or head == cursor:
+        return None, cursor
     return (
-        table.changelog_scan(spark, from_snapshot_id=cursor, to_snapshot_id=head),
+        table.changelog_scan(
+            spark,
+            from_snapshot_id=None if cursor == CHANGELOG_BEGINNING else cursor,
+            to_snapshot_id=head,
+        ),
         head,
     )

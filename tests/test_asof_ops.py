@@ -217,3 +217,33 @@ def test_asof_composite_key(spark):
     }
     assert out[1] == (1.0, 3600 * 1_000_000)
     assert out[2] == (2.0, 1800 * 1_000_000)
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: NULL join keys match nothing on either
+    side (DuckDB ASOF / merge_asof parity), instead of null-grouping."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01T09:00:00"), 7.0), (1, _ts("2024-01-01T09:00:00"), 8.0)],
+        "user_id bigint, ts timestamp, v double",
+    )
+    r = asof_join(left, right, on="user_id", right_cols=("v",)).collect()[0]
+    assert r.v is None and r._asof_gap_us is None  # left row kept, unmatched
+
+
+def test_asof_right_col_named_ats(spark):
+    """Review regression: a right payload column named 'ats' must not
+    collide with the internal matched-timestamp field."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 42.0)],
+        "user_id bigint, ts timestamp, ats double",
+    )
+    r = asof_join(left, right, on="user_id", right_cols=("ats",)).collect()[0]
+    assert r.ats == 42.0 and r._asof_gap_us == 3600 * 1_000_000

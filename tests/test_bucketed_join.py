@@ -65,9 +65,9 @@ def test_bucketed_join_runs_without_exchange(spark, bucketed_pair):
             .agg(F.count("*").alias("n"))
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        # the join itself must not shuffle either side: the only allowed
-        # exchange is the final small groupBy(o_custkey) aggregate
-        join_part = plan.split("SortMergeJoin")[-1]
+        # the join itself must not shuffle either side: no exchange on
+        # either join key anywhere in the plan (the only exchange left
+        # is the final small groupBy(o_custkey) aggregate)
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         assert "Exchange hashpartitioning(o_orderkey" not in plan

@@ -167,3 +167,32 @@ def test_top_terms_integer_exact_ranking(spark):
     # doc 1 tf=1 tie between common (df=2) and zzz (df=2) → term asc
     assert got[(1, 2)] == ("common", 1, 2)
     assert got[(2, 1)] == ("common", 3, 2)
+
+
+def test_minhash_recall_margin_holds_for_testdata(ducks):
+    """The 32-perm/16-band parameters assume the corpus has no pairs in
+    the marginal-recall zone just above the 0.5 threshold (P(miss) is
+    ~1e-2 AT the threshold but <1e-5 above J=0.8). Pin that assumption:
+    every true near-dup pair in the testdata sits at J >= 0.8, where the
+    per-pair miss probability is < (1-0.64)^16 ≈ 1e-7. If a future
+    testdata generation plants near-threshold pairs, this fails loudly
+    and NUM_PERMS must be raised."""
+    rows = ducks.execute(
+        """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct([array_to_string(ws[i:i+2], ' ')
+                                     for i in range(1, greatest(len(ws)-2,1)+1)]) AS s
+               FROM w)
+        SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """
+    ).fetchall()
+    assert rows, "vacuous: no near-dup pairs in testdata"
+    assert min(j for (j,) in rows) >= 0.8, (
+        f"near-threshold pair found (J={min(j for (j,) in rows):.3f}); "
+        "raise NUM_PERMS in operators/dedup.py"
+    )

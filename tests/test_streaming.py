@@ -256,3 +256,42 @@ def test_changelog_poll_consumes_commits_exactly_once(tmp_path, spark):
     # next poll: consumed, nothing new
     df, cur4 = changelog_poll(t, spark, cur3)
     assert df is None and cur4 == cur3
+
+
+def test_changelog_poll_empty_table_start(tmp_path, spark):
+    """Review regression: polling a still-empty table must establish an
+    explicit 'beginning' position so the first commit's rows are
+    surfaced — not silently skipped when the next poll re-positions."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import (
+        LongType,
+        NestedField,
+        Schema,
+    )
+    from iceberg_go_distributed_spark.streaming import (
+        CHANGELOG_BEGINNING,
+        changelog_poll,
+    )
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.cdc0", Schema.of(0, NestedField(1, "id", LongType(), required=True))
+    )
+    t.upgrade_format_version(3)
+
+    df, cur = changelog_poll(t, spark, None)
+    assert df is None and cur == CHANGELOG_BEGINNING
+
+    # idle poll on the still-empty table keeps the beginning position
+    df, cur = changelog_poll(t, spark, cur)
+    assert df is None and cur == CHANGELOG_BEGINNING
+
+    w = cat.load_table("db.cdc0")
+    w.append(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+
+    df, cur2 = changelog_poll(t, spark, cur)
+    assert df is not None and cur2 == w.current_snapshot().snapshot_id
+    assert {(r._change_type, r.id) for r in df.collect()} == {
+        ("insert", 1),
+        ("insert", 2),
+    }
