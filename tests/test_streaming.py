@@ -295,3 +295,37 @@ def test_changelog_poll_empty_table_start(tmp_path, spark):
         ("insert", 1),
         ("insert", 2),
     }
+
+
+def test_changelog_poll_expired_cursor_fails_loudly(tmp_path, spark):
+    """The CDC contract: snapshot expiry must retain the consumer
+    horizon. A cursor pointing at an expired snapshot raises instead of
+    silently emitting a wrong (resynced) delta."""
+    import time
+
+    import pytest as _pytest
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import LongType, NestedField, Schema
+    from iceberg_go_distributed_spark.streaming import changelog_poll
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.cdcx", Schema.of(0, NestedField(1, "id", LongType(), required=True))
+    )
+    t.upgrade_format_version(3)
+    t.append(spark.createDataFrame([(1,)], "id long").coalesce(1))
+    _, cur = changelog_poll(t, spark, None)
+    t.append(spark.createDataFrame([(2,)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(3,)], "id long").coalesce(1))
+
+    # expire everything but the head — the consumer's cursor is gone
+    tx = t.transaction()
+    tx.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10_000, retain_last=1)
+    tx.commit()
+    t.refresh()
+
+    with _pytest.raises(Exception):
+        df, _ = changelog_poll(t, spark, cur)
+        if df is not None:
+            df.collect()
