@@ -449,14 +449,28 @@ class FileSystemCatalog(Catalog):
                 # BEFORE touching v{N}, so owning the token proves the
                 # file is ours; an inode comparison would not (freed
                 # inodes are reused immediately on most filesystems).
+                # The exception may also have fired AFTER _swap_hint's
+                # rename landed (flock-release failure, interrupt at the
+                # boundary) — then v{N} IS the committed current version
+                # and must never be unlinked, so re-check the hint too.
                 with self._hint_flock(identifier):
-                    if self._lock_token(lock) == token:
+                    if (
+                        self._lock_token(lock) == token
+                        and self._current_version(identifier) != new_version
+                    ):
                         with contextlib.suppress(OSError):
                             os.unlink(new_path)
                 raise
         finally:
             os.close(fd)
-            if self._lock_token(lock) == token:
+            read_back = self._lock_token(lock)
+            # Unlink when the lock carries our token — or a strict PREFIX
+            # of it (our own partial/failed token write: reclaimers write
+            # their own full token, which can never be a prefix of ours).
+            # Leaving a fresh-mtime lock with a garbled token behind would
+            # wedge this version for a full LOCK_TTL even though we
+            # provably still owned it.
+            if read_back is not None and token.startswith(read_back):
                 with contextlib.suppress(OSError):
                     os.unlink(lock)
             # else: a TTL-reclaimer owns the lock now — leave theirs alone;

@@ -234,10 +234,20 @@ def read_parquet_table(path: str, columns: Optional[list] = None):
 def parquet_file(path: str):
     """Open a streaming pq.ParquetFile (iter_batches) so callers can
     evaluate predicates batch-wise with memory bounded by batch size,
-    not file size. Caller closes (contextlib.closing / with)."""
+    not file size. Caller closes (contextlib.closing / with).
+
+    For remote paths the input stream is opened HERE, and
+    ParquetFile.close() skips sources it didn't open itself — so the
+    stream is handed over explicitly, making close() release the remote
+    handle instead of leaking one per matched file per task."""
     import pyarrow.parquet as pq
 
     if is_local(path):
         return pq.ParquetFile(local_path(path))
     fs, p = resolve(path)
-    return pq.ParquetFile(fs.open_input_file(p))
+    source = fs.open_input_file(p)
+    pf = pq.ParquetFile(source)
+    # pyarrow only closes sources it opened (ours is pre-opened):
+    # force ownership so contextlib.closing() actually closes it
+    pf._close_source = True
+    return pf

@@ -103,6 +103,59 @@ def _lineage_ext_schema(schema):
     )
 
 
+def lineage_map_frame(spark, tasks):
+    """Broadcast-able (scheme-stripped file path → first_row_id, data
+    sequence number) map for deriving the reserved lineage columns.
+    Raises when any planned file lacks an assigned first_row_id."""
+    import re as _re
+
+    missing = [t for t in tasks if t.file.first_row_id is None]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} data files lack first_row_id; commit once "
+            "post-upgrade so the manifest list assigns row ids"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
+                t.file.first_row_id,
+                t.data_sequence_number,
+            )
+            for t in tasks
+        ],
+        "_fp string, _first_row_id bigint, _src_seq bigint",
+    )
+
+
+def attach_lineage(df, lineage_map):
+    """Derive the spec's reserved lineage columns on a frame carrying
+    `_fp`/`_pos` (and possibly materialized `_row_id` /
+    `_last_updated_sequence_number` read from row-copied files):
+    materialized values win over first_row_id + pos / data-sequence
+    inheritance, per spec. Single source of truth for the read path
+    (Scan.to_df) AND the row-copying write path (rewrite_data_files) —
+    any change to lineage derivation lands in both at once."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.join(F.broadcast(lineage_map), "_fp")
+        .withColumn(
+            "_row_id",
+            F.coalesce(
+                F.col("_row_id"), F.col("_first_row_id") + F.col("_pos")
+            ).cast("long"),
+        )
+        .withColumn(
+            "_last_updated_sequence_number",
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("_src_seq")
+            ).cast("long"),
+        )
+        .drop("_fp", "_pos", "_first_row_id", "_src_seq")
+    )
+
+
 def _ensure_field_id_reads(spark) -> None:
     """Field-id-based parquet column resolution, set once per session
     (sessions built by session.py already have it; this covers
@@ -389,7 +442,16 @@ class Scan:
         schema = self._scan_schema()
 
         if not tasks:
-            return spark.createDataFrame([], schema_to_spark_ddl(proj))
+            ddl = schema_to_spark_ddl(proj)
+            if self.include_row_lineage:
+                if self.table.metadata.format_version < 3:
+                    raise ValueError("_row_id requires a format-version 3 table")
+                # an empty lineage scan must still carry the lineage
+                # columns — changelog_scan joins/selects `_row_id` on
+                # both sides, and one side planning zero files is a
+                # legitimate state (e.g. every file deleted)
+                ddl += ", _row_id bigint, _last_updated_sequence_number bigint"
+            return spark.createDataFrame([], ddl)
 
         from .manifest import DataFileContent
 
@@ -414,25 +476,7 @@ class Scan:
             md = self.table.metadata
             if md.format_version < 3:
                 raise ValueError("_row_id requires a format-version 3 table")
-            missing = [t for t in tasks if t.file.first_row_id is None]
-            if missing:
-                raise ValueError(
-                    f"{len(missing)} data files lack first_row_id; commit once "
-                    "post-upgrade so the manifest list assigns row ids"
-                )
-            import re as _re
-
-            lineage = spark.createDataFrame(
-                [
-                    (
-                        _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
-                        t.file.first_row_id,
-                        t.data_sequence_number,
-                    )
-                    for t in tasks
-                ],
-                "_fp string, _first_row_id bigint, _src_seq bigint",
-            )
+            lineage = lineage_map_frame(spark, tasks)
         if has_pos or eq_files:
             df = self._read_with_deletes(
                 spark, tasks, schema, eq_files, keep_pos=lineage is not None
@@ -523,25 +567,7 @@ class Scan:
                         ),
                     )
         if lineage is not None:
-            # spec: a materialized lineage value (written by row-copying
-            # writers, e.g. compaction) wins over inheritance from the
-            # file's first_row_id / data sequence number
-            df = (
-                df.join(F.broadcast(lineage), "_fp")
-                .withColumn(
-                    "_row_id",
-                    F.coalesce(
-                        F.col("_row_id"), F.col("_first_row_id") + F.col("_pos")
-                    ).cast("long"),
-                )
-                .withColumn(
-                    "_last_updated_sequence_number",
-                    F.coalesce(
-                        F.col("_last_updated_sequence_number"), F.col("_src_seq")
-                    ).cast("long"),
-                )
-                .drop("_fp", "_pos", "_first_row_id", "_src_seq")
-            )
+            df = attach_lineage(df, lineage)
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
 
@@ -552,7 +578,9 @@ class Scan:
         if self.selected_fields != ("*",):
             cols = [F.col(f.name) for f in proj.fields]
             if lineage is not None:
-                cols.append(F.col("_row_id"))
+                # the lineage surface is the same whether or not fields
+                # were selected: both reserved columns survive projection
+                cols += [F.col("_row_id"), F.col("_last_updated_sequence_number")]
             df = df.select(*cols)
         if self.limit is not None:
             df = df.limit(self.limit)

@@ -325,6 +325,10 @@ def _encode_descriptor(df: DataFile) -> str:
             "referenced_data_file": df.referenced_data_file,
             "content_offset": df.content_offset,
             "content_size_in_bytes": df.content_size_in_bytes,
+            # v3 row lineage — the distributed planner inherits this on
+            # executors; dropping it here would make every auto-routed
+            # lineage/changelog read fail with "files lack first_row_id"
+            "first_row_id": df.first_row_id,
         }
     )
 
@@ -359,6 +363,7 @@ def _decode_descriptor(s: str) -> DataFile:
         referenced_data_file=d.get("referenced_data_file"),
         content_offset=d.get("content_offset"),
         content_size_in_bytes=d.get("content_size_in_bytes"),
+        first_row_id=d.get("first_row_id"),
     )
 
 
@@ -1563,49 +1568,15 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
         # any already-materialized lineage columns), derive each row's
         # lineage from the source file's first_row_id / data sequence
         # number, and write the two reserved columns alongside the data.
-        import re as _re
-
-        from pyspark.sql import functions as F
-
         from .manifest import LAST_UPDATED_SEQ_FIELD_ID, ROW_ID_FIELD_ID
+        from .table import attach_lineage, lineage_map_frame
         from .types import LongType, NestedField
 
-        no_id = [t for t in victims if t.file.first_row_id is None]
-        if no_id:
-            raise ValueError(
-                f"{len(no_id)} data files lack first_row_id; commit once "
-                "post-upgrade so the manifest list assigns row ids"
-            )
-        lineage_map = spark.createDataFrame(
-            [
-                (
-                    _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
-                    t.file.first_row_id,
-                    t.data_sequence_number,
-                )
-                for t in victims
-            ],
-            "_fp string, _first_row_id bigint, _src_seq bigint",
-        )
+        lineage_map = lineage_map_frame(spark, victims)
         df = scan._read_with_deletes(
             spark, victims, schema, eq_map or None, keep_pos=True
         )
-        df = (
-            df.join(F.broadcast(lineage_map), "_fp")
-            .withColumn(
-                "_row_id",
-                F.coalesce(
-                    F.col("_row_id"), F.col("_first_row_id") + F.col("_pos")
-                ).cast("long"),
-            )
-            .withColumn(
-                "_last_updated_sequence_number",
-                F.coalesce(
-                    F.col("_last_updated_sequence_number"), F.col("_src_seq")
-                ).cast("long"),
-            )
-            .drop("_fp", "_pos", "_first_row_id", "_src_seq")
-        )
+        df = attach_lineage(df, lineage_map)
         write_schema = Schema(
             schema.schema_id,
             schema.fields

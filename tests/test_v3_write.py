@@ -231,9 +231,13 @@ def test_v3_row_id_read(fs_catalog, spark, lineitem_df):
         k: v for k, v in by_key.items() if k[1] != 2
     }
 
-    # projection keeps the virtual column; v2 tables refuse
+    # projection keeps the full lineage surface; v2 tables refuse
     proj = t.scan().with_row_lineage().select("l_orderkey").to_df(spark)
-    assert set(proj.columns) == {"l_orderkey", "_row_id"}
+    assert set(proj.columns) == {
+        "l_orderkey",
+        "_row_id",
+        "_last_updated_sequence_number",
+    }
     t2 = fs_catalog.create_table("db.v2rid", LINEITEM_SCHEMA)
     t2.append(lineitem_df.limit(10).coalesce(1))
     with pytest.raises(ValueError, match="format-version 3"):
@@ -687,3 +691,62 @@ def test_v3_lineage_over_name_mapped_files(fs_catalog, spark, tmp_path):
     assert final == after
     [task] = t.scan().plan_files()
     assert {"_row_id"} <= set(pq.read_schema(task.file.file_path).names)
+
+
+def test_v3_lineage_survives_distributed_planning(fs_catalog, spark, lineitem_df):
+    """Review regression: the executor-side planner serializes DataFile
+    descriptors; first_row_id must survive the round trip or every
+    auto-routed lineage/changelog read fails on a valid table."""
+    from iceberg_go_distributed_spark.iceberg.write import (
+        _decode_descriptor,
+        _encode_descriptor,
+    )
+    from iceberg_go_distributed_spark.iceberg.manifest import DataFile
+
+    rt = _decode_descriptor(
+        _encode_descriptor(
+            DataFile(file_path="/f.parquet", record_count=1, file_size_in_bytes=1,
+                     first_row_id=42)
+        )
+    )
+    assert rt.first_row_id == 42
+
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3dist", rows=120, files=2)
+    t.append(lineitem_df.limit(200).where("l_orderkey % 2 = 1").coalesce(1))
+    local = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    # force the distributed planner for every snapshot size
+    tx = t.transaction()
+    tx.set_properties({"read.distributed-planning.min-manifests": "1"})
+    tx.commit()
+    t.refresh()
+    scan = t.scan()
+    assert len(scan.plan_files_auto(spark)) == len(scan.plan_files())
+    dist = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert dist == local
+
+
+def test_v3_changelog_after_full_delete(fs_catalog, spark, lineitem_df):
+    """Review regression: changelog over a range whose `to` side plans
+    ZERO files (every row deleted via whole-file drops) must return all
+    prior rows as deletes, not crash on a missing _row_id column."""
+    t = fs_catalog.create_table("db.v3wipe", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(50)
+    t.append(df.coalesce(1))
+    snap1 = t.current_snapshot().snapshot_id
+
+    # strict whole-file predicate: every row matches → file dropped
+    lo = df.agg({"l_orderkey": "min"}).first()[0]
+    t.delete_where(spark, E.greater_than_or_equal("l_orderkey", lo))
+    assert t.scan().plan_files() == []
+
+    changes = t.changelog_scan(spark, from_snapshot_id=snap1)
+    rows = changes.collect()
+    assert len(rows) == 50
+    assert {r._change_type for r in rows} == {"delete"}
