@@ -399,3 +399,37 @@ def ev_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT)
+                        AS wk
+               FROM events),
+    first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT f.cohort_wk AS cohort_wk,
+           e.wk - f.cohort_wk AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM e JOIN first_wk f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users grouped by first-seen week, distinct-active "
+    "counted at each week offset; weeks are integer epoch-week arithmetic "
+    "(engine-neutral, no calendar semantics), cohort table broadcast-able",
+)
+def ev_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_micros("ts") / F.lit(604_800_000_000))).alias("wk"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first_wk, "user_id")
+        .groupBy(
+            F.col("cohort_wk"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
