@@ -329,3 +329,39 @@ def test_changelog_poll_expired_cursor_fails_loudly(tmp_path, spark):
         df, _ = changelog_poll(t, spark, cur)
         if df is not None:
             df.collect()
+
+
+def test_stream_dedup_into_iceberg_table(tmp_path, spark, sf_dir):
+    """End-to-end streaming ingestion: a replayed event stream flows
+    through dedup_stream into an Iceberg table via the foreachBatch
+    append sink — the table ends up with exactly the distinct rows, one
+    snapshot per micro-batch, batch-id stamped for idempotent readers."""
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import append_stream, dedup_stream
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(300)
+    src_dir = str(tmp_path / "src")
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+    events.coalesce(1).write.mode("append").parquet(src_dir)  # replay
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.ingest", schema_from_spark(events.schema))
+
+    stream = dedup_stream(
+        spark.readStream.schema(events.schema).parquet(src_dir),
+        key_cols=("event_id",),
+    )
+    q = append_stream(t, stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    t.refresh()
+    got = t.scan().to_df(spark)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+    # every snapshot is an append stamped with its micro-batch id
+    snaps = list(t.metadata.snapshots)
+    assert snaps and all(
+        "spark.streaming.batch-id" in (s.summary.properties or {}) for s in snaps
+    )
