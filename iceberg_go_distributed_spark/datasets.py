@@ -63,3 +63,50 @@ def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES
     """Register each table as a temp view for spark.sql use."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+DOCUMENTS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def load_documents_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Ingest a `documents`-shaped corpus from parquet, JSONL, or CSV —
+    the formats raw training-data drops actually arrive in — normalized
+    to the canonical schema (doc_id bigint, text, lang, source,
+    n_chars). Format is inferred from the extension when not given.
+
+    Schema is DECLARED, never inferred: inference runs an extra full
+    scan of the data (a non-starter at corpus scale) and silently
+    drifts types between drops; a declared schema makes malformed rows
+    surface as nulls (Spark's PERMISSIVE mode) where a quality filter
+    catches them, and n_chars is recomputed when the source omits it.
+    Every reader is a plain distributed `spark.read` — partitioned by
+    input files, no driver-side parsing."""
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = {
+            ".parquet": "parquet",
+            ".jsonl": "jsonl",
+            ".json": "jsonl",
+            ".csv": "csv",
+        }.get(ext)
+        if fmt is None:
+            raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        df = spark.read.schema(DOCUMENTS_DDL).json(path)
+    elif fmt == "csv":
+        df = spark.read.schema(DOCUMENTS_DDL).option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported documents format: {fmt!r}")
+    for col, typ in (("lang", "string"), ("source", "string")):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+    df = df.withColumn(
+        "n_chars",
+        F.coalesce(
+            F.col("n_chars") if "n_chars" in df.columns else F.lit(None).cast("long"),
+            F.length("text").cast("long"),
+        ),
+    )
+    return df.select("doc_id", "text", "lang", "source", "n_chars")

@@ -196,3 +196,32 @@ def test_minhash_recall_margin_holds_for_testdata(ducks):
         f"near-threshold pair found (J={min(j for (j,) in rows):.3f}); "
         "raise NUM_PERMS in operators/dedup.py"
     )
+
+
+def test_load_documents_any_formats(tmp_path, spark, sf_dir):
+    """JSONL and CSV document drops normalize to the canonical schema
+    and feed the curation operators identically to parquet."""
+    from iceberg_go_distributed_spark.datasets import load_documents_any, load_table
+    from iceberg_go_distributed_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    jl = str(tmp_path / "docs.jsonl")
+    cv = str(tmp_path / "docs.csv")
+    docs.coalesce(1).write.json(jl)
+    docs.coalesce(1).write.option("header", "true").csv(cv)
+
+    want = sorted(
+        (r.doc_id, r.text, r.n_chars) for r in docs.collect()
+    )
+    for path, fmt in ((jl, "jsonl"), (cv, "csv")):
+        got = load_documents_any(spark, path, fmt=fmt)
+        assert got.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+        assert sorted((r.doc_id, r.text, r.n_chars) for r in got.collect()) == want
+        # operators run unchanged on the normalized frame
+        assert exact_dedup(got).count() > 0
+
+    # n_chars is recomputed when the drop omits it
+    partial = str(tmp_path / "partial.jsonl")
+    docs.select("doc_id", "text").coalesce(1).write.json(partial)
+    got = load_documents_any(spark, partial, fmt="jsonl")
+    assert all(r.n_chars == len(r.text) for r in got.collect())
