@@ -1,0 +1,39 @@
+"""CDC consumption loop — incrementally mirroring a v3 Iceberg table
+into a downstream store with the changelog poll primitive.
+
+The pattern a training pipeline's "watch the curated table" job runs:
+a durable cursor (plain snapshot id), one poll per schedule tick,
+row-level inserts/deletes applied to the mirror. Idle ticks cost one
+metadata refresh — no Spark job. Snapshot expiry on the source must
+retain the consumer horizon (expire_snapshots retain-last / max-age),
+the standard CDC-log contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.streaming import changelog_poll
+
+
+def apply_changes(mirror: DataFrame | None, changes: DataFrame) -> DataFrame:
+    """Apply one poll's changelog to a mirror frame: deletes drop by
+    _row_id, inserts append. _row_id is stable for a row's whole life,
+    so this is an anti-join + union — no row-value comparisons."""
+    inserts = changes.where(F.col("_change_type") == "insert").drop("_change_type")
+    deletes = changes.where(F.col("_change_type") == "delete").select("_row_id")
+    if mirror is None:
+        return inserts
+    return mirror.join(deletes, "_row_id", "left_anti").unionByName(inserts)
+
+
+def consume(table, spark: SparkSession, ticks, cursor=None, mirror=None):
+    """Run the poll loop for the given schedule `ticks` (any iterable —
+    a range for tests, a timer in production). Returns (mirror, cursor)
+    so the caller can persist both between runs."""
+    for _ in ticks:
+        changes, cursor = changelog_poll(table, spark, cursor)
+        if changes is not None:
+            mirror = apply_changes(mirror, changes)
+    return mirror, cursor
