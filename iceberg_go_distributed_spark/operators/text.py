@@ -265,3 +265,36 @@ def top_terms(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), "term", "tf", "df", "rank")
     )
+
+
+def corpus_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with document and occurrence
+    counts — the LM-data staple behind boilerplate detection and
+    contamination audits. Ranking is integer-exact (occurrences desc,
+    n-gram asc) so results reproduce bit-for-bit across engines.
+
+    Shape: one explode over per-doc n-gram lists (kept as strings here —
+    the output IS the n-gram), one hash aggregate keyed by n-gram with
+    map-side combine, then a global top-k via TakeOrdered (no single-
+    partition window; Spark's orderBy+limit plans as a distributed
+    TakeOrderedAndProject, driver receives k rows)."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array())
+    ex = docs.select(F.explode(grams).alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -77,8 +77,10 @@ _PRIORITY = [
     "ice_incremental_scan",
     "ice_partitions_table",
     # LLM-data-pipeline curation operators.
+    # llm_dedup_fingerprint (five rounds driver-green, the same
+    # hash-groupBy shape as llm_dedup_exact) yields its slot to the new
+    # corpus-ngram audit so it gets a driver row.
     "llm_dedup_exact",
-    "llm_dedup_fingerprint",
     "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_ngram_topk",
@@ -98,6 +100,7 @@ _PRIORITY = [
     "llm_dedup_clusters",
     "llm_repetition_stats",
     "llm_top_terms",
+    "llm_corpus_ngrams",
     # Event analytics core (sliding rollup shares machinery with hourly;
     # ev_top_users_by_purchase — five rounds driver-green, a plain
     # agg+topk subsumed by q18's shape — yields its slot to the new

@@ -557,3 +557,24 @@ def llm_repetition_stats(spark, sf_dir):
 )
 def llm_top_terms(spark, sf_dir):
     return T.top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "llm_corpus_ngrams",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT unnest([array_to_string(ws[i:i+2], ' ')
+                     for i in range(1, len(ws) - 2 + 1)]) AS ngram
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT ngram, COUNT(*) AS occurrences
+    FROM g GROUP BY ngram
+    ORDER BY occurrences DESC, ngram ASC
+    LIMIT 50
+    """,
+    doc="corpus-wide top-50 trigrams (boilerplate/contamination audit); "
+    "integer-exact ranking, distributed TakeOrdered — driver sees k rows",
+)
+def llm_corpus_ngrams(spark, sf_dir):
+    return T.corpus_ngrams(load_table(spark, sf_dir, "documents"), n=3, k=50)

@@ -89,12 +89,16 @@ def test_registry_priority_window():
     signal is a driver row."""
     names = list(REGISTRY)
     window = set(names[:50])
-    # llm_ann_ivf is deliberately outside: llm_ann_ivf_trained covers the
-    # same cell-scan read path with trained centroids on top.
+    # Deliberately outside (each subsumed by an in-window entry with the
+    # same execution shape, and five-rounds driver-green before moving):
+    #   llm_ann_ivf          — llm_ann_ivf_trained covers the cell-scan
+    #                          read path with trained centroids on top
+    #   llm_dedup_fingerprint — same hash-groupBy shape as llm_dedup_exact
+    exempt = {"llm_ann_ivf", "llm_dedup_fingerprint"}
     inside = [
         n
         for n in names
-        if n.startswith(("ice_", "llm_")) and n != "llm_ann_ivf"
+        if n.startswith(("ice_", "llm_")) and n not in exempt
     ]
     missing = [n for n in inside if n not in window]
     assert not missing, f"priority window lost: {missing}"
