@@ -38,24 +38,32 @@ def run_pipeline(
     from iceberg_go_distributed_spark.operators import text as T
 
     counts = {"input": docs.count()}
+    retained = []  # persisted stage outputs, released on return
+
+    def _stage(frame, label):
+        # each stage's count AND the next stage's input read the SAME
+        # materialization: without the persist, every downstream action
+        # would re-execute the whole upstream chain (the MinHash stage
+        # alone would otherwise run ~4 extra times by the final append)
+        frame = frame.persist()
+        retained.append(frame)
+        counts[label] = frame.count()
+        return frame
 
     # 1. quality gate — map-only, JVM-side
     quality = T.quality_features(docs)
     kept_ids = quality.where(F.col("keep")).select("doc_id")
-    docs = docs.join(kept_ids, "doc_id")
-    counts["after_quality"] = docs.count()
+    docs = _stage(docs.join(kept_ids, "doc_id"), "after_quality")
 
     # 2. exact dedup — keep the min-id doc of every normalized-text group
     keep = D.exact_dedup(docs).select(F.col("kept_doc_id").alias("doc_id"))
-    docs = docs.join(keep, "doc_id")
-    counts["after_exact_dedup"] = docs.count()
+    docs = _stage(docs.join(keep, "doc_id"), "after_exact_dedup")
 
     # 3. near-dup prune — keep the cluster representative (min id per
     #    connected component of the verified MinHash pair graph)
     clusters = D.near_dup_clusters(docs, threshold=near_dup_threshold)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    docs = docs.join(drop, "doc_id", "left_anti")
-    counts["after_near_dedup"] = docs.count()
+    docs = _stage(docs.join(drop, "doc_id", "left_anti"), "after_near_dedup")
 
     # 4. decontamination — drop docs sharing shingles with the benchmark
     #    (docs with id < benchmark_max_id stand in for the eval set)
@@ -63,8 +71,11 @@ def run_pipeline(
         contaminated = D.decontaminate(
             docs, benchmark_max_id=benchmark_max_id
         ).select("doc_id")
-        docs = docs.join(contaminated, "doc_id", "left_anti")
-    counts["after_decontamination"] = docs.count()
+        docs = _stage(
+            docs.join(contaminated, "doc_id", "left_anti"), "after_decontamination"
+        )
+    else:
+        counts["after_decontamination"] = counts["after_near_dedup"]
 
     # 5. sequence packing — where each doc lands in the token stream
     packed = T.pack_sequences(docs, seq_len=seq_len)
@@ -82,4 +93,6 @@ def run_pipeline(
         t = cat.create_table("db.curated", schema_from_spark(docs.schema))
         t.append(docs)
         counts["committed_rows"] = t.scan().count(spark)
+    for frame in retained:
+        frame.unpersist()
     return counts

@@ -92,7 +92,12 @@ def load_documents_any(spark: SparkSession, path: str, fmt: str | None = None) -
         if fmt is None:
             raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
     if fmt == "parquet":
+        # cast through the canonical types too: a drop written with
+        # int32 ids must not leak a narrower schema downstream
         df = spark.read.parquet(path)
+        for col, typ in (("doc_id", "bigint"), ("text", "string"), ("n_chars", "bigint")):
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
     elif fmt == "jsonl":
         df = spark.read.schema(DOCUMENTS_DDL).json(path)
     elif fmt == "csv":

@@ -247,7 +247,16 @@ class FileSystemCatalog(Catalog):
             raise TableAlreadyExistsError(str(identifier))
         with fileio.open_input(metadata_location) as f:
             payload = f.read()
-        md = TableMetadata.from_json(json.loads(payload.decode("utf-8")))
+        # validate before adopting; gzip-compressed metadata (magic
+        # 1f 8b) is valid everywhere else (parse_metadata_file), so
+        # decompress for validation while still copying bytes verbatim
+        # (readers re-detect gzip from the copied file)
+        text = payload
+        if text[:2] == b"\x1f\x8b":
+            import gzip
+
+            text = gzip.decompress(text)
+        md = TableMetadata.from_json(json.loads(text.decode("utf-8")))
         path = self._version_path(identifier, 1)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -454,9 +463,15 @@ class FileSystemCatalog(Catalog):
                 # boundary) — then v{N} IS the committed current version
                 # and must never be unlinked, so re-check the hint too.
                 with self._hint_flock(identifier):
+                    cur_now = self._current_version(identifier)
+                    # unlink ONLY while the table is still below our
+                    # version: at == our rename landed (v{N} is current),
+                    # and at > a successor already built on v{N} (its
+                    # metadata-log references it) — both committed states
                     if (
                         self._lock_token(lock) == token
-                        and self._current_version(identifier) != new_version
+                        and cur_now is not None
+                        and cur_now < new_version
                     ):
                         with contextlib.suppress(OSError):
                             os.unlink(new_path)

@@ -283,15 +283,19 @@ def corpus_ngrams(
     map-side combine, then a global top-k via TakeOrdered (no single-
     partition window; Spark's orderBy+limit plans as a distributed
     TakeOrderedAndProject, driver receives k rows)."""
-    w = F.split(F.col(text_col), " ")
+    # tokenize ONCE into _w, then generate over it (the shingle_sets
+    # shape) — inlining split() into the generator would re-evaluate it
+    # per reference inside the Generate node
     grams = F.when(
-        F.size(w) >= n,
+        F.size(F.col("_w")) >= n,
         F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+            f"transform(sequence(0, size(_w) - {n}), "
+            f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
         ),
     ).otherwise(F.array())
-    ex = docs.select(F.explode(grams).alias("ngram"))
+    ex = docs.select(F.split(F.col(text_col), " ").alias("_w")).select(
+        F.explode(grams).alias("ngram")
+    )
     return (
         ex.groupBy("ngram")
         .agg(F.count("*").cast("long").alias("occurrences"))

@@ -105,14 +105,17 @@ _PRIORITY = [
     # ev_top_users_by_purchase — five rounds driver-green, a plain
     # agg+topk subsumed by q18's shape — yields its slot to the new
     # funnel so every never-driver-verified operator has a driver row).
+    # (ev_latest_per_user — five rounds green, a plain max-window shape
+    # covered by ev_sessionization's window machinery — yields its slot
+    # to the new retention operator.)
     "ev_hourly_rollup",
     "ev_sessionization",
-    "ev_latest_per_user",
     "ev_skew_salted_agg",
     "ev_stream_sessionize",
     "ev_asof_attribution",
     "ev_range_count",
     "ev_funnel",
+    "ev_retention_cohorts",
     # TPC-H representative slice: agg-heavy (q1), multi-join (q9),
     # semi-join on agg (q18). q3/q5/q13 moved to the locally-verified
     # tail after five consecutive driver-green rounds, alongside

@@ -3,9 +3,10 @@ through appends, deletes, and idle ticks."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/examples")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
 def test_cdc_mirror_converges(tmp_path, spark):

@@ -5,9 +5,10 @@ near-dup stage must keep exactly one representative per cluster."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/examples")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
 def test_pipeline_end_to_end(tmp_path, spark, sf_dir):

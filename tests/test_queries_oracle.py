@@ -103,7 +103,12 @@ def test_registry_priority_window():
     missing = [n for n in inside if n not in window]
     assert not missing, f"priority window lost: {missing}"
     # never-driver-verified round-6 operators must be in the window
-    for n in ("ev_asof_attribution", "ev_range_count", "ev_funnel"):
+    for n in (
+        "ev_asof_attribution",
+        "ev_range_count",
+        "ev_funnel",
+        "ev_retention_cohorts",
+    ):
         assert n in window, f"{n} outside the driver window"
     # Tail entries must still be registered (local oracle coverage).
     assert len(names) == len(set(names))

@@ -73,3 +73,21 @@ def test_register_into_sql_catalog(tmp_path, spark, source_table):
     assert reg.metadata_location == source_table.metadata_location
     with pytest.raises(TableAlreadyExistsError):
         dst.register_table("db.adopted", source_table.metadata_location)
+
+
+def test_register_gzip_metadata(tmp_path, spark, source_table):
+    """parse_metadata_file accepts gzip-compressed metadata, so
+    registration must too (validated decompressed, copied verbatim)."""
+    import gzip
+
+    gz = str(tmp_path / "meta.json.gz")
+    with open(source_table.metadata_location, "rb") as f:
+        raw = f.read()
+    with open(gz, "wb") as f:
+        f.write(gzip.compress(raw))
+    dst = FileSystemCatalog(str(tmp_path / "gz_wh"))
+    reg = dst.register_table("db.gz", gz)
+    assert _rows(reg, spark) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # reload through the catalog: the copied bytes are still gzip and
+    # parse_metadata_file re-detects the magic
+    assert _rows(dst.load_table("db.gz"), spark) == _rows(reg, spark)
