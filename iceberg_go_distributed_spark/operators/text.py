@@ -302,3 +302,112 @@ def corpus_ngrams(
         .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+# PII detection patterns. Deliberately restricted to character classes
+# and bounded quantifiers so the same pattern text means the same thing
+# under Java regex (Spark rlike) and RE2 (DuckDB regexp_matches):
+# no \d / \b shorthands, no backslash escapes ([.] instead of \.).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source PII exposure audit: how many documents contain
+    email- / phone- / IPv4-shaped substrings, and the overall hit rate.
+
+    This is the triage pass a redaction pipeline runs first — rlike is a
+    JVM-side codegen'd scan, so the whole operator is a per-row map plus
+    one |sources|-row aggregate; at 100 TB it is scan-bound.  (Actual
+    redaction is ``regexp_replace`` with the same patterns — per-row
+    map, same cost shape.)
+
+    Output: ``source, docs, with_email, with_phone, with_ipv4,
+    pii_rate`` (fraction of docs with any hit; integer-derived division,
+    engine-exact).
+    """
+    t = F.col(text_col)
+    email = t.rlike(PII_EMAIL_RE).cast("int")
+    phone = t.rlike(PII_PHONE_RE).cast("int")
+    ipv4 = t.rlike(PII_IPV4_RE).cast("int")
+    return (
+        docs.select(
+            F.col(group_col),
+            email.alias("_e"),
+            phone.alias("_p"),
+            ipv4.alias("_i"),
+            F.greatest(email, phone, ipv4).alias("_any"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("_e").cast("long").alias("with_email"),
+            F.sum("_p").cast("long").alias("with_phone"),
+            F.sum("_i").cast("long").alias("with_ipv4"),
+            (F.sum("_any").cast("double") / F.count("*").cast("double")).alias(
+                "pii_rate"
+            ),
+        )
+    )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    vocab_k: int = 50,
+    k: int = 20,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k co-occurring term pairs among the corpus's top-``vocab_k``
+    vocabulary — the co-occurrence-matrix shape behind topic audits and
+    embedding pretraining stats.
+
+    The naive formulation (self-join the full token table on doc_id) is
+    quadratic in document length and unbounded in vocabulary; this one
+    bounds the blow-up twice before any pair is formed:
+
+    1. tokens are distinct-ed per doc (presence, not frequency) and
+       length-filtered (``min_len`` drops closed-class noise);
+    2. only the top-``vocab_k`` terms by document frequency survive —
+       the vocabulary is a driver-free TakeOrdered of |vocab| rows and
+       is broadcast back, so the corpus-side token table never shuffles
+       for the filter.
+
+    The remaining self-join is on doc_id with both sides co-partitioned
+    (one shuffle each), each doc contributing at most C(vocab_k, 2)
+    pairs; the pair aggregate is map-side combined.  Ranking is
+    integer-exact (n desc, t1 asc, t2 asc).
+
+    Output: ``t1, t2, n`` (t1 < t2 lexicographically).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tok = (
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+        .where(F.length("term") >= min_len)
+        .distinct()
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(vocab_k)
+        .select("term")
+    )
+    tv = tok.join(broadcast(vocab), "term").select(id_col, "term")
+    a = tv.select(F.col(id_col).alias("_d"), F.col("term").alias("t1"))
+    b = tv.select(F.col(id_col).alias("_d"), F.col("term").alias("t2"))
+    return (
+        a.join(b, "_d")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )

@@ -433,3 +433,50 @@ def ev_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "ev_value_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, value, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ), q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT event_type, q, value AS quantile_value
+    FROM r CROSS JOIN q
+    WHERE cum >= CEIL(q * n) AND cum - c < CEIL(q * n)
+    """,
+    doc="exact per-type p50/p90/p99 (type-1 order statistic) via "
+    "distinct-value compression — no per-group full sort, no approx",
+)
+def ev_value_quantiles(spark, sf_dir):
+    from ..operators.stats import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(ev, "value", ["event_type"], qs=(0.5, 0.9, 0.99))
+
+
+@query(
+    "ev_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="fixed-width value histogram per event type; one map-side-"
+    "combined aggregate, |types|x|bins| output rows",
+)
+def ev_value_histogram(spark, sf_dir):
+    from ..operators.stats import value_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", ["event_type"], bin_width=25.0)

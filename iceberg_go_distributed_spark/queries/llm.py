@@ -578,3 +578,61 @@ def llm_top_terms(spark, sf_dir):
 )
 def llm_corpus_ngrams(spark, sf_dir):
     return T.corpus_ngrams(load_table(spark, sf_dir, "documents"), n=3, k=50)
+
+
+@query(
+    "llm_pii_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS with_email,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS with_phone,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS with_ipv4,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')
+              OR regexp_matches(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')
+              OR regexp_matches(text,
+                '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pii_rate
+    FROM documents
+    GROUP BY source
+    """,
+    doc="per-source PII exposure audit (email/phone/IPv4 shapes); "
+    "engine-portable regex subset, map-only scan + |sources|-row agg",
+)
+def llm_pii_scan(spark, sf_dir):
+    return T.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_term_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE len(t) >= 4
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS df FROM tok GROUP BY 1)
+      ORDER BY df DESC, term ASC LIMIT 50
+    ), tv AS (
+      SELECT doc_id, term FROM tok JOIN vocab USING (term)
+    )
+    SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    ORDER BY n DESC, t1 ASC, t2 ASC
+    LIMIT 20
+    """,
+    doc="top-20 co-occurring pairs among the top-50 vocabulary; "
+    "presence-distinct + broadcast vocab filter bound the pair blow-up",
+)
+def llm_term_cooccurrence(spark, sf_dir):
+    return T.term_cooccurrence(load_table(spark, sf_dir, "documents"))
