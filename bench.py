@@ -82,7 +82,13 @@ def main() -> None:
     timings = {name: round(min(a), 4) for name, a in raw.items()}
 
     total = round(sum(timings.values()), 4)
-    spread = round(sum(max(a) - min(a) for a in raw.values()), 4)
+    # Contention diagnostic over attempts 2+ only: a query's FIRST
+    # attempt pays its plan-specific whole-stage-codegen compile (the
+    # session warm-up above covers JVM/footers/worker-pool, not each
+    # plan's janino pass), so run 1 is structurally slower on any
+    # machine and would mislabel warm-up as contention. The full
+    # raw_runs still expose it.
+    spread = round(sum(max(a[1:]) - min(a[1:]) for a in raw.values()), 4)
     print(
         json.dumps(
             {
@@ -91,8 +97,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "raw_runs": raw,
-                # sum over queries of |run1 - run2|: high spread relative
-                # to the total flags a contended machine
+                # sum over queries of (max - min) across attempts 2+:
+                # high spread relative to the total flags a contended
+                # machine (attempt 1 is excluded — it pays per-plan
+                # codegen, which is warm-up, not contention)
                 "spread_sec": spread,
                 "sf": sf,
             }
