@@ -59,6 +59,31 @@ from .types import (
 TARGET_FILE_SIZE_BYTES = 512 * 1024 * 1024  # write.target-file-size-bytes default
 METRICS_TRUNCATE = 16  # write.metadata.metrics.default = truncate(16)
 
+# write.parquet.compression-codec / -level — ref table/internal/
+# parquet_files.go:57-60 (default zstd, level -1 = codec default).
+PARQUET_COMPRESSION_KEY = "write.parquet.compression-codec"
+PARQUET_COMPRESSION_DEFAULT = "zstd"
+PARQUET_COMPRESSION_LEVEL_KEY = "write.parquet.compression-level"
+_CODECS = {"zstd", "snappy", "gzip", "lz4", "brotli", "uncompressed"}
+
+
+def parquet_compression(properties: dict) -> tuple:
+    """Resolve (codec, level|None) from table properties, validating the
+    codec name up front so a typo fails the commit driver-side, not as
+    an opaque executor-task error."""
+    codec = properties.get(PARQUET_COMPRESSION_KEY, PARQUET_COMPRESSION_DEFAULT).lower()
+    if codec not in _CODECS:
+        raise ValueError(
+            f"unsupported {PARQUET_COMPRESSION_KEY} {codec!r}; one of {sorted(_CODECS)}"
+        )
+    if codec == "uncompressed":
+        codec = "none"
+    level = properties.get(PARQUET_COMPRESSION_LEVEL_KEY)
+    level = int(level) if level is not None else None
+    if level is not None and level < 0:  # -1 = use the codec's default
+        level = None
+    return codec, level
+
 
 @dataclass(frozen=True)
 class DistributedSnapshot:
@@ -375,6 +400,7 @@ def write_data_files(
     commit_uuid: str,
     sort_order=None,
     target_file_size: int = TARGET_FILE_SIZE_BYTES,
+    properties: Optional[dict] = None,
 ):
     """Executor-side Parquet writing via mapInPandas; returns the list of
     DataFile descriptors (driver-side, O(files)).
@@ -424,6 +450,7 @@ def write_data_files(
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
+    codec, codec_level = parquet_compression(properties or {})
     float_fields = [
         (f.name, f.field_id)
         for f in schema.fields
@@ -486,7 +513,9 @@ def write_data_files(
                 fname = f"00000-{task_id}-{counter[0]}-{commit_uuid}.parquet"
                 counter[0] += 1
                 path = os.path.join(d, fname)
-                writers[key] = fileio.parquet_writer(path, aschema, compression="zstd")
+                writers[key] = fileio.parquet_writer(
+                    path, aschema, compression=codec, compression_level=codec_level
+                )
                 paths[key] = path
                 parts[key] = dict(part_values)
                 nan_counts[key] = {}
@@ -692,6 +721,7 @@ def append_distributed(
         ds.commit_uuid,
         sort_order=order,
         target_file_size=target,
+        properties=md.properties,
     )
     commit_data_files(
         table,
@@ -914,6 +944,7 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
+    codec, codec_level = parquet_compression(md.properties)
 
     def task(batches):
         import pyarrow as pa
@@ -940,7 +971,9 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
         path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.parquet")
         apa = _arrow_schema(del_schema)
         pq_tbl = pa.Table.from_pandas(out, schema=apa, preserve_index=False)
-        with fileio.parquet_writer(path, apa, compression="zstd") as w:
+        with fileio.parquet_writer(
+            path, apa, compression=codec, compression_level=codec_level
+        ) as w:
             w.write_table(pq_tbl)
         stats = _stats_from_parquet(path, del_schema)
         dfile = DataFile(
@@ -1258,7 +1291,8 @@ def overwrite_where(table, df, expr) -> None:
         to_write = df.select(survivors.columns).unionByName(survivors)
 
     data_files = write_data_files(
-        to_write, schema, md.default_spec(), md.location, ds.commit_uuid
+        to_write, schema, md.default_spec(), md.location, ds.commit_uuid,
+        properties=md.properties,
     )
     entries = [
         ManifestEntry(
@@ -1392,6 +1426,7 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
         del_spec,
         md.location,
         f"{ds.commit_uuid}-eqdel",
+        properties=md.properties,
     )
     for f in files:
         f.content = DataFileContent.EQUALITY_DELETES
@@ -1456,7 +1491,8 @@ def upsert(table, df, key_columns: list[str]) -> None:
 
     # workers: new data files + equality-delete key files in one pass each
     data_files = write_data_files(
-        df, schema, md.default_spec(), md.location, ds.commit_uuid
+        df, schema, md.default_spec(), md.location, ds.commit_uuid,
+        properties=md.properties,
     )
     key_files = write_data_files(
         df.select(*key_columns).dropDuplicates(),
@@ -1464,6 +1500,7 @@ def upsert(table, df, key_columns: list[str]) -> None:
         del_spec,
         md.location,
         f"{ds.commit_uuid}-upsert-keys",
+        properties=md.properties,
     )
     for f in key_files:
         f.content = DataFileContent.EQUALITY_DELETES
@@ -1596,6 +1633,7 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
     data_files = write_data_files(
         df, write_schema, md.default_spec(), md.location, ds.commit_uuid,
         target_file_size=target,
+        properties=md.properties,
     )
     if v3:
         # manifest column stats for the reserved lineage columns are

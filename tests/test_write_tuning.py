@@ -139,3 +139,76 @@ def test_partition_summaries_in_snapshot(tmp_path, spark, lineitem_df):
     props2 = t2.current_snapshot().summary.properties
     assert not [k for k in props2 if k.startswith("partitions.")]
     assert "changed-partition-count" in props2
+
+
+class TestCompressionCodec:
+    """write.parquet.compression-codec / -level table properties
+    (ref table/internal/parquet_files.go:57-60, default zstd)."""
+
+    @staticmethod
+    def _file_codec(t):
+        import pyarrow.parquet as pq
+
+        from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+        snap = t.current_snapshot()
+        f = next(
+            e.data_file for m in snap.manifests() for e in read_manifest(m.manifest_path)
+        )
+        md = pq.ParquetFile(f.file_path.replace("file://", "")).metadata
+        return md.row_group(0).column(0).compression
+
+    def test_default_is_zstd(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("db.li_zstd", LINEITEM_SCHEMA)
+        t.append(lineitem_df.limit(100).coalesce(1))
+        assert self._file_codec(t) == "ZSTD"
+
+    def test_property_selects_codec(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("db.li_snappy", LINEITEM_SCHEMA)
+        tx = t.transaction()
+        tx.set_properties({"write.parquet.compression-codec": "snappy"})
+        tx.commit()
+        t.append(lineitem_df.limit(100).coalesce(1))
+        assert self._file_codec(t) == "SNAPPY"
+        assert t.scan().to_df(spark).count() == 100
+
+    def test_uncompressed(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("db.li_none", LINEITEM_SCHEMA)
+        tx = t.transaction()
+        tx.set_properties({"write.parquet.compression-codec": "uncompressed"})
+        tx.commit()
+        t.append(lineitem_df.limit(100).coalesce(1))
+        assert self._file_codec(t) == "UNCOMPRESSED"
+
+    def test_invalid_codec_fails_driver_side(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("db.li_bad", LINEITEM_SCHEMA)
+        tx = t.transaction()
+        tx.set_properties({"write.parquet.compression-codec": "lzma"})
+        tx.commit()
+        with pytest.raises(ValueError, match="unsupported"):
+            t.append(lineitem_df.limit(100).coalesce(1))
+
+    def test_level_applies(self, tmp_path, spark, lineitem_df):
+        # zstd level 19 must produce a file no larger than level 1
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        sizes = {}
+        for name, level in (("lo", "1"), ("hi", "19")):
+            t = cat.create_table(f"db.li_{name}", LINEITEM_SCHEMA)
+            tx = t.transaction()
+            tx.set_properties({"write.parquet.compression-level": level})
+            tx.commit()
+            t.append(lineitem_df.limit(2000).coalesce(1))
+            from iceberg_go_distributed_spark.iceberg.manifest import read_manifest
+
+            snap = t.current_snapshot()
+            f = next(
+                e.data_file
+                for m in snap.manifests()
+                for e in read_manifest(m.manifest_path)
+            )
+            sizes[name] = f.file_size_in_bytes
+        assert sizes["hi"] <= sizes["lo"]
