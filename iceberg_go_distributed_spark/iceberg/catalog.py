@@ -142,11 +142,37 @@ class Catalog:
         )
 
 
+# write.metadata.compression-codec — ref table/properties.go:76-77,120
+# (default none, gzip supported; anything else refused with the
+# reference's error text, locations.go:74).
+METADATA_COMPRESSION_KEY = "write.metadata.compression-codec"
+
+
+def _metadata_codec(metadata: TableMetadata) -> str:
+    codec = metadata.properties.get(METADATA_COMPRESSION_KEY, "none").lower()
+    if codec not in ("none", "gzip"):
+        raise ValueError(f"unsupported write metadata compression codec: {codec}")
+    return codec
+
+
+def metadata_file_ext(metadata: TableMetadata) -> str:
+    """.gz.metadata.json when the table asks for gzip — ref
+    locations.go:66-75 (the extension signals the codec to readers that
+    dispatch on the name; ours also sniff the gzip magic)."""
+    return ".gz.metadata.json" if _metadata_codec(metadata) == "gzip" else ".metadata.json"
+
+
 def _metadata_payload(metadata: TableMetadata) -> bytes:
     """Single source of truth for the on-disk metadata.json encoding —
     shared by initial writes and FS-catalog commits so the two can't
-    drift."""
-    return json.dumps(metadata.to_json(), indent=2).encode()
+    drift. Honors write.metadata.compression-codec (mtime=0 keeps the
+    gzip bytes deterministic for a given metadata)."""
+    raw = json.dumps(metadata.to_json(), indent=2).encode()
+    if _metadata_codec(metadata) == "gzip":
+        import gzip
+
+        return gzip.compress(raw, mtime=0)
+    return raw
 
 
 def _write_metadata_file(metadata: TableMetadata, path: str) -> None:
@@ -191,6 +217,17 @@ class FileSystemCatalog(Catalog):
     def _version_path(self, identifier, version: int) -> str:
         return os.path.join(self._meta_dir(identifier), f"v{version}.metadata.json")
 
+    @staticmethod
+    def _reject_gzip(metadata: TableMetadata) -> None:
+        """The version-hint layout resolves v{N} paths by exact name, so
+        a codec-dependent extension would break the hint/lock machinery;
+        gzip metadata lives behind the SQL/REST catalogs instead."""
+        if _metadata_codec(metadata) == "gzip":
+            raise ValueError(
+                "FileSystemCatalog does not support "
+                f"{METADATA_COMPRESSION_KEY}=gzip; use the SQL or REST catalog"
+            )
+
     def _current_version(self, identifier) -> Optional[int]:
         try:
             with open(self._hint_path(identifier)) as f:
@@ -205,6 +242,7 @@ class FileSystemCatalog(Catalog):
             raise TableAlreadyExistsError(str(identifier))
         location = location or self._table_dir(identifier)
         md = self._new_metadata(schema, spec, location, properties)
+        self._reject_gzip(md)
         path = self._version_path(identifier, 1)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # exclusive create: a racing creator loses HERE instead of
@@ -356,6 +394,7 @@ class FileSystemCatalog(Catalog):
             os.rename(tmp, hint)
 
     def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
+        self._reject_gzip(new_metadata)
         current = self._current_version(identifier)
         if current is None:
             raise NoSuchTableError(str(identifier))
@@ -574,11 +613,12 @@ class SqlCatalog(Catalog):
         ns, tbl = _identifier(identifier)
         return os.path.join(self.warehouse, ns, tbl)
 
-    def _metadata_path(self, identifier, version: int) -> str:
+    def _metadata_path(self, identifier, version: int, metadata=None) -> str:
+        ext = metadata_file_ext(metadata) if metadata is not None else ".metadata.json"
         return os.path.join(
             self._table_dir(identifier),
             "metadata",
-            f"{version:05d}-{_uuid.uuid4()}.metadata.json",
+            f"{version:05d}-{_uuid.uuid4()}{ext}",
         )
 
     def create_table(self, identifier, schema, spec=None, properties=None, location=None):
@@ -590,7 +630,7 @@ class SqlCatalog(Catalog):
             raise NoSuchNamespaceError(ns)
         location = location or self._table_dir(identifier)
         md = self._new_metadata(schema, spec, location, properties)
-        path = self._metadata_path(identifier, 1)
+        path = self._metadata_path(identifier, 1, md)
         _write_metadata_file(md, path)
         with closing(self._conn()) as con, con:
             try:
@@ -676,7 +716,7 @@ class SqlCatalog(Catalog):
         """Transactional compare-and-swap — ref catalog/sql/sql.go:328-397."""
         ns, tbl = _identifier(identifier)
         version = len(new_metadata.metadata_log) + 1
-        new_path = self._metadata_path(identifier, version)
+        new_path = self._metadata_path(identifier, version, new_metadata)
         _write_metadata_file(new_metadata, new_path)
         with closing(self._conn()) as con, con:
             con.execute("BEGIN IMMEDIATE")

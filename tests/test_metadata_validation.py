@@ -273,3 +273,86 @@ def test_ns_type_gated_out_of_v2_schema():
     bad = Schema.of(9, NestedField(10, "ts", TimestampNsType(), required=False))
     with pytest.raises(CommitStateError, match="requires format"):
         MetadataBuilder(md).add_schema(bad)
+
+
+class TestMetadataCompression:
+    """write.metadata.compression-codec (ref properties.go:76-77,
+    locations.go:66-75): gzip payload + .gz.metadata.json naming on the
+    SQL catalog; explicit refusal on the version-hint FS layout."""
+
+    SCHEMA = None  # set lazily to avoid import-order noise
+
+    @staticmethod
+    def _schema():
+        from iceberg_go_distributed_spark.iceberg.types import (
+            LongType,
+            NestedField,
+            Schema,
+        )
+
+        return Schema.of(0, NestedField(1, "id", LongType(), required=True))
+
+    def test_sql_catalog_gzip_roundtrip(self, tmp_path):
+        import gzip as _gz
+
+        from iceberg_go_distributed_spark.iceberg.catalog import SqlCatalog
+
+        cat = SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"))
+        cat.create_namespace("db")
+        t = cat.create_table(
+            "db.gz",
+            self._schema(),
+            properties={"write.metadata.compression-codec": "gzip"},
+        )
+        assert t.metadata_location.endswith(".gz.metadata.json")
+        with open(t.metadata_location, "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"  # gzip magic on disk
+        # a commit keeps the codec and stays loadable
+        tx = t.transaction()
+        tx.set_properties({"k": "v"})
+        tx.commit()
+        t2 = cat.load_table("db.gz")
+        assert t2.metadata_location.endswith(".gz.metadata.json")
+        assert t2.metadata.properties["k"] == "v"
+        # flipping the codec off produces a plain file again
+        tx = t2.transaction()
+        tx.set_properties({"write.metadata.compression-codec": "none"})
+        tx.commit()
+        t3 = cat.load_table("db.gz")
+        assert t3.metadata_location.endswith(".metadata.json")
+        assert not t3.metadata_location.endswith(".gz.metadata.json")
+        with open(t3.metadata_location, "rb") as f:
+            assert f.read(1) == b"{"
+
+    def test_invalid_codec_refused(self, tmp_path):
+        import pytest
+
+        from iceberg_go_distributed_spark.iceberg.catalog import SqlCatalog
+
+        cat = SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"))
+        cat.create_namespace("db")
+        with pytest.raises(ValueError, match="unsupported write metadata compression"):
+            cat.create_table(
+                "db.bad",
+                self._schema(),
+                properties={"write.metadata.compression-codec": "zstd"},
+            )
+
+    def test_fs_catalog_refuses_gzip(self, tmp_path):
+        import pytest
+
+        from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match="does not support"):
+            cat.create_table(
+                "db.gz",
+                self._schema(),
+                properties={"write.metadata.compression-codec": "gzip"},
+            )
+        # ...and at commit time too (property set after creation)
+        t = cat.create_table("db.plain", self._schema())
+        tx = t.transaction()
+        tx.set_properties({"write.metadata.compression-codec": "gzip"})
+        with pytest.raises(ValueError, match="does not support"):
+            tx.commit()
