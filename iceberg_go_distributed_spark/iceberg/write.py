@@ -188,26 +188,68 @@ def _increment_string(s: str):
     return None
 
 
-def _truncate_bounds(t: IcebergType, lo, hi):
-    """truncate(16) metrics mode — ref parquet_files.go:103 +
+def _truncate_bounds(t: IcebergType, lo, hi, length: int = METRICS_TRUNCATE):
+    """truncate(N) metrics mode — ref parquet_files.go:103 +
     properties.go:37-38. Lower truncates down; upper truncates then
     increments so it stays an upper bound (None = bound dropped)."""
     if isinstance(t, StringType) and isinstance(lo, str):
-        if len(lo) > METRICS_TRUNCATE:
-            lo = lo[:METRICS_TRUNCATE]
-        if len(hi) > METRICS_TRUNCATE:
-            hi = _increment_string(hi[:METRICS_TRUNCATE])
+        if len(lo) > length:
+            lo = lo[:length]
+        if len(hi) > length:
+            hi = _increment_string(hi[:length])
     return lo, hi
 
 
-def _stats_from_parquet(path: str, schema: Schema) -> dict:
+# write.metadata.metrics.default / write.metadata.metrics.column.<name>
+# — ref properties.go:36-38 + the MetricsModes grammar: none (no value
+# metrics), counts (value/null/nan counts only), truncate(N), full.
+METRICS_DEFAULT_KEY = "write.metadata.metrics.default"
+METRICS_COLUMN_PREFIX = "write.metadata.metrics.column."
+
+
+def _parse_metrics_mode(raw: str) -> tuple:
+    """(kind, truncate_length|None); raises on an invalid spec so a
+    property typo fails the commit driver-side."""
+    s = raw.strip().lower()
+    if s in ("none", "counts", "full"):
+        return s, None
+    if s.startswith("truncate(") and s.endswith(")"):
+        n = int(s[len("truncate(") : -1])
+        if n <= 0:
+            raise ValueError(f"truncate length must be positive: {raw!r}")
+        return "truncate", n
+    raise ValueError(f"invalid metrics mode {raw!r}")
+
+
+def resolve_metrics_modes(schema: Schema, properties: Optional[dict]) -> dict:
+    """{field_id: (kind, length|None)} for every top-level field —
+    per-column overrides beat the table default (truncate(16))."""
+    props = properties or {}
+    default = _parse_metrics_mode(props.get(METRICS_DEFAULT_KEY, "truncate(16)"))
+    modes = {}
+    for f in schema.fields:
+        raw = props.get(METRICS_COLUMN_PREFIX + f.name)
+        modes[f.field_id] = _parse_metrics_mode(raw) if raw is not None else default
+    return modes
+
+
+def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None) -> dict:
     """Harvest per-column stats from the footer —
-    ref table/internal/parquet_files.go:403 (DataFileStatsFromMeta)."""
+    ref table/internal/parquet_files.go:403 (DataFileStatsFromMeta).
+    `modes` maps field_id → parsed metrics mode (resolve_metrics_modes);
+    None means the truncate(16) default for every column. Column sizes
+    are storage metrics and are kept under every mode."""
     import pyarrow.parquet as pq
 
     from .conversions import to_bytes
 
     from . import fileio
+
+    def _mode(fid):
+        return modes.get(fid, ("truncate", METRICS_TRUNCATE)) if modes else (
+            "truncate",
+            METRICS_TRUNCATE,
+        )
 
     meta = fileio.read_parquet_metadata(path)
     by_name = {f.name: f for f in schema.fields}
@@ -235,14 +277,19 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
             if f is None:
                 continue
             fid = f.field_id
+            kind, _tlen = _mode(fid)
+            col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
+            if kind == "none":
+                continue
             # parquet num_values already includes nulls (logical values)
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values
-            col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
             st = col.statistics
             if st is None:
                 continue
             if st.has_null_count:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if kind == "counts":
+                continue
             if st.has_min_max:
                 mn, mx = st.min, st.max
                 # never let NaN poison bounds (NaN compares false with
@@ -261,7 +308,11 @@ def _stats_from_parquet(path: str, schema: Schema) -> dict:
         # bounds are defined for primitive columns only (nested leaves
         # would need their own field ids; spec writers skip them too)
         if fid in lowers and f.field_type.is_primitive():
-            lo, hi = _truncate_bounds(f.field_type, lowers[fid], uppers[fid])
+            kind, tlen = _mode(fid)
+            if kind == "truncate":
+                lo, hi = _truncate_bounds(f.field_type, lowers[fid], uppers[fid], tlen)
+            else:  # full
+                lo, hi = lowers[fid], uppers[fid]
             lower_b[fid] = to_bytes(f.field_type, lo)
             if hi is not None:
                 upper_b[fid] = to_bytes(f.field_type, hi)
@@ -451,6 +502,7 @@ def write_data_files(
 
     fileio_cfg = _fileio.env_config()
     codec, codec_level = parquet_compression(properties or {})
+    metrics_modes = resolve_metrics_modes(schema, properties)
     float_fields = [
         (f.name, f.field_id)
         for f in schema.fields
@@ -487,9 +539,13 @@ def write_data_files(
             writers.pop(key).close()
             path = paths.pop(key)
             est_bytes.pop(key, None)
-            stats = _stats_from_parquet(path, schema_pickle)
+            stats = _stats_from_parquet(path, schema_pickle, metrics_modes)
             counts = nan_counts.pop(key)
-            stats["nan_value_counts"] = {fid: counts.get(fid, 0) for _, fid in float_fields}
+            stats["nan_value_counts"] = {
+                fid: counts.get(fid, 0)
+                for _, fid in float_fields
+                if metrics_modes[fid][0] != "none"
+            }
             dfile = DataFile(
                 file_path=path,
                 file_format="PARQUET",

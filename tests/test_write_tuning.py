@@ -212,3 +212,93 @@ class TestCompressionCodec:
             )
             sizes[name] = f.file_size_in_bytes
         assert sizes["hi"] <= sizes["lo"]
+
+
+class TestMetricsModes:
+    """write.metadata.metrics.default / .column.<name> —
+    none | counts | truncate(N) | full (ref properties.go:36-38)."""
+
+    @staticmethod
+    def _make(tmp_path, spark, props):
+        from iceberg_go_distributed_spark.iceberg.types import (
+            NestedField,
+            Schema,
+            StringType,
+        )
+
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "db.mm",
+            Schema.of(0, NestedField(1, "s", StringType())),
+            properties=props,
+        )
+        df = spark.createDataFrame(
+            [("a" * 40,), ("z" * 40,), (None,)], "s string"
+        ).coalesce(1)
+        t.append(df)
+        snap = t.current_snapshot()
+        f = next(
+            e.data_file for m in snap.manifests() for e in read_manifest(m.manifest_path)
+        )
+        return t, f
+
+    def test_default_truncates_at_16(self, tmp_path, spark):
+        _, f = self._make(tmp_path, spark, None)
+        assert f.lower_bounds[1] == b"a" * 16
+        assert f.upper_bounds[1] == b"z" * 15 + b"{"  # incremented upper
+
+    def test_none_drops_value_metrics_keeps_sizes(self, tmp_path, spark):
+        t, f = self._make(
+            tmp_path, spark, {"write.metadata.metrics.default": "none"}
+        )
+        assert not f.lower_bounds and not f.upper_bounds
+        assert not f.value_counts and not f.null_value_counts
+        assert f.column_sizes and f.column_sizes[1] > 0
+        # and pruning stays sound: a filter over the stat-less column
+        # must still return the matching row, never prune it away
+        from iceberg_go_distributed_spark.iceberg import expressions as E
+
+        got = t.scan(row_filter=E.equal("s", "a" * 40)).to_df(spark).collect()
+        assert len(got) == 1
+
+    def test_counts_keeps_counts_drops_bounds(self, tmp_path, spark):
+        _, f = self._make(
+            tmp_path, spark, {"write.metadata.metrics.default": "counts"}
+        )
+        assert f.value_counts[1] == 3 and f.null_value_counts[1] == 1
+        assert not f.lower_bounds and not f.upper_bounds
+
+    def test_full_keeps_untruncated_bounds(self, tmp_path, spark):
+        _, f = self._make(
+            tmp_path, spark, {"write.metadata.metrics.default": "full"}
+        )
+        assert f.lower_bounds[1] == b"a" * 40
+        assert f.upper_bounds[1] == b"z" * 40
+
+    def test_per_column_override(self, tmp_path, spark):
+        _, f = self._make(
+            tmp_path,
+            spark,
+            {
+                "write.metadata.metrics.default": "full",
+                "write.metadata.metrics.column.s": "truncate(4)",
+            },
+        )
+        assert f.lower_bounds[1] == b"a" * 4
+        assert f.upper_bounds[1] == b"zzz{"
+
+    def test_invalid_mode_fails_driver_side(self, tmp_path, spark):
+        from iceberg_go_distributed_spark.iceberg.types import (
+            NestedField,
+            Schema,
+            StringType,
+        )
+
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "db.bad",
+            Schema.of(0, NestedField(1, "s", StringType())),
+            properties={"write.metadata.metrics.default": "sketchy"},
+        )
+        with pytest.raises(ValueError, match="invalid metrics mode"):
+            t.append(spark.createDataFrame([("x",)], "s string"))
