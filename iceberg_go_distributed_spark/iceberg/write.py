@@ -503,6 +503,12 @@ def write_data_files(
     fileio_cfg = _fileio.env_config()
     codec, codec_level = parquet_compression(properties or {})
     metrics_modes = resolve_metrics_modes(schema, properties)
+    _props = properties or {}
+    # ref parquet_files.go:47-50: 128 MB row groups, 1,048,576-row cap
+    rg_size_bytes = int(_props.get("write.parquet.row-group-size-bytes", 128 * 1024 * 1024))
+    rg_row_limit = int(_props.get("write.parquet.row-group-limit", 1_048_576))
+    if rg_size_bytes <= 0 or rg_row_limit <= 0:
+        raise ValueError("parquet row-group size/limit must be positive")
     float_fields = [
         (f.name, f.field_id)
         for f in schema.fields
@@ -536,6 +542,7 @@ def write_data_files(
         done: list[str] = []
 
         def close_one(key: tuple) -> None:
+            flush_buffer(key)  # pending rows belong to THIS file
             writers.pop(key).close()
             path = paths.pop(key)
             est_bytes.pop(key, None)
@@ -595,24 +602,66 @@ def write_data_files(
             if sz >= target_size:
                 close_one(key)
 
-        # rows per write_table call = rolling-check granularity, scaled to
-        # the target so production targets (512MB) keep large row groups
-        # while tiny test targets still split
-        CHUNK = max(1024, min(65536, target_size // 256))
+        # Row-group accumulation: incoming Arrow batches (~10k rows) are
+        # buffered per open file and flushed as ONE parquet row group at
+        # write.parquet.row-group-size-bytes / row-group-limit — tiny
+        # per-batch row groups would bloat footers and make row-group
+        # pruning chatty at 100 TB. The flush threshold is capped at a
+        # quarter of the target file size so small targets (tests, WAP
+        # staging) still roll: roll checks run at flush boundaries, the
+        # same between-row-groups cadence the reference uses, so a file
+        # can overshoot the target by at most one compressed row group.
+        # Executor memory holds <= one uncompressed row group per OPEN
+        # writer (unpartitioned appends: exactly one).
+        flush_bytes = max(1, min(rg_size_bytes, target_size // 4))
+        buffers: dict[tuple, list] = {}
+        buf_bytes: dict[tuple, int] = {}
+        buf_rows: dict[tuple, int] = {}
+
+        def flush_buffer(key: tuple) -> None:
+            """Write the pending buffer as ONE row group (no roll check —
+            callers decide). Rolls only ever happen with an empty buffer,
+            so every buffered piece lands in the file whose nan-count
+            slot it was attributed to at append time."""
+            pieces = buffers.get(key)
+            if not pieces:
+                return
+            tbl = pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+            buffers[key] = []
+            buf_bytes[key] = 0
+            buf_rows[key] = 0
+            writers[key].write_table(tbl, row_group_size=max(tbl.num_rows, 1))
+            est_bytes[key] += tbl.nbytes
 
         def write_group(key: tuple, part_values: dict, tbl: "pa.Table") -> None:
             tbl = tbl.select(field_names).cast(aschema)
-            for i in range(0, tbl.num_rows, CHUNK):
-                piece = tbl.slice(i, CHUNK)
-                w = writer_for(key, part_values)
-                w.write_table(piece)
-                est_bytes[key] += piece.nbytes
+            row_bytes = max(1, tbl.nbytes // max(1, tbl.num_rows))
+            pos = 0
+            while pos < tbl.num_rows:
+                # (re)open after a roll; fresh files get fresh stat slots
+                writer_for(key, part_values)
+                # never take past the current flush threshold, so roll
+                # checks stay sub-target even when one incoming batch
+                # exceeds the whole target file size (tiny test targets)
+                to_flush = max(
+                    1, (flush_bytes - buf_bytes.get(key, 0)) // row_bytes + 1
+                )
+                take = min(
+                    tbl.num_rows - pos, rg_row_limit - buf_rows.get(key, 0), to_flush
+                )
+                piece = tbl.slice(pos, take)
+                pos += take
                 acc = nan_counts[key]
                 for fname, fid in float_fields:
                     c = pc.sum(pc.is_nan(piece[fname])).as_py()
                     if c:
                         acc[fid] = acc.get(fid, 0) + c
-                maybe_roll(key)
+                buffers.setdefault(key, []).append(piece)
+                buf_bytes[key] = buf_bytes.get(key, 0) + piece.nbytes
+                buf_rows[key] = buf_rows.get(key, 0) + piece.num_rows
+                if buf_bytes[key] >= flush_bytes or buf_rows[key] >= rg_row_limit:
+                    flush_buffer(key)
+                    maybe_roll(key)
 
         for batch in batches:
             if batch.num_rows == 0:

@@ -302,3 +302,64 @@ class TestMetricsModes:
         )
         with pytest.raises(ValueError, match="invalid metrics mode"):
             t.append(spark.createDataFrame([("x",)], "s string"))
+
+
+class TestRowGroupSizing:
+    """write.parquet.row-group-size-bytes / row-group-limit
+    (ref parquet_files.go:47-50): batches accumulate into full-size row
+    groups instead of one tiny group per Arrow batch."""
+
+    @staticmethod
+    def _row_groups(t):
+        import pyarrow.parquet as pq
+
+        snap = t.current_snapshot()
+        f = next(
+            e.data_file for m in snap.manifests() for e in read_manifest(m.manifest_path)
+        )
+        md = pq.ParquetFile(f.file_path.replace("file://", "")).metadata
+        return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+    def test_default_accumulates_one_group(self, tmp_path, spark, lineitem_df):
+        # 60k rows ≈ 7 MB uncompressed: far below both thresholds, so the
+        # whole task stream must land in ONE row group (per-batch groups
+        # would show ~10k-row slices here)
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table("db.rg_one", LINEITEM_SCHEMA)
+        t.append(lineitem_df.coalesce(1))
+        groups = self._row_groups(t)
+        assert groups == [lineitem_df.count()]
+
+    def test_row_limit_caps_group_rows(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "db.rg_cap",
+            LINEITEM_SCHEMA,
+            properties={"write.parquet.row-group-limit": "1000"},
+        )
+        t.append(lineitem_df.limit(3500).coalesce(1))
+        groups = self._row_groups(t)
+        assert all(g <= 1000 for g in groups)
+        assert sum(g == 1000 for g in groups) >= 3  # full groups, not shards
+
+    def test_size_bytes_splits_groups(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "db.rg_sz",
+            LINEITEM_SCHEMA,
+            properties={"write.parquet.row-group-size-bytes": "65536"},
+        )
+        t.append(lineitem_df.coalesce(1))
+        groups = self._row_groups(t)
+        assert len(groups) > 1
+        assert sum(groups) == lineitem_df.count()
+
+    def test_invalid_rejected_driver_side(self, tmp_path, spark, lineitem_df):
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        t = cat.create_table(
+            "db.rg_bad",
+            LINEITEM_SCHEMA,
+            properties={"write.parquet.row-group-limit": "0"},
+        )
+        with pytest.raises(ValueError, match="must be positive"):
+            t.append(lineitem_df.limit(10))
