@@ -182,8 +182,8 @@ class _BufferedParquetWriter:
         self._sink = sink
         self._writer = pq.ParquetWriter(sink, schema, **kwargs)
 
-    def write_table(self, tbl) -> None:
-        self._writer.write_table(tbl)
+    def write_table(self, tbl, **kwargs) -> None:
+        self._writer.write_table(tbl, **kwargs)
 
     def close(self) -> None:
         self._writer.close()

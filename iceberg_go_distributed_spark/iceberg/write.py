@@ -493,6 +493,26 @@ def write_data_files(
         data = data.sortWithinPartitions(*sort_cols)
         sort_order_id = sort_order.order_id
 
+    # parquet-level sort metadata: identity sort fields map onto
+    # pq.SortingColumn (column index in the file schema, descending and
+    # nulls-first flags); transform sorts (bucket/truncate) have no
+    # parquet equivalent and are carried by the Iceberg sort-order id
+    # alone. Encoded as plain tuples so the task closure pickles cleanly.
+    sorting_cols: list[tuple] = []
+    if sort_order is not None and sort_order.fields:
+        col_idx = {f.field_id: i for i, f in enumerate(schema.fields)}
+        for sf in sort_order.fields:
+            if sf.transform != "identity" or sf.source_id not in col_idx:
+                sorting_cols = []
+                break
+            sorting_cols.append(
+                (
+                    col_idx[sf.source_id],
+                    sf.direction == "desc",
+                    sf.null_order == "nulls-first",
+                )
+            )
+
     arrow_schema_fields = [(f.name, f.field_type) for f in schema.fields]
     spec_fields = [(pf.name, str(pf.transform)) for pf in spec.fields]
     schema_pickle = schema
@@ -507,8 +527,12 @@ def write_data_files(
     # ref parquet_files.go:47-50: 128 MB row groups, 1,048,576-row cap
     rg_size_bytes = int(_props.get("write.parquet.row-group-size-bytes", 128 * 1024 * 1024))
     rg_row_limit = int(_props.get("write.parquet.row-group-limit", 1_048_576))
-    if rg_size_bytes <= 0 or rg_row_limit <= 0:
-        raise ValueError("parquet row-group size/limit must be positive")
+    # page/dict sizing maps straight onto pyarrow's writer knobs
+    # (ref parquet_files.go:51-56 defaults: 1 MB pages, 2 MB dicts)
+    page_size = int(_props.get("write.parquet.page-size-bytes", 1024 * 1024))
+    dict_size = int(_props.get("write.parquet.dict-size-bytes", 2 * 1024 * 1024))
+    if min(rg_size_bytes, rg_row_limit, page_size, dict_size) <= 0:
+        raise ValueError("parquet row-group/page/dict sizing must be positive")
     float_fields = [
         (f.name, f.field_id)
         for f in schema.fields
@@ -577,7 +601,21 @@ def write_data_files(
                 counter[0] += 1
                 path = os.path.join(d, fname)
                 writers[key] = fileio.parquet_writer(
-                    path, aschema, compression=codec, compression_level=codec_level
+                    path,
+                    aschema,
+                    compression=codec,
+                    compression_level=codec_level,
+                    data_page_size=page_size,
+                    dictionary_pagesize_limit=dict_size,
+                    # page-level min/max index: readers skip pages, not
+                    # just row groups — the fine-grained half of the
+                    # pruning cascade on sorted/clustered columns
+                    write_page_index=True,
+                    sorting_columns=[
+                        pq.SortingColumn(ci, descending=d, nulls_first=nf)
+                        for ci, d, nf in sorting_cols
+                    ]
+                    or None,
                 )
                 paths[key] = path
                 parts[key] = dict(part_values)

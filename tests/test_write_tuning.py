@@ -66,6 +66,10 @@ def test_sort_order_applied_and_recorded(tmp_path, spark, lineitem_df):
 
     keys = pq.read_table(files[0].file_path, columns=["l_orderkey"])["l_orderkey"].to_pylist()
     assert keys == sorted(keys)
+    # ...and the parquet footer records it (sorting_columns + page index)
+    md = pq.ParquetFile(files[0].file_path).metadata
+    sc = md.row_group(0).sorting_columns
+    assert len(sc) == 1 and sc[0].column_index == 0 and not sc[0].descending
 
 
 def test_scan_to_arrow(tmp_path, spark, lineitem_df):
@@ -363,3 +367,34 @@ class TestRowGroupSizing:
         )
         with pytest.raises(ValueError, match="must be positive"):
             t.append(lineitem_df.limit(10))
+
+
+def test_page_size_property_applies(tmp_path, spark, lineitem_df):
+    """write.parquet.page-size-bytes reaches the pyarrow writer: tiny
+    pages mean many pages per column chunk (observable via the page
+    offset index being larger / encoded size growth is not asserted —
+    we assert the knob round-trips by writing with a 1 KB page size and
+    checking the file still reads back identically)."""
+    import pyarrow.parquet as pq
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.pg",
+        LINEITEM_SCHEMA,
+        properties={
+            "write.parquet.page-size-bytes": "1024",
+            "write.parquet.dict-size-bytes": "4096",
+        },
+    )
+    t.append(lineitem_df.limit(2000).coalesce(1))
+    assert t.scan().to_df(spark).count() == 2000
+    # invalid sizing is a driver-side error
+    t2 = cat.create_table(
+        "db.pg_bad",
+        LINEITEM_SCHEMA,
+        properties={"write.parquet.page-size-bytes": "-1"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be positive"):
+        t2.append(lineitem_df.limit(10))
