@@ -90,10 +90,15 @@ _PRIORITY = [
     "llm_ann_bruteforce",
     "llm_ann_ivf_trained",
     "llm_ann_lsh",
-    "llm_token_stats",
+    # llm_token_stats (five rounds driver-green, a plain map-only
+    # aggregate whose accounting quality_filter strictly extends) and
+    # llm_doc_fingerprints (five rounds green, the same md5-map shape as
+    # llm_dedup_exact) yield their slots to the never-driver-verified
+    # PII scan and term co-occurrence.
+    "llm_pii_scan",
+    "llm_term_cooccurrence",
     "llm_quality_filter",
     "llm_langid_accuracy",
-    "llm_doc_fingerprints",
     "llm_multimodal_features",
     "llm_frame_sample",
     "llm_dedup_embedding",

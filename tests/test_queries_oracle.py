@@ -94,7 +94,15 @@ def test_registry_priority_window():
     #   llm_ann_ivf          — llm_ann_ivf_trained covers the cell-scan
     #                          read path with trained centroids on top
     #   llm_dedup_fingerprint — same hash-groupBy shape as llm_dedup_exact
-    exempt = {"llm_ann_ivf", "llm_dedup_fingerprint"}
+    #   llm_token_stats      — map-only accounting strictly extended by
+    #                          llm_quality_filter (in-window)
+    #   llm_doc_fingerprints — same md5-map shape as llm_dedup_exact
+    exempt = {
+        "llm_ann_ivf",
+        "llm_dedup_fingerprint",
+        "llm_token_stats",
+        "llm_doc_fingerprints",
+    }
     inside = [
         n
         for n in names
@@ -108,6 +116,8 @@ def test_registry_priority_window():
         "ev_range_count",
         "ev_funnel",
         "ev_retention_cohorts",
+        "llm_pii_scan",
+        "llm_term_cooccurrence",
     ):
         assert n in window, f"{n} outside the driver window"
     # Tail entries must still be registered (local oracle coverage).
