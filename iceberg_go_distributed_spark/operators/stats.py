@@ -14,17 +14,27 @@ k = ceil(q*n), which is integer-exact and reproduces bit-for-bit across
 engines — no interpolation-formula drift.
 
 When the value column is continuous enough that distinct values ≈ rows
-(e.g. raw float64 sensor noise), pre-bin with ``value_histogram``'s
-``bin`` expression (or round to the precision you actually need) before
-calling; the result is then the exact quantile of the binned series.
+(e.g. raw float64 sensor noise), the compression buys nothing and the
+per-group window degrades to a single sorted task.  ``exact_quantiles``
+guards this mechanically: it estimates the post-compression row count
+with one cheap ``approx_count_distinct`` aggregate and, above
+``max_window_rows``, either pre-rounds to the caller-stated
+``precision`` (the result is then the exact quantile of the rounded
+series) or raises with the pre-bin recipe — the degradation can no
+longer happen silently.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class ContinuousValueError(ValueError):
+    """The value column compresses too little for an exact windowed
+    quantile; the caller must state the precision they actually need."""
 
 
 def exact_quantiles(
@@ -32,9 +42,13 @@ def exact_quantiles(
     value_col: str,
     group_cols: Sequence[str],
     qs: Sequence[float] = (0.5, 0.9, 0.99),
+    precision: Optional[int] = None,
+    max_window_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact per-group discrete quantiles (type-1: smallest value whose
-    cumulative count reaches ceil(q*n)).
+    cumulative count reaches ceil(q*n)) over the NON-NULL values of
+    ``value_col`` (SQL semantics: like percentile functions, nulls are
+    excluded from both the ranking and the count).
 
     Output columns: ``*group_cols, q (double), quantile_value``.
 
@@ -42,11 +56,36 @@ def exact_quantiles(
     shuffle carries distinct values, not rows — then two windows over
     the compressed frame (cumulative count ordered by value, and the
     per-group total), then a generate of the q-list and a filter that
-    keeps exactly one row per (group, q).  Nothing is collected; the
-    result is |groups| × |qs| rows.
+    keeps exactly one row per (group, q).  Nothing is collected but the
+    O(1) guard estimate; the result is |groups| × |qs| rows.
+
+    Guard: if the estimated distinct-value count exceeds
+    ``max_window_rows`` (i.e. the column is effectively continuous and
+    the compression cannot bound the window input), the values are
+    pre-rounded to ``precision`` decimal digits when given, else a
+    :class:`ContinuousValueError` explains the pre-bin recipe.  The
+    absolute count is the right trigger — a 17k-distinct window is fine
+    regardless of the input row count, a 10^9-distinct one is not.
     """
+    vals = df.where(F.col(value_col).isNotNull())
+    est = vals.agg(
+        F.approx_count_distinct(value_col).alias("d"), F.count("*").alias("n")
+    ).first()
+    if est["d"] > max_window_rows:
+        if precision is None:
+            raise ContinuousValueError(
+                f"{value_col} has ~{est['d']:,} distinct values over "
+                f"{est['n']:,} rows; the distinct-value compression cannot "
+                f"bound the quantile window below max_window_rows="
+                f"{max_window_rows:,}. Pass precision=<decimal digits> to "
+                "compute exact quantiles of the rounded series, or pre-bin "
+                "with value_histogram's floor(value/width) expression."
+            )
+        vals = vals.withColumn(value_col, F.round(F.col(value_col), precision))
+    elif precision is not None:
+        vals = vals.withColumn(value_col, F.round(F.col(value_col), precision))
     gcols = [F.col(c) for c in group_cols]
-    counts = df.groupBy(*gcols, F.col(value_col)).agg(F.count("*").alias("_c"))
+    counts = vals.groupBy(*gcols, F.col(value_col)).agg(F.count("*").alias("_c"))
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy(value_col)

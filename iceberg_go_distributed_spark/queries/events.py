@@ -447,7 +447,7 @@ def ev_retention(spark, sf_dir):
                AS cum,
              SUM(c) OVER (PARTITION BY event_type) AS n
       FROM c
-    ), q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    ), q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
     SELECT event_type, q, value AS quantile_value
     FROM r CROSS JOIN q
     WHERE cum >= CEIL(q * n) AND cum - c < CEIL(q * n)

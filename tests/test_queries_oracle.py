@@ -90,13 +90,19 @@ def test_registry_priority_window():
     names = list(REGISTRY)
     window = set(names[:50])
     # Deliberately outside (each subsumed by an in-window entry with the
-    # same execution shape, and five-rounds driver-green before moving):
+    # same execution shape, and five-plus-rounds driver-green before
+    # moving):
     #   llm_ann_ivf          — llm_ann_ivf_trained covers the cell-scan
     #                          read path with trained centroids on top
     #   llm_dedup_fingerprint — same hash-groupBy shape as llm_dedup_exact
     #   llm_token_stats      — map-only accounting strictly extended by
     #                          llm_quality_filter (in-window)
     #   llm_doc_fingerprints — same md5-map shape as llm_dedup_exact
+    # Round 7 rotations out (to admit ev_value_quantiles/_histogram):
+    #   ev_skew_salted_agg   — six rounds green; salted two-phase agg
+    #                          verified locally every round
+    #   q9_product_profit    — five rounds green; q18 covers the
+    #                          fact⋈fact exchange, q1 the wide agg
     exempt = {
         "llm_ann_ivf",
         "llm_dedup_fingerprint",
@@ -110,7 +116,7 @@ def test_registry_priority_window():
     ]
     missing = [n for n in inside if n not in window]
     assert not missing, f"priority window lost: {missing}"
-    # never-driver-verified round-6 operators must be in the window
+    # never-driver-verified-before-round-7 operators must be in the window
     for n in (
         "ev_asof_attribution",
         "ev_range_count",
@@ -118,6 +124,8 @@ def test_registry_priority_window():
         "ev_retention_cohorts",
         "llm_pii_scan",
         "llm_term_cooccurrence",
+        "ev_value_quantiles",
+        "ev_value_histogram",
     ):
         assert n in window, f"{n} outside the driver window"
     # Tail entries must still be registered (local oracle coverage).

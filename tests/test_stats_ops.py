@@ -9,7 +9,10 @@ import random
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+import pytest
+
 from iceberg_go_distributed_spark.operators.stats import (
+    ContinuousValueError,
     exact_quantiles,
     value_histogram,
 )
@@ -66,6 +69,50 @@ class TestExactQuantiles:
         )
         out = exact_quantiles(df, "v", ["g"], qs=(0.5, 0.9)).collect()
         assert len(out) == 3 * 2
+
+    def test_nulls_excluded(self, spark):
+        # SQL percentile semantics: nulls are neither ranked nor counted.
+        # Without the filter, Spark's nulls-first orderBy would return
+        # NULL as the low quantile and inflate n.
+        df = spark.createDataFrame(
+            [Row(g="x", v=None)] * 50 + [Row(g="x", v=float(i)) for i in range(1, 11)],
+            schema="g string, v double",
+        )
+        got = {
+            r["q"]: r["quantile_value"]
+            for r in exact_quantiles(df, "v", ["g"], qs=(0.1, 0.5, 1.0)).collect()
+        }
+        assert got == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}
+
+    def test_continuous_guard_raises_without_precision(self, spark):
+        # float64 noise: distinct ≈ rows; with a lowered max_window_rows
+        # the guard must refuse loudly instead of degrading to a
+        # single-task window.
+        rng = random.Random(11)
+        df = spark.createDataFrame(
+            [Row(g="x", v=rng.random()) for _ in range(5000)]
+        )
+        with pytest.raises(ContinuousValueError, match="precision"):
+            exact_quantiles(df, "v", ["g"], max_window_rows=1000)
+
+    def test_continuous_guard_prebins_with_precision(self, spark):
+        rng = random.Random(11)
+        vals = [rng.random() for _ in range(5000)]
+        df = spark.createDataFrame([Row(g="x", v=v) for v in vals])
+        out = exact_quantiles(
+            df, "v", ["g"], qs=(0.5,), precision=2, max_window_rows=1000
+        )
+        # bounded window input: the compression now feeds the window at
+        # most 101 distinct rounded values, far below the 5000 rows
+        rounded = sorted(round(v, 2) for v in vals)
+        assert out.collect()[0]["quantile_value"] == _type1_quantile(rounded, 0.5)
+        compressed = (
+            df.where(F.col("v").isNotNull())
+            .select(F.round("v", 2).alias("v"))
+            .distinct()
+            .count()
+        )
+        assert compressed <= 101 < len(vals)
 
     def test_window_is_compressed_not_rowcount(self, spark):
         # the window input is distinct (group, value) pairs — assert the
