@@ -286,15 +286,18 @@ class FileSystemCatalog(Catalog):
         with fileio.open_input(metadata_location) as f:
             payload = f.read()
         # validate before adopting; gzip-compressed metadata (magic
-        # 1f 8b) is valid everywhere else (parse_metadata_file), so
-        # decompress for validation while still copying bytes verbatim
-        # (readers re-detect gzip from the copied file)
+        # 1f 8b) parses fine, but THIS catalog can never commit on top
+        # of it (_reject_gzip fires on every commit_table) — surface the
+        # incompatibility at adoption, not at the first commit
         text = payload
         if text[:2] == b"\x1f\x8b":
-            import gzip
-
-            text = gzip.decompress(text)
+            raise ValueError(
+                "FileSystemCatalog cannot adopt gzip-compressed metadata: "
+                f"{METADATA_COMPRESSION_KEY}=gzip is rejected on every "
+                "subsequent commit; register into the SQL or REST catalog"
+            )
         md = TableMetadata.from_json(json.loads(text.decode("utf-8")))
+        self._reject_gzip(md)
         path = self._version_path(identifier, 1)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:

@@ -231,23 +231,46 @@ def read_parquet_table(path: str, columns: Optional[list] = None):
     return pq.read_table(p, columns=columns, filesystem=fs)
 
 
+class _OwnedParquetFile:
+    """A pq.ParquetFile whose close() also closes the pre-opened remote
+    source. pyarrow's own close() only closes sources IT opened; poking
+    the private ``_close_source`` flag to flip that would silently stop
+    working (re-leaking one remote handle per matched file per task) if
+    pyarrow ever renamed it — owning the source explicitly cannot."""
+
+    def __init__(self, pf, source):
+        self._pf = pf
+        self._source = source
+
+    def __getattr__(self, name):
+        return getattr(self._pf, name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        try:
+            self._pf.close()
+        finally:
+            if not self._source.closed:
+                self._source.close()
+
+
 def parquet_file(path: str):
     """Open a streaming pq.ParquetFile (iter_batches) so callers can
     evaluate predicates batch-wise with memory bounded by batch size,
     not file size. Caller closes (contextlib.closing / with).
 
-    For remote paths the input stream is opened HERE, and
-    ParquetFile.close() skips sources it didn't open itself — so the
-    stream is handed over explicitly, making close() release the remote
-    handle instead of leaking one per matched file per task."""
+    For remote paths the input stream is opened HERE and wrapped in
+    :class:`_OwnedParquetFile`, whose close() releases the remote handle
+    explicitly instead of leaking one per matched file per task."""
     import pyarrow.parquet as pq
 
     if is_local(path):
         return pq.ParquetFile(local_path(path))
     fs, p = resolve(path)
     source = fs.open_input_file(p)
-    pf = pq.ParquetFile(source)
-    # pyarrow only closes sources it opened (ours is pre-opened):
-    # force ownership so contextlib.closing() actually closes it
-    pf._close_source = True
-    return pf
+    return _OwnedParquetFile(pq.ParquetFile(source), source)

@@ -221,15 +221,61 @@ def _parse_metrics_mode(raw: str) -> tuple:
     raise ValueError(f"invalid metrics mode {raw!r}")
 
 
+def _column_paths(schema: Schema) -> dict:
+    """{dotted column path: field_id} over the WHOLE schema tree, using
+    Iceberg's canonical path segments (struct member names, ``element``
+    for list elements, ``key``/``value`` for maps) — ref
+    arrow_utils.go:1139 resolves metrics overrides by full column path,
+    not top-level name."""
+    from .types import ListType, MapType, NestedField, StructType
+
+    paths: dict[str, int] = {}
+
+    def walk(prefix: str, t) -> None:
+        if isinstance(t, StructType):
+            for f in t.fields:
+                p = f"{prefix}.{f.name}" if prefix else f.name
+                paths[p] = f.field_id
+                walk(p, f.field_type)
+        elif isinstance(t, ListType):
+            p = f"{prefix}.element"
+            paths[p] = t.element_id
+            walk(p, t.element)
+        elif isinstance(t, MapType):
+            pk, pv = f"{prefix}.key", f"{prefix}.value"
+            paths[pk] = t.key_id
+            paths[pv] = t.value_id
+            walk(pk, t.key)
+            walk(pv, t.value)
+
+    for f in schema.fields:
+        paths[f.name] = f.field_id
+        walk(f.name, f.field_type)
+    return paths
+
+
 def resolve_metrics_modes(schema: Schema, properties: Optional[dict]) -> dict:
-    """{field_id: (kind, length|None)} for every top-level field —
-    per-column overrides beat the table default (truncate(16))."""
+    """{field_id: (kind, length|None)} for every column path —
+    per-column overrides beat the table default (truncate(16)).
+    Overrides are resolved by FULL dotted column path (struct.leaf,
+    list.element, map.key/value) like the reference; an override key
+    naming no schema column raises so typos fail the commit loudly
+    instead of being silently ignored."""
     props = properties or {}
     default = _parse_metrics_mode(props.get(METRICS_DEFAULT_KEY, "truncate(16)"))
-    modes = {}
-    for f in schema.fields:
-        raw = props.get(METRICS_COLUMN_PREFIX + f.name)
-        modes[f.field_id] = _parse_metrics_mode(raw) if raw is not None else default
+    paths = _column_paths(schema)
+    modes = {fid: default for fid in paths.values()}
+    for key, raw in props.items():
+        if not key.startswith(METRICS_COLUMN_PREFIX):
+            continue
+        path = key[len(METRICS_COLUMN_PREFIX) :]
+        fid = paths.get(path)
+        if fid is None:
+            raise ValueError(
+                f"{key} names no column in the schema "
+                f"(known paths: {', '.join(sorted(paths))})"
+            )
+        modes[fid] = _parse_metrics_mode(raw)
     return modes
 
 

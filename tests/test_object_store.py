@@ -186,3 +186,26 @@ def test_s3_puffin_statistics(s3_catalog, spark, lineitem_df):
     assert entry["statistics-path"].startswith("s3://")
     metas, _, _ = read_puffin(entry["statistics-path"])
     assert metas and int(metas[0].properties["ndv"]) == 3
+
+
+def test_s3_parquet_file_closes_remote_source(s3_endpoint):
+    """parquet_file on a remote path must release the pre-opened input
+    stream on close() — pyarrow's own close() only closes sources it
+    opened itself, which is what leaked one handle per matched file per
+    task before the explicit-ownership wrapper."""
+    import contextlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import fileio
+
+    path = f"s3://{BUCKET}/probe/one.parquet"
+    with fileio.parquet_writer(path, pa.schema([("x", pa.int64())])) as w:
+        w.write_table(pa.table({"x": [1, 2, 3]}))
+    pf = fileio.parquet_file(path)
+    src = pf._source
+    assert not src.closed
+    with contextlib.closing(pf) as p:
+        assert sum(b.num_rows for b in p.iter_batches()) == 3
+    assert src.closed, "remote input stream must be closed with the file"

@@ -13,6 +13,7 @@ import pytest
 
 from iceberg_go_distributed_spark.iceberg.catalog import (
     FileSystemCatalog,
+    NoSuchTableError,
     SqlCatalog,
     TableAlreadyExistsError,
 )
@@ -76,8 +77,10 @@ def test_register_into_sql_catalog(tmp_path, spark, source_table):
 
 
 def test_register_gzip_metadata(tmp_path, spark, source_table):
-    """parse_metadata_file accepts gzip-compressed metadata, so
-    registration must too (validated decompressed, copied verbatim)."""
+    """gzip-compressed metadata is valid for the SQL catalog (which
+    names versions codec-independently) but the FS catalog rejects
+    write.metadata.compression-codec=gzip on every commit — so adopting
+    it there must fail AT REGISTRATION, not at the first commit."""
     import gzip
 
     gz = str(tmp_path / "meta.json.gz")
@@ -85,9 +88,15 @@ def test_register_gzip_metadata(tmp_path, spark, source_table):
         raw = f.read()
     with open(gz, "wb") as f:
         f.write(gzip.compress(raw))
-    dst = FileSystemCatalog(str(tmp_path / "gz_wh"))
-    reg = dst.register_table("db.gz", gz)
+    fs_dst = FileSystemCatalog(str(tmp_path / "gz_wh"))
+    with pytest.raises(ValueError, match="gzip"):
+        fs_dst.register_table("db.gz", gz)
+    # nothing half-adopted: the identifier is still free
+    with pytest.raises(NoSuchTableError):
+        fs_dst.load_table("db.gz")
+    # the SQL catalog CAN adopt it (registration points at the file)
+    sql_dst = SqlCatalog(str(tmp_path / "gz_cat.db"), warehouse=str(tmp_path / "gz_sql_wh"))
+    sql_dst.create_namespace("db")
+    reg = sql_dst.register_table("db.gz", gz)
     assert _rows(reg, spark) == [(1, 1.0), (2, 2.0), (3, 3.0)]
-    # reload through the catalog: the copied bytes are still gzip and
-    # parse_metadata_file re-detects the magic
-    assert _rows(dst.load_table("db.gz"), spark) == _rows(reg, spark)
+    assert _rows(sql_dst.load_table("db.gz"), spark) == _rows(reg, spark)

@@ -398,3 +398,73 @@ def test_page_size_property_applies(tmp_path, spark, lineitem_df):
 
     with _pytest.raises(ValueError, match="must be positive"):
         t2.append(lineitem_df.limit(10))
+
+
+class TestMetricsModePathResolution:
+    """Overrides resolve by FULL dotted column path (nested struct
+    leaves, list elements, map keys/values) like the reference
+    (arrow_utils.go:1139), and unknown keys fail loudly."""
+
+    def _schema(self):
+        from iceberg_go_distributed_spark.iceberg.types import (
+            ListType,
+            LongType,
+            MapType,
+            NestedField,
+            Schema,
+            StringType,
+            StructType,
+        )
+
+        return Schema.of(
+            0,
+            NestedField(1, "id", LongType(), required=True),
+            NestedField(
+                2,
+                "meta",
+                StructType(
+                    NestedField(3, "lang", StringType()),
+                    NestedField(4, "score", LongType()),
+                ),
+            ),
+            NestedField(5, "tags", ListType(6, StringType())),
+            NestedField(7, "attrs", MapType(8, StringType(), 9, LongType())),
+        )
+
+    def test_nested_paths_resolve(self):
+        from iceberg_go_distributed_spark.iceberg.write import (
+            resolve_metrics_modes,
+        )
+
+        modes = resolve_metrics_modes(
+            self._schema(),
+            {
+                "write.metadata.metrics.default": "counts",
+                "write.metadata.metrics.column.meta.lang": "full",
+                "write.metadata.metrics.column.tags.element": "none",
+                "write.metadata.metrics.column.attrs.key": "truncate(4)",
+            },
+        )
+        assert modes[3] == ("full", None)  # meta.lang
+        assert modes[4] == ("counts", None)  # meta.score ← default
+        assert modes[6] == ("none", None)  # tags.element
+        assert modes[8] == ("truncate", 4)  # attrs.key
+        assert modes[9] == ("counts", None)  # attrs.value ← default
+        assert modes[1] == ("counts", None)
+
+    def test_unknown_override_key_raises(self):
+        from iceberg_go_distributed_spark.iceberg.write import (
+            resolve_metrics_modes,
+        )
+
+        with pytest.raises(ValueError, match="names no column"):
+            resolve_metrics_modes(
+                self._schema(),
+                {"write.metadata.metrics.column.meta.lagn": "full"},
+            )
+        # top-level-name-only addressing of a nested leaf is also a typo
+        with pytest.raises(ValueError, match="names no column"):
+            resolve_metrics_modes(
+                self._schema(),
+                {"write.metadata.metrics.column.lang": "full"},
+            )
