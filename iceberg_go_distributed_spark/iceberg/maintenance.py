@@ -185,6 +185,241 @@ def merge_manifests(table, target_size_bytes: Optional[int] = None, min_count: O
     return True
 
 
+# ------------------------------------------------- deletion-vector compaction
+
+def rewrite_position_deletes(
+    table,
+    spark,
+    target_file_size: Optional[int] = None,
+    min_input_files: int = 2,
+) -> bool:
+    """Consolidate deletion-vector puffin files — the DV analogue of the
+    reference's delete maintenance (Spark's rewrite_position_deletes
+    procedure; ref table/properties.go delete-file sizing intent).
+
+    A steady delete stream writes one small puffin file per delete_where
+    per touched task, so live DVs end up scattered over many tiny files
+    even though the spec keeps at most one DV *blob* per data file.
+    This pass repacks every live DV blob into ceil(total/target) puffin
+    files (one per executor task, bin-sized by the blobs' byte size) and
+    replaces the delete manifests with ONE consolidated manifest — no
+    data files are rewritten and no delete is re-derived.
+
+    Correctness-critical: each blob keeps its ORIGINAL data sequence
+    number and snapshot id (entry-level, explicit in the new manifest)
+    — the scan's `delete.seq >= data.seq` gate must keep producing
+    exactly the same matches, so a consolidated DV never leaks onto a
+    data file compacted/added after the delete. Executor work is
+    decode+re-encode of roaring bitmaps (O(deleted positions) per task);
+    the driver only ever sees O(files) descriptors.
+
+    Returns True if a consolidation snapshot was committed."""
+    import math
+
+    from . import fileio as _fileio
+    from .manifest import (
+        DataFile,
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        read_manifest,
+        write_manifest,
+    )
+    from .write import begin_distributed_snapshot, _commit_manifests
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return False
+    target = target_file_size or int(
+        md.properties.get("write.delete.target-file-size-bytes", str(64 * 1024 * 1024))
+    )
+    delete_m = [m for m in snap.manifests() if m.content == ManifestContent.DELETES]
+    keep = [m for m in snap.manifests() if m.content != ManifestContent.DELETES]
+    if not delete_m:
+        return False
+
+    dv_rows = []  # one row per live DV blob
+    mixed_rewrites = []  # (manifest, non-DV entries) needing a rewrite
+    for m in delete_m:
+        entries = read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number)
+        dvs = [e for e in entries if e.data_file.content_offset is not None]
+        others = [e for e in entries if e.data_file.content_offset is None]
+        for e in dvs:
+            d = e.data_file
+            dv_rows.append(
+                (
+                    d.referenced_data_file,
+                    d.file_path,
+                    int(d.content_offset),
+                    int(d.content_size_in_bytes),
+                    int(d.record_count),
+                    int(e.sequence_number or 0),
+                    int(e.file_sequence_number or e.sequence_number or 0),
+                    int(e.snapshot_id or snap.snapshot_id),
+                )
+            )
+        if dvs and others:
+            mixed_rewrites.append((m, others))
+        elif others:
+            keep.append(m)  # no DVs — carry untouched
+        # all-DV manifests are dropped (replaced by the consolidated one)
+
+    src_puffins = {r[1] for r in dv_rows}
+    total_bytes = sum(r[3] for r in dv_rows)
+    n_out = max(1, math.ceil(total_bytes / target))
+    if not dv_rows or len(src_puffins) < max(min_input_files, n_out + 1):
+        return False  # already as consolidated as the target allows
+
+    ds = begin_distributed_snapshot(table)
+    location = md.location
+    commit_uuid = ds.commit_uuid
+    fileio_cfg = _fileio.env_config()
+
+    files_df = spark.createDataFrame(
+        dv_rows,
+        "data_file string, dv_path string, dv_offset bigint, dv_size bigint, "
+        "cardinality bigint, seq bigint, file_seq bigint, snap_id bigint",
+    ).repartition(n_out)
+
+    def task(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        from . import fileio
+        from .puffin import (
+            BlobMetadata,
+            read_deletion_vector,
+            serialize_deletion_vector,
+            write_puffin,
+        )
+        from .write import _encode_descriptor
+
+        fileio.apply_config(fileio_cfg)
+        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        blobs, refs = [], []
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                positions = read_deletion_vector(
+                    rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                )
+                blobs.append(
+                    (
+                        BlobMetadata(
+                            type="deletion-vector-v1",
+                            fields=[],
+                            snapshot_id=int(rec.snap_id),
+                            sequence_number=int(rec.seq),
+                            properties={
+                                "referenced-data-file": rec.data_file,
+                                "cardinality": str(len(positions)),
+                            },
+                        ),
+                        serialize_deletion_vector(positions),
+                    )
+                )
+                refs.append(rec)
+        if not blobs:
+            yield pd.DataFrame(
+                {"descriptor": [], "seq": [], "file_seq": [], "snap_id": []}
+            ).astype(
+                {"descriptor": "string", "seq": "int64", "file_seq": "int64", "snap_id": "int64"}
+            )
+            return
+        d = os.path.join(location, "data")
+        fileio.makedirs(d)
+        path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-dv-rewrite.puffin")
+        write_puffin(path, blobs)
+        size = fileio.size(path)
+        out = {"descriptor": [], "seq": [], "file_seq": [], "snap_id": []}
+        for (meta, _), rec in zip(blobs, refs):
+            out["descriptor"].append(
+                _encode_descriptor(
+                    DataFile(
+                        file_path=path,
+                        file_format="PUFFIN",
+                        partition={},
+                        record_count=int(meta.properties["cardinality"]),
+                        file_size_in_bytes=size,
+                        content=DataFileContent.POSITION_DELETES,
+                        referenced_data_file=rec.data_file,
+                        content_offset=meta.offset,
+                        content_size_in_bytes=meta.length,
+                    )
+                )
+            )
+            out["seq"].append(int(rec.seq))
+            out["file_seq"].append(int(rec.file_seq))
+            out["snap_id"].append(int(rec.snap_id))
+        yield pd.DataFrame(out)
+
+    from .write import _decode_descriptor
+
+    collected = files_df.mapInPandas(
+        task, "descriptor string, seq bigint, file_seq bigint, snap_id bigint"
+    ).collect()
+    new_entries = []
+    for r in collected:
+        if not r.descriptor:
+            continue
+        df = _decode_descriptor(r.descriptor)
+        df.content = DataFileContent.POSITION_DELETES
+        new_entries.append(
+            ManifestEntry(
+                status=ManifestEntryStatus.EXISTING,
+                snapshot_id=int(r.snap_id),
+                sequence_number=int(r.seq),
+                file_sequence_number=int(r.file_seq),
+                data_file=df,
+            )
+        )
+    assert len(new_entries) == len(dv_rows), "a DV blob went missing in repack"
+
+    schema = md.current_schema()
+    path = os.path.join(md.location, "metadata", f"{commit_uuid}-dv-consolidated-m0.avro")
+    mf = write_manifest(
+        path, md.default_spec(), schema, snap.snapshot_id, new_entries,
+        content=ManifestContent.DELETES,
+    )
+    # entry-level sequence numbers are explicit (EXISTING); manifest-level
+    # bounds must still gate correctly against min data sequence numbers
+    mf.sequence_number = max(e.sequence_number for e in new_entries)
+    mf.min_sequence_number = min(e.sequence_number for e in new_entries)
+
+    carried = list(keep) + [mf]
+    for m, others in mixed_rewrites:
+        for e in others:
+            e.status = ManifestEntryStatus.EXISTING
+        p = os.path.join(
+            md.location, "metadata", f"{commit_uuid}-dvkeep-{len(carried)}.avro"
+        )
+        spec = md.spec_by_id(m.partition_spec_id)
+        kept_mf = write_manifest(
+            p, spec, schema, snap.snapshot_id, others, content=ManifestContent.DELETES
+        )
+        kept_mf.sequence_number = m.sequence_number
+        kept_mf.min_sequence_number = m.min_sequence_number
+        carried.append(kept_mf)
+
+    n_new_puffins = len({e.data_file.file_path for e in new_entries})
+    _commit_manifests(
+        table,
+        [],
+        carried,
+        operation="replace",
+        extra_summary={
+            "rewritten-delete-files": str(len(src_puffins)),
+            "added-delete-files": str(n_new_puffins),
+        },
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True
+
+
 # ------------------------------------------------------- location providers
 
 def simple_location(table_location: str, partition_path: str, filename: str) -> str:

@@ -281,3 +281,146 @@ def test_partition_statistics_file(fs_catalog, spark, sf_dir):
     # survives a metadata round trip
     t2 = fs_catalog.load_table("db.pstats")
     assert t2.metadata.partition_statistics == [entry]
+
+
+# ------------------------------------------------- DV consolidation
+
+def _live_dv_entries(t):
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestContent,
+        read_manifest,
+    )
+
+    snap = t.current_snapshot()
+    out = []
+    for m in snap.manifests():
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in read_manifest(
+            m.manifest_path, inherit_sequence_number=m.sequence_number
+        ):
+            if e.data_file.content_offset is not None:
+                out.append(e)
+    return out
+
+
+def test_rewrite_position_deletes_consolidates_dvs(fs_catalog, spark, lineitem_df):
+    """VERDICT r6 task 5: a steady delete stream scatters live DVs over
+    many small puffin files; rewrite_position_deletes repacks them into
+    one (per target-size bin) without rewriting data or re-deriving a
+    single delete — the DV analogue of Spark's
+    rewrite_position_deletes procedure."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_go_distributed_spark.iceberg.puffin import read_deletion_vector
+
+    rows = [r.asDict() for r in lineitem_df.limit(120).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i  # deterministic disjoint key ranges per file
+    df = spark.createDataFrame(rows, lineitem_df.schema)
+
+    t = fs_catalog.create_table("db.dvcons", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    # three appends → three data files with disjoint l_orderkey ranges
+    t.append(df.where("l_orderkey < 40").coalesce(1))
+    t.append(df.where("l_orderkey >= 40 AND l_orderkey < 80").coalesce(1))
+    t.append(df.where("l_orderkey >= 80").coalesce(1))
+
+    # three delete rounds, each touching a different file → three live
+    # puffin files (merge-and-replace only rewrites the touched file's DV)
+    t.delete_where(spark, E.and_(E.greater_than_or_equal("l_orderkey", 5), E.less_than("l_orderkey", 10)))
+    t.delete_where(spark, E.and_(E.greater_than_or_equal("l_orderkey", 45), E.less_than("l_orderkey", 50)))
+    t.delete_where(spark, E.and_(E.greater_than_or_equal("l_orderkey", 85), E.less_than("l_orderkey", 90)))
+
+    before_entries = _live_dv_entries(t)
+    before_puffins = {e.data_file.file_path for e in before_entries}
+    assert len(before_entries) == 3
+    assert len(before_puffins) == 3, "setup must scatter DVs over 3 puffins"
+    before_seqs = {
+        e.data_file.referenced_data_file: e.sequence_number for e in before_entries
+    }
+    expect = set(
+        r.l_orderkey for r in t.scan().to_df(spark).select("l_orderkey").collect()
+    )
+    assert len(expect) == 105
+
+    assert rewrite_position_deletes(t, spark) is True
+
+    after = _live_dv_entries(t)
+    after_puffins = {e.data_file.file_path for e in after}
+    assert len(after) == 3, "one DV blob per data file preserved"
+    assert len(after_puffins) == 1, "all DVs consolidated into one puffin"
+    assert after_puffins.isdisjoint(before_puffins)
+    # each blob keeps its ORIGINAL sequence number (scan gating unchanged)
+    assert {
+        e.data_file.referenced_data_file: e.sequence_number for e in after
+    } == before_seqs
+    # blob payloads decode to the same deleted positions
+    for e in after:
+        d = e.data_file
+        pos = read_deletion_vector(d.file_path, d.content_offset, d.content_size_in_bytes)
+        assert len(pos) == d.record_count == 5
+    # scan results identical
+    got = set(
+        r.l_orderkey for r in t.scan().to_df(spark).select("l_orderkey").collect()
+    )
+    assert got == expect
+    # summary records the rewrite
+    props = t.current_snapshot().summary.properties
+    assert props["rewritten-delete-files"] == "3"
+    assert props["added-delete-files"] == "1"
+
+    # idempotent: already consolidated → no-op, no new snapshot
+    sid = t.current_snapshot().snapshot_id
+    assert rewrite_position_deletes(t, spark) is False
+    assert t.current_snapshot().snapshot_id == sid
+
+
+def test_rewrite_position_deletes_respects_sequence_gate(
+    fs_catalog, spark, lineitem_df
+):
+    """A data file appended AFTER the deletes must stay untouched by the
+    consolidated DVs: entry-level sequence numbers gate `dv.seq >=
+    data.seq` exactly as before the rewrite."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        rewrite_position_deletes,
+    )
+
+    rows = [r.asDict() for r in lineitem_df.limit(90).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i
+    df = spark.createDataFrame(rows, lineitem_df.schema)
+
+    t = fs_catalog.create_table("db.dvseq", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    t.append(df.where("l_orderkey < 30").coalesce(1))
+    t.append(df.where("l_orderkey >= 30 AND l_orderkey < 60").coalesce(1))
+    t.delete_where(spark, E.less_than("l_orderkey", 3))
+    t.delete_where(
+        spark,
+        E.and_(E.greater_than_or_equal("l_orderkey", 30), E.less_than("l_orderkey", 33)),
+    )
+    # late arrival: rows 60..89 appended AFTER both deletes
+    t.append(df.where("l_orderkey >= 60").coalesce(1))
+
+    assert rewrite_position_deletes(t, spark) is True
+    got = sorted(
+        r.l_orderkey for r in t.scan().to_df(spark).select("l_orderkey").collect()
+    )
+    assert got == [k for k in range(90) if k not in (0, 1, 2, 30, 31, 32)]
+    # distributed planner agrees with the local one post-rewrite
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+
+    sc = t.scan()
+    local = {
+        (tk.file.file_path, tuple(sorted(d.file_path for d in tk.delete_files)))
+        for tk in sc.plan_files()
+    }
+    dist = {
+        (tk.file.file_path, tuple(sorted(d.file_path for d in tk.delete_files)))
+        for tk in plan_files_distributed(sc, spark)
+    }
+    assert local == dist
