@@ -25,8 +25,11 @@ HEADLINE = [
     "q18_large_volume_customers",
     "ev_sessionization",
     "ev_hourly_rollup",
-    # table layer: distributed-snapshot write + pruned scan round-trip
+    # table layer: distributed-snapshot write + pruned scan round-trip,
+    # and the production partitioned path (fanout v3 write → delete_where
+    # deletion vectors → partition-pruned merge-on-read scan)
     "ice_write_scan_filter",
+    "ice_partitioned_write_mor",
     # LLM pipeline: banded near-dup and brute-force ANN
     "llm_dedup_minhash",
     "llm_ann_bruteforce",

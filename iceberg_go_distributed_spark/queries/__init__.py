@@ -76,6 +76,12 @@ _PRIORITY = [
     "ice_changelog",
     "ice_incremental_scan",
     "ice_partitions_table",
+    # New r7: the production write/read round trip (fanout partitioned
+    # v3 append → delete_where DVs → pruned MOR scan) — also a BENCH
+    # headline entry. q18_large_volume_customers (six rounds
+    # driver-green; its semi-join-on-agg + fact⋈fact exchange is
+    # verified by the local oracle suite every round) yields its slot.
+    "ice_partitioned_write_mor",
     # LLM-data-pipeline curation operators.
     # llm_dedup_fingerprint (five rounds driver-green, the same
     # hash-groupBy shape as llm_dedup_exact) yields its slot to the new
@@ -128,14 +134,13 @@ _PRIORITY = [
     "ev_retention_cohorts",
     "ev_value_quantiles",
     "ev_value_histogram",
-    # TPC-H representative slice: agg-heavy (q1), semi-join on agg
-    # (q18). q3/q5/q9/q13 moved to the locally-verified tail after
-    # five-plus consecutive driver-green rounds, alongside llm_ann_ivf
-    # (subsumed by llm_ann_ivf_trained — same cell-scan read path,
-    # trained centroids), to keep never-driver-verified operators
-    # inside the 50-entry window.
+    # TPC-H representative slice: agg-heavy (q1). q3/q5/q9/q13/q18
+    # moved to the locally-verified tail after five-plus consecutive
+    # driver-green rounds, alongside llm_ann_ivf (subsumed by
+    # llm_ann_ivf_trained — same cell-scan read path, trained
+    # centroids), to keep never-driver-verified operators inside the
+    # 50-entry window.
     "q1_pricing_summary",
-    "q18_large_volume_customers",
 ]
 
 

@@ -775,3 +775,59 @@ def ice_partitions_table(spark, sf_dir):
         ),
         "record_count",
     )
+
+
+@query(
+    "ice_partitioned_write_mor",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND NOT (l_quantity > 45.0)
+    GROUP BY l_returnflag
+    """,
+    doc="partitioned fanout v3 write + delete_where DVs + pruned MOR scan",
+)
+def ice_partitioned_write_mor(spark, sf_dir):
+    """The write/read paths a 100 TB deployment actually runs, in one
+    round trip (BENCH headline since r7 — VERDICT r6 task 4): fanout
+    append onto a year(l_shipdate)-partitioned v3 table (one exchange on
+    the partition key, one file per partition per task group), a
+    row-level delete_where that writes puffin deletion vectors, then a
+    partition-PRUNED merge-on-read scan that applies the DVs. The
+    oracle is the complement predicate on raw parquet, so a value match
+    proves fanout routing, DV positions, sequence gating, and pruning
+    soundness together. Ref anchors: fanout writing mirrors the
+    planner's partition grouping (table/scanner.go:343-406); the
+    DV read side follows the Iceberg v3 spec (Deletion Vectors)."""
+    from ..iceberg import expressions as E
+
+    t, _ = _lineitem_table(
+        spark, sf_dir, "ice_pmor",
+        spec_defs=(("l_shipdate", "year"),), single_file=False,
+    )
+    t.upgrade_format_version(3)
+    t.delete_where(spark, E.greater_than("l_quantity", 45.0))
+
+    scan = t.scan(
+        row_filter=E.greater_than_or_equal("l_shipdate", "1996-01-01T00:00:00")
+    )
+    tasks = scan.plan_files()
+    n_all = len(t.scan().plan_files())
+    assert len(tasks) < n_all, f"partition pruning inactive: {len(tasks)}/{n_all}"
+    # the scan must be applying real v3 deletion vectors (MOR), not a rewrite
+    dvs = [
+        d
+        for x in tasks
+        for d in x.delete_files
+        if d.content_offset is not None
+    ]
+    assert dvs, "expected puffin deletion vectors on the pruned tasks"
+    return scan.to_df(spark).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )

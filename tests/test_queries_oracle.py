@@ -98,11 +98,15 @@ def test_registry_priority_window():
     #   llm_token_stats      — map-only accounting strictly extended by
     #                          llm_quality_filter (in-window)
     #   llm_doc_fingerprints — same md5-map shape as llm_dedup_exact
-    # Round 7 rotations out (to admit ev_value_quantiles/_histogram):
+    # Round 7 rotations out (to admit ev_value_quantiles/_histogram and
+    # ice_partitioned_write_mor):
     #   ev_skew_salted_agg   — six rounds green; salted two-phase agg
     #                          verified locally every round
-    #   q9_product_profit    — five rounds green; q18 covers the
+    #   q9_product_profit    — five rounds green; q18 covered the
     #                          fact⋈fact exchange, q1 the wide agg
+    #   q18_large_volume_customers — six rounds green; semi-join-on-agg
+    #                          + fact⋈fact exchange verified by the
+    #                          local oracle suite every round
     exempt = {
         "llm_ann_ivf",
         "llm_dedup_fingerprint",
@@ -126,6 +130,7 @@ def test_registry_priority_window():
         "llm_term_cooccurrence",
         "ev_value_quantiles",
         "ev_value_histogram",
+        "ice_partitioned_write_mor",
     ):
         assert n in window, f"{n} outside the driver window"
     # Tail entries must still be registered (local oracle coverage).
