@@ -6,6 +6,8 @@ codegen'd); every function is a per-row map, so these scale embarrassingly
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -363,6 +365,7 @@ def term_cooccurrence(
     min_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocabulary: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Top-k co-occurring term pairs among the corpus's top-``vocab_k``
     vocabulary — the co-occurrence-matrix shape behind topic audits and
@@ -384,6 +387,17 @@ def term_cooccurrence(
     pairs; the pair aggregate is map-side combined.  Ranking is
     integer-exact (n desc, t1 asc, t2 asc).
 
+    At 100 TB the exact vocabulary pass (a full-corpus distinct + count
+    per term) is itself a full token-table shuffle.  Pass
+    ``vocabulary`` — a pre-computed or sampled term list (e.g. exact
+    top-k from last week's corpus, or ``top_terms`` over
+    ``docs.sample(0.01)``) — to skip that pass entirely: the list is
+    broadcast and ``vocab_k`` is ignored.  With ``vocabulary`` equal to
+    the exact top-``vocab_k`` list the output is identical to the
+    default path (pinned by tests); with an approximate list, pair
+    counts within the given vocabulary are still EXACT — only the
+    vocabulary selection is approximate.
+
     Output: ``t1, t2, n`` (t1 < t2 lexicographically).
     """
     from pyspark.sql.functions import broadcast
@@ -393,13 +407,19 @@ def term_cooccurrence(
         .where(F.length("term") >= min_len)
         .distinct()
     )
-    vocab = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(vocab_k)
-        .select("term")
-    )
+    if vocabulary is not None:
+        spark = docs.sparkSession
+        vocab = spark.createDataFrame(
+            [(t,) for t in sorted(set(vocabulary))], "term string"
+        )
+    else:
+        vocab = (
+            tok.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(vocab_k)
+            .select("term")
+        )
     tv = tok.join(broadcast(vocab), "term").select(id_col, "term")
     a = tv.select(F.col(id_col).alias("_d"), F.col("term").alias("t1"))
     b = tv.select(F.col(id_col).alias("_d"), F.col("term").alias("t2"))
