@@ -468,3 +468,98 @@ class TestMetricsModePathResolution:
                 self._schema(),
                 {"write.metadata.metrics.column.lang": "full"},
             )
+
+
+class TestWriteDistributionMode:
+    """Public Iceberg `write.distribution-mode` (none|hash|range) on the
+    fanout write path, plus the hash-mode `write.fanout.salt-tasks`
+    skew-relief extension. Reference semantics: the Go fanout writer's
+    worker parallelism is independent of partition count
+    (partitioned_fanout_writer.go:69-82) — mode `none` reproduces that;
+    `hash` (our default) is the fewest-files layout."""
+
+    def _make(self, tmp_path, spark, lineitem_df, props, name):
+        from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+        t = cat.create_table(f"db.{name}", LINEITEM_SCHEMA, spec=spec)
+        if props:
+            tx = t.transaction()
+            tx.set_properties(props)
+            tx.commit()
+        t.append(lineitem_df.limit(200).repartition(4))
+        files = [
+            e.data_file
+            for m in t.current_snapshot().manifests()
+            for e in read_manifest(m.manifest_path)
+        ]
+        return t, files
+
+    def _check_roundtrip(self, t, spark, lineitem_df):
+        want = {
+            (r["l_returnflag"], r["n"])
+            for r in lineitem_df.limit(200)
+            .groupBy("l_returnflag")
+            .agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n")
+            .collect()
+        }
+        got = {
+            (r["l_returnflag"], r["n"])
+            for r in t.scan()
+            .to_df(spark)
+            .groupBy("l_returnflag")
+            .agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n")
+            .collect()
+        }
+        assert got == want
+
+    def test_hash_default_one_file_per_partition(self, tmp_path, spark, lineitem_df):
+        t, files = self._make(tmp_path, spark, lineitem_df, {}, "dm_hash")
+        flags = {f.partition["l_returnflag"] for f in files}
+        assert len(files) == len(flags), "hash mode: one file per partition"
+        self._check_roundtrip(t, spark, lineitem_df)
+
+    def test_none_keeps_input_parallelism(self, tmp_path, spark, lineitem_df):
+        t, files = self._make(
+            tmp_path, spark, lineitem_df,
+            {"write.distribution-mode": "none"}, "dm_none",
+        )
+        flags = {f.partition["l_returnflag"] for f in files}
+        # no exchange: each of the 4 input tasks writes the partitions it
+        # holds → strictly more files than partitions, all partitions valid
+        assert len(files) > len(flags)
+        self._check_roundtrip(t, spark, lineitem_df)
+
+    def test_salt_splits_hot_partitions(self, tmp_path, spark, lineitem_df):
+        t, files = self._make(
+            tmp_path, spark, lineitem_df,
+            {"write.fanout.salt-tasks": "4"}, "dm_salt",
+        )
+        from collections import Counter
+
+        per_flag = Counter(f.partition["l_returnflag"] for f in files)
+        # every partition split across >1 writer task (200 rows → every
+        # salt bucket of every flag is non-empty)
+        assert all(n > 1 for n in per_flag.values()), per_flag
+        assert all(n <= 4 for n in per_flag.values()), per_flag
+        self._check_roundtrip(t, spark, lineitem_df)
+
+    def test_range_clusters_partitions(self, tmp_path, spark, lineitem_df):
+        t, files = self._make(
+            tmp_path, spark, lineitem_df,
+            {"write.distribution-mode": "range"}, "dm_range",
+        )
+        flags = {f.partition["l_returnflag"] for f in files}
+        # range exchange: a partition value never straddles two tasks
+        assert len(files) == len(flags)
+        self._check_roundtrip(t, spark, lineitem_df)
+
+    def test_invalid_mode_raises(self, tmp_path, spark, lineitem_df):
+        with pytest.raises(ValueError, match="none|hash|range"):
+            self._make(
+                tmp_path, spark, lineitem_df,
+                {"write.distribution-mode": "bogus"}, "dm_bad",
+            )
