@@ -1409,6 +1409,13 @@ class Table(StaticTable):
 
         return rewrite_data_files(self, spark, target_file_size)
 
+    def rewrite_position_deletes(self, spark, target_file_size=None) -> bool:
+        """Consolidate scattered deletion-vector puffin files without
+        rewriting data (see maintenance.rewrite_position_deletes)."""
+        from .maintenance import rewrite_position_deletes
+
+        return rewrite_position_deletes(self, spark, target_file_size)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files
