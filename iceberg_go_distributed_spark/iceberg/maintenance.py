@@ -213,6 +213,14 @@ def rewrite_position_deletes(
     decode+re-encode of roaring bitmaps (O(deleted positions) per task);
     the driver only ever sees O(files) descriptors.
 
+    Also sweeps DANGLING deletion vectors — DVs whose referenced data
+    file is no longer live (compaction rewrote it): they can never match
+    again, but they inflate total-position-deletes and every scan's
+    delete-manifest read until removed (the remove-dangling-deletes half
+    of Spark's rewrite_position_deletes procedure). The liveness check
+    rides `scan().plan_files()`, so it auto-routes through distributed
+    planning on large snapshots.
+
     Returns True if a consolidation snapshot was committed."""
     import math
 
@@ -266,10 +274,18 @@ def rewrite_position_deletes(
             keep.append(m)  # no DVs — carry untouched
         # all-DV manifests are dropped (replaced by the consolidated one)
 
+    if not dv_rows:
+        return False
+    # dangling sweep: a DV whose referenced data file is gone can never
+    # match again — drop it instead of repacking it
+    live_paths = {t.file.file_path for t in table.scan().plan_files()}
+    dangling = [r for r in dv_rows if r[0] not in live_paths]
+    live_rows = [r for r in dv_rows if r[0] in live_paths]
+
     src_puffins = {r[1] for r in dv_rows}
-    total_bytes = sum(r[3] for r in dv_rows)
+    total_bytes = sum(r[3] for r in live_rows)
     n_out = max(1, math.ceil(total_bytes / target))
-    if not dv_rows or len(src_puffins) < max(min_input_files, n_out + 1):
+    if not dangling and len(src_puffins) < max(min_input_files, n_out + 1):
         return False  # already as consolidated as the target allows
 
     ds = begin_distributed_snapshot(table)
@@ -277,11 +293,15 @@ def rewrite_position_deletes(
     commit_uuid = ds.commit_uuid
     fileio_cfg = _fileio.env_config()
 
-    files_df = spark.createDataFrame(
-        dv_rows,
-        "data_file string, dv_path string, dv_offset bigint, dv_size bigint, "
-        "cardinality bigint, seq bigint, file_seq bigint, snap_id bigint",
-    ).repartition(n_out)
+    files_df = (
+        spark.createDataFrame(
+            live_rows,
+            "data_file string, dv_path string, dv_offset bigint, dv_size bigint, "
+            "cardinality bigint, seq bigint, file_seq bigint, snap_id bigint",
+        ).repartition(n_out)
+        if live_rows
+        else None
+    )
 
     def task(batches):
         import pandas as pd
@@ -357,38 +377,41 @@ def rewrite_position_deletes(
 
     from .write import _decode_descriptor
 
-    collected = files_df.mapInPandas(
-        task, "descriptor string, seq bigint, file_seq bigint, snap_id bigint"
-    ).collect()
-    new_entries = []
-    for r in collected:
-        if not r.descriptor:
-            continue
-        df = _decode_descriptor(r.descriptor)
-        df.content = DataFileContent.POSITION_DELETES
-        new_entries.append(
-            ManifestEntry(
-                status=ManifestEntryStatus.EXISTING,
-                snapshot_id=int(r.snap_id),
-                sequence_number=int(r.seq),
-                file_sequence_number=int(r.file_seq),
-                data_file=df,
-            )
-        )
-    assert len(new_entries) == len(dv_rows), "a DV blob went missing in repack"
-
     schema = md.current_schema()
-    path = os.path.join(md.location, "metadata", f"{commit_uuid}-dv-consolidated-m0.avro")
-    mf = write_manifest(
-        path, md.default_spec(), schema, snap.snapshot_id, new_entries,
-        content=ManifestContent.DELETES,
-    )
-    # entry-level sequence numbers are explicit (EXISTING); manifest-level
-    # bounds must still gate correctly against min data sequence numbers
-    mf.sequence_number = max(e.sequence_number for e in new_entries)
-    mf.min_sequence_number = min(e.sequence_number for e in new_entries)
+    new_entries = []
+    carried = list(keep)
+    if files_df is not None:
+        collected = files_df.mapInPandas(
+            task, "descriptor string, seq bigint, file_seq bigint, snap_id bigint"
+        ).collect()
+        for r in collected:
+            if not r.descriptor:
+                continue
+            df = _decode_descriptor(r.descriptor)
+            df.content = DataFileContent.POSITION_DELETES
+            new_entries.append(
+                ManifestEntry(
+                    status=ManifestEntryStatus.EXISTING,
+                    snapshot_id=int(r.snap_id),
+                    sequence_number=int(r.seq),
+                    file_sequence_number=int(r.file_seq),
+                    data_file=df,
+                )
+            )
+        assert len(new_entries) == len(live_rows), "a DV blob went missing in repack"
 
-    carried = list(keep) + [mf]
+        path = os.path.join(
+            md.location, "metadata", f"{commit_uuid}-dv-consolidated-m0.avro"
+        )
+        mf = write_manifest(
+            path, md.default_spec(), schema, snap.snapshot_id, new_entries,
+            content=ManifestContent.DELETES,
+        )
+        # entry-level sequence numbers are explicit (EXISTING); manifest-
+        # level bounds must still gate correctly against min data seqs
+        mf.sequence_number = max(e.sequence_number for e in new_entries)
+        mf.min_sequence_number = min(e.sequence_number for e in new_entries)
+        carried.append(mf)
     for m, others in mixed_rewrites:
         for e in others:
             e.status = ManifestEntryStatus.EXISTING
@@ -404,6 +427,9 @@ def rewrite_position_deletes(
         carried.append(kept_mf)
 
     n_new_puffins = len({e.data_file.file_path for e in new_entries})
+    # added/removed pairs feed update_snapshot_totals: the live blobs
+    # net to zero, the dangling ones leave total-position-deletes /
+    # total-delete-files for good
     _commit_manifests(
         table,
         [],
@@ -411,7 +437,18 @@ def rewrite_position_deletes(
         operation="replace",
         extra_summary={
             "rewritten-delete-files": str(len(src_puffins)),
-            "added-delete-files": str(n_new_puffins),
+            "consolidated-puffin-files": str(n_new_puffins),
+            "removed-dangling-deletes": str(len(dangling)),
+            "added-delete-files": str(len(new_entries)),
+            "removed-delete-files": str(len(dv_rows)),
+            "added-position-deletes": str(
+                sum(e.data_file.record_count for e in new_entries)
+            ),
+            "removed-position-deletes": str(sum(r[4] for r in dv_rows)),
+            "added-files-size": str(
+                sum(e.data_file.content_size_in_bytes for e in new_entries)
+            ),
+            "removed-files-size": str(sum(r[3] for r in dv_rows)),
         },
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,

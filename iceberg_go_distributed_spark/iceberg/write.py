@@ -838,20 +838,14 @@ def _summary_props(
     added_files = len(data_files)
     added_records = sum(f.record_count for f in data_files)
     added_size = sum(f.file_size_in_bytes for f in data_files)
-    prev_files = int(parent_summary.get("total-data-files", "0"))
-    prev_records = int(parent_summary.get("total-records", "0"))
-    prev_size = int(parent_summary.get("total-files-size", "0"))
-    out = {
-        "added-data-files": str(added_files),
-        "added-records": str(added_records),
-        "added-files-size": str(added_size),
-        "total-data-files": str(prev_files + added_files),
-        "total-records": str(prev_records + added_records),
-        "total-files-size": str(prev_size + added_size),
-        "total-delete-files": parent_summary.get("total-delete-files", "0"),
-        "total-position-deletes": parent_summary.get("total-position-deletes", "0"),
-        "total-equality-deletes": parent_summary.get("total-equality-deletes", "0"),
-    }
+    out = update_snapshot_totals(
+        {
+            "added-data-files": str(added_files),
+            "added-records": str(added_records),
+            "added-files-size": str(added_size),
+        },
+        parent_summary,
+    )
     partitions: dict[str, tuple[int, int]] = {}
     for f in data_files:
         if not f.partition:
@@ -975,6 +969,31 @@ def commit_distributed_snapshot(table, ds, manifests, summary_props=None) -> Non
 
 # ------------------------------------------------ deletes & overwrite (DML)
 
+def update_snapshot_totals(props: dict, parent_props: dict) -> dict:
+    """Running `total-*` counters, the reference's incremental rule —
+    ref table/snapshots.go:445-486 (updateSnapshotSummaries): for each
+    counter, total = parent_total + added − removed, set only when the
+    result is non-negative. Applied to EVERY snapshot commit so delete /
+    overwrite / replace snapshots carry truthful totals, not just
+    appends."""
+    for total, added, removed in (
+        ("total-data-files", "added-data-files", "deleted-data-files"),
+        ("total-delete-files", "added-delete-files", "removed-delete-files"),
+        ("total-records", "added-records", "deleted-records"),
+        ("total-files-size", "added-files-size", "removed-files-size"),
+        ("total-position-deletes", "added-position-deletes", "removed-position-deletes"),
+        ("total-equality-deletes", "added-equality-deletes", "removed-equality-deletes"),
+    ):
+        new_total = (
+            int(parent_props.get(total, "0"))
+            + int(props.get(added, "0"))
+            - int(props.get(removed, "0"))
+        )
+        if new_total >= 0:
+            props[total] = str(new_total)
+    return props
+
+
 def _rewrite_parent_manifests(
     md, removed_paths: set, commit_uuid: str, tag: str,
     replaced_dv_refs: Optional[set] = None,
@@ -982,7 +1001,15 @@ def _rewrite_parent_manifests(
     """Carry forward the parent's manifests, dropping entries for
     `removed_paths`; untouched manifests are reused as-is (ref
     snapshot_producers.go:104-243 overwriteFiles: rewrites carried-over
-    manifests dropping deleted entries).
+    manifests dropping deleted entries). Returns ``(carried, removed)``
+    where ``removed`` accounts the dropped entries the way the
+    reference's updateMetrics.removeFile does (snapshots.go:128-148) so
+    callers can emit truthful removed-* summary counters. DV entries
+    dropped because this commit REPLACED them (merge-and-replace) are
+    accounted separately in ``replaced_dv_positions`` and excluded from
+    ``removed-position-deletes``: the matching added-position-deletes
+    counts only the NEWLY deleted positions, so the pair nets to the
+    true total change.
 
     v3: rewritten data manifests materialize each kept file's
     first_row_id (inherited from the manifest's assignment) so row
@@ -991,6 +1018,7 @@ def _rewrite_parent_manifests(
     deletion-vector entries whose referenced data file got a new DV
     this commit (spec: at most one DV per data file)."""
     from .manifest import (
+        DataFileContent,
         ManifestContent,
         read_manifest,
         write_manifest,
@@ -999,8 +1027,21 @@ def _rewrite_parent_manifests(
     v3 = md.format_version >= 3
     parent = md.current_snapshot()
     carried = []
+    removed_metrics = {
+        "deleted-records": 0,
+        "removed-files-size": 0,
+        "removed-delete-files": 0,
+        "removed-position-deletes": 0,
+        "removed-equality-deletes": 0,
+        "replaced_dv_positions": 0,
+    }
     if parent is None:
-        return carried
+        return carried, removed_metrics
+
+    def _account_dropped_data(e):
+        removed_metrics["deleted-records"] += e.data_file.record_count
+        removed_metrics["removed-files-size"] += e.data_file.file_size_in_bytes
+
     for i, m in enumerate(parent.manifests()):
         entries = read_manifest(
             m.manifest_path,
@@ -1011,6 +1052,9 @@ def _rewrite_parent_manifests(
             e.data_file.file_path in removed_paths for e in entries
         ):
             kept = [e for e in entries if e.data_file.file_path not in removed_paths]
+            for e in entries:
+                if e.data_file.file_path in removed_paths:
+                    _account_dropped_data(e)
             if not kept:
                 continue  # whole manifest dropped
             for e in kept:
@@ -1038,6 +1082,19 @@ def _rewrite_parent_manifests(
                     and e.data_file.referenced_data_file in replaced_dv_refs
                 )
             ]
+            for e in entries:
+                if (
+                    e.data_file.content_offset is not None
+                    and e.data_file.referenced_data_file in replaced_dv_refs
+                ):
+                    removed_metrics["removed-delete-files"] += 1
+                    removed_metrics["replaced_dv_positions"] += (
+                        e.data_file.record_count
+                    )
+                    removed_metrics["removed-files-size"] += (
+                        e.data_file.content_size_in_bytes
+                        or e.data_file.file_size_in_bytes
+                    )
             if not kept:
                 continue
             for e in kept:
@@ -1055,7 +1112,7 @@ def _rewrite_parent_manifests(
             carried.append(mf)
         else:
             carried.append(m)
-    return carried
+    return carried, removed_metrics
 
 
 def _commit_manifests(table, new_manifests, carried, operation: str, extra_summary=None,
@@ -1076,6 +1133,11 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
     ds_sid = snapshot_id if snapshot_id is not None else begin_distributed_snapshot(table).snapshot_id
     uuid_ = commit_uuid or str(_uuid.uuid4())
     parent_id = parent_snapshot_id if parent_snapshot_id is not None else md.current_snapshot_id
+    parent_snap = md.snapshot_by_id(parent_id) if parent_id is not None else None
+    extra_summary = update_snapshot_totals(
+        dict(extra_summary or {}),
+        parent_snap.summary.properties if parent_snap else {},
+    )
     tx = table.transaction()
     seq = tx._builder.next_sequence_number()
     for m in new_manifests:
@@ -1432,24 +1494,44 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
             )
             new_manifests.append(mf)
 
-    carried = _rewrite_parent_manifests(
+    carried, rm = _rewrite_parent_manifests(
         md, removed, ds.commit_uuid, "del",
         replaced_dv_refs=replaced_dv_refs or None,
     )
     # summary counters named as the reference's builder names them —
-    # ref table/snapshots.go:67-80 (added-position-delete[-file]s)
-    summary = {"deleted-data-files": str(len(removed))}
+    # ref table/snapshots.go:67-86 + updateMetrics; removed-* counters
+    # come from the parent-manifest rewrite so update_snapshot_totals
+    # keeps the running total-* counters truthful on delete snapshots.
+    summary = {
+        "deleted-data-files": str(len(removed)),
+        "deleted-records": str(rm["deleted-records"]),
+        "removed-files-size": str(rm["removed-files-size"]),
+        "removed-delete-files": str(rm["removed-delete-files"]),
+        "removed-position-deletes": str(rm["removed-position-deletes"]),
+    }
     if partial and delete_files:
         # v3: count only positions newly matched this call — a replaced
         # DV's carried-over (unioned) positions were already reported by
         # the snapshot that added them (ref snapshots.go builder counts
-        # added deletes, not total cardinality).
+        # added deletes, not total cardinality). The replaced DV's
+        # positions are likewise excluded from removed-position-deletes
+        # (accounted as replaced_dv_positions), so
+        # total-position-deletes advances by exactly the newly deleted.
         summary["added-position-deletes"] = str(
             newly_deleted
             if newly_deleted is not None
             else sum(f.record_count for f in delete_files)
         )
         summary["added-position-delete-files"] = str(len(delete_files))
+        summary["added-delete-files"] = str(len(delete_files))
+        summary["added-files-size"] = str(
+            sum(
+                (f.content_size_in_bytes or f.file_size_in_bytes)
+                if f.file_format == "PUFFIN"
+                else f.file_size_in_bytes
+                for f in delete_files
+            )
+        )
         if replaced_dv_refs:
             summary["added-dvs"] = str(len(delete_files))
     _commit_manifests(
@@ -1537,13 +1619,23 @@ def overwrite_where(table, df, expr) -> None:
         new_manifests.append(
             write_manifest(path, md.default_spec(), schema, ds.snapshot_id, entries)
         )
-    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "ow")
+    carried, rm = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "ow")
     _commit_manifests(
         table,
         new_manifests,
         carried,
         operation="overwrite",
-        extra_summary={"replaced-data-files": str(len(removed))},
+        extra_summary={
+            "replaced-data-files": str(len(removed)),
+            "deleted-data-files": str(len(removed)),
+            "deleted-records": str(rm["deleted-records"]),
+            "removed-files-size": str(rm["removed-files-size"]),
+            "added-data-files": str(len(data_files)),
+            "added-records": str(sum(f.record_count for f in data_files)),
+            "added-files-size": str(
+                sum(f.file_size_in_bytes for f in data_files)
+            ),
+        },
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,
@@ -1678,9 +1770,14 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     _commit_manifests(
         table,
         [mf],
-        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "eq"),
+        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "eq")[0],
         operation="delete",
-        extra_summary={"added-equality-delete-files": str(len(files))},
+        extra_summary={
+            "added-equality-delete-files": str(len(files)),
+            "added-delete-files": str(len(files)),
+            "added-equality-deletes": str(sum(f.record_count for f in files)),
+            "added-files-size": str(sum(f.file_size_in_bytes for f in files)),
+        },
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,
@@ -1764,10 +1861,20 @@ def upsert(table, df, key_columns: list[str]) -> None:
     parent = md.current_snapshot()
     parent_summary = parent.summary.properties if parent else {}
     props = _summary_props(data_files, parent_summary)
+    if key_files:
+        props["added-delete-files"] = str(len(key_files))
+        props["added-equality-delete-files"] = str(len(key_files))
+        props["added-equality-deletes"] = str(
+            sum(f.record_count for f in key_files)
+        )
+        props["added-files-size"] = str(
+            int(props.get("added-files-size", "0"))
+            + sum(f.file_size_in_bytes for f in key_files)
+        )
     _commit_manifests(
         table,
         new_manifests,
-        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "up"),
+        _rewrite_parent_manifests(md, set(), ds.commit_uuid, "up")[0],
         operation="overwrite",
         extra_summary=props,
         snapshot_id=ds.snapshot_id,
@@ -1894,13 +2001,23 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
     # carry untouched data manifests minus rewritten entries; delete
     # manifests are carried too — rewritten files got fresh paths and a
     # higher sequence number, so stale deletes no longer apply to them
-    carried = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "compact")
+    carried, rm = _rewrite_parent_manifests(md, removed, ds.commit_uuid, "compact")
     _commit_manifests(
         table,
         [mf],
         carried,
         operation="replace",
-        extra_summary={"rewritten-data-files": str(len(removed))},
+        extra_summary={
+            "rewritten-data-files": str(len(removed)),
+            "deleted-data-files": str(len(removed)),
+            "deleted-records": str(rm["deleted-records"]),
+            "removed-files-size": str(rm["removed-files-size"]),
+            "added-data-files": str(len(data_files)),
+            "added-records": str(sum(f.record_count for f in data_files)),
+            "added-files-size": str(
+                sum(f.file_size_in_bytes for f in data_files)
+            ),
+        },
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
         parent_snapshot_id=ds.parent_snapshot_id,

@@ -548,3 +548,78 @@ def test_iter_matched_positions_batchwise_multi_rowgroup(tmp_path):
             list(_iter_matched_positions(path, ["v"], bound, batch_rows=batch_rows))
         )
         assert got.tolist() == expect, batch_rows
+
+
+def test_snapshot_totals_track_every_commit_type(fs_catalog, spark, lineitem_df):
+    """ref table/snapshots.go:445-486 (updateSnapshotSummaries): the six
+    total-* counters advance incrementally (+added −removed) on EVERY
+    snapshot — append, row-level delete (whole-file + MOR), DV-replacing
+    second delete, equality delete, upsert, compaction — not just
+    appends. The model below tracks what each total must be."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    rows = [r.asDict() for r in lineitem_df.limit(90).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i
+    df = spark.createDataFrame(rows, lineitem_df.schema)
+
+    t = fs_catalog.create_table("db.totals", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+
+    def totals():
+        p = t.current_snapshot().summary.properties
+        return {
+            k: int(p.get(f"total-{k}", "-1"))
+            for k in ("data-files", "delete-files", "records",
+                      "position-deletes", "equality-deletes")
+        }
+
+    # three appends → 3 files, 90 rows
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        t.append(df.where(f"l_orderkey >= {lo} AND l_orderkey < {hi}").coalesce(1))
+    assert totals() == {
+        "data-files": 3, "delete-files": 0, "records": 90,
+        "position-deletes": 0, "equality-deletes": 0,
+    }
+
+    # whole-file drop (strict match on file 1) + MOR delete on file 2
+    t.delete_where(spark, E.less_than("l_orderkey", 30))       # drops file 1
+    assert totals() == {
+        "data-files": 2, "delete-files": 0, "records": 60,
+        "position-deletes": 0, "equality-deletes": 0,
+    }
+    t.delete_where(
+        spark, E.and_(E.greater_than_or_equal("l_orderkey", 30), E.less_than("l_orderkey", 35))
+    )  # 5 positions into a DV on file 2
+    assert totals() == {
+        "data-files": 2, "delete-files": 1, "records": 60,
+        "position-deletes": 5, "equality-deletes": 0,
+    }
+    # DV merge-and-replace: +3 newly, entry count unchanged
+    t.delete_where(
+        spark, E.and_(E.greater_than_or_equal("l_orderkey", 33), E.less_than("l_orderkey", 38))
+    )  # 33,34 already deleted → 3 newly
+    assert totals() == {
+        "data-files": 2, "delete-files": 1, "records": 60,
+        "position-deletes": 8, "equality-deletes": 0,
+    }
+
+    # equality delete: one key file, 2 keys
+    t.delete_by_keys(
+        spark.createDataFrame([(62,), (63,)], "l_orderkey bigint"), ["l_orderkey"]
+    )
+    got = totals()
+    assert got["delete-files"] == 2 and got["equality-deletes"] == 2
+    assert got["records"] == 60  # eq deletes don't shrink data rows
+
+    # compaction materializes everything; sweep then clears the
+    # dangling DV + eq entries via rewrite_position_deletes... the DV
+    # sweep handles positional only, so assert the data-side effects
+    assert t.rewrite_data_files(spark) is True
+    got = totals()
+    live = t.scan().to_df(spark).count()
+    assert got["records"] == live == 60 - 8 - 2
+    assert got["data-files"] >= 1
+    assert t.rewrite_position_deletes(spark) is True  # dangling DV sweep
+    got = totals()
+    assert got["position-deletes"] == 0, got

@@ -367,10 +367,14 @@ def test_rewrite_position_deletes_consolidates_dvs(fs_catalog, spark, lineitem_d
         r.l_orderkey for r in t.scan().to_df(spark).select("l_orderkey").collect()
     )
     assert got == expect
-    # summary records the rewrite
+    # summary records the rewrite; totals are preserved exactly (the
+    # repack nets to zero in every total-* counter)
     props = t.current_snapshot().summary.properties
     assert props["rewritten-delete-files"] == "3"
-    assert props["added-delete-files"] == "1"
+    assert props["consolidated-puffin-files"] == "1"
+    assert props["added-delete-files"] == props["removed-delete-files"] == "3"
+    assert props["total-position-deletes"] == "15"
+    assert props["total-delete-files"] == "3"
 
     # idempotent: already consolidated → no-op, no new snapshot
     sid = t.current_snapshot().snapshot_id
