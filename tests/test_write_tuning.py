@@ -563,3 +563,24 @@ class TestWriteDistributionMode:
                 tmp_path, spark, lineitem_df,
                 {"write.distribution-mode": "bogus"}, "dm_bad",
             )
+
+    def test_salted_v3_write_keeps_lineage_dense(self, tmp_path, spark, lineitem_df):
+        """Salted fanout on a v3 table: more files per partition must not
+        disturb row-lineage assignment — _row_id stays dense and unique
+        (ids are assigned per-manifest by first_row_id inheritance, so
+        file count is irrelevant; this pins it)."""
+        from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+        cat = FileSystemCatalog(str(tmp_path / "wh"))
+        spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+        t = cat.create_table("db.dm_salt_v3", LINEITEM_SCHEMA, spec=spec)
+        t.upgrade_format_version(3)
+        tx = t.transaction()
+        tx.set_properties({"write.fanout.salt-tasks": "4"})
+        tx.commit()
+        t.append(lineitem_df.limit(200).repartition(4))
+        ids = [
+            r._row_id
+            for r in t.scan().with_row_lineage().to_df(spark).select("_row_id").collect()
+        ]
+        assert sorted(ids) == list(range(200))
