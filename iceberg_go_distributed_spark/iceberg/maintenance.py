@@ -76,7 +76,10 @@ def delete_orphan_files(
     orphans: list[str] = []
     for root, _dirs, files in os.walk(location):
         for fn in files:
-            if fn == "version-hint.text" or fn.endswith(".lock"):
+            # never touch catalog control files: the version hint and
+            # lock files (unlinking a held .flock would let two racing
+            # commits lock DIFFERENT inodes, voiding the CAS)
+            if fn == "version-hint.text" or fn.endswith((".lock", ".flock")):
                 continue
             p = os.path.join(root, fn)
             if _normalize(p) in refs:

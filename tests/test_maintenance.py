@@ -428,3 +428,54 @@ def test_rewrite_position_deletes_respects_sequence_gate(
         for tk in plan_files_distributed(sc, spark)
     }
     assert local == dist
+
+
+def test_dv_lifecycle_expire_then_orphan_cleanup(fs_catalog, spark, lineitem_df):
+    """Full DV lifecycle: delete stream → consolidation → snapshot
+    expiry → orphan cleanup. Superseded puffins stay REFERENCED (older
+    snapshots can still read them) until expiry releases them; cleanup
+    then removes exactly those, and the consolidated scan is unchanged."""
+    import os
+    import time
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        delete_orphan_files,
+        rewrite_position_deletes,
+    )
+
+    rows = [r.asDict() for r in lineitem_df.limit(90).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i
+    df = spark.createDataFrame(rows, lineitem_df.schema)
+
+    t = fs_catalog.create_table("db.dvlife", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        t.append(df.where(f"l_orderkey >= {lo} AND l_orderkey < {hi}").coalesce(1))
+    t.delete_where(spark, E.and_(E.greater_than_or_equal("l_orderkey", 5), E.less_than("l_orderkey", 8)))
+    t.delete_where(spark, E.and_(E.greater_than_or_equal("l_orderkey", 35), E.less_than("l_orderkey", 38)))
+
+    old_puffins = {e.data_file.file_path for e in _live_dv_entries(t)}
+    assert len(old_puffins) == 2
+    assert rewrite_position_deletes(t, spark) is True
+    [new_puffin] = {e.data_file.file_path for e in _live_dv_entries(t)}
+    expect = t.scan().to_df(spark).count()
+
+    # (older_than_ms is an absolute mtime cutoff; a future one makes
+    # every unreferenced file eligible immediately)
+    future = int(time.time() * 1000) + 60_000
+
+    # superseded puffins are still reachable via older snapshots
+    assert delete_orphan_files(t, older_than_ms=future, dry_run=True) == []
+
+    tx = t.transaction()
+    tx.expire_snapshots(retain_last=1)
+    tx.commit()
+    t.refresh()
+    removed = delete_orphan_files(t, older_than_ms=future)
+    assert old_puffins <= set(removed)
+    assert new_puffin not in set(removed)
+    for p in old_puffins:
+        assert not os.path.exists(p)
+    assert t.scan().to_df(spark).count() == expect
