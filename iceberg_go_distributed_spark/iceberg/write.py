@@ -489,6 +489,60 @@ def _decode_descriptor(s: str) -> DataFile:
     )
 
 
+def distribute_for_write(data, schema: Schema, spec: PartitionSpec, properties=None):
+    """Partition-aware write distribution, split out so tests can assert
+    the exchange shape of each mode on the returned plan.
+
+    Public Iceberg `write.distribution-mode`:
+      hash  (default) — one exchange on the partition tuple; each
+              partition's rows land on one task → fewest files, but a
+              hot partition is written by a single task.
+      none  — no exchange; every input task fanout-writes the
+              partitions it already holds (the reference's
+              parallel-worker fanout, partitioned_fanout_writer.go:69-82,
+              where worker count is independent of partition count)
+              → max parallelism, more files.
+      range — range exchange on the partition tuple; clusters adjacent
+              partitions per task (time-ordered layouts).
+    `write.fanout.salt-tasks=N` (extension, hash mode only) splits each
+    partition across N tasks — skew relief for hot partitions at scale
+    without giving up the exchange."""
+    from pyspark.sql import functions as F
+
+    if not spec.fields:
+        return data
+    part_names = [pf.name for pf in spec.fields]
+    src_by_id = {f.field_id: f for f in schema.fields}
+    part_cols = [
+        pf.transform.spark_column(
+            F.col(src_by_id[pf.source_id].name), src_by_id[pf.source_id].field_type
+        ).alias(f"__part_{pf.name}")
+        for pf in spec.fields
+    ]
+    data = data.select("*", *part_cols)
+    mode = (properties or {}).get("write.distribution-mode", "hash").lower()
+    cols = [F.col(f"__part_{n}") for n in part_names]
+    if mode == "none":
+        return data
+    if mode == "range":
+        return data.repartitionByRange(*cols)
+    if mode == "hash":
+        salt = int((properties or {}).get("write.fanout.salt-tasks", "1"))
+        if salt > 1:
+            # explicit numPartitions exempts the exchange from AQE
+            # partition coalescing — otherwise small salted buckets get
+            # merged right back onto one task
+            n = int(
+                data.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            cols.append(F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+            return data.repartition(max(n, salt), *cols)
+        return data.repartition(*cols)
+    raise ValueError(
+        f"write.distribution-mode={mode!r}: expected none|hash|range"
+    )
+
+
 def write_data_files(
     df,
     schema: Schema,
@@ -511,56 +565,7 @@ def write_data_files(
 
     field_names = [f.name for f in schema.fields]
     part_names = [pf.name for pf in spec.fields]
-    data = df.select(*field_names)
-
-    if spec.fields:
-        src_by_id = {f.field_id: f for f in schema.fields}
-        part_cols = [
-            pf.transform.spark_column(
-                F.col(src_by_id[pf.source_id].name), src_by_id[pf.source_id].field_type
-            ).alias(f"__part_{pf.name}")
-            for pf in spec.fields
-        ]
-        data = data.select("*", *part_cols)
-        # Write distribution (public Iceberg `write.distribution-mode`):
-        #   hash  (default) — one exchange on the partition tuple; each
-        #           partition's rows land on one task → fewest files,
-        #           but a hot partition is written by a single task.
-        #   none  — no exchange; every input task fanout-writes the
-        #           partitions it already holds (the reference's
-        #           parallel-worker fanout, partitioned_fanout_writer.go
-        #           :69-82, where worker count is independent of
-        #           partition count) → max parallelism, more files.
-        #   range — range exchange on the partition tuple; clusters
-        #           adjacent partitions per task (time-ordered layouts).
-        # `write.fanout.salt-tasks=N` (extension, hash mode only) splits
-        # each partition across N tasks — the skew relief for hot
-        # partitions at scale without giving up the exchange.
-        mode = (properties or {}).get("write.distribution-mode", "hash").lower()
-        cols = [F.col(f"__part_{n}") for n in part_names]
-        if mode == "none":
-            pass
-        elif mode == "range":
-            data = data.repartitionByRange(*cols)
-        elif mode == "hash":
-            salt = int((properties or {}).get("write.fanout.salt-tasks", "1"))
-            if salt > 1:
-                # explicit numPartitions exempts the exchange from AQE
-                # partition coalescing — otherwise small salted buckets
-                # get merged right back onto one task
-                n = int(
-                    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-                )
-                cols.append(
-                    F.pmod(F.monotonically_increasing_id(), F.lit(salt))
-                )
-                data = data.repartition(max(n, salt), *cols)
-            else:
-                data = data.repartition(*cols)
-        else:
-            raise ValueError(
-                f"write.distribution-mode={mode!r}: expected none|hash|range"
-            )
+    data = distribute_for_write(df.select(*field_names), schema, spec, properties)
 
     # declarative sort order: sort rows inside each task before writing and
     # stamp the order id on the data files — ref table/sorting.go +

@@ -584,3 +584,34 @@ class TestWriteDistributionMode:
             for r in t.scan().with_row_lineage().to_df(spark).select("_row_id").collect()
         ]
         assert sorted(ids) == list(range(200))
+
+    def test_plan_shapes_per_mode(self, spark, lineitem_df):
+        """The distribution step's physical plan, asserted per mode:
+        exactly ONE hash exchange for hash (the fanout router — VERDICT
+        r7 criterion for the partitioned bench path), a range exchange
+        for range, and NO exchange for none."""
+        from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+        from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+        from iceberg_go_distributed_spark.iceberg.write import distribute_for_write
+
+        df = lineitem_df.limit(100)
+        schema = schema_from_spark(df.schema)
+        spec = spec_from(schema, ("l_shipdate", "year"))
+
+        def plan(props):
+            d = distribute_for_write(df, schema, spec, props)
+            return d._jdf.queryExecution().executedPlan().toString()
+
+        p_hash = plan({})
+        assert p_hash.count("Exchange hashpartitioning") == 1
+        assert "rangepartitioning" not in p_hash
+
+        p_none = plan({"write.distribution-mode": "none"})
+        assert "Exchange" not in p_none
+
+        p_range = plan({"write.distribution-mode": "range"})
+        assert "Exchange rangepartitioning" in p_range
+
+        p_salt = plan({"write.fanout.salt-tasks": "4"})
+        assert p_salt.count("Exchange hashpartitioning") == 1
+        assert "pmod" in p_salt  # the salt rides inside the ONE exchange
