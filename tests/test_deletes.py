@@ -623,3 +623,102 @@ def test_snapshot_totals_track_every_commit_type(fs_catalog, spark, lineitem_df)
     assert t.rewrite_position_deletes(spark) is True  # dangling DV sweep
     got = totals()
     assert got["position-deletes"] == 0, got
+
+
+def test_snapshot_totals_fuzz_vs_manifest_recomputation(
+    fs_catalog, spark, lineitem_df
+):
+    """Invariant: the incrementally-maintained total-* counters equal a
+    ground-truth recomputation over the CURRENT snapshot's live manifest
+    entries after ANY DML sequence. Seeded random sequences of append /
+    delete_where / delete_by_keys / upsert / compaction / DV
+    consolidation — the telescoping newly-only DV accounting must land
+    on exactly the live DV cardinalities."""
+    import random
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        DataFileContent,
+        ManifestContent,
+        read_manifest,
+    )
+
+    rows = [r.asDict() for r in lineitem_df.limit(100).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i
+    df = spark.createDataFrame(rows, lineitem_df.schema).cache()
+
+    def ground_truth(t):
+        got = {
+            "total-data-files": 0, "total-delete-files": 0,
+            "total-records": 0, "total-position-deletes": 0,
+            "total-equality-deletes": 0,
+        }
+        for m in t.current_snapshot().manifests():
+            for e in read_manifest(
+                m.manifest_path, inherit_sequence_number=m.sequence_number
+            ):
+                d = e.data_file
+                if m.content == ManifestContent.DATA:
+                    got["total-data-files"] += 1
+                    got["total-records"] += d.record_count
+                elif d.content == DataFileContent.POSITION_DELETES:
+                    got["total-delete-files"] += 1
+                    got["total-position-deletes"] += d.record_count
+                elif d.content == DataFileContent.EQUALITY_DELETES:
+                    got["total-delete-files"] += 1
+                    got["total-equality-deletes"] += d.record_count
+        return got
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = fs_catalog.create_table(f"db.fuzz{seed}", LINEITEM_SCHEMA)
+        t.upgrade_format_version(3)
+        next_key = 0
+
+        def fresh_batch(n):
+            nonlocal next_key
+            lo, next_key = next_key, next_key + n
+            return df.where(f"l_orderkey >= {lo % 100}").limit(n).selectExpr(
+                *[c if c != "l_orderkey" else f"l_orderkey + {lo * 1000} AS l_orderkey"
+                  for c in df.columns]
+            )
+
+        ops_run = []
+        for step in range(8):
+            op = rng.choice(
+                ["append", "delete", "delete", "eq_delete", "upsert",
+                 "compact", "consolidate"]
+            )
+            if op == "append" or t.current_snapshot() is None:
+                t.append(fresh_batch(rng.randint(5, 20)).coalesce(1))
+                op = "append"
+            elif op == "delete":
+                t.delete_where(
+                    spark, E.equal("l_linenumber", rng.randint(1, 4))
+                )
+            elif op == "eq_delete":
+                keys = [
+                    r.l_orderkey
+                    for r in t.scan().to_df(spark).select("l_orderkey").limit(3).collect()
+                ]
+                if keys:
+                    t.delete_by_keys(
+                        spark.createDataFrame([(k,) for k in keys], "l_orderkey bigint"),
+                        ["l_orderkey"],
+                    )
+            elif op == "upsert":
+                t.upsert(fresh_batch(rng.randint(3, 8)).coalesce(1), ["l_orderkey"])
+            elif op == "compact":
+                t.rewrite_data_files(spark)
+            elif op == "consolidate":
+                rewrite_position_deletes(t, spark, min_input_files=2)
+            ops_run.append(op)
+
+            props = t.current_snapshot().summary.properties
+            want = ground_truth(t)
+            got = {k: int(props.get(k, "0")) for k in want}
+            assert got == want, f"seed={seed} step={step} ops={ops_run}: {got} != {want}"
