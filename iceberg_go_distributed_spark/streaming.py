@@ -189,9 +189,12 @@ CHANGELOG_BEGINNING = -1
 
 def changelog_poll(table, spark, cursor: Optional[int]):
     """One CDC consumption step — the poll-loop primitive a pipeline
-    scheduler runs against a v3 table (the Structured-Streaming-source
-    shape, minus the JVM DataSourceV2 registration PySpark cannot
-    express): refresh, diff against the consumer's cursor, advance.
+    scheduler runs against a v3 table: refresh, diff against the
+    consumer's cursor, advance. For append-only consumption the
+    first-class `readStream` source (`iceberg_stream`, below) supersedes
+    this loop; changelog_poll remains the row-level CDC surface
+    (deletes/updates as delete+insert pairs), which the append-stream
+    source deliberately refuses.
 
     Returns ``(changes_df | None, new_cursor)``:
       - first call with ``cursor=None`` establishes the position at the
@@ -227,3 +230,116 @@ def changelog_poll(table, spark, cursor: Optional[int]):
         ),
         head,
     )
+
+
+# ---------------------------------------------- streaming SOURCE (readStream)
+
+def _load_fs_table(warehouse: str, identifier: str):
+    from .iceberg.catalog import FileSystemCatalog
+
+    return FileSystemCatalog(warehouse).load_table(identifier)
+
+
+def register_iceberg_stream_source(spark) -> None:
+    """Register the `iceberg_inc` streaming source (idempotent)."""
+    spark.dataSource.register(IcebergStreamDataSource)
+
+
+def iceberg_stream(spark, warehouse: str, table: str) -> DataFrame:
+    """`spark.readStream` over an Iceberg table's append stream.
+
+    Built on PySpark 4's Python Data Source API (DataSourceStreamReader)
+    — the true DataSourceV2 micro-batch shape, upgrading changelog_poll's
+    scheduler-driven loop to a first-class `readStream` source: offsets
+    are snapshot ids (durable in the query checkpoint), each micro-batch
+    is the appended-file set between two snapshots
+    (`incremental_append_scan` semantics: append snapshots only,
+    compaction `replace` skipped as already-delivered rewrites, an
+    overwrite/delete in range raises — use changelog_poll for row-level
+    CDC), and executors read ONLY the new files. Composes with every
+    downstream Structured Streaming operator (watermarks, windowed aggs,
+    applyInPandasWithState, append_stream back into another table)."""
+    register_iceberg_stream_source(spark)
+    return (
+        spark.readStream.format("iceberg_inc")
+        .option("warehouse", warehouse)
+        .option("table", table)
+        .load()
+    )
+
+
+try:  # pyspark >= 4: Python Data Source API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _IcebergFilePartition(InputPartition):
+        def __init__(self, path: str, cols: list, cfg: dict):
+            self.path = path
+            self.cols = cols
+            self.cfg = cfg
+
+    class _IcebergStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self._warehouse = options["warehouse"]
+            self._identifier = options["table"]
+            from .iceberg import fileio
+
+            self._cfg = fileio.env_config()
+
+        def initialOffset(self) -> dict:
+            return {"snapshot_id": -1}
+
+        def latestOffset(self) -> dict:
+            t = _load_fs_table(self._warehouse, self._identifier)
+            s = t.current_snapshot()
+            return {"snapshot_id": s.snapshot_id if s is not None else -1}
+
+        def partitions(self, start: dict, end: dict):
+            s_id, e_id = start["snapshot_id"], end["snapshot_id"]
+            if e_id == -1 or s_id == e_id:
+                return []
+            t = _load_fs_table(self._warehouse, self._identifier)
+            scan = t.incremental_append_scan(
+                from_snapshot_id=None if s_id == -1 else s_id,
+                to_snapshot_id=e_id,
+            )
+            cols = [f.name for f in t.metadata.current_schema().fields]
+            return [
+                _IcebergFilePartition(task.file.file_path, cols, self._cfg)
+                for task in scan.plan_files()
+            ]
+
+        def read(self, partition):
+            from .iceberg import fileio
+
+            fileio.apply_config(partition.cfg)
+            tbl = fileio.read_parquet_table(
+                partition.path, columns=partition.cols
+            )
+            yield from tbl.to_batches()
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class IcebergStreamDataSource(DataSource):
+        """readStream source `iceberg_inc`: options warehouse + table
+        (FileSystemCatalog identifier); offsets = snapshot ids."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "iceberg_inc"
+
+        def schema(self):
+            from .iceberg.types import schema_to_spark_struct
+
+            t = _load_fs_table(self.options["warehouse"], self.options["table"])
+            return schema_to_spark_struct(t.metadata.current_schema())
+
+        def streamReader(self, schema):
+            return _IcebergStreamReader(self.options)
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    IcebergStreamDataSource = None  # type: ignore[assignment]
