@@ -234,10 +234,22 @@ def changelog_poll(table, spark, cursor: Optional[int]):
 
 # ---------------------------------------------- streaming SOURCE (readStream)
 
-def _load_fs_table(warehouse: str, identifier: str):
-    from .iceberg.catalog import FileSystemCatalog
+def _load_stream_table(options):
+    """Resolve the stream's table from source options: the common case
+    is the FS catalog (`warehouse` + `table`); any registered catalog
+    kind works via `catalog` + JSON `catalog_args` (ref
+    catalog/registry.go:80-131 scheme dispatch)."""
+    import json as _json
 
-    return FileSystemCatalog(warehouse).load_table(identifier)
+    kind = options.get("catalog", "fs")
+    if kind == "fs":
+        from .iceberg.catalog import FileSystemCatalog
+
+        return FileSystemCatalog(options["warehouse"]).load_table(options["table"])
+    from .iceberg.catalog import load_catalog
+
+    args = _json.loads(options.get("catalog_args", "{}"))
+    return load_catalog(kind, **args).load_table(options["table"])
 
 
 def register_iceberg_stream_source(spark) -> None:
@@ -245,7 +257,7 @@ def register_iceberg_stream_source(spark) -> None:
     spark.dataSource.register(IcebergStreamDataSource)
 
 
-def iceberg_stream(spark, warehouse: str, table: str) -> DataFrame:
+def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     """`spark.readStream` over an Iceberg table's append stream.
 
     Built on PySpark 4's Python Data Source API (DataSourceStreamReader)
@@ -260,12 +272,14 @@ def iceberg_stream(spark, warehouse: str, table: str) -> DataFrame:
     downstream Structured Streaming operator (watermarks, windowed aggs,
     applyInPandasWithState, append_stream back into another table)."""
     register_iceberg_stream_source(spark)
-    return (
+    reader = (
         spark.readStream.format("iceberg_inc")
         .option("warehouse", warehouse)
         .option("table", table)
-        .load()
     )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 try:  # pyspark >= 4: Python Data Source API
@@ -283,8 +297,7 @@ try:  # pyspark >= 4: Python Data Source API
 
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
-            self._warehouse = options["warehouse"]
-            self._identifier = options["table"]
+            self._options = dict(options)
             from .iceberg import fileio
 
             self._cfg = fileio.env_config()
@@ -293,7 +306,7 @@ try:  # pyspark >= 4: Python Data Source API
             return {"snapshot_id": -1}
 
         def latestOffset(self) -> dict:
-            t = _load_fs_table(self._warehouse, self._identifier)
+            t = _load_stream_table(self._options)
             s = t.current_snapshot()
             return {"snapshot_id": s.snapshot_id if s is not None else -1}
 
@@ -301,7 +314,7 @@ try:  # pyspark >= 4: Python Data Source API
             s_id, e_id = start["snapshot_id"], end["snapshot_id"]
             if e_id == -1 or s_id == e_id:
                 return []
-            t = _load_fs_table(self._warehouse, self._identifier)
+            t = _load_stream_table(self._options)
             scan = t.incremental_append_scan(
                 from_snapshot_id=None if s_id == -1 else s_id,
                 to_snapshot_id=e_id,
@@ -335,7 +348,7 @@ try:  # pyspark >= 4: Python Data Source API
         def schema(self):
             from .iceberg.types import schema_to_spark_struct
 
-            t = _load_fs_table(self.options["warehouse"], self.options["table"])
+            t = _load_stream_table(self.options)
             return schema_to_spark_struct(t.metadata.current_schema())
 
         def streamReader(self, schema):

@@ -422,3 +422,40 @@ def test_iceberg_stream_source_incremental(tmp_path, spark):
     seen.clear()
     run_once()
     assert seen == []
+
+
+def test_iceberg_stream_source_sql_catalog(tmp_path, spark):
+    """The stream source resolves tables through the catalog registry:
+    a SQL-catalog table streams with catalog='sql' + JSON catalog_args."""
+    import json
+
+    from iceberg_go_distributed_spark.iceberg.catalog import SqlCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "sqlwh")
+    db = str(tmp_path / "cat.db")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    cat = SqlCatalog(db, wh)
+    cat.create_namespace("db")
+    t = cat.create_table("db.s", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+
+    seen: list[tuple] = []
+    q = (
+        iceberg_stream(
+            spark,
+            wh,  # ignored for non-fs catalogs but required by the helper
+            "db.s",
+            catalog="sql",
+            catalog_args=json.dumps({"db_path": db, "warehouse": wh}),
+        )
+        .writeStream.foreachBatch(
+            lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(1, "a"), (2, "b")]
