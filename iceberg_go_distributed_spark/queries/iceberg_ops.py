@@ -804,11 +804,22 @@ def ice_partitioned_write_mor(spark, sf_dir):
     DV read side follows the Iceberg v3 spec (Deletion Vectors)."""
     from ..iceberg import expressions as E
 
-    t, _ = _lineitem_table(
-        spark, sf_dir, "ice_pmor",
-        spec_defs=(("l_shipdate", "year"),), single_file=False,
-    )
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_pmor", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    spec = spec_from(schema, ("l_shipdate", "year"))
+    t = cat.create_table("db.ice_pmor", schema, spec=spec)
     t.upgrade_format_version(3)
+    # production skew config: a year-partitioned fact table has hot
+    # years — salt the fanout so each partition is written by 4 tasks
+    # instead of 1 (write.distribution-mode=hash stays the router)
+    tx = t.transaction()
+    tx.set_properties({"write.fanout.salt-tasks": "4"})
+    tx.commit()
+    t.append(li)
     t.delete_where(spark, E.greater_than("l_quantity", 45.0))
 
     scan = t.scan(
