@@ -298,20 +298,51 @@ try:  # pyspark >= 4: Python Data Source API
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
             self._options = dict(options)
+            self._max_files = int(options.get("max_files_per_trigger", "0"))
+            self._pos: Optional[int] = None  # last planned/committed end
             from .iceberg import fileio
 
             self._cfg = fileio.env_config()
 
         def initialOffset(self) -> dict:
+            self._pos = -1
             return {"snapshot_id": -1}
 
         def latestOffset(self) -> dict:
             t = _load_stream_table(self._options)
             s = t.current_snapshot()
-            return {"snapshot_id": s.snapshot_id if s is not None else -1}
+            head = s.snapshot_id if s is not None else -1
+            # admission control (best-effort): cap each micro-batch at
+            # max_files_per_trigger appended files by stopping the end
+            # offset early along main's ancestry. The runner asks for
+            # latestOffset BEFORE replaying the start position into this
+            # reader, so the FIRST trigger of a (re)started query is
+            # uncapped; from the second trigger on (position learned via
+            # partitions()/commit()) the cap applies — the steady-state
+            # backpressure a long-running pipeline needs.
+            if self._max_files > 0 and self._pos is not None and head != self._pos:
+                chain = []
+                cur = s
+                by_id = {x.snapshot_id: x for x in t.metadata.snapshots}
+                while cur is not None and cur.snapshot_id != self._pos:
+                    chain.append(cur)
+                    cur = by_id.get(cur.parent_snapshot_id)
+                budget = self._max_files
+                capped, taken = head, 0
+                for snap in reversed(chain):  # oldest first
+                    n = int(snap.summary.properties.get("added-data-files", "0"))
+                    if taken > 0 and n > budget:
+                        break  # next snapshot won't fit; stop before it
+                    capped, taken = snap.snapshot_id, taken + 1
+                    budget -= n  # first snapshot always admitted
+                    if budget <= 0:
+                        break
+                return {"snapshot_id": capped}
+            return {"snapshot_id": head}
 
         def partitions(self, start: dict, end: dict):
             s_id, e_id = start["snapshot_id"], end["snapshot_id"]
+            self._pos = e_id
             if e_id == -1 or s_id == e_id:
                 return []
             t = _load_stream_table(self._options)
@@ -335,7 +366,7 @@ try:  # pyspark >= 4: Python Data Source API
             yield from tbl.to_batches()
 
         def commit(self, end: dict) -> None:
-            pass
+            self._pos = end["snapshot_id"]
 
     class IcebergStreamDataSource(DataSource):
         """readStream source `iceberg_inc`: options warehouse + table

@@ -459,3 +459,52 @@ def test_iceberg_stream_source_sql_catalog(tmp_path, spark):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [(1, "a"), (2, "b")]
+
+
+def test_iceberg_stream_source_admission_control(tmp_path, spark):
+    """max_files_per_trigger caps steady-state micro-batches: the first
+    trigger of a (re)started query is uncapped (the runner asks for the
+    latest offset before replaying the start position), but every
+    subsequent trigger advances at most 2 appended files — a backlog
+    committed mid-query drains in multiple bounded batches."""
+    import time
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    mk = lambda i: spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+    t = cat.create_table("db.rate", schema_from_spark(mk(0).schema))
+    t.append(mk(0).coalesce(1))
+
+    batches: list[list[tuple]] = []
+    q = (
+        iceberg_stream(
+            spark, wh, "db.rate", max_files_per_trigger="2"
+        )
+        .writeStream.foreachBatch(
+            lambda b, _id: batches.append([tuple(r) for r in b.collect()])
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(len(b) for b in batches) < 1:
+        time.sleep(0.5)
+    n_first = len(batches)
+
+    # backlog of 5 one-file snapshots committed while the query runs
+    for i in range(1, 6):
+        t.append(mk(i).coalesce(1))
+    while time.time() < deadline and sum(len(b) for b in batches) < 6:
+        time.sleep(0.5)
+    q.stop()
+
+    rows = sorted(r for b in batches for r in b)
+    assert rows == [(i, f"v{i}") for i in range(6)], rows
+    steady = [b for b in batches[n_first:] if b]
+    assert len(steady) >= 3, f"5-file backlog must drain in >=3 capped batches: {batches}"
+    assert all(len(b) <= 2 for b in steady), batches
