@@ -64,6 +64,24 @@ def main(argv=None) -> int:
     sp.add_argument("table")
     sp.add_argument("metadata_location")
 
+    sp = sub.add_parser("expire", help="expire old snapshots (metadata-only)")
+    sp.add_argument("table")
+    sp.add_argument("--retain-last", type=int, default=1)
+    sp.add_argument(
+        "--older-than-ms", type=int, default=None,
+        help="absolute timestamp cutoff; snapshots newer than it survive",
+    )
+
+    sp = sub.add_parser(
+        "orphans", help="list/delete files unreachable from any snapshot"
+    )
+    sp.add_argument("table")
+    sp.add_argument("--delete", action="store_true", help="actually delete")
+    sp.add_argument(
+        "--older-than-ms", type=int, default=None,
+        help="absolute mtime cutoff (default: now - 3 days)",
+    )
+
     args = p.parse_args(argv)
     cat = _catalog(args)
 
@@ -156,6 +174,26 @@ def main(argv=None) -> int:
     elif args.cmd == "upgrade":
         t.upgrade_format_version(args.format_version)
         print(f"upgraded {args.table} to format-version {args.format_version}")
+    elif args.cmd == "expire":
+        before = len(t.metadata.snapshots)
+        tx = t.transaction()
+        tx.expire_snapshots(
+            older_than_ms=args.older_than_ms, retain_last=args.retain_last
+        )
+        tx.commit()
+        t.refresh()
+        print(f"expired {before - len(t.metadata.snapshots)} snapshots")
+    elif args.cmd == "orphans":
+        from .iceberg.maintenance import delete_orphan_files
+
+        removed = delete_orphan_files(
+            t, older_than_ms=args.older_than_ms, dry_run=not args.delete
+        )
+        for pth in removed:
+            print(pth)
+        print(
+            f"{'deleted' if args.delete else 'found'} {len(removed)} orphan files"
+        )
     elif args.cmd == "properties":
         if args.action == "get":
             if args.key:

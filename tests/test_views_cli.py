@@ -79,3 +79,38 @@ def test_cli_register(tmp_path):
     out = _cli(tmp_path, "register", "db.copy", str(meta_dir / v1))
     assert "registered db.copy" in out
     assert json.loads(_cli(tmp_path, "describe", "db.copy"))["uuid"] == meta["uuid"]
+
+
+def test_cli_maintenance(tmp_path, spark, sf_dir):
+    """`expire` + `orphans`: metadata-only maintenance from the CLI."""
+    import os
+    import time
+
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = load_table(spark, sf_dir, "lineitem").limit(60)
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.m", schema_from_spark(li.schema))
+    for i in range(3):
+        t.append(li.limit(20).coalesce(1))
+
+    out = _cli(tmp_path, "expire", "db.m", "--retain-last", "1")
+    assert "expired 2 snapshots" in out
+
+    future = str(int(time.time() * 1000) + 60_000)
+    listed = _cli(tmp_path, "orphans", "db.m", "--older-than-ms", future)
+    n_listed = len([line for line in listed.splitlines() if line.startswith("/")])
+    assert n_listed > 0 and f"found {n_listed} orphan" in listed
+    # dry run deleted nothing
+    assert all(
+        os.path.exists(line)
+        for line in listed.splitlines()
+        if line.startswith("/")
+    )
+    deleted = _cli(
+        tmp_path, "orphans", "db.m", "--older-than-ms", future, "--delete"
+    )
+    assert f"deleted {n_listed} orphan" in deleted
+    assert t.refresh().scan().to_df(spark).count() == 60  # table intact
