@@ -290,9 +290,13 @@ try:  # pyspark >= 4: Python Data Source API
     )
 
     class _IcebergFilePartition(InputPartition):
-        def __init__(self, path: str, cols: list, cfg: dict):
+        def __init__(self, path: str, fields: list, cfg: dict):
             self.path = path
-            self.cols = cols
+            # [(field_id, current_name)] — executors resolve parquet
+            # columns by FIELD ID (name-independent), so renamed columns
+            # keep streaming; name match is the fallback for imported
+            # (add_files / name-mapped) files without ids
+            self.fields = fields
             self.cfg = cfg
 
     class _IcebergStreamReader(DataSourceStreamReader):
@@ -350,9 +354,11 @@ try:  # pyspark >= 4: Python Data Source API
                 from_snapshot_id=None if s_id == -1 else s_id,
                 to_snapshot_id=e_id,
             )
-            cols = [f.name for f in t.metadata.current_schema().fields]
+            fields = [
+                (f.field_id, f.name) for f in t.metadata.current_schema().fields
+            ]
             return [
-                _IcebergFilePartition(task.file.file_path, cols, self._cfg)
+                _IcebergFilePartition(task.file.file_path, fields, self._cfg)
                 for task in scan.plan_files()
             ]
 
@@ -360,10 +366,27 @@ try:  # pyspark >= 4: Python Data Source API
             from .iceberg import fileio
 
             fileio.apply_config(partition.cfg)
-            tbl = fileio.read_parquet_table(
-                partition.path, columns=partition.cols
-            )
-            yield from tbl.to_batches()
+            tbl = fileio.read_parquet_table(partition.path)
+            by_id = {}
+            for fld in tbl.schema:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = fld.name
+            physical, out_names = [], []
+            for fid, name in partition.fields:
+                # files with ids resolve strictly by id; id-less
+                # (imported) files fall back to the current name
+                src = by_id.get(fid) if by_id else (
+                    name if name in tbl.schema.names else None
+                )
+                if src is None or src not in tbl.schema.names:
+                    raise ValueError(
+                        f"{partition.path}: field id {fid} ({name!r}) "
+                        "not present in the data file"
+                    )
+                physical.append(src)
+                out_names.append(name)
+            yield from tbl.select(physical).rename_columns(out_names).to_batches()
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]

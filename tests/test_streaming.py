@@ -508,3 +508,36 @@ def test_iceberg_stream_source_admission_control(tmp_path, spark):
     steady = [b for b in batches[n_first:] if b]
     assert len(steady) >= 3, f"5-file backlog must drain in >=3 capped batches: {batches}"
     assert all(len(b) <= 2 for b in steady), batches
+
+
+def test_iceberg_stream_source_survives_column_rename(tmp_path, spark):
+    """Executors resolve stream columns by FIELD ID: a column renamed
+    after the first snapshots still streams, with the current name on
+    every delivered row (old files carry the old physical name)."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = cat.create_table("db.ren", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))  # file with physical column name 'v'
+    t.update_schema().rename_column("v", "val").commit()
+    t.append(
+        spark.createDataFrame([(2, "b")], "id long, val string").coalesce(1)
+    )
+
+    seen: list[tuple] = []
+    stream = iceberg_stream(spark, wh, "db.ren")
+    assert "val" in stream.schema.names and "v" not in stream.schema.names
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(1, "a"), (2, "b")]
