@@ -960,13 +960,31 @@ def append_distributed(
 
 def commit_distributed_snapshot(table, ds, manifests, summary_props=None) -> None:
     """Commit worker-written manifests as one snapshot —
-    ref distributed_snapshot.go:83-114."""
+    ref distributed_snapshot.go:83-114. Totals derive from the
+    manifest-list counts so the running total-* counters stay truthful
+    on this path too (snapshots.go:445-486)."""
+    manifests = list(manifests)
+    props = dict(summary_props or {})
+    props.setdefault(
+        "added-data-files", str(sum(m.added_files_count for m in manifests))
+    )
+    props.setdefault(
+        "added-records", str(sum(m.added_rows_count for m in manifests))
+    )
+    parent = (
+        table.metadata.snapshot_by_id(ds.parent_snapshot_id)
+        if ds.parent_snapshot_id
+        else None
+    )
+    props = update_snapshot_totals(
+        props, parent.summary.properties if parent else {}
+    )
     tx = table.transaction()
     tx.commit_snapshot_from_manifests(
         snapshot_id=ds.snapshot_id,
         commit_uuid=ds.commit_uuid,
-        manifests=list(manifests),
-        summary=Summary("append", summary_props or {}),
+        manifests=manifests,
+        summary=Summary("append", props),
         parent_snapshot_id=ds.parent_snapshot_id,
     )
     tx.commit()

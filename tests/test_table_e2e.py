@@ -608,3 +608,45 @@ def test_count_metadata_fast_path(fs_catalog, spark, lineitem_df):
     t.delete_where(spark, E.equal("l_linenumber", 1))
     want = lineitem_df.limit(300).where("l_linenumber != 1").count()
     assert t.scan().count(spark) == want
+
+
+def test_manual_distributed_protocol_carries_totals(fs_catalog, spark, lineitem_df):
+    """The raw coordinator/worker protocol (begin → worker manifests →
+    commit_distributed_snapshot) maintains the running total-* counters
+    from the manifest-list counts, like every other commit path."""
+    import os
+
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestEntry,
+        ManifestEntryStatus,
+        write_manifest,
+    )
+    from iceberg_go_distributed_spark.iceberg.write import write_data_files
+
+    t = fs_catalog.create_table("db.li_proto", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(10).coalesce(1))
+
+    ds = t.begin_distributed_snapshot()
+    files = write_data_files(
+        lineitem_df.limit(7).coalesce(1), t.schema(), t.spec(), t.location,
+        ds.commit_uuid,
+    )
+    entries = [
+        ManifestEntry(
+            status=ManifestEntryStatus.ADDED,
+            snapshot_id=ds.snapshot_id,
+            sequence_number=None,
+            file_sequence_number=None,
+            data_file=f,
+        )
+        for f in files
+    ]
+    path = os.path.join(t.location, "metadata", f"{ds.commit_uuid}-w0.avro")
+    mf = write_manifest(path, t.spec(), t.schema(), ds.snapshot_id, entries)
+    t.commit_distributed_snapshot(ds, [mf])
+    t.refresh()
+    props = t.current_snapshot().summary.properties
+    assert props["total-records"] == "17"
+    assert props["total-data-files"] == "2"
+    assert props["added-records"] == "7"
+    assert t.scan().to_df(spark).count() == 17
