@@ -29,6 +29,9 @@ SPECS = {
     "year": (("l_shipdate", "year"),),
     "bucket": (("l_orderkey", "bucket[4]"),),
     "trunc": (("l_returnflag", "truncate[1]"),),
+    # v3 merge-on-read: file metrics are PRE-delete (conservative), so
+    # predicate pruning composes with the DV anti-join — fuzzed together
+    "mor": (),
 }
 
 
@@ -41,7 +44,7 @@ def fuzz_tables(tmp_path_factory, spark, sf_dir):
     wh = str(tmp_path_factory.mktemp("fuzzwh"))
     cat = FileSystemCatalog(wh)
     schema = schema_from_spark(raw.schema)
-    tables = {}
+    tables, oracles = {}, {}
     for name, defs in SPECS.items():
         spec = spec_from(schema, *defs) if defs else None
         t = cat.create_table(f"db.{name}", schema, spec=spec)
@@ -55,8 +58,17 @@ def fuzz_tables(tmp_path_factory, spark, sf_dir):
                 t.append(
                     raw.where(f"l_orderkey >= {lo} AND l_orderkey < {hi}").coalesce(1)
                 )
-        tables[name] = t
-    yield raw, tables
+        oracle = raw
+        if name == "mor":
+            t.upgrade_format_version(3)
+            t.delete_where(spark, E.equal("l_linenumber", 2))
+            t.delete_where(spark, E.greater_than("l_quantity", 48.0))
+            oracle = raw.where(
+                "l_linenumber != 2 AND l_quantity <= 48.0"
+            ).cache()
+            oracle.count()
+        tables[name], oracles[name] = t, oracle
+    yield oracles, tables
     raw.unpersist()
 
 
@@ -127,8 +139,8 @@ def _pred(rng, depth=3):
 
 @pytest.mark.parametrize("layout", sorted(SPECS))
 def test_random_predicates_prune_soundly(fuzz_tables, spark, layout):
-    raw, tables = fuzz_tables
-    t = tables[layout]
+    oracles, tables = fuzz_tables
+    raw, t = oracles[layout], tables[layout]
     n_all = len(t.scan().plan_files())
     rng = random.Random(hash(layout) & 0xFFFF)
     pruned_at_least_once = False
