@@ -95,6 +95,13 @@ def _leaf(rng):
         v = rng.choice(["A", "N", "R", "Z", ""])
         mk = lambda x: F.lit(x)
         vals = [rng.choice(["A", "N", "R", "Z"]) for _ in range(rng.randint(1, 3))]
+        # startsWith interacts with truncate(N) partition bounds — the
+        # classic projection bug area; fuzz it on the string column
+        if rng.random() < 0.25:
+            pfx = rng.choice(["A", "N", "R", "Z", ""])
+            if rng.random() < 0.5:
+                return E.starts_with(col, pfx), F.col(col).startswith(pfx)
+            return E.not_starts_with(col, pfx), ~F.col(col).startswith(pfx)
     else:  # l_shipdate
         v = _ts(rng)
         mk = lambda x: F.expr(f"timestamp_ntz'{x.isoformat()}'")
