@@ -541,3 +541,33 @@ def test_iceberg_stream_source_survives_column_rename(tmp_path, spark):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [(1, "a"), (2, "b")]
+
+
+def test_iceberg_stream_source_full_lineitem_types(tmp_path, spark, sf_dir):
+    """Type fidelity through the Arrow bridge: timestamps, doubles,
+    ints, and strings stream bit-identically to the batch scan."""
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    li = load_table(spark, sf_dir, "lineitem").limit(300)
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    t = cat.create_table("db.li", schema_from_spark(li.schema))
+    t.append(li.coalesce(2))
+
+    seen: list[tuple] = []
+    stream = iceberg_stream(spark, wh, "db.li")
+    assert stream.schema == t.scan().to_df(spark).schema
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(tuple(r) for r in t.scan().to_df(spark).collect())
+    assert sorted(seen) == want
