@@ -571,3 +571,49 @@ def test_iceberg_stream_source_full_lineitem_types(tmp_path, spark, sf_dir):
     q.awaitTermination(120)
     want = sorted(tuple(r) for r in t.scan().to_df(spark).collect())
     assert sorted(seen) == want
+
+
+def test_iceberg_stream_source_redelivers_failed_batch(tmp_path, spark):
+    """A batch whose sink crashes is re-delivered after restart from the
+    same checkpoint — the offset log only advances on successful
+    commits, so no snapshot is ever skipped."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = cat.create_table("db.crash", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+
+    ck = str(tmp_path / "ck")
+    seen: list[tuple] = []
+
+    def crashing(b, _id):
+        rows = [tuple(r) for r in b.collect()]
+        raise RuntimeError("sink crash before commit")
+
+    q = (
+        iceberg_stream(spark, wh, "db.crash")
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    q2 = (
+        iceberg_stream(spark, wh, "db.crash")
+        .writeStream.foreachBatch(
+            lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(seen) == [(1, "a"), (2, "b")], "crashed batch re-delivered"
