@@ -33,6 +33,8 @@ _CONFIG_KEYS = (
     "AWS_DEFAULT_REGION",
     "AWS_EC2_METADATA_DISABLED",
     "SPARK_GRAFT_S3_COMPAT_PUT",
+    "AZURE_STORAGE_ACCOUNT_NAME",
+    "AZURE_STORAGE_ACCOUNT_KEY",
 )
 
 
@@ -85,6 +87,28 @@ def resolve(path: str):
         if "gcs" not in _FS_CACHE:
             _FS_CACHE["gcs"] = pafs.GcsFileSystem()
         return _FS_CACHE["gcs"], f"{u.netloc}{u.path}"
+    if u.scheme in ("abfs", "abfss", "az", "wasb", "wasbs"):
+        # abfss://container@account.dfs.core.windows.net/path — ref
+        # io/azure.go:54 URI shape; account from the authority, else
+        # AZURE_STORAGE_ACCOUNT_NAME; key/SAS from the standard env.
+        if "@" in u.netloc:
+            container, host = u.netloc.split("@", 1)
+            account = host.split(".", 1)[0]
+        else:
+            container = u.netloc
+            account = os.environ.get("AZURE_STORAGE_ACCOUNT_NAME", "")
+        if not account:
+            raise ValueError(
+                f"{path}: no storage account in the URI authority and "
+                "AZURE_STORAGE_ACCOUNT_NAME is unset"
+            )
+        key = f"azure:{account}"
+        if key not in _FS_CACHE:
+            kwargs = {"account_name": account}
+            if os.environ.get("AZURE_STORAGE_ACCOUNT_KEY"):
+                kwargs["account_key"] = os.environ["AZURE_STORAGE_ACCOUNT_KEY"]
+            _FS_CACHE[key] = pafs.AzureFileSystem(**kwargs)
+        return _FS_CACHE[key], f"{container}{u.path}"
     raise ValueError(f"unsupported filesystem scheme {u.scheme!r} for {path}")
 
 

@@ -209,3 +209,71 @@ def test_s3_parquet_file_closes_remote_source(s3_endpoint):
     with contextlib.closing(pf) as p:
         assert sum(b.num_rows for b in p.iter_batches()) == 3
     assert src.closed, "remote input stream must be closed with the file"
+
+
+class TestSchemeRouting:
+    """URI → filesystem routing for every scheme the reference's io
+    package handles (io/s3.go, io/gcs.go, io/azure.go). Azure/GCS have
+    no in-container fake, so these pin the parse + cache behavior; the
+    S3 path is exercised for real against moto above."""
+
+    def test_azure_uri_parses_account_and_container(self, monkeypatch):
+        import pyarrow.fs as pafs
+
+        from iceberg_go_distributed_spark.iceberg import fileio
+
+        created = {}
+
+        class FakeAzure:
+            def __init__(self, **kw):
+                created.update(kw)
+
+        monkeypatch.setattr(pafs, "AzureFileSystem", FakeAzure)
+        fileio._FS_CACHE.pop("azure:myacct", None)
+        fs, p = fileio.resolve(
+            "abfss://data@myacct.dfs.core.windows.net/wh/db/t/metadata/v1.json"
+        )
+        assert isinstance(fs, FakeAzure)
+        assert created == {"account_name": "myacct"}
+        assert p == "data/wh/db/t/metadata/v1.json"
+        # cached per account
+        fs2, _ = fileio.resolve("abfss://other@myacct.dfs.core.windows.net/x")
+        assert fs2 is fs
+        fileio._FS_CACHE.pop("azure:myacct", None)
+
+    def test_azure_env_account_and_key(self, monkeypatch):
+        import pyarrow.fs as pafs
+
+        from iceberg_go_distributed_spark.iceberg import fileio
+
+        created = {}
+
+        class FakeAzure:
+            def __init__(self, **kw):
+                created.update(kw)
+
+        monkeypatch.setattr(pafs, "AzureFileSystem", FakeAzure)
+        monkeypatch.setenv("AZURE_STORAGE_ACCOUNT_NAME", "envacct")
+        monkeypatch.setenv("AZURE_STORAGE_ACCOUNT_KEY", "sekrit")
+        fileio._FS_CACHE.pop("azure:envacct", None)
+        _, p = fileio.resolve("az://cont/a/b")
+        assert created == {"account_name": "envacct", "account_key": "sekrit"}
+        assert p == "cont/a/b"
+        fileio._FS_CACHE.pop("azure:envacct", None)
+
+    def test_azure_without_account_fails_loudly(self, monkeypatch):
+        import pytest
+
+        from iceberg_go_distributed_spark.iceberg import fileio
+
+        monkeypatch.delenv("AZURE_STORAGE_ACCOUNT_NAME", raising=False)
+        with pytest.raises(ValueError, match="storage account"):
+            fileio.resolve("az://cont/a/b")
+
+    def test_unknown_scheme_fails_loudly(self):
+        import pytest
+
+        from iceberg_go_distributed_spark.iceberg import fileio
+
+        with pytest.raises(ValueError, match="unsupported filesystem scheme"):
+            fileio.resolve("ftp://host/x")
