@@ -16,15 +16,17 @@ NUM_PERMS signature columns) and, per incoming batch:
      re-shingling, not O(corpus);
   4. rejects batch docs near-duplicating the corpus (or an earlier
      in-batch doc), appends survivors to the corpus table and UPSERTS
-     their signatures into the index. Replay is idempotent twice over:
-     doc_ids already indexed are skipped up front (a crashed-and-
-     retried batch converges instead of re-appending), and the index
-     write is an upsert keyed on doc_id.
+     their signatures into the index. Replay is idempotent AND
+     self-healing: the corpus is the authority for "already ingested"
+     (skipped up front), and docs present in the corpus but missing
+     from the index — the crash window between the two table writes —
+     get their signatures re-upserted before anything else.
 
-Scale shape: the only corpus-sized work is the index table SCAN feeding
-the band join (columnar, NUM_PERMS+2 longs per doc); the shuffle is the
-band-key exchange, spread across NUM_BANDS per-doc rows. Everything
-else is O(batch + candidates).
+Scale shape: the corpus-sized work is the index table SCAN feeding the
+band join (columnar, NUM_PERMS+2 longs per doc) and the corpus doc_id
+projection for the replay/repair checks (one column); the shuffle is
+the band-key exchange, spread across NUM_BANDS per-doc rows.
+Everything else is O(batch + candidates).
 """
 
 from __future__ import annotations
@@ -85,12 +87,28 @@ def process_batch(
         index_df = index_table.scan().to_df(spark)
         have_index = index_df.count() > 0
 
-        # replay safety: a doc_id already in the index was ingested by a
-        # previous (possibly crashed-after-commit) run of this batch —
-        # skip it outright so re-runs converge instead of re-appending
-        fresh = batch
+        # replay safety: a doc_id already in the CORPUS was ingested by
+        # a previous (possibly crashed) run of this batch — skip it so
+        # re-runs converge instead of re-appending. The corpus is the
+        # authority: a crash BETWEEN the corpus append and the index
+        # upsert leaves corpus rows without signatures, so replay also
+        # REPAIRS the index for exactly those docs (otherwise their
+        # future near-duplicates would sail past the band join forever).
+        corpus_ids = corpus_table.scan().to_df(spark).select("doc_id")
+        fresh = batch.join(corpus_ids, "doc_id", "left_anti")
         if have_index:
-            fresh = batch.join(index_df.select("doc_id"), "doc_id", "left_anti")
+            gap = (
+                batch.select("doc_id")
+                .join(corpus_ids, "doc_id")
+                .join(index_df.select("doc_id"), "doc_id", "left_anti")
+            )
+        else:
+            gap = batch.select("doc_id").join(corpus_ids, "doc_id")
+        gap_sigs = sig.join(gap, "doc_id").select("doc_id", "_n_shingles", *SIG_COLS)
+        if gap_sigs.count():
+            index_table.upsert(gap_sigs, ["doc_id"])
+            index_df = index_table.scan().to_df(spark)
+            have_index = True
         fresh_sig = sig.join(fresh.select("doc_id"), "doc_id")
         new_bands = _bands(fresh_sig)
 

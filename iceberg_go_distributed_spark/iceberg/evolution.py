@@ -150,6 +150,32 @@ class UpdateSchema:
             tx.set_properties(
                 {"schema.name-mapping.default": name_mapping_to_json(updated)}
             )
+        # keep per-column metrics overrides in sync: resolve_metrics_modes
+        # rejects keys naming no schema path (typos fail loudly), so a
+        # rename must MOVE the property to the new path and a drop must
+        # REMOVE it — otherwise the table becomes unwritable after the
+        # evolution commit (ref table/properties.go metrics keys)
+        from .write import METRICS_COLUMN_PREFIX, _column_paths
+
+        old_paths = _column_paths(self.base)
+        new_paths = _column_paths(new_schema)
+        fid_to_new = {fid: p for p, fid in new_paths.items()}
+        moves, removals = {}, []
+        for key, val in self.table.metadata.properties.items():
+            if not key.startswith(METRICS_COLUMN_PREFIX):
+                continue
+            path = key[len(METRICS_COLUMN_PREFIX):]
+            if path in new_paths:
+                continue
+            removals.append(key)
+            fid = old_paths.get(path)
+            new_path = fid_to_new.get(fid) if fid is not None else None
+            if new_path is not None:
+                moves[METRICS_COLUMN_PREFIX + new_path] = val
+        for key in removals:
+            tx.remove_properties(key)
+        if moves:
+            tx.set_properties(moves)
         tx.commit()
         return new_schema
 

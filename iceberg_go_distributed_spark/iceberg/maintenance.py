@@ -225,6 +225,7 @@ def rewrite_position_deletes(
     planning on large snapshots.
 
     Returns True if a consolidation snapshot was committed."""
+    import json as _json
     import math
 
     from . import fileio as _fileio
@@ -237,7 +238,12 @@ def rewrite_position_deletes(
         read_manifest,
         write_manifest,
     )
-    from .write import begin_distributed_snapshot, _commit_manifests
+    from .write import (
+        _commit_manifests,
+        _decode_partition,
+        _encode_partition,
+        begin_distributed_snapshot,
+    )
 
     md = table.metadata
     snap = md.current_snapshot()
@@ -269,6 +275,11 @@ def rewrite_position_deletes(
                     int(e.sequence_number or 0),
                     int(e.file_sequence_number or e.sequence_number or 0),
                     int(e.snapshot_id or snap.snapshot_id),
+                    # spec-required: a position-delete entry carries the
+                    # referenced data file's partition tuple; preserve it
+                    # (and its spec id) verbatim through the repack
+                    _json.dumps(_encode_partition(d.partition or {})),
+                    int(m.partition_spec_id),
                 )
             )
         if dvs and others:
@@ -280,8 +291,9 @@ def rewrite_position_deletes(
     if not dv_rows:
         return False
     # dangling sweep: a DV whose referenced data file is gone can never
-    # match again — drop it instead of repacking it
-    live_paths = {t.file.file_path for t in table.scan().plan_files()}
+    # match again — drop it instead of repacking it (plan_files_auto
+    # routes the manifest reads through executors on large snapshots)
+    live_paths = {t.file.file_path for t in table.scan().plan_files_auto(spark)}
     dangling = [r for r in dv_rows if r[0] not in live_paths]
     live_rows = [r for r in dv_rows if r[0] in live_paths]
 
@@ -300,7 +312,8 @@ def rewrite_position_deletes(
         spark.createDataFrame(
             live_rows,
             "data_file string, dv_path string, dv_offset bigint, dv_size bigint, "
-            "cardinality bigint, seq bigint, file_seq bigint, snap_id bigint",
+            "cardinality bigint, seq bigint, file_seq bigint, snap_id bigint, "
+            "part string, spec_id int",
         ).repartition(n_out)
         if live_rows
         else None
@@ -346,9 +359,10 @@ def rewrite_position_deletes(
                 refs.append(rec)
         if not blobs:
             yield pd.DataFrame(
-                {"descriptor": [], "seq": [], "file_seq": [], "snap_id": []}
+                {"descriptor": [], "seq": [], "file_seq": [], "snap_id": [], "spec_id": []}
             ).astype(
-                {"descriptor": "string", "seq": "int64", "file_seq": "int64", "snap_id": "int64"}
+                {"descriptor": "string", "seq": "int64", "file_seq": "int64",
+                 "snap_id": "int64", "spec_id": "int64"}
             )
             return
         d = os.path.join(location, "data")
@@ -356,14 +370,14 @@ def rewrite_position_deletes(
         path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-dv-rewrite.puffin")
         write_puffin(path, blobs)
         size = fileio.size(path)
-        out = {"descriptor": [], "seq": [], "file_seq": [], "snap_id": []}
+        out = {"descriptor": [], "seq": [], "file_seq": [], "snap_id": [], "spec_id": []}
         for (meta, _), rec in zip(blobs, refs):
             out["descriptor"].append(
                 _encode_descriptor(
                     DataFile(
                         file_path=path,
                         file_format="PUFFIN",
-                        partition={},
+                        partition=_decode_partition(_json.loads(rec.part)),
                         record_count=int(meta.properties["cardinality"]),
                         file_size_in_bytes=size,
                         content=DataFileContent.POSITION_DELETES,
@@ -376,6 +390,7 @@ def rewrite_position_deletes(
             out["seq"].append(int(rec.seq))
             out["file_seq"].append(int(rec.file_seq))
             out["snap_id"].append(int(rec.snap_id))
+            out["spec_id"].append(int(rec.spec_id))
         yield pd.DataFrame(out)
 
     from .write import _decode_descriptor
@@ -385,36 +400,42 @@ def rewrite_position_deletes(
     carried = list(keep)
     if files_df is not None:
         collected = files_df.mapInPandas(
-            task, "descriptor string, seq bigint, file_seq bigint, snap_id bigint"
+            task,
+            "descriptor string, seq bigint, file_seq bigint, snap_id bigint, "
+            "spec_id int",
         ).collect()
+        by_spec: dict = {}
         for r in collected:
             if not r.descriptor:
                 continue
             df = _decode_descriptor(r.descriptor)
             df.content = DataFileContent.POSITION_DELETES
-            new_entries.append(
-                ManifestEntry(
-                    status=ManifestEntryStatus.EXISTING,
-                    snapshot_id=int(r.snap_id),
-                    sequence_number=int(r.seq),
-                    file_sequence_number=int(r.file_seq),
-                    data_file=df,
-                )
+            e = ManifestEntry(
+                status=ManifestEntryStatus.EXISTING,
+                snapshot_id=int(r.snap_id),
+                sequence_number=int(r.seq),
+                file_sequence_number=int(r.file_seq),
+                data_file=df,
             )
+            new_entries.append(e)
+            by_spec.setdefault(int(r.spec_id), []).append(e)
         assert len(new_entries) == len(live_rows), "a DV blob went missing in repack"
 
-        path = os.path.join(
-            md.location, "metadata", f"{commit_uuid}-dv-consolidated-m0.avro"
-        )
-        mf = write_manifest(
-            path, md.default_spec(), schema, snap.snapshot_id, new_entries,
-            content=ManifestContent.DELETES,
-        )
-        # entry-level sequence numbers are explicit (EXISTING); manifest-
-        # level bounds must still gate correctly against min data seqs
-        mf.sequence_number = max(e.sequence_number for e in new_entries)
-        mf.min_sequence_number = min(e.sequence_number for e in new_entries)
-        carried.append(mf)
+        # one consolidated manifest PER SPEC ID: entries keep their
+        # original partition tuples, and a manifest never mixes specs
+        for i, (spec_id, entries) in enumerate(sorted(by_spec.items())):
+            path = os.path.join(
+                md.location, "metadata", f"{commit_uuid}-dv-consolidated-m{i}.avro"
+            )
+            mf = write_manifest(
+                path, md.spec_by_id(spec_id), schema, snap.snapshot_id, entries,
+                content=ManifestContent.DELETES,
+            )
+            # entry-level sequence numbers are explicit (EXISTING);
+            # manifest-level bounds must still gate correctly
+            mf.sequence_number = max(e.sequence_number for e in entries)
+            mf.min_sequence_number = min(e.sequence_number for e in entries)
+            carried.append(mf)
     for m, others in mixed_rewrites:
         for e in others:
             e.status = ManifestEntryStatus.EXISTING

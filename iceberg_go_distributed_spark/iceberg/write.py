@@ -288,6 +288,7 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
     import pyarrow.parquet as pq
 
     from .conversions import to_bytes
+    from .types import StructType
 
     from . import fileio
 
@@ -299,11 +300,28 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
 
     meta = fileio.read_parquet_metadata(path)
     by_name = {f.name: f for f in schema.fields}
+
+    def _leaf_field(path_in_schema: str):
+        """Resolve a parquet column path to its OWN schema field when the
+        whole path descends through STRUCTs (meta.lang → the lang leaf,
+        with its own field id — so nested metrics overrides apply and
+        struct leaves get per-leaf counts/bounds, ref arrow_utils.go:1139
+        full-path resolution). List/map paths (repeated groups) keep the
+        historical top-level attribution."""
+        parts = path_in_schema.split(".")
+        f = by_name.get(parts[0])
+        for part in parts[1:]:
+            if f is None or not isinstance(f.field_type, StructType):
+                return by_name.get(parts[0])
+            f = next((c for c in f.field_type.fields if c.name == part), None)
+        return f if f is not None else by_name.get(parts[0])
+
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
     lowers: dict[int, Any] = {}
     uppers: dict[int, Any] = {}
     col_sizes: dict[int, int] = {}
+    harvested: dict[int, Any] = {}  # fid → resolved (possibly leaf) field
     split_offsets: list[int] = []
     for rg_i in range(meta.num_row_groups):
         rg = meta.row_group(rg_i)
@@ -318,11 +336,11 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
         split_offsets.append(min(starts) if starts else 4)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
-            name = col.path_in_schema.split(".")[0]
-            f = by_name.get(name)
+            f = _leaf_field(col.path_in_schema)
             if f is None:
                 continue
             fid = f.field_id
+            harvested[fid] = f
             kind, _tlen = _mode(fid)
             col_sizes[fid] = col_sizes.get(fid, 0) + col.total_compressed_size
             if kind == "none":
@@ -349,10 +367,9 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
                     uppers[fid] = mx
     lower_b: dict[int, bytes] = {}
     upper_b: dict[int, bytes] = {}
-    for f in schema.fields:
-        fid = f.field_id
-        # bounds are defined for primitive columns only (nested leaves
-        # would need their own field ids; spec writers skip them too)
+    for fid, f in harvested.items():
+        # bounds are defined for primitive columns only; struct leaves
+        # resolve to their own ids above and qualify like top-levels
         if fid in lowers and f.field_type.is_primitive():
             kind, tlen = _mode(fid)
             if kind == "truncate":
@@ -531,11 +548,18 @@ def distribute_for_write(data, schema: Schema, spec: PartitionSpec, properties=N
         if salt > 1:
             # explicit numPartitions exempts the exchange from AQE
             # partition coalescing — otherwise small salted buckets get
-            # merged right back onto one task
+            # merged right back onto one task. The salt must be
+            # DETERMINISTIC per row (hash of the data columns, never
+            # monotonically_increasing_id): a partially recomputed map
+            # stage would otherwise re-bucket rows and duplicate/lose
+            # them in reducers that already fetched the old output.
             n = int(
                 data.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
-            cols.append(F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+            row_cols = [
+                F.col(c) for c in data.columns if not c.startswith("__part_")
+            ]
+            cols.append(F.pmod(F.xxhash64(*row_cols), F.lit(salt)))
             return data.repartition(max(n, salt), *cols)
         return data.repartition(*cols)
     raise ValueError(
@@ -1343,6 +1367,8 @@ def write_deletion_vectors(
     location = md.location
     seq_hint = md.last_sequence_number + 1
 
+    import json as _json
+
     rows = []
     for t in tasks:
         dv = next((d for d in t.delete_files if d.content_offset is not None), None)
@@ -1352,10 +1378,15 @@ def write_deletion_vectors(
                 dv.file_path if dv else None,
                 dv.content_offset if dv else None,
                 dv.content_size_in_bytes if dv else None,
+                # spec: a position-delete entry carries the referenced
+                # data file's partition tuple
+                _json.dumps(_encode_partition(t.file.partition or {})),
             )
         )
     files_df = spark.createDataFrame(
-        rows, "data_file string, dv_path string, dv_offset bigint, dv_size bigint"
+        rows,
+        "data_file string, dv_path string, dv_offset bigint, dv_size bigint, "
+        "part string",
     ).repartition(min(len(rows), 32))
     from . import fileio as _fileio
 
@@ -1415,7 +1446,7 @@ def write_deletion_vectors(
                         serialize_deletion_vector(positions),
                     )
                 )
-                refs.append((rec.data_file, int(len(positions)), newly))
+                refs.append((rec.data_file, int(len(positions)), newly, rec.part))
         if not blobs:
             yield pd.DataFrame(
                 {"descriptor": [], "new_positions": []}
@@ -1426,15 +1457,17 @@ def write_deletion_vectors(
         path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.puffin")
         write_puffin(path, blobs)
         size = fileio.size(path)
+        import json as _tjson
+
         out = []
         new_counts = []
-        for (meta, _), (ref_path, card, newly) in zip(blobs, refs):
+        for (meta, _), (ref_path, card, newly, part_json) in zip(blobs, refs):
             out.append(
                 _encode_descriptor(
                     DataFile(
                         file_path=path,
                         file_format="PUFFIN",
-                        partition={},
+                        partition=_decode_partition(_tjson.loads(part_json)),
                         record_count=card,
                         file_size_in_bytes=size,
                         content=DataFileContent.POSITION_DELETES,

@@ -268,7 +268,10 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     (`incremental_append_scan` semantics: append snapshots only,
     compaction `replace` skipped as already-delivered rewrites, an
     overwrite/delete in range raises — use changelog_poll for row-level
-    CDC), and executors read ONLY the new files. Composes with every
+    CDC), and executors read ONLY the new files, resolving columns by
+    parquet field id (renames survive; columns added later read their
+    default/null). `max_files_per_trigger` bounds each batch whenever
+    the reader knows its position (see _IcebergStreamReader). Composes with every
     downstream Structured Streaming operator (watermarks, windowed aggs,
     applyInPandasWithState, append_stream back into another table)."""
     register_iceberg_stream_source(spark)
@@ -318,12 +321,18 @@ try:  # pyspark >= 4: Python Data Source API
             head = s.snapshot_id if s is not None else -1
             # admission control (best-effort): cap each micro-batch at
             # max_files_per_trigger appended files by stopping the end
-            # offset early along main's ancestry. The runner asks for
-            # latestOffset BEFORE replaying the start position into this
-            # reader, so the FIRST trigger of a (re)started query is
-            # uncapped; from the second trigger on (position learned via
-            # partitions()/commit()) the cap applies — the steady-state
-            # backpressure a long-running pipeline needs.
+            # offset early along main's ancestry. The cap applies
+            # whenever the position is known: a FRESH query's first
+            # trigger (initialOffset ran → position is "beginning", so a
+            # large backlog drains in bounded batches) and every trigger
+            # after partitions()/commit() taught this reader its
+            # position. Only a checkpoint-RESTART's first trigger is
+            # uncapped — the runner asks for latestOffset before
+            # replaying the committed start offset. Caveat: availableNow
+            # captures ONE end offset up front and stops there, so with
+            # a cap it drains at most one batch per run — use a
+            # processingTime trigger (or rerun availableNow on a
+            # schedule) for capped backlog drains.
             if self._max_files > 0 and self._pos is not None and head != self._pos:
                 chain = []
                 cur = s
@@ -354,8 +363,12 @@ try:  # pyspark >= 4: Python Data Source API
                 from_snapshot_id=None if s_id == -1 else s_id,
                 to_snapshot_id=e_id,
             )
+            from .iceberg.write import _arrow_type
+
             fields = [
-                (f.field_id, f.name) for f in t.metadata.current_schema().fields
+                (f.field_id, f.name, _arrow_type(f.field_type),
+                 getattr(f, "initial_default", None))
+                for f in t.metadata.current_schema().fields
             ]
             return [
                 _IcebergFilePartition(task.file.file_path, fields, self._cfg)
@@ -372,21 +385,26 @@ try:  # pyspark >= 4: Python Data Source API
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None:
                     by_id[int(fid)] = fld.name
-            physical, out_names = [], []
-            for fid, name in partition.fields:
+            import pyarrow as pa
+
+            cols, out_names = [], []
+            n = tbl.num_rows
+            for fid, name, typ, default in partition.fields:
                 # files with ids resolve strictly by id; id-less
-                # (imported) files fall back to the current name
+                # (imported) files fall back to the current name; a
+                # column ADDED after this file was written reads its
+                # initial-default (v3) or null — same as the batch scan
                 src = by_id.get(fid) if by_id else (
                     name if name in tbl.schema.names else None
                 )
-                if src is None or src not in tbl.schema.names:
-                    raise ValueError(
-                        f"{partition.path}: field id {fid} ({name!r}) "
-                        "not present in the data file"
-                    )
-                physical.append(src)
+                if src is not None and src in tbl.schema.names:
+                    cols.append(tbl[src])
+                elif default is not None:
+                    cols.append(pa.array([default] * n, type=typ))
+                else:
+                    cols.append(pa.nulls(n, type=typ))
                 out_names.append(name)
-            yield from tbl.select(physical).rename_columns(out_names).to_batches()
+            yield from pa.table(dict(zip(out_names, cols))).to_batches()
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]

@@ -75,3 +75,33 @@ def test_incremental_dedup_across_batches(tmp_path, spark):
     assert (acc2, rej2) == (0, 4)
     assert sorted(r.doc_id for r in corpus.scan().to_df(spark).collect()) == ids
     assert index.scan().to_df(spark).count() == 4
+
+
+def test_crash_between_corpus_and_index_heals_on_replay(tmp_path, spark):
+    """Simulate the crash window: survivors landed in the corpus but the
+    index upsert never ran. Replay must repair the index (so future
+    near-dups of those docs are caught) without re-appending."""
+    from incremental_dedup import create_index, process_batch
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    b1 = _mk_docs(spark, [(1, BASE), (2, OTHER)])
+    corpus = cat.create_table("db.corpus", schema_from_spark(b1.schema))
+    index = create_index(cat, "db.dedup_index")
+
+    # crash simulation: docs reach the corpus, the index write is lost
+    corpus.append(b1)
+    assert index.scan().to_df(spark).count() == 0
+
+    # replay of the same batch: nothing re-appended, index repaired
+    acc, rej = process_batch(index, corpus, b1, spark)
+    assert (acc, rej) == (0, 2)
+    assert corpus.scan().to_df(spark).count() == 2
+    assert index.scan().to_df(spark).count() == 2
+
+    # and the repaired index now catches near-dups of the healed docs
+    b2 = _mk_docs(spark, [(3, BASE.replace("dog", "hound"))])
+    acc, rej = process_batch(index, corpus, b2, spark)
+    assert (acc, rej) == (0, 1)

@@ -479,3 +479,56 @@ def test_dv_lifecycle_expire_then_orphan_cleanup(fs_catalog, spark, lineitem_df)
     for p in old_puffins:
         assert not os.path.exists(p)
     assert t.scan().to_df(spark).count() == expect
+
+
+def test_rewrite_position_deletes_preserves_partitions(fs_catalog, spark, lineitem_df):
+    """Spec: a position-delete entry carries the referenced data file's
+    partition tuple. Consolidation on a partitioned table must keep
+    every DV's partition values and spec id (one consolidated manifest
+    per spec), with non-null partition field summaries."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestContent,
+        read_manifest,
+    )
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.dvpart", LINEITEM_SCHEMA, spec=spec)
+    t.upgrade_format_version(3)
+    t.append(lineitem_df.limit(200))
+    # two delete rounds → scattered DVs across the partitioned files
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    t.delete_where(spark, E.equal("l_linenumber", 2))
+
+    before = {
+        e.data_file.referenced_data_file: dict(e.data_file.partition or {})
+        for m in t.current_snapshot().manifests()
+        if m.content == ManifestContent.DELETES
+        for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number)
+        if e.data_file.content_offset is not None
+    }
+    assert before and all(
+        p.get("l_returnflag") is not None for p in before.values()
+    ), "setup: DV entries must carry real partition values"
+    expect = t.scan().to_df(spark).count()
+
+    assert rewrite_position_deletes(t, spark, min_input_files=2) is True
+
+    after_manifests = [
+        m for m in t.current_snapshot().manifests()
+        if m.content == ManifestContent.DELETES
+    ]
+    after = {}
+    for m in after_manifests:
+        assert m.partition_spec_id == spec.spec_id
+        # manifest-level partition summaries must not be all-null
+        assert m.partitions and not m.partitions[0].contains_null
+        for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+            if e.data_file.content_offset is not None:
+                after[e.data_file.referenced_data_file] = dict(e.data_file.partition or {})
+    assert after == before, "partition tuples must survive the repack"
+    assert t.scan().to_df(spark).count() == expect

@@ -462,11 +462,11 @@ def test_iceberg_stream_source_sql_catalog(tmp_path, spark):
 
 
 def test_iceberg_stream_source_admission_control(tmp_path, spark):
-    """max_files_per_trigger caps steady-state micro-batches: the first
-    trigger of a (re)started query is uncapped (the runner asks for the
-    latest offset before replaying the start position), but every
-    subsequent trigger advances at most 2 appended files — a backlog
-    committed mid-query drains in multiple bounded batches."""
+    """max_files_per_trigger caps micro-batches whenever the reader
+    knows its position (fresh query or post-first-trigger); a backlog
+    committed mid-query drains in multiple bounded batches. (Only a
+    checkpoint-restart's first trigger is uncapped — the runner asks
+    for the latest offset before replaying the committed start.)"""
     import time
 
     from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
@@ -617,3 +617,37 @@ def test_iceberg_stream_source_redelivers_failed_batch(tmp_path, spark):
     )
     q2.awaitTermination(120)
     assert sorted(seen) == [(1, "a"), (2, "b")], "crashed batch re-delivered"
+
+
+def test_iceberg_stream_source_fills_added_columns(tmp_path, spark):
+    """Files written BEFORE an add_column stream with null (or the v3
+    initial-default) for the new column — same semantics as the batch
+    scan, instead of wedging the stream."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t = cat.create_table("db.addcol", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))  # file WITHOUT column x
+    t.update_schema().add_column("x", __import__(
+        "iceberg_go_distributed_spark.iceberg.types", fromlist=["LongType"]
+    ).LongType()).commit()
+    t.append(
+        spark.createDataFrame([(2, "b", 7)], "id long, v string, x long").coalesce(1)
+    )
+
+    seen: list[tuple] = []
+    q = (
+        iceberg_stream(spark, wh, "db.addcol")
+        .writeStream.foreachBatch(
+            lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(1, "a", None), (2, "b", 7)]

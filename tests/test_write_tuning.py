@@ -615,3 +615,79 @@ class TestWriteDistributionMode:
         p_salt = plan({"write.fanout.salt-tasks": "4"})
         assert p_salt.count("Exchange hashpartitioning") == 1
         assert "pmod" in p_salt  # the salt rides inside the ONE exchange
+
+
+def test_nested_metrics_override_applies_at_harvest(tmp_path, spark):
+    """ADVICE r6 follow-through, end to end: an override keyed by a
+    struct leaf's dotted path must change what the WRITTEN manifest
+    records for that leaf (not just resolve in the mode map). The leaf
+    resolves to its own field id at footer-harvest time."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(1, ("en", "web")), (2, ("fr", "book"))],
+        "id long, meta struct<lang: string, src: string>",
+    )
+    schema = schema_from_spark(df.schema)
+    lang_fid = None
+    src_fid = None
+    for f in schema.fields:
+        if f.name == "meta":
+            for c in f.field_type.fields:
+                if c.name == "lang":
+                    lang_fid = c.field_id
+                elif c.name == "src":
+                    src_fid = c.field_id
+    assert lang_fid and src_fid
+
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.nested", schema)
+    tx = t.transaction()
+    tx.set_properties({"write.metadata.metrics.column.meta.lang": "none"})
+    tx.commit()
+    t.append(df.coalesce(1))
+
+    [entry] = [
+        e
+        for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    ]
+    d = entry.data_file
+    # the overridden leaf: sizes only (storage metric), no counts/bounds
+    assert lang_fid in (d.column_sizes or {})
+    assert lang_fid not in (d.value_counts or {})
+    assert lang_fid not in (d.lower_bounds or {})
+    # the sibling leaf keeps the default truncate(16) metrics
+    assert (d.value_counts or {}).get(src_fid) == 2
+    assert (d.lower_bounds or {}).get(src_fid) == b"book"
+    assert (d.upper_bounds or {}).get(src_fid) == b"web"
+
+
+def test_metrics_override_follows_evolution(tmp_path, spark, lineitem_df):
+    """Dropping or renaming a column with a metrics override must not
+    leave a stale property that fails every later write: rename MOVES
+    the key to the new path, drop REMOVES it."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(1, 10, "x")], "id long, v int, tag string")
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.evoprops", schema_from_spark(df.schema))
+    tx = t.transaction()
+    tx.set_properties({
+        "write.metadata.metrics.column.v": "none",
+        "write.metadata.metrics.column.tag": "counts",
+    })
+    tx.commit()
+
+    t.update_schema().rename_column("v", "val").commit()
+    props = t.metadata.properties
+    assert "write.metadata.metrics.column.v" not in props
+    assert props["write.metadata.metrics.column.val"] == "none"
+
+    t.update_schema().drop_column("tag").commit()
+    props = t.metadata.properties
+    assert "write.metadata.metrics.column.tag" not in props
+
+    # and the table stays writable (this used to raise)
+    t.append(spark.createDataFrame([(2, 20)], "id long, val int").coalesce(1))
+    assert t.scan().to_df(spark).count() == 1  # only the post-drop append
