@@ -1624,21 +1624,8 @@ def overwrite_where(table, df, expr) -> None:
     # pending position/equality deletes stay applied (a raw parquet
     # read would resurrect deleted rows into the rewritten files)
     to_write = df
+    survivor_files: list = []
     partial_tasks = [t for t in tasks if not strict(t.file)]
-    if partial_tasks and md.format_version >= 3:
-        # rewriting a partial file copies its SURVIVING rows into new
-        # files, which would silently renumber their _row_id (spec v3:
-        # unchanged rows keep their ids; preserving them requires
-        # materializing a _row_id column into the rewritten parquet,
-        # which this writer does not do yet). delete_where + append is
-        # the lineage-safe equivalent.
-        from .metadata import CommitStateError
-
-        raise CommitStateError(
-            "copy-on-write overwrite of partially-matching files on a "
-            "format-version 3 table would renumber surviving rows' "
-            "_row_id; use delete_where(expr) + append(df) instead"
-        )
     if partial_tasks:
         from .manifest import DataFileContent
 
@@ -1650,15 +1637,59 @@ def overwrite_where(table, df, expr) -> None:
             for d in t.delete_files
             if d.content == DataFileContent.EQUALITY_DELETES
         }
-        survivors = scan._read_with_deletes(
-            spark, partial_tasks, schema, eq_map or None
-        ).where(to_spark_column(bound))
-        to_write = df.select(survivors.columns).unionByName(survivors)
+        if md.format_version >= 3:
+            # spec v3 "Row Lineage": rewriting a partial file copies its
+            # SURVIVING rows, which MUST keep their _row_id — so, like
+            # compaction, materialize the reserved lineage columns into
+            # the rewritten parquet (reads prefer the materialized
+            # columns over manifest-list assignment). The incoming df
+            # is written separately and gets fresh ids.
+            from .manifest import LAST_UPDATED_SEQ_FIELD_ID, ROW_ID_FIELD_ID
+            from .table import attach_lineage, lineage_map_frame
+            from .types import LongType, NestedField
+
+            lineage_map = lineage_map_frame(spark, partial_tasks)
+            srv = scan._read_with_deletes(
+                spark, partial_tasks, schema, eq_map or None, keep_pos=True
+            )
+            srv = attach_lineage(srv, lineage_map).where(to_spark_column(bound))
+            srv_schema = Schema(
+                schema.schema_id,
+                schema.fields
+                + (
+                    NestedField(ROW_ID_FIELD_ID, "_row_id", LongType()),
+                    NestedField(
+                        LAST_UPDATED_SEQ_FIELD_ID,
+                        "_last_updated_sequence_number",
+                        LongType(),
+                    ),
+                ),
+            )
+            survivor_files = write_data_files(
+                srv, srv_schema, md.default_spec(), md.location,
+                f"{ds.commit_uuid}-srv",
+                properties=md.properties,
+            )
+            reserved = {ROW_ID_FIELD_ID, LAST_UPDATED_SEQ_FIELD_ID}
+            for f in survivor_files:
+                for attr in (
+                    "column_sizes", "value_counts", "null_value_counts",
+                    "nan_value_counts", "lower_bounds", "upper_bounds",
+                ):
+                    m = getattr(f, attr, None)
+                    if m:
+                        for k in reserved & set(m):
+                            del m[k]
+        else:
+            survivors = scan._read_with_deletes(
+                spark, partial_tasks, schema, eq_map or None
+            ).where(to_spark_column(bound))
+            to_write = df.select(survivors.columns).unionByName(survivors)
 
     data_files = write_data_files(
         to_write, schema, md.default_spec(), md.location, ds.commit_uuid,
         properties=md.properties,
-    )
+    ) + survivor_files
     entries = [
         ManifestEntry(
             status=ManifestEntryStatus.ADDED,

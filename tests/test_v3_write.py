@@ -505,19 +505,34 @@ def test_v3_equality_deletes_and_upsert(fs_catalog, spark, lineitem_df):
     assert t.metadata.next_row_id == first_ids + n_updated
 
 
-def test_v3_lineage_unsafe_rewrites_refused(fs_catalog, spark, lineitem_df):
-    """Copy-on-write paths that would renumber surviving rows' _row_id
-    refuse on v3: partial-file overwrite (compaction materializes
-    lineage instead — see test_v3_compaction_preserves_lineage). A
-    strict whole-file overwrite (no surviving rows to renumber) still
-    works."""
+def test_v3_partial_overwrite_preserves_lineage(fs_catalog, spark, lineitem_df):
+    """Copy-on-write overwrite of PARTIALLY-matching files on v3
+    materializes the reserved lineage columns into the rewritten
+    survivors (the compaction mechanism), so unchanged rows keep their
+    exact _row_id / _last_updated_sequence_number while replacement
+    rows get fresh ids — the spec's Row Lineage rewrite rule."""
     t = _v3_table(fs_catalog, lineitem_df, name="db.v3cow", rows=100)
     df = lineitem_df.limit(100)
+    before = {
+        (r.l_orderkey, r.l_linenumber): (r._row_id, r._last_updated_sequence_number)
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+        if r.l_linenumber != 1
+    }
+    n_replaced = df.where("l_linenumber = 1").count()
 
-    with pytest.raises(CommitStateError, match="_row_id"):
-        t.overwrite_where(
-            df.where("l_linenumber = 1"), E.equal("l_linenumber", 1)
-        )
+    t.overwrite_where(df.where("l_linenumber = 1"), E.equal("l_linenumber", 1))
+
+    rows = t.scan().with_row_lineage().to_df(spark).collect()
+    assert len(rows) == 100
+    after_survivors = {
+        (r.l_orderkey, r.l_linenumber): (r._row_id, r._last_updated_sequence_number)
+        for r in rows
+        if r.l_linenumber != 1
+    }
+    assert after_survivors == before, "survivors keep exact lineage"
+    new_ids = {r._row_id for r in rows if r.l_linenumber == 1}
+    assert len(new_ids) == n_replaced
+    assert min(new_ids) >= 100, "replacement rows draw FRESH row ids"
 
     # whole-file replacement: every row in the single file matches an
     # always-true-for-this-file predicate via the strict evaluator
