@@ -765,3 +765,36 @@ def test_v3_changelog_after_full_delete(fs_catalog, spark, lineitem_df):
     rows = changes.collect()
     assert len(rows) == 50
     assert {r._change_type for r in rows} == {"delete"}
+
+
+def test_v3_partial_overwrite_partitioned(fs_catalog, spark, lineitem_df):
+    """The lineage-preserving overwrite composes with partitioned
+    fanout: survivors rewrite through the partition router with the
+    extended (lineage) schema, and pruning still works afterwards."""
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    spec = spec_from(LINEITEM_SCHEMA, ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.v3cowp", LINEITEM_SCHEMA, spec=spec)
+    t.upgrade_format_version(3)
+    df = lineitem_df.limit(150)
+    t.append(df)
+    before = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+        if r.l_linenumber != 1
+    }
+
+    t.overwrite_where(df.where("l_linenumber = 1"), E.equal("l_linenumber", 1))
+
+    rows = t.scan().with_row_lineage().to_df(spark).collect()
+    assert len(rows) == 150
+    assert {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in rows
+        if r.l_linenumber != 1
+    } == before
+    # partition pruning still sound over the rewritten layout
+    wantA = df.where("l_returnflag = 'A'").count()
+    scan = t.scan(row_filter=E.equal("l_returnflag", "A"))
+    assert len(scan.plan_files()) < len(t.scan().plan_files())
+    assert scan.to_df(spark).count() == wantA
