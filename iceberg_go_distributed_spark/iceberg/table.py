@@ -118,7 +118,7 @@ def lineage_map_frame(spark, tasks):
     return spark.createDataFrame(
         [
             (
-                _re.sub("^[a-z0-9]+:(//)?", "", t.file.file_path),
+                strip_scheme(t.file.file_path),
                 t.file.first_row_id,
                 t.data_sequence_number,
             )
@@ -164,6 +164,51 @@ def _ensure_field_id_reads(spark) -> None:
         return
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark._iceberg_field_id_reads = True
+
+
+def match_deletes(data_seq: int, data_path: str, delete_rows) -> tuple:
+    """Sequence-gated delete matching for one data file — the ONE copy
+    both planners share (ref scanner.go:285-309): v3 DVs match their
+    exact referenced file at seq >=, parquet positional deletes match by
+    file_path bounds at seq >=, equality deletes apply to strictly older
+    data (seq >). `delete_rows` is an iterable of (delete_seq,
+    delete_DataFile) sorted by sequence number."""
+    from .manifest import DataFileContent
+
+    picked = []
+    for d_seq, ddf in delete_rows:
+        if ddf.content == DataFileContent.POSITION_DELETES:
+            if ddf.content_offset is not None:
+                # v3 deletion vector: targets exactly one data file
+                # (referenced_data_file is required for DVs)
+                if d_seq >= data_seq and ddf.referenced_data_file == data_path:
+                    picked.append(ddf)
+            # positional: applies to same-or-older data (>=)
+            elif d_seq >= data_seq and _delete_covers_path(ddf, data_path):
+                picked.append(ddf)
+        elif ddf.content == DataFileContent.EQUALITY_DELETES:
+            # equality: applies to strictly older data (>)
+            if d_seq > data_seq:
+                picked.append(ddf)
+    return tuple(picked)
+
+
+# scheme/authority-insensitive path comparison: EVERY _fp equi-join
+# (lineage map <-> data frame <-> delete frame <-> DV decoder) must strip
+# URI schemes byte-identically, so the pattern lives in exactly one place
+SCHEME_RE = "^[a-z0-9]+:(//)?"
+
+
+def strip_scheme(path: str) -> str:
+    import re as _re
+
+    return _re.sub(SCHEME_RE, "", path)
+
+
+def strip_scheme_col(col):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, SCHEME_RE, "")
 
 
 def _delete_covers_path(delete_file: DataFile, data_path: str) -> bool:
@@ -369,41 +414,17 @@ class Scan:
                 )
             delete_entries.sort(key=lambda e: e.sequence_number or 0)
 
+        delete_rows = [
+            (d.sequence_number or 0, d.data_file) for d in delete_entries
+        ]
         tasks: list[FileScanTask] = []
-        from .manifest import DataFileContent
-
         for e in data_entries:
-            dels: tuple = ()
-            if delete_entries:
-                picked = []
-                for d in delete_entries:
-                    d_seq = d.sequence_number or 0
-                    e_seq = e.sequence_number or 0
-                    if d.data_file.content == DataFileContent.POSITION_DELETES:
-                        if d.data_file.content_offset is not None:
-                            # v3 deletion vector: targets exactly one
-                            # data file (referenced_data_file is
-                            # required for DVs)
-                            if (
-                                d_seq >= e_seq
-                                and d.data_file.referenced_data_file
-                                == e.data_file.file_path
-                            ):
-                                picked.append(d.data_file)
-                        # positional: applies to same-or-older data (>=)
-                        elif d_seq >= e_seq and _delete_covers_path(
-                            d.data_file, e.data_file.file_path
-                        ):
-                            picked.append(d.data_file)
-                    elif d.data_file.content == DataFileContent.EQUALITY_DELETES:
-                        # equality: applies to strictly older data (>)
-                        if d_seq > e_seq:
-                            picked.append(d.data_file)
-                dels = tuple(picked)
             tasks.append(
                 FileScanTask(
                     file=e.data_file,
-                    delete_files=dels,
+                    delete_files=match_deletes(
+                        e.sequence_number or 0, e.data_file.file_path, delete_rows
+                    ),
                     data_sequence_number=e.sequence_number,
                 )
             )
@@ -432,12 +453,14 @@ class Scan:
                 return plan_files_distributed(self, spark)
         return self.plan_files()
 
-    def to_df(self, spark):
+    def to_df(self, spark, tasks=None):
         """Data-plane execution — SURVEY §3.1 step 7. The driver/executor
-        boundary is exactly here: everything above was metadata-only."""
+        boundary is exactly here: everything above was metadata-only.
+        Pass pre-planned `tasks` to skip re-planning (count() does)."""
         from pyspark.sql import functions as F
 
-        tasks = self.plan_files_auto(spark)
+        if tasks is None:
+            tasks = self.plan_files_auto(spark)
         proj = self.projection()
         schema = self._scan_schema()
 
@@ -496,9 +519,7 @@ class Scan:
                     .parquet(*files)
                     .withColumn(
                         "_fp",
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
-                        ),
+                        strip_scheme_col(F.col("_metadata.file_path")),
                     )
                     .withColumn("_pos", F.col("_metadata.row_index"))
                 )
@@ -562,9 +583,7 @@ class Scan:
                         df,
                         files,
                         schema,
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
-                        ),
+                        strip_scheme_col(F.col("_metadata.file_path")),
                     )
         if lineage is not None:
             df = attach_lineage(df, lineage)
@@ -603,6 +622,8 @@ class Scan:
             tasks = self.plan_files_auto(spark)
             if not any(t.delete_files for t in tasks):
                 return sum(t.file.record_count for t in tasks)
+            # deletes present: reuse the plan instead of planning twice
+            return self.to_df(spark, tasks=tasks).count()
         return self.to_df(spark).count()
 
     def _read_with_deletes(
@@ -641,6 +662,11 @@ class Scan:
                 # the Arrow fallback has no _metadata.row_index; silently
                 # rerouting would break _row_id derivation
                 raise
+            if any(f.initial_default is not None for f in schema.fields):
+                # the Arrow fallback never applies v3 initial-defaults —
+                # rerouting would return NULL where a default is required
+                # (the delete-free path refuses identically above)
+                raise
             logger.warning(
                 "JVM merge-on-read path failed; falling back to the per-file "
                 "Arrow reader (no parquet pushdown for this scan)",
@@ -673,7 +699,20 @@ class Scan:
         by_id = {f.field_id: f for f in schema.fields}
         for path in key:
             eqf = eq_files[path]
-            fields = [by_id[i] for i in (eqf.equality_ids or []) if i in by_id]
+            missing = [i for i in (eqf.equality_ids or []) if i not in by_id]
+            if missing:
+                # an equality key column was dropped from the schema: the
+                # delete can no longer be evaluated. Matching on the
+                # remaining subset would OVER-delete live rows, and
+                # skipping the file would resurrect deleted ones — both
+                # are silent corruption, so fail loudly instead.
+                raise ValueError(
+                    f"equality-delete file {path} keys on dropped field "
+                    f"ids {missing}; the delete cannot be applied against "
+                    "the current schema (compact the table before "
+                    "dropping equality-key columns)"
+                )
+            fields = [by_id[i] for i in (eqf.equality_ids or [])]
             if not fields:
                 continue
             eq_schema = Schema(0, tuple(fields))
@@ -738,7 +777,7 @@ class Scan:
             }
         )
         files = [t.file.file_path for t in tasks]
-        strip = lambda c: F.regexp_replace(c, "^[a-z0-9]+:(//)?", "")
+        strip = strip_scheme_col
         if "schema.name-mapping.default" in self.table.metadata.properties:
             # grouped multi-name read: ID-less files may carry any
             # mapped (pre-rename) column name; _fp/_pos selected inside
@@ -858,9 +897,7 @@ class Scan:
             if with_pos:
                 # positional-MOR callers need (file, row) before the union
                 cols += [
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^[a-z0-9]+:(//)?", ""
-                    ).alias("_fp"),
+                    strip_scheme_col(F.col("_metadata.file_path")).alias("_fp"),
                     F.col("_metadata.row_index").alias("_pos"),
                 ]
             parts.append(g.select(*cols))
@@ -942,7 +979,7 @@ class Scan:
         )
         flags = files_df.mapInPandas(probe, flag_ddl).withColumn(
             "_dflt_fp",
-            F.regexp_replace(F.col("path"), "^[a-z0-9]+:(//)?", ""),
+            strip_scheme_col(F.col("path")),
         ).drop("path")
         df = df.join(flags, fp_expr == F.col("_dflt_fp"), "left")
         for f in defaults:
@@ -984,8 +1021,8 @@ class Scan:
                         row["dv_path"], row["offset"], row["size"]
                     )
                     # strip the scheme exactly as the data side's
-                    # regexp_replace("^[a-z0-9]+:(//)?") does
-                    target = re.sub(r"^[a-z0-9]+:(//)?", "", row["target"])
+                    # strip_scheme_col does
+                    target = re.sub(SCHEME_RE, "", row["target"])
                     yield pa.record_batch(
                         {
                             "_fp": pa.array([target] * len(positions)),
@@ -1008,14 +1045,23 @@ class Scan:
         fileio_cfg = _fileio.env_config()
 
         def read_task(batches):
+            import pyarrow.parquet as pq
+
             from . import fileio
 
             fileio.apply_config(fileio_cfg)
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    yield fileio.read_parquet_table(
-                        row.data_file, columns=col_names
+                    # schema-evolved files may physically lack columns
+                    # added later (or carry old names): project what the
+                    # file HAS and null-fill the rest, like the JVM path
+                    with fileio.open_input(row.data_file) as f:
+                        present = set(pq.read_schema(f).names)
+                    cols = [c for c in col_names if c in present]
+                    frame = fileio.read_parquet_table(
+                        row.data_file, columns=cols
                     ).to_pandas()
+                    yield frame.reindex(columns=col_names)
 
         return files_df.mapInPandas(read_task, ddl)
 
@@ -1058,13 +1104,19 @@ class Scan:
         fileio_cfg = _fileio.env_config()
 
         def read_task(batches):
+            import pyarrow.parquet as pq
+
             from . import fileio
 
             fileio.apply_config(fileio_cfg)
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    tbl = fileio.read_parquet_table(row.data_file, columns=col_names)
-                    frame = tbl.to_pandas()
+                    with fileio.open_input(row.data_file) as f:
+                        present = set(pq.read_schema(f).names)
+                    cols = [c for c in col_names if c in present]
+                    tbl = fileio.read_parquet_table(row.data_file, columns=cols)
+                    # evolved files: null-fill columns the file predates
+                    frame = tbl.to_pandas().reindex(columns=col_names)
                     dels = _json.loads(row.delete_files)
                     if dels:
                         from . import puffin
@@ -1160,7 +1212,9 @@ class IncrementalAppendScan(Scan):
                 if not man_eval(m):
                     continue
                 for e in read_manifest(
-                    m.manifest_path, inherit_sequence_number=m.sequence_number
+                    m.manifest_path,
+                    inherit_sequence_number=m.sequence_number,
+                    inherit_first_row_id=m.first_row_id,
                 ):
                     if e.status != ManifestEntryStatus.ADDED:
                         continue
@@ -1170,8 +1224,19 @@ class IncrementalAppendScan(Scan):
                         continue
                     if not metrics_eval(e.data_file):
                         continue
-                    tasks.append(FileScanTask(file=e.data_file))
+                    tasks.append(
+                        FileScanTask(
+                            file=e.data_file,
+                            data_sequence_number=e.sequence_number,
+                        )
+                    )
         return tasks
+
+    def plan_files_auto(self, spark) -> list[FileScanTask]:
+        """Incremental planning is already O(appended manifests) — the
+        distributed FULL-SNAPSHOT planner would ignore the range and
+        the append-only walk, silently returning the whole table."""
+        return self.plan_files()
 
 
 class StaticTable:
@@ -1253,7 +1318,6 @@ class Table(StaticTable):
     def append(
         self,
         df,
-        spark=None,
         snapshot_properties: Optional[dict] = None,
         branch: str = MAIN_BRANCH,
     ) -> None:
@@ -1710,26 +1774,13 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
         key=lambda t: t[0],
     )
 
-    from .manifest import DataFileContent
-
     tasks: list[FileScanTask] = []
     for e_seq, dfile in data_rows:
-        dels: tuple = ()
-        if delete_rows:
-            picked = []
-            for d_seq, ddf in delete_rows:
-                if ddf.content == DataFileContent.POSITION_DELETES:
-                    if ddf.content_offset is not None:
-                        # v3 DV: exact referenced-file match
-                        if d_seq >= e_seq and ddf.referenced_data_file == dfile.file_path:
-                            picked.append(ddf)
-                    elif d_seq >= e_seq and _delete_covers_path(ddf, dfile.file_path):
-                        picked.append(ddf)
-                elif ddf.content == DataFileContent.EQUALITY_DELETES:
-                    if d_seq > e_seq:
-                        picked.append(ddf)
-            dels = tuple(picked)
         tasks.append(
-            FileScanTask(file=dfile, delete_files=dels, data_sequence_number=e_seq)
+            FileScanTask(
+                file=dfile,
+                delete_files=match_deletes(e_seq, dfile.file_path, delete_rows),
+                data_sequence_number=e_seq,
+            )
         )
     return tasks

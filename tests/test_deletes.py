@@ -722,3 +722,27 @@ def test_snapshot_totals_fuzz_vs_manifest_recomputation(
             want = ground_truth(t)
             got = {k: int(props.get(k, "0")) for k in want}
             assert got == want, f"seed={seed} step={step} ops={ops_run}: {got} != {want}"
+
+
+def test_eq_delete_on_dropped_key_fails_loudly(fs_catalog, spark):
+    """Review fix: an equality delete keyed on a since-dropped column
+    can no longer be evaluated — matching the remaining key subset
+    would over-delete and skipping would resurrect rows, so the scan
+    must raise instead of silently corrupting either way."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(1, "eu", 1.0), (2, "us", 2.0), (3, "eu", 3.0)],
+        "id long, region string, v double",
+    )
+    t = fs_catalog.create_table("db.eqdrop", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.delete_by_keys(
+        spark.createDataFrame([(1, "eu")], "id long, region string"),
+        ["id", "region"],
+    )
+    assert t.scan().to_df(spark).count() == 2
+
+    t.update_schema().drop_column("region").commit()
+    with pytest.raises(ValueError, match="dropped field ids"):
+        t.scan().to_df(spark).count()

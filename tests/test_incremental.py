@@ -94,3 +94,50 @@ def test_incremental_rejects_non_ancestor(fs_catalog, spark, lineitem_df):
     t.append(lineitem_df.where("l_orderkey < 500").coalesce(1))
     with pytest.raises(ValueError, match="not an ancestor"):
         t.incremental_append_scan(from_snapshot_id=123456789).plan_files()
+
+
+def test_incremental_never_routes_to_full_snapshot_planner(
+    fs_catalog, spark, lineitem_df
+):
+    """Review fix: IncrementalAppendScan inherits plan_files_auto, and
+    above the distributed-planning threshold the FULL-snapshot planner
+    would ignore the range, silently returning the whole table. The
+    incremental override must keep the O(appended manifests) walk."""
+    t = fs_catalog.create_table("db.inc_auto", LINEITEM_SCHEMA)
+    tx = t.transaction()
+    tx.set_properties({"read.distributed-planning.min-manifests": "1"})
+    tx.commit()
+    t.append(lineitem_df.limit(50).coalesce(1))
+    cp = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(100).where("l_orderkey % 2 = 0").coalesce(1))
+
+    sc = t.incremental_append_scan(from_snapshot_id=cp)
+    tasks = sc.plan_files_auto(spark)
+    assert tasks == sc.plan_files()
+    assert len(tasks) == 1, "only the appended file, never the full snapshot"
+    want = lineitem_df.limit(100).where("l_orderkey % 2 = 0").count()
+    assert sc.to_df(spark).count() == want
+    # and count() (which rides plan_files_auto) agrees
+    assert sc.count(spark) == want
+
+
+def test_incremental_scan_carries_row_lineage(fs_catalog, spark, lineitem_df):
+    """Review fix: the incremental planner inherits first_row_id and
+    data sequence numbers, so with_row_lineage() works on the appended
+    range of a v3 table."""
+    t = fs_catalog.create_table("db.inc_lin", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    t.append(lineitem_df.limit(40).coalesce(1))
+    cp = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.limit(100).where("l_orderkey % 3 = 0").coalesce(1))
+    n2 = lineitem_df.limit(100).where("l_orderkey % 3 = 0").count()
+
+    rows = (
+        t.incremental_append_scan(from_snapshot_id=cp)
+        .with_row_lineage()
+        .to_df(spark)
+        .collect()
+    )
+    ids = sorted(r._row_id for r in rows)
+    assert ids == list(range(40, 40 + n2)), "second append's id range exactly"
+    assert all(r._last_updated_sequence_number == 2 for r in rows)
