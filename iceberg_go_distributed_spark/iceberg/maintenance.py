@@ -334,7 +334,12 @@ def rewrite_position_deletes(
         from .write import _encode_descriptor
 
         fileio.apply_config(fileio_cfg)
-        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        tc = TaskContext.get()
+        # partition id + ATTEMPT id: speculative/retried attempts of the
+        # same task must never write the same path concurrently (the
+        # attempt id is unique per attempt; Iceberg writers embed one in
+        # the filename for the same reason)
+        task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
         blobs, refs = [], []
         for pdf in batches:
             for rec in pdf.itertuples(index=False):

@@ -254,13 +254,18 @@ def _column_paths(schema: Schema) -> dict:
     return paths
 
 
-def resolve_metrics_modes(schema: Schema, properties: Optional[dict]) -> dict:
+def resolve_metrics_modes(
+    schema: Schema, properties: Optional[dict], strict: bool = True
+) -> dict:
     """{field_id: (kind, length|None)} for every column path —
     per-column overrides beat the table default (truncate(16)).
     Overrides are resolved by FULL dotted column path (struct.leaf,
     list.element, map.key/value) like the reference; an override key
     naming no schema column raises so typos fail the commit loudly
-    instead of being silently ignored."""
+    instead of being silently ignored. Pass ``strict=False`` when
+    `schema` is a PROJECTION of the table schema (equality-delete key
+    files carry only the key columns) — overrides for the absent
+    columns are then simply inapplicable, not errors."""
     props = properties or {}
     default = _parse_metrics_mode(props.get(METRICS_DEFAULT_KEY, "truncate(16)"))
     paths = _column_paths(schema)
@@ -271,10 +276,12 @@ def resolve_metrics_modes(schema: Schema, properties: Optional[dict]) -> dict:
         path = key[len(METRICS_COLUMN_PREFIX) :]
         fid = paths.get(path)
         if fid is None:
-            raise ValueError(
-                f"{key} names no column in the schema "
-                f"(known paths: {', '.join(sorted(paths))})"
-            )
+            if strict:
+                raise ValueError(
+                    f"{key} names no column in the schema "
+                    f"(known paths: {', '.join(sorted(paths))})"
+                )
+            continue
         modes[fid] = _parse_metrics_mode(raw)
     return modes
 
@@ -322,6 +329,8 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
     uppers: dict[int, Any] = {}
     col_sizes: dict[int, int] = {}
     harvested: dict[int, Any] = {}  # fid → resolved (possibly leaf) field
+    bad_bounds: set[int] = set()  # any group lacked ordered min/max
+    bad_nulls: set[int] = set()  # any group lacked a null count
     split_offsets: list[int] = []
     for rg_i in range(meta.num_row_groups):
         rg = meta.row_group(rg_i)
@@ -348,25 +357,43 @@ def _stats_from_parquet(path: str, schema: Schema, modes: Optional[dict] = None)
             # parquet num_values already includes nulls (logical values)
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values
             st = col.statistics
+            # SOUNDNESS: file-level bounds/null counts must cover EVERY
+            # row group. A group with missing (or NaN — unordered) stats
+            # makes the whole column's file aggregate unknowable; keeping
+            # the other groups' values would let the strict evaluator
+            # whole-file-delete rows outside the recorded bounds, or an
+            # IS_NULL scan prune files that do contain nulls.
             if st is None:
+                bad_bounds.add(fid)
+                bad_nulls.add(fid)
                 continue
-            if st.has_null_count:
+            if not st.has_null_count:
+                bad_nulls.add(fid)
+            else:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if kind == "counts":
                 continue
             if st.has_min_max:
                 mn, mx = st.min, st.max
-                # never let NaN poison bounds (NaN compares false with
-                # everything; the evaluators rely on ordered bounds —
-                # ref parquet_files.go skips NaN bounds the same way)
+                # NaN compares false with everything; the evaluators rely
+                # on ordered bounds — ref parquet_files.go skips NaN
+                # bounds the same way (and we invalidate the column)
                 if isinstance(mn, float) and (mn != mn or mx != mx):
+                    bad_bounds.add(fid)
                     continue
                 if fid not in lowers or mn < lowers[fid]:
                     lowers[fid] = mn
                 if fid not in uppers or mx > uppers[fid]:
                     uppers[fid] = mx
+            else:
+                bad_bounds.add(fid)
     lower_b: dict[int, bytes] = {}
     upper_b: dict[int, bytes] = {}
+    for fid in bad_bounds:
+        lowers.pop(fid, None)
+        uppers.pop(fid, None)
+    for fid in bad_nulls:
+        null_counts.pop(fid, None)
     for fid, f in harvested.items():
         # bounds are defined for primitive columns only; struct leaves
         # resolve to their own ids above and qualify like top-levels
@@ -574,8 +601,9 @@ def write_data_files(
     location: str,
     commit_uuid: str,
     sort_order=None,
-    target_file_size: int = TARGET_FILE_SIZE_BYTES,
+    target_file_size: Optional[int] = None,
     properties: Optional[dict] = None,
+    strict_metrics: bool = True,
 ):
     """Executor-side Parquet writing via mapInPandas; returns the list of
     DataFile descriptors (driver-side, O(files)).
@@ -630,12 +658,20 @@ def write_data_files(
     spec_fields = [(pf.name, str(pf.transform)) for pf in spec.fields]
     schema_pickle = schema
     spec_pickle = spec
+    if target_file_size is None:
+        # honor the table property on EVERY write path (overwrite,
+        # upsert, delete keys) — explicit arg still wins
+        target_file_size = int(
+            (properties or {}).get(
+                "write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES)
+            )
+        )
     target_size = target_file_size
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
     codec, codec_level = parquet_compression(properties or {})
-    metrics_modes = resolve_metrics_modes(schema, properties)
+    metrics_modes = resolve_metrics_modes(schema, properties, strict=strict_metrics)
     _props = properties or {}
     # ref parquet_files.go:47-50: 128 MB row groups, 1,048,576-row cap
     rg_size_bytes = int(_props.get("write.parquet.row-group-size-bytes", 128 * 1024 * 1024))
@@ -667,7 +703,12 @@ def write_data_files(
         from . import fileio
 
         fileio.apply_config(fileio_cfg)
-        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        tc = TaskContext.get()
+        # partition id + ATTEMPT id: speculative/retried attempts of the
+        # same task must never write the same path concurrently (the
+        # attempt id is unique per attempt; Iceberg writers embed one in
+        # the filename for the same reason)
+        task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
         aschema = _arrow_schema(schema_pickle)
         writers: dict[tuple, Any] = {}
         paths: dict[tuple, str] = {}
@@ -831,8 +872,13 @@ def write_data_files(
                 enc = col.dictionary_encode()
                 codes = pc.add(pc.fill_null(pc.cast(enc.indices, pa.int64()), -1), 1)
                 card = len(enc.dictionary) + 1
+                # checked kernels: silent int64 wraparound would merge
+                # DISTINCT partition tuples into one fanout group (rows
+                # written under the wrong partition metadata)
                 combined = (
-                    codes if combined is None else pc.add(pc.multiply(combined, card), codes)
+                    codes
+                    if combined is None
+                    else pc.add_checked(pc.multiply_checked(combined, card), codes)
                 )
             for uval in pc.unique(combined):
                 mask = pc.equal(combined, uval)
@@ -1291,17 +1337,33 @@ def write_position_deletes(spark_or_df_provider, table, tasks, expr, commit_uuid
         from . import fileio
 
         fileio.apply_config(fileio_cfg)
-        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
-        rows = {"file_path": [], "pos": []}
+        tc = TaskContext.get()
+        # partition id + ATTEMPT id: speculative/retried attempts of the
+        # same task must never write the same path concurrently (the
+        # attempt id is unique per attempt; Iceberg writers embed one in
+        # the filename for the same reason)
+        task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
+        import numpy as np
+
+        # column-wise numpy accumulation: a predicate matching millions
+        # of rows must not materialize per-position Python ints/strings
+        paths_parts, pos_parts = [], []
         for pdf in batches:
             for data_path in pdf["data_file"]:
                 for pos_arr in _iter_matched_positions(data_path, needed, bound):
-                    rows["file_path"].extend([data_path] * len(pos_arr))
-                    rows["pos"].extend(int(p) for p in pos_arr)
-        if not rows["pos"]:
+                    pos_parts.append(np.asarray(pos_arr, dtype=np.int64))
+                    paths_parts.append(
+                        np.full(len(pos_arr), data_path, dtype=object)
+                    )
+        if not pos_parts or not sum(len(p) for p in pos_parts):
             yield pd.DataFrame({"descriptor": []}).astype({"descriptor": "string"})
             return
-        out = pd.DataFrame(rows).sort_values(["file_path", "pos"])
+        out = pd.DataFrame(
+            {
+                "file_path": np.concatenate(paths_parts),
+                "pos": np.concatenate(pos_parts),
+            }
+        ).sort_values(["file_path", "pos"])
         d = os.path.join(location, "data")
         fileio.makedirs(d)
         path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-deletes.parquet")
@@ -1408,7 +1470,12 @@ def write_deletion_vectors(
         )
 
         fileio.apply_config(fileio_cfg)
-        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        tc = TaskContext.get()
+        # partition id + ATTEMPT id: speculative/retried attempts of the
+        # same task must never write the same path concurrently (the
+        # attempt id is unique per attempt; Iceberg writers embed one in
+        # the filename for the same reason)
+        task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
         blobs: list = []
         refs: list = []
         for pdf in batches:
@@ -1496,6 +1563,34 @@ def write_deletion_vectors(
     return descs, newly_total
 
 
+def _retry_dml_on_conflict(fn):
+    """Full-operation conflict retry for row-level DML — the CAS-loser
+    semantics the module header promises (refresh, RE-PLAN from the new
+    base, re-execute): a naive manifest-level retry would commit stale
+    delete files computed against the old snapshot (lost updates when a
+    concurrent delete touched the same data file's DV). Re-running the
+    whole operation against refreshed metadata is always correct; the
+    loser's first-attempt files become orphans, reclaimed by
+    delete_orphan_files — the same lifecycle Iceberg's own retrying
+    writers produce. Ref transaction.go commit-retry intent +
+    distributed_snapshot.go restart-from-reservation."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(table, *args, _dml_retries: int = 2, **kwargs):
+        attempt = 0
+        while True:
+            try:
+                return fn(table, *args, **kwargs)
+            except CommitConflictError:
+                attempt += 1
+                if attempt > _dml_retries:
+                    raise
+                table.refresh()
+    return wrapper
+
+
+@_retry_dml_on_conflict
 def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     """Row-level delete. Whole files that *strictly* match the predicate
     are dropped copy-on-write style (no rewrite needed); partially
@@ -1508,6 +1603,11 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     from .evaluators import strict_metrics_evaluator
     from .manifest import ManifestContent, ManifestEntry, ManifestEntryStatus, write_manifest
 
+    if mode != "merge-on-read":
+        raise NotImplementedError(
+            f"delete mode {mode!r}: only 'merge-on-read' is implemented "
+            "(copy-on-write full-row rewrite = overwrite_where)"
+        )
     md = table.metadata
     schema = md.current_schema()
     tasks = table.scan(row_filter=expr).plan_files()
@@ -1602,6 +1702,7 @@ def delete_where(table, spark, expr, mode: str = "merge-on-read") -> None:
     )
 
 
+@_retry_dml_on_conflict
 def overwrite_where(table, df, expr) -> None:
     """Copy-on-write overwrite: rewrite partially-matching files without
     the matching rows, drop strictly-matching files, append `df` — one
@@ -1739,7 +1840,7 @@ def add_files(table, paths: list[str]) -> None:
     schema = md.current_schema()
     if md.default_spec().fields:
         raise ValueError("add_files supports unpartitioned tables only")
-    ds = begin_distributed_snapshot(table)
+    modes = resolve_metrics_modes(schema, md.properties)
     files = []
     missing_field_ids = False
     import pyarrow.parquet as pq
@@ -1752,7 +1853,7 @@ def add_files(table, paths: list[str]) -> None:
             missing_field_ids = True
         from . import fileio
 
-        stats = _stats_from_parquet(p, schema)
+        stats = _stats_from_parquet(p, schema, modes=modes)
         files.append(
             DataFile(
                 file_path=p,
@@ -1793,6 +1894,7 @@ def _unpartitioned_spec_for(md):
     return PartitionSpec(new_id, ()), True
 
 
+@_retry_dml_on_conflict
 def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     """Equality deletes: remove every row whose `key_columns` tuple
     appears in `keys_df` — the CDC/upsert delete shape. Workers write
@@ -1833,6 +1935,7 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
         md.location,
         f"{ds.commit_uuid}-eqdel",
         properties=md.properties,
+        strict_metrics=False,  # key-only projection of the table schema
     )
     for f in files:
         f.content = DataFileContent.EQUALITY_DELETES
@@ -1872,6 +1975,7 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     )
 
 
+@_retry_dml_on_conflict
 def upsert(table, df, key_columns: list[str]) -> None:
     """MERGE/upsert in ONE snapshot: an equality-delete manifest for the
     incoming keys plus a data manifest for the incoming rows commit
@@ -1912,6 +2016,7 @@ def upsert(table, df, key_columns: list[str]) -> None:
         md.location,
         f"{ds.commit_uuid}-upsert-keys",
         properties=md.properties,
+        strict_metrics=False,  # key-only projection of the table schema
     )
     for f in key_files:
         f.content = DataFileContent.EQUALITY_DELETES

@@ -650,3 +650,37 @@ def test_manual_distributed_protocol_carries_totals(fs_catalog, spark, lineitem_
     assert props["total-data-files"] == "2"
     assert props["added-records"] == "7"
     assert t.scan().to_df(spark).count() == 17
+
+
+def test_dml_retries_on_concurrent_commit(fs_catalog, spark, lineitem_df):
+    """Review fix: row-level DML used to fail permanently when a
+    concurrent commit won the CAS; it now refreshes, RE-PLANS from the
+    new base, and re-executes — both writers' effects land."""
+    t = fs_catalog.create_table("db.li_dmlrace", LINEITEM_SCHEMA)
+    rows = [r.asDict() for r in lineitem_df.limit(60).collect()]
+    for i, r in enumerate(rows):
+        r["l_orderkey"] = i
+    df = spark.createDataFrame(rows, lineitem_df.schema)
+    t.append(df.coalesce(1))
+
+    a = fs_catalog.load_table("db.li_dmlrace")
+    b = fs_catalog.load_table("db.li_dmlrace")  # stale after A commits
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    a.delete_where(spark, E.less_than("l_orderkey", 5))
+    b.delete_where(
+        spark,
+        E.and_(E.greater_than_or_equal("l_orderkey", 50), E.less_than("l_orderkey", 55)),
+    )  # first CAS loses against A's commit → retried against fresh base
+    b.refresh()
+    got = sorted(r.l_orderkey for r in b.scan().to_df(spark).select("l_orderkey").collect())
+    assert got == [k for k in range(60) if not (k < 5 or 50 <= k < 55)]
+
+    # upsert racing a delete likewise converges
+    a.refresh()
+    a.delete_where(spark, E.equal("l_orderkey", 10))
+    b.upsert(df.where("l_orderkey = 20").coalesce(1), ["l_orderkey"])
+    b.refresh()
+    assert b.scan().to_df(spark).where("l_orderkey = 10").count() == 0
+    assert b.scan().to_df(spark).where("l_orderkey = 20").count() == 1

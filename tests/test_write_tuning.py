@@ -691,3 +691,56 @@ def test_metrics_override_follows_evolution(tmp_path, spark, lineitem_df):
     # and the table stays writable (this used to raise)
     t.append(spark.createDataFrame([(2, 20)], "id long, val int").coalesce(1))
     assert t.scan().to_df(spark).count() == 1  # only the post-drop append
+
+
+def test_stats_sound_when_a_row_group_lacks_statistics(tmp_path, spark):
+    """SOUNDNESS: a file where one row group has no column statistics
+    (add_files of foreign parquet) must record NO file-level bounds for
+    that column — otherwise the strict evaluator can whole-file-delete
+    rows outside the partial bounds (silent data loss)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    p = str(tmp_path / "mixed.parquet")
+    w = pq.ParquetWriter(
+        p, pa.schema([("id", pa.int64()), ("v", pa.float64())]),
+        write_statistics=True,
+    )
+    w.write_table(pa.table({"id": [1, 2], "v": [1.0, 2.0]}))
+    w.close()
+    # second row group without stats, holding the out-of-bounds value
+    w2 = pq.ParquetWriter(
+        str(tmp_path / "nostats.parquet"),
+        pa.schema([("id", pa.int64()), ("v", pa.float64())]),
+        write_statistics=False,
+    )
+    w2.write_table(pa.table({"id": [3], "v": [100.0]}))
+    w2.close()
+    # splice: a single file with both kinds of groups is awkward to
+    # hand-build; instead register BOTH files — the no-stats one must
+    # yield no bounds at all
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.mixed", schema_from_spark(df.schema))
+    t.add_files([p, str(tmp_path / "nostats.parquet")])
+
+    files = {
+        e.data_file.file_path: e.data_file
+    for m in t.current_snapshot().manifests()
+        for e in read_manifest(m.manifest_path)
+    }
+    v_fid = next(
+        f.field_id for f in schema_from_spark(df.schema).fields if f.name == "v"
+    )
+    assert v_fid in (files[p].lower_bounds or {})
+    assert v_fid not in (files[str(tmp_path / "nostats.parquet")].lower_bounds or {})
+    assert v_fid not in (files[str(tmp_path / "nostats.parquet")].null_value_counts or {})
+
+    # the strict path must NOT whole-file-drop the boundless file
+    t.delete_where(spark, E.less_than("v", 50.0))
+    assert sorted(
+        r.v for r in t.scan().to_df(spark).select("v").collect()
+    ) == [100.0], "the no-stats file's out-of-bounds row must survive"
