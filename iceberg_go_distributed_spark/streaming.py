@@ -285,6 +285,24 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     return reader.load()
 
 
+def _project_batch(plan, batch, n):
+    """One output RecordBatch from a (possibly absent) source batch:
+    resolved columns pass through, unresolved ones fill with the field's
+    initial-default (v3) or nulls."""
+    import pyarrow as pa
+
+    cols, names = [], []
+    for name, src, typ, default in plan:
+        if src is not None:
+            cols.append(batch.column(batch.schema.get_field_index(src)))
+        elif default is not None:
+            cols.append(pa.array([default] * n, type=typ))
+        else:
+            cols.append(pa.nulls(n, type=typ))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(cols, names=names)
+
+
 try:  # pyspark >= 4: Python Data Source API
     from pyspark.sql.datasource import (
         DataSource,
@@ -293,7 +311,7 @@ try:  # pyspark >= 4: Python Data Source API
     )
 
     class _IcebergFilePartition(InputPartition):
-        def __init__(self, path: str, fields: list, cfg: dict):
+        def __init__(self, path: str, fields: list, cfg: dict, batch_rows: int = 8192):
             self.path = path
             # [(field_id, current_name)] — executors resolve parquet
             # columns by FIELD ID (name-independent), so renamed columns
@@ -301,6 +319,9 @@ try:  # pyspark >= 4: Python Data Source API
             # (add_files / name-mapped) files without ids
             self.fields = fields
             self.cfg = cfg
+            # rows per yielded record batch: the executor memory bound
+            # (option stream_batch_rows)
+            self.batch_rows = batch_rows
 
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -370,8 +391,11 @@ try:  # pyspark >= 4: Python Data Source API
                  getattr(f, "initial_default", None))
                 for f in t.metadata.current_schema().fields
             ]
+            batch_rows = int(self._options.get("stream_batch_rows", "8192"))
             return [
-                _IcebergFilePartition(task.file.file_path, fields, self._cfg)
+                _IcebergFilePartition(
+                    task.file.file_path, fields, self._cfg, batch_rows
+                )
                 for task in scan.plan_files()
             ]
 
@@ -379,32 +403,46 @@ try:  # pyspark >= 4: Python Data Source API
             from .iceberg import fileio
 
             fileio.apply_config(partition.cfg)
-            tbl = fileio.read_parquet_table(partition.path)
-            by_id = {}
-            for fld in tbl.schema:
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    by_id[int(fid)] = fld.name
             import pyarrow as pa
 
-            cols, out_names = [], []
-            n = tbl.num_rows
-            for fid, name, typ, default in partition.fields:
+            # Stream the file batch-wise (pq.ParquetFile.iter_batches):
+            # peak executor memory is one record batch, never the whole
+            # decompressed file — at the 512 MiB default target file
+            # size, materializing first would hold multi-GiB per task.
+            with fileio.parquet_file(partition.path) as pf:
+                file_schema = pf.schema_arrow
+                by_id = {}
+                for fld in file_schema:
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = fld.name
                 # files with ids resolve strictly by id; id-less
                 # (imported) files fall back to the current name; a
                 # column ADDED after this file was written reads its
                 # initial-default (v3) or null — same as the batch scan
-                src = by_id.get(fid) if by_id else (
-                    name if name in tbl.schema.names else None
-                )
-                if src is not None and src in tbl.schema.names:
-                    cols.append(tbl[src])
-                elif default is not None:
-                    cols.append(pa.array([default] * n, type=typ))
-                else:
-                    cols.append(pa.nulls(n, type=typ))
-                out_names.append(name)
-            yield from pa.table(dict(zip(out_names, cols))).to_batches()
+                plan = []  # (out_name, src_col | None, arrow_type, default)
+                for fid, name, typ, default in partition.fields:
+                    src = by_id.get(fid) if by_id else (
+                        name if name in file_schema.names else None
+                    )
+                    if src is not None and src not in file_schema.names:
+                        src = None
+                    plan.append((name, src, typ, default))
+                read_cols = [src for _, src, _, _ in plan if src is not None]
+                if not read_cols:
+                    # no physical column survives resolution (every field
+                    # was added after this file): synthesize defaults from
+                    # footer row counts alone, one batch per row group
+                    for rg in range(pf.metadata.num_row_groups):
+                        yield _project_batch(
+                            plan, None, pf.metadata.row_group(rg).num_rows
+                        )
+                    return
+                for batch in pf.iter_batches(
+                    columns=read_cols,
+                    batch_size=getattr(partition, "batch_rows", 8192),
+                ):
+                    yield _project_batch(plan, batch, batch.num_rows)
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]

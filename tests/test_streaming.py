@@ -651,3 +651,68 @@ def test_iceberg_stream_source_fills_added_columns(tmp_path, spark):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [(1, "a", None), (2, "b", 7)]
+
+
+def test_iceberg_stream_read_is_batchwise(tmp_path):
+    """The stream source's executor read() streams record batches via
+    pq.ParquetFile.iter_batches — it never materializes the whole file
+    (peak memory = one batch, not decompressed-file-size). Verified by
+    driving read() directly over a multi-row-group file and by pinning
+    that the whole-file reader is never called."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import fileio
+    from iceberg_go_distributed_spark.streaming import (
+        _IcebergFilePartition,
+        _IcebergStreamReader,
+    )
+
+    path = str(tmp_path / "multi_rg.parquet")
+    sch = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    n = 10_000
+    tbl = pa.table(
+        {"id": list(range(n)), "v": [f"v{i}" for i in range(n)]}, schema=sch
+    )
+    pq.write_table(tbl, path, row_group_size=1000)
+
+    # fields as partitions() ships them: (field_id, current_name, type,
+    # initial_default) — include a renamed column and an added-later one
+    fields = [
+        (1, "id_renamed", pa.int64(), None),
+        (2, "v", pa.string(), None),
+        (3, "added_later", pa.int64(), 42),
+    ]
+    part = _IcebergFilePartition(path, fields, {})
+
+    orig = fileio.read_parquet_table
+    fileio.read_parquet_table = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("stream read() must not materialize the whole file")
+    )
+    try:
+        batches = list(_IcebergStreamReader.read(object.__new__(_IcebergStreamReader), part))
+    finally:
+        fileio.read_parquet_table = orig
+
+    assert len(batches) > 1, "multi-row-group file must yield multiple batches"
+    assert all(b.num_rows < n for b in batches)
+    out = pa.Table.from_batches(batches)
+    assert out.column_names == ["id_renamed", "v", "added_later"]
+    assert out.num_rows == n
+    assert out["id_renamed"].to_pylist() == list(range(n))
+    assert set(out["added_later"].to_pylist()) == {42}
+
+    # degenerate projection: every field added after the file was written
+    # → defaults synthesized from footer row counts, still batch-wise
+    part2 = _IcebergFilePartition(path, [(9, "only_new", pa.int64(), 7)], {})
+    batches2 = list(
+        _IcebergStreamReader.read(object.__new__(_IcebergStreamReader), part2)
+    )
+    assert len(batches2) == 10  # one per row group (no batch_size path here)
+    assert sum(b.num_rows for b in batches2) == n
+    assert set(pa.Table.from_batches(batches2)["only_new"].to_pylist()) == {7}
