@@ -271,7 +271,13 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     CDC), and executors read ONLY the new files, resolving columns by
     parquet field id (renames survive; columns added later read their
     default/null). `max_files_per_trigger` bounds each batch whenever
-    the reader knows its position (see _IcebergStreamReader). Composes with every
+    the reader knows its position (see _IcebergStreamReader); pass
+    `position_path` (a file URI unique to the query, like
+    checkpointLocation) to make that cap survive checkpoint restarts —
+    commit() records the committed offset there, so even the first
+    trigger after a restart admits at most the cap instead of the whole
+    backlog. `stream_batch_rows` bounds executor memory per yielded
+    record batch. Composes with every
     downstream Structured Streaming operator (watermarks, windowed aggs,
     applyInPandasWithState, append_stream back into another table)."""
     register_iceberg_stream_source(spark)
@@ -328,9 +334,32 @@ try:  # pyspark >= 4: Python Data Source API
             self._options = dict(options)
             self._max_files = int(options.get("max_files_per_trigger", "0"))
             self._pos: Optional[int] = None  # last planned/committed end
+            # optional durable position bookkeeping (option position_path):
+            # commit() records the committed end offset so a
+            # checkpoint-RESTART's first latestOffset knows its position
+            # and the max_files_per_trigger cap applies to the very first
+            # trigger too (otherwise that one trigger admits the whole
+            # backlog). Unique per query, like checkpointLocation.
+            self._position_path = self._options.get("position_path")
             from .iceberg import fileio
 
             self._cfg = fileio.env_config()
+
+        def _recover_position(self) -> None:
+            """Restart path: no initialOffset call, so _pos is None at the
+            first latestOffset — recover it from the position file when
+            bookkeeping is on. A torn/unreadable file degrades to the
+            documented uncapped-first-trigger behavior, never to a wrong
+            offset (offsets come exclusively from the checkpoint)."""
+            if self._pos is not None or not self._position_path:
+                return
+            from .iceberg import fileio
+
+            try:
+                if fileio.exists(self._position_path):
+                    self._pos = int(fileio.read_bytes(self._position_path))
+            except (OSError, ValueError):
+                pass
 
         def initialOffset(self) -> dict:
             self._pos = -1
@@ -347,13 +376,16 @@ try:  # pyspark >= 4: Python Data Source API
             # trigger (initialOffset ran → position is "beginning", so a
             # large backlog drains in bounded batches) and every trigger
             # after partitions()/commit() taught this reader its
-            # position. Only a checkpoint-RESTART's first trigger is
-            # uncapped — the runner asks for latestOffset before
-            # replaying the committed start offset. Caveat: availableNow
-            # captures ONE end offset up front and stops there, so with
-            # a cap it drains at most one batch per run — use a
-            # processingTime trigger (or rerun availableNow on a
-            # schedule) for capped backlog drains.
+            # position. A checkpoint-RESTART's first trigger is capped
+            # too when `position_path` bookkeeping is on (the runner
+            # asks for latestOffset before replaying the committed start
+            # offset, so without the position file that one trigger is
+            # uncapped). Caveat: availableNow captures ONE end offset up
+            # front and stops there, so with a cap it drains at most one
+            # capped batch per run — use a processingTime trigger (or
+            # rerun availableNow on a schedule) for capped backlog
+            # drains.
+            self._recover_position()
             if self._max_files > 0 and self._pos is not None and head != self._pos:
                 chain = []
                 cur = s
@@ -361,6 +393,13 @@ try:  # pyspark >= 4: Python Data Source API
                 while cur is not None and cur.snapshot_id != self._pos:
                     chain.append(cur)
                     cur = by_id.get(cur.parent_snapshot_id)
+                if cur is None and self._pos != -1:
+                    # position not on head's ancestry (expired snapshot,
+                    # stale/foreign position file): capping against it
+                    # could pick an end offset BEHIND the checkpoint's
+                    # start — fall back to uncapped, the unknown-position
+                    # contract
+                    return {"snapshot_id": head}
                 budget = self._max_files
                 capped, taken = head, 0
                 for snap in reversed(chain):  # oldest first
@@ -446,6 +485,22 @@ try:  # pyspark >= 4: Python Data Source API
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]
+            if self._position_path:
+                from .iceberg import fileio
+
+                try:
+                    fileio.write_bytes(
+                        self._position_path, str(self._pos).encode()
+                    )
+                except OSError as exc:  # bookkeeping is best-effort:
+                    # losing one position write only means a restart's
+                    # first trigger may be uncapped again — never worth
+                    # killing the query over
+                    import warnings
+
+                    warnings.warn(
+                        f"stream position bookkeeping write failed: {exc}"
+                    )
 
     class IcebergStreamDataSource(DataSource):
         """readStream source `iceberg_inc`: options warehouse + table

@@ -716,3 +716,126 @@ def test_iceberg_stream_read_is_batchwise(tmp_path):
     assert len(batches2) == 10  # one per row group (no batch_size path here)
     assert sum(b.num_rows for b in batches2) == n
     assert set(pa.Table.from_batches(batches2)["only_new"].to_pylist()) == {7}
+
+
+def test_iceberg_stream_restart_admission_protocol(tmp_path, spark):
+    """With position_path bookkeeping, a checkpoint-restart's FIRST
+    trigger is capped too: commit() records the committed end offset,
+    and a fresh reader (restart: latestOffset before any initialOffset/
+    partitions call) recovers its position from the file instead of
+    admitting the whole backlog. Driven at the reader-protocol level —
+    the exact call sequence the streaming runner makes."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import _IcebergStreamReader
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    mk = lambda i: spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+    t = cat.create_table("db.radm", schema_from_spark(mk(0).schema))
+    t.append(mk(0).coalesce(1))
+
+    pos_path = str(tmp_path / "pos")
+    opts = {
+        "warehouse": wh,
+        "table": "db.radm",
+        "max_files_per_trigger": "2",
+        "position_path": pos_path,
+    }
+
+    # fresh query: initialOffset → latestOffset → partitions → commit
+    r1 = _IcebergStreamReader(opts)
+    start = r1.initialOffset()
+    end = r1.latestOffset()
+    assert len(r1.partitions(start, end)) == 1
+    r1.commit(end)
+    committed = end["snapshot_id"]
+    assert int(open(pos_path).read()) == committed
+
+    # 5-file backlog committed while the query is down
+    for i in range(1, 6):
+        t.append(mk(i).coalesce(1))
+    t.refresh()
+    head = t.current_snapshot().snapshot_id
+
+    # restart: a NEW reader's first call is latestOffset (no
+    # initialOffset) — it must recover the position and cap at 2 files
+    r2 = _IcebergStreamReader(opts)
+    capped = r2.latestOffset()
+    assert capped["snapshot_id"] != head, "first restart trigger must be capped"
+    parts = r2.partitions({"snapshot_id": committed}, capped)
+    assert len(parts) == 2, f"cap is 2 files, planned {len(parts)}"
+    r2.commit(capped)
+
+    # and the rest of the backlog drains in capped steps to the head
+    seen_files = len(parts)
+    guard = 0
+    while r2._pos != head and guard < 10:
+        nxt = r2.latestOffset()
+        ps = r2.partitions({"snapshot_id": r2._pos}, nxt)
+        assert len(ps) <= 2
+        seen_files += len(ps)
+        r2.commit(nxt)
+        guard += 1
+    assert seen_files == 6 - 1  # snapshots 1..5; snapshot 0 was delivered pre-restart
+
+    # WITHOUT position_path the restart trigger is uncapped (documented)
+    r3 = _IcebergStreamReader({k: v for k, v in opts.items() if k != "position_path"})
+    assert r3.latestOffset()["snapshot_id"] == head
+
+    # a stale/foreign position (not on head's ancestry) must NOT produce
+    # an end offset behind the checkpoint start: falls back to uncapped
+    open(pos_path, "w").write("999999123")
+    r4 = _IcebergStreamReader(opts)
+    assert r4.latestOffset()["snapshot_id"] == head
+
+
+def test_iceberg_stream_restart_admission_e2e(tmp_path, spark):
+    """End-to-end: kill a capped query, commit a backlog, restart from
+    the checkpoint with position_path — no trigger (including the first
+    after restart) delivers more files than the cap."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    mk = lambda i: spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+    t = cat.create_table("db.re2e", schema_from_spark(mk(0).schema))
+    t.append(mk(0).coalesce(1))
+
+    batches: list[list[tuple]] = []
+
+    def run_once():
+        q = (
+            iceberg_stream(
+                spark,
+                wh,
+                "db.re2e",
+                max_files_per_trigger="1",
+                position_path=str(tmp_path / "pos"),
+            )
+            .writeStream.foreachBatch(
+                lambda b, _id: batches.append([tuple(r) for r in b.collect()])
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # delivers snapshot 0, records the position
+
+    for i in range(1, 5):  # backlog while the query is down
+        t.append(mk(i).coalesce(1))
+
+    # each availableNow restart drains exactly one capped batch (the
+    # documented availableNow+cap contract); the FIRST restart trigger
+    # must already be capped at 1 file — without position_path it would
+    # deliver all 4 backlog rows at once
+    for _ in range(4):
+        run_once()
+
+    nonempty = [b for b in batches if b]
+    assert all(len(b) == 1 for b in nonempty), batches
+    assert sorted(r for b in batches for r in b) == [(i, f"v{i}") for i in range(5)]
