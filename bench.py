@@ -84,6 +84,67 @@ def main() -> None:
             spark.catalog.clearCache()
     timings = {name: round(min(a), 4) for name, a in raw.items()}
 
+    # ---- scan-PLANNING wall time at wide metadata (separate block; NOT
+    # part of the headline total so round-over-round totals stay
+    # comparable). Driver-side metadata planning is the one credible
+    # 100 TB bottleneck no data-plane query exercises: a synthetic
+    # 400-manifest / 100,000-file snapshot (metadata only — the data
+    # files are fictitious; planning never opens them) with a filter on
+    # a DATA column, so every manifest survives manifest-level pruning
+    # and the planner must entry-decode all of them. Records the
+    # driver-local planner (ThreadPool, ref scanner.go:343-406) vs the
+    # distributed mapInPandas planner side by side, plus which route
+    # plan_files_auto picks. Measured crossover is ~50k files on this
+    # box: below that the distributed job's fixed overhead (~0.6 s)
+    # loses; above it the local planner scales at ~70 µs/file while the
+    # distributed one stays near-flat.
+    import shutil
+    import tempfile
+
+    from iceberg_go_distributed_spark.iceberg.planbench import (
+        build_wide_metadata_table,
+        selective_filter,
+    )
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+
+    n_manifests, files_per_manifest = 400, 250
+    wh = tempfile.mkdtemp(prefix="plan-wide-")
+    try:
+        pt = build_wide_metadata_table(wh, n_manifests, files_per_manifest)
+        flt, _ = selective_filter(n_manifests, files_per_manifest)
+        plan_files_distributed(pt.scan(row_filter=flt), spark)  # warm workers
+        scan = pt.scan(row_filter=flt)
+        t0 = time.perf_counter()
+        local_tasks = scan.plan_files()
+        local_sec = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        dist_tasks = plan_files_distributed(scan, spark)
+        dist_sec = round(time.perf_counter() - t0, 4)
+        assert sorted(t.file.file_path for t in local_tasks) == sorted(
+            t.file.file_path for t in dist_tasks
+        ), "distributed planner diverged from local"
+        t0 = time.perf_counter()
+        auto_tasks = scan.plan_files_auto(spark)
+        auto_sec = round(time.perf_counter() - t0, 4)
+        assert len(auto_tasks) == len(local_tasks)
+        threshold = int(
+            pt.metadata.properties.get(
+                "read.distributed-planning.min-manifests", "64"
+            )
+        )
+        planning = {
+            "manifests": n_manifests,
+            "data_files": n_manifests * files_per_manifest,
+            "matched_files": len(local_tasks),
+            "local_sec": local_sec,
+            "distributed_sec": dist_sec,
+            "auto_route_sec": auto_sec,
+            # which planner plan_files_auto structurally picks here
+            "auto_route": "distributed" if n_manifests >= threshold else "local",
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     # Contention diagnostic over attempts 2+ only: a query's FIRST
     # attempt pays its plan-specific whole-stage-codegen compile (the
@@ -105,6 +166,10 @@ def main() -> None:
                 # machine (attempt 1 is excluded — it pays per-plan
                 # codegen, which is warm-up, not contention)
                 "spread_sec": spread,
+                # metadata-plane planning wall time (NOT in the headline
+                # total): local vs distributed planner over a synthetic
+                # 400-manifest/100k-file snapshot
+                "planning": planning,
                 "sf": sf,
             }
         )

@@ -211,3 +211,34 @@ def test_auto_route_to_distributed_planning(big_table, spark, monkeypatch):
     # the metadata-only count fast path rides the same router
     assert big_table.scan().count(spark) == N_MANIFESTS * FILES_PER_MANIFEST * 1000
     big_table.metadata.properties.pop("read.distributed-planning.min-manifests")
+
+
+def test_planbench_builder_local_dist_auto_agree(tmp_path, spark):
+    """The planning-bench synthetic snapshot (bench.py's `planning`
+    block) is a REAL table committed through the distributed-snapshot
+    protocol: local, distributed, and auto-routed planning must return
+    the identical task set, and the data-column filter must survive
+    manifest pruning everywhere (every manifest read) while metrics
+    pruning cuts files."""
+    from iceberg_go_distributed_spark.iceberg.planbench import (
+        build_wide_metadata_table,
+        selective_filter,
+    )
+    from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
+
+    n_manifests, files_per = 70, 20  # above the 64-manifest auto threshold
+    t = build_wide_metadata_table(
+        str(tmp_path / "wh"), n_manifests, files_per
+    )
+    flt, n_match = selective_filter(n_manifests, files_per)
+
+    scan = t.scan(row_filter=flt)
+    local = sorted(x.file.file_path for x in scan.plan_files())
+    dist = sorted(x.file.file_path for x in plan_files_distributed(scan, spark))
+    auto = sorted(x.file.file_path for x in scan.plan_files_auto(spark))
+    assert local == dist == auto
+    assert len(local) == n_match
+    # entry-level pruning did the cutting: far fewer files than total
+    assert len(local) < n_manifests * files_per / 10
+    # and an unfiltered plan sees every fabricated file
+    assert len(t.scan().plan_files()) == n_manifests * files_per
