@@ -797,6 +797,37 @@ class Scan:
                 .withColumn("_fp", strip(F.col("_metadata.file_path")))
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
+        # The delete side's cardinality is KNOWN at plan time (manifest
+        # record_count = positions per delete file / DV cardinality), but
+        # Spark can't estimate it — the frame comes out of a mapInArrow
+        # decode — so on its own it would plan a sort-merge join and
+        # shuffle EVERY data row (all columns) just to drop the deleted
+        # ones. Below the threshold: (a) decode DVs on the DRIVER (pure
+        # Python puffin reads — skips a whole Spark job + Python-worker
+        # round-trip that costs more than the decode at small delete
+        # debt) and (b) broadcast the anti-join side, keeping the scan
+        # shuffle-free end-to-end. Above it (delete-heavy table at
+        # 100 TB): executor-side decode and a shuffle anti-join — the
+        # only shapes that survive billions of positions. Tunable per
+        # table via read.mor.broadcast-deletes-max-positions (rows; 0
+        # disables both small-side paths).
+        try:
+            max_small = int(
+                self.table.metadata.properties.get(
+                    "read.mor.broadcast-deletes-max-positions", "2000000"
+                )
+            )
+        except (TypeError, ValueError):
+            max_small = 2_000_000
+        n_del_positions = sum(
+            {
+                (d.file_path, d.content_offset): d.record_count
+                for t in tasks
+                for d in t.delete_files
+                if d.content == DataFileContent.POSITION_DELETES
+            }.values()  # dedup: one v2 delete file can match many tasks
+        )
+        small_deletes = 0 < n_del_positions <= max_small
         dels = None
         if pos_files:
             dels = (
@@ -808,9 +839,18 @@ class Scan:
                 .dropDuplicates()
             )
         if dv_descriptors:
-            dv_df = self._deletion_vector_positions(spark, dv_descriptors)
+            dv_df = self._deletion_vector_positions(
+                spark,
+                dv_descriptors,
+                # driver decode bounded twice: total positions (rows
+                # materialized) and descriptor count (sequential blob
+                # reads the driver performs)
+                on_driver=small_deletes and len(dv_descriptors) <= 1024,
+            )
             dels = dv_df if dels is None else dels.unionByName(dv_df)
         if dels is not None:
+            if small_deletes:
+                dels = F.broadcast(dels)
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
         df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
         return df if keep_pos else df.drop("_fp", "_pos")
@@ -993,15 +1033,47 @@ class Scan:
         return df.drop("_dflt_fp", *[f"_missing_{n}" for _, n, _a in want])
 
     @staticmethod
-    def _deletion_vector_positions(spark, descriptors):
+    def _deletion_vector_positions(spark, descriptors, on_driver=False):
         """Decode v3 deletion vectors into a (_fp, _pos) frame for the
         MOR anti-join. Decode runs executor-side (one task per vector
         via mapInArrow), so a delete-heavy table with thousands of DVs
         never funnels bitmap bytes through the driver; each task seeks
-        straight to its blob (content_offset/size from the manifest)."""
+        straight to its blob (content_offset/size from the manifest).
+
+        `on_driver=True` (caller-gated: small total cardinality AND few
+        descriptors) decodes the blobs in-process instead — at small
+        delete debt the Spark job + Python-worker round-trip costs more
+        than the decode itself, and the resulting frame was going to be
+        broadcast anyway."""
+        import re as _re
+
         import pyarrow as pa
 
         from . import fileio as _fileio
+
+        if on_driver:
+            import numpy as np
+
+            from . import puffin as _puffin
+
+            fps, poss = [], []
+            for target, dv_path, offset, size in descriptors:
+                positions = _puffin.read_deletion_vector(
+                    dv_path, int(offset), int(size)
+                )
+                fps.append(
+                    pa.array(
+                        [_re.sub(SCHEME_RE, "", target)] * len(positions)
+                    )
+                )
+                poss.append(pa.array(positions.astype("int64")))
+            tbl = pa.table(
+                {
+                    "_fp": pa.concat_arrays(fps) if fps else pa.array([], pa.string()),
+                    "_pos": pa.concat_arrays(poss) if poss else pa.array([], pa.int64()),
+                }
+            )
+            return spark.createDataFrame(tbl.to_pandas(), "_fp string, _pos long")
 
         fileio_cfg = _fileio.env_config()
         desc_df = spark.createDataFrame(

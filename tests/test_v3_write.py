@@ -798,3 +798,34 @@ def test_v3_partial_overwrite_partitioned(fs_catalog, spark, lineitem_df):
     scan = t.scan(row_filter=E.equal("l_returnflag", "A"))
     assert len(scan.plan_files()) < len(t.scan().plan_files())
     assert scan.to_df(spark).count() == wantA
+
+
+def test_mor_small_delete_debt_broadcasts_antijoin(fs_catalog, spark, lineitem_df):
+    """The MOR anti-join's delete-side cardinality is known at plan time
+    (manifest record_count), so a small delete debt must broadcast the
+    positions frame (scan stays shuffle-free) instead of sort-merge
+    shuffling every data row; setting
+    read.mor.broadcast-deletes-max-positions=0 restores the shuffle
+    anti-join (the 100 TB delete-heavy shape) with identical results."""
+    t = _v3_table(fs_catalog, lineitem_df, name="db.v3bhj", rows=300, files=2)
+    t.delete_where(spark, E.equal("l_linenumber", 1))
+    expected = lineitem_df.limit(300).where("l_linenumber != 1").count()
+
+    df = t.scan().to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert df.count() == expected
+
+    # large-debt path (forced): shuffle anti-join, same rows
+    tx = t.transaction()
+    tx.set_properties({"read.mor.broadcast-deletes-max-positions": "0"})
+    tx.commit()
+    df2 = t.scan().to_df(spark)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2, plan2
+    assert df2.count() == expected
+    # both paths return the same row multiset
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df2.collect()))
+    assert a == b
