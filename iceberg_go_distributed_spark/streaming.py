@@ -279,7 +279,24 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     backlog. `stream_batch_rows` bounds executor memory per yielded
     record batch. Composes with every
     downstream Structured Streaming operator (watermarks, windowed aggs,
-    applyInPandasWithState, append_stream back into another table)."""
+    applyInPandasWithState, append_stream back into another table).
+
+    `mode="cdc"` upgrades the source to row-level CDC: each delivered
+    row carries a `_change_type` column ('insert' | 'delete'), and
+    row-level-delete snapshots in range are expanded instead of raising —
+    deletion-vector diffs against the parent snapshot name exactly the
+    newly-removed rows, whole-dropped files emit their parent-live rows,
+    and executors still read only the changed files. Granularity is
+    per-snapshot (event stream): a batch spanning several commits emits
+    every commit's events, equivalent to polling changelog_poll at each
+    commit — not the range-netted diff. Supported in range: append,
+    compaction (skipped), and `delete_where` merge-on-read snapshots
+    (v3 deletion vectors + whole-file drops). Raises — use
+    changelog_poll — on equality deletes (upsert), v2 positional delete
+    files, and file-REWRITING overwrites (their survivor rows keep their
+    lineage, which only row-lineage CDC can net out). Snapshot expiry
+    must retain the consumer horizon, the same contract every CDC log
+    has."""
     register_iceberg_stream_source(spark)
     reader = (
         spark.readStream.format("iceberg_inc")
@@ -291,10 +308,11 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     return reader.load()
 
 
-def _project_batch(plan, batch, n):
+def _project_batch(plan, batch, n, change_type=None):
     """One output RecordBatch from a (possibly absent) source batch:
     resolved columns pass through, unresolved ones fill with the field's
-    initial-default (v3) or nulls."""
+    initial-default (v3) or nulls. `change_type` appends the CDC-mode
+    `_change_type` column."""
     import pyarrow as pa
 
     cols, names = [], []
@@ -306,7 +324,122 @@ def _project_batch(plan, batch, n):
         else:
             cols.append(pa.nulls(n, type=typ))
         names.append(name)
+    if change_type is not None:
+        cols.append(pa.array([change_type] * n, type=pa.string()))
+        names.append("_change_type")
     return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+def _resolve_read_plan(pf, fields):
+    """Field-id column resolution for one open ParquetFile: returns
+    (plan, read_cols) where plan = [(out_name, src_col|None, type,
+    default)] — files with ids resolve strictly by id; id-less
+    (imported) files fall back to the current name; columns added after
+    the file was written resolve to their default/null."""
+    file_schema = pf.schema_arrow
+    by_id = {}
+    for fld in file_schema:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = fld.name
+    plan = []
+    for fid, name, typ, default in fields:
+        src = by_id.get(fid) if by_id else (
+            name if name in file_schema.names else None
+        )
+        if src is not None and src not in file_schema.names:
+            src = None
+        plan.append((name, src, typ, default))
+    read_cols = [src for _, src, _, _ in plan if src is not None]
+    return plan, read_cols
+
+
+def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
+    """CDC executor read for a delete partition: yield the rows of this
+    data file that its snapshot newly removed, batch-wise. Position
+    selection is windowed per batch, so memory stays one batch + the
+    decoded position sets (new−prior diff), never the file."""
+    import numpy as np
+    import pyarrow as pa
+
+    prior = _decode_delete_positions(partition.prior_deletes, partition.path)
+    if partition.whole_file:
+        target = None  # every position except `prior`
+    else:
+        new = _decode_delete_positions(partition.new_deletes, partition.path)
+        target = np.setdiff1d(new, prior, assume_unique=True)
+        if target.size == 0:
+            return
+
+    def window_indices(off, n):
+        """Batch-relative indices of emitted rows in [off, off+n)."""
+        if target is None:
+            pr = prior[(prior >= off) & (prior < off + n)] - off
+            return np.setdiff1d(
+                np.arange(n, dtype="int64"), pr, assume_unique=True
+            )
+        lo = np.searchsorted(target, off)
+        hi = np.searchsorted(target, off + n)
+        return (target[lo:hi] - off).astype("int64")
+
+    off = 0
+    if not read_cols:
+        # degenerate projection: defaults only, counts from the footer
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            k = len(window_indices(off, n))
+            if k:
+                yield _project_batch(plan, None, k, "delete")
+            off += n
+        return
+    for batch in pf.iter_batches(columns=read_cols, batch_size=batch_rows):
+        n = batch.num_rows
+        idx = window_indices(off, n)
+        if idx.size:
+            sub = batch.take(pa.array(idx))
+            yield _project_batch(plan, sub, sub.num_rows, "delete")
+        off += n
+
+
+def _decode_delete_positions(descriptors, data_path: str):
+    """Deleted positions of `data_path` named by a set of delete-file
+    descriptors, executor-side. Descriptor shapes:
+      ("dv", puffin_path, offset, size)        — v3 deletion vector
+      ("pos", parquet_path)                    — v2 positional parquet
+    Returns a sorted unique int64 numpy array."""
+    import numpy as np
+
+    from .iceberg.table import strip_scheme
+
+    parts = []
+    for d in descriptors:
+        if d[0] == "dv":
+            from .iceberg import puffin
+
+            parts.append(
+                puffin.read_deletion_vector(d[1], int(d[2]), int(d[3])).astype(
+                    "int64"
+                )
+            )
+        else:
+            import pyarrow.compute as pc
+
+            from .iceberg import fileio
+
+            with fileio.parquet_file(d[1]) as pf:
+                tbl = pf.read(columns=["file_path", "pos"])
+            want = strip_scheme(data_path)
+            stripped = pc.replace_substring_regex(
+                tbl["file_path"], pattern="^[a-z0-9]+:(//)?", replacement=""
+            )
+            parts.append(
+                tbl["pos"].filter(pc.equal(stripped, want)).to_numpy(
+                    zero_copy_only=False
+                ).astype("int64")
+            )
+    if not parts:
+        return np.empty(0, dtype="int64")
+    return np.unique(np.concatenate(parts))
 
 
 try:  # pyspark >= 4: Python Data Source API
@@ -329,9 +462,32 @@ try:  # pyspark >= 4: Python Data Source API
             # (option stream_batch_rows)
             self.batch_rows = batch_rows
 
+    class _CdcFilePartition(_IcebergFilePartition):
+        """CDC-mode partition: emit this data file's change rows.
+
+        change="insert": all rows (an appended/overwrite-added file).
+        change="delete": the rows this snapshot removed —
+          * whole_file=True: every row live as of the PARENT snapshot
+            (all positions minus `prior_deletes`) — a dropped data file;
+          * whole_file=False: positions in `new_deletes` minus positions
+            in `prior_deletes` — a DV/delete-file update on a live file.
+        Delete descriptors (see _decode_delete_positions) decode
+        executor-side; the driver ships only O(delete files) pointers."""
+
+        def __init__(self, path, fields, cfg, batch_rows, change,
+                     new_deletes=(), prior_deletes=(), whole_file=False):
+            super().__init__(path, fields, cfg, batch_rows)
+            self.change = change
+            self.new_deletes = list(new_deletes)
+            self.prior_deletes = list(prior_deletes)
+            self.whole_file = whole_file
+
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
             self._options = dict(options)
+            self._mode = options.get("mode", "append")
+            if self._mode not in ("append", "cdc"):
+                raise ValueError(f"unknown stream mode {self._mode!r}")
             self._max_files = int(options.get("max_files_per_trigger", "0"))
             self._pos: Optional[int] = None  # last planned/committed end
             # optional durable position bookkeeping (option position_path):
@@ -419,10 +575,6 @@ try:  # pyspark >= 4: Python Data Source API
             if e_id == -1 or s_id == e_id:
                 return []
             t = _load_stream_table(self._options)
-            scan = t.incremental_append_scan(
-                from_snapshot_id=None if s_id == -1 else s_id,
-                to_snapshot_id=e_id,
-            )
             from .iceberg.write import _arrow_type
 
             fields = [
@@ -431,6 +583,12 @@ try:  # pyspark >= 4: Python Data Source API
                 for f in t.metadata.current_schema().fields
             ]
             batch_rows = int(self._options.get("stream_batch_rows", "8192"))
+            if self._mode == "cdc":
+                return self._cdc_partitions(t, s_id, e_id, fields, batch_rows)
+            scan = t.incremental_append_scan(
+                from_snapshot_id=None if s_id == -1 else s_id,
+                to_snapshot_id=e_id,
+            )
             return [
                 _IcebergFilePartition(
                     task.file.file_path, fields, self._cfg, batch_rows
@@ -438,50 +596,223 @@ try:  # pyspark >= 4: Python Data Source API
                 for task in scan.plan_files()
             ]
 
+        def _cdc_partitions(self, t, s_id, e_id, fields, batch_rows):
+            """Row-level CDC planning for the range (s, e]: the chain is
+            decomposed PER SNAPSHOT (event-stream granularity — a batch
+            spanning several commits emits each commit's inserts and
+            deletes, never the range-netted diff changelog_scan computes;
+            equivalent to polling changelog_poll once per commit):
+              append    → each added data file = insert rows
+              replace   → nothing (compaction rewrites delivered rows)
+              delete    → newly-deleted rows = per data file, the
+                positions its NEW deletion vectors name minus the
+                positions already deleted as of the PARENT snapshot; a
+                data file dropped whole emits its parent-live rows
+              overwrite → DV diffs + added files as inserts (the
+                upsert-with-DV shape); REFUSED if it rewrites data files
+                (survivor rows keep their lineage — only row-lineage CDC
+                nets them out; see iceberg_stream docstring)
+            Driver cost: O(changed manifests) per changed snapshot plus
+            one parent metadata plan per delete/overwrite snapshot;
+            executors read only the changed files (changelog_scan, by
+            contrast, scans BOTH snapshots' data and anti-joins)."""
+            from .iceberg.manifest import (
+                DataFileContent,
+                ManifestContent,
+                ManifestEntryStatus,
+                read_manifest,
+            )
+            from .iceberg.table import strip_scheme
+
+            md = t.metadata
+            chain = []
+            cur = md.snapshot_by_id(e_id)
+            while cur is not None and cur.snapshot_id != s_id:
+                chain.append(cur)
+                cur = (
+                    md.snapshot_by_id(cur.parent_snapshot_id)
+                    if cur.parent_snapshot_id is not None
+                    else None
+                )
+            if s_id != -1 and cur is None:
+                raise ValueError(
+                    f"snapshot {s_id} is not an ancestor of {e_id}"
+                )
+            chain.reverse()
+
+            def descriptor(d):
+                if d.content_offset is not None:
+                    return ("dv", d.file_path, d.content_offset,
+                            d.content_size_in_bytes)
+                return ("pos", d.file_path)
+
+            parts = []
+            for snap in chain:
+                op = snap.summary.operation
+                if op == "replace":
+                    continue
+                if op == "append":
+                    for m in snap.manifests():
+                        if (
+                            m.content != ManifestContent.DATA
+                            or m.added_snapshot_id != snap.snapshot_id
+                        ):
+                            continue
+                        for e in read_manifest(
+                            m.manifest_path,
+                            inherit_sequence_number=m.sequence_number,
+                        ):
+                            if e.status == ManifestEntryStatus.ADDED and (
+                                e.snapshot_id in (None, snap.snapshot_id)
+                            ):
+                                parts.append(_CdcFilePartition(
+                                    e.data_file.file_path, fields, self._cfg,
+                                    batch_rows, "insert",
+                                ))
+                    continue
+                if op not in ("delete", "overwrite"):
+                    raise ValueError(
+                        f"cdc stream cannot interpret a {op!r} snapshot "
+                        f"({snap.snapshot_id})"
+                    )
+                # prior state: the parent snapshot's plan gives each live
+                # file its matched (sequence-gated) delete files. Removed
+                # files are the LIVE-SET DIFF vs this snapshot (the writer
+                # drops whole files by rewriting parent manifests without
+                # them — no DELETED-status entries to read).
+                prior_by_path: dict[str, tuple] = {}
+                if snap.parent_snapshot_id is not None:
+                    for task in t.scan(
+                        snapshot_id=snap.parent_snapshot_id
+                    ).plan_files():
+                        prior_by_path[strip_scheme(task.file.file_path)] = (
+                            task.file.file_path,
+                            [
+                                descriptor(d)
+                                for d in task.delete_files
+                                if d.content == DataFileContent.POSITION_DELETES
+                            ],
+                        )
+                live_now = {
+                    strip_scheme(task.file.file_path)
+                    for task in t.scan(snapshot_id=snap.snapshot_id).plan_files()
+                }
+                removed = [
+                    orig
+                    for key, (orig, _) in prior_by_path.items()
+                    if key not in live_now
+                ]
+                new_dels: dict[str, tuple] = {}
+                added: list[str] = []
+                for m in snap.manifests():
+                    if m.added_snapshot_id != snap.snapshot_id:
+                        continue  # carried-over manifest: no delta inside
+                    if m.content == ManifestContent.DATA:
+                        for e in read_manifest(
+                            m.manifest_path,
+                            inherit_sequence_number=m.sequence_number,
+                        ):
+                            if e.status == ManifestEntryStatus.ADDED and (
+                                e.snapshot_id in (None, snap.snapshot_id)
+                            ):
+                                added.append(e.data_file.file_path)
+                        continue
+                    for e in read_manifest(
+                        m.manifest_path,
+                        inherit_sequence_number=m.sequence_number,
+                    ):
+                        if e.status != ManifestEntryStatus.ADDED:
+                            continue
+                        d = e.data_file
+                        if d.content == DataFileContent.EQUALITY_DELETES:
+                            raise ValueError(
+                                "cdc stream cannot expand equality deletes "
+                                f"(snapshot {snap.snapshot_id}); consume "
+                                "row-level CDC via changelog_poll"
+                            )
+                        if d.content_offset is None:
+                            raise ValueError(
+                                "cdc stream requires deletion-vector (v3) "
+                                f"deletes; snapshot {snap.snapshot_id} added "
+                                "a v2 positional-delete file — use "
+                                "changelog_poll"
+                            )
+                        new_dels.setdefault(
+                            strip_scheme(d.referenced_data_file),
+                            (d.referenced_data_file, []),
+                        )[1].append(descriptor(d))
+                if op == "overwrite" and removed:
+                    # a file-rewriting overwrite (partial-file overwrite
+                    # rewrites SURVIVORS into new files with their row
+                    # lineage preserved): file-level expansion would emit
+                    # survivor rows as spurious delete+insert pairs that
+                    # row-lineage CDC correctly nets out — refuse rather
+                    # than diverge from changelog semantics
+                    raise ValueError(
+                        f"cdc stream cannot expand overwrite snapshot "
+                        f"{snap.snapshot_id}: it rewrites data files "
+                        "in place; consume row-level CDC via changelog_poll"
+                    )
+                if op == "delete" and added:
+                    raise ValueError(
+                        f"delete snapshot {snap.snapshot_id} adds data "
+                        "files; cdc stream cannot order its events — use "
+                        "changelog_poll"
+                    )
+                for path in removed:
+                    parts.append(_CdcFilePartition(
+                        path, fields, self._cfg, batch_rows, "delete",
+                        prior_deletes=prior_by_path[strip_scheme(path)][1],
+                        whole_file=True,
+                    ))
+                for key, (orig_path, descs) in new_dels.items():
+                    # the referenced data file is live at the parent by
+                    # construction; read it at the newly-deleted positions
+                    parts.append(_CdcFilePartition(
+                        orig_path, fields, self._cfg, batch_rows, "delete",
+                        new_deletes=descs,
+                        prior_deletes=prior_by_path.get(key, (None, []))[1],
+                    ))
+                for path in added:
+                    parts.append(_CdcFilePartition(
+                        path, fields, self._cfg, batch_rows, "insert",
+                    ))
+            return parts
+
         def read(self, partition):
             from .iceberg import fileio
 
             fileio.apply_config(partition.cfg)
-            import pyarrow as pa
 
             # Stream the file batch-wise (pq.ParquetFile.iter_batches):
             # peak executor memory is one record batch, never the whole
             # decompressed file — at the 512 MiB default target file
             # size, materializing first would hold multi-GiB per task.
+            # Column resolution (field-id first) is shared with CDC mode
+            # via _resolve_read_plan.
+            change = getattr(partition, "change", None)
+            batch_rows = getattr(partition, "batch_rows", 8192)
             with fileio.parquet_file(partition.path) as pf:
-                file_schema = pf.schema_arrow
-                by_id = {}
-                for fld in file_schema:
-                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                    if fid is not None:
-                        by_id[int(fid)] = fld.name
-                # files with ids resolve strictly by id; id-less
-                # (imported) files fall back to the current name; a
-                # column ADDED after this file was written reads its
-                # initial-default (v3) or null — same as the batch scan
-                plan = []  # (out_name, src_col | None, arrow_type, default)
-                for fid, name, typ, default in partition.fields:
-                    src = by_id.get(fid) if by_id else (
-                        name if name in file_schema.names else None
+                plan, read_cols = _resolve_read_plan(pf, partition.fields)
+                if change == "delete":
+                    yield from _read_change_deletes(
+                        pf, partition, plan, read_cols, batch_rows
                     )
-                    if src is not None and src not in file_schema.names:
-                        src = None
-                    plan.append((name, src, typ, default))
-                read_cols = [src for _, src, _, _ in plan if src is not None]
+                    return
                 if not read_cols:
                     # no physical column survives resolution (every field
                     # was added after this file): synthesize defaults from
                     # footer row counts alone, one batch per row group
                     for rg in range(pf.metadata.num_row_groups):
                         yield _project_batch(
-                            plan, None, pf.metadata.row_group(rg).num_rows
+                            plan, None, pf.metadata.row_group(rg).num_rows,
+                            change,
                         )
                     return
                 for batch in pf.iter_batches(
-                    columns=read_cols,
-                    batch_size=getattr(partition, "batch_rows", 8192),
+                    columns=read_cols, batch_size=batch_rows
                 ):
-                    yield _project_batch(plan, batch, batch.num_rows)
+                    yield _project_batch(plan, batch, batch.num_rows, change)
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]
@@ -514,7 +845,12 @@ try:  # pyspark >= 4: Python Data Source API
             from .iceberg.types import schema_to_spark_struct
 
             t = _load_stream_table(self.options)
-            return schema_to_spark_struct(t.metadata.current_schema())
+            struct = schema_to_spark_struct(t.metadata.current_schema())
+            if self.options.get("mode", "append") == "cdc":
+                from pyspark.sql.types import StringType, StructField
+
+                struct = struct.add(StructField("_change_type", StringType()))
+            return struct
 
         def streamReader(self, schema):
             return _IcebergStreamReader(self.options)

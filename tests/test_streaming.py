@@ -839,3 +839,86 @@ def test_iceberg_stream_restart_admission_e2e(tmp_path, spark):
     nonempty = [b for b in batches if b]
     assert all(len(b) == 1 for b in nonempty), batches
     assert sorted(r for b in batches for r in b) == [(i, f"v{i}") for i in range(5)]
+
+
+def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
+    """mode='cdc' readStream: row-level-delete snapshots are expanded
+    into rows tagged `_change_type` ('insert'/'delete'), matching what a
+    changelog_poll loop run once per commit would deliver — DV diffs for
+    partial-file deletes, parent-live rows for whole-dropped files — and
+    offsets survive a checkpoint restart mid-history. Unsupported
+    operations (equality-delete upsert) fail loudly instead of emitting
+    wrong events."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import changelog_poll, iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = cat.create_table("db.cdc", schema_from_spark(df1.schema))
+    t.upgrade_format_version(3)
+
+    # reference consumer: changelog_poll once per commit
+    cursor = changelog_poll(t, spark, None)[1]  # position at the beginning
+    reference: list[tuple] = []
+
+    def commit_and_poll(action):
+        nonlocal cursor
+        action()
+        changes, cursor = changelog_poll(t, spark, cursor)
+        if changes is not None:
+            reference.extend(
+                tuple(r) for r in changes.select("id", "v", "_change_type").collect()
+            )
+
+    commit_and_poll(lambda: t.append(df1.coalesce(1)))
+    commit_and_poll(
+        lambda: t.append(
+            spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string").coalesce(1)
+        )
+    )
+
+    seen: list[tuple] = []
+
+    def run_once():
+        q = (
+            iceberg_stream(spark, wh, "db.cdc", mode="cdc")
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(seen) == sorted(reference)  # 4 inserts so far
+    assert all(r[-1] == "insert" for r in seen)
+
+    # partial-file delete (deletion-vector diff) and a whole-file drop
+    # (strict match covers the entire second file), committed while the
+    # stream is down; restart resumes from the checkpointed offset
+    commit_and_poll(lambda: t.delete_where(spark, E.equal("id", 2)))
+    commit_and_poll(lambda: t.delete_where(spark, E.greater_than_or_equal("id", 3)))
+    run_once()
+    assert sorted(seen) == sorted(reference), (sorted(seen), sorted(reference))
+    kinds = {(r[0], r[-1]) for r in seen}
+    assert (2, "delete") in kinds and (3, "delete") in kinds and (4, "delete") in kinds
+    assert sum(1 for r in seen if r[-1] == "delete") == 3
+
+    # idle restart delivers nothing
+    n = len(seen)
+    run_once()
+    assert len(seen) == n
+
+    # equality-delete upsert cannot be expressed as a cdc event stream:
+    # the source fails loudly (changelog_poll remains the CDC surface)
+    t.upsert(
+        spark.createDataFrame([(1, "a2")], "id long, v string"),
+        key_columns=["id"],
+    )
+    with pytest.raises(Exception, match="equality deletes"):
+        run_once()
