@@ -1,0 +1,383 @@
+"""Wire-format conformance: pin the BYTES and reserved FIELD IDS this
+engine writes, independent of its own readers.
+
+The reference's conformance strategy is cross-engine (its test recipe
+provisions Spark/pyiceberg to read its tables — internal/recipe/
+provision.py, table/transaction_test.go:109,366). No second Iceberg
+implementation is installable in this sandbox (verified: no network, no
+cached wheels), so this module pins the next-strongest thing: the parts
+of the wire format another engine keys on, asserted with hand-rolled
+parsers (NOT this engine's readers) against constants from the public
+specs —
+
+  * Avro OCF container layout (magic, metadata map, sync-framed blocks;
+    Avro 1.11 spec "Object Container Files"),
+  * the Iceberg spec's reserved manifest / manifest-list field ids
+    (spec Appendix C: "Avro — field ids"; ref manifest.go schemas),
+  * a byte-exact golden encoding of one fully-populated manifest entry
+    (Avro binary encoding is deterministic: union indices + zigzag
+    varints — any encoder drift flips these bytes),
+  * the Puffin container (magic "PFA1" head+foot, footer JSON blob
+    descriptors; Puffin spec) and the deletion-vector blob framing.
+
+If any of these assertions fires, a conformant external reader would
+break on our files even though our own round-trip tests stay green.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg.conversions import to_bytes
+from iceberg_go_distributed_spark.iceberg.manifest import (
+    DataFile,
+    ManifestContent,
+    ManifestEntry,
+    ManifestEntryStatus,
+    ManifestFile,
+    write_manifest,
+    write_manifest_list,
+)
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.types import (
+    LongType,
+    NestedField,
+    Schema,
+    StringType,
+)
+
+SCHEMA = Schema(
+    0,
+    [
+        NestedField(1, "k", LongType(), required=False),
+        NestedField(2, "v", StringType(), required=False),
+    ],
+)
+
+
+def _spec():
+    return spec_from(SCHEMA, ("k", "identity"))
+
+
+# --------------------------------------------------------- manual OCF parser
+
+
+def _read_zigzag_long(buf: io.BytesIO) -> int:
+    shift = acc = 0
+    while True:
+        byte = buf.read(1)[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_avro_bytes(buf: io.BytesIO) -> bytes:
+    return buf.read(_read_zigzag_long(buf))
+
+
+def parse_ocf(path: str):
+    """Hand-rolled Avro OCF parse per the Avro spec (no engine code):
+    returns (metadata: dict[str, bytes], blocks: list[(count, body)])."""
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"Obj\x01", "OCF magic"
+    buf = io.BytesIO(raw[4:])
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_zigzag_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative block count is followed by a byte size
+            _read_zigzag_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_avro_bytes(buf).decode()
+            meta[k] = _read_avro_bytes(buf)
+    sync = buf.read(16)
+    assert len(sync) == 16
+    blocks = []
+    while buf.tell() < len(raw) - 4:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _read_zigzag_long(buf)
+        size = _read_zigzag_long(buf)
+        payload = buf.read(size)
+        assert buf.read(16) == sync, "block sync marker"
+        if meta["avro.codec"] == b"deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        blocks.append((count, payload))
+    return meta, blocks
+
+
+def _field_ids(node, out, path=""):
+    """Collect {dotted path: field-id} from an Avro schema JSON."""
+    if isinstance(node, dict):
+        if "field-id" in node:
+            out[path + node.get("name", "?")] = node["field-id"]
+        for k, v in node.items():
+            if k == "fields":
+                for f in v:
+                    _field_ids(f, out, path + node.get("name", "") + ".")
+            elif k in ("type", "items", "values"):
+                _field_ids(v, out, path)
+    elif isinstance(node, list):
+        for x in node:
+            _field_ids(x, out, path)
+    return out
+
+
+def _element_ids(node, out):
+    """Collect array element-ids / map key-value ids from schema JSON."""
+    if isinstance(node, dict):
+        if node.get("type") == "array" and "element-id" in node:
+            out.append(node["element-id"])
+        for v in node.values():
+            _element_ids(v, out)
+    elif isinstance(node, list):
+        for x in node:
+            _element_ids(x, out)
+    return out
+
+
+def _write_golden_manifest(tmp_path):
+    long_t = LongType()
+    df = DataFile(
+        file_path="data/k=7/golden-0.parquet",
+        partition={"k": 7},
+        record_count=100,
+        file_size_in_bytes=4096,
+        column_sizes={1: 1024, 2: 2048},
+        value_counts={1: 100, 2: 100},
+        null_value_counts={1: 0, 2: 5},
+        lower_bounds={1: to_bytes(long_t, 7)},
+        upper_bounds={1: to_bytes(long_t, 7)},
+        split_offsets=[4],
+        sort_order_id=0,
+    )
+    entry = ManifestEntry(
+        status=ManifestEntryStatus.ADDED,
+        snapshot_id=3,
+        sequence_number=5,
+        file_sequence_number=5,
+        data_file=df,
+    )
+    path = str(tmp_path / "golden-m0.avro")
+    mf = write_manifest(path, _spec(), SCHEMA, 3, [entry])
+    return path, mf
+
+
+# ------------------------------------------------------------------- tests
+
+
+def test_manifest_container_and_iceberg_metadata(tmp_path):
+    path, _ = _write_golden_manifest(tmp_path)
+    meta, blocks = parse_ocf(path)
+    # Avro-required keys + the Iceberg-spec manifest metadata keys other
+    # engines read to interpret the file without the table metadata
+    assert set(meta) >= {
+        "avro.schema",
+        "avro.codec",
+        "schema",
+        "partition-spec",
+        "partition-spec-id",
+        "format-version",
+        "content",
+    }
+    assert meta["avro.codec"] in (b"deflate", b"null")
+    assert meta["format-version"] == b"2"
+    assert meta["content"] == b"data"
+    assert meta["partition-spec-id"] == b"0"
+    # embedded Iceberg schema/spec JSON parse as the spec shapes
+    sch = json.loads(meta["schema"])
+    assert [f["id"] for f in sch["fields"]] == [1, 2]
+    pspec = json.loads(meta["partition-spec"])
+    assert pspec[0]["transform"] == "identity" and pspec[0]["source-id"] == 1
+    assert len(blocks) == 1 and blocks[0][0] == 1
+
+
+def test_manifest_entry_field_ids_match_iceberg_spec(tmp_path):
+    """The reserved field ids in Appendix C of the Iceberg spec are the
+    contract every engine resolves manifest columns by (names may vary,
+    ids may not). Ref: manifest.go avro schema constants."""
+    path, _ = _write_golden_manifest(tmp_path)
+    meta, _ = parse_ocf(path)
+    avro_schema = json.loads(meta["avro.schema"])
+    got = _field_ids(avro_schema, {})
+    want = {
+        "manifest_entry.status": 0,
+        "manifest_entry.snapshot_id": 1,
+        "manifest_entry.sequence_number": 3,
+        "manifest_entry.file_sequence_number": 4,
+        "manifest_entry.data_file": 2,
+        "manifest_entry.r2.content": 134,
+        "manifest_entry.r2.file_path": 100,
+        "manifest_entry.r2.file_format": 101,
+        "manifest_entry.r2.partition": 102,
+        "manifest_entry.r2.record_count": 103,
+        "manifest_entry.r2.file_size_in_bytes": 104,
+        "manifest_entry.r2.column_sizes": 108,
+        "manifest_entry.r2.value_counts": 109,
+        "manifest_entry.r2.null_value_counts": 110,
+        "manifest_entry.r2.nan_value_counts": 137,
+        "manifest_entry.r2.lower_bounds": 125,
+        "manifest_entry.r2.upper_bounds": 128,
+        "manifest_entry.r2.key_metadata": 131,
+        "manifest_entry.r2.split_offsets": 132,
+        "manifest_entry.r2.equality_ids": 135,
+        "manifest_entry.r2.sort_order_id": 140,
+        # map key/value ids (spec appendix C)
+        "manifest_entry.r2.k117_v118.key": 117,
+        "manifest_entry.r2.k117_v118.value": 118,
+        "manifest_entry.r2.k119_v120.key": 119,
+        "manifest_entry.r2.k119_v120.value": 120,
+        "manifest_entry.r2.k121_v122.key": 121,
+        "manifest_entry.r2.k121_v122.value": 122,
+        "manifest_entry.r2.k138_v139.key": 138,
+        "manifest_entry.r2.k138_v139.value": 139,
+        "manifest_entry.r2.k126_v127.key": 126,
+        "manifest_entry.r2.k126_v127.value": 127,
+        "manifest_entry.r2.k129_v130.key": 129,
+        "manifest_entry.r2.k129_v130.value": 130,
+        # the partition field carries the spec's partition-field id
+        "manifest_entry.r2.r102.k": 1000,
+    }
+    for k, v in want.items():
+        assert got.get(k) == v, f"{k}: wrote {got.get(k)}, spec says {v}"
+    # array element ids: split_offsets=133, equality_ids=136
+    elems = _element_ids(avro_schema, [])
+    assert 133 in elems and 136 in elems
+
+
+def test_v3_dv_and_lineage_field_ids(tmp_path):
+    """v3 additions: first_row_id=142, referenced_data_file=143,
+    content_offset=144, content_size_in_bytes=145 (spec v3)."""
+    df = DataFile(
+        file_path="data/f.parquet",
+        partition={"k": 1},
+        record_count=1,
+        file_size_in_bytes=10,
+        first_row_id=0,
+        referenced_data_file="data/target.parquet",
+        content_offset=4,
+        content_size_in_bytes=20,
+    )
+    entry = ManifestEntry(
+        status=ManifestEntryStatus.ADDED,
+        snapshot_id=1,
+        sequence_number=1,
+        file_sequence_number=1,
+        data_file=df,
+    )
+    path = str(tmp_path / "v3-m0.avro")
+    write_manifest(path, _spec(), SCHEMA, 1, [entry])
+    meta, _ = parse_ocf(path)
+    got = _field_ids(json.loads(meta["avro.schema"]), {})
+    assert got["manifest_entry.r2.first_row_id"] == 142
+    assert got["manifest_entry.r2.referenced_data_file"] == 143
+    assert got["manifest_entry.r2.content_offset"] == 144
+    assert got["manifest_entry.r2.content_size_in_bytes"] == 145
+
+
+def test_manifest_list_field_ids_match_iceberg_spec(tmp_path):
+    mpath, mf = _write_golden_manifest(tmp_path)
+    lpath = str(tmp_path / "snap-golden.avro")
+    write_manifest_list(lpath, [mf], snapshot_id=3, sequence_number=5)
+    meta, blocks = parse_ocf(lpath)
+    got = _field_ids(json.loads(meta["avro.schema"]), {})
+    want = {
+        "manifest_file.manifest_path": 500,
+        "manifest_file.manifest_length": 501,
+        "manifest_file.partition_spec_id": 502,
+        "manifest_file.content": 517,
+        "manifest_file.sequence_number": 515,
+        "manifest_file.min_sequence_number": 516,
+        "manifest_file.added_snapshot_id": 503,
+        "manifest_file.added_files_count": 504,
+        "manifest_file.existing_files_count": 505,
+        "manifest_file.deleted_files_count": 506,
+        "manifest_file.added_rows_count": 512,
+        "manifest_file.existing_rows_count": 513,
+        "manifest_file.deleted_rows_count": 514,
+        "manifest_file.partitions": 507,
+        "manifest_file.r508.contains_null": 509,
+        "manifest_file.r508.contains_nan": 518,
+        "manifest_file.r508.lower_bound": 510,
+        "manifest_file.r508.upper_bound": 511,
+        "manifest_file.key_metadata": 519,
+    }
+    for k, v in want.items():
+        assert got.get(k) == v, f"{k}: wrote {got.get(k)}, spec says {v}"
+    elems = _element_ids(json.loads(meta["avro.schema"]), [])
+    assert 508 in elems  # partitions array element id
+    assert len(blocks) == 1 and blocks[0][0] == 1
+
+
+GOLDEN_ENTRY_HEX = (
+    "020206020a020a0032646174612f6b3d372f676f6c64656e2d302e706172717565740e"
+    "50415251554554020ec8018040020402801004802000020402c80104c8010002040200"
+    "040a000002020210070000000000000000020202100700000000000000000002020800"
+    "000200"
+)
+
+
+def test_manifest_entry_golden_bytes(tmp_path):
+    """Byte-exact Avro binary encoding of one fully-populated manifest
+    entry. Avro's binary encoding is fully determined by the schema +
+    values (zigzag varints, union branch indices, length-prefixed
+    bytes), so these bytes are what ANY conformant Avro writer produces
+    for this record. Spot-checked by hand against the Avro spec:
+    status ADDED → zigzag(1)=0x02; snapshot_id union[1]+3 → 0x02 0x06;
+    file_path len 25 → 0x32; record_count 100 → 0xc8 0x01;
+    file_size 4096 → 0x80 0x40; partition k=7 → union 0x02, 0x0e."""
+    path, _ = _write_golden_manifest(tmp_path)
+    meta, blocks = parse_ocf(path)
+    assert blocks[0][1].hex() == GOLDEN_ENTRY_HEX
+
+
+def test_puffin_container_layout(tmp_path):
+    """Puffin spec: magic PFA1 at file head and footer, footer JSON
+    carries the blob descriptors another engine needs to locate DVs,
+    and the DV blob itself is framed per the v3 spec (length-prefixed,
+    magic d1 d3 39 64, crc32 tail)."""
+    import numpy as np
+
+    from iceberg_go_distributed_spark.iceberg import puffin
+
+    positions = np.array([1, 5, 9], dtype="int64")
+    blob = puffin.serialize_deletion_vector(positions)
+    path = str(tmp_path / "dv.puffin")
+    meta = puffin.BlobMetadata(
+        type="deletion-vector-v1",
+        fields=[],
+        snapshot_id=1,
+        sequence_number=1,
+        properties={"referenced-data-file": "data/f.parquet"},
+    )
+    puffin.write_puffin(path, [(meta, blob)])
+
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    # footer: ... payload, payload_size(4 LE), flags(4), magic(4)
+    footer_size = struct.unpack("<i", raw[-12:-8])[0]
+    footer = raw[-12 - footer_size : -12]
+    fj = json.loads(footer)
+    assert fj["blobs"][0]["type"] == "deletion-vector-v1"
+    for key in ("offset", "length"):
+        assert key in fj["blobs"][0]
+    off, ln = fj["blobs"][0]["offset"], fj["blobs"][0]["length"]
+    body = raw[off : off + ln]
+    # DV blob framing: 4-byte BE length, magic, roaring payload, crc32
+    blen = struct.unpack(">i", body[:4])[0]
+    assert body[4:8] == b"\xd1\xd3\x39\x64"
+    assert blen == len(body) - 8  # length covers magic+payload, not crc
+    crc = struct.unpack(">I", body[-4:])[0]
+    assert crc == zlib.crc32(body[4:-4]) & 0xFFFFFFFF
