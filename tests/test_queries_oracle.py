@@ -86,40 +86,24 @@ def test_registry_priority_window():
     """The driver verifies only the first 50 registry entries per round;
     every table-layer (ice_*) and curation (llm_*) oracle must be inside
     that window — they are the components whose only hard correctness
-    signal is a driver row."""
+    signal is a driver row. The exempt set is DERIVED from the
+    ROTATED_OUT ledger (queries/__init__.py), not hand-listed here; the
+    ledger itself is validated by test_rotation_ledger_policy below."""
+    from iceberg_go_distributed_spark.queries import ROTATED_OUT
+
     names = list(REGISTRY)
     window = set(names[:50])
-    # Deliberately outside (each subsumed by an in-window entry with the
-    # same execution shape, and five-plus-rounds driver-green before
-    # moving):
-    #   llm_ann_ivf          — llm_ann_ivf_trained covers the cell-scan
-    #                          read path with trained centroids on top
-    #   llm_dedup_fingerprint — same hash-groupBy shape as llm_dedup_exact
-    #   llm_token_stats      — map-only accounting strictly extended by
-    #                          llm_quality_filter (in-window)
-    #   llm_doc_fingerprints — same md5-map shape as llm_dedup_exact
-    # Round 7 rotations out (to admit ev_value_quantiles/_histogram and
-    # ice_partitioned_write_mor):
-    #   ev_skew_salted_agg   — six rounds green; salted two-phase agg
-    #                          verified locally every round
-    #   q9_product_profit    — five rounds green; q18 covered the
-    #                          fact⋈fact exchange, q1 the wide agg
-    #   q18_large_volume_customers — six rounds green; semi-join-on-agg
-    #                          + fact⋈fact exchange verified by the
-    #                          local oracle suite every round
-    exempt = {
-        "llm_ann_ivf",
-        "llm_dedup_fingerprint",
-        "llm_token_stats",
-        "llm_doc_fingerprints",
-    }
     inside = [
         n
         for n in names
-        if n.startswith(("ice_", "llm_")) and n not in exempt
+        if n.startswith(("ice_", "llm_")) and n not in ROTATED_OUT
     ]
     missing = [n for n in inside if n not in window]
     assert not missing, f"priority window lost: {missing}"
+    # rotated entries must actually be OUTSIDE the window (a rotation
+    # that never happened would silently waste a ledger row)
+    still_inside = [n for n in ROTATED_OUT if n in window]
+    assert not still_inside, f"ledger says rotated but still in window: {still_inside}"
     # never-driver-verified-before-round-7 operators must be in the window
     for n in (
         "ev_asof_attribution",
@@ -133,5 +117,72 @@ def test_registry_priority_window():
         "ice_partitioned_write_mor",
     ):
         assert n in window, f"{n} outside the driver window"
-    # Tail entries must still be registered (local oracle coverage).
     assert len(names) == len(set(names))
+
+
+def test_rotation_ledger_policy():
+    """Mechanical audit of the rotation ledger (VERDICT r7 task 7):
+    every ROTATED_OUT entry must (1) still be registered — the local
+    oracle suite keeps verifying it; (2) either have had >=
+    ROTATION_MIN_GREEN consecutive driver-green rounds immediately
+    before its rotation round — checked against the recorded
+    CORRECTNESS_r*.json artifacts, not prose — or name an IN-window
+    entry that subsumes its execution shape; (3) carry its rationale."""
+    import json
+    import os
+
+    from iceberg_go_distributed_spark.queries import (
+        ROTATED_OUT,
+        ROTATION_MIN_GREEN,
+    )
+
+    names = list(REGISTRY)
+    window = set(names[:50])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def round_results(r):
+        path = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def is_green(entry):
+        if entry is None:
+            return False
+        return bool(entry.get("hash_match")) or (
+            entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None
+        )
+
+    for name, row in ROTATED_OUT.items():
+        assert name in REGISTRY, f"{name}: rotated entry fell out of the registry"
+        assert row["why"].strip(), f"{name}: ledger entry missing rationale"
+        sub = row["subsumed_by"]
+        if sub is not None:
+            assert sub in window, (
+                f"{name}: subsumed_by {sub!r} is not in the driver window"
+            )
+        # consecutive-green audit against the recorded driver artifacts
+        since = row["since_round"]
+        greens = 0
+        for r in range(since - 1, 0, -1):
+            results = round_results(r)
+            if results is None:
+                break
+            if not is_green(results.get(name)):
+                break
+            greens += 1
+        if round_results(since - 1) is None:
+            # artifact history unavailable (fresh clone without the
+            # driver artifacts): the structural clauses above still hold
+            continue
+        assert greens >= ROTATION_MIN_GREEN or sub is not None, (
+            f"{name}: rotated at r{since} with only {greens} consecutive "
+            f"green rounds and no shape subsumption"
+        )
+        # and rotation must not predate the entry's last green round
+        # (a red entry may never be rotated out instead of fixed)
+        last = round_results(since - 1)
+        assert is_green(last.get(name)), (
+            f"{name}: not driver-green in the round before its rotation"
+        )
