@@ -82,6 +82,11 @@ _PRIORITY = [
     # driver-green; its semi-join-on-agg + fact⋈fact exchange is
     # verified by the local oracle suite every round) yields its slot.
     "ice_partitioned_write_mor",
+    # New r8: the CDC readStream source (mode='cdc') with a full SQL
+    # oracle — every appended row is an 'insert', every row the DV named
+    # is a 'delete'. ev_hourly_rollup (six rounds driver-green, measured
+    # in BENCH every round; see ROTATED_OUT) yields its slot.
+    "ice_stream_cdc",
     # LLM-data-pipeline curation operators.
     # llm_dedup_fingerprint (five rounds driver-green, the same
     # hash-groupBy shape as llm_dedup_exact) yields its slot to the new
@@ -112,14 +117,15 @@ _PRIORITY = [
     "llm_repetition_stats",
     "llm_top_terms",
     "llm_corpus_ngrams",
-    # Event analytics core (sliding rollup shares machinery with hourly;
+    # Event analytics core (ev_hourly_rollup rotated out r8 — six rounds
+    # driver-green AND measured in BENCH every round; ledger below.
+    # sliding rollup shares machinery with hourly;
     # ev_top_users_by_purchase — five rounds driver-green, a plain
     # agg+topk subsumed by q18's shape — yields its slot to the new
     # funnel so every never-driver-verified operator has a driver row).
     # (ev_latest_per_user — five rounds green, a plain max-window shape
     # covered by ev_sessionization's window machinery — yields its slot
     # to the new retention operator.)
-    "ev_hourly_rollup",
     "ev_sessionization",
     # ev_skew_salted_agg (six rounds driver-green; its salted two-phase
     # agg shape is covered locally every round) and q9_product_profit
@@ -185,6 +191,9 @@ ROTATED_OUT: dict[str, dict] = {
     "llm_dedup_fingerprint": _r(6, "llm_dedup_exact", "same hash-groupBy shape"),
     "llm_token_stats": _r(6, "llm_quality_filter", "map-only accounting strictly extended by quality_filter"),
     "llm_doc_fingerprints": _r(6, "llm_dedup_exact", "same md5-map shape"),
+    # round 8 rotation — to admit ice_stream_cdc (the new CDC readStream
+    # oracle) into the window
+    "ev_hourly_rollup": _r(8, None, "windowed rollup agg; 6 driver-green rounds (r2-r7); a BENCH headline, so it stays timed every round, and the local oracle verifies values"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

@@ -842,3 +842,66 @@ def ice_partitioned_write_mor(spark, sf_dir):
             "sum_price"
         ),
     )
+
+
+@query(
+    "ice_stream_cdc",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty, 'insert' AS _change_type
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type
+    FROM lineitem WHERE l_orderkey % 7 = 0 AND CAST(l_quantity AS DOUBLE) > 45.0
+    """,
+    doc="readStream CDC mode: row events over an append + DV-delete history",
+)
+def ice_stream_cdc(spark, sf_dir):
+    """First-class CDC readStream (streaming `mode='cdc'`, new r8):
+    build a v3 table with an append and a deletion-vector delete_where,
+    consume its WHOLE history as a bounded CDC stream (availableNow),
+    and return the delivered row events. The oracle reconstructs the
+    same event set in plain SQL — every appended row is an 'insert',
+    every row the delete predicate matched is a 'delete' — so a
+    value-hash match proves the DV-position diff, whole-file drop
+    handling, and payload fidelity of the stream end-to-end. Ref
+    anchor: the poll-loop CDC surface this upgrades is
+    table/table.go:123-130's append-stream read as a first-class
+    Structured Streaming source."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+    from ..streaming import iceberg_stream
+
+    cat = _fresh_catalog("ice_cdc_stream", sf_dir)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    t = cat.create_table("db.cdcs", schema_from_spark(li.schema))
+    t.upgrade_format_version(3)
+    t.append(li.coalesce(2))
+    t.delete_where(spark, E.greater_than("qty", 45.0))
+
+    name = f"ice_cdc_{_uuid.uuid4().hex[:10]}"
+    q = (
+        iceberg_stream(spark, cat.warehouse, "db.cdcs", mode="cdc")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ice_cdc_ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "l_orderkey", "l_linenumber", "qty", "_change_type"
+    )

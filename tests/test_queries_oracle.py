@@ -115,6 +115,7 @@ def test_registry_priority_window():
         "ev_value_quantiles",
         "ev_value_histogram",
         "ice_partitioned_write_mor",
+        "ice_stream_cdc",
     ):
         assert n in window, f"{n} outside the driver window"
     assert len(names) == len(set(names))
@@ -154,28 +155,39 @@ def test_rotation_ledger_policy():
             entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None
         )
 
+    def greens_before(name, since):
+        """Consecutive driver-green rounds immediately before `since`."""
+        greens = 0
+        for r in range(since - 1, 0, -1):
+            results = round_results(r)
+            if results is None or not is_green(results.get(name)):
+                break
+            greens += 1
+        return greens
+
     for name, row in ROTATED_OUT.items():
         assert name in REGISTRY, f"{name}: rotated entry fell out of the registry"
         assert row["why"].strip(), f"{name}: ledger entry missing rationale"
         sub = row["subsumed_by"]
         if sub is not None:
-            assert sub in window, (
-                f"{name}: subsumed_by {sub!r} is not in the driver window"
+            # the subsuming shape must carry driver evidence itself:
+            # either it is in the window now, or it rotated out on its
+            # own >= MIN consecutive green rounds (transitive evidence)
+            sub_ok = sub in window or (
+                sub in ROTATED_OUT
+                and greens_before(sub, ROTATED_OUT[sub]["since_round"])
+                >= ROTATION_MIN_GREEN
             )
-        # consecutive-green audit against the recorded driver artifacts
+            assert sub_ok, (
+                f"{name}: subsumed_by {sub!r} has no driver evidence "
+                "(not in window, not green-rotated)"
+            )
         since = row["since_round"]
-        greens = 0
-        for r in range(since - 1, 0, -1):
-            results = round_results(r)
-            if results is None:
-                break
-            if not is_green(results.get(name)):
-                break
-            greens += 1
         if round_results(since - 1) is None:
             # artifact history unavailable (fresh clone without the
             # driver artifacts): the structural clauses above still hold
             continue
+        greens = greens_before(name, since)
         assert greens >= ROTATION_MIN_GREEN or sub is not None, (
             f"{name}: rotated at r{since} with only {greens} consecutive "
             f"green rounds and no shape subsumption"
