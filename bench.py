@@ -114,12 +114,20 @@ def main() -> None:
         flt, _ = selective_filter(n_manifests, files_per_manifest)
         plan_files_distributed(pt.scan(row_filter=flt), spark)  # warm workers
         scan = pt.scan(row_filter=flt)
-        t0 = time.perf_counter()
-        local_tasks = scan.plan_files()
-        local_sec = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        dist_tasks = plan_files_distributed(scan, spark)
-        dist_sec = round(time.perf_counter() - t0, 4)
+
+        def best_of2(fn):
+            # best-of-2: the planning block is not round-robined with the
+            # headline set, so a single host-steal stall would otherwise
+            # masquerade as a planner regression
+            t0 = time.perf_counter()
+            out = fn()
+            d1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = fn()
+            return out, round(min(d1, time.perf_counter() - t0), 4)
+
+        local_tasks, local_sec = best_of2(scan.plan_files)
+        dist_tasks, dist_sec = best_of2(lambda: plan_files_distributed(scan, spark))
         assert sorted(t.file.file_path for t in local_tasks) == sorted(
             t.file.file_path for t in dist_tasks
         ), "distributed planner diverged from local"

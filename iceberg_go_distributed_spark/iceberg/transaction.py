@@ -517,10 +517,16 @@ class Transaction:
         summary: Summary,
         parent_snapshot_id: Optional[int],
         branch: str = MAIN_BRANCH,
+        carried_manifests: Optional[list] = None,
     ) -> Snapshot:
         """One manifest-list write + AddSnapshot/SetSnapshotRef updates
     guarded by AssertRefSnapshotID — ref transaction.go:157-225
-        (commitSnapshotFromManifestsWithRequirement)."""
+        (commitSnapshotFromManifestsWithRequirement).
+
+        `carried_manifests` overrides the default carry-forward of ALL
+        parent manifests — the merge-append path passes the parent set
+        minus the manifests it bin-packed into this commit's merged
+        ones."""
         import os
 
         md = self._builder.build()
@@ -528,12 +534,20 @@ class Transaction:
         # carry forward the parent's manifests (fast append semantics)
         parent = md.snapshot_by_id(parent_snapshot_id) if parent_snapshot_id else None
         all_manifests = list(manifests)
-        if parent is not None:
+        if carried_manifests is not None:
+            all_manifests.extend(carried_manifests)
+        elif parent is not None:
             all_manifests.extend(parent.manifests())
-        # stamp this snapshot's sequence number on the new manifests
+        # stamp this snapshot's sequence number on the new manifests; a
+        # merged-append manifest carries EXISTING entries with explicit
+        # older sequence numbers — its min_sequence_number (computed from
+        # them at write time) must survive the stamp, or delete-manifest
+        # sequence gating would skip deletes that still apply
         for m in manifests:
             m.sequence_number = seq
-            m.min_sequence_number = seq
+            m.min_sequence_number = (
+                min(m.min_sequence_number, seq) if m.min_sequence_number else seq
+            )
         list_path = os.path.join(
             md.location,
             "metadata",

@@ -34,8 +34,11 @@ from typing import Any, Iterator, Optional
 from .catalog import CommitConflictError
 from .manifest import (
     DataFile,
+    ManifestContent,
     ManifestEntry,
     ManifestEntryStatus,
+    ManifestFile,
+    read_manifest,
     write_manifest,
 )
 from .metadata import MAIN_BRANCH, Summary
@@ -935,6 +938,118 @@ def _summary_props(
     return out
 
 
+def _merge_appended_manifests(md, parent, new_manifest, commit_uuid, attempt):
+    """mergeManager on the APPEND path — ref snapshot_producers.go:245-373:
+    when `commit.manifest-merge.enabled` (default true, matching the
+    reference/Java) and the table holds >= `commit.manifest.min-count-to-
+    merge` small DATA manifests, bin-pack them (parent's + this commit's)
+    into >= target-size merged manifests written as part of THE SAME
+    append snapshot — without this, a streaming sink appending every
+    micro-batch accumulates one manifest per commit and planning/admission
+    walks degrade O(commits).
+
+    Correctness invariants (each pinned by tests/test_maintenance.py's
+    merge-append battery):
+      * parent entries are re-written with EXPLICIT sequence numbers and
+        materialized first_row_id (status EXISTING) — inheritance from
+        the NEW manifest-list row would re-stamp them with the new
+        snapshot's sequence number and fresh row ids;
+      * this commit's entries stay ADDED with null seq/first_row_id, so
+        they inherit the new snapshot's sequence number and draw fresh
+        row ids from the merged manifest's assigned range, exactly as
+        they would from their own manifest;
+      * the merged ManifestFile keeps min_sequence_number = the oldest
+        merged entry's (the commit stamp preserves explicit lower
+        values), so delete-manifest sequence gating is unchanged;
+      * specs are never mixed within a bin (re-keying a foreign-spec
+        partition tuple would null its values and break pruning).
+
+    Returns (new_manifests, carried) or None when disabled / below the
+    threshold."""
+    from .maintenance import (
+        MANIFEST_MERGE_ENABLED,
+        MANIFEST_MIN_MERGE_COUNT,
+        MANIFEST_TARGET_SIZE,
+    )
+
+    props = md.properties
+    if props.get(MANIFEST_MERGE_ENABLED, "true").lower() != "true":
+        return None
+    try:
+        target = int(props.get(MANIFEST_TARGET_SIZE, str(8 * 1024 * 1024)))
+        minc = int(props.get(MANIFEST_MIN_MERGE_COUNT, "100"))
+    except (TypeError, ValueError):
+        return None
+    parent_manifests = list(parent.manifests()) if parent is not None else []
+    data_m = [m for m in parent_manifests if m.content == ManifestContent.DATA]
+    others = [m for m in parent_manifests if m.content != ManifestContent.DATA]
+    candidates = data_m + [new_manifest]
+    small = [m for m in candidates if m.manifest_length < target]
+    if len(small) < minc:
+        return None
+
+    by_spec: dict[int, list] = {}
+    for m in small:
+        by_spec.setdefault(m.partition_spec_id, []).append(m)
+    bins: list[list] = []
+    for spec_manifests in by_spec.values():
+        cur: list = []
+        cur_size = 0
+        for m in sorted(spec_manifests, key=lambda m: m.manifest_length):
+            cur.append(m)
+            cur_size += m.manifest_length
+            if cur_size >= target:
+                bins.append(cur)
+                cur, cur_size = [], 0
+        if cur:
+            bins.append(cur)
+    singletons = [b[0] for b in bins if len(b) == 1]
+    bins = [b for b in bins if len(b) > 1]
+    if not bins:
+        return None
+
+    schema = md.current_schema()
+    new_manifests: list[ManifestFile] = []
+    merged_away: set[str] = set()
+    for i, group in enumerate(bins):
+        entries: list[ManifestEntry] = []
+        spec_id = group[0].partition_spec_id
+        for m in group:
+            merged_away.add(m.manifest_path)
+            if m is new_manifest:
+                # this commit's own entries: no inheritance — they stay
+                # ADDED with null seq / first_row_id (assigned at commit)
+                entries.extend(read_manifest(m.manifest_path))
+                continue
+            for e in read_manifest(
+                m.manifest_path,
+                inherit_sequence_number=m.sequence_number,
+                inherit_first_row_id=m.first_row_id,
+            ):
+                e.status = ManifestEntryStatus.EXISTING
+                entries.append(e)
+        path = os.path.join(
+            md.location, "metadata", f"{commit_uuid}-ma{attempt}-m{i}.avro"
+        )
+        new_manifests.append(
+            write_manifest(
+                path,
+                md.spec_by_id(spec_id),
+                schema,
+                new_manifest.added_snapshot_id,
+                entries,
+            )
+        )
+    if new_manifest.manifest_path not in merged_away:
+        new_manifests.append(new_manifest)
+    carried = (
+        [m for m in data_m if m.manifest_path not in merged_away]
+        + [s for s in singletons if s.manifest_path != new_manifest.manifest_path]
+        + others
+    )
+    return new_manifests, carried, len(merged_away)
+
+
 def commit_data_files(
     table,
     data_files: list[DataFile],
@@ -975,16 +1090,27 @@ def commit_data_files(
         limit = int(md.properties.get("write.summary.partition-limit", "0"))
         props = _summary_props(data_files, parent_summary, partition_limit=limit)
         props.update({str(k): str(v) for k, v in (snapshot_properties or {}).items()})
+        # merge-append: bin-pack accumulated small manifests into this
+        # commit (ref snapshot_producers.go mergeManager) — same file
+        # set, bounded manifest count under continuous appends
+        new_manifests, carried = [manifest], None
+        merged = _merge_appended_manifests(
+            md, parent, manifest, ds.commit_uuid, attempt
+        )
+        if merged is not None:
+            new_manifests, carried, n_merged = merged
+            props["manifests-merged"] = str(n_merged)
         summary = Summary(operation, props)
         tx = table.transaction()
         try:
             tx.commit_snapshot_from_manifests(
                 snapshot_id=ds.snapshot_id,
                 commit_uuid=ds.commit_uuid,
-                manifests=[manifest],
+                manifests=new_manifests,
                 summary=summary,
                 parent_snapshot_id=ds.parent_snapshot_id,
                 branch=branch,
+                carried_manifests=carried,
             )
             tx.commit()
             return
@@ -1235,7 +1361,11 @@ def _commit_manifests(table, new_manifests, carried, operation: str, extra_summa
     seq = tx._builder.next_sequence_number()
     for m in new_manifests:
         m.sequence_number = seq
-        m.min_sequence_number = seq
+        # preserve an explicitly-older min (merged/rewritten manifests):
+        # the delete-gating lower bound must never move forward
+        m.min_sequence_number = (
+            min(m.min_sequence_number, seq) if m.min_sequence_number else seq
+        )
     list_path = os.path.join(md.location, "metadata", f"snap-{ds_sid}-1-{uuid_}.avro")
     from . import fileio
 

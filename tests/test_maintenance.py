@@ -532,3 +532,149 @@ def test_rewrite_position_deletes_preserves_partitions(fs_catalog, spark, lineit
                 after[e.data_file.referenced_data_file] = dict(e.data_file.partition or {})
     assert after == before, "partition tuples must survive the repack"
     assert t.scan().to_df(spark).count() == expect
+
+
+def _append_count_props(t, min_count):
+    tx = t.transaction()
+    tx.set_properties({"commit.manifest.min-count-to-merge": str(min_count)})
+    tx.commit()
+
+
+def test_merge_append_on_commit(fs_catalog, spark, lineitem_df):
+    """The reference's mergeManager runs ON the append commit (ref
+    snapshot_producers.go:245-373): once the table accumulates
+    min-count-to-merge small data manifests, the append itself writes
+    merged manifests — same file set, ONE snapshot, bounded manifest
+    count under continuous appends (a streaming sink's shape)."""
+    t = fs_catalog.create_table("db.li_ma", LINEITEM_SCHEMA)
+    _append_count_props(t, 3)
+    counts = []
+    for i in range(6):
+        t.append(lineitem_df.where(f"l_orderkey % 6 = {i}").coalesce(1))
+        t.refresh()
+        counts.append(len(t.current_snapshot().manifests()))
+    # appends 1,2 accumulate; append 3 merges (3 candidates >= 3);
+    # append 4 accumulates (merged manifest + new = 2 < 3); append 5
+    # merges again; append 6 accumulates
+    assert counts == [1, 2, 1, 2, 1, 2], counts
+    # the merge-append is ONE snapshot per append — no extra 'replace'
+    snaps = list(t.metadata.snapshots)
+    assert len(snaps) == 6
+    assert all(s.summary.operation == "append" for s in snaps)
+    assert snaps[2].summary.properties.get("manifests-merged") == "3"
+    # file set identical to a never-merged twin
+    t2 = fs_catalog.create_table("db.li_ma_twin", LINEITEM_SCHEMA)
+    for i in range(6):
+        t2.append(lineitem_df.where(f"l_orderkey % 6 = {i}").coalesce(1))
+    rows = lambda x: sorted(
+        tuple(r) for r in x.scan().to_df(spark).collect()
+    )
+    assert rows(t) == rows(t2)
+    assert len(t.scan().plan_files()) == len(t2.scan().plan_files()) == 6
+
+
+def test_merge_append_preserves_delete_gating(fs_catalog, spark, lineitem_df):
+    """A merged-append manifest rewrites OLD entries: their sequence
+    numbers must stay explicit (inheritance would re-stamp them with the
+    new snapshot's sequence number, making older delete files stop
+    applying — resurrected rows, silent corruption) and the manifest's
+    min_sequence_number must keep the oldest entry's value."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestContent,
+        read_manifest,
+    )
+
+    t = fs_catalog.create_table("db.li_gate", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    _append_count_props(t, 3)
+    base = lineitem_df.limit(300)
+    t.append(base.coalesce(1))  # seq 1: data file f1
+    t.delete_where(spark, E.equal("l_linenumber", 1))  # seq 2: DV on f1
+    live = base.where("l_linenumber != 1").count()
+    assert t.scan().to_df(spark).count() == live
+
+    # two more appends; the second triggers a merge that rewrites f1's
+    # manifest entry into a new manifest committed at seq 4
+    extra = lineitem_df.limit(400).subtract(base)
+    n_extra = extra.count()
+    t.append(extra.limit(50).coalesce(1))
+    t.append(extra.subtract(extra.limit(50)).coalesce(1))
+    t.refresh()
+    snap = t.current_snapshot()
+    data_m = [m for m in snap.manifests() if m.content == ManifestContent.DATA]
+    assert len(data_m) == 1, "merge-append did not fire"
+    merged = data_m[0]
+    # wire-level: stamp preserved the oldest merged entry's sequence
+    assert merged.sequence_number == snap.sequence_number == 4
+    assert merged.min_sequence_number == 1
+    entries = read_manifest(
+        merged.manifest_path, inherit_sequence_number=merged.sequence_number
+    )
+    f1 = [e for e in entries if e.data_file.record_count == 300]
+    assert f1 and f1[0].sequence_number == 1, "old entry lost its explicit seq"
+    # and the DV still applies after the merge: deleted rows stay gone
+    assert t.scan().to_df(spark).count() == live + n_extra
+
+
+def test_merge_append_row_lineage_stable(fs_catalog, spark, lineitem_df):
+    """v3: a merge-append must not renumber existing rows' _row_id —
+    old entries materialize their first_row_id into the merged manifest;
+    new rows draw fresh ids from the merged manifest's assigned range."""
+    t = fs_catalog.create_table("db.li_lin", LINEITEM_SCHEMA)
+    t.upgrade_format_version(3)
+    _append_count_props(t, 3)
+    t.append(lineitem_df.where("l_orderkey % 3 = 0").coalesce(1))
+    t.append(lineitem_df.where("l_orderkey % 3 = 1").coalesce(1))
+    before = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    t.append(lineitem_df.where("l_orderkey % 3 = 2").coalesce(1))  # merges
+    t.refresh()
+    assert len([m for m in t.current_snapshot().manifests()]) == 1
+    after = {
+        (r.l_orderkey, r.l_linenumber): r._row_id
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    for k, rid in before.items():
+        assert after[k] == rid, f"row {k} renumbered {rid} -> {after[k]}"
+    new_ids = {v for k, v in after.items() if k not in before}
+    assert new_ids and not (new_ids & set(before.values()))
+    assert len(set(after.values())) == len(after), "duplicate _row_id"
+
+
+def test_merge_append_incremental_scan_delivers_only_new(
+    fs_catalog, spark, lineitem_df
+):
+    """An incremental append scan (and therefore the readStream source)
+    across a merge-append snapshot must deliver ONLY that snapshot's
+    added files — the merged manifest's EXISTING entries are history."""
+    t = fs_catalog.create_table("db.li_inc", LINEITEM_SCHEMA)
+    _append_count_props(t, 3)
+    t.append(lineitem_df.where("l_orderkey % 3 = 0").coalesce(1))
+    t.append(lineitem_df.where("l_orderkey % 3 = 1").coalesce(1))
+    t.refresh()
+    mid = t.current_snapshot().snapshot_id
+    t.append(lineitem_df.where("l_orderkey % 3 = 2").coalesce(1))  # merges
+    t.refresh()
+    tasks = t.incremental_append_scan(from_snapshot_id=mid).plan_files()
+    assert len(tasks) == 1
+    want = lineitem_df.where("l_orderkey % 3 = 2").count()
+    assert sum(x.file.record_count for x in tasks) == want
+
+
+def test_merge_append_disabled_by_property(fs_catalog, spark, lineitem_df):
+    t = fs_catalog.create_table("db.li_off", LINEITEM_SCHEMA)
+    tx = t.transaction()
+    tx.set_properties(
+        {
+            "commit.manifest.min-count-to-merge": "2",
+            "commit.manifest-merge.enabled": "false",
+        }
+    )
+    tx.commit()
+    for i in range(4):
+        t.append(lineitem_df.where(f"l_orderkey % 4 = {i}").coalesce(1))
+    t.refresh()
+    assert len(t.current_snapshot().manifests()) == 4
