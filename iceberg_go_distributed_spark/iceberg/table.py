@@ -434,22 +434,42 @@ class Scan:
 
     def plan_files_auto(self, spark) -> list[FileScanTask]:
         """Route planning by metadata size: small snapshots plan on the
-        driver (no job overhead); above the manifest-count threshold the
-        per-manifest entry reads fan out across executors
-        (plan_files_distributed), bounding driver work at O(manifests +
-        matching files) instead of O(all entries). Tunable per table via
-        `read.distributed-planning.min-manifests` (default 64)."""
+        driver (no job overhead); larger ones fan the per-manifest entry
+        reads out across executors (plan_files_distributed), bounding
+        driver work at O(manifests + matching files) instead of O(all
+        entries). Two triggers, either routes distributed:
+
+          * manifest count >= `read.distributed-planning.min-manifests`
+            (default 64) — many small manifests;
+          * total live file count >= `read.distributed-planning.
+            min-files` (default 50000, the measured local/distributed
+            crossover on 32 cores — see SCALE.md) — few-but-FAT
+            manifests, the shape merge-append produces. Counted from
+            the manifest-list rows already in memory (added+existing
+            counts), so the check itself is O(manifests).
+
+        Set a threshold to 0 to disable that trigger."""
         snap = self.snapshot()
         if snap is not None and spark is not None:
-            try:
-                threshold = int(
-                    self.table.metadata.properties.get(
-                        "read.distributed-planning.min-manifests", "64"
-                    )
-                )
-            except (TypeError, ValueError):
-                threshold = 64
-            if threshold > 0 and len(snap.manifests()) >= threshold:
+            props = self.table.metadata.properties
+
+            def prop_int(key, default):
+                try:
+                    return int(props.get(key, default))
+                except (TypeError, ValueError):
+                    return int(default)
+
+            min_manifests = prop_int(
+                "read.distributed-planning.min-manifests", "64"
+            )
+            min_files = prop_int("read.distributed-planning.min-files", "50000")
+            manifests = snap.manifests()
+            n_files = sum(
+                m.added_files_count + m.existing_files_count for m in manifests
+            )
+            if (0 < min_manifests <= len(manifests)) or (
+                0 < min_files <= n_files
+            ):
                 return plan_files_distributed(self, spark)
         return self.plan_files()
 

@@ -242,3 +242,50 @@ def test_planbench_builder_local_dist_auto_agree(tmp_path, spark):
     assert len(local) < n_manifests * files_per / 10
     # and an unfiltered plan sees every fabricated file
     assert len(t.scan().plan_files()) == n_manifests * files_per
+
+
+def test_auto_route_triggers_on_file_count_for_fat_manifests(tmp_path, spark):
+    """Merge-append produces FEW but FAT manifests — a table can hold
+    millions of files in under 64 manifests, so routing on manifest
+    count alone would plan it on the driver. The file-count trigger
+    (read.distributed-planning.min-files, computed from manifest-list
+    added+existing counts, O(manifests)) must route it distributed."""
+    from iceberg_go_distributed_spark.iceberg import table as table_mod
+    from iceberg_go_distributed_spark.iceberg.planbench import (
+        build_wide_metadata_table,
+        selective_filter,
+    )
+
+    n_manifests, files_per = 4, 50  # 200 files, far below 64 manifests
+    t = build_wide_metadata_table(str(tmp_path / "wh"), n_manifests, files_per)
+    tx = t.transaction()
+    tx.set_properties({"read.distributed-planning.min-files": "100"})
+    tx.commit()
+    flt, n_match = selective_filter(n_manifests, files_per)
+
+    calls = []
+    orig = table_mod.plan_files_distributed
+
+    def spy(scan, sp):
+        calls.append(1)
+        return orig(scan, sp)
+
+    table_mod.plan_files_distributed = spy
+    try:
+        got = t.scan(row_filter=flt).plan_files_auto(spark)
+    finally:
+        table_mod.plan_files_distributed = orig
+    assert calls, "fat-manifest table did not route to distributed planning"
+    assert len(got) == n_match
+
+    # raising the file threshold back above the table size routes local
+    tx = t.transaction()
+    tx.set_properties({"read.distributed-planning.min-files": "1000000"})
+    tx.commit()
+    calls.clear()
+    table_mod.plan_files_distributed = spy
+    try:
+        got2 = t.scan(row_filter=flt).plan_files_auto(spark)
+    finally:
+        table_mod.plan_files_distributed = orig
+    assert not calls and len(got2) == n_match
