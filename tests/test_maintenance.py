@@ -678,3 +678,99 @@ def test_merge_append_disabled_by_property(fs_catalog, spark, lineitem_df):
         t.append(lineitem_df.where(f"l_orderkey % 4 = {i}").coalesce(1))
     t.refresh()
     assert len(t.current_snapshot().manifests()) == 4
+
+
+def test_merge_append_fuzz_against_unmerged_twin(fs_catalog, spark, lineitem_df):
+    """Randomized DML battery over TWO v3 tables fed identical operation
+    sequences — one with aggressive merge-append (min-count 2), one with
+    merging disabled. After EVERY op: identical live-row multisets and
+    planned file counts across the twins, and WITHIN the merged table,
+    row-lineage stability (every surviving row keeps its _row_id from
+    step to step) and id uniqueness. Absolute _row_id equality across
+    twins is deliberately NOT asserted — merge-append burns fresh
+    covering id ranges (spec-sanctioned), shifting later assignments.
+    Catches the silent-corruption class a manifest rewrite can introduce
+    (re-inherited sequence numbers un-applying deletes, renumbered or
+    duplicated lineage, lost/resurrected rows) across op interleavings
+    the deterministic tests don't enumerate."""
+    import random
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    rng = random.Random(0xA8)
+    rows = lineitem_df.limit(600).cache()
+    rows.count()
+
+    def mk(name, props):
+        t = fs_catalog.create_table(f"db.{name}", LINEITEM_SCHEMA)
+        t.upgrade_format_version(3)
+        tx = t.transaction()
+        tx.set_properties(props)
+        tx.commit()
+        return t
+
+    t_m = mk("fz_merge", {"commit.manifest.min-count-to-merge": "2"})
+    t_u = mk("fz_plain", {"commit.manifest-merge.enabled": "false"})
+
+    def snapshot_state(t):
+        df = t.scan().with_row_lineage().to_df(spark)
+        data = sorted(
+            (r.l_orderkey, r.l_linenumber, float(r.l_quantity), r._row_id)
+            for r in df.collect()
+        )
+        return data
+
+    next_slice = [0]
+
+    def op_append():
+        lo = next_slice[0] % 500
+        batch = rows.where(f"l_orderkey % 10 = {lo % 10}").limit(60)
+        next_slice[0] += 1
+        for t in (t_m, t_u):
+            t.append(batch.coalesce(1))
+
+    def op_delete():
+        ln = rng.randint(1, 7)
+        for t in (t_m, t_u):
+            t.delete_where(spark, E.equal("l_linenumber", ln))
+
+    def op_delete_qty():
+        q = rng.choice([10.0, 25.0, 40.0])
+        for t in (t_m, t_u):
+            t.delete_where(spark, E.greater_than("l_quantity", q))
+
+    ops = [op_append, op_append, op_append, op_delete, op_delete_qty]
+    op_append()  # both tables start non-empty
+    prev_ids: dict[tuple, set] = {}
+    for step in range(12):
+        rng.choice(ops)()
+        sm, su = snapshot_state(t_m), snapshot_state(t_u)
+        # identical live rows (values only — see docstring on ids)
+        vm = [r[:3] for r in sm]
+        vu = [r[:3] for r in su]
+        assert vm == vu, f"step {step}: merged table diverged"
+        assert len(t_m.scan().plan_files()) == len(t_u.scan().plan_files()), (
+            f"step {step}: planned file sets differ"
+        )
+        # merged-table lineage: unique ids, and id STABILITY — deletes
+        # are predicate-based (they remove every instance of a value
+        # triple at once), so any value triple still live must retain
+        # ALL its previous ids (new appended instances only add ids)
+        ids = [r[3] for r in sm]
+        assert len(ids) == len(set(ids)), f"step {step}: duplicate _row_id"
+        cur: dict[tuple, set] = {}
+        for r in sm:
+            cur.setdefault(r[:3], set()).add(r[3])
+        for triple, old_ids in prev_ids.items():
+            if triple in cur:
+                missing = old_ids - cur[triple]
+                assert not missing, (
+                    f"step {step}: row {triple} lost/renumbered ids {missing}"
+                )
+        prev_ids = cur
+    # merging actually happened (the whole point of the battery)
+    t_m.refresh(); t_u.refresh()
+    assert len(t_m.current_snapshot().manifests()) < len(
+        t_u.current_snapshot().manifests()
+    )
+    rows.unpersist()
