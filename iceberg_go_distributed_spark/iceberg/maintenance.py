@@ -56,30 +56,57 @@ def _normalize(p: str) -> str:
     return u.path if u.scheme in ("", "file") else p
 
 
+_PROTECTED_SUFFIXES = (".lock", ".flock")
+
+
+def _is_protected(filename: str) -> bool:
+    # never touch catalog control files: the version hint and lock
+    # files (unlinking a held .flock would let two racing commits lock
+    # DIFFERENT inodes, voiding the CAS)
+    return filename == "version-hint.text" or filename.endswith(_PROTECTED_SUFFIXES)
+
+
 def delete_orphan_files(
     table,
     older_than_ms: Optional[int] = None,
     dry_run: bool = False,
     concurrency: int = 8,
+    spark=None,
 ) -> list[str]:
     """List the table location, diff against referenced files, delete
     unreferenced files older than the cutoff (default 3 days, matching
     the reference's safety default). Returns the orphan list.
 
-    At 100 TB the listing itself is the bottleneck: the same anti-join
-    runs in Spark (listing DataFrame vs referenced-files DataFrame);
-    driver-side listing is fine at test scale and keeps this dependency-
-    free."""
+    Two execution shapes:
+      * `spark=None` — driver-side os.walk + set diff. LOCAL locations
+        only (an object-store URI would silently list nothing and
+        report zero orphans, so it raises instead); fine at test scale.
+      * `spark=...` — the 100 TB shape: executors LIST the location
+        (one recursive pyarrow-FS listing task per second-level prefix,
+        so a million-file data/ dir fans out across the cluster) and
+        READ every manifest for its referenced paths; the diff is a
+        Spark left-anti join, and only the O(orphans) result returns to
+        the driver. Works on any fileio-supported location (local, S3,
+        GCS, Azure)."""
     cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) - 3 * 86400_000
-    refs = {_normalize(p) for p in referenced_files(table)}
     location = table.location
+    if spark is not None:
+        return _delete_orphans_distributed(
+            table, spark, cutoff, dry_run, concurrency
+        )
+    from . import fileio
+
+    if not fileio.is_local(location):
+        raise ValueError(
+            f"driver-side orphan listing cannot walk {location!r}; pass "
+            "spark= for the distributed listing (os.walk on an object-"
+            "store URI would silently report zero orphans)"
+        )
+    refs = {_normalize(p) for p in referenced_files(table)}
     orphans: list[str] = []
     for root, _dirs, files in os.walk(location):
         for fn in files:
-            # never touch catalog control files: the version hint and
-            # lock files (unlinking a held .flock would let two racing
-            # commits lock DIFFERENT inodes, voiding the CAS)
-            if fn == "version-hint.text" or fn.endswith((".lock", ".flock")):
+            if _is_protected(fn):
                 continue
             p = os.path.join(root, fn)
             if _normalize(p) in refs:
@@ -94,6 +121,183 @@ def delete_orphan_files(
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             list(pool.map(lambda p: os.path.exists(p) and os.unlink(p), orphans))
     return sorted(orphans)
+
+
+def _location_fs(location: str):
+    """(pyarrow FileSystem, fs-native root path, scheme_prefix) for any
+    supported location. scheme_prefix restores a user-facing URI from an
+    fs-native path (empty for local)."""
+    from pyarrow import fs as pafs
+
+    from . import fileio
+
+    if fileio.is_local(location):
+        return pafs.LocalFileSystem(), fileio.local_path(location), ""
+    fs, root = fileio.resolve(location)
+    scheme = location.split("://", 1)[0] + "://"
+    return fs, root, scheme
+
+
+def _delete_orphans_distributed(table, spark, cutoff, dry_run, concurrency):
+    """Executor-side listing + manifest reads, Spark anti-join diff."""
+    import pandas as pd
+    from pyarrow import fs as pafs
+
+    from . import fileio
+    from .table import strip_scheme
+
+    location = table.location
+    fs, root, scheme = _location_fs(location)
+    cfg = fileio.env_config()
+    is_local = scheme == ""
+
+    # partition the listing work: second-level prefixes (data/<dir>,
+    # metadata/<dir>, ...) discovered with two shallow driver LISTs —
+    # O(dirs), not O(files) — so executors each walk one subtree
+    prefixes: list[str] = []
+    shallow_files: list[tuple[str, int]] = []
+
+    def shallow(dirpath, collect_dirs):
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(dirpath, recursive=False))
+        except (OSError, FileNotFoundError):
+            return
+        for fi in infos:
+            if fi.type == pafs.FileType.Directory:
+                collect_dirs.append(fi.path)
+            elif fi.type == pafs.FileType.File:
+                shallow_files.append(
+                    (fi.path, _mtime_ms(fi))
+                )
+
+    level1: list[str] = []
+    shallow(root, level1)
+    for d in level1:
+        shallow(d, prefixes)
+
+    listing_parts = []
+    if prefixes:
+        pref_df = spark.createDataFrame(
+            [(p,) for p in sorted(prefixes)], "prefix string"
+        ).repartition(min(len(prefixes), 64))
+
+        def list_prefix(batches):
+            from pyarrow import fs as pafs2
+
+            from . import fileio as fio
+
+            fio.apply_config(cfg)
+            if is_local:
+                lfs = pafs2.LocalFileSystem()
+            else:
+                lfs, _ = fio.resolve(location)
+            for pdf in batches:
+                paths, mtimes = [], []
+                for prefix in pdf["prefix"]:
+                    try:
+                        infos = lfs.get_file_info(
+                            pafs2.FileSelector(prefix, recursive=True)
+                        )
+                    except (OSError, FileNotFoundError):
+                        continue
+                    for fi in infos:
+                        if fi.type == pafs2.FileType.File:
+                            paths.append(fi.path)
+                            mtimes.append(_mtime_ms(fi))
+                yield pd.DataFrame({"path": paths, "mtime_ms": mtimes})
+
+        listing_parts.append(
+            pref_df.mapInPandas(list_prefix, "path string, mtime_ms long")
+        )
+    if shallow_files:
+        listing_parts.append(
+            spark.createDataFrame(
+                list(shallow_files), "path string, mtime_ms long"
+            )
+        )
+    if not listing_parts:
+        return []
+    listing = listing_parts[0]
+    for part in listing_parts[1:]:
+        listing = listing.unionByName(part)
+
+    # referenced paths: driver knows the metadata-plane files (O(snapshots
+    # + manifests)); executors read each manifest once for its data/delete
+    # file paths — the O(entries) work never touches the driver
+    meta_refs = {strip_scheme(table.metadata_location)}
+    for entry in table.metadata.metadata_log:
+        meta_refs.add(strip_scheme(entry.metadata_file))
+    manifest_paths: set[str] = set()
+    for snap in table.metadata.snapshots:
+        meta_refs.add(strip_scheme(snap.manifest_list))
+        for m in snap.manifests():
+            meta_refs.add(strip_scheme(m.manifest_path))
+            manifest_paths.add(m.manifest_path)
+
+    refs_parts = [
+        spark.createDataFrame([(p,) for p in sorted(meta_refs)], "ref string")
+    ]
+    if manifest_paths:
+        man_df = spark.createDataFrame(
+            [(p,) for p in sorted(manifest_paths)], "path string"
+        ).repartition(min(len(manifest_paths), 64))
+
+        def read_refs(batches):
+            from . import fileio as fio
+            from .manifest import read_manifest as rm
+            from .table import strip_scheme as strip
+
+            fio.apply_config(cfg)
+            for pdf in batches:
+                out = []
+                for mp in pdf["path"]:
+                    for e in rm(mp, discard_deleted=False):
+                        out.append(strip(e.data_file.file_path))
+                yield pd.DataFrame({"ref": out})
+
+        refs_parts.append(man_df.mapInPandas(read_refs, "ref string"))
+    refs = refs_parts[0]
+    for part in refs_parts[1:]:
+        refs = refs.unionByName(part)
+
+    from pyspark.sql import functions as F
+
+    protected = F.col("_name") == "version-hint.text"
+    for suf in _PROTECTED_SUFFIXES:
+        protected = protected | F.col("_name").endswith(suf)
+    candidates = (
+        listing.withColumn(
+            "_name", F.element_at(F.split(F.col("path"), "/"), -1)
+        )
+        .where(~protected)
+        .where(F.col("mtime_ms") < F.lit(cutoff))
+        .drop("_name")
+    )
+    # pafs listing paths are scheme-less already; refs were stripped
+    orphan_rows = candidates.join(
+        refs, candidates["path"] == refs["ref"], "left_anti"
+    ).collect()
+    orphans = sorted(scheme + r.path if scheme else r.path for r in orphan_rows)
+    if not dry_run and orphans:
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+
+            def rm_one(p):
+                try:
+                    fileio.remove(p)
+                except (OSError, FileNotFoundError):
+                    pass
+
+            list(pool.map(rm_one, orphans))
+    return orphans
+
+
+def _mtime_ms(fi) -> int:
+    """FileInfo mtime in epoch ms; unknown mtimes report as NOW so the
+    age cutoff never deletes a file whose age cannot be established."""
+    mt = getattr(fi, "mtime", None)
+    if mt is None:
+        return int(time.time() * 1000)
+    return int(mt.timestamp() * 1000)
 
 
 # ----------------------------------------------------------- manifest merge

@@ -774,3 +774,52 @@ def test_merge_append_fuzz_against_unmerged_twin(fs_catalog, spark, lineitem_df)
         t_u.current_snapshot().manifests()
     )
     rows.unpersist()
+
+
+def test_orphan_cleanup_distributed_matches_driver(fs_catalog, spark, lineitem_df):
+    """The Spark-distributed orphan sweep (executor listing + manifest
+    reads, anti-join diff) must find exactly the same orphans as the
+    driver-side walk, protect the same control files, and leave the
+    table intact after deletion."""
+    t = fs_catalog.create_table("db.li_orph_d", LINEITEM_SCHEMA)
+    t.append(lineitem_df.limit(100).coalesce(1))
+    t.append(lineitem_df.limit(150).subtract(lineitem_df.limit(100)).coalesce(1))
+
+    old = time.time() - 10 * 86400
+    strays = []
+    for rel in ("data/stray1.parquet", "data/sub/stray2.parquet", "metadata/stray.avro"):
+        p = os.path.join(t.location, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        os.utime(p, (old, old))
+        strays.append(p)
+    # protected + young files must survive both paths
+    lockp = os.path.join(t.location, "metadata", "commit.flock")
+    open(lockp, "wb").close()
+    os.utime(lockp, (old, old))
+    young = os.path.join(t.location, "data", "young.parquet")
+    open(young, "wb").write(b"j")
+
+    want = delete_orphan_files(t, dry_run=True)
+    got = delete_orphan_files(t, dry_run=True, spark=spark)
+    assert got == want == sorted(strays)
+
+    deleted = delete_orphan_files(t, spark=spark)
+    assert deleted == sorted(strays)
+    assert all(not os.path.exists(p) for p in strays)
+    assert os.path.exists(lockp) and os.path.exists(young)
+    assert t.scan().to_df(spark).count() == 150
+
+
+def test_orphan_cleanup_object_store_requires_spark(fs_catalog, lineitem_df):
+    """Driver-side os.walk of an object-store URI lists nothing — the
+    old behavior silently reported zero orphans. It must raise and point
+    at the distributed path instead."""
+    t = fs_catalog.create_table("db.li_orph_s3", LINEITEM_SCHEMA)
+    # fake a remote location without touching any store
+    t.metadata = __import__("dataclasses").replace(
+        t.metadata, location="s3://bucket/tables/li"
+    )
+    with pytest.raises(ValueError, match="distributed listing"):
+        delete_orphan_files(t)
