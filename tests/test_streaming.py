@@ -922,3 +922,55 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
     )
     with pytest.raises(Exception, match="equality deletes"):
         run_once()
+
+
+def test_iceberg_stream_cdc_across_merge_append(tmp_path, spark):
+    """Interplay of two r8 features: a merge-append commit rewrites old
+    entries (EXISTING) into the same manifest that carries the new files
+    (ADDED) — both the append stream and the CDC stream must deliver
+    ONLY the newly appended rows for that snapshot, never re-deliver the
+    rewritten history."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    mk = lambda i: spark.createDataFrame(
+        [(i * 10 + j, f"v{i}_{j}") for j in range(3)], "id long, v string"
+    )
+    t = cat.create_table("db.cdcm", schema_from_spark(mk(0).schema))
+    t.upgrade_format_version(3)
+    tx = t.transaction()
+    tx.set_properties({"commit.manifest.min-count-to-merge": "2"})
+    tx.commit()
+
+    seen: list[tuple] = []
+
+    def run_once():
+        q = (
+            iceberg_stream(spark, wh, "db.cdcm", mode="cdc")
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t.append(mk(0).coalesce(1))
+    run_once()
+    assert len(seen) == 3
+
+    # the next two appends merge manifests (min-count 2); each must still
+    # stream exactly its own three rows
+    for i in (1, 2):
+        t.append(mk(i).coalesce(1))
+        run_once()
+        assert sorted(r[0] for r in seen) == sorted(
+            x * 10 + j for x in range(i + 1) for j in range(3)
+        ), f"after append {i}: {sorted(seen)}"
+    t.refresh()
+    assert len(t.current_snapshot().manifests()) == 1, "merge did not fire"
+    assert all(r[-1] == "insert" for r in seen)
