@@ -553,7 +553,11 @@ class Transaction:
             "metadata",
             f"snap-{snapshot_id}-1-{commit_uuid}.avro",
         )
-        os.makedirs(os.path.dirname(list_path), exist_ok=True)
+        # guarded mkdir: an object-store list_path must not leave a
+        # literal "s3:/..." directory on the driver's local disk
+        from .fileio import makedirs as _fio_makedirs
+
+        _fio_makedirs(os.path.dirname(list_path))
         # v3: the list writer assigns row-lineage ids to data manifests
         # lacking one (new + pre-upgrade carried); the snapshot records
         # the id range it consumed — ref manifest.go:1478-1486
