@@ -1158,7 +1158,12 @@ def commit_distributed_snapshot(table, ds, manifests, summary_props=None) -> Non
     """Commit worker-written manifests as one snapshot —
     ref distributed_snapshot.go:83-114. Totals derive from the
     manifest-list counts so the running total-* counters stay truthful
-    on this path too (snapshots.go:445-486)."""
+    on this path too (snapshots.go:445-486).
+
+    Deliberately NO merge-append here: this is the low-level "commit
+    exactly these manifests" API for external-worker protocols (and the
+    planning benchmark's wide-metadata builder depends on the count
+    surviving); the Table.append path merges via commit_data_files."""
     manifests = list(manifests)
     props = dict(summary_props or {})
     props.setdefault(
