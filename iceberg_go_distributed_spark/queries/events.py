@@ -290,7 +290,12 @@ def ev_stream_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a wedged bounded stream must not leak into the caller's next
+        # query — stop it and fail loudly instead of returning a
+        # partially-filled sink
+        q.stop()
+        raise TimeoutError("bounded stream did not finish within 300s")
     return spark.table(name)
 
 

@@ -901,7 +901,12 @@ def ice_stream_cdc(spark, sf_dir):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ice_cdc_ck"))
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a wedged bounded stream must not leak into the caller's next
+        # query — stop it and fail loudly instead of returning a
+        # partially-filled sink
+        q.stop()
+        raise TimeoutError("bounded stream did not finish within 300s")
     return spark.table(name).select(
         "l_orderkey", "l_linenumber", "qty", "_change_type"
     )
