@@ -37,6 +37,7 @@ import pytest
 from iceberg_go_distributed_spark.iceberg.conversions import to_bytes
 from iceberg_go_distributed_spark.iceberg.manifest import (
     DataFile,
+    FieldSummary,
     ManifestContent,
     ManifestEntry,
     ManifestEntryStatus,
@@ -381,3 +382,62 @@ def test_puffin_container_layout(tmp_path):
     assert blen == len(body) - 8  # length covers magic+payload, not crc
     crc = struct.unpack(">I", body[-4:])[0]
     assert crc == zlib.crc32(body[4:-4]) & 0xFFFFFFFF
+
+
+GOLDEN_LIST_ROW_V2_HEX = (
+    "2e6d657461646174612f676f6c64656e2d6d302e6176726fa41300000a0206020400"
+    "02020000021007000000000000000210070000000000000000c80190030000"
+)
+GOLDEN_LIST_ROW_V3_HEX = GOLDEN_LIST_ROW_V2_HEX + "0200"  # + first_row_id=0
+
+
+def _golden_list_manifest():
+    return ManifestFile(
+        manifest_path="metadata/golden-m0.avro",
+        manifest_length=1234,
+        partition_spec_id=0,
+        content=ManifestContent.DATA,
+        sequence_number=5,
+        min_sequence_number=1,
+        added_snapshot_id=3,
+        added_files_count=1,
+        existing_files_count=2,
+        deleted_files_count=0,
+        added_rows_count=100,
+        existing_rows_count=200,
+        deleted_rows_count=0,
+        partitions=[
+            FieldSummary(
+                contains_null=False,
+                contains_nan=None,
+                lower_bound=(7).to_bytes(8, "little"),
+                upper_bound=(7).to_bytes(8, "little"),
+            )
+        ],
+    )
+
+
+@pytest.mark.parametrize(
+    "fv,frid,want_hex",
+    [(2, None, GOLDEN_LIST_ROW_V2_HEX), (3, 0, GOLDEN_LIST_ROW_V3_HEX)],
+)
+def test_manifest_list_golden_bytes(tmp_path, fv, frid, want_hex):
+    """Byte-exact Avro encoding of one manifest-list row, v2 and v3
+    (v3 appends the assigned first_row_id). Hand-checked against the
+    Avro spec: path len 23 → 0x2e; manifest_length 1234 → 0xa4 0x13;
+    seq 5 → 0x0a; min_seq 1 → 0x02; FieldSummary with a null
+    contains_nan union branch and 8-byte little-endian long bounds."""
+    path = str(tmp_path / f"list-v{fv}.avro")
+    write_manifest_list(
+        path,
+        [_golden_list_manifest()],
+        format_version=fv,
+        first_row_id=frid,
+        snapshot_id=3,
+        sequence_number=5,
+        parent_snapshot_id=None,
+    )
+    meta, blocks = parse_ocf(path)
+    assert meta["format-version"] == str(fv).encode()
+    assert blocks[0][0] == 1
+    assert blocks[0][1].hex() == want_hex
