@@ -282,7 +282,11 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     applyInPandasWithState, append_stream back into another table).
 
     `mode="cdc"` upgrades the source to row-level CDC: each delivered
-    row carries a `_change_type` column ('insert' | 'delete'), and
+    row carries `_change_type` ('insert' | 'delete') and the v3 row
+    lineage `_row_id` (exact materialized ids for rewritten files, else
+    first_row_id + position — identical to changelog_poll's, pinned by
+    tests; null on v2 tables), so a downstream MERGE can key on stable
+    row identity, and
     row-level-delete snapshots in range are expanded instead of raising —
     deletion-vector diffs against the parent snapshot name exactly the
     newly-removed rows, whole-dropped files emit their parent-live rows,
@@ -308,11 +312,15 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     return reader.load()
 
 
-def _project_batch(plan, batch, n, change_type=None):
+_NO_LINEAGE = object()  # sentinel: omit the _row_id column entirely
+
+
+def _project_batch(plan, batch, n, change_type=None, row_ids=_NO_LINEAGE):
     """One output RecordBatch from a (possibly absent) source batch:
     resolved columns pass through, unresolved ones fill with the field's
     initial-default (v3) or nulls. `change_type` appends the CDC-mode
-    `_change_type` column."""
+    `_change_type` column; `row_ids` (an int64 array, or None for a
+    null-filled column) appends the v3 `_row_id` lineage column."""
     import pyarrow as pa
 
     cols, names = [], []
@@ -327,7 +335,27 @@ def _project_batch(plan, batch, n, change_type=None):
     if change_type is not None:
         cols.append(pa.array([change_type] * n, type=pa.string()))
         names.append("_change_type")
+    if row_ids is not _NO_LINEAGE:
+        if row_ids is None:
+            cols.append(pa.nulls(n, type=pa.int64()))
+        else:
+            cols.append(pa.array(row_ids, type=pa.int64()))
+        names.append("_row_id")
     return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+def _materialized_lineage_col(pf):
+    """Physical column name of the reserved materialized `_row_id`
+    (field id 2147483540 — files rewritten by compaction/partial-file
+    overwrite carry exact ids that position arithmetic must NOT
+    recompute), or None."""
+    from .iceberg.manifest import ROW_ID_FIELD_ID
+
+    for fld in pf.schema_arrow:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None and int(fid) == ROW_ID_FIELD_ID:
+            return fld.name
+    return None
 
 
 def _resolve_read_plan(pf, fields):
@@ -382,22 +410,41 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
         hi = np.searchsorted(target, off + n)
         return (target[lo:hi] - off).astype("int64")
 
+    # deleted rows carry their v3 lineage: exact materialized ids when
+    # the file has them, else first_row_id + position, else null (v2)
+    lin_src = _materialized_lineage_col(pf)
+    frid = getattr(partition, "first_row_id", None)
+
+    def ids_for(idx, off, batch=None):
+        if lin_src is not None and batch is not None:
+            return batch.column(batch.schema.get_field_index(lin_src)).take(
+                pa.array(idx)
+            )
+        if frid is not None:
+            return (idx + off + frid).tolist()
+        return None
+
     off = 0
-    if not read_cols:
+    if not read_cols and lin_src is None:
         # degenerate projection: defaults only, counts from the footer
         for rg in range(pf.metadata.num_row_groups):
             n = pf.metadata.row_group(rg).num_rows
-            k = len(window_indices(off, n))
-            if k:
-                yield _project_batch(plan, None, k, "delete")
+            idx = window_indices(off, n)
+            if idx.size:
+                yield _project_batch(
+                    plan, None, len(idx), "delete", ids_for(idx, off)
+                )
             off += n
         return
-    for batch in pf.iter_batches(columns=read_cols, batch_size=batch_rows):
+    scan_cols = read_cols + ([lin_src] if lin_src else [])
+    for batch in pf.iter_batches(columns=scan_cols, batch_size=batch_rows):
         n = batch.num_rows
         idx = window_indices(off, n)
         if idx.size:
             sub = batch.take(pa.array(idx))
-            yield _project_batch(plan, sub, sub.num_rows, "delete")
+            yield _project_batch(
+                plan, sub, sub.num_rows, "delete", ids_for(idx, off, batch)
+            )
         off += n
 
 
@@ -475,12 +522,18 @@ try:  # pyspark >= 4: Python Data Source API
         executor-side; the driver ships only O(delete files) pointers."""
 
         def __init__(self, path, fields, cfg, batch_rows, change,
-                     new_deletes=(), prior_deletes=(), whole_file=False):
+                     new_deletes=(), prior_deletes=(), whole_file=False,
+                     first_row_id=None):
             super().__init__(path, fields, cfg, batch_rows)
             self.change = change
             self.new_deletes = list(new_deletes)
             self.prior_deletes = list(prior_deletes)
             self.whole_file = whole_file
+            # v3 row lineage: the data file's assigned first_row_id (from
+            # manifest inheritance at plan time); executors emit
+            # `_row_id` = first_row_id + position unless the file carries
+            # materialized lineage columns
+            self.first_row_id = first_row_id
 
     class _IcebergStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -661,6 +714,7 @@ try:  # pyspark >= 4: Python Data Source API
                         for e in read_manifest(
                             m.manifest_path,
                             inherit_sequence_number=m.sequence_number,
+                            inherit_first_row_id=m.first_row_id,
                         ):
                             if e.status == ManifestEntryStatus.ADDED and (
                                 e.snapshot_id in (None, snap.snapshot_id)
@@ -668,6 +722,7 @@ try:  # pyspark >= 4: Python Data Source API
                                 parts.append(_CdcFilePartition(
                                     e.data_file.file_path, fields, self._cfg,
                                     batch_rows, "insert",
+                                    first_row_id=e.data_file.first_row_id,
                                 ))
                     continue
                 if op not in ("delete", "overwrite"):
@@ -692,6 +747,7 @@ try:  # pyspark >= 4: Python Data Source API
                                 for d in task.delete_files
                                 if d.content == DataFileContent.POSITION_DELETES
                             ],
+                            task.file.first_row_id,
                         )
                 live_now = {
                     strip_scheme(task.file.file_path)
@@ -699,11 +755,11 @@ try:  # pyspark >= 4: Python Data Source API
                 }
                 removed = [
                     orig
-                    for key, (orig, _) in prior_by_path.items()
+                    for key, (orig, _, _) in prior_by_path.items()
                     if key not in live_now
                 ]
                 new_dels: dict[str, tuple] = {}
-                added: list[str] = []
+                added: list[tuple] = []  # (path, first_row_id)
                 for m in snap.manifests():
                     if m.added_snapshot_id != snap.snapshot_id:
                         continue  # carried-over manifest: no delta inside
@@ -711,11 +767,15 @@ try:  # pyspark >= 4: Python Data Source API
                         for e in read_manifest(
                             m.manifest_path,
                             inherit_sequence_number=m.sequence_number,
+                            inherit_first_row_id=m.first_row_id,
                         ):
                             if e.status == ManifestEntryStatus.ADDED and (
                                 e.snapshot_id in (None, snap.snapshot_id)
                             ):
-                                added.append(e.data_file.file_path)
+                                added.append(
+                                    (e.data_file.file_path,
+                                     e.data_file.first_row_id)
+                                )
                         continue
                     for e in read_manifest(
                         m.manifest_path,
@@ -760,22 +820,29 @@ try:  # pyspark >= 4: Python Data Source API
                         "changelog_poll"
                     )
                 for path in removed:
+                    _, descs, frid = prior_by_path[strip_scheme(path)]
                     parts.append(_CdcFilePartition(
                         path, fields, self._cfg, batch_rows, "delete",
-                        prior_deletes=prior_by_path[strip_scheme(path)][1],
+                        prior_deletes=descs,
                         whole_file=True,
+                        first_row_id=frid,
                     ))
                 for key, (orig_path, descs) in new_dels.items():
                     # the referenced data file is live at the parent by
                     # construction; read it at the newly-deleted positions
+                    _, prior_descs, frid = prior_by_path.get(
+                        key, (None, [], None)
+                    )
                     parts.append(_CdcFilePartition(
                         orig_path, fields, self._cfg, batch_rows, "delete",
                         new_deletes=descs,
-                        prior_deletes=prior_by_path.get(key, (None, []))[1],
+                        prior_deletes=prior_descs,
+                        first_row_id=frid,
                     ))
-                for path in added:
+                for path, frid in added:
                     parts.append(_CdcFilePartition(
                         path, fields, self._cfg, batch_rows, "insert",
+                        first_row_id=frid,
                     ))
             return parts
 
@@ -799,20 +866,48 @@ try:  # pyspark >= 4: Python Data Source API
                         pf, partition, plan, read_cols, batch_rows
                     )
                     return
-                if not read_cols:
+                # CDC inserts carry v3 row lineage: exact materialized
+                # ids when the file has them (rewritten files), else
+                # first_row_id + position, else null (v2)
+                lin_src = _materialized_lineage_col(pf) if change else None
+                frid = getattr(partition, "first_row_id", None)
+                if not read_cols and lin_src is None:
                     # no physical column survives resolution (every field
                     # was added after this file): synthesize defaults from
                     # footer row counts alone, one batch per row group
+                    off = 0
                     for rg in range(pf.metadata.num_row_groups):
-                        yield _project_batch(
-                            plan, None, pf.metadata.row_group(rg).num_rows,
-                            change,
-                        )
+                        n = pf.metadata.row_group(rg).num_rows
+                        if change is None:
+                            yield _project_batch(plan, None, n, change)
+                        else:
+                            ids = (
+                                list(range(frid + off, frid + off + n))
+                                if frid is not None
+                                else None
+                            )
+                            yield _project_batch(plan, None, n, change, ids)
+                        off += n
                     return
+                scan_cols = read_cols + ([lin_src] if lin_src else [])
+                off = 0
                 for batch in pf.iter_batches(
-                    columns=read_cols, batch_size=batch_rows
+                    columns=scan_cols, batch_size=batch_rows
                 ):
-                    yield _project_batch(plan, batch, batch.num_rows, change)
+                    n = batch.num_rows
+                    if change is None:
+                        yield _project_batch(plan, batch, n, change)
+                    else:
+                        if lin_src is not None:
+                            ids = batch.column(
+                                batch.schema.get_field_index(lin_src)
+                            )
+                        elif frid is not None:
+                            ids = list(range(frid + off, frid + off + n))
+                        else:
+                            ids = None
+                        yield _project_batch(plan, batch, n, change, ids)
+                    off += n
 
         def commit(self, end: dict) -> None:
             self._pos = end["snapshot_id"]
@@ -847,9 +942,12 @@ try:  # pyspark >= 4: Python Data Source API
             t = _load_stream_table(self.options)
             struct = schema_to_spark_struct(t.metadata.current_schema())
             if self.options.get("mode", "append") == "cdc":
-                from pyspark.sql.types import StringType, StructField
+                from pyspark.sql.types import LongType, StringType, StructField
 
                 struct = struct.add(StructField("_change_type", StringType()))
+                # v3 row lineage rides along (null on v2 tables), so a
+                # downstream MERGE can key on the stable row identity
+                struct = struct.add(StructField("_row_id", LongType()))
             return struct
 
         def streamReader(self, schema):

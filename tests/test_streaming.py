@@ -870,7 +870,10 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
         changes, cursor = changelog_poll(t, spark, cursor)
         if changes is not None:
             reference.extend(
-                tuple(r) for r in changes.select("id", "v", "_change_type").collect()
+                tuple(r)
+                for r in changes.select(
+                    "id", "v", "_change_type", "_row_id"
+                ).collect()
             )
 
     commit_and_poll(lambda: t.append(df1.coalesce(1)))
@@ -895,8 +898,10 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
         q.awaitTermination(120)
 
     run_once()
+    # row VALUES, change kinds, AND v3 row lineage all match the poll
     assert sorted(seen) == sorted(reference)  # 4 inserts so far
-    assert all(r[-1] == "insert" for r in seen)
+    assert all(r[2] == "insert" for r in seen)
+    assert all(r[3] is not None for r in seen), "lineage missing"
 
     # partial-file delete (deletion-vector diff) and a whole-file drop
     # (strict match covers the entire second file), committed while the
@@ -905,9 +910,9 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
     commit_and_poll(lambda: t.delete_where(spark, E.greater_than_or_equal("id", 3)))
     run_once()
     assert sorted(seen) == sorted(reference), (sorted(seen), sorted(reference))
-    kinds = {(r[0], r[-1]) for r in seen}
+    kinds = {(r[0], r[2]) for r in seen}
     assert (2, "delete") in kinds and (3, "delete") in kinds and (4, "delete") in kinds
-    assert sum(1 for r in seen if r[-1] == "delete") == 3
+    assert sum(1 for r in seen if r[2] == "delete") == 3
 
     # idle restart delivers nothing
     n = len(seen)
@@ -973,7 +978,10 @@ def test_iceberg_stream_cdc_across_merge_append(tmp_path, spark):
         ), f"after append {i}: {sorted(seen)}"
     t.refresh()
     assert len(t.current_snapshot().manifests()) == 1, "merge did not fire"
-    assert all(r[-1] == "insert" for r in seen)
+    assert all(r[2] == "insert" for r in seen)
+    # lineage stayed stable across the merge: all ids unique
+    ids = [r[3] for r in seen]
+    assert len(ids) == len(set(ids)) and None not in ids
 
 
 def test_iceberg_stream_cdc_fuzz_vs_changelog_poll(tmp_path, spark):
@@ -1007,7 +1015,9 @@ def test_iceberg_stream_cdc_fuzz_vs_changelog_poll(tmp_path, spark):
         if changes is not None:
             reference.extend(
                 tuple(r)
-                for r in changes.select("id", "grp", "_change_type").collect()
+                for r in changes.select(
+                    "id", "grp", "_change_type", "_row_id"
+                ).collect()
             )
 
     def op_append():
@@ -1050,5 +1060,7 @@ def test_iceberg_stream_cdc_fuzz_vs_changelog_poll(tmp_path, spark):
     assert sorted(seen) == sorted(reference), (
         f"stream {len(seen)} events vs poll {len(reference)}"
     )
-    # sanity: the history actually exercised deletes
-    assert any(r[-1] == "delete" for r in reference)
+    # sanity: the history actually exercised deletes, and lineage rode
+    # along on every event
+    assert any(r[2] == "delete" for r in reference)
+    assert all(r[3] is not None for r in reference)
