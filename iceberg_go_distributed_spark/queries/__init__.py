@@ -126,7 +126,10 @@ _PRIORITY = [
     # (ev_latest_per_user — five rounds green, a plain max-window shape
     # covered by ev_sessionization's window machinery — yields its slot
     # to the new retention operator.)
-    "ev_sessionization",
+    # ev_sessionization rotated r8 (six driver-green rounds r2–r7; its
+    # batch session-window values stay pinned by the local oracle AND by
+    # the stream/batch parity test backing ev_stream_sessionize, which
+    # remains in-window).
     # ev_skew_salted_agg (six rounds driver-green; its salted two-phase
     # agg shape is covered locally every round) and q9_product_profit
     # (five rounds green; q18 covers the fact⋈fact exchange and q1 the
@@ -140,13 +143,18 @@ _PRIORITY = [
     "ev_retention_cohorts",
     "ev_value_quantiles",
     "ev_value_histogram",
-    # TPC-H representative slice: agg-heavy (q1). q3/q5/q9/q13/q18
-    # moved to the locally-verified tail after five-plus consecutive
-    # driver-green rounds, alongside llm_ann_ivf (subsumed by
-    # llm_ann_ivf_trained — same cell-scan read path, trained
-    # centroids), to keep never-driver-verified operators inside the
-    # 50-entry window.
-    "q1_pricing_summary",
+    # TPC-H representative slice. q3/q5/q9/q13/q18 moved to the
+    # locally-verified tail after five-plus consecutive driver-green
+    # rounds, alongside llm_ann_ivf (subsumed by llm_ann_ivf_trained —
+    # same cell-scan read path, trained centroids), to keep
+    # never-driver-verified operators inside the 50-entry window.
+    # q1_pricing_summary rotated r8 (six driver-green rounds r2–r7,
+    # still a BENCH headline timed every round) so the two NEW adapted
+    # queries — q12 (fact⋈fact + conditional counts) and q21 (the
+    # double-correlated exists/not-exists rewritten as one keyed
+    # aggregate) — each get a driver row in their first round.
+    "q12_late_priority_lines",
+    "q21_suppliers_kept_waiting",
 ]
 
 
@@ -194,6 +202,11 @@ ROTATED_OUT: dict[str, dict] = {
     # round 8 rotation — to admit ice_stream_cdc (the new CDC readStream
     # oracle) into the window
     "ev_hourly_rollup": _r(8, None, "windowed rollup agg; 6 driver-green rounds (r2-r7); a BENCH headline, so it stays timed every round, and the local oracle verifies values"),
+    # round 8 rotations — to admit the two new adapted TPC-H queries
+    # (q12_late_priority_lines, q21_suppliers_kept_waiting) into the
+    # window in their first round
+    "q1_pricing_summary": _r(8, None, "scan-filter wide agg; 6 driver-green rounds (r2-r7); BENCH headline, so it stays timed every round and the local oracle verifies values"),
+    "ev_sessionization": _r(8, "ev_stream_sessionize", "6 driver-green rounds (r2-r7); same session-window machinery as the in-window stream variant, whose batch parity test pins these exact values"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

@@ -624,3 +624,114 @@ def q22(spark, sf_dir):
             F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-delay priority classes (adapted: no l_shipmode /
+# commit/receipt dates in the testdata — "late" is re-expressed as
+# shipped > 60 days after the order date, and the group key is the ship
+# year instead of the ship mode; the operator shape is unchanged:
+# fact⋈fact equi-join + two-branch conditional counts).
+@query(
+    "q12_late_priority_lines",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY ship_year
+    """,
+    doc="TPC-H Q12 (adapted): fact-fact join + conditional two-branch counts",
+)
+def q12(spark, sf_dir):
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn("ship_year", F.expr("CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)"))
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted "late" predicate as in
+# Q12 above; grouped over every nation instead of filtering to one so the
+# result set is deterministic without a tie-broken LIMIT).
+#
+# The reference plan for this query is a double-correlated EXISTS /
+# NOT-EXISTS over the fact table; the Spark-first rewrite turns both
+# subqueries into per-order window aggregates (distinct suppliers,
+# distinct LATE suppliers) over ONE l_orderkey exchange of the fact —
+# instead of three fact-table scans or an agg + join-back (two more
+# fact-sized exchanges). Order groups are tiny (<= 7 lines), so the
+# collect_set window state is bounded.
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH fl AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT n_name, s_name, COUNT(*) AS numwait
+    FROM fl l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.late
+      AND EXISTS (
+        SELECT 1 FROM fl l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM fl l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late
+      )
+    GROUP BY n_name, s_name
+    """,
+    doc="TPC-H Q21 (adapted): exists + not-exists over the fact table as one keyed aggregate",
+)
+def q21(spark, sf_dir):
+    supp, li, orders, nation = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    l = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    # Both correlated subqueries collapse into per-order window counts:
+    #   EXISTS(other supplier)            ⟺ nsupp > 1
+    #   NOT EXISTS(other LATE supplier)   ⟺ nlate = 1  (l1 itself is late,
+    #     so the single distinct late supplier must be l1's)
+    # (countDistinct is not a window function; size(collect_set) is the
+    # standard equivalent and the per-order set is bounded.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        l.withColumn("nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "nlate",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+        )
+        .where(F.col("late") & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

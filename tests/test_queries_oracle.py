@@ -116,6 +116,9 @@ def test_registry_priority_window():
         "ev_value_histogram",
         "ice_partitioned_write_mor",
         "ice_stream_cdc",
+        # round-8 additions — never driver-verified, so in-window
+        "q12_late_priority_lines",
+        "q21_suppliers_kept_waiting",
     ):
         assert n in window, f"{n} outside the driver window"
     assert len(names) == len(set(names))
