@@ -1003,7 +1003,10 @@ def _merge_appended_manifests(md, parent, new_manifest, commit_uuid, attempt):
                 cur, cur_size = [], 0
         if cur:
             bins.append(cur)
-    singletons = [b[0] for b in bins if len(b) == 1]
+    # singleton bins are left untouched: a parent manifest in one is
+    # already carried by the data_m-minus-merged filter below, and a
+    # singleton NEW manifest is appended after the loop — re-adding them
+    # here would list the same manifest twice (duplicated rows on scan)
     bins = [b for b in bins if len(b) > 1]
     if not bins:
         return None
@@ -1042,11 +1045,7 @@ def _merge_appended_manifests(md, parent, new_manifest, commit_uuid, attempt):
         )
     if new_manifest.manifest_path not in merged_away:
         new_manifests.append(new_manifest)
-    carried = (
-        [m for m in data_m if m.manifest_path not in merged_away]
-        + [s for s in singletons if s.manifest_path != new_manifest.manifest_path]
-        + others
-    )
+    carried = [m for m in data_m if m.manifest_path not in merged_away] + others
     return new_manifests, carried, len(merged_away)
 
 

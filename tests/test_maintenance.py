@@ -664,6 +664,36 @@ def test_merge_append_incremental_scan_delivers_only_new(
     assert sum(x.file.record_count for x in tasks) == want
 
 
+def test_merge_append_singleton_bin_not_duplicated(fs_catalog, spark, lineitem_df):
+    """Regression: when the bin-packer closes bins at the target size, a
+    leftover SINGLETON bin holds a manifest that is merged into nothing.
+    That manifest must appear in the new manifest list exactly once —
+    the original carry logic re-added singleton parents on top of the
+    untouched-parent carry, listing the same manifest twice and
+    silently duplicating every row it references on scan."""
+    li = lineitem_df
+    t = fs_catalog.create_table("db.li_single", LINEITEM_SCHEMA)
+    t.append(li.where("l_orderkey % 5 = 0").coalesce(1))
+    t.refresh()
+    m0 = t.current_snapshot().manifests()[0]
+    tx = t.transaction()
+    # target = 1.5 manifests: bins close at two members, odd counts
+    # leave a singleton leftover bin
+    tx.set_properties(
+        {
+            "commit.manifest.min-count-to-merge": "5",
+            "commit.manifest.target-size-bytes": str(int(m0.manifest_length * 1.5)),
+        }
+    )
+    tx.commit()
+    for i in range(1, 5):
+        t.append(li.where(f"l_orderkey % 5 = {i}").coalesce(1))
+        t.refresh()
+    paths = [m.manifest_path for m in t.current_snapshot().manifests()]
+    assert len(paths) == len(set(paths)), f"manifest listed twice: {paths}"
+    assert t.scan().to_df(spark).count() == li.count()
+
+
 def test_merge_append_disabled_by_property(fs_catalog, spark, lineitem_df):
     t = fs_catalog.create_table("db.li_off", LINEITEM_SCHEMA)
     tx = t.transaction()
