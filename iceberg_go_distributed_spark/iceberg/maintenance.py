@@ -33,11 +33,23 @@ OBJECT_STORE_ENABLED = "write.object-storage.enabled"
 
 # ------------------------------------------------------------------ orphans
 
+def _statistics_paths(md) -> set[str]:
+    """Paths of table-statistics puffins and partition-statistics files
+    tracked in metadata (spec: `statistics-path` on both entry kinds)."""
+    out: set[str] = set()
+    for entry in list(md.statistics) + list(md.partition_statistics):
+        p = entry.get("statistics-path") if isinstance(entry, dict) else None
+        if p:
+            out.add(p)
+    return out
+
+
 def referenced_files(table) -> set[str]:
     """Every file any snapshot can reach — ref orphan_cleanup.go:229
     (getReferencedFiles): data files, manifests, manifest lists,
     metadata JSONs (current + log), statistics files."""
     refs: set[str] = {table.metadata_location}
+    refs |= _statistics_paths(table.metadata)
     for entry in table.metadata.metadata_log:
         refs.add(entry.metadata_file)
     for snap in table.metadata.snapshots:
@@ -746,6 +758,10 @@ def compute_partition_statistics(table) -> dict:
         for f in spec.fields:
             if f.name not in all_names:
                 all_names.append(f.name)
+    if not all_names:
+        # Java PartitionStatsHandler refuses unpartitioned tables; an
+        # empty partition struct is also unwritable as parquet.
+        raise ValueError("partition statistics require a partitioned table")
 
     agg: dict[tuple, dict] = {}
     for m in snap.manifests():

@@ -79,6 +79,47 @@ def test_orphan_cleanup(fs_catalog, spark, lineitem_df):
     assert os.path.exists(young)
 
 
+def test_orphan_cleanup_keeps_statistics_files(fs_catalog, spark, lineitem_df):
+    """Statistics puffins and partition-statistics parquet are reachable
+    only through metadata `statistics` / `partition-statistics` entries
+    (not through any snapshot), so orphan cleanup must treat them as
+    referenced — ref orphan_cleanup.go:229 (statistics files branch)."""
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        compute_partition_statistics,
+    )
+    from iceberg_go_distributed_spark.iceberg.puffin import compute_ndv_statistics
+
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    schema = schema_from_spark(lineitem_df.schema)
+    spec = spec_from(schema, ("l_returnflag", "identity"))
+    t = fs_catalog.create_table("db.li_orphan_stats", schema, spec=spec)
+    t.append(lineitem_df.limit(100).coalesce(1))
+
+    ndv = compute_ndv_statistics(t, spark, columns=["l_returnflag"])
+    pstats = compute_partition_statistics(t)
+    stats_paths = {ndv["statistics-path"], pstats["statistics-path"]}
+    for p in stats_paths:
+        assert os.path.exists(p)
+        old = time.time() - 10 * 86400
+        os.utime(p, (old, old))
+
+    refs = referenced_files(t)
+    assert stats_paths <= refs
+
+    assert delete_orphan_files(t) == []
+    for p in stats_paths:
+        assert os.path.exists(p)
+
+    # unpartitioned tables refuse partition stats (Java parity) rather
+    # than writing an unreadable empty partition struct
+    flat = fs_catalog.create_table("db.li_orphan_stats_flat", LINEITEM_SCHEMA)
+    flat.append(lineitem_df.limit(10).coalesce(1))
+    with pytest.raises(ValueError, match="partitioned"):
+        compute_partition_statistics(flat)
+
+
 def test_manifest_merge(fs_catalog, spark, lineitem_df):
     t = fs_catalog.create_table("db.li_merge", LINEITEM_SCHEMA)
     for i in range(6):
