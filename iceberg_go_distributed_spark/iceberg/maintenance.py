@@ -237,6 +237,7 @@ def _delete_orphans_distributed(table, spark, cutoff, dry_run, concurrency):
     # + manifests)); executors read each manifest once for its data/delete
     # file paths — the O(entries) work never touches the driver
     meta_refs = {strip_scheme(table.metadata_location)}
+    meta_refs |= {strip_scheme(p) for p in _statistics_paths(table.metadata)}
     for entry in table.metadata.metadata_log:
         meta_refs.add(strip_scheme(entry.metadata_file))
     manifest_paths: set[str] = set()

@@ -112,6 +112,11 @@ def test_orphan_cleanup_keeps_statistics_files(fs_catalog, spark, lineitem_df):
     for p in stats_paths:
         assert os.path.exists(p)
 
+    # the distributed listing path must protect them identically
+    assert delete_orphan_files(t, spark=spark) == []
+    for p in stats_paths:
+        assert os.path.exists(p)
+
     # unpartitioned tables refuse partition stats (Java parity) rather
     # than writing an unreadable empty partition struct
     flat = fs_catalog.create_table("db.li_orphan_stats_flat", LINEITEM_SCHEMA)
