@@ -735,3 +735,233 @@ def q21(spark, sf_dir):
         .groupBy("n_name", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: the testdata has no partsupp, so
+# the part⋈supplier relation and its supply cost derive from lineitem —
+# cost(part, supp) = MIN net line price that supplier ever charged for
+# that part. The operator shape is the original's: region-filtered
+# supplier dimension, a part filter, and a correlated per-part MIN that
+# keeps only the cheapest supplier(s) of each part).
+#
+# Spark-first plan: dims (supplier⋈nation⋈region, part) broadcast into
+# the fact scan, ONE exchange to aggregate (partkey, suppkey), then a
+# per-part window MIN over the tiny aggregated relation — never a second
+# fact-sized shuffle, no correlated re-scan.
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN({REV}) AS cost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM ps JOIN part ON p_partkey = ps.l_partkey
+            JOIN supplier ON s_suppkey = ps.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+    WHERE cost = (SELECT MIN(cost) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
+    """,
+    doc="TPC-H Q2 (adapted): correlated per-part MIN via window over aggregated facts",
+)
+def q2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part, supp, li, nation, region = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    eur_supp = (
+        supp.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+    )
+    target_parts = part.where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = (
+        li.join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(target_parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr(f"MIN({REV})").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = ps.withColumn("min_cost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        cheapest.join(
+            F.broadcast(eur_supp.select("s_suppkey", "s_acctbal", "s_name", "n_name")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(target_parts.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (adapted: part "value" held by one
+# nation's suppliers derives from lineitem revenue instead of
+# ps_supplycost*ps_availqty; the shape is the original's — a grouped
+# aggregate filtered against an uncorrelated scalar fraction of the
+# grand total, all in exact DECIMAL so the threshold gate is bit-stable).
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, SUM({REV}) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+    FROM pv
+    WHERE val > (SELECT SUM(val) * CAST(0.002 AS DECIMAL(6,4)) FROM pv)
+    """,
+    doc="TPC-H Q11 (adapted): group-by gated on an uncorrelated scalar fraction of the total",
+)
+def q11(spark, sf_dir):
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM({REV})").alias("val"))
+    )
+    # 1-row broadcast threshold keeps the plan lazy and distributed
+    threshold = pv.agg(
+        F.expr("SUM(val) * CAST(0.002 AS DECIMAL(6,4))").alias("cutoff")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .where(F.col("val") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted: the part⋈supplier relation
+# is the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem; the
+# "customer complaints" exclusion becomes suppliers with negative
+# account balance. Shape preserved: NOT-IN anti join + count-distinct
+# suppliers per part attribute group).
+@query(
+    "q16_part_supplier_relation",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (adapted): distinct-pair relation + anti join + count-distinct group",
+)
+def q16(spark, sf_dir):
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    complainers = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    wanted_parts = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(complainers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(wanted_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: no ps_availqty, so "excess
+# stock" becomes supply dominance — a supplier qualifies when it shipped
+# more than HALF of a small-part's 1996 volume; the comparison is
+# cross-multiplied (2*sqty > total) so both engines gate on exact
+# DECIMALs, never a divided double. Shape preserved: name-filtered
+# parts → date-filtered facts → per-(part,supplier) aggregate compared
+# against a per-part aggregate → semi join up to suppliers⋈nation).
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sqty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT l_partkey, SUM(sqty) AS tqty FROM shipped GROUP BY l_partkey)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT shipped.l_suppkey FROM shipped JOIN tot USING (l_partkey)
+      WHERE sqty * 2 > tqty)
+    """,
+    doc="TPC-H Q20 (adapted): nested per-part dominance aggregate + semi join chain",
+)
+def q20(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    small_parts = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("sqty"))
+    )
+    # per-part total via window over the aggregated relation (tiny after
+    # the part/date filters) — avoids a second fact-sized exchange
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("tqty", F.sum("sqty").over(w))
+        .where(F.col("sqty") * 2 > F.col("tqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
