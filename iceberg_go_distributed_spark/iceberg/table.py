@@ -1559,11 +1559,19 @@ class Table(StaticTable):
 
         upsert(self, df, key_columns)
 
-    def rewrite_data_files(self, spark, target_file_size=None) -> bool:
-        """Small-file compaction into a 'replace' snapshot."""
+    def rewrite_data_files(
+        self, spark, target_file_size=None, strategy="binpack", sort_cols=None
+    ) -> bool:
+        """Data-file rewrite into a 'replace' snapshot: binpack
+        (small-file compaction, default), sort (cluster every file on
+        `sort_cols` so metrics pruning skips on the sort key), or zorder
+        (cluster on the bit-interleaved z-value of 2-4 columns so
+        pruning works on all of them at once)."""
         from .write import rewrite_data_files
 
-        return rewrite_data_files(self, spark, target_file_size)
+        return rewrite_data_files(
+            self, spark, target_file_size, strategy=strategy, sort_cols=sort_cols
+        )
 
     def rewrite_position_deletes(self, spark, target_file_size=None) -> bool:
         """Consolidate scattered deletion-vector puffin files without

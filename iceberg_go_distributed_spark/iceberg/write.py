@@ -2210,14 +2210,153 @@ def upsert(table, df, key_columns: list[str]) -> None:
     )
 
 
-def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> bool:
-    """Small-file compaction: bin-pack the current snapshot's data files
-    back to the target size in one 'replace' snapshot (same rows, fewer
-    files). Also materializes pending deletes — compacted files carry no
+def _zorder_bounds(victims, schema, col_names):
+    """Per-column (min, max) for z-value normalization, folded from the
+    victims' manifest stats when every file carries bounds for every
+    z-order column (driver-side, no job); returns None on any gap so the
+    caller falls back to one Spark aggregate."""
+    from .conversions import from_bytes
+
+    by_name = {f.name: f for f in schema.fields}
+    out = {}
+    for name in col_names:
+        fld = by_name[name]
+        lo = hi = None
+        for t in victims:
+            lb = (t.file.lower_bounds or {}).get(fld.field_id)
+            ub = (t.file.upper_bounds or {}).get(fld.field_id)
+            if lb is None or ub is None:
+                return None
+            flo, fhi = from_bytes(fld.field_type, lb), from_bytes(fld.field_type, ub)
+            lo = flo if lo is None or flo < lo else lo
+            hi = fhi if hi is None or fhi > hi else hi
+        out[name] = (lo, hi)
+    return out
+
+
+def _cluster_expr(df, victims, schema, sort_cols, strategy):
+    """Clustering sort key for a layout rewrite: the identity columns
+    (strategy='sort') or ONE interleaved z-value column built from pure
+    JVM bit arithmetic (strategy='zorder' — no UDF; stays inside
+    whole-stage codegen). Z-order normalizes each column to a fixed-width
+    integer via global min/max (manifest stats when complete, else one
+    aggregate job) and interleaves the bits so a range partition on the
+    z-value clusters ALL the columns at once — multi-column min/max
+    pruning on files, the layout equivalent of the reference's
+    metrics-evaluator file skipping at scale."""
+    from pyspark.sql import functions as F
+
+    from .types import (
+        BooleanType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        TimestampType,
+        TimestampTzType,
+    )
+
+    if strategy == "sort":
+        return [F.col(c) for c in sort_cols]
+    if len(sort_cols) < 2:
+        raise ValueError("zorder needs at least 2 columns (use strategy='sort' for 1)")
+    if len(sort_cols) > 4:
+        raise ValueError("zorder supports at most 4 columns")
+    by_name = {f.name: f for f in schema.fields}
+    numeric = (
+        IntegerType, LongType, FloatType, DoubleType, DecimalType,
+        DateType, TimestampType, TimestampTzType, BooleanType,
+    )
+    for c in sort_cols:
+        if c not in by_name:
+            raise ValueError(f"zorder column {c!r} not in schema")
+        if not isinstance(by_name[c].field_type, numeric):
+            raise ValueError(
+                f"zorder column {c!r} has unsupported type "
+                f"{by_name[c].field_type}; numeric/date/timestamp only"
+            )
+
+    def num_expr(c):
+        # numeric view of the column in the SAME units as manifest bounds
+        # (from_bytes: timestamps = micros since epoch, dates = days)
+        t = by_name[c].field_type
+        if isinstance(t, (TimestampType, TimestampTzType)):
+            return F.unix_micros(F.col(c))
+        if isinstance(t, DateType):
+            return F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+        return F.col(c).cast("double")
+
+    bounds = _zorder_bounds(victims, schema, sort_cols)
+    if bounds is None:
+        aggs = []
+        for c in sort_cols:
+            aggs += [
+                F.min(num_expr(c)).alias(f"mn_{c}"),
+                F.max(num_expr(c)).alias(f"mx_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]  # one scalar row: O(1) driver data
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in sort_cols}
+
+    def as_num(v):
+        return None if v is None else float(v)
+
+    k = len(sort_cols)
+    bits = min(16, 62 // k)  # keep the interleave clear of the sign bit
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(sort_cols):
+        mn, mx = (as_num(bounds[c][0]), as_num(bounds[c][1]))
+        col = num_expr(c).cast("double")
+        if mn is None or mx is None or mx <= mn:
+            norm = F.lit(0).cast("long")
+        else:
+            scaled = (col - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(top))
+            norm = F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0.0)), F.lit(float(top))),
+                F.lit(0.0),
+            ).cast("long")
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(norm, bit).bitwiseAND(F.lit(1)), bit * k + j
+                )
+            )
+    return [z.alias("__zval")]
+
+
+def rewrite_data_files(
+    table,
+    spark,
+    target_file_size: Optional[int] = None,
+    strategy: str = "binpack",
+    sort_cols: Optional[list] = None,
+) -> bool:
+    """Data-file rewrite in one 'replace' snapshot (same rows, new
+    layout). Also materializes pending deletes — rewritten files carry no
     MOR baggage. ref Transaction.ReplaceDataFiles (transaction.go:408-497)
-    used for compaction."""
+    used for compaction.
+
+    strategy:
+      binpack (default) — small-file compaction: coalesce the small /
+        delete-carrying files back to the target size; well-sized clean
+        files are carried forward untouched.
+      sort — layout rewrite of EVERY data file: one range exchange on
+        `sort_cols` (partition columns lead on partitioned tables) +
+        task-local sort, so file min/max bounds become disjoint on the
+        sort key and metrics pruning skips non-matching files.
+      zorder — like sort, but clustering on the bit-interleaved z-value
+        of 2-4 columns, so pruning works on ALL of them at once (no
+        single column dominates the layout).
+    """
     from .manifest import ManifestEntry, ManifestEntryStatus, write_manifest
 
+    if strategy not in ("binpack", "sort", "zorder"):
+        raise ValueError(f"strategy={strategy!r}: expected binpack|sort|zorder")
+    clustered = strategy in ("sort", "zorder")
+    if clustered and not sort_cols:
+        raise ValueError(f"strategy={strategy!r} requires sort_cols")
     md = table.metadata
     v3 = md.format_version >= 3
     # name-mapped v3 tables compact fine: the lineage read resolves
@@ -2228,13 +2367,19 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
         md.properties.get("write.target-file-size-bytes", str(TARGET_FILE_SIZE_BYTES))
     )
     tasks = table.scan().plan_files()
-    victims = [
-        t
-        for t in tasks
-        if t.file.file_size_in_bytes < target // 2 or t.delete_files
-    ]
-    if len(victims) < 2 and not any(t.delete_files for t in victims):
-        return False
+    if clustered:
+        # a layout rewrite reclusters the whole table, not just small files
+        victims = list(tasks)
+        if not victims:
+            return False
+    else:
+        victims = [
+            t
+            for t in tasks
+            if t.file.file_size_in_bytes < target // 2 or t.delete_files
+        ]
+        if len(victims) < 2 and not any(t.delete_files for t in victims):
+            return False
 
     ds = begin_distributed_snapshot(table)
     schema = md.current_schema()
@@ -2288,12 +2433,64 @@ def rewrite_data_files(table, spark, target_file_size: Optional[int] = None) -> 
         )
     else:
         df = scan._read_with_deletes(spark, victims, schema, eq_map or None)
-    df = df.coalesce(n_out)
+    write_props = md.properties
+    write_sort_order = None
+    if clustered:
+        # ONE range exchange on (partition columns, cluster key) + a
+        # task-local sort: file bounds become disjoint on the cluster key
+        # so the metrics evaluator prunes them. The fanout writer then
+        # splits partition boundaries inside each task, so the write
+        # itself adds NO second exchange (distribution-mode none).
+        from pyspark.sql import functions as F
+
+        cluster = _cluster_expr(df, victims, schema, list(sort_cols), strategy)
+        spec = md.default_spec()
+        src_by_id = {f.field_id: f for f in schema.fields}
+        part_exprs = [
+            pf.transform.spark_column(
+                F.col(src_by_id[pf.source_id].name),
+                src_by_id[pf.source_id].field_type,
+            )
+            for pf in spec.fields
+        ]
+        keys = part_exprs + cluster
+        df = df.repartitionByRange(max(n_out, 1), *keys).sortWithinPartitions(*keys)
+        write_props = dict(md.properties)
+        write_props["write.distribution-mode"] = "none"
+        if strategy == "sort":
+            # stamp the declared sort-order id only when the table's
+            # default order IS this identity ascending sort (never invent
+            # an undeclared order id); the data is already sorted either way
+            declared = next(
+                (
+                    o
+                    for o in md.sort_orders
+                    if o.order_id == md.default_sort_order_id
+                ),
+                None,
+            )
+            wanted = tuple(
+                (f.source_id, f.transform, f.direction)
+                for f in (declared.fields if declared else ())
+            )
+            ours = tuple(
+                (
+                    next(f.field_id for f in schema.fields if f.name == c),
+                    "identity",
+                    "asc",
+                )
+                for c in sort_cols
+            )
+            if declared is not None and wanted == ours:
+                write_sort_order = declared
+    else:
+        df = df.coalesce(n_out)
     removed = {t.file.file_path for t in victims}
     data_files = write_data_files(
         df, write_schema, md.default_spec(), md.location, ds.commit_uuid,
+        sort_order=write_sort_order,
         target_file_size=target,
-        properties=md.properties,
+        properties=write_props,
     )
     if v3:
         # manifest column stats for the reserved lineage columns are

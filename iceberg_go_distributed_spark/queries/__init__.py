@@ -63,7 +63,11 @@ _PRIORITY = [
     "ice_prune_soundness",
     "ice_time_travel",
     "ice_snapshot_summary",
-    "ice_bucket_partitioning",
+    # ice_bucket_partitioning rotated r8 (six driver-green rounds r2–r7;
+    # the murmur3 bucket transform stays pinned by golden-value pytest
+    # and the local oracle) — its slot admits the new z-order layout
+    # rewrite so the clustering feature gets a driver row in round one.
+    "ice_zorder_prune",
     "ice_positional_deletes",
     "ice_overwrite",
     "ice_equality_deletes",
@@ -207,6 +211,9 @@ ROTATED_OUT: dict[str, dict] = {
     # window in their first round
     "q1_pricing_summary": _r(8, None, "scan-filter wide agg; 6 driver-green rounds (r2-r7); BENCH headline, so it stays timed every round and the local oracle verifies values"),
     "ev_sessionization": _r(8, "ev_stream_sessionize", "6 driver-green rounds (r2-r7); same session-window machinery as the in-window stream variant, whose batch parity test pins these exact values"),
+    # round 8 rotation — to admit ice_zorder_prune (the new z-order
+    # layout-rewrite oracle) into the window
+    "ice_bucket_partitioning": _r(8, None, "murmur3-bucket write+pruned scan; 6 driver-green rounds (r2-r7); the bit-exact bucket transform keeps its golden-value pytest and the local oracle verifies values every round"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

@@ -910,3 +910,64 @@ def ice_stream_cdc(spark, sf_dir):
     return spark.table(name).select(
         "l_orderkey", "l_linenumber", "qty", "_change_type"
     )
+
+
+@query(
+    "ice_zorder_prune",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 100 AND 160 AND l_partkey BETWEEN 20 AND 60
+    """,
+    doc="z-order layout rewrite: 2-col box filter prunes files only after clustering",
+)
+def ice_zorder_prune(spark, sf_dir):
+    """Z-order clustering payoff round trip: append in random row order
+    (every file spans ~the full range of BOTH keys, so a 2-column box
+    filter prunes nothing), rewrite with strategy='zorder' on
+    (l_orderkey, l_partkey), and scan the SAME box — the rewrite must
+    make metrics pruning bite (asserted), and the aggregate must still
+    match DuckDB on the raw parquet bit-for-bit."""
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_zorder", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_zorder", schema_from_spark(li.schema))
+    # round-robin repartition: each of the 8 files covers ~the whole
+    # (orderkey, partkey) plane, so the box filter prunes nothing yet
+    t.append(li.repartition(8))
+    box = E.and_(
+        E.and_(
+            E.greater_than_or_equal("l_orderkey", 100),
+            E.less_than_or_equal("l_orderkey", 160),
+        ),
+        E.and_(
+            E.greater_than_or_equal("l_partkey", 20),
+            E.less_than_or_equal("l_partkey", 60),
+        ),
+    )
+    n_before = len(t.scan(row_filter=box).plan_files())
+    total = sum(task.file.file_size_in_bytes for task in t.scan().plan_files())
+    assert t.rewrite_data_files(
+        spark,
+        target_file_size=max(total // 12, 1),
+        strategy="zorder",
+        sort_cols=["l_orderkey", "l_partkey"],
+    )
+    t.refresh()
+    n_all = len(t.scan().plan_files())
+    n_hit = len(t.scan(row_filter=box).plan_files())
+    assert n_hit <= n_all // 2, f"zorder pruning inactive: {n_hit}/{n_all}"
+    assert n_hit <= n_before, f"no improvement: {n_hit} vs {n_before}"
+    return (
+        t.scan(row_filter=box)
+        .to_df(spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )

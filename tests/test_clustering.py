@@ -1,0 +1,224 @@
+"""Sort / z-order layout rewrites (rewrite_data_files strategies).
+
+The payoff under test is PRUNING: after a clustering rewrite, file-level
+min/max bounds become selective on the cluster key(s), so the inclusive
+metrics evaluator (the same four-level cascade every scan takes) skips
+most files for a selective filter — the layout-side half of the
+reference's metrics pruning (ref table/scanner.go metrics evaluation),
+which matters at 100 TB where pruning is the difference between reading
+a few files and reading a partition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+
+@pytest.fixture()
+def fs_catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+def _xy_df(spark, n=40_000, seed=7):
+    """Two independent uniform columns in random row order: before
+    clustering, every file spans nearly the full range of BOTH."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.xxhash64(F.col("id"), F.lit(seed)) % 1000).alias("x"),
+            (F.xxhash64(F.col("id"), F.lit(seed + 1)) % 1000).alias("y"),
+        )
+        .select(
+            "rid",
+            F.abs(F.col("x")).alias("x"),
+            F.abs(F.col("y")).alias("y"),
+        )
+    )
+
+
+def _xy_table(fs_catalog, spark, name, v3=False, n=40_000):
+    df = _xy_df(spark, n)
+    t = fs_catalog.create_table(f"db.{name}", schema_from_spark(df.schema))
+    if v3:
+        t.upgrade_format_version(3)
+    t.append(df.repartition(8))  # 8 files, each spanning ~full x and y
+    return t, df
+
+
+BOX = E.and_(
+    E.and_(E.greater_than_or_equal("x", 100), E.less_than("x", 220)),
+    E.and_(E.greater_than_or_equal("y", 100), E.less_than("y", 220)),
+)
+
+
+def _rows(t, spark, flt=None):
+    scan = t.scan(row_filter=flt) if flt is not None else t.scan()
+    return sorted(
+        (r.rid, r.x, r.y) for r in scan.to_df(spark).collect()
+    )
+
+
+def test_zorder_improves_two_col_pruning(fs_catalog, spark):
+    t, _ = _xy_table(fs_catalog, spark, "zorder2")
+    before_rows = _rows(t, spark, BOX)
+    n_files = len(t.scan().plan_files())
+    assert n_files == 8
+    # unclustered: the 1.4%-of-space box prunes nothing
+    assert len(t.scan(row_filter=BOX).plan_files()) == n_files
+
+    # target size chosen to produce >= 8 output files so pruning has
+    # granularity to work with
+    total = sum(task.file.file_size_in_bytes for task in t.scan().plan_files())
+    assert t.rewrite_data_files(
+        spark, target_file_size=max(total // 12, 1), strategy="zorder",
+        sort_cols=["x", "y"],
+    ) is True
+    t.refresh()
+    assert t.current_snapshot().summary.operation == "replace"
+
+    after_all = len(t.scan().plan_files())
+    after_hit = len(t.scan(row_filter=BOX).plan_files())
+    assert after_all >= 8
+    # z-order clusters BOTH columns: the box now touches a minority of files
+    assert after_hit < after_all / 2, f"{after_hit}/{after_all} files hit"
+    # and the rows are bit-identical
+    assert _rows(t, spark, BOX) == before_rows
+
+
+def test_sort_rewrite_prunes_on_sort_key(fs_catalog, spark):
+    t, _ = _xy_table(fs_catalog, spark, "sortx")
+    flt = E.and_(E.greater_than_or_equal("x", 500), E.less_than("x", 560))
+    before_rows = _rows(t, spark, flt)
+    assert len(t.scan(row_filter=flt).plan_files()) == 8  # no pruning yet
+
+    total = sum(task.file.file_size_in_bytes for task in t.scan().plan_files())
+    assert t.rewrite_data_files(
+        spark, target_file_size=max(total // 12, 1), strategy="sort",
+        sort_cols=["x"],
+    ) is True
+    t.refresh()
+    after_all = len(t.scan().plan_files())
+    after_hit = len(t.scan(row_filter=flt).plan_files())
+    # a 6% x-range over a sorted layout touches ~1-2 files
+    assert after_hit <= max(2, after_all // 4), f"{after_hit}/{after_all}"
+    assert _rows(t, spark, flt) == before_rows
+    # disjoint-ish bounds: files ordered by lower bound must not overlap
+    # beyond adjacent boundaries
+    from iceberg_go_distributed_spark.iceberg.conversions import from_bytes
+    from iceberg_go_distributed_spark.iceberg.types import LongType
+
+    xid = next(f.field_id for f in t.metadata.current_schema().fields if f.name == "x")
+    bounds = sorted(
+        (
+            from_bytes(LongType(), task.file.lower_bounds[xid]),
+            from_bytes(LongType(), task.file.upper_bounds[xid]),
+        )
+        for task in t.scan().plan_files()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert lo2 >= lo1 and hi1 <= bounds[-1][1]
+        assert lo2 >= hi1 or hi1 - lo2 <= 1, f"overlapping files: {bounds}"
+
+
+def test_zorder_materializes_deletes_and_preserves_lineage(fs_catalog, spark):
+    t, _ = _xy_table(fs_catalog, spark, "zorder_v3", v3=True, n=10_000)
+    t.delete_where(spark, E.less_than("rid", 500))
+    before = {
+        r.rid: (r._row_id, r._last_updated_sequence_number)
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "y"]) is True
+    t.refresh()
+    after = {
+        r.rid: (r._row_id, r._last_updated_sequence_number)
+        for r in t.scan().with_row_lineage().to_df(spark).collect()
+    }
+    assert after == before  # exact lineage through the layout rewrite
+    assert all(not task.delete_files for task in t.scan().plan_files())
+
+
+def test_sort_rewrite_partitioned_clusters_within_partitions(fs_catalog, spark):
+    df = _xy_df(spark, 20_000).withColumn("bucket", F.pmod(F.col("rid"), F.lit(4)))
+    schema = schema_from_spark(df.schema)
+    t = fs_catalog.create_table(
+        "db.sort_part", schema, spec=spec_from(schema, ("bucket", "identity"))
+    )
+    t.append(df.repartition(8))
+    flt = E.and_(
+        E.equal("bucket", 2),
+        E.and_(E.greater_than_or_equal("x", 500), E.less_than("x", 560)),
+    )
+    before_rows = _rows_part(t, spark, flt)
+    total = sum(task.file.file_size_in_bytes for task in t.scan().plan_files())
+    assert t.rewrite_data_files(
+        spark, target_file_size=max(total // 16, 1), strategy="sort",
+        sort_cols=["x"],
+    ) is True
+    t.refresh()
+    # partition pruning still works AND the x-range prunes within it
+    bucket2_files = len(t.scan(row_filter=E.equal("bucket", 2)).plan_files())
+    hit = len(t.scan(row_filter=flt).plan_files())
+    all_files = len(t.scan().plan_files())
+    assert bucket2_files < all_files  # partition pruning intact
+    assert hit < bucket2_files  # sort-key pruning inside the partition
+    assert _rows_part(t, spark, flt) == before_rows
+
+
+def _rows_part(t, spark, flt):
+    return sorted(
+        (r.rid, r.x, r.y, r.bucket)
+        for r in t.scan(row_filter=flt).to_df(spark).collect()
+    )
+
+
+def test_sort_rewrite_stamps_declared_sort_order(fs_catalog, spark):
+    from iceberg_go_distributed_spark.iceberg.metadata import SortField, SortOrder
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AddSortOrderUpdate,
+        SetDefaultSortOrder,
+    )
+
+    t, _ = _xy_table(fs_catalog, spark, "sort_declared", n=5_000)
+    xid = next(f.field_id for f in t.metadata.current_schema().fields if f.name == "x")
+    order = SortOrder(order_id=1, fields=(SortField(source_id=xid),))
+    tx = t.transaction()
+    tx.apply([AddSortOrderUpdate(order), SetDefaultSortOrder(1)], [])
+    tx.commit()
+    t.refresh()
+    assert t.metadata.default_sort_order_id == 1
+
+    assert t.rewrite_data_files(spark, strategy="sort", sort_cols=["x"]) is True
+    t.refresh()
+    for task in t.scan().plan_files():
+        assert task.file.sort_order_id == 1
+
+
+def test_clustering_rejects_bad_arguments(fs_catalog, spark):
+    t, _ = _xy_table(fs_catalog, spark, "zorder_bad", n=1_000)
+    with pytest.raises(ValueError, match="expected binpack"):
+        t.rewrite_data_files(spark, strategy="cluster", sort_cols=["x"])
+    with pytest.raises(ValueError, match="requires sort_cols"):
+        t.rewrite_data_files(spark, strategy="zorder")
+    with pytest.raises(ValueError, match="at least 2"):
+        t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x"])
+    with pytest.raises(ValueError, match="at most 4"):
+        t.rewrite_data_files(
+            spark, strategy="zorder", sort_cols=["x", "y", "rid", "x", "y"]
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "nope"])
+
+
+def test_zorder_rejects_string_columns(fs_catalog, spark):
+    df = _xy_df(spark, 1_000).withColumn("s", F.col("rid").cast("string"))
+    t = fs_catalog.create_table("db.zorder_str", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "s"])
