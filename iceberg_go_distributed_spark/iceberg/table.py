@@ -1559,6 +1559,15 @@ class Table(StaticTable):
 
         upsert(self, df, key_columns)
 
+    def merge(self, spark, source, on: list, **actions) -> bool:
+        """Multi-action MERGE INTO (single snapshot, merge-on-read):
+        matched_update ("*" or {col: sql_expr}), matched_update_condition,
+        matched_delete_condition, not_matched_insert (True or
+        {col: sql_expr}) — see write.merge."""
+        from .write import merge
+
+        return merge(self, spark, source, on, **actions)
+
     def rewrite_data_files(
         self, spark, target_file_size=None, strategy="binpack", sort_cols=None
     ) -> bool:

@@ -2109,6 +2109,16 @@ def delete_by_keys(table, keys_df, key_columns: list[str]) -> None:
     )
 
 
+def _resolve_key_fields(schema, key_columns):
+    fields = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"unknown key column {c!r}")
+        fields.append(f)
+    return fields
+
+
 @_retry_dml_on_conflict
 def upsert(table, df, key_columns: list[str]) -> None:
     """MERGE/upsert in ONE snapshot: an equality-delete manifest for the
@@ -2117,6 +2127,19 @@ def upsert(table, df, key_columns: list[str]) -> None:
     The CDC apply shape: new rows replace any old rows with the same key
     (rows in this batch are exempt from its own delete because equality
     deletes only apply to strictly lower sequence numbers)."""
+    md = table.metadata
+    schema = md.current_schema()
+    fields = _resolve_key_fields(schema, key_columns)
+    _row_delta(
+        table, df, df.select(*key_columns).dropDuplicates(), fields, "upsert"
+    )
+
+
+def _row_delta(table, data_df, keys_df, key_fields, label) -> bool:
+    """One overwrite snapshot pairing a data manifest (data_df's rows)
+    with an equality-delete manifest (keys_df's key tuples) — the shared
+    commit tail of upsert and merge. Returns False (no snapshot) when
+    both frames turn out empty."""
     from .manifest import (
         DataFileContent,
         ManifestContent,
@@ -2128,27 +2151,22 @@ def upsert(table, df, key_columns: list[str]) -> None:
 
     md = table.metadata
     schema = md.current_schema()
-    fields = []
-    for c in key_columns:
-        f = schema.find_field(c)
-        if f is None:
-            raise ValueError(f"unknown key column {c!r}")
-        fields.append(f)
+    fields = list(key_fields)
     eq_schema = Schema(0, tuple(fields))
     ds = begin_distributed_snapshot(table)
     del_spec, minted = _unpartitioned_spec_for(md)
 
     # workers: new data files + equality-delete key files in one pass each
     data_files = write_data_files(
-        df, schema, md.default_spec(), md.location, ds.commit_uuid,
+        data_df, schema, md.default_spec(), md.location, ds.commit_uuid,
         properties=md.properties,
     )
     key_files = write_data_files(
-        df.select(*key_columns).dropDuplicates(),
+        keys_df,
         eq_schema,
         del_spec,
         md.location,
-        f"{ds.commit_uuid}-upsert-keys",
+        f"{ds.commit_uuid}-{label}-keys",
         properties=md.properties,
         strict_metrics=False,  # key-only projection of the table schema
     )
@@ -2170,18 +2188,20 @@ def upsert(table, df, key_columns: list[str]) -> None:
 
     new_manifests = []
     if data_files:
-        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-upsert-m0.avro")
+        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-{label}-m0.avro")
         new_manifests.append(
             write_manifest(p, md.default_spec(), schema, ds.snapshot_id, entries(data_files))
         )
     if key_files:
-        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-upsert-d0.avro")
+        p = os.path.join(md.location, "metadata", f"{ds.commit_uuid}-{label}-d0.avro")
         new_manifests.append(
             write_manifest(
                 p, del_spec, eq_schema, ds.snapshot_id,
                 entries(key_files), content=ManifestContent.DELETES,
             )
         )
+    if not new_manifests:
+        return False  # nothing matched and nothing to insert: no snapshot
     from .transaction import AddPartitionSpecUpdate
 
     parent = md.current_snapshot()
@@ -2208,6 +2228,155 @@ def upsert(table, df, key_columns: list[str]) -> None:
         parent_snapshot_id=ds.parent_snapshot_id,
         extra_updates=[AddPartitionSpecUpdate(del_spec)] if minted and key_files else None,
     )
+    return True
+
+
+class MergeCardinalityError(ValueError):
+    """A MERGE source carries duplicate key tuples: applying it would be
+    nondeterministic (which source row wins?), the same violation ANSI
+    MERGE and the reference's conflict detection reject."""
+
+
+@_retry_dml_on_conflict
+def merge(
+    table,
+    spark,
+    source,
+    on: list[str],
+    matched_update=None,
+    matched_update_condition: Optional[str] = None,
+    matched_delete_condition: Optional[str] = None,
+    not_matched_insert=True,
+    check_cardinality: bool = True,
+) -> bool:
+    """Multi-action MERGE INTO in ONE snapshot (merge-on-read).
+
+    Joins `source` against the table on the `on` key columns and applies,
+    per matched target row:
+      1. DELETE when `matched_delete_condition` holds (a SQL boolean over
+         `target.<col>` / `source.<col>` references);
+      2. else UPDATE when `matched_update` is given and
+         `matched_update_condition` (default: always) holds —
+         `matched_update` is ``"*"`` (take every source column, the
+         classic upsert) or a dict ``{target_col: sql_expr}`` where the
+         expression may reference both sides (``"target.qty + source.qty"``);
+         unlisted columns keep their target values;
+      3. else the row is left untouched (NOT equality-deleted — readers
+         never see it disappear).
+    Unmatched source rows insert when `not_matched_insert` is true —
+    ``True`` inserts the source row as-is, a dict maps target columns to
+    SQL expressions over `source.<col>` (missing columns null-fill).
+
+    Spark-first shape: ONE pruned target scan joined with the source
+    (Catalyst broadcasts a small source; AQE picks the join strategy),
+    plus a key-pruned anti-join for the inserts. The commit is the upsert
+    commit: a data manifest (updated + inserted rows) and an
+    equality-delete manifest (keys of updated/deleted rows) land in the
+    same snapshot, so the delete is never visible without its
+    replacement; untouched matched rows are never deleted. Updated rows
+    carry the new snapshot's sequence number, so the batch's own
+    equality delete (strictly-lower sequence gating) does not apply to
+    them. Returns False (and commits nothing) when no action produced a
+    row. ref table/transaction_test.go MERGE coverage; CAS losers
+    refresh and fully re-plan via the DML retry wrapper.
+
+    `check_cardinality` (default on) rejects duplicate source key tuples
+    with MergeCardinalityError — one aggregate over the (small) source.
+    """
+    from pyspark.sql import functions as F
+
+    from .types import schema_to_spark_struct
+
+    md = table.metadata
+    schema = md.current_schema()
+    fields = _resolve_key_fields(schema, on)
+    if matched_update is None and matched_delete_condition is None and not not_matched_insert:
+        raise ValueError("merge with no actions")
+    if matched_update is not None and matched_update != "*":
+        bad = [c for c in matched_update if schema.find_field(c) is None]
+        if bad:
+            raise ValueError(f"matched_update targets unknown columns {bad}")
+        if any(c in matched_update for c in on):
+            raise ValueError("matched_update must not rewrite key columns")
+
+    if check_cardinality:
+        dup = (
+            source.groupBy(*on).count().where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            key = {k: dup[0][k] for k in on}
+            raise MergeCardinalityError(
+                f"source has multiple rows for key {key}; a deterministic "
+                "MERGE needs unique source keys (pre-aggregate the source)"
+            )
+
+    struct = schema_to_spark_struct(schema)
+    cols = [f.name for f in schema.fields]
+    tgt = table.scan().to_df(spark).alias("target")
+    src = source.alias("source")
+    join_cond = None
+    for k in on:
+        c = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
+        join_cond = c if join_cond is None else (join_cond & c)
+
+    def out(exprs):
+        return [
+            F.expr(exprs[c]).cast(struct[c].dataType).alias(c) if c in exprs
+            else F.col(f"target.{c}").alias(c)
+            for c in cols
+        ]
+
+    matched = tgt.join(src, join_cond, "inner")
+    del_cond = (
+        F.expr(matched_delete_condition)
+        if matched_delete_condition is not None
+        else F.lit(False)
+    )
+    upd_cond = (
+        F.expr(matched_update_condition)
+        if matched_update_condition is not None
+        else F.lit(True)
+    )
+    if matched_update is None:
+        upd_cond = F.lit(False)
+    affected = matched.where(del_cond | upd_cond)  # rows to equality-delete
+    delete_keys = affected.select(
+        *[F.col(f"target.{k}").alias(k) for k in on]
+    ).dropDuplicates()
+
+    if matched_update == "*":
+        upd_exprs = {c: f"source.{c}" for c in cols if c not in on}
+    else:
+        upd_exprs = dict(matched_update or {})
+    updated = matched.where(upd_cond & ~del_cond).select(*out(upd_exprs))
+
+    pieces = [updated] if matched_update is not None else []
+    if not_matched_insert:
+        ins_exprs = (
+            {c: f"source.{c}" for c in cols if c in source.columns}
+            if not_matched_insert is True
+            else dict(not_matched_insert)
+        )
+        inserted = (
+            src.join(tgt.select(*[F.col(k) for k in on]).alias("target"),
+                     join_cond, "left_anti")
+            .select(
+                *[
+                    F.expr(ins_exprs[c]).cast(struct[c].dataType).alias(c)
+                    if c in ins_exprs
+                    else F.lit(None).cast(struct[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+        )
+        pieces.append(inserted)
+    if pieces:
+        data_df = pieces[0]
+        for p in pieces[1:]:
+            data_df = data_df.unionByName(p)
+    else:  # delete-only merge
+        data_df = spark.createDataFrame([], struct)
+    return _row_delta(table, data_df, delete_keys, fields, "merge")
 
 
 def _zorder_bounds(victims, schema, col_names):

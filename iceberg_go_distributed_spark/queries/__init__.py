@@ -61,7 +61,11 @@ _PRIORITY = [
     "ice_write_scan_filter",
     "ice_partition_prune",
     "ice_prune_soundness",
-    "ice_time_travel",
+    # ice_time_travel rotated r8 (six driver-green rounds r2–r7; its
+    # snapshot-id/tag reads stay covered by the local oracle and the WAP
+    # branch tests) — its slot admits the new multi-action MERGE so the
+    # DML surface gets a driver row in round one.
+    "ice_merge",
     "ice_snapshot_summary",
     # ice_bucket_partitioning rotated r8 (six driver-green rounds r2–r7;
     # the murmur3 bucket transform stays pinned by golden-value pytest
@@ -214,6 +218,9 @@ ROTATED_OUT: dict[str, dict] = {
     # round 8 rotation — to admit ice_zorder_prune (the new z-order
     # layout-rewrite oracle) into the window
     "ice_bucket_partitioning": _r(8, None, "murmur3-bucket write+pruned scan; 6 driver-green rounds (r2-r7); the bit-exact bucket transform keeps its golden-value pytest and the local oracle verifies values every round"),
+    # round 8 rotation — to admit ice_merge (the new multi-action MERGE
+    # oracle) into the window
+    "ice_time_travel": _r(8, None, "snapshot-id/tag/current reads; 6 driver-green rounds (r2-r7); WAP branch isolation pytest and the local oracle keep covering it every round"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

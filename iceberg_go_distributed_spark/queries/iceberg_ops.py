@@ -971,3 +971,79 @@ def ice_zorder_prune(spark, sf_dir):
             ).alias("sum_price"),
         )
     )
+
+
+@query(
+    "ice_merge",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, (o_orderkey % 9 = 0) AS closed
+      FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT o.o_orderstatus AS st,
+             CASE WHEN s.k IS NULL THEN CAST(o.o_totalprice AS DECIMAL(12,2))
+                  ELSE CAST(o.o_totalprice AS DECIMAL(12,2))
+                       + CAST(10.00 AS DECIMAL(4,2)) END AS price
+      FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+      WHERE s.k IS NULL OR NOT s.closed
+      UNION ALL
+      SELECT 'NEW' AS st, CAST(1.00 AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 500 = 0)
+    SELECT st AS o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+    FROM merged GROUP BY st
+    """,
+    doc="multi-action MERGE INTO: conditional update + delete + insert in one snapshot",
+)
+def ice_merge(spark, sf_dir):
+    """MERGE round trip: every third order gets +10.00 on its total
+    (update), every ninth is closed (delete), and a few synthetic new
+    orders insert — all in ONE merge-on-read snapshot; the scan-back
+    aggregate must equal DuckDB reconstructing the same end state from
+    the raw parquet."""
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_merge", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("db.ice_merge", schema_from_spark(orders.schema))
+    t.append(orders.repartition(4))
+    src = (
+        orders.where("o_orderkey % 3 = 0")
+        .select(
+            "o_orderkey", F.expr("o_orderkey % 9 = 0").alias("closed")
+        )
+        .unionByName(
+            orders.where("o_orderkey % 500 = 0").select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.lit(False).alias("closed"),
+            )
+        )
+    )
+    assert t.merge(
+        spark,
+        src,
+        on=["o_orderkey"],
+        matched_update={
+            "o_totalprice": (
+                "CAST(CAST(target.o_totalprice AS DECIMAL(12,2))"
+                " + CAST(10.00 AS DECIMAL(4,2)) AS DOUBLE)"
+            )
+        },
+        matched_delete_condition="source.closed",
+        not_matched_insert={
+            "o_orderkey": "source.o_orderkey",
+            "o_orderstatus": "'NEW'",
+            "o_totalprice": "CAST(1.00 AS DOUBLE)",
+        },
+    )
+    t.refresh()
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+            ).alias("total"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Multi-action MERGE INTO (write.merge): update / delete / insert with
+conditions, committed as ONE merge-on-read snapshot.
+
+Every case cross-checks against a pandas model of ANSI MERGE semantics
+computed from the same inputs, and asserts the snapshot-level contract:
+one overwrite snapshot, untouched matched rows never equality-deleted.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+from iceberg_go_distributed_spark.iceberg.write import MergeCardinalityError
+
+
+@pytest.fixture()
+def fs_catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+def _accounts(fs_catalog, spark, name="db.acct"):
+    df = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 200.0), (3, "c", 300.0), (4, "d", 400.0)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table(name, schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    return t
+
+
+def _rows(t, spark):
+    return sorted(
+        (r.id, r.owner, r.balance) for r in t.scan().to_df(spark).collect()
+    )
+
+
+def test_merge_update_delete_insert(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    # id=1: delta +50 → update; id=2: delta 0 flagged closed → delete;
+    # id=9: new account → insert; id=3/4 untouched
+    src = spark.createDataFrame(
+        [(1, 50.0, False), (2, 0.0, True), (9, 75.0, False)],
+        "id long, delta double, closed boolean",
+    )
+    assert t.merge(
+        spark,
+        src,
+        on=["id"],
+        matched_update={"balance": "target.balance + source.delta"},
+        matched_delete_condition="source.closed",
+        not_matched_insert={
+            "id": "source.id",
+            "owner": "'new'",
+            "balance": "source.delta",
+        },
+    ) is True
+    t.refresh()
+    assert _rows(t, spark) == [
+        (1, "a", 150.0),
+        (3, "c", 300.0),
+        (4, "d", 400.0),
+        (9, "new", 75.0),
+    ]
+    snap = t.current_snapshot()
+    assert snap.summary.operation == "overwrite"
+    # exactly the affected keys were equality-deleted (1 updated, 2 deleted)
+    assert snap.summary.properties["added-equality-deletes"] == "2"
+
+
+def test_merge_star_update_is_upsert(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame(
+        [(2, "B", 222.0), (5, "e", 500.0)],
+        "id long, owner string, balance double",
+    )
+    assert t.merge(spark, src, on=["id"], matched_update="*") is True
+    t.refresh()
+    assert _rows(t, spark) == [
+        (1, "a", 100.0),
+        (2, "B", 222.0),
+        (3, "c", 300.0),
+        (4, "d", 400.0),
+        (5, "e", 500.0),
+    ]
+
+
+def test_merge_conditional_update_leaves_nonmatching_rows_alone(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame(
+        [(1, 5.0), (2, 5000.0)], "id long, delta double"
+    )
+    # only large deltas apply; id=1's small delta must NOT delete+rewrite
+    t.merge(
+        spark,
+        src,
+        on=["id"],
+        matched_update={"balance": "target.balance + source.delta"},
+        matched_update_condition="source.delta >= 1000.0",
+        not_matched_insert=False,
+    )
+    t.refresh()
+    assert _rows(t, spark) == [
+        (1, "a", 100.0),
+        (2, "b", 5200.0),
+        (3, "c", 300.0),
+        (4, "d", 400.0),
+    ]
+    # only ONE key was equality-deleted: the untouched matched row (id=1)
+    # never disappears from any reader's view
+    assert t.current_snapshot().summary.properties["added-equality-deletes"] == "1"
+
+
+def test_merge_delete_only(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame([(3,), (4,)], "id long")
+    t.merge(
+        spark, src, on=["id"],
+        matched_delete_condition="true",
+        not_matched_insert=False,
+    )
+    t.refresh()
+    assert _rows(t, spark) == [(1, "a", 100.0), (2, "b", 200.0)]
+
+
+def test_merge_insert_only_missing_columns_null_fill(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame([(7,), (1,)], "id long")  # 1 matches: skipped
+    t.merge(spark, src, on=["id"], not_matched_insert=True)
+    t.refresh()
+    rows = _rows(t, spark)
+    assert (7, None, None) in rows and len(rows) == 5
+
+
+def test_merge_no_effect_commits_nothing(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    before = t.current_snapshot().snapshot_id
+    src = spark.createDataFrame([(1, 1.0)], "id long, delta double")
+    # condition never holds and inserts are off → no action rows
+    assert t.merge(
+        spark, src, on=["id"],
+        matched_update={"balance": "source.delta"},
+        matched_update_condition="false",
+        not_matched_insert=False,
+    ) is False
+    t.refresh()
+    assert t.current_snapshot().snapshot_id == before
+
+
+def test_merge_rejects_duplicate_source_keys(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "id long, delta double"
+    )
+    with pytest.raises(MergeCardinalityError, match="unique source keys"):
+        t.merge(
+            spark, src, on=["id"],
+            matched_update={"balance": "source.delta"},
+        )
+
+
+def test_merge_rejects_bad_arguments(fs_catalog, spark):
+    t = _accounts(fs_catalog, spark)
+    src = spark.createDataFrame([(1, 1.0)], "id long, delta double")
+    with pytest.raises(ValueError, match="no actions"):
+        t.merge(spark, src, on=["id"], not_matched_insert=False)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(spark, src, on=["id"], matched_update={"nope": "1"})
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(spark, src, on=["id"], matched_update={"id": "source.id + 1"})
+    with pytest.raises(ValueError, match="unknown key column"):
+        t.merge(spark, src, on=["missing"], matched_update="*")
+
+
+def test_merge_fuzz_against_pandas_model(fs_catalog, spark):
+    """Randomized target/source vs an ANSI-MERGE pandas model: delete
+    wins over update; untouched matched rows survive; inserts null-fill."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        tgt_rows = [
+            (i, f"o{i}", float(rng.randint(0, 999)))
+            for i in rng.sample(range(30), 18)
+        ]
+        src_rows = [
+            (i, float(rng.randint(-100, 100)), rng.random() < 0.3)
+            for i in rng.sample(range(40), 15)
+        ]
+        df = spark.createDataFrame(tgt_rows, "id long, owner string, balance double")
+        t = fs_catalog.create_table(
+            f"db.fuzz{trial}", schema_from_spark(df.schema)
+        )
+        t.append(df.coalesce(2))
+        src = spark.createDataFrame(src_rows, "id long, delta double, closed boolean")
+        t.merge(
+            spark, src, on=["id"],
+            matched_update={"balance": "target.balance + source.delta"},
+            matched_update_condition="source.delta != 0.0",
+            matched_delete_condition="source.closed",
+            not_matched_insert={
+                "id": "source.id", "owner": "'new'", "balance": "source.delta",
+            },
+        )
+        t.refresh()
+
+        model = {i: [o, b] for i, o, b in tgt_rows}
+        for i, delta, closed in src_rows:
+            if i in model:
+                if closed:
+                    del model[i]
+                elif delta != 0.0:
+                    model[i][1] += delta
+            else:
+                model[i] = ["new", delta]
+        expect = sorted((i, o, b) for i, (o, b) in model.items())
+        assert _rows(t, spark) == expect, f"trial {trial}"
