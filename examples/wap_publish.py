@@ -54,10 +54,19 @@ def audit(
             raise AuditFailed(f"audit check {check.__name__!r} failed for {branch!r}")
 
 
-def publish(table, branch: str) -> None:
+def publish(table, branch: str, on_conflict: str = "fail") -> None:
     """Fast-forward `main` to the audited branch head and drop the
-    branch.  Refuses (PublishConflict) when main is not an ancestor of
-    the branch head — i.e. main advanced independently after staging."""
+    branch.  When main advanced independently after staging, the
+    fast-forward would silently drop the concurrent commits, so the
+    default refuses (PublishConflict).  ``on_conflict="cherry-pick"``
+    resolves it instead for append-only staged batches: the branch
+    head's added manifests are reapplied ON TOP of the moved main
+    (Table.cherry_pick — metadata-only, no data rewrite), which is the
+    production answer when re-staging and re-auditing a multi-TB batch
+    is too expensive and the audit's validity doesn't depend on main's
+    concurrent rows."""
+    if on_conflict not in ("fail", "cherry-pick"):
+        raise ValueError(f"on_conflict={on_conflict!r}: expected fail|cherry-pick")
     md = table.metadata
     ref = md.refs.get(branch)
     if ref is None:
@@ -76,8 +85,14 @@ def publish(table, branch: str) -> None:
             s = by_id.get(cur)
             cur = s.parent_snapshot_id if s is not None else None
         if not ok:
+            if on_conflict == "cherry-pick":
+                table.cherry_pick(head)
+                table.transaction().remove_ref(branch).commit()
+                table.refresh()
+                return
             raise PublishConflict(
-                f"main moved since {branch!r} was cut; re-stage on the new head"
+                f"main moved since {branch!r} was cut; re-stage on the new "
+                "head or publish with on_conflict='cherry-pick'"
             )
     tx = table.transaction()
     tx.set_ref("main", head)

@@ -1568,6 +1568,37 @@ class Table(StaticTable):
 
         return merge(self, spark, source, on, **actions)
 
+    def cherry_pick(self, snapshot_id: int) -> bool:
+        """Reapply a staged append snapshot onto the current main head
+        (WAP publish after main moved) — metadata-only; see
+        write.cherry_pick."""
+        from .write import cherry_pick
+
+        return cherry_pick(self, snapshot_id)
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Move main back to an ANCESTOR snapshot (bad-commit recovery).
+        The rolled-back snapshots stay in metadata (time travel still
+        reads them) until snapshot expiry reclaims them; a non-ancestor
+        target is refused — replaying a divergent snapshot is
+        cherry_pick's job."""
+        md = self.metadata
+        if md.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        ref = md.refs.get("main")
+        cur = ref.snapshot_id if ref else None
+        by_id = {s.snapshot_id: s for s in md.snapshots}
+        while cur is not None and cur != snapshot_id:
+            s = by_id.get(cur)
+            cur = s.parent_snapshot_id if s else None
+        if cur != snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of main's head; "
+                "rollback only rewinds history"
+            )
+        self.transaction().set_ref("main", snapshot_id).commit()
+        self.refresh()
+
     def rewrite_data_files(
         self, spark, target_file_size=None, strategy="binpack", sort_cols=None
     ) -> bool:

@@ -2231,6 +2231,114 @@ def _row_delta(table, data_df, keys_df, key_fields, label) -> bool:
     return True
 
 
+@_retry_dml_on_conflict
+def cherry_pick(table, snapshot_id: int) -> bool:
+    """Reapply a staged APPEND snapshot onto the current main head — the
+    WAP publish path for when main MOVED since the batch was staged
+    (fast-forward would drop the concurrent commits; see
+    examples/wap_publish.py). The staged snapshot's added data manifests
+    are re-listed under a NEW snapshot: sequence numbers re-inherit from
+    the new manifest-list entry and v3 first_row_id resets for fresh
+    lineage (a reapplied commit is new rows on main, per spec), so no
+    data file is rewritten — cherry-pick is a metadata-only commit.
+    ref core SnapshotManager.cherrypick semantics (append-only).
+
+    Refuses: non-append snapshots (their deletes/rewrites were computed
+    against a different base), and manifests carrying entries from other
+    commits (a merge-append bin-packed old manifests in — replaying them
+    would duplicate main-history files). Returns False when the snapshot
+    is already reachable from main (nothing to apply)."""
+    from .manifest import (
+        ManifestContent,
+        ManifestEntryStatus,
+        read_manifest,
+        write_manifest,
+    )
+
+    md = table.metadata
+    staged = md.snapshot_by_id(snapshot_id)
+    if staged is None:
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+    main_ref = md.refs.get(MAIN_BRANCH)
+    head_id = main_ref.snapshot_id if main_ref else None
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    cur = head_id
+    while cur is not None:
+        if cur == snapshot_id:
+            return False  # already published
+        s = by_id.get(cur)
+        cur = s.parent_snapshot_id if s else None
+    if staged.summary.operation != "append":
+        raise ValueError(
+            f"cherry-pick supports append snapshots only; "
+            f"{snapshot_id} is {staged.summary.operation!r} (its row-level "
+            "changes were computed against a different base — re-run the "
+            "DML on main instead)"
+        )
+    new_mfs = [m for m in staged.manifests() if m.added_snapshot_id == snapshot_id]
+    if not new_mfs:
+        return False
+    entries_by_mf = []
+    for m in new_mfs:
+        if m.content != ManifestContent.DATA:
+            raise ValueError("cherry-pick cannot reapply delete manifests")
+        entries = read_manifest(m.manifest_path, discard_deleted=False)
+        for e in entries:
+            if (
+                e.status != ManifestEntryStatus.ADDED
+                or e.sequence_number is not None
+                or e.snapshot_id not in (None, snapshot_id)
+            ):
+                raise ValueError(
+                    f"manifest {m.manifest_path} carries entries from other "
+                    "commits (merge-append); publish by fast-forward instead"
+                )
+        entries_by_mf.append((m, entries))
+    ds = begin_distributed_snapshot(table)
+    # rewrite each picked manifest so its ENTRIES attribute to the new
+    # snapshot (the staged writer stamped them with the branch snapshot
+    # id; incremental/CDC consumers resolve a snapshot's additions by
+    # entry attribution, so re-listing alone would hide the files) and
+    # its v3 lineage resets for fresh assignment
+    specs = {s.spec_id: s for s in md.partition_specs}
+    schema = md.current_schema()
+    picked = []
+    for i, (m, entries) in enumerate(entries_by_mf):
+        for e in entries:
+            e.snapshot_id = ds.snapshot_id
+            e.sequence_number = None
+            e.file_sequence_number = None
+            e.data_file.first_row_id = None
+        p = os.path.join(
+            md.location, "metadata", f"{ds.commit_uuid}-pick-m{i}.avro"
+        )
+        picked.append(
+            write_manifest(
+                p, specs[m.partition_spec_id], schema, ds.snapshot_id, entries
+            )
+        )
+    carried = (
+        list(md.snapshot_by_id(head_id).manifests()) if head_id is not None else []
+    )
+    summary = {
+        k: v
+        for k, v in staged.summary.properties.items()
+        if k.startswith("added-")
+    }
+    summary["source-snapshot-id"] = str(snapshot_id)
+    _commit_manifests(
+        table,
+        picked,
+        carried,
+        operation="append",
+        extra_summary=summary,
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True
+
+
 class MergeCardinalityError(ValueError):
     """A MERGE source carries duplicate key tuples: applying it would be
     nondeterministic (which source row wins?), the same violation ANSI

@@ -90,3 +90,22 @@ def test_wap_publish_refuses_diverged_main(tmp_path, spark):
     # nothing was clobbered: main kept the concurrent row, branch intact
     assert _rows(spark, cat.load_table("db.facts")) == [1, 9]
     assert "audit-2" in t.metadata.refs
+
+
+def test_wap_publish_cherry_picks_over_diverged_main(tmp_path, spark):
+    from wap_publish import publish, stage
+
+    cat, t = _table(tmp_path)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1))
+    stage(t, spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1), "audit-3")
+    staged = t.metadata.refs["audit-3"].snapshot_id
+
+    w = cat.load_table("db.facts")
+    w.append(spark.createDataFrame([(9, 9.0)], "id long, v double").coalesce(1))
+    t.refresh()
+
+    publish(t, "audit-3", on_conflict="cherry-pick")
+    # both the concurrent row and the staged batch survive, branch dropped
+    assert _rows(spark, cat.load_table("db.facts")) == [1, 2, 9]
+    assert "audit-3" not in t.metadata.refs
+    assert t.current_snapshot().summary.properties["source-snapshot-id"] == str(staged)
