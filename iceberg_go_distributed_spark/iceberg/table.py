@@ -1412,17 +1412,88 @@ class Table(StaticTable):
         df,
         snapshot_properties: Optional[dict] = None,
         branch: str = MAIN_BRANCH,
+        merge_schema: bool = False,
     ) -> None:
         """Append a Spark DataFrame via the distributed-snapshot protocol
         (SURVEY §3.3: driver=coordinator, executors=workers). `branch`
         targets a non-main branch for write-audit-publish workflows; a
         branch that doesn't exist yet is created implicitly with empty
         ancestry (create it from a snapshot first via set_ref to branch
-        off existing data)."""
+        off existing data).
+
+        `merge_schema=True` unions the frame's schema into the table
+        before writing (the mergeSchema convenience both Iceberg and
+        Delta expose): new columns are added as optional, legally-wider
+        incoming types (int→long, float→double, decimal precision)
+        promote the table column, narrower incoming types cast the DATA
+        up instead of touching metadata, missing columns null-fill, and
+        truly incompatible types fail loudly before any schema commit."""
         from .write import append_distributed
 
+        if merge_schema:
+            df = self._merge_schema_for_write(df)
+        else:
+            # refuse unknown columns instead of silently dropping them —
+            # an append that discards user data is silent data loss
+            known = {f.name for f in self.metadata.current_schema().fields}
+            extra = [c for c in df.columns if c not in known]
+            if extra:
+                raise ValueError(
+                    f"DataFrame carries columns not in the table schema: "
+                    f"{extra}; pass merge_schema=True to evolve the table, "
+                    "or drop them explicitly"
+                )
         append_distributed(
             self, df, snapshot_properties=snapshot_properties, branch=branch
+        )
+
+    def _merge_schema_for_write(self, df):
+        """Evolve the table schema to accept `df` (add/promote), then
+        align the frame to the evolved schema (column order, null-fill,
+        upcasts). Validates EVERY column before committing any schema
+        change, so a half-evolved table is impossible."""
+        from pyspark.sql import functions as F
+
+        from .types import promote_type, schema_from_spark, spark_type
+
+        incoming = schema_from_spark(df.schema)
+        cur = self.metadata.current_schema()
+        by_name = {f.name: f for f in cur.fields}
+        adds, promotes = [], []
+        for f in incoming.fields:
+            cf = by_name.get(f.name)
+            if cf is None:
+                adds.append(f)
+            elif cf.field_type != f.field_type:
+                try:
+                    promote_type(cf.field_type, f.field_type)
+                    promotes.append(f)
+                except ValueError:
+                    # not a widening — legal only if the DATA can cast up
+                    try:
+                        promote_type(f.field_type, cf.field_type)
+                    except ValueError:
+                        raise ValueError(
+                            f"column {f.name!r}: incoming type {f.field_type} "
+                            f"is incompatible with table type {cf.field_type}"
+                        ) from None
+        if adds or promotes:
+            us = self.update_schema()
+            for f in adds:
+                us.add_column(f.name, f.field_type, doc=f.doc)
+            for f in promotes:
+                us.update_column(f.name, field_type=f.field_type)
+            us.commit()
+            self.refresh()
+        schema = self.metadata.current_schema()
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name).cast(spark_type(f.field_type)).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(spark_type(f.field_type)).alias(f.name)
+                for f in schema.fields
+            ]
         )
 
     def create_or_replace_view(self, spark, name: Optional[str] = None):

@@ -59,7 +59,10 @@ def sum_d(col: str, alias: str) -> str:
 _PRIORITY = [
     # Iceberg table layer — scan, prune, time travel, write plane, v3.
     "ice_write_scan_filter",
-    "ice_partition_prune",
+    # ice_partition_prune rotated r8 (six driver-green rounds r2–r7;
+    # ice_partition_evolution asserts the same transform-aware pruning
+    # in-query, now across TWO specs) — slot admits partition evolution.
+    "ice_partition_evolution",
     "ice_prune_soundness",
     # ice_time_travel rotated r8 (six driver-green rounds r2–r7; its
     # snapshot-id/tag reads stay covered by the local oracle and the WAP
@@ -221,6 +224,8 @@ ROTATED_OUT: dict[str, dict] = {
     # round 8 rotation — to admit ice_merge (the new multi-action MERGE
     # oracle) into the window
     "ice_time_travel": _r(8, None, "snapshot-id/tag/current reads; 6 driver-green rounds (r2-r7); WAP branch isolation pytest and the local oracle keep covering it every round"),
+    # round 8 rotation — to admit ice_partition_evolution into the window
+    "ice_partition_prune": _r(8, "ice_partition_evolution", "6 driver-green rounds (r2-r7); the evolution entry asserts the same transform-aware partition pruning in-query, across two specs"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

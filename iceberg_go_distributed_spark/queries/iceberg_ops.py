@@ -1047,3 +1047,57 @@ def ice_merge(spark, sf_dir):
             ).alias("total"),
         )
     )
+
+
+@query(
+    "ice_partition_evolution",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="partition-spec evolution: scan prunes and reads across year() and month() spec files",
+)
+def ice_partition_evolution(spark, sf_dir):
+    """Partition evolution round trip (ref table/update_spec.go): half
+    the rows land under the ORIGINAL year(l_shipdate) spec, the spec
+    evolves to month(l_shipdate), the other half lands under it, and one
+    date-filtered scan must prune manifests of BOTH specs (each manifest
+    evaluates against its own spec) and still return exactly the raw
+    parquet's answer."""
+    from ..iceberg import expressions as E
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_spec_evo", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    t = cat.create_table(
+        "db.ice_spec_evo", schema, spec=spec_from(schema, ("l_shipdate", "year"))
+    )
+    t.append(li.where("l_orderkey % 2 = 0"))
+    t.update_spec().add_field("l_shipdate", "month", name="ship_month").remove_field(
+        "l_shipdate_year"
+    ).commit()
+    t.refresh()
+    assert t.metadata.default_spec_id != 0
+    t.append(li.where("l_orderkey % 2 = 1"))
+
+    scan = t.scan(
+        row_filter=E.greater_than_or_equal("l_shipdate", "2000-01-01T00:00:00")
+    )
+    n_all = len(t.scan().plan_files())
+    n_hit = len(scan.plan_files())
+    assert n_hit < n_all, f"cross-spec pruning inactive: {n_hit}/{n_all}"
+    return (
+        scan.to_df(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+            ).alias("sum_qty"),
+        )
+    )
