@@ -73,6 +73,19 @@ def main(argv=None) -> int:
     )
 
     sp = sub.add_parser(
+        "rollback", help="move main back to an ancestor snapshot"
+    )
+    sp.add_argument("table")
+    sp.add_argument("snapshot_id", type=int)
+
+    sp = sub.add_parser(
+        "cherry-pick",
+        help="reapply a staged append snapshot onto the current main head",
+    )
+    sp.add_argument("table")
+    sp.add_argument("snapshot_id", type=int)
+
+    sp = sub.add_parser(
         "orphans", help="list/delete files unreachable from any snapshot"
     )
     sp.add_argument("table")
@@ -174,6 +187,18 @@ def main(argv=None) -> int:
     elif args.cmd == "upgrade":
         t.upgrade_format_version(args.format_version)
         print(f"upgraded {args.table} to format-version {args.format_version}")
+    elif args.cmd == "rollback":
+        t.rollback_to(args.snapshot_id)
+        print(f"main is now at snapshot {args.snapshot_id}")
+    elif args.cmd == "cherry-pick":
+        if t.cherry_pick(args.snapshot_id):
+            t.refresh()
+            print(
+                f"applied {args.snapshot_id} as snapshot "
+                f"{t.current_snapshot().snapshot_id}"
+            )
+        else:
+            print(f"snapshot {args.snapshot_id} already on main; nothing to do")
     elif args.cmd == "expire":
         before = len(t.metadata.snapshots)
         tx = t.transaction()

@@ -114,3 +114,38 @@ def test_cli_maintenance(tmp_path, spark, sf_dir):
     )
     assert f"deleted {n_listed} orphan" in deleted
     assert t.refresh().scan().to_df(spark).count() == 60  # table intact
+
+
+def test_cli_rollback_and_cherry_pick(tmp_path, spark, sf_dir):
+    """`rollback` rewinds main; `cherry-pick` reapplies a staged append
+    after main moved — both metadata-only, both from the CLI."""
+    from iceberg_go_distributed_spark.datasets import load_table
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = load_table(spark, sf_dir, "lineitem").limit(30)
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.sm", schema_from_spark(li.schema))
+    t.append(li.limit(10).coalesce(1))
+    s1 = t.current_snapshot().snapshot_id
+    t.append(li.limit(20).coalesce(1))
+
+    out = _cli(tmp_path, "rollback", "db.sm", str(s1))
+    assert f"main is now at snapshot {s1}" in out
+    t.refresh()
+    assert t.scan().to_df(spark).count() == 10
+
+    # stage on a branch, move main, publish via cherry-pick
+    t.transaction().set_ref("audit", s1).commit()
+    t.refresh()
+    t.append(li.limit(5).coalesce(1), branch="audit")
+    staged = t.metadata.refs["audit"].snapshot_id
+    t.append(li.limit(7).coalesce(1))  # main moves
+
+    out = _cli(tmp_path, "cherry-pick", "db.sm", str(staged))
+    assert f"applied {staged} as snapshot" in out
+    t.refresh()
+    assert t.scan().to_df(spark).count() == 10 + 5 + 7
+    # picking an already-published id is a no-op
+    out = _cli(tmp_path, "cherry-pick", "db.sm", str(s1))
+    assert "already on main" in out
