@@ -646,6 +646,79 @@ class Scan:
             return self.to_df(spark, tasks=tasks).count()
         return self.to_df(spark).count()
 
+    def min_max(self, spark, *cols: str) -> dict:
+        """Metadata-only MIN/MAX per column, folded from manifest bounds:
+        O(manifests) driver work, zero executor reads — the aggregate
+        pushdown a 100 TB `SELECT MIN(x), MAX(x)` wants. Returns
+        {col: (min, max)} with values decoded from the bound bytes
+        (timestamps as micros since epoch, dates as days).
+
+        Sound only under conditions this method CHECKS and otherwise
+        refuses (ValueError — callers fall back to the executed plan
+        deliberately, never silently):
+          - filter-free scan (file bounds cover unfiltered rows);
+          - no delete files (a deleted row could hold the extremum);
+          - numeric/date/timestamp/boolean columns (string and binary
+            bounds are TRUNCATED by the metrics writer);
+          - no NaNs recorded for the column (NaN ordering poisons
+            min/max) and bounds present on every file that has non-null
+            values (all-null files legitimately contribute nothing)."""
+        from .conversions import from_bytes
+        from .expressions import AlwaysTrue as _AT
+        from .types import StringType as _Str, BinaryType as _Bin, FixedType as _Fix, UUIDType as _UUID
+
+        if not isinstance(self.row_filter, _AT) or self.limit is not None:
+            raise ValueError(
+                "metadata min/max needs a filter-free, limit-free scan"
+            )
+        schema = self._scan_schema()
+        fields = {}
+        for c in cols:
+            f = schema.find_field(c)
+            if f is None:
+                raise ValueError(f"unknown column {c!r}")
+            if isinstance(f.field_type, (_Str, _Bin, _Fix, _UUID)):
+                raise ValueError(
+                    f"column {c!r}: string/binary bounds are truncated; "
+                    "metadata min/max would be unsound"
+                )
+            fields[c] = f
+        tasks = self.plan_files_auto(spark)
+        if any(t.delete_files for t in tasks):
+            raise ValueError(
+                "table has delete files; a deleted row could hold the "
+                "extremum — run the full aggregate instead"
+            )
+        out = {}
+        for c, f in fields.items():
+            lo = hi = None
+            for t in tasks:
+                d = t.file
+                nans = (d.nan_value_counts or {}).get(f.field_id, 0)
+                if nans:
+                    raise ValueError(
+                        f"column {c!r}: file {d.file_path} records NaNs; "
+                        "metadata min/max would be unsound"
+                    )
+                lb = (d.lower_bounds or {}).get(f.field_id)
+                ub = (d.upper_bounds or {}).get(f.field_id)
+                if lb is None or ub is None:
+                    vc = (d.value_counts or {}).get(f.field_id)
+                    nc = (d.null_value_counts or {}).get(f.field_id)
+                    if vc is not None and nc is not None and vc == nc:
+                        continue  # all-null file: contributes nothing
+                    raise ValueError(
+                        f"column {c!r}: file {d.file_path} has no bounds "
+                        "(metrics mode none/counts?) — cannot prove the "
+                        "extremum from metadata"
+                    )
+                flo = from_bytes(f.field_type, lb)
+                fhi = from_bytes(f.field_type, ub)
+                lo = flo if lo is None or flo < lo else lo
+                hi = fhi if hi is None or fhi > hi else hi
+            out[c] = (lo, hi)
+        return out
+
     def _read_with_deletes(
         self, spark, tasks, schema: Schema, eq_files=None, keep_pos=False
     ):

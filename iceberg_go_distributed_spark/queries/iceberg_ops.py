@@ -1101,3 +1101,47 @@ def ice_partition_evolution(spark, sf_dir):
             ).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "ice_metadata_minmax",
+    oracle="""
+    SELECT MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+    doc="metadata-only MIN/MAX folded from manifest bounds: zero executor reads",
+)
+def ice_metadata_minmax(spark, sf_dir):
+    """Aggregate pushdown to table metadata (Scan.min_max): the answer
+    folds from manifest bound bytes on the driver — no data file is
+    opened at ANY table size — and must equal DuckDB scanning every raw
+    row. The method refuses (tested in pytest) whenever deletes, NaNs,
+    truncated string bounds, or missing metrics would make the fold
+    unsound; this table is clean so the fast path applies."""
+    import datetime
+
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_minmax", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = cat.create_table("db.ice_minmax", schema_from_spark(li.schema))
+    t.append(li.repartition(8))
+    mm = t.scan().min_max(spark, "l_orderkey", "l_quantity", "l_shipdate")
+
+    def ts(micros):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=micros
+        )
+
+    row = (
+        mm["l_orderkey"][0], mm["l_orderkey"][1],
+        mm["l_quantity"][0], mm["l_quantity"][1],
+        ts(mm["l_shipdate"][0]), ts(mm["l_shipdate"][1]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "min_orderkey long, max_orderkey long, min_qty double, "
+        "max_qty double, min_shipdate timestamp_ntz, max_shipdate timestamp_ntz",
+    )

@@ -222,3 +222,61 @@ def test_zorder_rejects_string_columns(fs_catalog, spark):
     t.append(df.coalesce(1))
     with pytest.raises(ValueError, match="unsupported type"):
         t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "s"])
+
+
+# ------------------------------------------------- metadata-only MIN/MAX
+# (here because the fixtures match: bound-bearing tables under a fresh
+# catalog; the positive path is driver-verified via ice_metadata_minmax)
+
+def test_min_max_refusals(fs_catalog, spark):
+    import math
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    df = _xy_df(spark, 2_000).withColumn("s", F.col("rid").cast("string"))
+    t = fs_catalog.create_table("db.mm", schema_from_spark(df.schema))
+    t.append(df.coalesce(2))
+
+    # positive: matches the full scan
+    mm = t.scan().min_max(spark, "x", "y")
+    got = t.scan().to_df(spark).agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    assert (mm["x"][0], mm["x"][1], mm["y"][0], mm["y"][1]) == tuple(got)
+
+    with pytest.raises(ValueError, match="truncated"):
+        t.scan().min_max(spark, "s")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.scan().min_max(spark, "nope")
+    with pytest.raises(ValueError, match="filter-free"):
+        t.scan(row_filter=E.greater_than("x", 10)).min_max(spark, "x")
+
+    # deletes make the fold unsound: refuse
+    t2 = fs_catalog.create_table("db.mm_del", schema_from_spark(df.schema))
+    t2.upgrade_format_version(3)
+    t2.append(df.coalesce(1))
+    t2.delete_where(spark, E.greater_than("x", 900))
+    with pytest.raises(ValueError, match="delete files"):
+        t2.scan().min_max(spark, "x")
+
+    # NaNs poison min/max: refuse
+    nan_df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, v double"
+    )
+    t3 = fs_catalog.create_table("db.mm_nan", schema_from_spark(nan_df.schema))
+    t3.append(nan_df.coalesce(1))
+    with pytest.raises(ValueError, match="NaN"):
+        t3.scan().min_max(spark, "v")
+    assert math.isnan(
+        t3.scan().to_df(spark).agg(F.max("v")).collect()[0][0]
+    )  # the refusal was load-bearing
+
+    # metrics mode none drops bounds: refuse rather than guess
+    t4 = fs_catalog.create_table(
+        "db.mm_none",
+        schema_from_spark(_xy_df(spark, 100).schema),
+        properties={"write.metadata.metrics.default": "none"},
+    )
+    t4.append(_xy_df(spark, 100).coalesce(1))
+    with pytest.raises(ValueError, match="no bounds"):
+        t4.scan().min_max(spark, "x")
