@@ -1537,6 +1537,10 @@ class Table(StaticTable):
             cf = by_name.get(f.name)
             if cf is None:
                 adds.append(f)
+            elif spark_type(cf.field_type) == spark_type(f.field_type):
+                # structurally identical (field-id differences from the
+                # fresh-id conversion don't make a struct a new type)
+                continue
             elif cf.field_type != f.field_type:
                 try:
                     promote_type(cf.field_type, f.field_type)

@@ -2265,8 +2265,12 @@ def cherry_pick(table, snapshot_id: int) -> bool:
     cur = head_id
     while cur is not None:
         if cur == snapshot_id:
-            return False  # already published
+            return False  # already published (fast-forwarded)
         s = by_id.get(cur)
+        if s is not None and s.summary.properties.get(
+            "source-snapshot-id"
+        ) == str(snapshot_id):
+            return False  # already cherry-picked: re-applying duplicates
         cur = s.parent_snapshot_id if s else None
     if staged.summary.operation != "append":
         raise ValueError(
@@ -2459,6 +2463,24 @@ def merge(
     updated = matched.where(upd_cond & ~del_cond).select(*out(upd_exprs))
 
     pieces = [updated] if matched_update is not None else []
+    if matched_delete_condition is not None or matched_update_condition is not None:
+        # per-row conditions + key-granular equality deletes: a target
+        # row whose KEY is affected but whose own conditions held neither
+        # (a duplicate-key sibling) would be deleted without replacement
+        # — re-emit it unchanged so row-level semantics survive dup keys
+        dk = delete_keys.select(
+            *[F.col(k).alias(f"__dk_{k}") for k in on]
+        )
+        sib_cond = None
+        for k in on:
+            c = F.col(f"target.{k}").eqNullSafe(F.col(f"__dk_{k}"))
+            sib_cond = c if sib_cond is None else (sib_cond & c)
+        siblings = (
+            matched.where(~del_cond & ~upd_cond)
+            .join(dk, sib_cond, "left_semi")
+            .select(*[F.col(f"target.{c}").alias(c) for c in cols])
+        )
+        pieces.append(siblings)
     if not_matched_insert:
         ins_exprs = (
             {c: f"source.{c}" for c in cols if c in source.columns}

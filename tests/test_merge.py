@@ -217,3 +217,27 @@ def test_merge_fuzz_against_pandas_model(fs_catalog, spark):
                 model[i] = ["new", delta]
         expect = sorted((i, o, b) for i, (o, b) in model.items())
         assert _rows(t, spark) == expect, f"trial {trial}"
+
+
+def test_merge_duplicate_target_keys_siblings_survive(fs_catalog, spark):
+    """Key-granular equality deletes + per-row conditions: a target row
+    whose key is affected but whose own row matched neither condition (a
+    duplicate-key sibling) must be re-emitted, not silently lost."""
+    df = spark.createDataFrame(
+        [(1, "a", 100.0), (1, "b", 200.0), (2, "c", 300.0)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table("db.dup", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    src = spark.createDataFrame([(1, True)], "id long, flag boolean")
+    # delete only the 'a' row of key 1; its sibling 'b' must survive
+    t.merge(
+        spark, src, on=["id"],
+        matched_delete_condition="source.flag AND target.owner = 'a'",
+        not_matched_insert=False,
+    )
+    t.refresh()
+    rows = sorted(
+        (r.id, r.owner, r.balance) for r in t.scan().to_df(spark).collect()
+    )
+    assert rows == [(1, "b", 200.0), (2, "c", 300.0)]

@@ -15,6 +15,7 @@ from iceberg_go_distributed_spark.iceberg.types import (
     NestedField,
     Schema,
     StringType,
+    schema_from_spark,
 )
 
 
@@ -111,3 +112,23 @@ def test_plain_append_still_requires_exact_schema(cat, spark):
             spark.createDataFrame([(1, "x")], "id long, tag string").coalesce(1)
         )
     assert t.metadata.current_schema().find_field("tag") is None
+
+
+def test_merge_schema_accepts_identical_struct_column(cat, spark):
+    """Struct-typed columns compare STRUCTURALLY: the fresh field ids the
+    Spark-to-Iceberg conversion assigns must not make an unchanged struct
+    look like an illegal promotion."""
+    df = spark.createDataFrame(
+        [(1, ("x", 2))], "id long, meta struct<tag string, n long>"
+    )
+    t = cat.create_table("db.ms_struct", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    before = t.metadata.current_schema_id
+    t.append(
+        spark.createDataFrame(
+            [(2, ("y", 3))], "id long, meta struct<tag string, n long>"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    assert t.metadata.current_schema_id == before  # no spurious evolution
+    assert t.scan().to_df(spark).count() == 2

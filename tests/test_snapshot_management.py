@@ -155,3 +155,26 @@ def test_cherry_pick_already_on_main_is_noop(cat, spark):
     s1 = t.current_snapshot().snapshot_id
     _append(t, spark, [(2, 2.0)])
     assert t.cherry_pick(s1) is False
+
+
+def test_cherry_pick_twice_does_not_duplicate(cat, spark):
+    """Re-picking an already-applied staged snapshot is a no-op: the
+    applied commit records source-snapshot-id, and re-applying would
+    duplicate every row."""
+    t = _table(cat)
+    _append(t, spark, [(1, 1.0)])
+    base = t.current_snapshot().snapshot_id
+    t.transaction().set_ref("audit", base).commit()
+    t.refresh()
+    t.append(
+        spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1),
+        branch="audit",
+    )
+    staged = t.metadata.refs["audit"].snapshot_id
+    _append(t, spark, [(3, 3.0)])
+
+    assert t.cherry_pick(staged) is True
+    t.refresh()
+    assert t.cherry_pick(staged) is False  # idempotent
+    t.refresh()
+    assert _ids(t, spark) == [1, 2, 3]
