@@ -351,10 +351,14 @@ class Scan:
 
         return evals_for, metrics_eval
 
-    def plan_files(self) -> list[FileScanTask]:
-        """Four-level pruning — ref table/scanner.go:410-460."""
+    def plan_files(self, report: Optional[dict] = None) -> list[FileScanTask]:
+        """Four-level pruning — ref table/scanner.go:410-460. Pass a
+        `report` dict (or use `plan_report()`) to collect per-level
+        pruning counters while planning."""
         snap = self.snapshot()
         if snap is None:
+            if report is not None:
+                report.clear()
             return []
         schema = self._scan_schema()
 
@@ -375,28 +379,38 @@ class Scan:
 
         # level 3+4: per-entry partition-tuple + metrics pruning, manifests
         # fetched concurrently (ref scanner.go:343-406 errgroup workers)
-        def entries_of(m: ManifestFile) -> list[ManifestEntry]:
+        def entries_of(m: ManifestFile):
             _, part_eval = evals_for(m.partition_spec_id)
             out = []
+            n_total = n_part = n_metrics = 0
             for e in read_manifest(
                 m.manifest_path,
                 inherit_sequence_number=m.sequence_number,
                 inherit_first_row_id=m.first_row_id,
             ):
+                n_total += 1
                 if not part_eval(e.data_file.partition):
+                    n_part += 1
                     continue
                 if not metrics_eval(e.data_file):
+                    n_metrics += 1
                     continue
                 out.append(e)
-            return out
+            return out, n_total, n_part, n_metrics
 
         data_entries: list[ManifestEntry] = []
+        entries_total = pruned_partition = pruned_metrics = 0
         if pruned_manifests:
             with ThreadPoolExecutor(
                 max_workers=min(self.concurrency, len(pruned_manifests))
             ) as pool:
-                for entry_list in pool.map(entries_of, pruned_manifests):
+                for entry_list, n_total, n_part, n_metrics in pool.map(
+                    entries_of, pruned_manifests
+                ):
                     data_entries.extend(entry_list)
+                    entries_total += n_total
+                    pruned_partition += n_part
+                    pruned_metrics += n_metrics
 
         # delete matching — ref scanner.go:268-309: gate delete manifests
         # by min data sequence number, then per data file keep deletes
@@ -428,7 +442,36 @@ class Scan:
                     data_sequence_number=e.sequence_number,
                 )
             )
+        if report is not None:
+            report.update(
+                manifests_data=len(manifests),
+                manifests_delete=len(delete_manifests),
+                manifests_pruned=len(manifests) - len(pruned_manifests),
+                manifests_scanned=len(pruned_manifests),
+                entries_total=entries_total,
+                entries_pruned_partition=pruned_partition,
+                entries_pruned_metrics=pruned_metrics,
+                files_planned=len(tasks),
+                delete_files_matched=sum(len(t.delete_files) for t in tasks),
+                bytes_planned=sum(t.file.file_size_in_bytes for t in tasks),
+                records_planned=sum(t.file.record_count for t in tasks),
+            )
         return tasks
+
+    def plan_report(self) -> dict:
+        """Planning observability: run the four-level cascade once on the
+        driver and return its pruning counters — how many manifests the
+        partition summaries skipped (level 2), how many entries the
+        partition tuples (level 3) and column metrics (level 4) skipped,
+        and what survives (files / bytes / records to scan, matched
+        delete files). The per-level numbers are what a table owner
+        tunes layout against: level-2 zeros mean partition summaries
+        don't cover the filter; level-4 zeros with a selective filter
+        mean the layout needs clustering (see
+        examples/layout_maintenance.py). Metadata-only; no Spark job."""
+        report: dict = {}
+        self.plan_files(report=report)
+        return report
 
     # ----------------------------------------------------------- execution
 

@@ -280,3 +280,55 @@ def test_min_max_refusals(fs_catalog, spark):
     t4.append(_xy_df(spark, 100).coalesce(1))
     with pytest.raises(ValueError, match="no bounds"):
         t4.scan().min_max(spark, "x")
+
+
+def test_plan_report_counters(fs_catalog, spark):
+    """plan_report: per-level pruning counters are arithmetically
+    consistent and attribute skips to the right level."""
+    df = _xy_df(spark, 20_000).withColumn("bucket", F.pmod(F.col("rid"), F.lit(4)))
+    schema = schema_from_spark(df.schema)
+    t = fs_catalog.create_table(
+        "db.report", schema, spec=spec_from(schema, ("bucket", "identity"))
+    )
+    # one append per bucket → partition-disjoint manifests
+    for b in range(4):
+        t.append(df.where(F.col("bucket") == b).coalesce(2))
+
+    full = t.scan().plan_report()
+    assert full["manifests_pruned"] == 0 and full["entries_pruned_metrics"] == 0
+    assert full["files_planned"] == len(t.scan().plan_files())
+    assert full["records_planned"] == 20_000
+
+    # a partition filter prunes at the manifest level (summaries cover it)
+    rep = t.scan(row_filter=E.equal("bucket", 2)).plan_report()
+    assert rep["manifests_pruned"] > 0
+    assert rep["files_planned"] < full["files_planned"]
+    assert (
+        rep["entries_total"]
+        == rep["entries_pruned_partition"]
+        + rep["entries_pruned_metrics"]
+        + rep["files_planned"]
+    )
+    assert rep["records_planned"] == 5_000
+
+    # a data-column filter survives levels 1-3 and prunes on metrics only
+    # after clustering
+    t2, _ = _xy_table(fs_catalog, spark, "report2")
+    flt = E.and_(E.greater_than_or_equal("x", 500), E.less_than("x", 540))
+    before = t2.scan(row_filter=flt).plan_report()
+    assert before["entries_pruned_metrics"] == 0  # unclustered: no skips
+    total = sum(k.file.file_size_in_bytes for k in t2.scan().plan_files())
+    t2.rewrite_data_files(
+        spark, target_file_size=max(total // 12, 1), strategy="sort",
+        sort_cols=["x"],
+    )
+    t2.refresh()
+    after = t2.scan(row_filter=flt).plan_report()
+    assert after["entries_pruned_metrics"] > 0  # clustering made level 4 bite
+    assert after["bytes_planned"] < before["bytes_planned"]
+
+    # deletes show up as matched delete files
+    t3, _ = _xy_table(fs_catalog, spark, "report3", v3=True, n=2_000)
+    t3.delete_where(spark, E.less_than("rid", 100))
+    rep3 = t3.scan().plan_report()
+    assert rep3["delete_files_matched"] > 0
