@@ -1064,3 +1064,58 @@ def test_iceberg_stream_cdc_fuzz_vs_changelog_poll(tmp_path, spark):
     # along on every event
     assert any(r[2] == "delete" for r in reference)
     assert all(r[3] is not None for r in reference)
+
+
+def test_iceberg_stream_source_delivers_cherry_pick_once(tmp_path, spark):
+    """Interplay pin: a cherry-picked append is a NEW snapshot on main
+    whose manifest entries attribute to it, so the stream delivers its
+    rows exactly once — with the original branch commit never leaking."""
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat = FileSystemCatalog(wh)
+    t = cat.create_table("db.cp_src", schema_from_spark(df1.schema))
+    t.append(df1.coalesce(1))
+
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def run_once():
+        q = (
+            iceberg_stream(spark, wh, "db.cp_src")
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(tuple(r) for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(seen) == [(1, "a")]
+
+    # stage on a branch, move main, publish via cherry-pick
+    base = t.current_snapshot().snapshot_id
+    t.transaction().set_ref("audit", base).commit()
+    t.refresh()
+    t.append(
+        spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        branch="audit",
+    )
+    staged = t.metadata.refs["audit"].snapshot_id
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1))
+    assert t.cherry_pick(staged) is True
+    t.refresh()
+
+    seen.clear()
+    run_once()
+    assert sorted(seen) == [(2, "b"), (3, "c")], "picked rows exactly once"
+
+    # nothing replays on the next idle run
+    seen.clear()
+    run_once()
+    assert seen == []
