@@ -69,7 +69,11 @@ _PRIORITY = [
     # branch tests) — its slot admits the new multi-action MERGE so the
     # DML surface gets a driver row in round one.
     "ice_merge",
-    "ice_snapshot_summary",
+    # ice_snapshot_summary rotated r8 (six driver-green rounds r2–r7;
+    # the running total-* counters are additionally fuzzed against full
+    # manifest recomputation) — slot admits the new metadata-only
+    # MIN/MAX fold, the other §2.4 metadata-aggregate shape.
+    "ice_metadata_minmax",
     # ice_bucket_partitioning rotated r8 (six driver-green rounds r2–r7;
     # the murmur3 bucket transform stays pinned by golden-value pytest
     # and the local oracle) — its slot admits the new z-order layout
@@ -226,6 +230,8 @@ ROTATED_OUT: dict[str, dict] = {
     "ice_time_travel": _r(8, None, "snapshot-id/tag/current reads; 6 driver-green rounds (r2-r7); WAP branch isolation pytest and the local oracle keep covering it every round"),
     # round 8 rotation — to admit ice_partition_evolution into the window
     "ice_partition_prune": _r(8, "ice_partition_evolution", "6 driver-green rounds (r2-r7); the evolution entry asserts the same transform-aware partition pruning in-query, across two specs"),
+    # round 8 rotation — to admit ice_metadata_minmax into the window
+    "ice_snapshot_summary": _r(8, None, "snapshot summary counters; 6 driver-green rounds (r2-r7); the running total-* counters are also fuzzed against full manifest recomputation every round, and the local oracle keeps verifying values"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),
