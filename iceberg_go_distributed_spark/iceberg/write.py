@@ -2394,6 +2394,11 @@ def merge(
 
     `check_cardinality` (default on) rejects duplicate source key tuples
     with MergeCardinalityError — one aggregate over the (small) source.
+
+    v3 row-lineage note: updated rows and re-emitted duplicate-key
+    sibling rows are NEW rows of this snapshot and draw fresh `_row_id`s
+    (the upsert/key-replacement contract); rows the merge never touched
+    keep their lineage.
     """
     from pyspark.sql import functions as F
 
