@@ -840,3 +840,363 @@ def compute_partition_statistics(table) -> dict:
     tx.apply([SetPartitionStatistics(entry)], [AssertTableUUID(md.table_uuid)])
     tx.commit()
     return entry
+
+
+def _eq_matched_positions(pf, eq_sets, batch_rows: int = 131072):
+    """Global row positions of `pf` (an open ParquetFile) whose key tuple
+    appears in any equality-delete key set. Executor-side; memory is one
+    record batch + the (small, distinct) key frames.
+
+    eq_sets: [(field_ids, pandas frame with columns f{fid})]. Data
+    columns resolve by parquet FIELD ID (renames survive); a key column
+    absent from the file (added after it was written) reads as nulls.
+    Null semantics match the scan's eq-delete anti-join: NULL == NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    by_id = {}
+    for fld in pf.schema_arrow:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = fld.name
+    needed_ids = sorted({fid for ids, _ in eq_sets for fid in ids})
+    phys = [by_id[f] for f in needed_ids if f in by_id]
+
+    # split each key set: vectorized merge for fully-non-null key rows,
+    # tuple-set fallback for null-carrying ones (NULL must match NULL)
+    prepared = []
+    for ids, keys in eq_sets:
+        cols = [f"f{f}" for f in ids]
+        nn = keys.dropna(subset=cols) if len(keys) else keys
+        withnull = keys[keys[cols].isna().any(axis=1)] if len(keys) else keys
+        null_tuples = {
+            tuple(None if pd.isna(v) else v for v in row)
+            for row in withnull[cols].itertuples(index=False)
+        }
+        prepared.append((ids, cols, nn.drop_duplicates(), null_tuples))
+
+    out = []
+    off = 0
+    for batch in pf.iter_batches(columns=phys, batch_size=batch_rows):
+        pdf = batch.to_pandas()
+        pdf.columns = [f"f{f}" for f in needed_ids if f in by_id]
+        for f in needed_ids:
+            if f not in by_id:
+                pdf[f"f{f}"] = None  # column added after this file
+        n = len(pdf)
+        mask = np.zeros(n, dtype=bool)
+        pdf = pdf.reset_index(drop=True)
+        for ids, cols, nn, null_tuples in prepared:
+            if len(nn):
+                hit = (
+                    pdf[cols]
+                    .reset_index()
+                    .merge(nn, on=cols, how="inner")["index"]
+                    .to_numpy()
+                )
+                mask[hit] = True
+            if null_tuples:
+                rows_with_null = pdf[cols].isna().any(axis=1).to_numpy()
+                for i in np.flatnonzero(rows_with_null):
+                    t = tuple(
+                        None if pd.isna(v) else v for v in pdf[cols].iloc[i]
+                    )
+                    if t in null_tuples:
+                        mask[i] = True
+        out.append(np.flatnonzero(mask).astype("uint64") + np.uint64(off))
+        off += n
+    if not out:
+        return np.empty(0, dtype="uint64")
+    return np.concatenate(out)
+
+
+def convert_equality_deletes(table, spark) -> bool:
+    """Materialize every applicable equality delete into deletion vectors
+    and drop the equality-delete files — WITHOUT rewriting any data file.
+
+    Upsert/MERGE streams add one equality-delete file per commit, and
+    every subsequent read pays a keyed anti-join per delete file. This
+    pass computes, per affected data file, the positions its applicable
+    (sequence-gated, exactly as the scan matched them) equality keys
+    name, unions them with the file's existing deletion vector, writes
+    fresh puffin DVs executor-side, and commits ONE 'replace' snapshot
+    that adds the DVs and drops every equality-delete entry. The visible
+    row set is unchanged — reads just get cheaper (bitmap skips instead
+    of anti-joins), which is the point at 100 TB where eq-delete debt
+    compounds. Streams skip the snapshot as a rewrite, like compaction.
+
+    Equality-delete files whose keys match no live rows are dropped
+    outright. v3 only (DVs); on v2 run binpack compaction instead, which
+    materializes deletes by rewriting the data. Returns True when a
+    conversion snapshot was committed."""
+    import json as _json
+
+    from . import fileio as _fileio
+    from .manifest import (
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        read_manifest,
+        write_manifest,
+    )
+    from .write import (
+        _commit_manifests,
+        _decode_partition,
+        _encode_partition,
+        _rewrite_parent_manifests,
+        begin_distributed_snapshot,
+    )
+
+    md = table.metadata
+    if md.format_version < 3:
+        raise ValueError(
+            "equality-delete conversion writes deletion vectors (format "
+            "v3); on v2 run rewrite_data_files (binpack) to materialize "
+            "deletes by rewriting the data"
+        )
+    snap = md.current_snapshot()
+    if snap is None:
+        return False
+    has_eq = False
+    for m in snap.manifests():
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+            if e.data_file.content == DataFileContent.EQUALITY_DELETES:
+                has_eq = True
+                break
+        if has_eq:
+            break
+    if not has_eq:
+        return False
+
+    schema = md.current_schema()
+    by_id = {f.field_id: f for f in schema.fields}
+    tasks = table.scan().plan_files_auto(spark)
+    rows = []
+    for t in tasks:
+        eqs = [
+            d for d in t.delete_files
+            if d.content == DataFileContent.EQUALITY_DELETES
+        ]
+        if not eqs:
+            continue
+        for d in eqs:
+            missing = [i for i in (d.equality_ids or []) if i not in by_id]
+            if missing:
+                raise ValueError(
+                    f"equality-delete file {d.file_path} keys on dropped "
+                    f"field ids {missing}; the delete cannot be evaluated "
+                    "against the current schema"
+                )
+        dv = next(
+            (d for d in t.delete_files if d.content_offset is not None), None
+        )
+        rows.append(
+            (
+                t.file.file_path,
+                _json.dumps(
+                    [[d.file_path, list(d.equality_ids or [])] for d in eqs]
+                ),
+                dv.file_path if dv else None,
+                int(dv.content_offset) if dv else None,
+                int(dv.content_size_in_bytes) if dv else None,
+                _json.dumps(_encode_partition(t.file.partition or {})),
+            )
+        )
+
+    ds = begin_distributed_snapshot(table)
+    location = md.location
+    commit_uuid = ds.commit_uuid
+    fileio_cfg = _fileio.env_config()
+
+    collected = []
+    if rows:
+        files_df = spark.createDataFrame(
+            rows,
+            "data_file string, eq_json string, dv_path string, "
+            "dv_offset bigint, dv_size bigint, part string",
+        ).repartition(min(len(rows), 32))
+
+        def task(batches):
+            import numpy as np
+            import pandas as pd
+
+            from pyspark import TaskContext
+
+            from . import fileio
+            from .manifest import DataFile as _DF
+            from .puffin import (
+                BlobMetadata,
+                read_deletion_vector,
+                serialize_deletion_vector,
+                write_puffin,
+            )
+            from .write import _encode_descriptor
+
+            fileio.apply_config(fileio_cfg)
+            tc = TaskContext.get()
+            task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
+            blobs, refs, newly = [], [], []
+            eq_cache: dict = {}
+
+            def key_frame(path, ids):
+                k = (path, tuple(ids))
+                if k not in eq_cache:
+                    with fileio.parquet_file(path) as kf:
+                        kby = {}
+                        for fld in kf.schema_arrow:
+                            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                            if fid is not None:
+                                kby[int(fid)] = fld.name
+                        cols = [kby[i] for i in ids]
+                        pdf = kf.read(columns=cols).to_pandas()
+                    pdf.columns = [f"f{i}" for i in ids]
+                    eq_cache[k] = pdf
+                return eq_cache[k]
+
+            for pdfs in batches:
+                for rec in pdfs.itertuples(index=False):
+                    eq_sets = [
+                        (ids, key_frame(path, ids))
+                        for path, ids in __import__("json").loads(rec.eq_json)
+                    ]
+                    with fileio.parquet_file(rec.data_file) as pf:
+                        pos = _eq_matched_positions(pf, eq_sets)
+                    if rec.dv_path is not None:
+                        existing = read_deletion_vector(
+                            rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                        )
+                    else:
+                        existing = np.empty(0, dtype="uint64")
+                    union = np.union1d(pos, existing.astype("uint64"))
+                    if union.size == 0:
+                        continue  # keys matched nothing; no DV needed
+                    blobs.append(
+                        (
+                            BlobMetadata(
+                                type="deletion-vector-v1",
+                                fields=[],
+                                snapshot_id=0,
+                                sequence_number=0,
+                                properties={
+                                    "referenced-data-file": rec.data_file,
+                                    "cardinality": str(int(union.size)),
+                                },
+                            ),
+                            serialize_deletion_vector(union),
+                        )
+                    )
+                    refs.append(rec)
+                    newly.append(int(union.size - existing.size))
+            if not blobs:
+                yield pd.DataFrame({"descriptor": [], "newly": [], "had_dv": []}).astype(
+                    {"descriptor": "string", "newly": "int64", "had_dv": "bool"}
+                )
+                return
+            d = os.path.join(location, "data")
+            fileio.makedirs(d)
+            path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-eqconv.puffin")
+            write_puffin(path, blobs)
+            size = fileio.size(path)
+            out = {"descriptor": [], "newly": [], "had_dv": []}
+            for (meta, _), rec, nw in zip(blobs, refs, newly):
+                out["descriptor"].append(
+                    _encode_descriptor(
+                        _DF(
+                            file_path=path,
+                            file_format="PUFFIN",
+                            partition=_decode_partition(
+                                __import__("json").loads(rec.part)
+                            ),
+                            record_count=int(meta.properties["cardinality"]),
+                            file_size_in_bytes=size,
+                            content=DataFileContent.POSITION_DELETES,
+                            referenced_data_file=rec.data_file,
+                            content_offset=meta.offset,
+                            content_size_in_bytes=meta.length,
+                        )
+                    )
+                )
+                out["newly"].append(nw)
+                out["had_dv"].append(rec.dv_path is not None)
+            yield pd.DataFrame(out)
+
+        collected = files_df.mapInPandas(
+            task, "descriptor string, newly bigint, had_dv boolean"
+        ).collect()
+
+    from .write import _decode_descriptor
+
+    new_entries = []
+    replaced_dv_refs: set = set()
+    newly_total = 0
+    for r in collected:
+        if not r.descriptor:
+            continue
+        df = _decode_descriptor(r.descriptor)
+        df.content = DataFileContent.POSITION_DELETES
+        new_entries.append(
+            ManifestEntry(
+                status=ManifestEntryStatus.ADDED,
+                snapshot_id=ds.snapshot_id,
+                sequence_number=None,  # inherit the conversion commit's seq
+                file_sequence_number=None,
+                data_file=df,
+            )
+        )
+        newly_total += int(r.newly)
+        if r.had_dv:
+            replaced_dv_refs.add(df.referenced_data_file)
+
+    new_manifests = []
+    if new_entries:
+        p = os.path.join(
+            md.location, "metadata", f"{commit_uuid}-eqconv-m0.avro"
+        )
+        new_manifests.append(
+            write_manifest(
+                p, md.default_spec(), schema, ds.snapshot_id, new_entries,
+                content=ManifestContent.DELETES,
+            )
+        )
+    carried, rm = _rewrite_parent_manifests(
+        md, set(), commit_uuid, "eqconv",
+        replaced_dv_refs=replaced_dv_refs or None,
+        drop_equality_deletes=True,
+    )
+    summary = {
+        "converted-equality-delete-files": str(rm["removed-delete-files"]),
+        "removed-delete-files": str(rm["removed-delete-files"]),
+        "removed-equality-deletes": str(rm["removed-equality-deletes"]),
+        "removed-files-size": str(rm["removed-files-size"]),
+        "removed-position-deletes": str(rm["removed-position-deletes"]),
+    }
+    if new_entries:
+        summary.update(
+            {
+                "added-delete-files": str(len(new_entries)),
+                "added-position-delete-files": str(len(new_entries)),
+                "added-dvs": str(len(new_entries)),
+                "added-position-deletes": str(newly_total),
+                "added-files-size": str(
+                    sum(
+                        e.data_file.content_size_in_bytes or 0
+                        for e in new_entries
+                    )
+                ),
+            }
+        )
+    _commit_manifests(
+        table,
+        new_manifests,
+        carried,
+        operation="replace",
+        extra_summary=summary,
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True

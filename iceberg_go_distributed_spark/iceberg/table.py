@@ -1811,6 +1811,15 @@ class Table(StaticTable):
 
         return rewrite_position_deletes(self, spark, target_file_size)
 
+    def convert_equality_deletes(self, spark) -> bool:
+        """Materialize accumulated equality deletes into deletion vectors
+        and drop the equality-delete files — reads get bitmap skips
+        instead of per-file anti-joins; no data rewrite (see
+        maintenance.convert_equality_deletes)."""
+        from .maintenance import convert_equality_deletes
+
+        return convert_equality_deletes(self, spark)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files

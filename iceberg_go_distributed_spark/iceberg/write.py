@@ -1217,9 +1217,30 @@ def update_snapshot_totals(props: dict, parent_props: dict) -> dict:
     return props
 
 
+def _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes):
+    """Why a carried delete entry is dropped: 'dv' (its referenced data
+    file got a new DV this commit), 'eq' (equality deletes are being
+    materialized away), or None (kept)."""
+    from .manifest import DataFileContent
+
+    if (
+        replaced_dv_refs
+        and e.data_file.content_offset is not None
+        and e.data_file.referenced_data_file in replaced_dv_refs
+    ):
+        return "dv"
+    if (
+        drop_equality_deletes
+        and e.data_file.content == DataFileContent.EQUALITY_DELETES
+    ):
+        return "eq"
+    return None
+
+
 def _rewrite_parent_manifests(
     md, removed_paths: set, commit_uuid: str, tag: str,
     replaced_dv_refs: Optional[set] = None,
+    drop_equality_deletes: bool = False,
 ):
     """Carry forward the parent's manifests, dropping entries for
     `removed_paths`; untouched manifests are reused as-is (ref
@@ -1292,24 +1313,18 @@ def _rewrite_parent_manifests(
             mf.min_sequence_number = m.min_sequence_number
             mf.first_row_id = m.first_row_id
             carried.append(mf)
-        elif m.content == ManifestContent.DELETES and replaced_dv_refs and any(
-            e.data_file.content_offset is not None
-            and e.data_file.referenced_data_file in replaced_dv_refs
-            for e in entries
-        ):
+        elif m.content == ManifestContent.DELETES and (
+            replaced_dv_refs or drop_equality_deletes
+        ) and any(_delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
+                  for e in entries):
             kept = [
                 e
                 for e in entries
-                if not (
-                    e.data_file.content_offset is not None
-                    and e.data_file.referenced_data_file in replaced_dv_refs
-                )
+                if not _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
             ]
             for e in entries:
-                if (
-                    e.data_file.content_offset is not None
-                    and e.data_file.referenced_data_file in replaced_dv_refs
-                ):
+                kind = _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
+                if kind == "dv":
                     removed_metrics["removed-delete-files"] += 1
                     removed_metrics["replaced_dv_positions"] += (
                         e.data_file.record_count
@@ -1317,6 +1332,14 @@ def _rewrite_parent_manifests(
                     removed_metrics["removed-files-size"] += (
                         e.data_file.content_size_in_bytes
                         or e.data_file.file_size_in_bytes
+                    )
+                elif kind == "eq":
+                    removed_metrics["removed-delete-files"] += 1
+                    removed_metrics["removed-equality-deletes"] += (
+                        e.data_file.record_count
+                    )
+                    removed_metrics["removed-files-size"] += (
+                        e.data_file.file_size_in_bytes
                     )
             if not kept:
                 continue

@@ -1,0 +1,168 @@
+"""convert_equality_deletes: materialize eq-deletes into DVs, drop the
+eq files, keep the visible row set bit-identical — no data rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.manifest import DataFileContent
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+def _table(cat, spark, name="db.eqc", v3=True, n=300):
+    df = spark.createDataFrame(
+        [(i, f"o{i}", float(i)) for i in range(n)],
+        "id long, owner string, v double",
+    )
+    t = cat.create_table(name, schema_from_spark(df.schema))
+    if v3:
+        t.upgrade_format_version(3)
+    for k in range(3):
+        t.append(df.where(f"id % 3 = {k}").coalesce(1))
+    return t, df
+
+
+def _rows(t, spark):
+    return sorted(
+        (r.id, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+
+
+def _delete_kinds(t):
+    kinds = set()
+    for task in t.scan().plan_files():
+        for d in task.delete_files:
+            if d.content == DataFileContent.EQUALITY_DELETES:
+                kinds.add("eq")
+            elif d.content_offset is not None:
+                kinds.add("dv")
+            else:
+                kinds.add("pos")
+    return kinds
+
+
+def test_conversion_preserves_rows_and_drops_eq_files(cat, spark):
+    t, df = _table(cat, spark)
+    # two upserts: two eq-delete files, replacing existing keys
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "up5", 55.0), (6, "up6", 66.0)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    t.upsert(
+        spark.createDataFrame([(7, "up7", 77.0)], "id long, owner string, v double"),
+        ["id"],
+    )
+    before = _rows(t, spark)
+    assert "eq" in _delete_kinds(t)
+
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    assert _rows(t, spark) == before  # bit-identical visible rows
+    kinds = _delete_kinds(t)
+    assert "eq" not in kinds and "dv" in kinds
+    snap = t.current_snapshot()
+    assert snap.summary.operation == "replace"
+    assert int(snap.summary.properties["total-equality-deletes"]) == 0
+    assert int(snap.summary.properties["removed-equality-deletes"]) == 3
+
+    # idempotent: nothing left to convert
+    assert t.convert_equality_deletes(spark) is False
+
+    # future DML still works against the converted table
+    t.delete_where(spark, E.equal("id", 5))
+    t.refresh()
+    assert (5, "up5", 55.0) not in _rows(t, spark)
+
+
+def test_conversion_unions_with_existing_dv(cat, spark):
+    t, df = _table(cat, spark)
+    t.delete_where(spark, E.less_than("id", 30))  # DVs on all three files
+    t.upsert(
+        spark.createDataFrame(
+            [(100, "up", 1.0)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    before = _rows(t, spark)
+    assert {"eq", "dv"} <= _delete_kinds(t)
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    assert _rows(t, spark) == before
+    # at most one DV per data file, none of them eq
+    per_file = {}
+    for task in t.scan().plan_files():
+        dvs = [d for d in task.delete_files if d.content_offset is not None]
+        assert len(dvs) <= 1
+        assert all(
+            d.content != DataFileContent.EQUALITY_DELETES
+            for d in task.delete_files
+        )
+        per_file[task.file.file_path] = len(dvs)
+    assert any(v == 1 for v in per_file.values())
+
+
+def test_conversion_drops_matchless_eq_files(cat, spark):
+    t, _ = _table(cat, spark, name="db.eqc_nohit")
+    # keys that exist ONLY in the upsert batch itself: the eq delete is
+    # exempt for its own rows (same sequence number) and matches nothing
+    t.upsert(
+        spark.createDataFrame(
+            [(10_000, "new", 0.0)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    before = _rows(t, spark)
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    assert _rows(t, spark) == before
+    assert _delete_kinds(t) == set()  # no deletes remain at all
+
+
+def test_conversion_survives_key_column_rename(cat, spark):
+    t, _ = _table(cat, spark, name="db.eqc_rename")
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "up", 5.5)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    t.update_schema().rename_column("id", "ident").commit()
+    t.refresh()
+    before = sorted(
+        (r.ident, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    after = sorted(
+        (r.ident, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert after == before
+    assert "eq" not in _delete_kinds(t)
+
+
+def test_conversion_refused_on_v2(cat, spark):
+    t, _ = _table(cat, spark, name="db.eqc_v2", v3=False)
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "up", 5.5)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    with pytest.raises(ValueError, match="format .*v3|v3"):
+        t.convert_equality_deletes(spark)
+
+
+def test_conversion_noop_without_eq_deletes(cat, spark):
+    t, _ = _table(cat, spark, name="db.eqc_clean")
+    assert t.convert_equality_deletes(spark) is False
+    t.delete_where(spark, E.less_than("id", 10))  # DVs only
+    assert t.convert_equality_deletes(spark) is False
