@@ -39,9 +39,26 @@ def delete_debt(table) -> float:
     return deleted / total if total else 0.0
 
 
-def maintain(table, spark, compact_at: float = 0.3) -> str:
-    """One maintenance tick. Returns which tier ran:
-    'consolidated', 'compacted', or 'noop'."""
+def equality_debt(table) -> int:
+    """Outstanding equality-delete rows, from summary counters alone.
+    Unlike position deletes (bitmap skips), every equality delete costs
+    a keyed anti-join per read until converted or compacted away."""
+    s = table.current_snapshot()
+    if s is None:
+        return 0
+    return int(s.summary.properties.get("total-equality-deletes", "0"))
+
+
+def maintain(table, spark, compact_at: float = 0.3, convert_eq_at: int = 1) -> str:
+    """One maintenance tick. Returns which tier ran: 'converted',
+    'consolidated', 'compacted', or 'noop'.
+
+    Three tiers, cheapest first beneath the compaction gate:
+      - equality deletes (from upsert/MERGE streams) convert to DVs as
+        soon as any accumulate — each one taxes EVERY read with an
+        anti-join, and conversion is one pass over affected files;
+      - DV scatter consolidates every tick (O(deleted positions));
+      - full compaction only past the delete-debt threshold."""
     if delete_debt(table) >= compact_at:
         if table.rewrite_data_files(spark):
             # compaction materializes the deletes but leaves the (now
@@ -49,6 +66,9 @@ def maintain(table, spark, compact_at: float = 0.3) -> str:
             # pass sweeps them so the debt counters drop to zero
             table.rewrite_position_deletes(spark)
             return "compacted"
+    if equality_debt(table) >= convert_eq_at:
+        if table.convert_equality_deletes(spark):
+            return "converted"
     if table.rewrite_position_deletes(spark):
         return "consolidated"
     return "noop"

@@ -79,7 +79,11 @@ _PRIORITY = [
     # and the local oracle) — its slot admits the new z-order layout
     # rewrite so the clustering feature gets a driver row in round one.
     "ice_zorder_prune",
-    "ice_positional_deletes",
+    # ice_positional_deletes rotated r8 (six driver-green rounds r2–r7;
+    # positional-delete matching stays driver-covered in-window by
+    # ice_deletion_vector and ice_partitioned_write_mor) — slot admits
+    # the new equality→DV conversion so its exactness gets a driver row.
+    "ice_eq_convert",
     "ice_overwrite",
     "ice_equality_deletes",
     "ice_nan_roundtrip",
@@ -232,6 +236,8 @@ ROTATED_OUT: dict[str, dict] = {
     "ice_partition_prune": _r(8, "ice_partition_evolution", "6 driver-green rounds (r2-r7); the evolution entry asserts the same transform-aware partition pruning in-query, across two specs"),
     # round 8 rotation — to admit ice_metadata_minmax into the window
     "ice_snapshot_summary": _r(8, None, "snapshot summary counters; 6 driver-green rounds (r2-r7); the running total-* counters are also fuzzed against full manifest recomputation every round, and the local oracle keeps verifying values"),
+    # round 8 rotation — to admit ice_eq_convert into the window
+    "ice_positional_deletes": _r(8, "ice_deletion_vector", "6 driver-green rounds (r2-r7); positional-delete matching stays in-window via ice_deletion_vector and the MOR round trip"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

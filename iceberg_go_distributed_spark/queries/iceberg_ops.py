@@ -1145,3 +1145,74 @@ def ice_metadata_minmax(spark, sf_dir):
         "min_orderkey long, max_orderkey long, min_qty double, "
         "max_qty double, min_shipdate timestamp_ntz, max_shipdate timestamp_ntz",
     )
+
+
+@query(
+    "ice_eq_convert",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'UP' AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(13,2)) AS price
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT st AS o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+    FROM merged GROUP BY st
+    """,
+    doc="equality-delete to DV conversion: upsert debt materialized, rows bit-identical",
+)
+def ice_eq_convert(spark, sf_dir):
+    """Upsert (equality deletes) followed by convert_equality_deletes:
+    the conversion must drop every equality-delete file, leave only
+    deletion vectors, and keep the visible row set bit-identical to
+    DuckDB reconstructing the upsert's end state from the raw parquet —
+    proving the sequence-gated key matching and DV union are exact."""
+    from ..iceberg.manifest import DataFileContent
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_eqconv", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("db.ice_eqconv", schema_from_spark(orders.schema))
+    t.upgrade_format_version(3)
+    t.append(orders.repartition(4))
+    up = orders.where("o_orderkey % 5 = 0").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("UP").alias("o_orderstatus"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)"
+        ).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    t.upsert(up, ["o_orderkey"])
+
+    def kinds():
+        out = set()
+        for task in t.scan().plan_files():
+            for d in task.delete_files:
+                out.add(
+                    "eq"
+                    if d.content == DataFileContent.EQUALITY_DELETES
+                    else "dv"
+                )
+        return out
+
+    assert "eq" in kinds(), "upsert should leave equality-delete debt"
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    k = kinds()
+    assert "eq" not in k, f"conversion left equality deletes: {k}"
+    assert "dv" in k, "matched keys must materialize as deletion vectors"
+    return (
+        t.scan()
+        .to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(13,2))) AS DOUBLE)"
+            ).alias("total"),
+        )
+    )

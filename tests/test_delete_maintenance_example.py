@@ -71,3 +71,32 @@ def test_delete_stream_maintenance(tmp_path, spark, sf_dir):
     assert maintain(t, spark) == "compacted"
     assert _live_delete_files(t) == set()  # debt cleared with the rewrite
     check()
+
+
+def test_equality_debt_tier(tmp_path, spark, sf_dir):
+    """The new cheapest tier: upsert/MERGE equality-delete debt converts
+    to DVs before any consolidation or compaction is considered."""
+    from delete_maintenance import equality_debt, maintain
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double"
+    )
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.eqd", schema_from_spark(df.schema))
+    t.upgrade_format_version(3)
+    t.append(df.coalesce(2))
+
+    assert equality_debt(t) == 0
+    t.upsert(
+        spark.createDataFrame([(7, 700.0), (8, 800.0)], "id long, v double"),
+        ["id"],
+    )
+    assert equality_debt(t) == 2
+    assert maintain(t, spark) == "converted"
+    assert equality_debt(t) == 0
+    rows = {r.id: r.v for r in t.scan().to_df(spark).collect()}
+    assert rows[7] == 700.0 and rows[8] == 800.0 and len(rows) == 200
+    assert maintain(t, spark) in ("noop", "consolidated")
