@@ -537,19 +537,31 @@ def q17(spark, sf_dir):
     doc="IN-subquery (semi join) + group-having",
 )
 def q18(spark, sf_dir):
+    # One lineitem aggregation serves both the HAVING gate and the output
+    # sum: every output group key (customer, order columns) is
+    # functionally dependent on o_orderkey, so the per-group SUM equals
+    # the per-order SUM already computed for the gate. The naive shape
+    # (semi-join the gate back onto lineitem, re-shuffle, re-aggregate)
+    # scans and exchanges the fact table twice; this plan scans it once,
+    # and the >170 filter leaves so few orders that both remaining joins
+    # broadcast — no fact⋈fact exchange at all.
     cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("tq"))
         .where(F.col("tq") > 170)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("tq").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
