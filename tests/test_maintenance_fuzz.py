@@ -1,0 +1,121 @@
+"""Maintained-vs-control twin fuzz: random DML histories run on TWO v3
+tables; the maintained twin additionally runs a random maintenance op
+(equality→DV conversion, DV consolidation, binpack compaction, z-order
+recluster) after steps — the visible row set must stay bit-identical to
+the untouched control after EVERY step, and structural invariants (at
+most one DV per file, no eq files after conversion) must hold.
+
+This is the interaction net for the round's new maintenance surface:
+each op is individually tested, but bugs live in the seams (a conversion
+after an upsert after a recluster after a delete...).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+from iceberg_go_distributed_spark.iceberg.manifest import DataFileContent
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+SCHEMA = "id long, grp long, v double"
+
+
+def _batch(spark, rng, ids):
+    return spark.createDataFrame(
+        [(i, i % 7, float(rng.randint(0, 999))) for i in ids], SCHEMA
+    )
+
+
+def _rows(t, spark):
+    return sorted((r.id, r.grp, r.v) for r in t.scan().to_df(spark).collect())
+
+
+def _invariants(t):
+    for task in t.scan().plan_files():
+        dvs = [d for d in task.delete_files if d.content_offset is not None]
+        assert len(dvs) <= 1, f"{task.file.file_path} has {len(dvs)} DVs"
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_maintenance_never_changes_visible_rows(tmp_path, spark, seed):
+    rng = random.Random(seed)
+    cat = FileSystemCatalog(str(tmp_path / f"wh{seed}"))
+    schema = schema_from_spark(_batch(spark, rng, [0]).schema)
+    a = cat.create_table("db.maintained", schema)
+    b = cat.create_table("db.control", schema)
+    for t in (a, b):
+        t.upgrade_format_version(3)
+
+    next_id = 0
+    live_ceiling = 0
+
+    def fresh_ids(n):
+        nonlocal next_id
+        out = list(range(next_id, next_id + n))
+        next_id += n
+        return out
+
+    maintenance = [
+        lambda t: t.convert_equality_deletes(spark),
+        lambda t: t.rewrite_position_deletes(spark),
+        lambda t: t.rewrite_data_files(spark),
+        lambda t: t.rewrite_data_files(
+            spark, strategy="zorder", sort_cols=["id", "grp"]
+        ),
+    ]
+
+    # seed data
+    ids = fresh_ids(400)
+    df = _batch(spark, rng, ids)
+    for t in (a, b):
+        t.append(df.repartition(3))
+    live_ceiling = next_id
+
+    for step in range(8):
+        kind = rng.choice(["append", "upsert", "delete"])
+        if kind == "append":
+            df = _batch(spark, rng, fresh_ids(rng.randint(50, 150)))
+            for t in (a, b):
+                t.append(df.coalesce(1))
+        elif kind == "upsert":
+            # mix of existing and brand-new keys
+            existing = rng.sample(range(live_ceiling), k=min(20, live_ceiling))
+            df = _batch(spark, rng, existing + fresh_ids(10))
+            for t in (a, b):
+                t.upsert(df, ["id"])
+        else:
+            lo = rng.randint(0, max(live_ceiling - 1, 1))
+            hi = lo + rng.randint(5, 60)
+            expr = E.and_(
+                E.greater_than_or_equal("id", lo), E.less_than("id", hi)
+            )
+            for t in (a, b):
+                t.delete_where(spark, expr)
+        live_ceiling = next_id
+
+        if rng.random() < 0.8:
+            op = rng.choice(maintenance)
+            op(a)
+            a.refresh()
+
+        assert _rows(a, spark) == _rows(b, spark), f"seed {seed} step {step}"
+        _invariants(a)
+
+    # terminal: full cleanup on the maintained twin, still identical
+    a.convert_equality_deletes(spark)
+    a.refresh()
+    a.rewrite_data_files(spark)
+    a.refresh()
+    a.rewrite_position_deletes(spark)
+    a.refresh()
+    assert _rows(a, spark) == _rows(b, spark)
+    for task in a.scan().plan_files():
+        assert all(
+            d.content != DataFileContent.EQUALITY_DELETES
+            for d in task.delete_files
+        )
