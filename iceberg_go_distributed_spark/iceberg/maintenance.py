@@ -1200,3 +1200,283 @@ def convert_equality_deletes(table, spark) -> bool:
         parent_snapshot_id=ds.parent_snapshot_id,
     )
     return True
+
+
+def convert_position_deletes(table, spark) -> bool:
+    """Upgrade legacy v2 positional-delete PARQUET files into v3 deletion
+    vectors — the spec's upgrade expectation for v3 tables, and the one
+    delete shape `rewrite_position_deletes` (DV repack) never touches.
+
+    Per referenced data file, the positions named by every applicable
+    (sequence-gated, exactly as the scan matched them) v2 delete file are
+    decoded executor-side, unioned with the file's existing DV, and
+    written as fresh puffin blobs; ONE 'replace' snapshot adds the DVs
+    and drops every v2 positional entry. Row set unchanged; reads stop
+    re-filtering (file_path, pos) parquet per scan. v3 only. Returns
+    True when a conversion snapshot was committed."""
+    import json as _json
+
+    from . import fileio as _fileio
+    from .manifest import (
+        DataFileContent,
+        ManifestContent,
+        ManifestEntry,
+        ManifestEntryStatus,
+        read_manifest,
+        write_manifest,
+    )
+    from .write import (
+        _commit_manifests,
+        _decode_partition,
+        _encode_partition,
+        _rewrite_parent_manifests,
+        begin_distributed_snapshot,
+    )
+
+    md = table.metadata
+    if md.format_version < 3:
+        raise ValueError(
+            "positional-delete conversion writes deletion vectors "
+            "(format v3); upgrade_format_version(3) first"
+        )
+    snap = md.current_snapshot()
+    if snap is None:
+        return False
+
+    def is_v2_pos(d):
+        return (
+            d.content == DataFileContent.POSITION_DELETES
+            and d.content_offset is None
+        )
+
+    has_pos = False
+    for m in snap.manifests():
+        if m.content != ManifestContent.DELETES:
+            continue
+        for e in read_manifest(m.manifest_path, inherit_sequence_number=m.sequence_number):
+            if is_v2_pos(e.data_file):
+                has_pos = True
+                break
+        if has_pos:
+            break
+    if not has_pos:
+        return False
+
+    schema = md.current_schema()
+    tasks = table.scan().plan_files_auto(spark)
+    rows = []
+    for t in tasks:
+        pos_files = [d for d in t.delete_files if is_v2_pos(d)]
+        if not pos_files:
+            continue
+        dv = next(
+            (d for d in t.delete_files if d.content_offset is not None), None
+        )
+        rows.append(
+            (
+                t.file.file_path,
+                _json.dumps([d.file_path for d in pos_files]),
+                dv.file_path if dv else None,
+                int(dv.content_offset) if dv else None,
+                int(dv.content_size_in_bytes) if dv else None,
+                _json.dumps(_encode_partition(t.file.partition or {})),
+            )
+        )
+
+    ds = begin_distributed_snapshot(table)
+    location = md.location
+    commit_uuid = ds.commit_uuid
+    fileio_cfg = _fileio.env_config()
+
+    collected = []
+    if rows:
+        files_df = spark.createDataFrame(
+            rows,
+            "data_file string, pos_json string, dv_path string, "
+            "dv_offset bigint, dv_size bigint, part string",
+        ).repartition(min(len(rows), 32))
+
+        def task(batches):
+            import numpy as np
+            import pandas as pd
+            import pyarrow.compute as pc
+
+            from pyspark import TaskContext
+
+            from . import fileio
+            from .manifest import DataFile as _DF
+            from .puffin import (
+                BlobMetadata,
+                read_deletion_vector,
+                serialize_deletion_vector,
+                write_puffin,
+            )
+            from .table import strip_scheme
+            from .write import _encode_descriptor
+
+            fileio.apply_config(fileio_cfg)
+            tc = TaskContext.get()
+            task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
+            blobs, refs, newly = [], [], []
+            pos_cache: dict = {}
+
+            def pos_table(path):
+                if path not in pos_cache:
+                    with fileio.parquet_file(path) as pf:
+                        pos_cache[path] = pf.read(columns=["file_path", "pos"])
+                return pos_cache[path]
+
+            for pdfs in batches:
+                for rec in pdfs.itertuples(index=False):
+                    want = strip_scheme(rec.data_file)
+                    parts = []
+                    for path in __import__("json").loads(rec.pos_json):
+                        tbl = pos_table(path)
+                        stripped = pc.replace_substring_regex(
+                            tbl["file_path"],
+                            pattern="^[a-z0-9]+:(//)?",
+                            replacement="",
+                        )
+                        parts.append(
+                            tbl["pos"]
+                            .filter(pc.equal(stripped, want))
+                            .to_numpy(zero_copy_only=False)
+                            .astype("uint64")
+                        )
+                    pos = (
+                        np.unique(np.concatenate(parts))
+                        if parts
+                        else np.empty(0, dtype="uint64")
+                    )
+                    if rec.dv_path is not None:
+                        existing = read_deletion_vector(
+                            rec.dv_path, int(rec.dv_offset), int(rec.dv_size)
+                        ).astype("uint64")
+                    else:
+                        existing = np.empty(0, dtype="uint64")
+                    union = np.union1d(pos, existing)
+                    if union.size == 0:
+                        continue
+                    blobs.append(
+                        (
+                            BlobMetadata(
+                                type="deletion-vector-v1",
+                                fields=[],
+                                snapshot_id=0,
+                                sequence_number=0,
+                                properties={
+                                    "referenced-data-file": rec.data_file,
+                                    "cardinality": str(int(union.size)),
+                                },
+                            ),
+                            serialize_deletion_vector(union),
+                        )
+                    )
+                    refs.append(rec)
+                    newly.append(int(union.size - existing.size))
+            if not blobs:
+                yield pd.DataFrame({"descriptor": [], "newly": [], "had_dv": []}).astype(
+                    {"descriptor": "string", "newly": "int64", "had_dv": "bool"}
+                )
+                return
+            d = os.path.join(location, "data")
+            fileio.makedirs(d)
+            path = os.path.join(d, f"00000-{task_id}-{commit_uuid}-posconv.puffin")
+            write_puffin(path, blobs)
+            size = fileio.size(path)
+            out = {"descriptor": [], "newly": [], "had_dv": []}
+            for (meta, _), rec, nw in zip(blobs, refs, newly):
+                out["descriptor"].append(
+                    _encode_descriptor(
+                        _DF(
+                            file_path=path,
+                            file_format="PUFFIN",
+                            partition=_decode_partition(
+                                __import__("json").loads(rec.part)
+                            ),
+                            record_count=int(meta.properties["cardinality"]),
+                            file_size_in_bytes=size,
+                            content=DataFileContent.POSITION_DELETES,
+                            referenced_data_file=rec.data_file,
+                            content_offset=meta.offset,
+                            content_size_in_bytes=meta.length,
+                        )
+                    )
+                )
+                out["newly"].append(nw)
+                out["had_dv"].append(rec.dv_path is not None)
+            yield pd.DataFrame(out)
+
+        collected = files_df.mapInPandas(
+            task, "descriptor string, newly bigint, had_dv boolean"
+        ).collect()
+
+    from .write import _decode_descriptor
+
+    new_entries = []
+    replaced_dv_refs: set = set()
+    newly_total = 0
+    for r in collected:
+        if not r.descriptor:
+            continue
+        df = _decode_descriptor(r.descriptor)
+        df.content = DataFileContent.POSITION_DELETES
+        new_entries.append(
+            ManifestEntry(
+                status=ManifestEntryStatus.ADDED,
+                snapshot_id=ds.snapshot_id,
+                sequence_number=None,
+                file_sequence_number=None,
+                data_file=df,
+            )
+        )
+        newly_total += int(r.newly)
+        if r.had_dv:
+            replaced_dv_refs.add(df.referenced_data_file)
+
+    new_manifests = []
+    if new_entries:
+        p = os.path.join(md.location, "metadata", f"{commit_uuid}-posconv-m0.avro")
+        new_manifests.append(
+            write_manifest(
+                p, md.default_spec(), schema, ds.snapshot_id, new_entries,
+                content=ManifestContent.DELETES,
+            )
+        )
+    carried, rm = _rewrite_parent_manifests(
+        md, set(), commit_uuid, "posconv",
+        replaced_dv_refs=replaced_dv_refs or None,
+        drop_position_files=True,
+    )
+    summary = {
+        "converted-position-delete-files": str(rm["removed-delete-files"]),
+        "removed-delete-files": str(rm["removed-delete-files"]),
+        "removed-position-deletes": str(rm["removed-position-deletes"]),
+        "removed-files-size": str(rm["removed-files-size"]),
+    }
+    if new_entries:
+        summary.update(
+            {
+                "added-delete-files": str(len(new_entries)),
+                "added-position-delete-files": str(len(new_entries)),
+                "added-dvs": str(len(new_entries)),
+                "added-position-deletes": str(newly_total),
+                "added-files-size": str(
+                    sum(
+                        e.data_file.content_size_in_bytes or 0
+                        for e in new_entries
+                    )
+                ),
+            }
+        )
+    _commit_manifests(
+        table,
+        new_manifests,
+        carried,
+        operation="replace",
+        extra_summary=summary,
+        snapshot_id=ds.snapshot_id,
+        commit_uuid=ds.commit_uuid,
+        parent_snapshot_id=ds.parent_snapshot_id,
+    )
+    return True

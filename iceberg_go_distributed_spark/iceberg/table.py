@@ -1820,6 +1820,13 @@ class Table(StaticTable):
 
         return convert_equality_deletes(self, spark)
 
+    def convert_position_deletes(self, spark) -> bool:
+        """Upgrade legacy v2 positional-delete parquet files into v3
+        deletion vectors (see maintenance.convert_position_deletes)."""
+        from .maintenance import convert_position_deletes
+
+        return convert_position_deletes(self, spark)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files

@@ -1217,10 +1217,12 @@ def update_snapshot_totals(props: dict, parent_props: dict) -> dict:
     return props
 
 
-def _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes):
+def _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes,
+                      drop_position_files=False):
     """Why a carried delete entry is dropped: 'dv' (its referenced data
     file got a new DV this commit), 'eq' (equality deletes are being
-    materialized away), or None (kept)."""
+    materialized away), 'pos' (legacy v2 positional parquet files are
+    being converted to DVs), or None (kept)."""
     from .manifest import DataFileContent
 
     if (
@@ -1234,6 +1236,12 @@ def _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes):
         and e.data_file.content == DataFileContent.EQUALITY_DELETES
     ):
         return "eq"
+    if (
+        drop_position_files
+        and e.data_file.content == DataFileContent.POSITION_DELETES
+        and e.data_file.content_offset is None
+    ):
+        return "pos"
     return None
 
 
@@ -1241,6 +1249,7 @@ def _rewrite_parent_manifests(
     md, removed_paths: set, commit_uuid: str, tag: str,
     replaced_dv_refs: Optional[set] = None,
     drop_equality_deletes: bool = False,
+    drop_position_files: bool = False,
 ):
     """Carry forward the parent's manifests, dropping entries for
     `removed_paths`; untouched manifests are reused as-is (ref
@@ -1314,16 +1323,21 @@ def _rewrite_parent_manifests(
             mf.first_row_id = m.first_row_id
             carried.append(mf)
         elif m.content == ManifestContent.DELETES and (
-            replaced_dv_refs or drop_equality_deletes
-        ) and any(_delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
+            replaced_dv_refs or drop_equality_deletes or drop_position_files
+        ) and any(_delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes,
+                                    drop_position_files)
                   for e in entries):
             kept = [
                 e
                 for e in entries
-                if not _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
+                if not _delete_drop_kind(e, replaced_dv_refs,
+                                         drop_equality_deletes,
+                                         drop_position_files)
             ]
             for e in entries:
-                kind = _delete_drop_kind(e, replaced_dv_refs, drop_equality_deletes)
+                kind = _delete_drop_kind(e, replaced_dv_refs,
+                                         drop_equality_deletes,
+                                         drop_position_files)
                 if kind == "dv":
                     removed_metrics["removed-delete-files"] += 1
                     removed_metrics["replaced_dv_positions"] += (
@@ -1336,6 +1350,14 @@ def _rewrite_parent_manifests(
                 elif kind == "eq":
                     removed_metrics["removed-delete-files"] += 1
                     removed_metrics["removed-equality-deletes"] += (
+                        e.data_file.record_count
+                    )
+                    removed_metrics["removed-files-size"] += (
+                        e.data_file.file_size_in_bytes
+                    )
+                elif kind == "pos":
+                    removed_metrics["removed-delete-files"] += 1
+                    removed_metrics["removed-position-deletes"] += (
                         e.data_file.record_count
                     )
                     removed_metrics["removed-files-size"] += (

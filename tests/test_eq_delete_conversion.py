@@ -166,3 +166,64 @@ def test_conversion_noop_without_eq_deletes(cat, spark):
     assert t.convert_equality_deletes(spark) is False
     t.delete_where(spark, E.less_than("id", 10))  # DVs only
     assert t.convert_equality_deletes(spark) is False
+
+
+# ------------------------------------------ v2 positional-file conversion
+
+def test_pos_conversion_after_v2_upgrade(cat, spark):
+    """A v2 table with positional-delete parquet files upgrades to v3;
+    conversion turns the legacy files into DVs with the row set
+    bit-identical, and subsequent v3 deletes union into the same DV."""
+    t, _ = _table(cat, spark, name="db.posc", v3=False)
+    t.delete_where(spark, E.less_than("id", 40))  # v2 parquet pos files
+    assert _delete_kinds(t) == {"pos"}
+    t.upgrade_format_version(3)
+    t.refresh()
+    before = _rows(t, spark)
+
+    assert t.convert_position_deletes(spark) is True
+    t.refresh()
+    assert _rows(t, spark) == before
+    assert _delete_kinds(t) == {"dv"}
+    snap = t.current_snapshot()
+    assert snap.summary.operation == "replace"
+    assert int(snap.summary.properties["converted-position-delete-files"]) > 0
+
+    # idempotent
+    assert t.convert_position_deletes(spark) is False
+
+    # a later v3 delete replaces the DV (still at most one per file)
+    t.delete_where(spark, E.equal("id", 100))
+    t.refresh()
+    assert (100, "o100", 100.0) not in _rows(t, spark)
+    for task in t.scan().plan_files():
+        dvs = [d for d in task.delete_files if d.content_offset is not None]
+        assert len(dvs) <= 1
+
+
+def test_pos_conversion_unions_legacy_with_existing_dv(cat, spark):
+    t, _ = _table(cat, spark, name="db.posc_mix", v3=False)
+    t.delete_where(spark, E.less_than("id", 20))  # legacy v2 pos files
+    t.upgrade_format_version(3)
+    t.refresh()
+    t.delete_where(spark, E.greater_than("id", 280))  # v3 DVs
+    before = _rows(t, spark)
+    assert {"pos", "dv"} <= _delete_kinds(t)
+
+    assert t.convert_position_deletes(spark) is True
+    t.refresh()
+    assert _rows(t, spark) == before
+    assert _delete_kinds(t) == {"dv"}
+
+
+def test_pos_conversion_refused_on_v2(cat, spark):
+    t, _ = _table(cat, spark, name="db.posc_v2", v3=False)
+    t.delete_where(spark, E.less_than("id", 5))
+    with pytest.raises(ValueError, match="v3"):
+        t.convert_position_deletes(spark)
+
+
+def test_pos_conversion_noop_without_legacy_files(cat, spark):
+    t, _ = _table(cat, spark, name="db.posc_clean")
+    t.delete_where(spark, E.less_than("id", 5))  # v3: DVs directly
+    assert t.convert_position_deletes(spark) is False
