@@ -227,3 +227,21 @@ def test_pos_conversion_noop_without_legacy_files(cat, spark):
     t, _ = _table(cat, spark, name="db.posc_clean")
     t.delete_where(spark, E.less_than("id", 5))  # v3: DVs directly
     assert t.convert_position_deletes(spark) is False
+
+
+def test_changelog_sees_no_changes_across_conversion(cat, spark):
+    """Conversions are 'replace' snapshots with an unchanged row set:
+    row-level CDC consumers must net to ZERO changes across them. (The
+    readStream source skips 'replace' snapshots through the same branch
+    the compaction test pins — conversions commit the same operation.)"""
+    t, _ = _table(cat, spark, name="db.eqc_cdc", n=120)
+    t.upsert(
+        spark.createDataFrame([(5, "up", 5.5)], "id long, owner string, v double"),
+        ["id"],
+    )
+    s1 = t.current_snapshot().snapshot_id
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    s2 = t.current_snapshot().snapshot_id
+    changes = t.changelog_scan(spark, from_snapshot_id=s1, to_snapshot_id=s2)
+    assert changes.count() == 0
