@@ -245,3 +245,50 @@ def test_changelog_sees_no_changes_across_conversion(cat, spark):
     s2 = t.current_snapshot().snapshot_id
     changes = t.changelog_scan(spark, from_snapshot_id=s1, to_snapshot_id=s2)
     assert changes.count() == 0
+
+
+def test_conversion_expire_orphan_lifecycle(cat, spark):
+    """Full lifecycle: after conversion, the dropped equality-delete
+    parquet stays referenced by OLD snapshots (time travel) until expiry;
+    once expired, orphan cleanup reclaims it — and the live table never
+    notices."""
+    import time as _time
+
+    t, _ = _table(cat, spark, name="db.eqc_gc", n=150)
+    t.upsert(
+        spark.createDataFrame([(5, "up", 5.5)], "id long, owner string, v double"),
+        ["id"],
+    )
+    # find the eq-delete parquet path while it's still live
+    eq_paths = {
+        d.file_path
+        for task in t.scan().plan_files()
+        for d in task.delete_files
+        if d.content == DataFileContent.EQUALITY_DELETES
+    }
+    assert eq_paths
+    before = _rows(t, spark)
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+
+    # still referenced by pre-conversion snapshots: cleanup must keep it
+    import os
+
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        delete_orphan_files,
+    )
+
+    future = int(_time.time() * 1000) + 60_000
+    removed = delete_orphan_files(t, older_than_ms=future)
+    assert not (eq_paths & set(removed))
+    assert all(os.path.exists(p) for p in eq_paths)
+
+    # expire history → the eq parquet becomes orphaned and is reclaimed
+    tx = t.transaction()
+    tx.expire_snapshots(retain_last=1)
+    tx.commit()
+    t.refresh()
+    removed = delete_orphan_files(t, older_than_ms=future)
+    assert eq_paths <= set(removed)
+    assert all(not os.path.exists(p) for p in eq_paths)
+    assert _rows(t, spark) == before  # live reads never noticed
