@@ -119,3 +119,45 @@ def test_maintenance_never_changes_visible_rows(tmp_path, spark, seed):
             d.content != DataFileContent.EQUALITY_DELETES
             for d in task.delete_files
         )
+
+
+def test_upgrade_mid_history_twin(tmp_path, spark):
+    """v2-born tables: legacy positional deletes, an in-place upgrade to
+    v3, then upserts — the maintained twin converts legacy positions and
+    equality debt and reclusters, staying row-identical throughout."""
+    rng = random.Random(7)
+    cat = FileSystemCatalog(str(tmp_path / "wh_up"))
+    df = _batch(spark, rng, list(range(500)))
+    schema = schema_from_spark(df.schema)
+    a = cat.create_table("db.up_maint", schema)
+    b = cat.create_table("db.up_ctrl", schema)
+    for t in (a, b):
+        t.append(df.repartition(3))
+        t.delete_where(spark, E.less_than("id", 60))      # v2 pos files
+        t.delete_where(spark, E.greater_than("id", 460))  # more v2 pos
+    assert _rows(a, spark) == _rows(b, spark)
+
+    for t in (a, b):
+        t.upgrade_format_version(3)
+        t.refresh()
+
+    assert a.convert_position_deletes(spark) is True
+    a.refresh()
+    assert _rows(a, spark) == _rows(b, spark)
+    _invariants(a)
+
+    up = _batch(spark, rng, list(range(100, 140)))
+    for t in (a, b):
+        t.upsert(up, ["id"])
+    assert a.convert_equality_deletes(spark) is True
+    a.refresh()
+    assert _rows(a, spark) == _rows(b, spark)
+    _invariants(a)
+
+    assert a.rewrite_data_files(
+        spark, strategy="zorder", sort_cols=["id", "grp"]
+    ) is True
+    a.refresh()
+    assert _rows(a, spark) == _rows(b, spark)
+    # terminal state: no delete files of any kind on the maintained twin
+    assert all(not t.delete_files for t in a.scan().plan_files())
