@@ -77,11 +77,24 @@ def test_maintenance_never_changes_visible_rows(tmp_path, spark, seed):
     live_ceiling = next_id
 
     for step in range(8):
-        kind = rng.choice(["append", "upsert", "delete"])
+        kind = rng.choice(["append", "upsert", "delete", "merge"])
         if kind == "append":
             df = _batch(spark, rng, fresh_ids(rng.randint(50, 150)))
             for t in (a, b):
                 t.append(df.coalesce(1))
+        elif kind == "merge":
+            ex = rng.sample(range(live_ceiling), k=min(10, live_ceiling))
+            src = spark.createDataFrame(
+                [(i, float(rng.randint(0, 9)), rng.random() < 0.3) for i in ex],
+                "id long, delta double, closed boolean",
+            )
+            for t in (a, b):
+                t.merge(
+                    spark, src, on=["id"],
+                    matched_update={"v": "target.v + source.delta"},
+                    matched_delete_condition="source.closed",
+                    not_matched_insert=False,
+                )
         elif kind == "upsert":
             # mix of existing and brand-new keys
             existing = rng.sample(range(live_ceiling), k=min(20, live_ceiling))
