@@ -332,3 +332,32 @@ def test_plan_report_counters(fs_catalog, spark):
     t3.delete_where(spark, E.less_than("rid", 100))
     rep3 = t3.scan().plan_report()
     assert rep3["delete_files_matched"] > 0
+
+
+def test_zvalue_interleave_properties(fs_catalog, spark):
+    """The z-value must be monotone in each dimension with the others
+    fixed (what makes a range partition on it cluster every dimension),
+    and distinct grid cells must map to distinct z-values (no bit
+    collisions between interleaved columns)."""
+    from iceberg_go_distributed_spark.iceberg.write import _cluster_expr
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 1000, 125) for y in range(0, 1000, 125)],
+        "x long, y long",
+    )
+    t = fs_catalog.create_table("db.zprops", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    victims = t.scan().plan_files()
+    [z] = _cluster_expr(df, victims, t.metadata.current_schema(), ["x", "y"], "zorder")
+    rows = df.select("x", "y", z).collect()
+    zmap = {(r.x, r.y): r["__zval"] for r in rows}
+    xs = sorted({r.x for r in rows})
+    ys = sorted({r.y for r in rows})
+    for y in ys:  # monotone in x with y fixed
+        vals = [zmap[(x, y)] for x in xs]
+        assert vals == sorted(vals), f"x-monotonicity broken at y={y}"
+    for x in xs:  # monotone in y with x fixed
+        vals = [zmap[(x, y)] for y in ys]
+        assert vals == sorted(vals), f"y-monotonicity broken at x={x}"
+    assert len(set(zmap.values())) == len(zmap), "grid cells collided"
+    assert all(v >= 0 for v in zmap.values()), "sign bit leaked"
