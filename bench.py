@@ -153,6 +153,50 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    # ---- MAINTENANCE wall time (separate block; NOT in the headline
+    # total): the delete-debt ops this engine runs between queries at
+    # production scale, measured once per round on a lineitem-sized v3
+    # table so their cost is evidence, not a guess — upsert debt →
+    # convert_equality_deletes (key matching + DV write, no data
+    # rewrite), delete_where scatter → rewrite_position_deletes (DV
+    # repack), and a full z-order recluster (the expensive tier).
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    mwh = tempfile.mkdtemp(prefix="maint-bench-")
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        mcat = FileSystemCatalog(mwh)
+        mt = mcat.create_table("db.maint", schema_from_spark(li.schema))
+        mt.upgrade_format_version(3)
+        mt.append(li.repartition(8))
+        up = li.where("l_orderkey % 20 = 0")  # ~5% of keys replaced
+        mt.upsert(up, ["l_orderkey", "l_linenumber"])
+        t0 = time.perf_counter()
+        assert mt.convert_equality_deletes(spark)
+        eq_convert_sec = round(time.perf_counter() - t0, 4)
+        mt.refresh()
+        mt.delete_where(spark, E.equal("l_returnflag", "R"))
+        mt.refresh()
+        t0 = time.perf_counter()
+        dv_consolidate = mt.rewrite_position_deletes(spark)
+        dv_consolidate_sec = round(time.perf_counter() - t0, 4)
+        mt.refresh()
+        t0 = time.perf_counter()
+        assert mt.rewrite_data_files(
+            spark, strategy="zorder", sort_cols=["l_orderkey", "l_partkey"]
+        )
+        zorder_sec = round(time.perf_counter() - t0, 4)
+        maintenance = {
+            "rows": li.count(),
+            "eq_convert_sec": eq_convert_sec,
+            "dv_consolidate_sec": dv_consolidate_sec if dv_consolidate else None,
+            "zorder_rewrite_sec": zorder_sec,
+        }
+    finally:
+        shutil.rmtree(mwh, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     # Contention diagnostic over attempts 2+ only: a query's FIRST
     # attempt pays its plan-specific whole-stage-codegen compile (the
@@ -178,6 +222,10 @@ def main() -> None:
                 # total): local vs distributed planner over a synthetic
                 # 400-manifest/100k-file snapshot
                 "planning": planning,
+                # delete-debt maintenance wall time (NOT in the headline
+                # total): eq→DV conversion, DV consolidation, z-order
+                # recluster on a lineitem-sized v3 table
+                "maintenance": maintenance,
                 "sf": sf,
             }
         )
