@@ -292,3 +292,91 @@ def test_conversion_expire_orphan_lifecycle(cat, spark):
     assert eq_paths <= set(removed)
     assert all(not os.path.exists(p) for p in eq_paths)
     assert _rows(t, spark) == before  # live reads never noticed
+
+
+def test_conversions_on_partitioned_table(cat, spark):
+    """Both converters on a PARTITIONED v3 table: the DV manifest entries
+    carry the referenced data files' partition tuples, partition pruning
+    keeps working afterwards, and rows stay bit-identical."""
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"o{i}", float(i)) for i in range(400)],
+        "id long, bucket long, owner string, v double",
+    )
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table(
+        "db.eqc_part", schema, spec=spec_from(schema, ("bucket", "identity"))
+    )
+    t.upgrade_format_version(3)
+    t.append(df)
+    t.upsert(
+        spark.createDataFrame(
+            [(9, 1, "up", 9.9), (14, 2, "up", 14.4)],
+            "id long, bucket long, owner string, v double",
+        ),
+        ["id"],
+    )
+    before = sorted(
+        (r.id, r.bucket, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    after = sorted(
+        (r.id, r.bucket, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert after == before
+    assert "eq" not in _delete_kinds(t)
+    # partition pruning still works over the converted table, and the
+    # pruned tasks carry their DVs
+    pruned = t.scan(row_filter=E.equal("bucket", 1)).plan_files()
+    assert len(pruned) < len(t.scan().plan_files())
+    assert any(
+        d.content_offset is not None for task in pruned for d in task.delete_files
+    )
+    rows_b1 = sorted(
+        r.id
+        for r in t.scan(row_filter=E.equal("bucket", 1)).to_df(spark).collect()
+    )
+    assert 9 in rows_b1 and len(rows_b1) == 100
+
+
+def test_conversion_after_spec_evolution(cat, spark):
+    """Conversion on a table whose partition spec EVOLVED after the
+    affected files were written: the new DV manifest is written under the
+    current default spec while referencing old-spec data files — delete
+    matching is by referenced path, so rows must stay bit-identical and
+    scans over both spec generations must keep working."""
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    df = spark.createDataFrame(
+        [(i, i % 4, i % 3, float(i)) for i in range(300)],
+        "id long, bucket long, grp long, v double",
+    )
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table(
+        "db.eqc_evo", schema, spec=spec_from(schema, ("bucket", "identity"))
+    )
+    t.upgrade_format_version(3)
+    t.append(df.where("id < 150"))  # old spec files
+    t.update_spec().add_field("grp", "identity").remove_field("bucket").commit()
+    t.refresh()
+    t.append(df.where("id >= 150"))  # new spec files
+    t.upsert(
+        spark.createDataFrame(
+            [(7, 3, 1, 7.7), (200, 0, 2, 2.2)],
+            "id long, bucket long, grp long, v double",
+        ),
+        ["id"],
+    )
+    before = sorted(
+        (r.id, r.bucket, r.grp, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    after = sorted(
+        (r.id, r.bucket, r.grp, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert after == before
+    assert "eq" not in _delete_kinds(t)
+    assert len(after) == 300
