@@ -361,3 +361,19 @@ def test_zvalue_interleave_properties(fs_catalog, spark):
         assert vals == sorted(vals), f"y-monotonicity broken at x={x}"
     assert len(set(zmap.values())) == len(zmap), "grid cells collided"
     assert all(v >= 0 for v in zmap.values()), "sign bit leaked"
+
+
+def test_zorder_tolerates_null_cluster_values(fs_catalog, spark):
+    """Null values in a z-order column normalize to bucket 0 (layout
+    choice only): the rewrite succeeds and no row is lost or mutated."""
+    df = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else i % 100, (i * 7) % 100) for i in range(2_000)],
+        "rid long, x long, y long",
+    )
+    t = fs_catalog.create_table("db.zorder_null", schema_from_spark(df.schema))
+    t.append(df.repartition(4))
+    before = sorted((r.rid, r.x, r.y) for r in t.scan().to_df(spark).collect())
+    assert t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "y"]) is True
+    t.refresh()
+    after = sorted((r.rid, r.x, r.y) for r in t.scan().to_df(spark).collect())
+    assert after == before

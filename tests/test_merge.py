@@ -241,3 +241,29 @@ def test_merge_duplicate_target_keys_siblings_survive(fs_catalog, spark):
         (r.id, r.owner, r.balance) for r in t.scan().to_df(spark).collect()
     )
     assert rows == [(1, "b", 200.0), (2, "c", 300.0)]
+
+
+def test_merge_on_partitioned_table(fs_catalog, spark):
+    """MERGE over a partitioned target: updated and inserted rows land
+    through the partition fanout writer, untouched partitions keep their
+    files, and partition pruning still works afterwards."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "id long, part long, v double"
+    )
+    schema = schema_from_spark(df.schema)
+    t = fs_catalog.create_table(
+        "db.merge_part", schema, spec=spec_from(schema, ("part", "identity"))
+    )
+    t.append(df)
+    src = spark.createDataFrame(
+        [(3, 0, 333.0), (100, 1, 100.0)], "id long, part long, v double"
+    )
+    assert t.merge(spark, src, on=["id"], matched_update="*") is True
+    t.refresh()
+    rows = {r.id: (r.part, r.v) for r in t.scan().to_df(spark).collect()}
+    assert rows[3] == (0, 333.0) and rows[100] == (1, 100.0) and len(rows) == 91
+    pruned = t.scan(row_filter=E.equal("part", 2)).plan_files()
+    assert len(pruned) < len(t.scan().plan_files())
