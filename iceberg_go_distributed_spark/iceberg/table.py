@@ -458,6 +458,41 @@ class Scan:
             )
         return tasks
 
+    def sample_files(self, spark, fraction: float, seed: int = 17):
+        """File-level sample of the scan: a DataFrame over a
+        deterministic ~`fraction` subset of the planned data FILES —
+        the 100 TB profiling shape (inspect 1% of a table by reading 1%
+        of its files, not by scanning everything and sampling rows).
+        Selection hashes each file path with `seed`, so the same
+        (table state, fraction, seed) always samples the same files and
+        growing the fraction only ADDS files (nested samples). Pruning
+        still applies first: a filtered scan samples the SURVIVING
+        files. Rows from sampled files all appear (this is cluster
+        sampling, not row sampling — combine with DataFrame.sample for
+        row-level thinning). Tables with delete files refuse: a
+        sampled file's deletes reference it exactly, but the statistics
+        story of MOR sampling is murky enough that the caller should
+        decide (compact first, or sample the MOR frame row-wise)."""
+        import hashlib
+
+        if not 0 < fraction <= 1:
+            raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+        tasks = self.plan_files_auto(spark)
+        if any(t.delete_files for t in tasks):
+            raise ValueError(
+                "file sampling over merge-on-read deletes is ambiguous; "
+                "compact first or row-sample the full scan"
+            )
+
+        def keep(path: str) -> bool:
+            h = hashlib.md5(f"{seed}:{path}".encode()).digest()
+            return int.from_bytes(h[:8], "big") / float(1 << 64) < fraction
+
+        sampled = [t for t in tasks if keep(t.file.file_path)]
+        if not sampled and tasks:
+            sampled = [min(tasks, key=lambda t: t.file.file_path)]
+        return self.to_df(spark, tasks=sampled)
+
     def plan_report(self) -> dict:
         """Planning observability: run the four-level cascade once on the
         driver and return its pruning counters — how many manifests the

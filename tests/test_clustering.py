@@ -377,3 +377,33 @@ def test_zorder_tolerates_null_cluster_values(fs_catalog, spark):
     t.refresh()
     after = sorted((r.rid, r.x, r.y) for r in t.scan().to_df(spark).collect())
     assert after == before
+
+
+def test_sample_files(fs_catalog, spark):
+    """File-level sampling: deterministic, nested across fractions,
+    prunes first, refuses MOR ambiguity."""
+    t, _ = _xy_table(fs_catalog, spark, "sampler", n=32_000)  # 8 files
+    all_rows = t.scan().to_df(spark).count()
+
+    s3a = set(t.scan().sample_files(spark, 0.4, seed=3).inputFiles())
+    s3b = set(t.scan().sample_files(spark, 0.4, seed=3).inputFiles())
+    assert s3a == s3b and 0 < len(s3a) < 8  # deterministic, proper subset
+    s6 = set(t.scan().sample_files(spark, 0.8, seed=3).inputFiles())
+    assert s3a <= s6  # nested: growing the fraction only adds files
+    n = t.scan().sample_files(spark, 0.4, seed=3).count()
+    assert 0 < n < all_rows
+
+    # pruning applies before sampling: a filtered scan samples survivors
+    flt = E.and_(E.greater_than_or_equal("x", 0), E.less_than("x", 2000))
+    assert t.scan(row_filter=flt).sample_files(spark, 1.0).count() == all_rows
+
+    # tiny fraction still returns at least one file
+    assert t.scan().sample_files(spark, 1e-9).count() > 0
+
+    with pytest.raises(ValueError, match="fraction"):
+        t.scan().sample_files(spark, 0.0)
+
+    t2, _ = _xy_table(fs_catalog, spark, "sampler_mor", v3=True, n=4_000)
+    t2.delete_where(spark, E.less_than("rid", 10))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t2.scan().sample_files(spark, 0.5)
