@@ -940,8 +940,10 @@ def _summary_props(
 
 def _merge_appended_manifests(md, parent, new_manifest, commit_uuid, attempt):
     """mergeManager on the APPEND path — ref snapshot_producers.go:245-373:
-    when `commit.manifest-merge.enabled` (default true, matching the
-    reference/Java) and the table holds >= `commit.manifest.min-count-to-
+    when `commit.manifest-merge.enabled` (default FALSE, matching the
+    reference's table/properties.go:58-59 — upstream Java Iceberg
+    defaults it true, but the reference being rebuilt does not) and the
+    table holds >= `commit.manifest.min-count-to-
     merge` small DATA manifests, bin-pack them (parent's + this commit's)
     into >= target-size merged manifests written as part of THE SAME
     append snapshot — without this, a streaming sink appending every
@@ -973,7 +975,7 @@ def _merge_appended_manifests(md, parent, new_manifest, commit_uuid, attempt):
     )
 
     props = md.properties
-    if props.get(MANIFEST_MERGE_ENABLED, "true").lower() != "true":
+    if props.get(MANIFEST_MERGE_ENABLED, "false").lower() != "true":
         return None
     try:
         target = int(props.get(MANIFEST_TARGET_SIZE, str(8 * 1024 * 1024)))

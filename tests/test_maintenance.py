@@ -582,7 +582,14 @@ def test_rewrite_position_deletes_preserves_partitions(fs_catalog, spark, lineit
 
 def _append_count_props(t, min_count):
     tx = t.transaction()
-    tx.set_properties({"commit.manifest.min-count-to-merge": str(min_count)})
+    # merge-append is opt-in (reference defaults
+    # commit.manifest-merge.enabled=false, table/properties.go:58-59)
+    tx.set_properties(
+        {
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": str(min_count),
+        }
+    )
     tx.commit()
 
 
@@ -727,6 +734,7 @@ def test_merge_append_singleton_bin_not_duplicated(fs_catalog, spark, lineitem_d
     # leave a singleton leftover bin
     tx.set_properties(
         {
+            "commit.manifest-merge.enabled": "true",
             "commit.manifest.min-count-to-merge": "5",
             "commit.manifest.target-size-bytes": str(int(m0.manifest_length * 1.5)),
         }
@@ -738,6 +746,20 @@ def test_merge_append_singleton_bin_not_duplicated(fs_catalog, spark, lineitem_d
     paths = [m.manifest_path for m in t.current_snapshot().manifests()]
     assert len(paths) == len(set(paths)), f"manifest listed twice: {paths}"
     assert t.scan().to_df(spark).count() == li.count()
+
+
+def test_merge_append_off_by_default(fs_catalog, spark, lineitem_df):
+    """Parity pin: the reference defaults commit.manifest-merge.enabled
+    to FALSE (table/properties.go:58-59), unlike upstream Java Iceberg.
+    With only min-count set, appends must NOT merge manifests."""
+    t = fs_catalog.create_table("db.li_default_off", LINEITEM_SCHEMA)
+    tx = t.transaction()
+    tx.set_properties({"commit.manifest.min-count-to-merge": "2"})
+    tx.commit()
+    for i in range(4):
+        t.append(lineitem_df.where(f"l_orderkey % 4 = {i}").coalesce(1))
+    t.refresh()
+    assert len(t.current_snapshot().manifests()) == 4
 
 
 def test_merge_append_disabled_by_property(fs_catalog, spark, lineitem_df):
@@ -785,7 +807,13 @@ def test_merge_append_fuzz_against_unmerged_twin(fs_catalog, spark, lineitem_df)
         tx.commit()
         return t
 
-    t_m = mk("fz_merge", {"commit.manifest.min-count-to-merge": "2"})
+    t_m = mk(
+        "fz_merge",
+        {
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "2",
+        },
+    )
     t_u = mk("fz_plain", {"commit.manifest-merge.enabled": "false"})
 
     def snapshot_state(t):

@@ -947,7 +947,12 @@ def test_iceberg_stream_cdc_across_merge_append(tmp_path, spark):
     t = cat.create_table("db.cdcm", schema_from_spark(mk(0).schema))
     t.upgrade_format_version(3)
     tx = t.transaction()
-    tx.set_properties({"commit.manifest.min-count-to-merge": "2"})
+    tx.set_properties(
+        {
+            "commit.manifest-merge.enabled": "true",
+            "commit.manifest.min-count-to-merge": "2",
+        }
+    )
     tx.commit()
 
     seen: list[tuple] = []
