@@ -2390,6 +2390,92 @@ def cherry_pick(table, snapshot_id: int) -> bool:
     return True
 
 
+# MERGE target-scan pruning: source key columns with at most this many
+# distinct values turn into an IN-set filter (exact file pruning via the
+# metrics evaluator); above it, a [min, max] range filter (still sound,
+# coarser). Bounded so the planner never evaluates huge literal sets.
+MERGE_PRUNE_MAX_IN_SET = 1000
+
+
+def _source_key_prune_filter(source, key_fields):
+    """Inclusive row_filter over the MERGE target scan, derived from the
+    source's key statistics — so a small source merging into a huge
+    table plans only the files that can contain a matching key (the
+    same metrics/partition pruning dominance the reference's evaluators
+    provide, table/evaluators.go:666-1198), instead of scanning the
+    whole table to touch almost nothing.
+
+    ONE aggregate job over the source per call computes min/max/distinct
+    count/null presence for every key column (O(1) rows to the driver);
+    columns under MERGE_PRUNE_MAX_IN_SET distinct values contribute an
+    IN-set (exact), larger ones a [min, max] range (sound superset).
+    Null keys (eqNullSafe join semantics) OR in is_null. Returns None —
+    caller falls back to a full scan — for key types where a stats
+    filter is unsound or unsupported (float/double NaN ordering,
+    binary/uuid/fixed).
+
+    Soundness: the filter is implied by "target key tuple equals some
+    source key tuple", and scan pruning is inclusive, so no target row
+    that could match (or be re-emitted as a duplicate-key sibling) is
+    ever planned away; rows the filter removes cannot match any source
+    key, leaving the matched join, the sibling re-emit, and the insert
+    anti-join unchanged."""
+    from pyspark.sql import functions as F
+
+    from . import expressions as E
+    from .types import (
+        BooleanType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+        TimestampTzType,
+    )
+
+    prunable = (
+        IntegerType, LongType, StringType, DateType, TimestampType,
+        TimestampTzType, DecimalType, BooleanType,
+    )
+    if not all(isinstance(f.field_type, prunable) for f in key_fields):
+        return None
+    aggs = []
+    for f in key_fields:
+        k = f.name
+        aggs += [
+            F.min(k).alias(f"__mn_{k}"),
+            F.max(k).alias(f"__mx_{k}"),
+            F.countDistinct(k).alias(f"__nd_{k}"),
+            F.max(F.col(k).isNull().cast("int")).alias(f"__null_{k}"),
+        ]
+    row = source.agg(*aggs).collect()[0]  # one O(1) scalar bounds row
+    preds = []
+    for f in key_fields:
+        k = f.name
+        lo, hi = row[f"__mn_{k}"], row[f"__mx_{k}"]
+        has_null = bool(row[f"__null_{k}"])
+        if lo is None:
+            # all-null key column: only null-keyed target rows can match
+            preds.append(E.is_null(k))
+            continue
+        if row[f"__nd_{k}"] <= MERGE_PRUNE_MAX_IN_SET:
+            vals = [
+                r[0]
+                for r in source.select(k)
+                .where(F.col(k).isNotNull())
+                .distinct()
+                .collect()
+            ]
+            p = E.is_in(k, vals)
+        else:
+            p = E.and_(
+                E.greater_than_or_equal(k, lo), E.less_than_or_equal(k, hi)
+            )
+        preds.append(E.or_(p, E.is_null(k)) if has_null else p)
+    return E.and_(*preds)
+
+
 class MergeCardinalityError(ValueError):
     """A MERGE source carries duplicate key tuples: applying it would be
     nondeterministic (which source row wins?), the same violation ANSI
@@ -2407,6 +2493,7 @@ def merge(
     matched_delete_condition: Optional[str] = None,
     not_matched_insert=True,
     check_cardinality: bool = True,
+    prune_target: bool = True,
 ) -> bool:
     """Multi-action MERGE INTO in ONE snapshot (merge-on-read).
 
@@ -2428,7 +2515,13 @@ def merge(
 
     Spark-first shape: ONE pruned target scan joined with the source
     (Catalyst broadcasts a small source; AQE picks the join strategy),
-    plus a key-pruned anti-join for the inserts. The commit is the upsert
+    plus a key-pruned anti-join for the inserts. `prune_target`
+    (default on) folds the source's key statistics into the target
+    scan's row_filter via `_source_key_prune_filter`, so partition and
+    file-metrics pruning skip files that cannot contain a matching key
+    — a 1,000-row source merging into a 100 TB table plans only the
+    files its keys can live in. Disable it only for diagnostics; the
+    filter is inclusive, never changing results. The commit is the upsert
     commit: a data manifest (updated + inserted rows) and an
     equality-delete manifest (keys of updated/deleted rows) land in the
     same snapshot, so the delete is never visible without its
@@ -2476,7 +2569,9 @@ def merge(
 
     struct = schema_to_spark_struct(schema)
     cols = [f.name for f in schema.fields]
-    tgt = table.scan().to_df(spark).alias("target")
+    scan_filter = _source_key_prune_filter(source, fields) if prune_target else None
+    tgt_scan = table.scan(scan_filter) if scan_filter is not None else table.scan()
+    tgt = tgt_scan.to_df(spark).alias("target")
     src = source.alias("source")
     join_cond = None
     for k in on:
@@ -2605,6 +2700,7 @@ def _cluster_expr(df, victims, schema, sort_cols, strategy):
         FloatType,
         IntegerType,
         LongType,
+        StringType,
         TimestampType,
         TimestampTzType,
     )
@@ -2618,7 +2714,7 @@ def _cluster_expr(df, victims, schema, sort_cols, strategy):
     by_name = {f.name: f for f in schema.fields}
     numeric = (
         IntegerType, LongType, FloatType, DoubleType, DecimalType,
-        DateType, TimestampType, TimestampTzType, BooleanType,
+        DateType, TimestampType, TimestampTzType, BooleanType, StringType,
     )
     for c in sort_cols:
         if c not in by_name:
@@ -2626,21 +2722,42 @@ def _cluster_expr(df, victims, schema, sort_cols, strategy):
         if not isinstance(by_name[c].field_type, numeric):
             raise ValueError(
                 f"zorder column {c!r} has unsupported type "
-                f"{by_name[c].field_type}; numeric/date/timestamp only"
+                f"{by_name[c].field_type}; numeric/date/timestamp/string only"
             )
+
+    _STR_PREFIX_BYTES = 7  # 56 bits: big-endian prefix stays a positive long
 
     def num_expr(c):
         # numeric view of the column in the SAME units as manifest bounds
-        # (from_bytes: timestamps = micros since epoch, dates = days)
+        # (from_bytes: timestamps = micros since epoch, dates = days;
+        # strings = big-endian first-7-UTF-8-bytes integer, the truncate
+        # transform's fixed-width trick — pure JVM string/bit functions,
+        # no UDF, ordering agrees with lexicographic byte order on the
+        # prefix)
         t = by_name[c].field_type
         if isinstance(t, (TimestampType, TimestampTzType)):
             return F.unix_micros(F.col(c))
         if isinstance(t, DateType):
             return F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+        if isinstance(t, StringType):
+            hx = F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, _STR_PREFIX_BYTES))
+            return F.conv(F.rpad(hx, 2 * _STR_PREFIX_BYTES, "0"), 16, 10).cast("long")
         return F.col(c).cast("double")
 
-    bounds = _zorder_bounds(victims, schema, sort_cols)
-    if bounds is None:
+    def bound_num(c, v):
+        # driver-side twin of num_expr for manifest/agg bounds
+        if v is None:
+            return None
+        if isinstance(by_name[c].field_type, StringType):
+            b = str(v).encode("utf-8")[:_STR_PREFIX_BYTES]
+            return float(int.from_bytes(b.ljust(_STR_PREFIX_BYTES, b"\x00"), "big"))
+        return float(v)
+
+    raw = _zorder_bounds(victims, schema, sort_cols)
+    if raw is not None:
+        # manifest bounds are in column units — convert to num_expr units
+        bounds = {c: (bound_num(c, raw[c][0]), bound_num(c, raw[c][1])) for c in sort_cols}
+    else:
         aggs = []
         for c in sort_cols:
             aggs += [
@@ -2648,17 +2765,21 @@ def _cluster_expr(df, victims, schema, sort_cols, strategy):
                 F.max(num_expr(c)).alias(f"mx_{c}"),
             ]
         row = df.agg(*aggs).collect()[0]  # one scalar row: O(1) driver data
-        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in sort_cols}
-
-    def as_num(v):
-        return None if v is None else float(v)
+        # num_expr output is already numeric: no per-type conversion
+        bounds = {
+            c: (
+                None if row[f"mn_{c}"] is None else float(row[f"mn_{c}"]),
+                None if row[f"mx_{c}"] is None else float(row[f"mx_{c}"]),
+            )
+            for c in sort_cols
+        }
 
     k = len(sort_cols)
     bits = min(16, 62 // k)  # keep the interleave clear of the sign bit
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, c in enumerate(sort_cols):
-        mn, mx = (as_num(bounds[c][0]), as_num(bounds[c][1]))
+        mn, mx = bounds[c]  # already in num_expr units (floats or None)
         col = num_expr(c).cast("double")
         if mn is None or mx is None or mx <= mn:
             norm = F.lit(0).cast("long")

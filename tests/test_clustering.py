@@ -216,12 +216,93 @@ def test_clustering_rejects_bad_arguments(fs_catalog, spark):
         t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "nope"])
 
 
-def test_zorder_rejects_string_columns(fs_catalog, spark):
-    df = _xy_df(spark, 1_000).withColumn("s", F.col("rid").cast("string"))
-    t = fs_catalog.create_table("db.zorder_str", schema_from_spark(df.schema))
+def test_zorder_rejects_binary_columns(fs_catalog, spark):
+    df = _xy_df(spark, 1_000).withColumn(
+        "b", F.encode(F.col("rid").cast("string"), "UTF-8")
+    )
+    t = fs_catalog.create_table("db.zorder_bin", schema_from_spark(df.schema))
     t.append(df.coalesce(1))
     with pytest.raises(ValueError, match="unsupported type"):
-        t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "s"])
+        t.rewrite_data_files(spark, strategy="zorder", sort_cols=["x", "b"])
+
+
+def test_zorder_string_column_prunes(fs_catalog, spark):
+    """Z-order on a STRING key (url/domain/lang — the text-corpus
+    clustering shape): the fixed-width 7-byte big-endian prefix encoding
+    slots strings into the bit interleave, so a string-range filter
+    prunes files after the rewrite. Null strings must survive (they
+    normalize to 0, like null numerics)."""
+    rows = [
+        (
+            i,
+            None if i % 97 == 0 else f"{chr(97 + (i * 7) % 26)}-{i % 50:02d}.example.com",
+            (i * 13) % 1000,
+        )
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, "rid long, dom string, y long")
+    t = fs_catalog.create_table("db.zorder_dom", schema_from_spark(df.schema))
+    t.append(df.repartition(8))  # 8 files, each spanning the full domain space
+    n_files = len(t.scan().plan_files())
+    assert n_files == 8
+
+    box = E.and_(
+        E.and_(E.greater_than_or_equal("dom", "m"), E.less_than("dom", "o")),
+        E.and_(E.greater_than_or_equal("y", 0), E.less_than("y", 120)),
+    )
+    before = sorted(
+        (r.rid, r.dom, r.y) for r in t.scan(row_filter=box).to_df(spark).collect()
+    )
+    assert len(t.scan(row_filter=box).plan_files()) == n_files  # no pruning yet
+
+    total = sum(task.file.file_size_in_bytes for task in t.scan().plan_files())
+    assert t.rewrite_data_files(
+        spark, target_file_size=max(total // 12, 1), strategy="zorder",
+        sort_cols=["dom", "y"],
+    ) is True
+    t.refresh()
+    after_all = len(t.scan().plan_files())
+    after_hit = len(t.scan(row_filter=box).plan_files())
+    assert after_all >= 8
+    assert after_hit < after_all / 2, f"{after_hit}/{after_all} files hit"
+    after = sorted(
+        (r.rid, r.dom, r.y) for r in t.scan(row_filter=box).to_df(spark).collect()
+    )
+    assert after == before
+    # null domains survived the rewrite
+    assert t.scan(row_filter=E.is_null("dom")).to_df(spark).count() == sum(
+        1 for _, d, _ in rows if d is None
+    )
+
+
+def test_zorder_string_prefix_encoding_property(spark):
+    """Property: the JVM prefix encoding (hex/conv string functions, no
+    UDF) is byte-identical to the driver-side twin, and monotone in
+    lexicographic UTF-8 byte order on the 7-byte prefix — the invariant
+    that makes string min/max normalization sound."""
+    import random
+
+    rng = random.Random(0x5EED)
+    alphabet = "abcxyz09-._/üß€日"
+    samples = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    P = 7
+    hx = F.hex(F.substring(F.encode(F.col("s"), "UTF-8"), 1, P))
+    num = F.conv(F.rpad(hx, 2 * P, "0"), 16, 10).cast("long")
+    got = {r.s: r.n for r in df.select("s", num.alias("n")).collect()}
+
+    def twin(s):
+        b = s.encode("utf-8")[:P]
+        return int.from_bytes(b.ljust(P, b"\x00"), "big")
+
+    for s in samples:
+        assert got[s] == twin(s), s
+    ordered = sorted(set(samples), key=lambda s: s.encode("utf-8")[:P])
+    nums = [twin(s) for s in ordered]
+    assert nums == sorted(nums)
 
 
 # ------------------------------------------------- metadata-only MIN/MAX

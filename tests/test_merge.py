@@ -267,3 +267,146 @@ def test_merge_on_partitioned_table(fs_catalog, spark):
     assert rows[3] == (0, 333.0) and rows[100] == (1, 100.0) and len(rows) == 91
     pruned = t.scan(row_filter=E.equal("part", 2)).plan_files()
     assert len(pruned) < len(t.scan().plan_files())
+
+
+def test_merge_prunes_target_scan_by_source_keys(fs_catalog, spark):
+    """A selective MERGE must not plan the whole target: the source's
+    key stats fold into the target scan's row_filter (IN-set here) so
+    file-metrics pruning plans ≪ total files — the in-query analogue of
+    ice_zorder_prune's assertion, for the MERGE read path."""
+    from iceberg_go_distributed_spark.iceberg.write import (
+        _resolve_key_fields,
+        _source_key_prune_filter,
+    )
+
+    t = fs_catalog.create_table(
+        "db.merge_prune",
+        schema_from_spark(
+            spark.createDataFrame([(1, "x", 0.0)], "id long, owner string, balance double").schema
+        ),
+    )
+    # 8 files with disjoint id ranges (0-99, 100-199, ...)
+    for b in range(8):
+        chunk = spark.createDataFrame(
+            [(b * 100 + j, f"o{b}", float(j)) for j in range(100)],
+            "id long, owner string, balance double",
+        )
+        t.append(chunk.coalesce(1))
+    t.refresh()
+    total = len(t.scan().plan_files())
+    assert total == 8
+
+    src = spark.createDataFrame(
+        [(5, 1.0), (17, 2.0), (42, 3.0)], "id long, delta double"
+    )
+    fields = _resolve_key_fields(t.metadata.current_schema(), ["id"])
+    flt = _source_key_prune_filter(src, fields)
+    assert flt is not None
+    planned = len(t.scan(flt).plan_files())
+    assert planned == 1, f"expected 1 file planned, got {planned} of {total}"
+
+    # the merge itself passes that filter to the target scan
+    captured = []
+    orig_scan = t.scan
+
+    def spy(row_filter=None, **kw):
+        captured.append(row_filter)
+        return orig_scan(row_filter, **kw) if row_filter is not None else orig_scan(**kw)
+
+    t.scan = spy
+    try:
+        assert t.merge(
+            spark, src, on=["id"],
+            matched_update={"balance": "target.balance + source.delta"},
+            not_matched_insert=False,
+        )
+    finally:
+        del t.scan
+    assert captured and captured[0] is not None
+    t.refresh()
+    rows = {r.id: r.balance for r in t.scan().to_df(spark).collect()}
+    assert rows[5] == 6.0 and rows[17] == 19.0 and rows[42] == 45.0
+    assert len(rows) == 800
+
+
+def test_merge_prune_matches_unpruned_twin(fs_catalog, spark):
+    """prune_target=True and False must produce identical tables — the
+    filter is inclusive metadata pruning, never a semantic change.
+    Covers null keys (eqNullSafe match) and unmatched inserts."""
+    rows = [(None, "nul", 1.0)] + [(i, f"o{i}", float(i)) for i in range(20)]
+
+    def mk(name):
+        df = spark.createDataFrame(rows, "id long, owner string, balance double")
+        t = fs_catalog.create_table(name, schema_from_spark(df.schema))
+        for s in range(4):  # several files so pruning has something to skip
+            t.append(df.where((F.col("id").isNull() if s == 0 else F.lit(False)) | (F.col("id") % 4 == s)).coalesce(1))
+        t.refresh()
+        return t
+
+    src = spark.createDataFrame(
+        [(None, -5.0, False), (3, 30.0, False), (7, 0.0, True), (99, 9.9, False)],
+        "id long, delta double, closed boolean",
+    )
+    out = []
+    for name, prune in (("db.tw_p", True), ("db.tw_u", False)):
+        t = mk(name)
+        t.merge(
+            spark, src, on=["id"],
+            matched_update={"balance": "target.balance + source.delta"},
+            matched_delete_condition="source.closed",
+            not_matched_insert={"id": "source.id", "owner": "'new'", "balance": "source.delta"},
+            prune_target=prune,
+        )
+        t.refresh()
+        out.append(sorted(
+            ((r.id if r.id is not None else -1), r.owner, r.balance)
+            for r in t.scan().to_df(spark).collect()
+        ))
+    assert out[0] == out[1]
+    assert (-1, "nul", -4.0) in out[0]          # null key matched via eqNullSafe
+    assert (99, "new", 9.9) in out[0]           # unmatched insert survived pruning
+    assert all(r[0] != 7 for r in out[0])       # delete applied
+
+
+def test_merge_prune_filter_shapes(fs_catalog, spark):
+    """Filter construction: IN-set under the distinct threshold, range
+    above it, is_null folded for null keys, None for float keys (NaN
+    ordering makes min/max unsound) and for all-null sources."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg import write as W
+    from iceberg_go_distributed_spark.iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        StringType,
+    )
+
+    idf = NestedField(1, "id", LongType())
+    sdf = NestedField(2, "s", StringType())
+
+    small = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+    flt = W._source_key_prune_filter(small, [idf])
+    # IN-set OR is_null
+    assert isinstance(flt, E.Or)
+
+    big = spark.range(0, W.MERGE_PRUNE_MAX_IN_SET + 10).selectExpr("id")
+    flt = W._source_key_prune_filter(big, [idf])
+    assert isinstance(flt, E.And)  # range: >= lo AND <= hi
+
+    fdbl = NestedField(3, "v", DoubleType())
+    assert W._source_key_prune_filter(
+        spark.createDataFrame([(1.0,)], "v double"), [fdbl]
+    ) is None
+
+    allnull = spark.createDataFrame([(None,)], "id long")
+    flt = W._source_key_prune_filter(allnull, [idf])
+    assert (
+        isinstance(flt, E.UnboundPredicate)
+        and flt.op_ == E.Operation.IS_NULL
+        and flt.term == "id"
+    )
+
+    # composite string+long key binds and plans
+    two = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    flt = W._source_key_prune_filter(two, [idf, sdf])
+    assert isinstance(flt, E.And)
