@@ -854,18 +854,33 @@ def ice_partitioned_write_mor(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type
     FROM lineitem WHERE l_orderkey % 7 = 0 AND CAST(l_quantity AS DOUBLE) > 45.0
+    UNION ALL
+    -- the upsert's equality delete names KEYS; only rows still live
+    -- (not already DV-deleted) emit a delete event
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type
+    FROM lineitem WHERE l_orderkey % 21 = 0 AND CAST(l_quantity AS DOUBLE) <= 45.0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) + 1000.0 AS qty, 'insert' AS _change_type
+    FROM lineitem WHERE l_orderkey % 21 = 0
     """,
-    doc="readStream CDC mode: row events over an append + DV-delete history",
+    doc="readStream CDC mode: row events over append + DV-delete + eq-delete upsert",
 )
 def ice_stream_cdc(spark, sf_dir):
-    """First-class CDC readStream (streaming `mode='cdc'`, new r8):
-    build a v3 table with an append and a deletion-vector delete_where,
-    consume its WHOLE history as a bounded CDC stream (availableNow),
+    """First-class CDC readStream (streaming `mode='cdc'`, new r8; r9
+    adds the equality-delete commit shape): build a v3 table with an
+    append, a deletion-vector delete_where, AND an upsert (whose commit
+    pairs an equality-delete manifest with its data manifest), then
+    consume the WHOLE history as a bounded CDC stream (availableNow)
     and return the delivered row events. The oracle reconstructs the
     same event set in plain SQL — every appended row is an 'insert',
-    every row the delete predicate matched is a 'delete' — so a
-    value-hash match proves the DV-position diff, whole-file drop
-    handling, and payload fidelity of the stream end-to-end. Ref
+    every row the delete predicate matched is a 'delete', every key the
+    upsert re-named emits a 'delete' for its STILL-LIVE version (rows
+    the DV already killed must not re-emit: the executor subtracts
+    prior-dead positions) plus an 'insert' of the replacement — so a
+    value-hash match proves the DV-position diff, the eq-key expansion
+    with already-dead subtraction, and payload fidelity end-to-end. Ref
     anchor: the poll-loop CDC surface this upgrades is
     table/table.go:123-130's append-stream read as a first-class
     Structured Streaming source."""
@@ -890,6 +905,14 @@ def ice_stream_cdc(spark, sf_dir):
     t.upgrade_format_version(3)
     t.append(li.coalesce(2))
     t.delete_where(spark, E.greater_than("qty", 45.0))
+    # upsert (the MERGE commit shape: data + equality-delete manifests
+    # in one snapshot) over a key subset — some of whose old versions
+    # the DV above already deleted
+    t.upsert(
+        li.where(F.col("l_orderkey") % 21 == 0)
+        .withColumn("qty", F.col("qty") + F.lit(1000.0)),
+        key_columns=["l_orderkey", "l_linenumber"],
+    )
 
     name = f"ice_cdc_{_uuid.uuid4().hex[:10]}"
     q = (

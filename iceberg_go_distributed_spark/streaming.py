@@ -294,11 +294,17 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     per-snapshot (event stream): a batch spanning several commits emits
     every commit's events, equivalent to polling changelog_poll at each
     commit — not the range-netted diff. Supported in range: append,
-    compaction (skipped), and `delete_where` merge-on-read snapshots
-    (v3 deletion vectors + whole-file drops). Raises — use
-    changelog_poll — on equality deletes (upsert), v2 positional delete
-    files, and file-REWRITING overwrites (their survivor rows keep their
-    lineage, which only row-lineage CDC can net out). Snapshot expiry
+    compaction (skipped), `delete_where` merge-on-read snapshots
+    (v3 deletion vectors + whole-file drops), and upsert/MERGE
+    equality-delete snapshots — executors expand the keys into
+    newly-dead positions per affected file (new-key matches minus
+    everything already dead at the parent), with the snapshot's own
+    scan plan providing sequence gating and partition/metrics pruning,
+    so a MERGE-heavy table streams without a convert_equality_deletes
+    pass. Raises — use changelog_poll — on v2 positional delete files,
+    file-REWRITING overwrites (their survivor rows keep their lineage,
+    which only row-lineage CDC can net out), and a snapshot adding both
+    a DV and an equality delete for the same file. Snapshot expiry
     must retain the consumer horizon, the same contract every CDC log
     has."""
     register_iceberg_stream_source(spark)
@@ -393,6 +399,21 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
     prior = _decode_delete_positions(partition.prior_deletes, partition.path)
     if partition.whole_file:
         target = None  # every position except `prior`
+    elif getattr(partition, "eq_new", None):
+        # equality-delete expansion: two extra key-matching passes over
+        # the file (pyarrow batch-wise, one batch resident) — new matches
+        # minus everything already dead at the parent
+        from .iceberg.maintenance import _eq_matched_positions
+
+        matched = _eq_matched_positions(pf, _load_eq_sets(partition.eq_new))
+        dead = prior.astype("uint64")
+        if partition.eq_prior:
+            dead = np.union1d(
+                dead, _eq_matched_positions(pf, _load_eq_sets(partition.eq_prior))
+            )
+        target = np.setdiff1d(matched, dead).astype("int64")
+        if target.size == 0:
+            return
     else:
         new = _decode_delete_positions(partition.new_deletes, partition.path)
         target = np.setdiff1d(new, prior, assume_unique=True)
@@ -446,6 +467,30 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
                 plan, sub, sub.num_rows, "delete", ids_for(idx, off, batch)
             )
         off += n
+
+
+def _load_eq_sets(descriptors):
+    """Executor-side load of equality-delete key files for
+    _eq_matched_positions: [(key_file_path, field_ids)] →
+    [(field_ids, pandas frame with f{id} columns)]. Key columns resolve
+    by parquet FIELD ID so renames survive (same contract as the
+    conversion pass in maintenance.py). Key files are one-per-commit and
+    small — the frame is the keys of one upsert/MERGE batch."""
+    from .iceberg import fileio
+
+    out = []
+    for path, ids in descriptors:
+        with fileio.parquet_file(path) as kf:
+            by_id = {}
+            for fld in kf.schema_arrow:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = fld.name
+            cols = [by_id[i] for i in ids]
+            pdf = kf.read(columns=cols).to_pandas()
+        pdf.columns = [f"f{i}" for i in ids]
+        out.append((list(ids), pdf))
+    return out
 
 
 def _decode_delete_positions(descriptors, data_path: str):
@@ -516,18 +561,26 @@ try:  # pyspark >= 4: Python Data Source API
         change="delete": the rows this snapshot removed —
           * whole_file=True: every row live as of the PARENT snapshot
             (all positions minus `prior_deletes`) — a dropped data file;
-          * whole_file=False: positions in `new_deletes` minus positions
-            in `prior_deletes` — a DV/delete-file update on a live file.
+          * whole_file=False with `new_deletes`: positions in
+            `new_deletes` minus positions in `prior_deletes` — a
+            DV/delete-file update on a live file;
+          * whole_file=False with `eq_new`: positions whose key tuple
+            the NEW equality-delete files name, minus positions already
+            dead (prior eq matches ∪ `prior_deletes`) — the upsert/MERGE
+            commit expanded to row-level events executor-side.
         Delete descriptors (see _decode_delete_positions) decode
-        executor-side; the driver ships only O(delete files) pointers."""
+        executor-side; the driver ships only O(delete files) pointers.
+        eq_new / eq_prior: [(key_file_path, equality_field_ids)]."""
 
         def __init__(self, path, fields, cfg, batch_rows, change,
                      new_deletes=(), prior_deletes=(), whole_file=False,
-                     first_row_id=None):
+                     first_row_id=None, eq_new=(), eq_prior=()):
             super().__init__(path, fields, cfg, batch_rows)
             self.change = change
             self.new_deletes = list(new_deletes)
             self.prior_deletes = list(prior_deletes)
+            self.eq_new = list(eq_new)
+            self.eq_prior = list(eq_prior)
             self.whole_file = whole_file
             # v3 row lineage: the data file's assigned first_row_id (from
             # manifest inheritance at plan time); executors emit
@@ -759,6 +812,7 @@ try:  # pyspark >= 4: Python Data Source API
                     if key not in live_now
                 ]
                 new_dels: dict[str, tuple] = {}
+                new_eq_paths: set[str] = set()
                 added: list[tuple] = []  # (path, first_row_id)
                 for m in snap.manifests():
                     if m.added_snapshot_id != snap.snapshot_id:
@@ -785,11 +839,11 @@ try:  # pyspark >= 4: Python Data Source API
                             continue
                         d = e.data_file
                         if d.content == DataFileContent.EQUALITY_DELETES:
-                            raise ValueError(
-                                "cdc stream cannot expand equality deletes "
-                                f"(snapshot {snap.snapshot_id}); consume "
-                                "row-level CDC via changelog_poll"
-                            )
+                            # the upsert/MERGE commit shape: expanded
+                            # below via the child snapshot's own plan
+                            # (sequence + partition gating for free)
+                            new_eq_paths.add(d.file_path)
+                            continue
                         if d.content_offset is None:
                             raise ValueError(
                                 "cdc stream requires deletion-vector (v3) "
@@ -839,6 +893,53 @@ try:  # pyspark >= 4: Python Data Source API
                         prior_deletes=prior_descs,
                         first_row_id=frid,
                     ))
+                if new_eq_paths:
+                    # Equality-delete expansion (the upsert/MERGE commit):
+                    # plan THIS snapshot — its matching already did the
+                    # sequence gating (same-commit inserts are exempt) and
+                    # partition/metrics pruning, so only data files the
+                    # keys can touch get a partition. Executors compute
+                    # newly-dead positions = match(new eq keys) minus
+                    # (match(prior eq keys) ∪ prior position-deletes) —
+                    # rows already dead never re-emit a delete event.
+                    for task in t.scan(
+                        snapshot_id=snap.snapshot_id
+                    ).plan_files():
+                        key = strip_scheme(task.file.file_path)
+                        if key not in prior_by_path:
+                            continue  # added this snapshot: eq is not
+                            # applicable (equal sequence number)
+                        eq_new = [
+                            (d.file_path, list(d.equality_ids or []))
+                            for d in task.delete_files
+                            if d.content == DataFileContent.EQUALITY_DELETES
+                            and d.file_path in new_eq_paths
+                        ]
+                        if not eq_new:
+                            continue
+                        if key in new_dels:
+                            raise ValueError(
+                                f"snapshot {snap.snapshot_id} adds BOTH a "
+                                "deletion vector and an equality delete "
+                                f"for {task.file.file_path}; cdc cannot "
+                                "order the two delete sources — use "
+                                "changelog_poll"
+                            )
+                        eq_prior = [
+                            (d.file_path, list(d.equality_ids or []))
+                            for d in task.delete_files
+                            if d.content == DataFileContent.EQUALITY_DELETES
+                            and d.file_path not in new_eq_paths
+                        ]
+                        _, prior_descs, frid = prior_by_path[key]
+                        parts.append(_CdcFilePartition(
+                            task.file.file_path, fields, self._cfg,
+                            batch_rows, "delete",
+                            prior_deletes=prior_descs,
+                            eq_new=eq_new,
+                            eq_prior=eq_prior,
+                            first_row_id=frid,
+                        ))
                 for path, frid in added:
                     parts.append(_CdcFilePartition(
                         path, fields, self._cfg, batch_rows, "insert",

@@ -845,10 +845,10 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
     """mode='cdc' readStream: row-level-delete snapshots are expanded
     into rows tagged `_change_type` ('insert'/'delete'), matching what a
     changelog_poll loop run once per commit would deliver — DV diffs for
-    partial-file deletes, parent-live rows for whole-dropped files — and
-    offsets survive a checkpoint restart mid-history. Unsupported
-    operations (equality-delete upsert) fail loudly instead of emitting
-    wrong events."""
+    partial-file deletes, parent-live rows for whole-dropped files,
+    equality-delete (upsert/MERGE) commits expanded to delete+insert
+    pairs with already-dead rows (prior DVs AND prior eq-deletes)
+    subtracted — and offsets survive a checkpoint restart mid-history."""
     from iceberg_go_distributed_spark.iceberg import expressions as E
     from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
     from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
@@ -919,14 +919,40 @@ def test_iceberg_stream_cdc_mode_matches_changelog_poll(tmp_path, spark):
     run_once()
     assert len(seen) == n
 
-    # equality-delete upsert cannot be expressed as a cdc event stream:
-    # the source fails loudly (changelog_poll remains the CDC surface)
-    t.upsert(
+    # equality-delete upsert (the MERGE commit shape) expands to row
+    # events executor-side: the old row version emits a delete, the new
+    # file's rows emit inserts — and the id=2 position already dead via
+    # the earlier DV must NOT re-emit (prior position subtraction)
+    commit_and_poll(lambda: t.upsert(
         spark.createDataFrame([(1, "a2")], "id long, v string"),
         key_columns=["id"],
-    )
-    with pytest.raises(Exception, match="equality deletes"):
-        run_once()
+    ))
+    run_once()
+    assert sorted(seen) == sorted(reference), (sorted(seen), sorted(reference))
+    assert ((1, "a", "delete") in {(r[0], r[1], r[2]) for r in seen})
+
+    # a second upsert re-keying id=1: the (1,'a') version is already
+    # dead via the PRIOR eq-delete — only the live (1,'a2') row may emit
+    # a delete event (prior-eq subtraction), plus a brand-new key
+    commit_and_poll(lambda: t.upsert(
+        spark.createDataFrame([(1, "a3"), (5, "e")], "id long, v string"),
+        key_columns=["id"],
+    ))
+    # and a multi-action MERGE committed while the stream is down; the
+    # restart resumes from the checkpoint across both commits
+    commit_and_poll(lambda: t.merge(
+        spark,
+        spark.createDataFrame([(5, "E2"), (6, "f")], "id long, v string"),
+        on=["id"],
+        matched_update="*",
+    ))
+    run_once()
+    assert sorted(seen) == sorted(reference), (sorted(seen), sorted(reference))
+    dels = [(r[0], r[1]) for r in seen if r[2] == "delete"]
+    assert dels.count((1, "a")) == 1, "prior-eq-dead row re-emitted"
+    assert (1, "a2") in dels and (5, "e") in dels
+    ins = [(r[0], r[1]) for r in seen if r[2] == "insert"]
+    assert (5, "E2") in ins and (6, "f") in ins and (1, "a3") in ins
 
 
 def test_iceberg_stream_cdc_across_merge_append(tmp_path, spark):
