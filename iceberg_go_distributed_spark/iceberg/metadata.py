@@ -321,10 +321,28 @@ class TableMetadata:
         if not schemas and "schema" in obj:  # v1 compat
             schemas = [Schema.from_json(obj["schema"])]
         if not schemas:
-            raise ValueError("no schemas in metadata")
-        current_schema_id = obj.get("current-schema-id", schemas[0].schema_id)
+            # ref metadata_internal_test.go:1267-1271, 1279-1282
+            raise ValueError(
+                "invalid metadata: no valid schema configuration found in "
+                "table metadata"
+            )
+        current_schema_id = obj.get("current-schema-id")
+        if current_schema_id is None:
+            # current-schema-id was optional in v1 ONLY via the legacy
+            # `schema` field (ref metadata.go:1689-1695); it never
+            # defaults to the first listed schema
+            if fv == 1 and "schema" in obj:
+                current_schema_id = obj["schema"].get("schema-id", 0)
+            else:
+                raise ValueError(
+                    "invalid metadata: no valid schema configuration "
+                    "found in table metadata"
+                )
         if not any(s.schema_id == current_schema_id for s in schemas):
-            raise ValueError(f"current-schema-id {current_schema_id} not found in schemas")
+            raise ValueError(
+                f"invalid metadata: current-schema-id {current_schema_id} "
+                "can't be found in any schema"
+            )
         specs = [PartitionSpec.from_json(s) for s in obj.get("partition-specs", [])]
         if not specs:
             if fv == 1:
@@ -340,14 +358,28 @@ class TableMetadata:
                     )
                 ]
             else:
-                specs = [PartitionSpec.unpartitioned()]
-        default_spec_id = obj.get("default-spec-id", specs[0].spec_id)
+                # ref metadata_internal_test.go:1231-1235: v2+ REQUIRES
+                # partition-specs — never silently assume unpartitioned
+                raise ValueError("invalid metadata: missing partition-specs")
+        # v1 compat when default-spec-id is absent: the MAX spec id wins
+        # (ref metadata_internal_test.go:1215-1229), not the first listed
+        default_spec_id = obj.get(
+            "default-spec-id", max(s.spec_id for s in specs)
+        )
         if not any(s.spec_id == default_spec_id for s in specs):
             raise ValueError(f"default-spec-id {default_spec_id} not found")
+        if fv >= 2 and "last-partition-id" not in obj:
+            # ref metadata_internal_test.go:1237-1241
+            raise ValueError(
+                "invalid metadata: last-partition-id must be set for "
+                "FormatVersion > 1"
+            )
         orders = [SortOrder.from_json(s) for s in obj.get("sort-orders", [])]
         if not orders:
-            if fv == 2 and "sort-orders" in obj:
-                raise ValueError("empty sort-orders")
+            if fv >= 2:
+                # ref metadata_internal_test.go:1717-1721: v2+ REQUIRES
+                # sort-orders (even if just the unsorted order)
+                raise ValueError("invalid metadata: missing sort-orders")
             orders = [UNSORTED_ORDER]
         default_sort = obj.get("default-sort-order-id", orders[0].order_id)
         if not any(o.order_id == default_sort for o in orders):
