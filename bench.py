@@ -107,51 +107,65 @@ def main() -> None:
     )
     from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
 
-    n_manifests, files_per_manifest = 400, 250
-    wh = tempfile.mkdtemp(prefix="plan-wide-")
-    try:
-        pt = build_wide_metadata_table(wh, n_manifests, files_per_manifest)
-        flt, _ = selective_filter(n_manifests, files_per_manifest)
-        plan_files_distributed(pt.scan(row_filter=flt), spark)  # warm workers
-        scan = pt.scan(row_filter=flt)
+    def bench_planning_shape(n_manifests, files_per_manifest, attempts):
+        """One wide-metadata shape: build, warm, time local vs
+        distributed (equality-asserted) and the auto route."""
+        wh = tempfile.mkdtemp(prefix="plan-wide-")
+        try:
+            pt = build_wide_metadata_table(wh, n_manifests, files_per_manifest)
+            flt, _ = selective_filter(n_manifests, files_per_manifest)
+            plan_files_distributed(pt.scan(row_filter=flt), spark)  # warm workers
+            scan = pt.scan(row_filter=flt)
 
-        def best_of2(fn):
-            # best-of-2: the planning block is not round-robined with the
-            # headline set, so a single host-steal stall would otherwise
-            # masquerade as a planner regression
-            t0 = time.perf_counter()
-            out = fn()
-            d1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out = fn()
-            return out, round(min(d1, time.perf_counter() - t0), 4)
+            def best_of(fn):
+                # best-of-N: the planning block is not round-robined with
+                # the headline set, so a single host-steal stall would
+                # otherwise masquerade as a planner regression
+                times, out = [], None
+                for _ in range(attempts):
+                    t0 = time.perf_counter()
+                    out = fn()
+                    times.append(time.perf_counter() - t0)
+                return out, round(min(times), 4)
 
-        local_tasks, local_sec = best_of2(scan.plan_files)
-        dist_tasks, dist_sec = best_of2(lambda: plan_files_distributed(scan, spark))
-        assert sorted(t.file.file_path for t in local_tasks) == sorted(
-            t.file.file_path for t in dist_tasks
-        ), "distributed planner diverged from local"
-        t0 = time.perf_counter()
-        auto_tasks = scan.plan_files_auto(spark)
-        auto_sec = round(time.perf_counter() - t0, 4)
-        assert len(auto_tasks) == len(local_tasks)
-        threshold = int(
-            pt.metadata.properties.get(
-                "read.distributed-planning.min-manifests", "64"
+            local_tasks, local_sec = best_of(scan.plan_files)
+            dist_tasks, dist_sec = best_of(
+                lambda: plan_files_distributed(scan, spark)
             )
-        )
-        planning = {
-            "manifests": n_manifests,
-            "data_files": n_manifests * files_per_manifest,
-            "matched_files": len(local_tasks),
-            "local_sec": local_sec,
-            "distributed_sec": dist_sec,
-            "auto_route_sec": auto_sec,
-            # which planner plan_files_auto structurally picks here
-            "auto_route": "distributed" if n_manifests >= threshold else "local",
-        }
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+            assert sorted(t.file.file_path for t in local_tasks) == sorted(
+                t.file.file_path for t in dist_tasks
+            ), "distributed planner diverged from local"
+            t0 = time.perf_counter()
+            auto_tasks = scan.plan_files_auto(spark)
+            auto_sec = round(time.perf_counter() - t0, 4)
+            assert len(auto_tasks) == len(local_tasks)
+            threshold = int(
+                pt.metadata.properties.get(
+                    "read.distributed-planning.min-manifests", "64"
+                )
+            )
+            return {
+                "manifests": n_manifests,
+                "data_files": n_manifests * files_per_manifest,
+                "matched_files": len(local_tasks),
+                "local_sec": local_sec,
+                "distributed_sec": dist_sec,
+                "auto_route_sec": auto_sec,
+                # which planner plan_files_auto structurally picks here
+                "auto_route": "distributed" if n_manifests >= threshold else "local",
+            }
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    # primary shape (best-of-2, round-over-round comparable) plus a 5×
+    # shape (best-of-1: the local planner alone costs ~40 s here) so the
+    # "distributed planning stays near-flat in file count" claim is a
+    # measured slope, not a single point
+    planning = bench_planning_shape(400, 250, attempts=2)
+    planning["curve"] = [
+        {k: v for k, v in planning.items() if k != "curve"},
+        bench_planning_shape(2000, 250, attempts=1),
+    ]
 
     # ---- MAINTENANCE wall time (separate block; NOT in the headline
     # total): the delete-debt ops this engine runs between queries at
