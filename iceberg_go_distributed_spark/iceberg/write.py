@@ -2405,10 +2405,12 @@ def _source_key_prune_filter(source, key_fields):
     provide, table/evaluators.go:666-1198), instead of scanning the
     whole table to touch almost nothing.
 
-    ONE aggregate job over the source per call computes min/max/distinct
-    count/null presence for every key column (O(1) rows to the driver);
+    ONE aggregate job over the source computes min/max/distinct count/
+    null presence for every key column (O(1) rows to the driver);
     columns under MERGE_PRUNE_MAX_IN_SET distinct values contribute an
-    IN-set (exact), larger ones a [min, max] range (sound superset).
+    IN-set (exact), gathered in ONE more collect_set job shared across
+    all such columns, larger ones a [min, max] range (sound superset) —
+    at most two small jobs of fixed overhead regardless of key count.
     Null keys (eqNullSafe join semantics) OR in is_null. Returns None —
     caller falls back to a full scan — for key types where a stats
     filter is unsound or unsupported (float/double NaN ordering,
@@ -2423,6 +2425,7 @@ def _source_key_prune_filter(source, key_fields):
     from pyspark.sql import functions as F
 
     from . import expressions as E
+    from .evaluators import IN_PREDICATE_LIMIT
     from .types import (
         BooleanType,
         DateType,
@@ -2450,6 +2453,20 @@ def _source_key_prune_filter(source, key_fields):
             F.max(F.col(k).isNull().cast("int")).alias(f"__null_{k}"),
         ]
     row = source.agg(*aggs).collect()[0]  # one O(1) scalar bounds row
+    small = [
+        f.name
+        for f in key_fields
+        if row[f"__mn_{f.name}"] is not None
+        and row[f"__nd_{f.name}"] <= MERGE_PRUNE_MAX_IN_SET
+    ]
+    in_sets = {}
+    if small:
+        # ONE more job collects every small column's distinct set (the
+        # first agg proved each is bounded, so collect_set is safe)
+        srow = source.agg(
+            *[F.collect_set(k).alias(k) for k in small]
+        ).collect()[0]
+        in_sets = {k: list(srow[k]) for k in small}
     preds = []
     for f in key_fields:
         k = f.name
@@ -2459,19 +2476,19 @@ def _source_key_prune_filter(source, key_fields):
             # all-null key column: only null-keyed target rows can match
             preds.append(E.is_null(k))
             continue
-        if row[f"__nd_{k}"] <= MERGE_PRUNE_MAX_IN_SET:
-            vals = [
-                r[0]
-                for r in source.select(k)
-                .where(F.col(k).isNotNull())
-                .distinct()
-                .collect()
-            ]
-            p = E.is_in(k, vals)
+        rng = E.and_(
+            E.greater_than_or_equal(k, lo), E.less_than_or_equal(k, hi)
+        )
+        if k in in_sets:
+            p = E.is_in(k, in_sets[k])
+            if len(in_sets[k]) > IN_PREDICATE_LIMIT:
+                # metrics/manifest evaluators skip IN-sets above the
+                # reference's inPredicateLimit (ROWS_MIGHT_MATCH) — AND
+                # the range so file pruning still bites; the IN-set
+                # keeps pruning exactly in the residual row filter
+                p = E.and_(rng, p)
         else:
-            p = E.and_(
-                E.greater_than_or_equal(k, lo), E.less_than_or_equal(k, hi)
-            )
+            p = rng
         preds.append(E.or_(p, E.is_null(k)) if has_null else p)
     return E.and_(*preds)
 

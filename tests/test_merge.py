@@ -393,6 +393,30 @@ def test_merge_prune_filter_shapes(fs_catalog, spark):
     flt = W._source_key_prune_filter(big, [idf])
     assert isinstance(flt, E.And)  # range: >= lo AND <= hi
 
+    # 201..1000 distinct: the IN-set exceeds the evaluators'
+    # inPredicateLimit (metrics pruning would skip it) — the filter must
+    # AND a [min,max] range so FILE pruning still bites, keeping the
+    # IN-set for exact residual row filtering
+    from iceberg_go_distributed_spark.iceberg.evaluators import IN_PREDICATE_LIMIT
+
+    mid = spark.range(0, IN_PREDICATE_LIMIT + 50).selectExpr("id")
+    flt = W._source_key_prune_filter(mid, [idf])
+    assert isinstance(flt, E.And)
+    ops = {type(flt.left), type(flt.right)}
+    assert E.UnboundPredicate in ops or E.And in ops
+    # one side is the range AND, the other the IN-set
+    def _flatten(e):
+        if isinstance(e, E.And):
+            return _flatten(e.left) + _flatten(e.right)
+        return [e]
+    leaves = _flatten(flt)
+    assert any(
+        isinstance(l, E.UnboundPredicate) and l.op_ == E.Operation.IN for l in leaves
+    )
+    assert any(
+        isinstance(l, E.UnboundPredicate) and l.op_ == E.Operation.GT_EQ for l in leaves
+    )
+
     fdbl = NestedField(3, "v", DoubleType())
     assert W._source_key_prune_filter(
         spark.createDataFrame([(1.0,)], "v double"), [fdbl]
