@@ -397,21 +397,30 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
     import pyarrow as pa
 
     prior = _decode_delete_positions(partition.prior_deletes, partition.path)
+    if getattr(partition, "eq_prior", None):
+        # unconverted eq-delete debt applicable at the parent: its rows
+        # are already dead — fold them into `prior` so NO delete path
+        # (whole-file drop, DV diff, or new eq match) re-emits them.
+        # One key-matching pass over the file (pyarrow batch-wise).
+        from .iceberg.maintenance import _eq_matched_positions
+
+        prior = np.union1d(
+            prior,
+            _eq_matched_positions(
+                pf, _load_eq_sets(partition.eq_prior)
+            ).astype("int64"),
+        )
     if partition.whole_file:
         target = None  # every position except `prior`
     elif getattr(partition, "eq_new", None):
-        # equality-delete expansion: two extra key-matching passes over
-        # the file (pyarrow batch-wise, one batch resident) — new matches
-        # minus everything already dead at the parent
+        # equality-delete expansion: new key matches minus everything
+        # already dead at the parent
         from .iceberg.maintenance import _eq_matched_positions
 
         matched = _eq_matched_positions(pf, _load_eq_sets(partition.eq_new))
-        dead = prior.astype("uint64")
-        if partition.eq_prior:
-            dead = np.union1d(
-                dead, _eq_matched_positions(pf, _load_eq_sets(partition.eq_prior))
-            )
-        target = np.setdiff1d(matched, dead).astype("int64")
+        target = np.setdiff1d(
+            matched.astype("int64"), prior
+        ).astype("int64")
         if target.size == 0:
             return
     else:
@@ -800,6 +809,15 @@ try:  # pyspark >= 4: Python Data Source API
                                 for d in task.delete_files
                                 if d.content == DataFileContent.POSITION_DELETES
                             ],
+                            # unconverted eq-delete debt applicable at the
+                            # parent: rows it killed are ALREADY dead and
+                            # must never re-emit a delete event — from a
+                            # whole-file drop, a DV diff, or a new eq match
+                            [
+                                (d.file_path, list(d.equality_ids or []))
+                                for d in task.delete_files
+                                if d.content == DataFileContent.EQUALITY_DELETES
+                            ],
                             task.file.first_row_id,
                         )
                 live_now = {
@@ -808,7 +826,7 @@ try:  # pyspark >= 4: Python Data Source API
                 }
                 removed = [
                     orig
-                    for key, (orig, _, _) in prior_by_path.items()
+                    for key, (orig, _, _, _) in prior_by_path.items()
                     if key not in live_now
                 ]
                 new_dels: dict[str, tuple] = {}
@@ -874,23 +892,25 @@ try:  # pyspark >= 4: Python Data Source API
                         "changelog_poll"
                     )
                 for path in removed:
-                    _, descs, frid = prior_by_path[strip_scheme(path)]
+                    _, descs, prior_eqs, frid = prior_by_path[strip_scheme(path)]
                     parts.append(_CdcFilePartition(
                         path, fields, self._cfg, batch_rows, "delete",
                         prior_deletes=descs,
+                        eq_prior=prior_eqs,
                         whole_file=True,
                         first_row_id=frid,
                     ))
                 for key, (orig_path, descs) in new_dels.items():
                     # the referenced data file is live at the parent by
                     # construction; read it at the newly-deleted positions
-                    _, prior_descs, frid = prior_by_path.get(
-                        key, (None, [], None)
+                    _, prior_descs, prior_eqs, frid = prior_by_path.get(
+                        key, (None, [], [], None)
                     )
                     parts.append(_CdcFilePartition(
                         orig_path, fields, self._cfg, batch_rows, "delete",
                         new_deletes=descs,
                         prior_deletes=prior_descs,
+                        eq_prior=prior_eqs,
                         first_row_id=frid,
                     ))
                 if new_eq_paths:
@@ -931,7 +951,7 @@ try:  # pyspark >= 4: Python Data Source API
                             if d.content == DataFileContent.EQUALITY_DELETES
                             and d.file_path not in new_eq_paths
                         ]
-                        _, prior_descs, frid = prior_by_path[key]
+                        _, prior_descs, _prior_eqs, frid = prior_by_path[key]
                         parts.append(_CdcFilePartition(
                             task.file.file_path, fields, self._cfg,
                             batch_rows, "delete",

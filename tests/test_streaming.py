@@ -1150,3 +1150,110 @@ def test_iceberg_stream_source_delivers_cherry_pick_once(tmp_path, spark):
     seen.clear()
     run_once()
     assert seen == []
+
+
+def test_iceberg_stream_cdc_fuzz_matches_changelog(tmp_path, spark):
+    """Randomized append / upsert / delete_where interleavings: the
+    bounded CDC stream over the WHOLE history (run mid-way and again at
+    the end — a checkpoint resume) must deliver exactly what a
+    per-commit changelog_poll loop delivered. The fuzz hits the shapes
+    the deterministic tests enumerate one at a time — eq-deletes over
+    DV-dead rows, DVs over eq-dead rows, consecutive upserts re-keying
+    the same ids — in interleavings they don't."""
+    import random
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.streaming import changelog_poll, iceberg_stream
+
+    rng = random.Random(0xC9)
+    for trial in range(2):
+        wh = str(tmp_path / f"fzwh{trial}")
+        cat = FileSystemCatalog(wh)
+        df0 = spark.createDataFrame(
+            [(i, f"t{trial}v{i}") for i in range(8)], "id long, v string"
+        )
+        t = cat.create_table("db.fz", schema_from_spark(df0.schema))
+        t.upgrade_format_version(3)
+
+        cursor = changelog_poll(t, spark, None)[1]
+        reference: list[tuple] = []
+        next_id = [8]
+        live_ids = set()
+
+        def commit_and_poll(action):
+            nonlocal cursor
+            action()
+            changes, cursor = changelog_poll(t, spark, cursor)
+            if changes is not None:
+                reference.extend(
+                    tuple(r)
+                    for r in changes.select("id", "v", "_change_type").collect()
+                )
+
+        def do_append():
+            n = rng.randint(2, 5)
+            ids = list(range(next_id[0], next_id[0] + n))
+            next_id[0] += n
+            live_ids.update(ids)
+            rows = [(i, f"t{trial}v{i}") for i in ids]
+            commit_and_poll(lambda: t.append(
+                spark.createDataFrame(rows, "id long, v string").coalesce(1)
+            ))
+
+        def do_upsert():
+            pool = sorted(live_ids)
+            picks = rng.sample(pool, min(len(pool), rng.randint(1, 4))) if pool else []
+            picks.append(next_id[0])  # always one brand-new key too
+            live_ids.add(next_id[0])
+            next_id[0] += 1
+            rows = [(i, f"t{trial}u{rng.randint(0, 9)}_{i}") for i in picks]
+            commit_and_poll(lambda: t.upsert(
+                spark.createDataFrame(rows, "id long, v string"),
+                key_columns=["id"],
+            ))
+
+        def do_delete():
+            k = rng.randint(3, 5)
+            r = rng.randint(0, k - 1)
+            doomed = {i for i in live_ids if i % k == r}
+            if not doomed:
+                return
+            live_ids.difference_update(doomed)
+            commit_and_poll(lambda: t.delete_where(
+                spark,
+                E.and_(E.greater_than_or_equal("id", 0), E.is_in("id", sorted(doomed))),
+            ))
+
+        commit_and_poll(lambda: t.append(df0.coalesce(1)))
+        live_ids.update(range(8))
+
+        seen: list[tuple] = []
+        ck = str(tmp_path / f"fzck{trial}")
+
+        def run_stream():
+            q = (
+                iceberg_stream(spark, wh, "db.fz", mode="cdc")
+                .writeStream.foreachBatch(
+                    lambda b, _id: seen.extend(
+                        (r.id, r.v, r._change_type) for r in b.collect()
+                    )
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "bounded stream did not finish"
+
+        ops = [do_append, do_upsert, do_delete]
+        for step in range(4):
+            rng.choice(ops)()
+        run_stream()  # mid-history consume
+        for step in range(4):
+            rng.choice(ops)()
+        run_stream()  # checkpoint resume over the second half
+
+        assert sorted(seen) == sorted(reference), (
+            f"trial {trial}: stream diverged from per-commit changelog\n"
+            f"stream-only: {sorted(set(seen) - set(reference))[:10]}\n"
+            f"changelog-only: {sorted(set(reference) - set(seen))[:10]}"
+        )
