@@ -2509,6 +2509,7 @@ def merge(
     matched_update_condition: Optional[str] = None,
     matched_delete_condition: Optional[str] = None,
     not_matched_insert=True,
+    not_matched_insert_condition: Optional[str] = None,
     check_cardinality: bool = True,
     prune_target: bool = True,
 ) -> bool:
@@ -2528,7 +2529,11 @@ def merge(
          never see it disappear).
     Unmatched source rows insert when `not_matched_insert` is true —
     ``True`` inserts the source row as-is, a dict maps target columns to
-    SQL expressions over `source.<col>` (missing columns null-fill).
+    SQL expressions over `source.<col>` (missing columns null-fill);
+    `not_matched_insert_condition` (ANSI ``WHEN NOT MATCHED AND <cond>
+    THEN INSERT``) gates the insert with a SQL boolean over
+    `source.<col>` — e.g. a patch row that only flags a deletion must
+    not insert when its key is absent.
 
     Spark-first shape: ONE pruned target scan joined with the source
     (Catalyst broadcasts a small source; AQE picks the join strategy),
@@ -2566,6 +2571,10 @@ def merge(
     fields = _resolve_key_fields(schema, on)
     if matched_update is None and matched_delete_condition is None and not not_matched_insert:
         raise ValueError("merge with no actions")
+    if not_matched_insert_condition is not None and not not_matched_insert:
+        raise ValueError(
+            "not_matched_insert_condition requires not_matched_insert"
+        )
     if matched_update is not None and matched_update != "*":
         bad = [c for c in matched_update if schema.find_field(c) is None]
         if bad:
@@ -2651,9 +2660,14 @@ def merge(
             if not_matched_insert is True
             else dict(not_matched_insert)
         )
+        unmatched = src.join(
+            tgt.select(*[F.col(k) for k in on]).alias("target"),
+            join_cond, "left_anti",
+        )
+        if not_matched_insert_condition is not None:
+            unmatched = unmatched.where(F.expr(not_matched_insert_condition))
         inserted = (
-            src.join(tgt.select(*[F.col(k) for k in on]).alias("target"),
-                     join_cond, "left_anti")
+            unmatched
             .select(
                 *[
                     F.expr(ins_exprs[c]).cast(struct[c].dataType).alias(c)

@@ -172,6 +172,11 @@ def test_merge_rejects_bad_arguments(fs_catalog, spark):
         t.merge(spark, src, on=["id"], matched_update={"id": "source.id + 1"})
     with pytest.raises(ValueError, match="unknown key column"):
         t.merge(spark, src, on=["missing"], matched_update="*")
+    with pytest.raises(ValueError, match="not_matched_insert_condition"):
+        t.merge(
+            spark, src, on=["id"], matched_update="*",
+            not_matched_insert=False, not_matched_insert_condition="true",
+        )
 
 
 def test_merge_fuzz_against_pandas_model(fs_catalog, spark):
