@@ -62,8 +62,15 @@ def apply_patch(
             matched_update={
                 c: f"source.{c}" for c in data_cols if c not in on
             },
+            # coalesce: a NULL marker must fall through to UPDATE (ANSI
+            # 'condition not true'), not silently delete — a bare
+            # `source.marker` would exclude the row from both the update
+            # and the sibling re-emit while still equality-deleting its
+            # key (TRUE & ~NULL = NULL), i.e. data loss
             matched_delete_condition=(
-                f"source.{delete_marker}" if delete_marker else None
+                f"coalesce(source.{delete_marker}, false)"
+                if delete_marker
+                else None
             ),
             not_matched_insert=(
                 {c: f"source.{c}" for c in data_cols}
@@ -73,7 +80,9 @@ def apply_patch(
             # a patch row that only flags a deletion must not insert
             # when its key is already absent (ANSI WHEN NOT MATCHED AND)
             not_matched_insert_condition=(
-                f"NOT source.{delete_marker}" if delete_marker else None
+                f"NOT coalesce(source.{delete_marker}, false)"
+                if delete_marker
+                else None
             ),
         )
     except MergeCardinalityError as exc:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import io
 import os
+import threading
 from dataclasses import dataclass, field, replace
 from enum import IntEnum
 from typing import Any, Iterable, Optional
@@ -516,17 +517,26 @@ def positional_delete_schema() -> Schema:
 # Manifests are immutable once written (new state = new file), so raw
 # record caching is safe and makes repeated scans O(entries) in Python
 # with no re-decode. Entries are rebuilt per call (callers mutate them).
+# The local planner reads manifests from a thread pool (table.py
+# plan_files), so eviction must be guarded: an unlocked
+# pop(next(iter(...))) races another thread's eviction of the same
+# oldest key and dies with KeyError mid-plan.
 _OCF_CACHE: dict[str, list] = {}
 _OCF_CACHE_MAX = 256
+_OCF_CACHE_LOCK = threading.Lock()
 
 
 def _read_manifest_records(path: str) -> list:
     cached = _OCF_CACHE.get(path)
     if cached is None:
+        # decode outside the lock (the slow part; worst case two threads
+        # decode the same new manifest once each — benign for an
+        # immutable file)
         _, _, cached = avro_io.read_ocf(path)
-        if len(_OCF_CACHE) >= _OCF_CACHE_MAX:
-            _OCF_CACHE.pop(next(iter(_OCF_CACHE)))
-        _OCF_CACHE[path] = cached
+        with _OCF_CACHE_LOCK:
+            while len(_OCF_CACHE) >= _OCF_CACHE_MAX:
+                _OCF_CACHE.pop(next(iter(_OCF_CACHE)), None)
+            _OCF_CACHE[path] = cached
     return cached
 
 

@@ -333,6 +333,12 @@ class TableMetadata:
             # defaults to the first listed schema
             if fv == 1 and "schema" in obj:
                 current_schema_id = obj["schema"].get("schema-id", 0)
+                # ref metadata.go:1690-1697 (metadataV1.UnmarshalJSON):
+                # when the id comes from the legacy `schema` field and no
+                # listed schema carries it, the legacy schema is APPENDED
+                # to the schema list and the parse succeeds
+                if not any(s.schema_id == current_schema_id for s in schemas):
+                    schemas = schemas + [Schema.from_json(obj["schema"])]
             else:
                 raise ValueError(
                     "invalid metadata: no valid schema configuration "
@@ -361,11 +367,20 @@ class TableMetadata:
                 # ref metadata_internal_test.go:1231-1235: v2+ REQUIRES
                 # partition-specs — never silently assume unpartitioned
                 raise ValueError("invalid metadata: missing partition-specs")
-        # v1 compat when default-spec-id is absent: the MAX spec id wins
-        # (ref metadata_internal_test.go:1215-1229), not the first listed
-        default_spec_id = obj.get(
-            "default-spec-id", max(s.spec_id for s in specs)
-        )
+        default_spec_id = obj.get("default-spec-id")
+        if default_spec_id is None:
+            if fv >= 2:
+                # ref metadata.go:1494-1496 (validate): the max-spec-id
+                # fallback is a v1-only preValidate rule; v2+ REQUIRES
+                # the field
+                raise ValueError(
+                    "invalid metadata: default-partition-spec-id must be "
+                    "set for FormatVersion > 1"
+                )
+            # v1 compat when default-spec-id is absent: the MAX spec id
+            # wins (ref metadata_internal_test.go:1215-1229), not the
+            # first listed
+            default_spec_id = max(s.spec_id for s in specs)
         if not any(s.spec_id == default_spec_id for s in specs):
             raise ValueError(f"default-spec-id {default_spec_id} not found")
         if fv >= 2 and "last-partition-id" not in obj:
@@ -381,7 +396,16 @@ class TableMetadata:
                 # sort-orders (even if just the unsorted order)
                 raise ValueError("invalid metadata: missing sort-orders")
             orders = [UNSORTED_ORDER]
-        default_sort = obj.get("default-sort-order-id", orders[0].order_id)
+        default_sort = obj.get("default-sort-order-id")
+        if default_sort is None:
+            if fv >= 2:
+                # ref metadata.go:1492-1493 (validate): v2+ REQUIRES
+                # default-sort-order-id; first-order is a v1-only fallback
+                raise ValueError(
+                    "invalid metadata: default-sort-order-id must be set "
+                    "for FormatVersion > 1"
+                )
+            default_sort = orders[0].order_id
         if not any(o.order_id == default_sort for o in orders):
             raise ValueError(f"default-sort-order-id {default_sort} not found")
         cur_snap = obj.get("current-snapshot-id")

@@ -275,3 +275,45 @@ def test_first_row_id_inheritance_skips_explicit_and_deleted(tmp_path):
     assert by_path["/d/b.parquet"] == 900   # first assigned
     assert by_path["/d/c.parquet"] is None  # deleted: never assigned
     assert by_path["/d/d.parquet"] == 910   # advanced by b's 10 only
+
+
+def test_ocf_cache_eviction_thread_safe(tmp_path, monkeypatch):
+    """The local planner reads manifests from a thread pool
+    (table.py plan_files); with the cache at capacity, concurrent
+    evictions used to race on pop(next(iter(...))) and die with
+    KeyError mid-plan (caught live by a bench run)."""
+    import threading
+
+    from iceberg_go_distributed_spark.iceberg import manifest as M
+
+    spec = spec_from(SCHEMA)
+    paths = []
+    for i in range(24):
+        p = str(tmp_path / f"m{i}.avro")
+        write_manifest(
+            p, spec, SCHEMA, 1,
+            [ManifestEntry(
+                ManifestEntryStatus.ADDED, 1, 1, 1,
+                DataFile(file_path=f"/d/{i}.parquet", record_count=1),
+            )],
+        )
+        paths.append(p)
+
+    monkeypatch.setattr(M, "_OCF_CACHE_MAX", 2)
+    monkeypatch.setattr(M, "_OCF_CACHE", {})
+    errors = []
+
+    def worker(seed):
+        try:
+            for j in range(200):
+                read_manifest(paths[(seed * 7 + j) % len(paths)])
+        except Exception as exc:  # pragma: no cover - the regression
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert len(M._OCF_CACHE) <= 2

@@ -61,6 +61,24 @@ def test_patch_update_insert_delete_semantics(facts, spark):
     assert len(rows) == 400  # 400 - 1 deleted + 1 inserted
 
 
+def test_null_delete_marker_updates_instead_of_deleting(facts, spark):
+    """A NULL marker is 'condition not true': the row must fall through
+    to UPDATE (and a NULL marker on a new key must still insert) — a
+    bare `source.marker` condition would equality-delete the key while
+    emitting neither the update nor the insert (data loss)."""
+    _, t = facts
+    patch = spark.createDataFrame(
+        [(5, "t0", 555.0, None), (900, "t9", 9.0, None)],
+        "id long, tenant string, amount double, deleted boolean",
+    )
+    assert apply_patch(t, spark, patch, on=["id"], delete_marker="deleted")
+    t.refresh()
+    rows = {r.id: (r.tenant, r.amount) for r in t.scan().to_df(spark).collect()}
+    assert rows[5] == ("t0", 555.0)      # updated, NOT deleted
+    assert rows[900] == ("t9", 9.0)      # inserted despite NULL marker
+    assert len(rows) == 401
+
+
 def test_patch_rejects_duplicate_keys(facts, spark):
     _, t = facts
     patch = spark.createDataFrame(

@@ -119,6 +119,16 @@ def _variant(**mutations):
             "v2 empty sort orders",
         ),
         ({k: v for k, v in VALID_V2.items() if k != "schemas"}, "v2 without schemas"),
+        # ref metadata.go:1492-1496 (validate): the v1 fallbacks
+        # (max spec id / first sort order) must NOT apply to v2+
+        (
+            {k: v for k, v in VALID_V2.items() if k != "default-spec-id"},
+            "v2 without default-spec-id",
+        ),
+        (
+            {k: v for k, v in VALID_V2.items() if k != "default-sort-order-id"},
+            "v2 without default-sort-order-id",
+        ),
     ],
 )
 def test_invalid_variants_rejected(doc, why):
@@ -186,6 +196,42 @@ def test_v1_parses_with_defaults():
     assert md.current_schema().fields[0].name == "x"
     assert md.default_spec().is_unpartitioned()
     assert md.format_version == 2  # we upgrade on write
+
+
+def test_v1_legacy_schema_appended_when_absent_from_list():
+    """ref metadata.go:1690-1697 (metadataV1.UnmarshalJSON): a v1 doc
+    carrying BOTH a `schemas` list and a legacy `schema` whose id no
+    listed schema matches appends the legacy schema and parses."""
+    doc = {
+        "format-version": 1,
+        "table-uuid": "d20125c8-7284-442c-9aea-15fee620737c",
+        "location": "s3://bucket/t",
+        "last-updated-ms": 1602638573874,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "x", "required": True, "type": "long"}
+                ],
+            }
+        ],
+        "schema": {
+            "type": "struct",
+            "schema-id": 5,
+            "fields": [
+                {"id": 1, "name": "x", "required": True, "type": "long"},
+                {"id": 2, "name": "y", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+    }
+    md = TableMetadata.from_json(doc)
+    assert md.current_schema_id == 5
+    assert [f.name for f in md.current_schema().fields] == ["x", "y"]
+    # both schemas survive the parse
+    assert {s.schema_id for s in md.schemas} == {0, 5}
 
 
 # --------------------------------------------------------------------- v3
