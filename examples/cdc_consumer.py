@@ -37,3 +37,28 @@ def consume(table, spark: SparkSession, ticks, cursor=None, mirror=None):
         if changes is not None:
             mirror = apply_changes(mirror, changes)
     return mirror, cursor
+
+
+def catch_up(table, spark: SparkSession, cursor=None, mirror=None):
+    """Long-gap catch-up: ONE range-netted diff instead of replaying
+    every intermediate commit.
+
+    A consumer resuming after days of downtime faces N commits; the
+    per-commit event stream (`changelog_poll` per tick, or the CDC
+    readStream) replays every intermediate version of hot rows — a row
+    MERGEd 500 times since the cursor costs 500 delete+insert pairs.
+    `changelog_scan(from, to)` nets the whole range on row lineage
+    (`_row_id` anti-joins of exactly TWO table states), so each surviving
+    row costs one insert and each vanished row one delete, independent
+    of how many times it churned in between. Returns (mirror, cursor at
+    head); switch back to `consume`/the CDC stream from there.
+
+    Use this when (head − cursor) spans many commits or any bulk MERGE
+    the per-commit expansion refuses (`read.cdc.eq-keys-max-rows`);
+    per-commit streaming remains right for low-lag event consumers that
+    need every intermediate version."""
+    head = table.current_snapshot()
+    if head is None or head.snapshot_id == cursor:
+        return mirror, cursor
+    changes = table.changelog_scan(spark, cursor, head.snapshot_id)
+    return apply_changes(mirror, changes), head.snapshot_id

@@ -975,7 +975,21 @@ def convert_equality_deletes(table, spark) -> bool:
     schema = md.current_schema()
     by_id = {f.field_id: f for f in schema.fields}
     tasks = table.scan().plan_files_auto(spark)
+    # Executor-memory bound (style of read.mor.driver-decode-max-positions):
+    # the fast path loads each applicable key file as ONE pandas frame per
+    # task — right for typical CDC commits (one small key file per
+    # commit), an OOM for a bulk-MERGE key file at 100 TB. Above the
+    # bound, the file routes to the distributed join path instead of
+    # degrading into an unbounded frame. Manifest record_count is the
+    # exact key-row count, known driver-side for free.
+    try:
+        keys_max = int(
+            md.properties.get("maintenance.eq-convert.keys-max-rows", "2000000")
+        )
+    except (TypeError, ValueError):
+        keys_max = 2_000_000
     rows = []
+    big_tasks = []
     for t in tasks:
         eqs = [
             d for d in t.delete_files
@@ -991,6 +1005,9 @@ def convert_equality_deletes(table, spark) -> bool:
                     f"field ids {missing}; the delete cannot be evaluated "
                     "against the current schema"
                 )
+        if sum(int(d.record_count or 0) for d in eqs) > keys_max:
+            big_tasks.append(t)
+            continue
         dv = next(
             (d for d in t.delete_files if d.content_offset is not None), None
         )
@@ -1128,6 +1145,11 @@ def convert_equality_deletes(table, spark) -> bool:
             task, "descriptor string, newly bigint, had_dv boolean"
         ).collect()
 
+    if big_tasks:
+        collected = list(collected) + _eq_convert_join_rows(
+            table, spark, big_tasks, location, commit_uuid
+        )
+
     from .write import _decode_descriptor
 
     new_entries = []
@@ -1200,6 +1222,193 @@ def convert_equality_deletes(table, spark) -> bool:
         parent_snapshot_id=ds.parent_snapshot_id,
     )
     return True
+
+
+def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
+    """Distributed join-based DV computation for data files whose
+    applicable equality-delete key files exceed
+    `maintenance.eq-convert.keys-max-rows` (default 2M key rows).
+
+    The fast path loads each key file as ONE pandas frame per executor
+    task (`_eq_matched_positions`) — right for typical CDC commits, an
+    OOM for a bulk-MERGE commit whose key file carries 100M+ rows. This
+    path is the scan's distributed eq anti-join (table.py:862) turned
+    LEFT SEMI: read the affected data files with `_metadata.row_index`
+    positions (JVM scan, key columns only — pushdown and split planning
+    intact), semi-join per eq-delete file (null-safe: NULL keys match
+    NULL, the eq-delete contract), union matches across eq files, and
+    write one DV per data file from a groupBy().applyInPandas whose peak
+    memory is ONE file's matched positions (bounded by file row count).
+    Keys and data both stay distributed; nothing unbounded ever
+    materializes per task — degrade, don't OOM, the reference's
+    bounded-memory standard (table/arrow_scanner.go batch pipelines).
+
+    Returns rows shaped like the fast path's collect():
+    (descriptor, newly, had_dv)."""
+    import json as _json
+    from dataclasses import replace as _replace
+
+    from pyspark.sql import functions as F
+
+    from . import fileio as _fileio
+    from .manifest import DataFileContent
+    from .table import strip_scheme
+    from .types import Schema, schema_to_spark_struct
+    from .write import _encode_partition
+
+    md = table.metadata
+    schema = md.current_schema()
+    by_id = {f.field_id: f for f in schema.fields}
+
+    # group data files by their applicable eq-file set (plan_files already
+    # sequence-gated the per-file sets); files sharing a set share one
+    # positional read and one join pipeline
+    groups: dict[tuple, list] = {}
+    for t in tasks:
+        key = tuple(sorted(
+            (d.file_path, tuple(d.equality_ids or []))
+            for d in t.delete_files
+            if d.content == DataFileContent.EQUALITY_DELETES
+        ))
+        groups.setdefault(key, []).append(t)
+
+    def keys_df(path, fields):
+        eq_schema = Schema(0, tuple(fields))
+        if _fileio.is_local(path):
+            # distributed read — the key file is big by construction here
+            return (
+                spark.read.schema(schema_to_spark_struct(eq_schema))
+                .parquet(path)
+                .dropDuplicates()
+            )
+        # non-local schemes without a JVM FileSystem: mirror the scan's
+        # driver arrow read (table.py:901); bounded only by the caller's
+        # awareness — local warehouses (the tested path) never hit this
+        from .types import schema_to_spark_ddl
+
+        return spark.createDataFrame(
+            _fileio.read_parquet_table(
+                path, columns=[f.name for f in fields]
+            ).to_pandas(),
+            schema=schema_to_spark_ddl(eq_schema),
+        ).dropDuplicates()
+
+    matched = None
+    for key, gtasks in groups.items():
+        need_ids = sorted({i for _, ids in key for i in ids})
+        key_schema = Schema(0, tuple(by_id[i] for i in need_ids))
+        stripped = [_replace(t, delete_files=()) for t in gtasks]
+        df = table.scan()._read_with_pos_deletes_jvm(
+            spark, stripped, key_schema, keep_pos=True
+        )
+        for path, ids in key:
+            fields = [by_id[i] for i in ids]
+            kdf = keys_df(path, fields)
+            cond = None
+            for f in fields:
+                c = df[f.name].eqNullSafe(kdf[f.name])
+                cond = c if cond is None else (cond & c)
+            hit = df.join(kdf, on=cond, how="left_semi").select("_fp", "_pos")
+            matched = hit if matched is None else matched.unionByName(hit)
+    if matched is None:
+        return []
+    matched = matched.dropDuplicates(["_fp", "_pos"])
+
+    # per-file metadata the DV writer needs, O(files), broadcast
+    meta = {}
+    for t in tasks:
+        dv = next(
+            (d for d in t.delete_files if d.content_offset is not None), None
+        )
+        meta[strip_scheme(t.file.file_path)] = (
+            t.file.file_path,
+            (
+                (dv.file_path, int(dv.content_offset),
+                 int(dv.content_size_in_bytes))
+                if dv else None
+            ),
+            _json.dumps(_encode_partition(t.file.partition or {})),
+        )
+    meta_b = spark.sparkContext.broadcast(meta)
+    fileio_cfg = _fileio.env_config()
+
+    def write_dv(pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from . import fileio
+        from .manifest import DataFile as _DF
+        from .puffin import (
+            BlobMetadata,
+            read_deletion_vector,
+            serialize_deletion_vector,
+            write_puffin,
+        )
+        from .write import _decode_partition, _encode_descriptor
+
+        fileio.apply_config(fileio_cfg)
+        fp = pdf["_fp"].iloc[0]
+        data_file, dv, part_json = meta_b.value[fp]
+        pos = np.unique(pdf["_pos"].to_numpy().astype("uint64"))
+        existing = (
+            read_deletion_vector(*dv).astype("uint64")
+            if dv is not None
+            else np.empty(0, dtype="uint64")
+        )
+        union = np.union1d(pos, existing)
+        empty = pd.DataFrame(
+            {"descriptor": pd.Series([], dtype="string"),
+             "newly": pd.Series([], dtype="int64"),
+             "had_dv": pd.Series([], dtype="bool")}
+        )
+        if union.size == 0:  # pragma: no cover - matched is non-empty here
+            return empty
+        digest = hashlib.md5(fp.encode()).hexdigest()[:12]
+        d = os.path.join(location, "data")
+        fileio.makedirs(d)
+        path = os.path.join(
+            d, f"00000-{digest}-{commit_uuid}-eqconvj.puffin"
+        )
+        blob = BlobMetadata(
+            type="deletion-vector-v1",
+            fields=[],
+            snapshot_id=0,
+            sequence_number=0,
+            properties={
+                "referenced-data-file": data_file,
+                "cardinality": str(int(union.size)),
+            },
+        )
+        write_puffin(path, [(blob, serialize_deletion_vector(union))])
+        return pd.DataFrame(
+            {
+                "descriptor": [
+                    _encode_descriptor(
+                        _DF(
+                            file_path=path,
+                            file_format="PUFFIN",
+                            partition=_decode_partition(_json.loads(part_json)),
+                            record_count=int(union.size),
+                            file_size_in_bytes=fileio.size(path),
+                            content=DataFileContent.POSITION_DELETES,
+                            referenced_data_file=data_file,
+                            content_offset=blob.offset,
+                            content_size_in_bytes=blob.length,
+                        )
+                    )
+                ],
+                "newly": [int(union.size - existing.size)],
+                "had_dv": [dv is not None],
+            }
+        )
+
+    return (
+        matched.groupBy("_fp")
+        .applyInPandas(write_dv, "descriptor string, newly bigint, had_dv boolean")
+        .collect()
+    )
 
 
 def convert_position_deletes(table, spark) -> bool:

@@ -2396,6 +2396,32 @@ def cherry_pick(table, snapshot_id: int) -> bool:
 # coarser). Bounded so the planner never evaluates huge literal sets.
 MERGE_PRUNE_MAX_IN_SET = 1000
 
+# Auto-skip thresholds for the pruning stats jobs: below the measured
+# ~1M-row / few-file crossover (SCALE.md, r9 probe) the two source jobs
+# cost more than the scan they could save, so merge() skips them using
+# the snapshot summary's running totals (driver-side, zero jobs).
+MERGE_PRUNE_MIN_TARGET_ROWS = 1_000_000
+MERGE_PRUNE_MIN_TARGET_FILES = 4
+
+
+def _target_merits_pruning(md) -> bool:
+    """Free driver-side decision from the snapshot summary's running
+    `total-records` / `total-data-files` counters (update_snapshot_totals
+    maintains them on every commit): pruning only pays once the target is
+    big enough that skipping files beats the fixed ~0.4 s stats cost.
+    Unknown totals (foreign writer without totals) => prune — at 100 TB
+    that is the safe default; the crossover penalty is bounded and small."""
+    snap = md.current_snapshot()
+    if snap is None:
+        return False  # empty target: nothing a filter could skip
+    props = snap.summary.properties
+    rec, nfiles = props.get("total-records"), props.get("total-data-files")
+    if rec is not None and int(rec) < MERGE_PRUNE_MIN_TARGET_ROWS:
+        return False
+    if nfiles is not None and int(nfiles) < MERGE_PRUNE_MIN_TARGET_FILES:
+        return False
+    return True
+
 
 def _source_key_prune_filter(source, key_fields):
     """Inclusive row_filter over the MERGE target scan, derived from the
@@ -2405,16 +2431,25 @@ def _source_key_prune_filter(source, key_fields):
     provide, table/evaluators.go:666-1198), instead of scanning the
     whole table to touch almost nothing.
 
-    ONE aggregate job over the source computes min/max/distinct count/
-    null presence for every key column (O(1) rows to the driver);
-    columns under MERGE_PRUNE_MAX_IN_SET distinct values contribute an
-    IN-set (exact), gathered in ONE more collect_set job shared across
-    all such columns, larger ones a [min, max] range (sound superset) —
-    at most two small jobs of fixed overhead regardless of key count.
-    Null keys (eqNullSafe join semantics) OR in is_null. Returns None —
-    caller falls back to a full scan — for key types where a stats
-    filter is unsound or unsupported (float/double NaN ordering,
-    binary/uuid/fixed).
+    ONE aggregate job over the source computes min/max/approx distinct
+    count/null presence for every key column (O(1) rows to the driver);
+    columns whose APPROX ndv (HyperLogLog partial agg — no per-column
+    shuffle-distinct, unlike countDistinct) is under
+    MERGE_PRUNE_MAX_IN_SET contribute an IN-set, gathered in ONE more
+    collect_set job shared across all such columns (the set itself is
+    EXACT — the estimate only gates eligibility, so a ±5% rsd error
+    merely grows/shrinks the literal set, never unsounds it); larger
+    ones a [min, max] range (sound superset) — at most two small jobs of
+    fixed overhead regardless of key count. Null keys (eqNullSafe join
+    semantics) OR in is_null. Returns None — caller falls back to a full
+    scan — for key types where a stats filter is unsound or unsupported
+    (float/double NaN ordering, binary/uuid/fixed).
+
+    DETERMINISM ASSUMPTION: the stats jobs and the later merge join
+    re-evaluate `source`; a non-deterministic source (rand(), a re-read
+    of mutable input) can yield stats inconsistent with the join and
+    silently unsound the prune. Cache/localCheckpoint such sources, or
+    pass prune_target=False.
 
     Soundness: the filter is implied by "target key tuple equals some
     source key tuple", and scan pruning is inclusive, so no target row
@@ -2449,7 +2484,7 @@ def _source_key_prune_filter(source, key_fields):
         aggs += [
             F.min(k).alias(f"__mn_{k}"),
             F.max(k).alias(f"__mx_{k}"),
-            F.countDistinct(k).alias(f"__nd_{k}"),
+            F.approx_count_distinct(k, 0.05).alias(f"__nd_{k}"),
             F.max(F.col(k).isNull().cast("int")).alias(f"__null_{k}"),
         ]
     row = source.agg(*aggs).collect()[0]  # one O(1) scalar bounds row
@@ -2510,6 +2545,10 @@ def merge(
     matched_delete_condition: Optional[str] = None,
     not_matched_insert=True,
     not_matched_insert_condition: Optional[str] = None,
+    not_matched_by_source_delete: bool = False,
+    not_matched_by_source_delete_condition: Optional[str] = None,
+    not_matched_by_source_update=None,
+    not_matched_by_source_update_condition: Optional[str] = None,
     check_cardinality: bool = True,
     prune_target: bool = True,
 ) -> bool:
@@ -2535,6 +2574,22 @@ def merge(
     `source.<col>` — e.g. a patch row that only flags a deletion must
     not insert when its key is absent.
 
+    ANSI ``WHEN NOT MATCHED BY SOURCE`` — target rows whose key has no
+    source row (the sync-to-source clauses; conditions/expressions may
+    reference `target.<col>` ONLY, there is no source side):
+      * `not_matched_by_source_delete=True` deletes them;
+        `not_matched_by_source_delete_condition` gates it (and implies
+        delete when set alone);
+      * else `not_matched_by_source_update` ({target_col: sql_expr})
+        updates them where `not_matched_by_source_update_condition`
+        (default: always) holds.
+    These clauses evaluate against the FULL target scan, never the
+    key-pruned one — rows outside the source key range are exactly the
+    candidates, so pruning is gated per-clause (the matched/insert
+    pipeline keeps its pruned scan). A classic full sync is
+    ``matched_update="*" + not_matched_insert=True +
+    not_matched_by_source_delete=True``.
+
     Spark-first shape: ONE pruned target scan joined with the source
     (Catalyst broadcasts a small source; AQE picks the join strategy),
     plus a key-pruned anti-join for the inserts. `prune_target`
@@ -2542,8 +2597,11 @@ def merge(
     scan's row_filter via `_source_key_prune_filter`, so partition and
     file-metrics pruning skip files that cannot contain a matching key
     — a 1,000-row source merging into a 100 TB table plans only the
-    files its keys can live in. Disable it only for diagnostics; the
-    filter is inclusive, never changing results. The commit is the upsert
+    files its keys can live in. The stats jobs auto-skip on small
+    targets (`_target_merits_pruning`: snapshot-summary totals under
+    the measured ~1M-row / 4-file crossover), so the default is optimal
+    at both ends. Disable it only for diagnostics; the filter is
+    inclusive, never changing results. The commit is the upsert
     commit: a data manifest (updated + inserted rows) and an
     equality-delete manifest (keys of updated/deleted rows) land in the
     same snapshot, so the delete is never visible without its
@@ -2569,18 +2627,48 @@ def merge(
     md = table.metadata
     schema = md.current_schema()
     fields = _resolve_key_fields(schema, on)
-    if matched_update is None and matched_delete_condition is None and not not_matched_insert:
-        raise ValueError("merge with no actions")
+    bs_delete = not_matched_by_source_delete or (
+        not_matched_by_source_delete_condition is not None
+    )
     if not_matched_insert_condition is not None and not not_matched_insert:
         raise ValueError(
             "not_matched_insert_condition requires not_matched_insert"
         )
+    if (
+        not_matched_by_source_update_condition is not None
+        and not_matched_by_source_update is None
+    ):
+        raise ValueError(
+            "not_matched_by_source_update_condition requires "
+            "not_matched_by_source_update"
+        )
+    if (
+        matched_update is None
+        and matched_delete_condition is None
+        and not not_matched_insert
+        and not bs_delete
+        and not_matched_by_source_update is None
+    ):
+        raise ValueError("merge with no actions")
     if matched_update is not None and matched_update != "*":
         bad = [c for c in matched_update if schema.find_field(c) is None]
         if bad:
             raise ValueError(f"matched_update targets unknown columns {bad}")
         if any(c in matched_update for c in on):
             raise ValueError("matched_update must not rewrite key columns")
+    if not_matched_by_source_update is not None:
+        bad = [
+            c for c in not_matched_by_source_update
+            if schema.find_field(c) is None
+        ]
+        if bad:
+            raise ValueError(
+                f"not_matched_by_source_update targets unknown columns {bad}"
+            )
+        if any(c in not_matched_by_source_update for c in on):
+            raise ValueError(
+                "not_matched_by_source_update must not rewrite key columns"
+            )
 
     if check_cardinality:
         dup = (
@@ -2595,7 +2683,11 @@ def merge(
 
     struct = schema_to_spark_struct(schema)
     cols = [f.name for f in schema.fields]
-    scan_filter = _source_key_prune_filter(source, fields) if prune_target else None
+    scan_filter = (
+        _source_key_prune_filter(source, fields)
+        if prune_target and _target_merits_pruning(md)
+        else None
+    )
     tgt_scan = table.scan(scan_filter) if scan_filter is not None else table.scan()
     tgt = tgt_scan.to_df(spark).alias("target")
     src = source.alias("source")
@@ -2678,6 +2770,59 @@ def merge(
             )
         )
         pieces.append(inserted)
+    if bs_delete or not_matched_by_source_update is not None:
+        # WHEN NOT MATCHED BY SOURCE candidates are target rows whose key
+        # has NO source row — by definition (mostly) OUTSIDE the source
+        # key range, so this clause must see the FULL target scan, never
+        # the key-pruned one (pruning is gated per-clause; the
+        # matched/insert pipeline above keeps its pruned scan). The
+        # anti-join side is the (small) source: Catalyst broadcasts it,
+        # so the full pass stays shuffle-free.
+        full_tgt = (
+            tgt if scan_filter is None
+            else table.scan().to_df(spark).alias("target")
+        )
+        bysrc = full_tgt.join(src, join_cond, "left_anti")
+        bs_del_cond = (
+            F.expr(not_matched_by_source_delete_condition)
+            if not_matched_by_source_delete_condition is not None
+            else F.lit(bool(not_matched_by_source_delete))
+        )
+        bs_upd_cond = (
+            F.expr(not_matched_by_source_update_condition)
+            if not_matched_by_source_update_condition is not None
+            else F.lit(True)
+        )
+        if not_matched_by_source_update is None:
+            bs_upd_cond = F.lit(False)
+        bs_affected = bysrc.where(bs_del_cond | bs_upd_cond)
+        bs_keys = bs_affected.select(
+            *[F.col(f"target.{k}").alias(k) for k in on]
+        ).dropDuplicates()
+        if not_matched_by_source_update is not None:
+            pieces.append(
+                bysrc.where(bs_upd_cond & ~bs_del_cond).select(
+                    *out(dict(not_matched_by_source_update))
+                )
+            )
+        if (
+            not_matched_by_source_delete_condition is not None
+            or not_matched_by_source_update_condition is not None
+        ):
+            # per-row conditions + key-granular equality deletes: re-emit
+            # duplicate-key siblings the conditions spared, same rule as
+            # the matched pipeline
+            dk2 = bs_keys.select(*[F.col(k).alias(f"__dk_{k}") for k in on])
+            sib2 = None
+            for k in on:
+                c = F.col(f"target.{k}").eqNullSafe(F.col(f"__dk_{k}"))
+                sib2 = c if sib2 is None else (sib2 & c)
+            pieces.append(
+                bysrc.where(~bs_del_cond & ~bs_upd_cond)
+                .join(dk2, sib2, "left_semi")
+                .select(*[F.col(f"target.{c}").alias(c) for c in cols])
+            )
+        delete_keys = delete_keys.unionByName(bs_keys)
     if pieces:
         data_df = pieces[0]
         for p in pieces[1:]:

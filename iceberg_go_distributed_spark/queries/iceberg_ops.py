@@ -1008,21 +1008,23 @@ def ice_zorder_prune(spark, sf_dir):
                   ELSE CAST(o.o_totalprice AS DECIMAL(12,2))
                        + CAST(10.00 AS DECIMAL(4,2)) END AS price
       FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
-      WHERE s.k IS NULL OR NOT s.closed
+      WHERE (s.k IS NOT NULL AND NOT s.closed)
+         OR (s.k IS NULL AND o.o_orderkey % 7 <> 0)
       UNION ALL
       SELECT 'NEW' AS st, CAST(1.00 AS DECIMAL(12,2)) AS price
       FROM orders WHERE o_orderkey % 500 = 0)
     SELECT st AS o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
     FROM merged GROUP BY st
     """,
-    doc="multi-action MERGE INTO: conditional update + delete + insert in one snapshot",
+    doc="multi-action MERGE INTO: conditional update + delete + insert + NOT MATCHED BY SOURCE delete in one snapshot",
 )
 def ice_merge(spark, sf_dir):
     """MERGE round trip: every third order gets +10.00 on its total
-    (update), every ninth is closed (delete), and a few synthetic new
-    orders insert — all in ONE merge-on-read snapshot; the scan-back
-    aggregate must equal DuckDB reconstructing the same end state from
-    the raw parquet."""
+    (update), every ninth is closed (delete), a few synthetic new
+    orders insert, and unmatched-by-source orders divisible by 7 are
+    purged (WHEN NOT MATCHED BY SOURCE AND ... THEN DELETE) — all in
+    ONE merge-on-read snapshot; the scan-back aggregate must equal
+    DuckDB reconstructing the same end state from the raw parquet."""
     from ..iceberg.types import schema_from_spark
 
     cat = _fresh_catalog("ice_merge", sf_dir)
@@ -1057,6 +1059,11 @@ def ice_merge(spark, sf_dir):
             "o_orderstatus": "'NEW'",
             "o_totalprice": "CAST(1.00 AS DOUBLE)",
         },
+        # ANSI WHEN NOT MATCHED BY SOURCE AND ... THEN DELETE (r10):
+        # target orders absent from the source whose key divides by 7
+        # are purged in the SAME snapshot — evaluated against the FULL
+        # target scan (pruning is gated per-clause)
+        not_matched_by_source_delete_condition="target.o_orderkey % 7 = 0",
     )
     t.refresh()
     return (

@@ -303,10 +303,16 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     so a MERGE-heavy table streams without a convert_equality_deletes
     pass. Raises — use changelog_poll — on v2 positional delete files,
     file-REWRITING overwrites (their survivor rows keep their lineage,
-    which only row-lineage CDC can net out), and a snapshot adding both
-    a DV and an equality delete for the same file. Snapshot expiry
-    must retain the consumer horizon, the same contract every CDC log
-    has."""
+    which only row-lineage CDC can net out), a snapshot adding both
+    a DV and an equality delete for the same file, and a commit whose
+    applicable equality-delete key files exceed
+    `read.cdc.eq-keys-max-rows` (default 2M key rows; per-query option
+    `cdc_eq_keys_max_rows` overrides) — the expansion loads key frames
+    into each task's memory, so a bulk-MERGE commit is refused AT PLAN
+    TIME (bounded, degrades instead of OOMing at 100×) naming
+    changelog_poll / convert_equality_deletes as the bounded routes.
+    Snapshot expiry must retain the consumer horizon, the same contract
+    every CDC log has."""
     register_iceberg_stream_source(spark)
     reader = (
         spark.readStream.format("iceberg_inc")
@@ -484,7 +490,11 @@ def _load_eq_sets(descriptors):
     [(field_ids, pandas frame with f{id} columns)]. Key columns resolve
     by parquet FIELD ID so renames survive (same contract as the
     conversion pass in maintenance.py). Key files are one-per-commit and
-    small — the frame is the keys of one upsert/MERGE batch."""
+    small — the frame is the keys of one upsert/MERGE batch — and the
+    PLANNER enforces that: partitions whose applicable key files exceed
+    `read.cdc.eq-keys-max-rows` (manifest record_count, checked driver-
+    side) are refused at plan time naming changelog_poll, so this load
+    is bounded by construction."""
     from .iceberg import fileio
 
     out = []
@@ -761,6 +771,56 @@ try:  # pyspark >= 4: Python Data Source API
                             d.content_size_in_bytes)
                 return ("pos", d.file_path)
 
+            # Executor-memory bound for equality-delete expansion
+            # (mirrors read.mor.driver-decode-max-positions): executors
+            # load each partition's applicable key files as pandas
+            # frames (_load_eq_sets) — one small file for typical CDC
+            # commits, but a bulk MERGE can commit a 100M-key file that
+            # would OOM every task. Key-row counts are free driver-side
+            # (manifest record_count), so refuse AT PLAN TIME naming the
+            # bounded alternative instead of dying executor-side.
+            try:
+                eq_keys_max = int(self._options.get(
+                    "cdc_eq_keys_max_rows",
+                    t.metadata.properties.get(
+                        "read.cdc.eq-keys-max-rows", "2000000"
+                    ),
+                ))
+            except (TypeError, ValueError):
+                eq_keys_max = 2_000_000
+            eq_nrows: dict[str, int] = {}
+
+            def eq_descs(delete_files, only=None, exclude=None):
+                out = []
+                for d in delete_files:
+                    if d.content != DataFileContent.EQUALITY_DELETES:
+                        continue
+                    if only is not None and d.file_path not in only:
+                        continue
+                    if exclude is not None and d.file_path in exclude:
+                        continue
+                    eq_nrows[d.file_path] = int(d.record_count or 0)
+                    out.append((d.file_path, list(d.equality_ids or [])))
+                return out
+
+            def check_eq_bound(path, snap_id, *desc_lists):
+                total = sum(
+                    eq_nrows.get(p, 0)
+                    for descs in desc_lists
+                    for p, _ in descs
+                )
+                if total > eq_keys_max:
+                    raise ValueError(
+                        f"cdc stream: expanding snapshot {snap_id} loads "
+                        f"{total} equality-delete key rows into each "
+                        f"task reading {path} — above read.cdc.eq-keys-"
+                        f"max-rows={eq_keys_max}. Consume this bulk "
+                        "commit via changelog_poll (distributed "
+                        "anti-join, bounded memory) or run "
+                        "convert_equality_deletes first; raise the "
+                        "property to override"
+                    )
+
             parts = []
             for snap in chain:
                 op = snap.summary.operation
@@ -813,11 +873,7 @@ try:  # pyspark >= 4: Python Data Source API
                             # parent: rows it killed are ALREADY dead and
                             # must never re-emit a delete event — from a
                             # whole-file drop, a DV diff, or a new eq match
-                            [
-                                (d.file_path, list(d.equality_ids or []))
-                                for d in task.delete_files
-                                if d.content == DataFileContent.EQUALITY_DELETES
-                            ],
+                            eq_descs(task.delete_files),
                             task.file.first_row_id,
                         )
                 live_now = {
@@ -893,6 +949,7 @@ try:  # pyspark >= 4: Python Data Source API
                     )
                 for path in removed:
                     _, descs, prior_eqs, frid = prior_by_path[strip_scheme(path)]
+                    check_eq_bound(path, snap.snapshot_id, prior_eqs)
                     parts.append(_CdcFilePartition(
                         path, fields, self._cfg, batch_rows, "delete",
                         prior_deletes=descs,
@@ -906,6 +963,7 @@ try:  # pyspark >= 4: Python Data Source API
                     _, prior_descs, prior_eqs, frid = prior_by_path.get(
                         key, (None, [], [], None)
                     )
+                    check_eq_bound(orig_path, snap.snapshot_id, prior_eqs)
                     parts.append(_CdcFilePartition(
                         orig_path, fields, self._cfg, batch_rows, "delete",
                         new_deletes=descs,
@@ -929,12 +987,9 @@ try:  # pyspark >= 4: Python Data Source API
                         if key not in prior_by_path:
                             continue  # added this snapshot: eq is not
                             # applicable (equal sequence number)
-                        eq_new = [
-                            (d.file_path, list(d.equality_ids or []))
-                            for d in task.delete_files
-                            if d.content == DataFileContent.EQUALITY_DELETES
-                            and d.file_path in new_eq_paths
-                        ]
+                        eq_new = eq_descs(
+                            task.delete_files, only=new_eq_paths
+                        )
                         if not eq_new:
                             continue
                         if key in new_dels:
@@ -945,13 +1000,14 @@ try:  # pyspark >= 4: Python Data Source API
                                 "order the two delete sources — use "
                                 "changelog_poll"
                             )
-                        eq_prior = [
-                            (d.file_path, list(d.equality_ids or []))
-                            for d in task.delete_files
-                            if d.content == DataFileContent.EQUALITY_DELETES
-                            and d.file_path not in new_eq_paths
-                        ]
+                        eq_prior = eq_descs(
+                            task.delete_files, exclude=new_eq_paths
+                        )
                         _, prior_descs, _prior_eqs, frid = prior_by_path[key]
+                        check_eq_bound(
+                            task.file.file_path, snap.snapshot_id,
+                            eq_new, eq_prior,
+                        )
                         parts.append(_CdcFilePartition(
                             task.file.file_path, fields, self._cfg,
                             batch_rows, "delete",

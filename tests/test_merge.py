@@ -310,7 +310,11 @@ def test_merge_prunes_target_scan_by_source_keys(fs_catalog, spark):
     planned = len(t.scan(flt).plan_files())
     assert planned == 1, f"expected 1 file planned, got {planned} of {total}"
 
-    # the merge itself passes that filter to the target scan
+    # the merge itself passes that filter to the target scan (thresholds
+    # dropped: this pytest-scale target sits below the real crossover
+    # where merge() rightly auto-skips the stats jobs)
+    from iceberg_go_distributed_spark.iceberg import write as W
+
     captured = []
     orig_scan = t.scan
 
@@ -319,6 +323,8 @@ def test_merge_prunes_target_scan_by_source_keys(fs_catalog, spark):
         return orig_scan(row_filter, **kw) if row_filter is not None else orig_scan(**kw)
 
     t.scan = spy
+    saved = (W.MERGE_PRUNE_MIN_TARGET_ROWS, W.MERGE_PRUNE_MIN_TARGET_FILES)
+    W.MERGE_PRUNE_MIN_TARGET_ROWS = W.MERGE_PRUNE_MIN_TARGET_FILES = 0
     try:
         assert t.merge(
             spark, src, on=["id"],
@@ -327,11 +333,43 @@ def test_merge_prunes_target_scan_by_source_keys(fs_catalog, spark):
         )
     finally:
         del t.scan
+        W.MERGE_PRUNE_MIN_TARGET_ROWS, W.MERGE_PRUNE_MIN_TARGET_FILES = saved
     assert captured and captured[0] is not None
     t.refresh()
     rows = {r.id: r.balance for r in t.scan().to_df(spark).collect()}
     assert rows[5] == 6.0 and rows[17] == 19.0 and rows[42] == 45.0
     assert len(rows) == 800
+
+
+def test_merge_prune_auto_skips_small_target(fs_catalog, spark, monkeypatch):
+    """Below the snapshot-summary crossover (total-records < ~1M,
+    total-data-files < 4) merge() must not run the pruning stats jobs at
+    all — the default is optimal at both ends instead of documented-
+    suboptimal on small tables (r9 VERDICT 'What's wrong' #3)."""
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, balance double"
+    )
+    t = fs_catalog.create_table("db.small_merge", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.refresh()
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("pruning stats jobs ran on a tiny target")
+
+    monkeypatch.setattr(W, "_source_key_prune_filter", boom)
+    src = spark.createDataFrame([(5, 100.0), (99, 1.0)], "id long, balance double")
+    assert t.merge(spark, src, on=["id"], matched_update="*")
+    t.refresh()
+    rows = {r.id: r.balance for r in t.scan().to_df(spark).collect()}
+    assert rows[5] == 100.0 and rows[99] == 1.0 and len(rows) == 51
+
+    # and a big-enough summary turns the jobs back on
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_ROWS", 10)
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_FILES", 1)
+    with pytest.raises(AssertionError, match="tiny target"):
+        t.merge(spark, src, on=["id"], matched_update="*")
 
 
 def test_merge_prune_matches_unpruned_twin(fs_catalog, spark):
@@ -439,3 +477,138 @@ def test_merge_prune_filter_shapes(fs_catalog, spark):
     two = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
     flt = W._source_key_prune_filter(two, [idf, sdf])
     assert isinstance(flt, E.And)
+
+
+# ------------------------------------------- WHEN NOT MATCHED BY SOURCE (r10)
+
+def test_merge_not_matched_by_source_delete_full_sync(fs_catalog, spark):
+    """The classic sync-to-source: update matches, insert new keys,
+    delete target rows absent from the source — final table == source."""
+    df = spark.createDataFrame(
+        [(i, f"o{i}", float(i)) for i in range(10)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table("db.sync", schema_from_spark(df.schema))
+    t.append(df.coalesce(2))
+    t.refresh()
+    src = spark.createDataFrame(
+        [(3, "s3", 33.0), (7, "s7", 77.0), (42, "s42", 42.0)],
+        "id long, owner string, balance double",
+    )
+    assert t.merge(
+        spark, src, on=["id"],
+        matched_update="*",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    t.refresh()
+    got = sorted(
+        (r.id, r.owner, r.balance) for r in t.scan().to_df(spark).collect()
+    )
+    assert got == [(3, "s3", 33.0), (7, "s7", 77.0), (42, "s42", 42.0)]
+
+
+def test_merge_not_matched_by_source_conditional_delete_and_update(fs_catalog, spark):
+    """Conditional BY SOURCE clauses: delete stale rows above a cutoff,
+    mark the rest; matched/unmatched-source pipelines unaffected."""
+    df = spark.createDataFrame(
+        [(i, "live", float(i)) for i in range(10)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table("db.bs_cond", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.refresh()
+    src = spark.createDataFrame(
+        [(1, "u1", -1.0)], "id long, owner string, balance double"
+    )
+    assert t.merge(
+        spark, src, on=["id"],
+        matched_update="*",
+        not_matched_insert=False,
+        not_matched_by_source_delete_condition="target.id >= 8",
+        not_matched_by_source_update={"owner": "'stale'"},
+        not_matched_by_source_update_condition="target.id >= 5",
+    )
+    t.refresh()
+    got = {r.id: (r.owner, r.balance) for r in t.scan().to_df(spark).collect()}
+    assert got[1] == ("u1", -1.0)                    # matched update
+    assert 8 not in got and 9 not in got             # by-source delete
+    assert got[5] == ("stale", 5.0) and got[7] == ("stale", 7.0)
+    assert got[0] == ("live", 0.0) and got[4] == ("live", 4.0)  # untouched
+    assert len(got) == 8
+
+
+def test_merge_by_source_sees_rows_outside_pruned_scan(fs_catalog, spark):
+    """THE pruning gate: with target pruning active (thresholds forced
+    to 0), the BY SOURCE clause must still evaluate the FULL target —
+    rows outside the source key band are exactly its candidates. A
+    (wrong) pruned-scan implementation would never see id>=700."""
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(800)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table("db.bs_prune", schema_from_spark(df.schema))
+    for b in range(8):  # disjoint id bands → file pruning has teeth
+        t.append(df.where(
+            (F.col("id") >= b * 100) & (F.col("id") < (b + 1) * 100)
+        ).coalesce(1))
+    t.refresh()
+    src = spark.createDataFrame(
+        [(110 + i, "upd", 0.5) for i in range(5)],
+        "id long, owner string, balance double",
+    )
+    saved = (W.MERGE_PRUNE_MIN_TARGET_ROWS, W.MERGE_PRUNE_MIN_TARGET_FILES)
+    W.MERGE_PRUNE_MIN_TARGET_ROWS = W.MERGE_PRUNE_MIN_TARGET_FILES = 0
+    try:
+        assert t.merge(
+            spark, src, on=["id"],
+            matched_update="*",
+            not_matched_insert=False,
+            not_matched_by_source_delete_condition="target.id >= 700",
+        )
+    finally:
+        W.MERGE_PRUNE_MIN_TARGET_ROWS, W.MERGE_PRUNE_MIN_TARGET_FILES = saved
+    t.refresh()
+    got = {r.id for r in t.scan().to_df(spark).collect()}
+    assert max(got) == 699           # the whole top band is gone
+    assert len(got) == 700
+    assert all(110 + i in got for i in range(5))
+
+
+def test_merge_by_source_delete_only_and_validation(fs_catalog, spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, owner string, balance double"
+    )
+    t = fs_catalog.create_table("db.bs_only", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.refresh()
+    src = spark.createDataFrame([(1,)], "id long")
+    # a by-source-only merge is a valid action set
+    assert t.merge(
+        spark, src, on=["id"],
+        not_matched_insert=False,
+        not_matched_by_source_delete=True,
+    )
+    t.refresh()
+    assert [r.id for r in t.scan().to_df(spark).collect()] == [1]
+
+    with pytest.raises(ValueError, match="requires not_matched_by_source_update"):
+        t.merge(
+            spark, src, on=["id"],
+            not_matched_insert=False,
+            not_matched_by_source_update_condition="target.id > 0",
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(
+            spark, src, on=["id"],
+            not_matched_insert=False,
+            not_matched_by_source_update={"nope": "'x'"},
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(
+            spark, src, on=["id"],
+            not_matched_insert=False,
+            not_matched_by_source_update={"id": "0"},
+        )
