@@ -178,38 +178,82 @@ def main() -> None:
     from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
     from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
 
-    mwh = tempfile.mkdtemp(prefix="maint-bench-")
-    try:
-        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        mcat = FileSystemCatalog(mwh)
-        mt = mcat.create_table("db.maint", schema_from_spark(li.schema))
-        mt.upgrade_format_version(3)
-        mt.append(li.repartition(8))
-        up = li.where("l_orderkey % 20 = 0")  # ~5% of keys replaced
-        mt.upsert(up, ["l_orderkey", "l_linenumber"])
-        t0 = time.perf_counter()
-        assert mt.convert_equality_deletes(spark)
-        eq_convert_sec = round(time.perf_counter() - t0, 4)
-        mt.refresh()
-        mt.delete_where(spark, E.equal("l_returnflag", "R"))
-        mt.refresh()
-        t0 = time.perf_counter()
-        dv_consolidate = mt.rewrite_position_deletes(spark)
-        dv_consolidate_sec = round(time.perf_counter() - t0, 4)
-        mt.refresh()
-        t0 = time.perf_counter()
-        assert mt.rewrite_data_files(
-            spark, strategy="zorder", sort_cols=["l_orderkey", "l_partkey"]
-        )
-        zorder_sec = round(time.perf_counter() - t0, 4)
-        maintenance = {
-            "rows": li.count(),
-            "eq_convert_sec": eq_convert_sec,
-            "dv_consolidate_sec": dv_consolidate_sec if dv_consolidate else None,
-            "zorder_rewrite_sec": zorder_sec,
-        }
-    finally:
-        shutil.rmtree(mwh, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li_rows = li.count()
+
+    def run_maintenance_once():
+        """One full build→upsert→convert→delete→repack→recluster pass in
+        a fresh warehouse; returns (timings, counts). Counts ride along
+        so a timing swing is self-diagnosing (same work, or not)."""
+        mwh = tempfile.mkdtemp(prefix="maint-bench-")
+        try:
+            mcat = FileSystemCatalog(mwh)
+            mt = mcat.create_table("db.maint", schema_from_spark(li.schema))
+            mt.upgrade_format_version(3)
+            mt.append(li.repartition(8))
+            up = li.where("l_orderkey % 20 = 0")  # ~5% of keys replaced
+            mt.upsert(up, ["l_orderkey", "l_linenumber"])
+            t0 = time.perf_counter()
+            assert mt.convert_equality_deletes(spark)
+            eq_convert_sec = round(time.perf_counter() - t0, 4)
+            mt.refresh()
+            sm = mt.current_snapshot().summary.properties
+            counts = {
+                "eq_files_converted": int(
+                    sm.get("converted-equality-delete-files", "0")
+                ),
+                "dvs_written": int(sm.get("added-dvs", "0")),
+            }
+            mt.delete_where(spark, E.equal("l_returnflag", "R"))
+            mt.refresh()
+            t0 = time.perf_counter()
+            dv_consolidate = mt.rewrite_position_deletes(spark)
+            dv_consolidate_sec = round(time.perf_counter() - t0, 4)
+            mt.refresh()
+            sm = mt.current_snapshot().summary.properties
+            counts["dvs_after_consolidation"] = int(
+                sm.get("total-delete-files", "0")
+            )
+            counts["data_files"] = int(sm.get("total-data-files", "0"))
+            t0 = time.perf_counter()
+            assert mt.rewrite_data_files(
+                spark, strategy="zorder", sort_cols=["l_orderkey", "l_partkey"]
+            )
+            zorder_sec = round(time.perf_counter() - t0, 4)
+            return (
+                {
+                    "eq_convert_sec": eq_convert_sec,
+                    "dv_consolidate_sec": (
+                        dv_consolidate_sec if dv_consolidate else None
+                    ),
+                    "zorder_rewrite_sec": zorder_sec,
+                },
+                counts,
+            )
+        finally:
+            shutil.rmtree(mwh, ignore_errors=True)
+
+    # best-of-2 over FULL passes (each op consumes its input state, so
+    # attempts rebuild from scratch): r9's single-attempt block recorded
+    # a 0.64→2.45 s eq_convert swing on untouched code that best-of-N
+    # would have smoothed; counts must match across attempts or the
+    # number is measuring different work
+    m_attempts = [run_maintenance_once() for _ in range(2)]
+    (t1, c1), (t2, c2) = m_attempts
+    maintenance = {
+        "rows": li_rows,
+        **{
+            k: (
+                round(min(x for x in (t1[k], t2[k]) if x is not None), 4)
+                if (t1[k] is not None or t2[k] is not None)
+                else None
+            )
+            for k in t1
+        },
+        "attempts": [t1, t2],
+        "counts": c1,
+        "counts_stable": c1 == c2,
+    }
 
     total = round(sum(timings.values()), 4)
     # Contention diagnostic over attempts 2+ only: a query's FIRST

@@ -484,6 +484,18 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
         off += n
 
 
+# Per-worker LRU of decoded key frames: every file partition of one CDC
+# batch names the SAME few key files, and Spark reuses Python workers
+# (spark.python.worker.reuse), so caching kills the F×K read
+# amplification (F file partitions each re-reading K key files). Memory
+# stays bounded by construction: each frame is under the planner's
+# read.cdc.eq-keys-max-rows bound and at most _EQ_FRAME_CACHE_MAX frames
+# are retained. Key-file paths are immutable (new commit = new file), so
+# staleness is impossible.
+_EQ_FRAME_CACHE: dict = {}
+_EQ_FRAME_CACHE_MAX = 4
+
+
 def _load_eq_sets(descriptors):
     """Executor-side load of equality-delete key files for
     _eq_matched_positions: [(key_file_path, field_ids)] →
@@ -494,11 +506,18 @@ def _load_eq_sets(descriptors):
     PLANNER enforces that: partitions whose applicable key files exceed
     `read.cdc.eq-keys-max-rows` (manifest record_count, checked driver-
     side) are refused at plan time naming changelog_poll, so this load
-    is bounded by construction."""
+    is bounded by construction. Frames are LRU-cached per worker
+    process (see _EQ_FRAME_CACHE) so the partitions of one micro-batch
+    read each key file ~once per worker, not once per partition."""
     from .iceberg import fileio
 
     out = []
     for path, ids in descriptors:
+        ck = (path, tuple(ids))
+        if ck in _EQ_FRAME_CACHE:
+            out.append((list(ids), _EQ_FRAME_CACHE.pop(ck)))
+            _EQ_FRAME_CACHE[ck] = out[-1][1]  # re-insert: LRU refresh
+            continue
         with fileio.parquet_file(path) as kf:
             by_id = {}
             for fld in kf.schema_arrow:
@@ -508,6 +527,9 @@ def _load_eq_sets(descriptors):
             cols = [by_id[i] for i in ids]
             pdf = kf.read(columns=cols).to_pandas()
         pdf.columns = [f"f{i}" for i in ids]
+        while len(_EQ_FRAME_CACHE) >= _EQ_FRAME_CACHE_MAX:
+            _EQ_FRAME_CACHE.pop(next(iter(_EQ_FRAME_CACHE)), None)
+        _EQ_FRAME_CACHE[ck] = pdf
         out.append((list(ids), pdf))
     return out
 

@@ -612,3 +612,61 @@ def test_merge_by_source_delete_only_and_validation(fs_catalog, spark):
             not_matched_insert=False,
             not_matched_by_source_update={"id": "0"},
         )
+
+
+def test_merge_by_source_fuzz_against_pandas_model(fs_catalog, spark):
+    """Randomized FULL-surface MERGE — matched update/delete, insert,
+    AND both BY SOURCE clauses — vs the ANSI pandas model (delete wins
+    over update within each pipeline; by-source conditions reference
+    target only)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        tgt_rows = [
+            (i, f"o{i}", float(rng.randint(0, 999)))
+            for i in rng.sample(range(30), 18)
+        ]
+        src_rows = [
+            (i, float(rng.randint(-100, 100)), rng.random() < 0.3)
+            for i in rng.sample(range(40), 12)
+        ]
+        df = spark.createDataFrame(tgt_rows, "id long, owner string, balance double")
+        t = fs_catalog.create_table(
+            f"db.bsfuzz{trial}", schema_from_spark(df.schema)
+        )
+        t.append(df.coalesce(2))
+        src = spark.createDataFrame(src_rows, "id long, delta double, closed boolean")
+        t.merge(
+            spark, src, on=["id"],
+            matched_update={"balance": "target.balance + source.delta"},
+            matched_delete_condition="source.closed",
+            not_matched_insert={
+                "id": "source.id", "owner": "'new'", "balance": "source.delta",
+            },
+            not_matched_by_source_delete_condition="target.balance > 500.0",
+            not_matched_by_source_update={"owner": "'stale'"},
+            not_matched_by_source_update_condition="target.balance <= 100.0",
+        )
+        t.refresh()
+
+        model = {i: [o, b] for i, o, b in tgt_rows}
+        src_ids = {i for i, _, _ in src_rows}
+        # BY SOURCE pipeline (target rows with no source key): delete
+        # first, else update, else untouched
+        for key in [k for k in model if k not in src_ids]:
+            if model[key][1] > 500.0:
+                del model[key]
+            elif model[key][1] <= 100.0:
+                model[key][0] = "stale"
+        # matched + insert pipelines
+        for i, delta, closed in src_rows:
+            if i in model:
+                if closed:
+                    del model[i]
+                else:
+                    model[i][1] += delta
+            else:
+                model[i] = ["new", delta]
+        expect = sorted((i, o, b) for i, (o, b) in model.items())
+        assert _rows(t, spark) == expect, f"trial {trial}"
