@@ -2615,6 +2615,14 @@ def merge(
     `check_cardinality` (default on) rejects duplicate source key tuples
     with MergeCardinalityError — one aggregate over the (small) source.
 
+    The source is persisted (MEMORY_AND_DISK) for the duration of the
+    merge and unpersisted after — it is evaluated up to five times
+    (cardinality probe, pruning stats, matched join, insert anti-join,
+    by-source anti-join), so materializing once both avoids recomputing
+    an expensive upstream pipeline per job and pins ONE snapshot of a
+    non-deterministic source for the pruning stats. A source the caller
+    already cached is left untouched.
+
     v3 row-lineage note: updated rows and re-emitted duplicate-key
     sibling rows are NEW rows of this snapshot and draw fresh `_row_id`s
     (the upsert/key-replacement contract); rows the merge never touched
@@ -2669,6 +2677,52 @@ def merge(
             raise ValueError(
                 "not_matched_by_source_update must not rewrite key columns"
             )
+
+    # Materialize the source ONCE (the Delta/production-MERGE shape):
+    # this function evaluates `source` up to five times — cardinality
+    # probe, the two pruning stats jobs, the matched join, the insert
+    # anti-join (plus the by-source anti-join) — so an expensive
+    # upstream pipeline would recompute per job, and a
+    # non-deterministic source could yield pruning stats inconsistent
+    # with the later join (see _source_key_prune_filter). Persisting
+    # pins one snapshot and pays the pipeline once; MEMORY_AND_DISK
+    # spills rather than OOMs on a big source. Callers that already
+    # cached the source keep ownership (we never unpersist theirs).
+    from pyspark import StorageLevel
+
+    sl = source.storageLevel
+    owned_cache = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
+    if owned_cache:
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _merge_body(
+            table, spark, source, on, schema, md, fields,
+            matched_update, matched_update_condition,
+            matched_delete_condition,
+            not_matched_insert, not_matched_insert_condition,
+            bs_delete, not_matched_by_source_delete,
+            not_matched_by_source_update,
+            not_matched_by_source_delete_condition,
+            not_matched_by_source_update_condition,
+            check_cardinality, prune_target,
+        )
+    finally:
+        if owned_cache:
+            source.unpersist()
+
+
+def _merge_body(
+    table, spark, source, on, schema, md, fields,
+    matched_update, matched_update_condition, matched_delete_condition,
+    not_matched_insert, not_matched_insert_condition,
+    bs_delete, not_matched_by_source_delete, not_matched_by_source_update,
+    not_matched_by_source_delete_condition,
+    not_matched_by_source_update_condition,
+    check_cardinality, prune_target,
+):
+    from pyspark.sql import functions as F
+
+    from .types import schema_to_spark_struct
 
     if check_cardinality:
         dup = (

@@ -670,3 +670,34 @@ def test_merge_by_source_fuzz_against_pandas_model(fs_catalog, spark):
                 model[i] = ["new", delta]
         expect = sorted((i, o, b) for i, (o, b) in model.items())
         assert _rows(t, spark) == expect, f"trial {trial}"
+
+
+def test_merge_materializes_source_and_releases_cache(fs_catalog, spark):
+    """merge() persists the source for its up-to-five evaluations and
+    unpersists afterwards; a CALLER-cached source is left alone."""
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(20)],
+        "id long, owner string, balance double",
+    )
+    t = fs_catalog.create_table("db.matsrc", schema_from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t.refresh()
+
+    src = spark.createDataFrame([(1, "u", 9.9)], "id long, owner string, balance double")
+    assert t.merge(spark, src, on=["id"], matched_update="*")
+    sl = src.storageLevel
+    assert not (sl.useMemory or sl.useDisk), "merge leaked its source cache"
+
+    src2 = spark.createDataFrame(
+        [(2, "v", 8.8)], "id long, owner string, balance double"
+    ).persist()
+    try:
+        t.refresh()
+        assert t.merge(spark, src2, on=["id"], matched_update="*")
+        sl2 = src2.storageLevel
+        assert sl2.useMemory or sl2.useDisk, "merge unpersisted the caller's cache"
+    finally:
+        src2.unpersist()
+    t.refresh()
+    rows = {r.id: r.balance for r in t.scan().to_df(spark).collect()}
+    assert rows[1] == 9.9 and rows[2] == 8.8
