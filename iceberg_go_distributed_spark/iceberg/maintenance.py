@@ -1242,6 +1242,10 @@ def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
     Keys and data both stay distributed; nothing unbounded ever
     materializes per task — degrade, don't OOM, the reference's
     bounded-memory standard (table/arrow_scanner.go batch pipelines).
+    Layout note: this path writes one puffin per affected data file
+    (the fast path batches blobs per task) — after a huge conversion,
+    `rewrite_position_deletes` repacks the small DVs, the existing
+    consolidation tier.
 
     Returns rows shaped like the fast path's collect():
     (descriptor, newly, had_dv)."""
