@@ -160,10 +160,12 @@ class ManifestFile:
     first_row_id: Optional[int] = None
 
     def has_added_files(self) -> bool:
-        return self.added_files_count > 0
+        # -1 = unknown (a v1 list's null count): the reference treats
+        # unknown as "has" — ref manifest.go:288 (nil || > 0)
+        return self.added_files_count != 0
 
     def has_existing_files(self) -> bool:
-        return self.existing_files_count > 0
+        return self.existing_files_count != 0
 
 
 # ------------------------------------------------------------ avro schemas
@@ -651,6 +653,15 @@ def write_manifest_list(
 def read_manifest_list(path: str) -> list[ManifestFile]:
     """ref manifest.go:798 (ReadManifestList)."""
     _, _, records = avro_io.read_ocf(path)
+
+    def count(r, key):
+        # v1 lists declare the count fields NULLABLE
+        # (internal/avro_schemas.go manifest_list_file_v1): a null count
+        # is "unknown", which the reference maps to -1 internally
+        # (manifest.go:188-191) so has_*_files stays conservative-true
+        v = r.get(key)
+        return -1 if v is None else v
+
     out = []
     for r in records:
         out.append(
@@ -662,12 +673,12 @@ def read_manifest_list(path: str) -> list[ManifestFile]:
                 sequence_number=r.get("sequence_number", 0),
                 min_sequence_number=r.get("min_sequence_number", 0),
                 added_snapshot_id=r["added_snapshot_id"],
-                added_files_count=r["added_files_count"],
-                existing_files_count=r["existing_files_count"],
-                deleted_files_count=r["deleted_files_count"],
-                added_rows_count=r["added_rows_count"],
-                existing_rows_count=r["existing_rows_count"],
-                deleted_rows_count=r["deleted_rows_count"],
+                added_files_count=count(r, "added_files_count"),
+                existing_files_count=count(r, "existing_files_count"),
+                deleted_files_count=count(r, "deleted_files_count"),
+                added_rows_count=count(r, "added_rows_count"),
+                existing_rows_count=count(r, "existing_rows_count"),
+                deleted_rows_count=count(r, "deleted_rows_count"),
                 partitions=[FieldSummary.from_avro(s) for s in r.get("partitions") or []],
                 key_metadata=r.get("key_metadata"),
                 first_row_id=r.get("first_row_id"),

@@ -16,11 +16,12 @@ spot values as INDEPENDENT literals copied from the Go suite's assert
 block (its second copy of every value), verified to trip on tampering.
 
 Scope note: this engine writes v2/v3 manifests only (v1 tables upgrade
-on write, metadata.py:from_json), so the v1-writer-specific assertions
-(manifest_test.go:538-555 — e.g. the content field not being written)
-are out of scope; the v1 READ path is covered by the reference-shipped
-metadata fixtures and the v2 goldens here share the identical record
-shape."""
+on write, metadata.py:from_json), so the v1-WRITER assertions
+(manifest_test.go:538-555) are out of scope. The v1 READ path IS
+covered below: foreign v1 manifest/list files (schemas transcribed from
+internal/avro_schemas.go — required snapshot_id, block_size_in_bytes,
+nullable counts, no content/sequence fields) are synthesized byte-level
+and read back with the reference's exact default/sentinel semantics."""
 
 from __future__ import annotations
 
@@ -427,3 +428,116 @@ def test_manifest_list_v3_golden(tmp_path):
     assert len(lst) == 1
     _assert_golden_list_row(lst[0], ManifestContent.DATA, 5)
     assert lst[0].first_row_id == 1000
+
+
+# --------------------------------------------- foreign v1 files (read side)
+
+def test_reads_foreign_v1_manifest_entries(tmp_path):
+    """A v1 manifest written by an old engine (schema transcribed from
+    internal/avro_schemas.go manifest_entry_v1: required snapshot_id, NO
+    content/sequence fields, extra required block_size_in_bytes) must
+    read back with v2 defaults — exactly the reference's
+    TestManifestEntriesV1 semantics: content reads as DATA (the field
+    does not exist in v1, manifest_test.go:101-104), sequence numbers
+    inherit from the manifest, block size is ignored."""
+    import copy
+
+    from iceberg_go_distributed_spark.iceberg import avro as avro_io
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        _entry_to_avro,
+        manifest_entry_schema,
+    )
+
+    sch = copy.deepcopy(manifest_entry_schema(TAXIS_SPEC, TAXIS_SCHEMA))
+    sch["fields"] = [
+        f for f in sch["fields"]
+        if f["name"] not in ("sequence_number", "file_sequence_number")
+    ]
+    snap_f = next(f for f in sch["fields"] if f["name"] == "snapshot_id")
+    snap_f["type"] = "long"  # required in v1
+    snap_f.pop("default", None)
+    df_sch = next(f for f in sch["fields"] if f["name"] == "data_file")["type"]
+    df_sch["fields"] = [f for f in df_sch["fields"] if f["name"] != "content"]
+    fsz_idx = next(
+        i for i, f in enumerate(df_sch["fields"])
+        if f["name"] == "file_size_in_bytes"
+    )
+    df_sch["fields"].insert(
+        fsz_idx + 1,
+        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+    )
+
+    recs = []
+    for want, df_kwargs in ((DATA0, DATA0), (DATA1, DATA1)):
+        e = ManifestEntry(
+            ManifestEntryStatus.ADDED, ENTRY_SNAPSHOT_ID, None, None,
+            DataFile(**df_kwargs),
+        )
+        r = _entry_to_avro(e, TAXIS_SPEC)
+        # the reference's v1 fixture carries a BOGUS content value that
+        # must NOT survive (the v1 schema has no content field)
+        r["data_file"]["content"] = int(DataFileContent.EQUALITY_DELETES)
+        r["data_file"]["block_size_in_bytes"] = 67108864
+        recs.append(r)
+    path = str(tmp_path / "v1-m0.avro")
+    avro_io.write_ocf(path, sch, recs, metadata={"format-version": "1"})
+
+    entries = read_manifest(path, inherit_sequence_number=7)
+    assert len(entries) == 2
+    for got, want in zip(entries, (DATA0, DATA1)):
+        assert got.status == ManifestEntryStatus.ADDED
+        assert got.snapshot_id == ENTRY_SNAPSHOT_ID
+        assert got.sequence_number == 7  # inherited; v1 has no field
+        _assert_golden_file(got.data_file, want)  # content == DATA
+
+
+def test_reads_foreign_v1_manifest_list_null_counts(tmp_path):
+    """A v1 manifest list (nullable count fields, no content/sequence —
+    internal/avro_schemas.go manifest_list_file_v1) with NULL counts
+    reads as the reference's 'unknown' sentinel: counts -1,
+    has_added_files() conservative-TRUE (manifest.go:188-191,288)."""
+    import copy
+
+    from iceberg_go_distributed_spark.iceberg import avro as avro_io
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        MANIFEST_LIST_V2_SCHEMA,
+    )
+
+    sch = copy.deepcopy(MANIFEST_LIST_V2_SCHEMA)
+    sch["fields"] = [
+        f for f in sch["fields"]
+        if f["name"] not in ("content", "sequence_number", "min_sequence_number")
+    ]
+    for f in sch["fields"]:
+        if f["name"].endswith("_count"):
+            f["type"] = ["null", f["type"]]
+            f["default"] = None
+    rec = {
+        "manifest_path": GOLDEN_LIST_PATH,
+        "manifest_length": 7989,
+        "partition_spec_id": 0,
+        "added_snapshot_id": SNAPSHOT_ID,
+        "added_files_count": None,
+        "existing_files_count": None,
+        "deleted_files_count": None,
+        "partitions": [GOLDEN_SUMMARY.to_avro()],
+        "added_rows_count": ADDED_ROWS,
+        "existing_rows_count": None,
+        "deleted_rows_count": None,
+        "key_metadata": None,
+    }
+    path = str(tmp_path / "v1-list.avro")
+    avro_io.write_ocf(path, sch, [rec], metadata={"format-version": "1"})
+
+    lst = read_manifest_list(path)
+    assert len(lst) == 1
+    got = lst[0]
+    assert got.content == ManifestContent.DATA      # absent field default
+    assert got.sequence_number == 0 and got.min_sequence_number == 0
+    assert got.added_files_count == -1              # unknown sentinel
+    assert got.has_added_files() is True            # nil => conservative
+    assert got.existing_files_count == -1
+    assert got.added_rows_count == ADDED_ROWS
+    part = got.partitions[0]
+    assert part.contains_null is True and part.contains_nan is False
+    assert part.lower_bound == b"\x01\x00\x00\x00"
