@@ -2744,7 +2744,26 @@ def _merge_body(
     )
     tgt_scan = table.scan(scan_filter) if scan_filter is not None else table.scan()
     tgt = tgt_scan.to_df(spark).alias("target")
+    # STATIC broadcast hint for joins where the source is the build side
+    # (matched inner join, by-source anti-join). Without it Catalyst
+    # plans sort-merge (a createDataFrame/pipeline source has no size
+    # stats) and AQE submits the TARGET's shuffle stage concurrently
+    # with the source's — converting the join to broadcast only after
+    # the whole target has already written shuffle files. At 100 TB
+    # that pre-broadcast shuffle is the scan cost all over again; the
+    # hint keeps the target scan exchange-free. Gated on an exact count
+    # of the (persisted) source — one cheap job on cached data —
+    # because an advisory broadcast of a huge source would OOM the
+    # driver instead. 0 disables the hint.
+    try:
+        bcast_max = int(
+            md.properties.get("write.merge.broadcast-source-max-rows", "1000000")
+        )
+    except (TypeError, ValueError):
+        bcast_max = 1_000_000
     src = source.alias("source")
+    if bcast_max > 0 and source.count() <= bcast_max:
+        src = F.broadcast(source).alias("source")
     join_cond = None
     for k in on:
         c = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))

@@ -701,3 +701,33 @@ def test_merge_materializes_source_and_releases_cache(fs_catalog, spark):
     t.refresh()
     rows = {r.id: r.balance for r in t.scan().to_df(spark).collect()}
     assert rows[1] == 9.9 and rows[2] == 8.8
+
+
+def test_merge_by_source_anti_join_broadcasts_source(fs_catalog, spark):
+    """Plan probe for merge's join shape (the construction _merge_body
+    builds, incl. the static broadcast hint): WITHOUT the hint Catalyst
+    statically plans sort-merge (pipeline sources have no size stats)
+    and AQE submits the TARGET's shuffle stage before converting the
+    join — a full-table shuffle write at 100 TB. WITH the hint the
+    anti-join is BroadcastHashJoin LeftAnti and the target scan runs
+    exchange-free."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, balance double"
+    )
+    t = fs_catalog.create_table("db.bs_plan", schema_from_spark(df.schema))
+    t.append(df.repartition(4))
+    t.refresh()
+    src = spark.createDataFrame([(i, 0.0) for i in range(5)], "id long, balance double")
+
+    tgt = t.scan().to_df(spark).alias("target")
+    s = F.broadcast(src).alias("source")  # merge's size-gated hint
+    cond = F.col("target.id").eqNullSafe(F.col("source.id"))
+    bysrc = tgt.join(s, cond, "left_anti")
+    assert len(bysrc.collect()) == 995
+    plan = bysrc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the whole point: no hash exchange anywhere — the target is never
+    # shuffled for this join (BroadcastExchange of the source is fine)
+    assert "Exchange hashpartitioning" not in plan, plan
