@@ -897,13 +897,25 @@ class Scan:
                 )
             else:
                 # key files are small (distinct delete keys) — a driver
-                # arrow read avoids needing a JVM FileSystem for the scheme
-                keys = spark.createDataFrame(
-                    fileio.read_parquet_table(
-                        path, columns=[f.name for f in fields]
-                    ).to_pandas(),
-                    schema=schema_to_spark_ddl(eq_schema),
-                ).dropDuplicates()
+                # arrow read avoids needing a JVM FileSystem for the
+                # scheme. STATIC broadcast hint: a createDataFrame has
+                # no size stats, so without it Catalyst plans sort-merge
+                # and AQE shuffles the whole SCAN before converting the
+                # join (same trap the merge plan probe caught,
+                # write.py merge broadcast note / SCALE.md r10) — the
+                # driver just materialized these keys, so they are small
+                # by construction. The local branch needs no hint:
+                # parquet file-size stats auto-broadcast under the
+                # threshold, and a genuinely big key file SHOULD
+                # sort-merge.
+                keys = F.broadcast(
+                    spark.createDataFrame(
+                        fileio.read_parquet_table(
+                            path, columns=[f.name for f in fields]
+                        ).to_pandas(),
+                        schema=schema_to_spark_ddl(eq_schema),
+                    ).dropDuplicates()
+                )
             cond = None
             for f in fields:
                 c = df[f.name].eqNullSafe(keys[f.name])
