@@ -1279,7 +1279,13 @@ def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
     def keys_df(path, fields):
         eq_schema = Schema(0, tuple(fields))
         if _fileio.is_local(path):
-            # distributed read — the key file is big by construction here
+            # distributed read — the key file is big by construction
+            # here. Field-id resolution (schema struct carries
+            # parquet.field.id metadata) so renamed key columns still
+            # resolve, same contract as the fast path's by-id read.
+            from .table import _ensure_field_id_reads
+
+            _ensure_field_id_reads(spark)
             return (
                 spark.read.schema(schema_to_spark_struct(eq_schema))
                 .parquet(path)

@@ -509,3 +509,34 @@ def test_conversion_mixed_fast_and_join_paths(cat, spark):
     # both writer shapes present
     assert any("eqconvj" in p for p in dv_paths)
     assert any("eqconvj" not in p for p in dv_paths)
+
+
+def test_conversion_join_path_survives_key_column_rename(cat, spark):
+    """The join path must resolve key files by FIELD ID like the fast
+    path: after renaming the key column, the key file still carries the
+    OLD physical name — a name-based read would load nulls and silently
+    under-delete (resurrected rows)."""
+    t, _ = _table(cat, spark, name="db.eqc_join_rename")
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "up", 5.5), (6, "up6", 6.6)], "id long, owner string, v double"
+        ),
+        ["id"],
+    )
+    t.update_schema().rename_column("id", "ident").commit()
+    t.refresh()
+    _force_join_path(t)
+    before = sorted(
+        (r.ident, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert (5, "up", 5.5) in before and (5, "o5", 5.0) not in before
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    after = sorted(
+        (r.ident, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert after == before
+    assert "eq" not in _delete_kinds(t)
+    # the old row versions stay dead (a name-based key read would have
+    # matched nothing and resurrected them)
+    assert (5, "o5", 5.0) not in after and (6, "o6", 6.0) not in after
