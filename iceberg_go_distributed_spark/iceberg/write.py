@@ -2825,10 +2825,25 @@ def _merge_body(
             if not_matched_insert is True
             else dict(not_matched_insert)
         )
-        unmatched = src.join(
-            tgt.select(*[F.col(k) for k in on]).alias("target"),
-            join_cond, "left_anti",
-        )
+        # Anti-join against the MATCHED source keys, not the target's:
+        # `matched` already contains exactly the source keys present in
+        # the target (pruning is inclusive w.r.t. source keys, so
+        # matched-over-pruned == matched-over-full), and that frame is
+        # bounded by the SOURCE's size — the previous target-keys
+        # anti-join shuffled the whole (pruned) target's key projection
+        # just to find which source rows are new. eqNullSafe keeps the
+        # NULL-key contract.
+        mk = matched.select(
+            *[F.col(f"source.{k}").alias(f"__mk_{k}") for k in on]
+        ).dropDuplicates()
+        mk_cond = None
+        for k in on:
+            # frame-bound references: `matched`'s lineage also carries
+            # the "source" alias, so a string `source.k` would be
+            # ambiguous in this self-join-shaped condition
+            c = src[k].eqNullSafe(mk[f"__mk_{k}"])
+            mk_cond = c if mk_cond is None else (mk_cond & c)
+        unmatched = src.join(mk, mk_cond, "left_anti")
         if not_matched_insert_condition is not None:
             unmatched = unmatched.where(F.expr(not_matched_insert_condition))
         inserted = (
