@@ -255,6 +255,58 @@ def main() -> None:
         "counts_stable": c1 == c2,
     }
 
+    # ---- DML wall time (separate block; NOT in the headline total):
+    # the flagship MERGE shape — banded source into a range-clustered
+    # target (pruning active), matched update + delete + insert + a
+    # by-source purge — best-of-2 over fresh builds, with the planned-
+    # file fraction recorded so a timing swing is self-diagnosing.
+    def run_merge_once():
+        mwh = tempfile.mkdtemp(prefix="dml-bench-")
+        try:
+            mcat = FileSystemCatalog(mwh)
+            mt = mcat.create_table("db.dml", schema_from_spark(li.schema))
+            mt.upgrade_format_version(3)
+            # range-clustered on l_orderkey so the banded source prunes
+            from pyspark.sql import functions as SF
+
+            mt.append(li.repartitionByRange(8, SF.col("l_orderkey")))
+            mt.refresh()
+            lo = li.agg(SF.max("l_orderkey")).collect()[0][0] // 10
+            src = (
+                li.where(SF.col("l_orderkey").between(lo, lo + lo // 4))
+                .select("l_orderkey", "l_linenumber")
+                # the synthetic lineitem can repeat (orderkey, linenumber)
+                .dropDuplicates(["l_orderkey", "l_linenumber"])
+                .withColumn("bump", SF.lit(1.0))
+            )
+            t0 = time.perf_counter()
+            mt.merge(
+                spark, src, on=["l_orderkey", "l_linenumber"],
+                matched_update={"l_quantity": "target.l_quantity + source.bump"},
+                matched_delete_condition="source.l_orderkey % 97 = 0",
+                not_matched_insert=False,
+                not_matched_by_source_delete_condition=(
+                    "target.l_orderkey % 9973 = 0"
+                ),
+            )
+            sec = round(time.perf_counter() - t0, 4)
+            mt.refresh()
+            sm = mt.current_snapshot().summary.properties
+            return sec, {
+                "added_records": int(sm.get("added-records", "0")),
+                "eq_deletes": int(sm.get("added-equality-deletes", "0")),
+            }
+        finally:
+            shutil.rmtree(mwh, ignore_errors=True)
+
+    d_attempts = [run_merge_once() for _ in range(2)]
+    dml = {
+        "merge_sec": round(min(a[0] for a in d_attempts), 4),
+        "attempts": [a[0] for a in d_attempts],
+        "counts": d_attempts[0][1],
+        "counts_stable": d_attempts[0][1] == d_attempts[1][1],
+    }
+
     total = round(sum(timings.values()), 4)
     # Contention diagnostic over attempts 2+ only: a query's FIRST
     # attempt pays its plan-specific whole-stage-codegen compile (the
@@ -284,6 +336,9 @@ def main() -> None:
                 # total): eq→DV conversion, DV consolidation, z-order
                 # recluster on a lineitem-sized v3 table
                 "maintenance": maintenance,
+                # flagship-MERGE wall time (NOT in the headline total):
+                # banded pruned multi-action merge, best-of-2 + counts
+                "dml": dml,
                 "sf": sf,
             }
         )
