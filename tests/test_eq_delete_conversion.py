@@ -540,3 +540,53 @@ def test_conversion_join_path_survives_key_column_rename(cat, spark):
     # the old row versions stay dead (a name-based key read would have
     # matched nothing and resurrected them)
     assert (5, "o5", 5.0) not in after and (6, "o6", 6.0) not in after
+
+
+def test_conversion_join_path_on_partitioned_table(cat, spark):
+    """The JOIN path on a PARTITIONED table: partition tuples travel
+    through the broadcast meta into the per-file DV descriptors, so the
+    DV manifest entries carry the right partitions and partition pruning
+    keeps working after conversion."""
+    from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"o{i}", float(i)) for i in range(400)],
+        "id long, bucket long, owner string, v double",
+    )
+    schema = schema_from_spark(df.schema)
+    t = cat.create_table(
+        "db.eqc_part_join", schema,
+        spec=spec_from(schema, ("bucket", "identity")),
+    )
+    t.upgrade_format_version(3)
+    t.append(df)
+    t.upsert(
+        spark.createDataFrame(
+            [(9, 1, "up", 9.9), (14, 2, "up", 14.4)],
+            "id long, bucket long, owner string, v double",
+        ),
+        ["id"],
+    )
+    before = sorted(
+        (r.id, r.bucket, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    _force_join_path(t)
+    assert t.convert_equality_deletes(spark) is True
+    t.refresh()
+    after = sorted(
+        (r.id, r.bucket, r.owner, r.v) for r in t.scan().to_df(spark).collect()
+    )
+    assert after == before
+    assert "eq" not in _delete_kinds(t)
+    pruned = t.scan(row_filter=E.equal("bucket", 1)).plan_files()
+    assert len(pruned) < len(t.scan().plan_files())
+    dvs = [
+        d for task in pruned for d in task.delete_files
+        if d.content_offset is not None
+    ]
+    assert dvs and all("eqconvj" in d.file_path for d in dvs)
+    rows_b1 = sorted(
+        r.id
+        for r in t.scan(row_filter=E.equal("bucket", 1)).to_df(spark).collect()
+    )
+    assert 9 in rows_b1 and len(rows_b1) == 100
