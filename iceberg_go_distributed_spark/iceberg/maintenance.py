@@ -842,6 +842,15 @@ def compute_partition_statistics(table) -> dict:
     return entry
 
 
+# Per-worker LRU of decoded equality-delete key frames for the
+# conversion fast path (same pattern as streaming._EQ_FRAME_CACHE):
+# resolved at unpickle time in each reused Python worker, so the ~32
+# conversion tasks read each key file ~once per worker instead of once
+# per task. Bounded by slot count × the keys-max-rows routing bound.
+_EQ_KEY_FRAME_CACHE: dict = {}
+_EQ_KEY_FRAME_CACHE_MAX = 4
+
+
 def _eq_matched_positions(pf, eq_sets, batch_rows: int = 131072):
     """Global row positions of `pf` (an open ParquetFile) whose key tuple
     appears in any equality-delete key set. Executor-side; memory is one
@@ -1057,22 +1066,33 @@ def convert_equality_deletes(table, spark) -> bool:
             tc = TaskContext.get()
             task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
             blobs, refs, newly = [], [], []
-            eq_cache: dict = {}
 
             def key_frame(path, ids):
+                # per-WORKER bounded LRU (Spark reuses Python workers):
+                # without it each of the ~32 tasks re-reads every key
+                # file. Frames are under maintenance.eq-convert.
+                # keys-max-rows by routing, so memory stays bounded;
+                # key-file paths are immutable so staleness can't occur.
                 k = (path, tuple(ids))
-                if k not in eq_cache:
-                    with fileio.parquet_file(path) as kf:
-                        kby = {}
-                        for fld in kf.schema_arrow:
-                            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                            if fid is not None:
-                                kby[int(fid)] = fld.name
-                        cols = [kby[i] for i in ids]
-                        pdf = kf.read(columns=cols).to_pandas()
-                    pdf.columns = [f"f{i}" for i in ids]
-                    eq_cache[k] = pdf
-                return eq_cache[k]
+                cached = _EQ_KEY_FRAME_CACHE.pop(k, None)
+                if cached is not None:
+                    _EQ_KEY_FRAME_CACHE[k] = cached  # LRU refresh
+                    return cached
+                with fileio.parquet_file(path) as kf:
+                    kby = {}
+                    for fld in kf.schema_arrow:
+                        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                        if fid is not None:
+                            kby[int(fid)] = fld.name
+                    cols = [kby[i] for i in ids]
+                    pdf = kf.read(columns=cols).to_pandas()
+                pdf.columns = [f"f{i}" for i in ids]
+                while len(_EQ_KEY_FRAME_CACHE) >= _EQ_KEY_FRAME_CACHE_MAX:
+                    _EQ_KEY_FRAME_CACHE.pop(
+                        next(iter(_EQ_KEY_FRAME_CACHE)), None
+                    )
+                _EQ_KEY_FRAME_CACHE[k] = pdf
+                return pdf
 
             for pdfs in batches:
                 for rec in pdfs.itertuples(index=False):
