@@ -41,7 +41,9 @@ def _invariants(t):
         assert len(dvs) <= 1, f"{task.file.file_path} has {len(dvs)} DVs"
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+# seed→bound routing (deterministic): 11→fast path only, 23→mixed
+# per-file routing, 7→every conversion through the join path
+@pytest.mark.parametrize("seed", [11, 23, 7])
 def test_maintenance_never_changes_visible_rows(tmp_path, spark, seed):
     rng = random.Random(seed)
     cat = FileSystemCatalog(str(tmp_path / f"wh{seed}"))
@@ -50,6 +52,15 @@ def test_maintenance_never_changes_visible_rows(tmp_path, spark, seed):
     b = cat.create_table("db.control", schema)
     for t in (a, b):
         t.upgrade_format_version(3)
+    # randomize the eq-convert key-row bound so the fuzz exercises the
+    # fast path, the distributed join path, AND mixed routing (r10):
+    # "0" forces every conversion through the join path, "12" mixes
+    # per-file, the default stays fast-path-only at this scale
+    bound = rng.choice(["0", "12", "2000000"])
+    tx = a.transaction()
+    tx.set_properties({"maintenance.eq-convert.keys-max-rows": bound})
+    tx.commit()
+    a.refresh()
 
     next_id = 0
     live_ceiling = 0
