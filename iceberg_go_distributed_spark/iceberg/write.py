@@ -2590,6 +2590,14 @@ def merge(
     ``matched_update="*" + not_matched_insert=True +
     not_matched_by_source_delete=True``.
 
+    Scale note: by-source deletes are key-granular equality deletes,
+    so a sync that removes a LARGE fraction of the table writes a huge
+    key file and every subsequent read pays its anti-join until
+    `convert_equality_deletes` runs. For bulk predicate-shaped removals
+    prefer `delete_where` (whole-file drops via the strict evaluator +
+    DVs); keep by-source deletes for the sync shape where removals are
+    a modest fraction of the target.
+
     Spark-first shape: ONE pruned target scan joined with the source
     (Catalyst broadcasts a small source; AQE picks the join strategy),
     plus a key-pruned anti-join for the inserts. `prune_target`
