@@ -731,3 +731,10 @@ def test_merge_by_source_anti_join_broadcasts_source(fs_catalog, spark):
     # the whole point: no hash exchange anywhere — the target is never
     # shuffled for this join (BroadcastExchange of the source is fine)
     assert "Exchange hashpartitioning" not in plan, plan
+
+    # same shape for the MATCHED inner join
+    matched = tgt.join(s, cond, "inner")
+    assert len(matched.collect()) == 5
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
