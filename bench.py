@@ -315,6 +315,31 @@ def main() -> None:
     # machine and would mislabel warm-up as contention. The full
     # raw_runs still expose it.
     spread = round(sum(max(a[1:]) - min(a[1:]) for a in raw.values()), 4)
+    # Two JSON lines. The driver tail-captures stdout and parses the
+    # LAST line, so the detail blob (raw_runs, the planning curve,
+    # maintenance/dml attempts) goes FIRST and the compact summary —
+    # metric/value/queries/spread/sf plus one-number rollups of the
+    # detail blocks — goes LAST and stays small (r10's single fat line
+    # outgrew the capture window and recorded parsed:null).
+    print(
+        json.dumps(
+            {
+                "detail": True,
+                # per-query raw attempts (best-of-3; attempt 1 pays
+                # per-plan whole-stage-codegen compile)
+                "raw_runs": raw,
+                # metadata-plane planning wall time (NOT in the headline
+                # total): local vs distributed planner growth curve
+                "planning": planning,
+                # delete-debt maintenance wall time (NOT in the headline
+                # total): eq→DV conversion, DV consolidation, z-order
+                "maintenance": maintenance,
+                # flagship-MERGE wall time (NOT in the headline total):
+                # banded pruned multi-action merge, best-of-2 + counts
+                "dml": dml,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -322,23 +347,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "raw_runs": raw,
                 # sum over queries of (max - min) across attempts 2+:
                 # high spread relative to the total flags a contended
                 # machine (attempt 1 is excluded — it pays per-plan
                 # codegen, which is warm-up, not contention)
                 "spread_sec": spread,
-                # metadata-plane planning wall time (NOT in the headline
-                # total): local vs distributed planner over a synthetic
-                # 400-manifest/100k-file snapshot
-                "planning": planning,
-                # delete-debt maintenance wall time (NOT in the headline
-                # total): eq→DV conversion, DV consolidation, z-order
-                # recluster on a lineitem-sized v3 table
-                "maintenance": maintenance,
-                # flagship-MERGE wall time (NOT in the headline total):
-                # banded pruned multi-action merge, best-of-2 + counts
-                "dml": dml,
+                # one-number rollups of the detail line's blocks
+                "planning_distributed_sec": planning.get("distributed_sec"),
+                "maintenance_eq_convert_sec": maintenance.get("eq_convert_sec"),
+                "dml_merge_sec": dml.get("merge_sec"),
                 "sf": sf,
             }
         )

@@ -851,6 +851,41 @@ _EQ_KEY_FRAME_CACHE: dict = {}
 _EQ_KEY_FRAME_CACHE_MAX = 4
 
 
+def _eq_convert_key_frame(path, ids):
+    """Executor-side load of one equality-delete key file as a pandas
+    frame (columns f{fid}), LRU-cached per worker process. MODULE-LEVEL
+    on purpose: a loader nested inside the conversion task would be
+    cloudpickled BY VALUE with a fresh globals dict per task
+    deserialization — every task would see an empty cache and the
+    claimed cross-task reuse would never happen. A module-level function
+    pickles by reference and resolves `_EQ_KEY_FRAME_CACHE` in the
+    worker's imported module, the same pattern that makes
+    streaming._load_eq_sets' cache real. Caller applies fileio config
+    first. Frames are under maintenance.eq-convert.keys-max-rows by
+    routing and key-file paths are immutable, so the cache is bounded
+    and can never go stale."""
+    from . import fileio
+
+    k = (path, tuple(ids))
+    cached = _EQ_KEY_FRAME_CACHE.pop(k, None)
+    if cached is not None:
+        _EQ_KEY_FRAME_CACHE[k] = cached  # LRU refresh
+        return cached
+    with fileio.parquet_file(path) as kf:
+        kby = {}
+        for fld in kf.schema_arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                kby[int(fid)] = fld.name
+        cols = [kby[i] for i in ids]
+        pdf = kf.read(columns=cols).to_pandas()
+    pdf.columns = [f"f{i}" for i in ids]
+    while len(_EQ_KEY_FRAME_CACHE) >= _EQ_KEY_FRAME_CACHE_MAX:
+        _EQ_KEY_FRAME_CACHE.pop(next(iter(_EQ_KEY_FRAME_CACHE)), None)
+    _EQ_KEY_FRAME_CACHE[k] = pdf
+    return pdf
+
+
 def _eq_matched_positions(pf, eq_sets, batch_rows: int = 131072):
     """Global row positions of `pf` (an open ParquetFile) whose key tuple
     appears in any equality-delete key set. Executor-side; memory is one
@@ -1067,32 +1102,13 @@ def convert_equality_deletes(table, spark) -> bool:
             task_id = f"{tc.partitionId()}-{tc.taskAttemptId()}" if tc else "0-0"
             blobs, refs, newly = [], [], []
 
-            def key_frame(path, ids):
-                # per-WORKER bounded LRU (Spark reuses Python workers):
-                # without it each of the ~32 tasks re-reads every key
-                # file. Frames are under maintenance.eq-convert.
-                # keys-max-rows by routing, so memory stays bounded;
-                # key-file paths are immutable so staleness can't occur.
-                k = (path, tuple(ids))
-                cached = _EQ_KEY_FRAME_CACHE.pop(k, None)
-                if cached is not None:
-                    _EQ_KEY_FRAME_CACHE[k] = cached  # LRU refresh
-                    return cached
-                with fileio.parquet_file(path) as kf:
-                    kby = {}
-                    for fld in kf.schema_arrow:
-                        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                        if fid is not None:
-                            kby[int(fid)] = fld.name
-                    cols = [kby[i] for i in ids]
-                    pdf = kf.read(columns=cols).to_pandas()
-                pdf.columns = [f"f{i}" for i in ids]
-                while len(_EQ_KEY_FRAME_CACHE) >= _EQ_KEY_FRAME_CACHE_MAX:
-                    _EQ_KEY_FRAME_CACHE.pop(
-                        next(iter(_EQ_KEY_FRAME_CACHE)), None
-                    )
-                _EQ_KEY_FRAME_CACHE[k] = pdf
-                return pdf
+            # per-WORKER bounded LRU (Spark reuses Python workers):
+            # without it each of the ~32 tasks re-reads every key file.
+            # _eq_convert_key_frame is module-level so cloudpickle
+            # resolves it (and its cache) by reference in the worker's
+            # imported module — a nested closure got a fresh globals
+            # dict per task and the cache never actually shared.
+            key_frame = _eq_convert_key_frame
 
             for pdfs in batches:
                 for rec in pdfs.itertuples(index=False):
@@ -1244,6 +1260,51 @@ def convert_equality_deletes(table, spark) -> bool:
     return True
 
 
+def _eq_keys_df_arrow(spark, path: str, fields):
+    """Distributed DataFrame over one equality-delete key file for URIs
+    the JVM has no FileSystem for — ROW-GROUP-parallel executor-side
+    arrow read. The join path exists precisely because the key file
+    exceeded `maintenance.eq-convert.keys-max-rows`, so a whole-file
+    driver read here (the old `read_parquet_table(...).to_pandas()`
+    fallback) would re-introduce the unbounded materialization the
+    routing bound was built to prevent. One task reads ONE row group
+    (peak memory = one row group, writer-bounded), columns resolved by
+    parquet FIELD ID so renamed key columns still resolve — same
+    contract as the JVM branch; the driver only reads the footer."""
+    from . import fileio as _fileio
+    from .types import Schema, schema_to_spark_ddl
+
+    want_ids = [f.field_id for f in fields]
+    names = [f.name for f in fields]
+    n_rg = max(_fileio.read_parquet_metadata(path).num_row_groups, 1)
+    rg_df = spark.createDataFrame(
+        [(path, i) for i in range(n_rg)], "path string, rg int"
+    ).repartition(min(n_rg, 64))
+    rg_cfg = _fileio.env_config()
+
+    def read_rg(batches):
+        from . import fileio
+
+        fileio.apply_config(rg_cfg)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with fileio.parquet_file(row.path) as kf:
+                    by_fid = {}
+                    for fld in kf.schema_arrow:
+                        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                        if fid is not None:
+                            by_fid[int(fid)] = fld.name
+                    cols = [by_fid[i] for i in want_ids]
+                    frame = kf.read_row_group(
+                        int(row.rg), columns=cols
+                    ).to_pandas()
+                frame.columns = names
+                yield frame
+
+    ddl = schema_to_spark_ddl(Schema(0, tuple(fields)))
+    return rg_df.mapInPandas(read_rg, ddl).dropDuplicates()
+
+
 def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
     """Distributed join-based DV computation for data files whose
     applicable equality-delete key files exceed
@@ -1297,7 +1358,6 @@ def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
         groups.setdefault(key, []).append(t)
 
     def keys_df(path, fields):
-        eq_schema = Schema(0, tuple(fields))
         if _fileio.is_local(path):
             # distributed read — the key file is big by construction
             # here. Field-id resolution (schema struct carries
@@ -1307,21 +1367,13 @@ def _eq_convert_join_rows(table, spark, tasks, location, commit_uuid):
 
             _ensure_field_id_reads(spark)
             return (
-                spark.read.schema(schema_to_spark_struct(eq_schema))
+                spark.read.schema(
+                    schema_to_spark_struct(Schema(0, tuple(fields)))
+                )
                 .parquet(path)
                 .dropDuplicates()
             )
-        # non-local schemes without a JVM FileSystem: mirror the scan's
-        # driver arrow read (table.py:901); bounded only by the caller's
-        # awareness — local warehouses (the tested path) never hit this
-        from .types import schema_to_spark_ddl
-
-        return spark.createDataFrame(
-            _fileio.read_parquet_table(
-                path, columns=[f.name for f in fields]
-            ).to_pandas(),
-            schema=schema_to_spark_ddl(eq_schema),
-        ).dropDuplicates()
+        return _eq_keys_df_arrow(spark, path, fields)
 
     matched = None
     for key, gtasks in groups.items():

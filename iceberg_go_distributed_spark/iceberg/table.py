@@ -458,6 +458,38 @@ class Scan:
             )
         return tasks
 
+    def filter_tasks(self, tasks: list[FileScanTask]) -> list[FileScanTask]:
+        """Driver-side re-application of this scan's row-filter pruning
+        to ALREADY-PLANNED tasks from an unfiltered scan of the SAME
+        snapshot — one metadata planning pass (manifest reads, Avro
+        decode) then serves both a full and a filtered DataFrame.
+        MERGE's by-source clauses use it: the matched pipeline wants the
+        key-pruned scan, the by-source pass the full one; planning the
+        table twice doubled the metadata cost for zero new information.
+
+        Tasks don't retain their manifest's partition_spec_id, so
+        partition-tuple pruning (level 3) applies only when the table
+        has a single partition spec — evaluating a tuple against the
+        wrong spec's evaluator would be unsound. File-metrics pruning
+        (level 4) is keyed by field id, spec-independent, and always
+        applies. The result is therefore a (possibly slightly coarser,
+        never smaller-than-sound) superset of what plan_files would
+        return with the same filter: inclusive pruning semantics hold."""
+        schema = self._scan_schema()
+        evals_for, metrics_eval = self._pruning_evaluators(schema)
+        specs = self.table.metadata.partition_specs
+        part_eval = None
+        if len(specs) == 1:
+            _, part_eval = evals_for(specs[0].spec_id)
+        out = []
+        for t in tasks:
+            if part_eval is not None and not part_eval(t.file.partition):
+                continue
+            if not metrics_eval(t.file):
+                continue
+            out.append(t)
+        return out
+
     def sample_files(self, spark, fraction: float, seed: int = 17):
         """File-level sample of the scan: a DataFrame over a
         deterministic ~`fraction` subset of the planned data FILES —

@@ -2403,6 +2403,15 @@ MERGE_PRUNE_MAX_IN_SET = 1000
 MERGE_PRUNE_MIN_TARGET_ROWS = 1_000_000
 MERGE_PRUNE_MIN_TARGET_FILES = 4
 
+# Byte budget for the static MERGE broadcast hint (row count alone is
+# not a size: 1M rows of KB-wide documents is a multi-GB broadcast).
+# 256 MiB fits comfortably in every executor of a reasonably-sized
+# cluster while staying far above Spark's 10 MB auto-broadcast
+# heuristic, which the hint exists to override for metadata-less
+# sources. Override per table with
+# `write.merge.broadcast-source-max-bytes` (0 disables the byte check).
+MERGE_BROADCAST_MAX_BYTES_DEFAULT = 256 * 1024 * 1024
+
 
 def _target_merits_pruning(md) -> bool:
     """Free driver-side decision from the snapshot summary's running
@@ -2423,7 +2432,59 @@ def _target_merits_pruning(md) -> bool:
     return True
 
 
-def _source_key_prune_filter(source, key_fields):
+def _source_size_aggs(source):
+    """(aggregate columns, fixed per-row bytes, width column names)
+    estimating a DataFrame's average serialized row width, for the
+    broadcast byte gate. Fixed-width types count 8 bytes; string/binary
+    add their measured average length; nested types their JSON length
+    (an overestimate — JSON is more verbose than Tungsten rows — which
+    only makes the gate more conservative). Computed in the SAME scan
+    as whatever aggregate the caller is already running, so the byte
+    estimate costs no extra job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs, wnames, fixed = [], [], 8  # 8: per-row object overhead
+    for f in source.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.StringType, T.BinaryType)):
+            aggs.append(F.avg(F.length(F.col(f.name))).alias(f"__w_{f.name}"))
+            wnames.append(f"__w_{f.name}")
+            fixed += 8  # offset + length slots
+        elif isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+            aggs.append(
+                F.avg(F.length(F.to_json(F.col(f.name)))).alias(f"__w_{f.name}")
+            )
+            wnames.append(f"__w_{f.name}")
+            fixed += 8
+        else:
+            fixed += 8
+    return aggs, fixed, wnames
+
+
+def _fill_size_stats(stats_out, row, fixed, wnames):
+    rows = int(row["__rows"] or 0)
+    width = fixed + sum(float(row[w] or 0.0) for w in wnames)
+    stats_out["rows"] = rows
+    stats_out["est_bytes"] = int(rows * width)
+
+
+def _source_size_stats(source):
+    """Row count + estimated serialized bytes of `source` in ONE
+    aggregate job — the broadcast gate's input when the pruning stats
+    job didn't run (small target / non-prunable key types). When
+    pruning DID run, `_source_key_prune_filter` folds these aggregates
+    into its own stats job and this extra job never happens."""
+    from pyspark.sql import functions as F
+
+    waggs, fixed, wnames = _source_size_aggs(source)
+    row = source.agg(F.count(F.lit(1)).alias("__rows"), *waggs).collect()[0]
+    out: dict = {}
+    _fill_size_stats(out, row, fixed, wnames)
+    return out
+
+
+def _source_key_prune_filter(source, key_fields, stats_out=None):
     """Inclusive row_filter over the MERGE target scan, derived from the
     source's key statistics — so a small source merging into a huge
     table plans only the files that can contain a matching key (the
@@ -2444,6 +2505,12 @@ def _source_key_prune_filter(source, key_fields):
     semantics) OR in is_null. Returns None — caller falls back to a full
     scan — for key types where a stats filter is unsound or unsupported
     (float/double NaN ordering, binary/uuid/fixed).
+
+    `stats_out` (dict): when given, the broadcast gate's row count and
+    estimated serialized bytes are folded into the SAME stats job
+    (`_source_size_aggs`) and written into it — merge() then skips its
+    separate `_source_size_stats` job. Left empty on the early
+    non-prunable-types return.
 
     DETERMINISM ASSUMPTION: the stats jobs and the later merge join
     re-evaluate `source`; a non-deterministic source (rand(), a re-read
@@ -2487,7 +2554,15 @@ def _source_key_prune_filter(source, key_fields):
             F.approx_count_distinct(k, 0.05).alias(f"__nd_{k}"),
             F.max(F.col(k).isNull().cast("int")).alias(f"__null_{k}"),
         ]
+    wnames: list = []
+    if stats_out is not None:
+        # fold the broadcast gate's count + row-width estimate into
+        # THIS job so merge() never runs a separate source.count()
+        waggs, fixed, wnames = _source_size_aggs(source)
+        aggs += [F.count(F.lit(1)).alias("__rows"), *waggs]
     row = source.agg(*aggs).collect()[0]  # one O(1) scalar bounds row
+    if stats_out is not None:
+        _fill_size_stats(stats_out, row, fixed, wnames)
     small = [
         f.name
         for f in key_fields
@@ -2745,13 +2820,33 @@ def _merge_body(
 
     struct = schema_to_spark_struct(schema)
     cols = [f.name for f in schema.fields]
+    src_stats: dict = {}
     scan_filter = (
-        _source_key_prune_filter(source, fields)
+        _source_key_prune_filter(source, fields, stats_out=src_stats)
         if prune_target and _target_merits_pruning(md)
         else None
     )
-    tgt_scan = table.scan(scan_filter) if scan_filter is not None else table.scan()
-    tgt = tgt_scan.to_df(spark).alias("target")
+    bs_active = bs_delete or not_matched_by_source_update is not None
+    full_tgt_df = None
+    if scan_filter is not None and bs_active:
+        # A by-source merge needs BOTH the key-pruned scan (matched /
+        # insert pipelines) and the full scan (by-source candidates are
+        # exactly the rows pruning would hide). Plan the metadata ONCE
+        # unfiltered and derive the pruned file subset driver-side from
+        # the in-memory descriptors (Scan.filter_tasks) — the previous
+        # shape ran the whole manifest planning pass twice per merge.
+        full_scan = table.scan()
+        full_tasks = full_scan.plan_files_auto(spark)
+        pruned_scan = table.scan(scan_filter)
+        tgt = pruned_scan.to_df(
+            spark, tasks=pruned_scan.filter_tasks(full_tasks)
+        ).alias("target")
+        full_tgt_df = full_scan.to_df(spark, tasks=full_tasks)
+    else:
+        tgt_scan = (
+            table.scan(scan_filter) if scan_filter is not None else table.scan()
+        )
+        tgt = tgt_scan.to_df(spark).alias("target")
     # STATIC broadcast hint for joins where the source is the build side
     # (matched inner join, by-source anti-join). Without it Catalyst
     # plans sort-merge (a createDataFrame/pipeline source has no size
@@ -2759,19 +2854,37 @@ def _merge_body(
     # with the source's — converting the join to broadcast only after
     # the whole target has already written shuffle files. At 100 TB
     # that pre-broadcast shuffle is the scan cost all over again; the
-    # hint keeps the target scan exchange-free. Gated on an exact count
-    # of the (persisted) source — one cheap job on cached data —
-    # because an advisory broadcast of a huge source would OOM the
-    # driver instead. 0 disables the hint.
+    # hint keeps the target scan exchange-free. Gated on BOTH an exact
+    # row count AND an estimated byte size of the (persisted) source —
+    # a row-only gate would happily broadcast a 1M-row × multi-KB-row
+    # source, a multi-GB frame that OOMs the driver, the exact failure
+    # the gate exists to prevent. The stats come from the pruning stats
+    # job when it ran (zero extra jobs) else from one aggregate on the
+    # cached source. 0 rows disables the hint; 0 bytes disables the
+    # byte check.
     try:
         bcast_max = int(
             md.properties.get("write.merge.broadcast-source-max-rows", "1000000")
         )
     except (TypeError, ValueError):
         bcast_max = 1_000_000
+    try:
+        bcast_bytes = int(
+            md.properties.get(
+                "write.merge.broadcast-source-max-bytes",
+                str(MERGE_BROADCAST_MAX_BYTES_DEFAULT),
+            )
+        )
+    except (TypeError, ValueError):
+        bcast_bytes = MERGE_BROADCAST_MAX_BYTES_DEFAULT
     src = source.alias("source")
-    if bcast_max > 0 and source.count() <= bcast_max:
-        src = F.broadcast(source).alias("source")
+    if bcast_max > 0:
+        if "rows" not in src_stats:
+            src_stats = _source_size_stats(source)
+        if src_stats["rows"] <= bcast_max and (
+            bcast_bytes <= 0 or src_stats["est_bytes"] <= bcast_bytes
+        ):
+            src = F.broadcast(source).alias("source")
     join_cond = None
     for k in on:
         c = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
@@ -2784,14 +2897,27 @@ def _merge_body(
             for c in cols
         ]
 
+    def cond(sql):
+        # ANSI: a WHEN-clause condition that evaluates to NULL means the
+        # clause is NOT taken. Without this coalesce-to-FALSE a NULL
+        # condition loses rows: with e.g. matched_delete_condition NULL
+        # and matched_update_condition TRUE, the key lands in
+        # delete_keys via `del_cond | upd_cond` (NULL|TRUE = TRUE) but
+        # BOTH the update output (`upd_cond & ~del_cond` = TRUE & ~NULL
+        # = NULL) and the sibling re-emit (`~del_cond & ~upd_cond` =
+        # NULL) drop the row — equality-deleted with no replacement.
+        # eqNullSafe(True) maps NULL→FALSE so three-valued logic never
+        # reaches the set algebra below.
+        return F.expr(sql).eqNullSafe(F.lit(True))
+
     matched = tgt.join(src, join_cond, "inner")
     del_cond = (
-        F.expr(matched_delete_condition)
+        cond(matched_delete_condition)
         if matched_delete_condition is not None
         else F.lit(False)
     )
     upd_cond = (
-        F.expr(matched_update_condition)
+        cond(matched_update_condition)
         if matched_update_condition is not None
         else F.lit(True)
     )
@@ -2853,7 +2979,9 @@ def _merge_body(
             mk_cond = c if mk_cond is None else (mk_cond & c)
         unmatched = src.join(mk, mk_cond, "left_anti")
         if not_matched_insert_condition is not None:
-            unmatched = unmatched.where(F.expr(not_matched_insert_condition))
+            # where() already drops NULLs (no insert — correct per ANSI);
+            # cond() only for uniformity with the other clause gates
+            unmatched = unmatched.where(cond(not_matched_insert_condition))
         inserted = (
             unmatched
             .select(
@@ -2866,26 +2994,26 @@ def _merge_body(
             )
         )
         pieces.append(inserted)
-    if bs_delete or not_matched_by_source_update is not None:
+    if bs_active:
         # WHEN NOT MATCHED BY SOURCE candidates are target rows whose key
         # has NO source row — by definition (mostly) OUTSIDE the source
         # key range, so this clause must see the FULL target scan, never
         # the key-pruned one (pruning is gated per-clause; the
         # matched/insert pipeline above keeps its pruned scan). The
         # anti-join side is the (small) source: Catalyst broadcasts it,
-        # so the full pass stays shuffle-free.
+        # so the full pass stays shuffle-free. full_tgt_df was built
+        # from the SAME single planning pass as the pruned scan above.
         full_tgt = (
-            tgt if scan_filter is None
-            else table.scan().to_df(spark).alias("target")
+            tgt if scan_filter is None else full_tgt_df.alias("target")
         )
         bysrc = full_tgt.join(src, join_cond, "left_anti")
         bs_del_cond = (
-            F.expr(not_matched_by_source_delete_condition)
+            cond(not_matched_by_source_delete_condition)
             if not_matched_by_source_delete_condition is not None
             else F.lit(bool(not_matched_by_source_delete))
         )
         bs_upd_cond = (
-            F.expr(not_matched_by_source_update_condition)
+            cond(not_matched_by_source_update_condition)
             if not_matched_by_source_update_condition is not None
             else F.lit(True)
         )

@@ -590,3 +590,78 @@ def test_conversion_join_path_on_partitioned_table(cat, spark):
         for r in t.scan(row_filter=E.equal("bucket", 1)).to_df(spark).collect()
     )
     assert 9 in rows_b1 and len(rows_b1) == 100
+
+
+def test_eq_keys_df_arrow_row_group_parallel(cat, spark, tmp_path):
+    """The non-JVM keys_df fallback must read the key file row-group-
+    parallel on executors (bounded by one row group), resolve columns
+    by parquet FIELD ID (renames survive), and dedup — never a
+    whole-file driver pandas materialization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg.maintenance import (
+        _eq_keys_df_arrow,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import (
+        LongType, NestedField, StringType,
+    )
+
+    # key file with 4 row groups, duplicates across groups, and field
+    # ids under the ORIGINAL column names
+    ids = list(range(100)) * 2
+    owners = [f"o{i}" for i in ids]
+    tbl = pa.table(
+        {"id": pa.array(ids, pa.int64()), "owner": pa.array(owners)},
+        schema=pa.schema(
+            [
+                pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("owner", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        ),
+    )
+    path = str(tmp_path / "keys.parquet")
+    pq.write_table(tbl, path, row_group_size=50)
+    assert pq.read_metadata(path).num_row_groups == 4
+
+    # request under RENAMED field names — resolution is by field id
+    fields = (
+        NestedField(1, "id_renamed", LongType(), required=False),
+        NestedField(2, "owner2", StringType(), required=False),
+    )
+    df = _eq_keys_df_arrow(spark, path, fields)
+    assert df.columns == ["id_renamed", "owner2"]
+    got = sorted((r.id_renamed, r.owner2) for r in df.collect())
+    assert got == sorted((i, f"o{i}") for i in range(100))  # deduped
+
+
+def test_eq_convert_key_frame_cache_is_module_global(tmp_path):
+    """_eq_convert_key_frame must survive a cloudpickle round trip BY
+    REFERENCE (module + name), so the per-worker LRU it populates is the
+    real module global — a nested closure was pickled by value with a
+    fresh globals dict per task and the cache never actually shared."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import cloudpickle
+
+    from iceberg_go_distributed_spark.iceberg import maintenance as M
+
+    def task_like(path, ids):
+        # same shape as the conversion task body: references the loader
+        return M._eq_convert_key_frame(path, ids)
+
+    fn = cloudpickle.loads(cloudpickle.dumps(task_like))
+    tbl = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64())},
+        schema=pa.schema(
+            [pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+        ),
+    )
+    path = str(tmp_path / "k.parquet")
+    pq.write_table(tbl, path)
+    M._EQ_KEY_FRAME_CACHE.clear()
+    pdf = fn(path, [1])
+    assert list(pdf.columns) == ["f1"]
+    # the call through the UNPICKLED function hit the real module cache
+    assert (path, (1,)) in M._EQ_KEY_FRAME_CACHE
+    M._EQ_KEY_FRAME_CACHE.clear()
