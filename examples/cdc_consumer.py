@@ -56,7 +56,14 @@ def catch_up(table, spark: SparkSession, cursor=None, mirror=None):
     Use this when (head − cursor) spans many commits or any bulk MERGE
     the per-commit expansion refuses (`read.cdc.eq-keys-max-rows`);
     per-commit streaming remains right for low-lag event consumers that
-    need every intermediate version."""
+    need every intermediate version.
+
+    First-class equivalent (r11): the CDC readStream now does this
+    switch itself — pass `cdc_catch_up_snapshots=N` (or set table
+    property `read.cdc.catch-up-snapshots`) and a batch spanning more
+    than N commits plans ONE range-netted diff instead of per-commit
+    events; `cdc_net=true` nets every batch. This recipe remains the
+    changelog_poll-level version of the same idea."""
     head = table.current_snapshot()
     if head is None or head.snapshot_id == cursor:
         return mirror, cursor

@@ -229,6 +229,19 @@ def _delete_covers_path(delete_file: DataFile, data_path: str) -> bool:
     return lo_s[: len(data_path)] <= data_path <= hi_s or data_path.startswith(hi_s)
 
 
+# Bounded planning memo: (metadata_location, snapshot, filter
+# fingerprint, case, projection) → planned FileScanTask tuple. Keyed on
+# the metadata LOCATION so any commit invalidates by construction
+# (plan inputs for a given metadata file are immutable); lock-guarded —
+# the distributed planner and bench harness plan from worker threads
+# (the same race that bit _OCF_CACHE, see test_manifest_io).
+import threading as _threading
+
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 32
+_PLAN_CACHE_LOCK = _threading.Lock()
+
+
 @dataclass(frozen=True)
 class Scan:
     """Immutable scan config — ref table/table.go:285-379 (options)."""
@@ -354,12 +367,64 @@ class Scan:
     def plan_files(self, report: Optional[dict] = None) -> list[FileScanTask]:
         """Four-level pruning — ref table/scanner.go:410-460. Pass a
         `report` dict (or use `plan_report()`) to collect per-level
-        pruning counters while planning."""
+        pruning counters while planning.
+
+        Results memoize per (metadata location, snapshot, filter
+        fingerprint) in a bounded LRU (`read.plan-cache.enabled`,
+        default on): a repeated-scan workload pays the manifest reads
+        and evaluator passes once per table version instead of once per
+        scan. Keying on the METADATA location (not just the snapshot
+        id) makes staleness impossible — any commit writes a new
+        metadata file, so post-commit scans miss and re-plan; the
+        cached snapshot's plan inputs (manifest list, specs, schema)
+        are immutable. Mirrors the reference's manifest cache intent
+        (internal/cache, eviction race fixed in its c999242) one level
+        up: that cache saves Avro decode, this one the evaluator pass."""
         snap = self.snapshot()
         if snap is None:
             if report is not None:
                 report.clear()
             return []
+        cache_key = None
+        if report is None and self._plan_cache_on():
+            cache_key = self._plan_cache_key(snap)
+        if cache_key is not None:
+            with _PLAN_CACHE_LOCK:
+                hit = _PLAN_CACHE.pop(cache_key, None)
+                if hit is not None:
+                    _PLAN_CACHE[cache_key] = hit  # LRU refresh
+                    return list(hit)
+        tasks = self._plan_files_uncached(snap, report)
+        if cache_key is not None:
+            with _PLAN_CACHE_LOCK:
+                while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)), None)
+                _PLAN_CACHE[cache_key] = tuple(tasks)
+        return tasks
+
+    def _plan_cache_on(self) -> bool:
+        try:
+            return str(
+                self.table.metadata.properties.get(
+                    "read.plan-cache.enabled", "true"
+                )
+            ).lower() in ("1", "true", "yes")
+        except Exception:
+            return False
+
+    def _plan_cache_key(self, snap):
+        loc = getattr(self.table, "metadata_location", None)
+        if loc is None:
+            return None
+        return (
+            loc,
+            snap.snapshot_id,
+            repr(self.row_filter),
+            self.case_sensitive,
+            self.selected_fields,
+        )
+
+    def _plan_files_uncached(self, snap, report) -> list[FileScanTask]:
         schema = self._scan_schema()
 
         all_manifests = snap.manifests()
@@ -580,7 +645,27 @@ class Scan:
             if (0 < min_manifests <= len(manifests)) or (
                 0 < min_files <= n_files
             ):
-                return plan_files_distributed(self, spark)
+                # same memo as the local planner (the two return the
+                # identical file set — bench-asserted), so a repeated
+                # scan skips the Spark planning job too
+                cache_key = (
+                    self._plan_cache_key(snap)
+                    if self._plan_cache_on()
+                    else None
+                )
+                if cache_key is not None:
+                    with _PLAN_CACHE_LOCK:
+                        hit = _PLAN_CACHE.pop(cache_key, None)
+                        if hit is not None:
+                            _PLAN_CACHE[cache_key] = hit  # LRU refresh
+                            return list(hit)
+                tasks = plan_files_distributed(self, spark)
+                if cache_key is not None:
+                    with _PLAN_CACHE_LOCK:
+                        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)), None)
+                        _PLAN_CACHE[cache_key] = tuple(tasks)
+                return tasks
         return self.plan_files()
 
     def to_df(self, spark, tasks=None):

@@ -2603,6 +2603,217 @@ def _source_key_prune_filter(source, key_fields, stats_out=None):
     return E.and_(*preds)
 
 
+class _UnsupportedCondition(Exception):
+    """Internal: a merge-condition SQL fragment falls outside the
+    compilable subset — the caller falls back to an unpruned scan."""
+
+
+def _tokenize_condition(sql: str):
+    import re
+
+    token_re = re.compile(
+        r"\s*(?:"
+        r"(?P<num>-?\d+\.\d+|-?\d+)"
+        r"|(?P<str>'(?:[^']|'')*')"
+        r"|(?P<ident>[A-Za-z_][A-Za-z0-9_.]*)"
+        r"|(?P<op><=|>=|!=|<>|==|=|<|>)"
+        r"|(?P<paren>[(),])"
+        r")"
+    )
+    out, pos = [], 0
+    while pos < len(sql):
+        m = token_re.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise _UnsupportedCondition(sql[pos:])
+        pos = m.end()
+        if m.group("num") is not None:
+            n = m.group("num")
+            out.append(("lit", float(n) if "." in n else int(n)))
+        elif m.group("str") is not None:
+            out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("ident") is not None:
+            w = m.group("ident")
+            if w.upper() in (
+                "AND", "OR", "NOT", "IS", "NULL", "IN", "TRUE", "FALSE",
+                "DATE", "TIMESTAMP",
+            ):
+                out.append(("kw", w.upper()))
+            else:
+                out.append(("ident", w))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("paren", m.group("paren")))
+    return out
+
+
+def _compile_sql_condition(sql: str, schema):
+    """Best-effort compile of a MERGE condition (a SQL boolean over
+    `target.<col>` references) into the scan-filter expression algebra,
+    so a by-source condition like `target.updated_at < date'2024-01-01'`
+    prunes manifests/files exactly like any scan row_filter. Supported:
+    comparisons against literals (incl. DATE/TIMESTAMP '...' — the
+    string literal bind-casts to the column type), IS [NOT] NULL, IN,
+    AND/OR/NOT, parens. Anything else — functions, arithmetic, `%`,
+    column-to-column — returns None and the caller keeps the full scan;
+    compilation failure is never a correctness event, only a missed
+    pruning opportunity. Column names resolve against `schema`
+    (`target.` prefix stripped; `source.` references are impossible in
+    by-source clauses and reject compilation)."""
+    from . import expressions as E
+
+    try:
+        toks = _tokenize_condition(sql)
+    except _UnsupportedCondition:
+        return None
+
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def expect(kind, val=None):
+        k, v = take()
+        if k != kind or (val is not None and v != val):
+            raise _UnsupportedCondition(f"expected {kind} {val}, got {k} {v}")
+        return v
+
+    def column(name: str) -> str:
+        low = name.lower()
+        if low.startswith("target."):
+            name = name[len("target."):]
+        elif low.startswith("source."):
+            raise _UnsupportedCondition("source reference")
+        if "." in name or schema.find_field(name) is None:
+            raise _UnsupportedCondition(f"unknown column {name}")
+        return name
+
+    def literal_val():
+        k, v = take()
+        if k == "lit":
+            return v
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return v == "TRUE"
+        if k == "kw" and v in ("DATE", "TIMESTAMP"):
+            k2, v2 = take()
+            if k2 != "lit" or not isinstance(v2, str):
+                raise _UnsupportedCondition("typed literal")
+            return v2  # ISO string; Literal.to() casts on bind
+        raise _UnsupportedCondition(f"literal, got {k} {v}")
+
+    def predicate():
+        k, v = take()
+        if k == "paren" and v == "(":
+            e = or_expr()
+            expect("paren", ")")
+            return e
+        if k == "kw" and v == "NOT":
+            return E.not_(predicate())
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return E.AlwaysTrue() if v == "TRUE" else E.AlwaysFalse()
+        if k != "ident":
+            raise _UnsupportedCondition(f"predicate, got {k} {v}")
+        col = column(v)
+        k2, v2 = take()
+        if k2 == "op":
+            lit = literal_val()
+            ops = {
+                "=": E.equal, "==": E.equal,
+                "!=": E.not_equal, "<>": E.not_equal,
+                "<": E.less_than, "<=": E.less_than_or_equal,
+                ">": E.greater_than, ">=": E.greater_than_or_equal,
+            }
+            return ops[v2](col, lit)
+        if k2 == "kw" and v2 == "IS":
+            k3, v3 = take()
+            if k3 == "kw" and v3 == "NOT":
+                expect("kw", "NULL")
+                return E.not_null(col)
+            if k3 == "kw" and v3 == "NULL":
+                return E.is_null(col)
+            raise _UnsupportedCondition("IS clause")
+        if k2 == "kw" and v2 == "IN":
+            expect("paren", "(")
+            vals = [literal_val()]
+            while peek() == ("paren", ","):
+                take()
+                vals.append(literal_val())
+            expect("paren", ")")
+            return E.is_in(col, vals)
+        raise _UnsupportedCondition(f"after column, got {k2} {v2}")
+
+    def and_expr():
+        e = predicate()
+        while peek() == ("kw", "AND"):
+            take()
+            e = E.and_(e, predicate())
+        return e
+
+    def or_expr():
+        e = and_expr()
+        while peek() == ("kw", "OR"):
+            take()
+            e = E.or_(e, and_expr())
+        return e
+
+    try:
+        e = or_expr()
+        if pos[0] != len(toks):
+            raise _UnsupportedCondition("trailing tokens")
+        # probe-bind now so an un-bindable literal (e.g. string vs int
+        # column) degrades to no-pruning here instead of failing later
+        E.bind_expr(e, schema)
+        return e
+    except Exception:
+        # includes _UnsupportedCondition and bind-time type errors —
+        # compile failure only means "don't prune", never an error
+        return None
+
+
+def _by_source_prune_filter(
+    schema,
+    bs_delete: bool,
+    del_sql,
+    upd_active: bool,
+    upd_sql,
+):
+    """Inclusive scan filter for the WHEN NOT MATCHED BY SOURCE pass,
+    derived from the clauses' own conditions: a target row can only be
+    ACTED ON if some active clause's condition holds, so the OR of the
+    compiled conditions is a sound row_filter for the candidate scan —
+    rows outside it are no-ops by definition. Returns None (no pruning)
+    when any active clause is UNconditional (its condition is TRUE —
+    every by-source row is a candidate) or any condition falls outside
+    `_compile_sql_condition`'s subset.
+
+    Duplicate-key soundness: pruning this pass is safe for candidates
+    and action outputs (both satisfy their clause's condition, hence
+    the filter), but NOT for duplicate-key siblings — a row sharing an
+    affected key whose own conditions held neither may live in a pruned
+    file. The caller therefore re-emits siblings from a SEPARATE scan
+    pruned by the affected keys' bounds, never from this one."""
+    from . import expressions as E
+
+    parts = []
+    for active, sql in ((bs_delete, del_sql), (upd_active, upd_sql)):
+        if not active:
+            continue
+        if sql is None:
+            return None  # unconditional clause: every row is a candidate
+        e = _compile_sql_condition(sql, schema)
+        if e is None:
+            return None
+        parts.append(e)
+    return E.or_(*parts) if parts else None
+
+
 class MergeCardinalityError(ValueError):
     """A MERGE source carries duplicate key tuples: applying it would be
     nondeterministic (which source row wins?), the same violation ANSI
@@ -2821,27 +3032,46 @@ def _merge_body(
     struct = schema_to_spark_struct(schema)
     cols = [f.name for f in schema.fields]
     src_stats: dict = {}
+    prune_merited = prune_target and _target_merits_pruning(md)
     scan_filter = (
         _source_key_prune_filter(source, fields, stats_out=src_stats)
-        if prune_target and _target_merits_pruning(md)
+        if prune_merited
         else None
     )
     bs_active = bs_delete or not_matched_by_source_update is not None
-    full_tgt_df = None
-    if scan_filter is not None and bs_active:
-        # A by-source merge needs BOTH the key-pruned scan (matched /
-        # insert pipelines) and the full scan (by-source candidates are
-        # exactly the rows pruning would hide). Plan the metadata ONCE
-        # unfiltered and derive the pruned file subset driver-side from
-        # the in-memory descriptors (Scan.filter_tasks) — the previous
-        # shape ran the whole manifest planning pass twice per merge.
+    # Clause-derived pruning for the by-source pass: conditions that
+    # reference only target columns ARE scan filters — compile them so
+    # the "full" pass prunes on manifests/metrics too (at 100 TB this
+    # is the one MERGE leg that otherwise scans everything even when
+    # its condition touches 1% of files). None = keep the full scan.
+    bs_filter = (
+        _by_source_prune_filter(
+            schema,
+            bs_delete,
+            not_matched_by_source_delete_condition,
+            not_matched_by_source_update is not None,
+            not_matched_by_source_update_condition,
+        )
+        if bs_active and prune_merited
+        else None
+    )
+    full_scan = full_tasks = None
+    if bs_active and (scan_filter is not None or bs_filter is not None):
+        # A by-source merge needs SEVERAL views of the target (key-
+        # pruned matched scan, condition-pruned by-source scan, key-
+        # bounded sibling scan). Plan the metadata ONCE unfiltered and
+        # derive every subset driver-side from the in-memory
+        # descriptors (Scan.filter_tasks) — the previous shape ran the
+        # whole manifest planning pass once per view.
         full_scan = table.scan()
         full_tasks = full_scan.plan_files_auto(spark)
+    if full_tasks is not None and scan_filter is not None:
         pruned_scan = table.scan(scan_filter)
         tgt = pruned_scan.to_df(
             spark, tasks=pruned_scan.filter_tasks(full_tasks)
         ).alias("target")
-        full_tgt_df = full_scan.to_df(spark, tasks=full_tasks)
+    elif full_tasks is not None:
+        tgt = full_scan.to_df(spark, tasks=full_tasks).alias("target")
     else:
         tgt_scan = (
             table.scan(scan_filter) if scan_filter is not None else table.scan()
@@ -2994,19 +3224,29 @@ def _merge_body(
             )
         )
         pieces.append(inserted)
+    persisted = []
     if bs_active:
         # WHEN NOT MATCHED BY SOURCE candidates are target rows whose key
         # has NO source row — by definition (mostly) OUTSIDE the source
-        # key range, so this clause must see the FULL target scan, never
-        # the key-pruned one (pruning is gated per-clause; the
-        # matched/insert pipeline above keeps its pruned scan). The
-        # anti-join side is the (small) source: Catalyst broadcasts it,
-        # so the full pass stays shuffle-free. full_tgt_df was built
-        # from the SAME single planning pass as the pruned scan above.
-        full_tgt = (
-            tgt if scan_filter is None else full_tgt_df.alias("target")
-        )
-        bysrc = full_tgt.join(src, join_cond, "left_anti")
+        # key range, so this clause must never see the key-pruned scan
+        # (pruning is gated per-clause; the matched/insert pipeline
+        # above keeps its pruned scan). It CAN see a scan pruned by its
+        # own clause conditions (bs_filter): a candidate by definition
+        # satisfies one of them. The anti-join side is the (small)
+        # source: broadcast, so the pass stays shuffle-free. All scan
+        # views derive from the SAME single planning pass (full_tasks).
+        if bs_filter is not None:
+            cscan = table.scan(bs_filter)
+            bysrc_base = cscan.to_df(
+                spark, tasks=cscan.filter_tasks(full_tasks)
+            ).alias("target")
+        elif scan_filter is None:
+            bysrc_base = tgt
+        else:
+            bysrc_base = full_scan.to_df(spark, tasks=full_tasks).alias(
+                "target"
+            )
+        bysrc = bysrc_base.join(src, join_cond, "left_anti")
         bs_del_cond = (
             cond(not_matched_by_source_delete_condition)
             if not_matched_by_source_delete_condition is not None
@@ -3041,8 +3281,35 @@ def _merge_body(
             for k in on:
                 c = F.col(f"target.{k}").eqNullSafe(F.col(f"__dk_{k}"))
                 sib2 = c if sib2 is None else (sib2 & c)
+            if bs_filter is None:
+                sib_src = bysrc
+            else:
+                # the cond-pruned scan CANNOT serve the sibling pass: a
+                # sibling fails the conditions by definition, so its
+                # file may be pruned while its key is still deleted.
+                # Scan a SECOND view bounded by the affected keys
+                # (typically a handful of files) — sound because key-
+                # bounds pruning is inclusive w.r.t. key equality.
+                from pyspark import StorageLevel as _SL
+
+                bs_keys = bs_keys.persist(_SL.MEMORY_AND_DISK)
+                persisted.append(bs_keys)
+                dk2 = bs_keys.select(
+                    *[F.col(k).alias(f"__dk_{k}") for k in on]
+                )
+                kflt = _source_key_prune_filter(bs_keys, fields)
+                if kflt is not None:
+                    kscan = table.scan(kflt)
+                    sib_base = kscan.to_df(
+                        spark, tasks=kscan.filter_tasks(full_tasks)
+                    ).alias("target")
+                else:
+                    sib_base = full_scan.to_df(
+                        spark, tasks=full_tasks
+                    ).alias("target")
+                sib_src = sib_base.join(src, join_cond, "left_anti")
             pieces.append(
-                bysrc.where(~bs_del_cond & ~bs_upd_cond)
+                sib_src.where(~bs_del_cond & ~bs_upd_cond)
                 .join(dk2, sib2, "left_semi")
                 .select(*[F.col(f"target.{c}").alias(c) for c in cols])
             )
@@ -3053,7 +3320,11 @@ def _merge_body(
             data_df = data_df.unionByName(p)
     else:  # delete-only merge
         data_df = spark.createDataFrame([], struct)
-    return _row_delta(table, data_df, delete_keys, fields, "merge")
+    try:
+        return _row_delta(table, data_df, delete_keys, fields, "merge")
+    finally:
+        for p in persisted:
+            p.unpersist()
 
 
 def _zorder_bounds(victims, schema, col_names):

@@ -848,24 +848,44 @@ def ice_partitioned_write_mor(spark, sf_dir):
     "ice_stream_cdc",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS qty, 'insert' AS _change_type
+           CAST(l_quantity AS DOUBLE) AS qty, 'insert' AS _change_type,
+           'percommit' AS run
     FROM lineitem WHERE l_orderkey % 7 = 0
     UNION ALL
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type
+           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type,
+           'percommit' AS run
     FROM lineitem WHERE l_orderkey % 7 = 0 AND CAST(l_quantity AS DOUBLE) > 45.0
     UNION ALL
     -- the upsert's equality delete names KEYS; only rows still live
     -- (not already DV-deleted) emit a delete event
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type
+           CAST(l_quantity AS DOUBLE) AS qty, 'delete' AS _change_type,
+           'percommit' AS run
     FROM lineitem WHERE l_orderkey % 21 = 0 AND CAST(l_quantity AS DOUBLE) <= 45.0
     UNION ALL
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) + 1000.0 AS qty, 'insert' AS _change_type
+           CAST(l_quantity AS DOUBLE) + 1000.0 AS qty, 'insert' AS _change_type,
+           'percommit' AS run
+    FROM lineitem WHERE l_orderkey % 21 = 0
+    UNION ALL
+    -- NETTED run (cdc_net, r11): one range-netted plan over the whole
+    -- history from the beginning = exactly the rows live at head, as
+    -- inserts, with NO intermediate events — original survivors the
+    -- delete predicate spared and the upsert didn't re-key...
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty, 'insert' AS _change_type,
+           'netted' AS run
+    FROM lineitem WHERE l_orderkey % 7 = 0
+      AND CAST(l_quantity AS DOUBLE) <= 45.0 AND l_orderkey % 21 <> 0
+    UNION ALL
+    -- ...plus every upserted replacement version
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) + 1000.0 AS qty, 'insert' AS _change_type,
+           'netted' AS run
     FROM lineitem WHERE l_orderkey % 21 = 0
     """,
-    doc="readStream CDC mode: row events over append + DV-delete + eq-delete upsert",
+    doc="readStream CDC: per-commit row events AND the netted catch-up plan (r11)",
 )
 def ice_stream_cdc(spark, sf_dir):
     """First-class CDC readStream (streaming `mode='cdc'`, new r8; r9
@@ -880,10 +900,18 @@ def ice_stream_cdc(spark, sf_dir):
     the DV already killed must not re-emit: the executor subtracts
     prior-dead positions) plus an 'insert' of the replacement — so a
     value-hash match proves the DV-position diff, the eq-key expansion
-    with already-dead subtraction, and payload fidelity end-to-end. Ref
-    anchor: the poll-loop CDC surface this upgrades is
-    table/table.go:123-130's append-stream read as a first-class
-    Structured Streaming source."""
+    with already-dead subtraction, and payload fidelity end-to-end.
+
+    R11 extends in place (r9 precedent, no rotation): the SAME history
+    is consumed a second time with `cdc_net=true` — the catch-up netted
+    plan (range diff of the two end states) — tagged `run='netted'`.
+    From the beginning, the net effect is exactly the head's live rows
+    as inserts with zero intermediate events, which the oracle states
+    in two plain-SQL blocks; a value-hash match proves the netted
+    planner (live-file diff, deletions pre-subtracted from mid-range
+    files) end-to-end against DuckDB. Ref anchor: the poll-loop CDC
+    surface this upgrades is table/table.go:123-130's append-stream
+    read as a first-class Structured Streaming source."""
     import tempfile
     import uuid as _uuid
 
@@ -914,25 +942,28 @@ def ice_stream_cdc(spark, sf_dir):
         key_columns=["l_orderkey", "l_linenumber"],
     )
 
-    name = f"ice_cdc_{_uuid.uuid4().hex[:10]}"
-    q = (
-        iceberg_stream(spark, cat.warehouse, "db.cdcs", mode="cdc")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ice_cdc_ck"))
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # a wedged bounded stream must not leak into the caller's next
-        # query — stop it and fail loudly instead of returning a
-        # partially-filled sink
-        q.stop()
-        raise TimeoutError("bounded stream did not finish within 300s")
-    return spark.table(name).select(
-        "l_orderkey", "l_linenumber", "qty", "_change_type"
-    )
+    def consume(run, **opts):
+        name = f"ice_cdc_{_uuid.uuid4().hex[:10]}"
+        q = (
+            iceberg_stream(spark, cat.warehouse, "db.cdcs", mode="cdc", **opts)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ice_cdc_ck"))
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # a wedged bounded stream must not leak into the caller's
+            # next query — stop it and fail loudly instead of returning
+            # a partially-filled sink
+            q.stop()
+            raise TimeoutError("bounded stream did not finish within 300s")
+        return spark.table(name).select(
+            "l_orderkey", "l_linenumber", "qty", "_change_type"
+        ).withColumn("run", F.lit(run))
+
+    return consume("percommit").unionByName(consume("netted", cdc_net="true"))
 
 
 @query(

@@ -312,7 +312,23 @@ def iceberg_stream(spark, warehouse: str, table: str, **options) -> DataFrame:
     TIME (bounded, degrades instead of OOMing at 100×) naming
     changelog_poll / convert_equality_deletes as the bounded routes.
     Snapshot expiry must retain the consumer horizon, the same contract
-    every CDC log has."""
+    every CDC log has.
+
+    Catch-up netting: `cdc_catch_up_snapshots=N` (or table property
+    `read.cdc.catch-up-snapshots`; default 0 = off) switches a batch
+    whose range spans MORE than N commits from per-commit expansion to
+    ONE range-netted plan — the live-file diff of the range's two end
+    states, equivalent to folding the per-commit events per `_row_id`
+    (and to `changelog_scan` over the range, pinned by test). A row
+    MERGEd 500 times in the gap then costs one delete+insert pair
+    instead of 500 — the examples/cdc_consumer.catch_up recipe, wired
+    into the source so a lagging consumer doesn't replay hot-row
+    history. `cdc_net=true` nets every batch. Netting trades event
+    granularity (intermediate row versions are not replayed) for
+    catch-up cost, hence opt-in; ranges containing a compaction or
+    file-rewriting overwrite fall back to per-commit expansion (a
+    file-level diff cannot tell rewritten survivors from real changes
+    — only changelog_scan's row-id anti-join nets those)."""
     register_iceberg_stream_source(spark)
     reader = (
         spark.readStream.format("iceberg_inc")
@@ -418,20 +434,28 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
         )
     if partition.whole_file:
         target = None  # every position except `prior`
-    elif getattr(partition, "eq_new", None):
-        # equality-delete expansion: new key matches minus everything
-        # already dead at the parent
-        from .iceberg.maintenance import _eq_matched_positions
-
-        matched = _eq_matched_positions(pf, _load_eq_sets(partition.eq_new))
-        target = np.setdiff1d(
-            matched.astype("int64"), prior
-        ).astype("int64")
-        if target.size == 0:
-            return
     else:
-        new = _decode_delete_positions(partition.new_deletes, partition.path)
-        target = np.setdiff1d(new, prior, assume_unique=True)
+        # newly-dead = (new eq-key matches ∪ new positional deletes)
+        # minus everything already dead at the prior state. Per-commit
+        # planning never sets both (it refuses to order two delete
+        # sources inside one snapshot); the NETTED range planner sets
+        # both routinely — one commit added an eq file, a later one a DV
+        # — and the union is exactly the range's cumulative delete set.
+        news = []
+        if getattr(partition, "eq_new", None):
+            from .iceberg.maintenance import _eq_matched_positions
+
+            news.append(
+                _eq_matched_positions(
+                    pf, _load_eq_sets(partition.eq_new)
+                ).astype("int64")
+            )
+        if partition.new_deletes:
+            news.append(
+                _decode_delete_positions(partition.new_deletes, partition.path)
+            )
+        new = news[0] if len(news) == 1 else np.union1d(*news)
+        target = np.setdiff1d(new, prior).astype("int64")
         if target.size == 0:
             return
 
@@ -446,8 +470,13 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
         hi = np.searchsorted(target, off + n)
         return (target[lo:hi] - off).astype("int64")
 
-    # deleted rows carry their v3 lineage: exact materialized ids when
-    # the file has them, else first_row_id + position, else null (v2)
+    # emitted rows carry their v3 lineage: exact materialized ids when
+    # the file has them, else first_row_id + position, else null (v2).
+    # `change` is "delete" for every per-commit partition; the netted
+    # planner also routes whole_file="live rows at the range end" reads
+    # here labeled "insert" (a file added mid-range with deletions
+    # already applied to it).
+    change = getattr(partition, "change", "delete")
     lin_src = _materialized_lineage_col(pf)
     frid = getattr(partition, "first_row_id", None)
 
@@ -468,7 +497,7 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
             idx = window_indices(off, n)
             if idx.size:
                 yield _project_batch(
-                    plan, None, len(idx), "delete", ids_for(idx, off)
+                    plan, None, len(idx), change, ids_for(idx, off)
                 )
             off += n
         return
@@ -479,7 +508,7 @@ def _read_change_deletes(pf, partition, plan, read_cols, batch_rows):
         if idx.size:
             sub = batch.take(pa.array(idx))
             yield _project_batch(
-                plan, sub, sub.num_rows, "delete", ids_for(idx, off, batch)
+                plan, sub, sub.num_rows, change, ids_for(idx, off, batch)
             )
         off += n
 
@@ -787,6 +816,39 @@ try:  # pyspark >= 4: Python Data Source API
                 )
             chain.reverse()
 
+            # Catch-up netting (examples/cdc_consumer.catch_up promoted
+            # into the source): a consumer that fell more than
+            # `cdc_catch_up_snapshots` commits behind switches from
+            # per-commit expansion to ONE range-netted plan — a row
+            # MERGEd 500 times in the gap costs one delete+insert pair
+            # instead of 500, and the per-commit eq-key bound stops
+            # being hit once per bulk commit. Netting changes event
+            # GRANULARITY (intermediate row versions are not replayed),
+            # so it is opt-in: 0 (default) never nets; option cdc_net
+            # nets every batch. Falls back to per-commit when the range
+            # contains a rewrite (replace / file-rewriting overwrite) —
+            # the file-level net cannot tell rewritten survivors from
+            # changes; per-commit handles replace by skipping it.
+            try:
+                catch_up = int(self._options.get(
+                    "cdc_catch_up_snapshots",
+                    t.metadata.properties.get(
+                        "read.cdc.catch-up-snapshots", "0"
+                    ),
+                ))
+            except (TypeError, ValueError):
+                catch_up = 0
+            always_net = str(
+                self._options.get("cdc_net", "false")
+            ).lower() in ("1", "true", "yes")
+            if (
+                (always_net or (0 < catch_up < len(chain)))
+                and self._cdc_nettable(chain)
+            ):
+                return self._netted_cdc_partitions(
+                    t, s_id, e_id, fields, batch_rows
+                )
+
             def descriptor(d):
                 if d.content_offset is not None:
                     return ("dv", d.file_path, d.content_offset,
@@ -1045,6 +1107,168 @@ try:  # pyspark >= 4: Python Data Source API
                     ))
             return parts
 
+        @staticmethod
+        def _cdc_nettable(chain) -> bool:
+            """A range is file-level nettable iff no snapshot in it
+            rewrote live data files into new ones: compaction (replace)
+            and file-rewriting overwrites preserve surviving rows'
+            lineage across a file move, which a file-set diff would
+            mis-emit as spurious delete+insert pairs (only the row-id
+            anti-join of changelog_scan nets those). Summary counters
+            make the check O(snapshots), no manifest reads."""
+            for snap in chain:
+                op = snap.summary.operation
+                if op == "replace":
+                    return False
+                if op == "overwrite":
+                    try:
+                        if int(
+                            snap.summary.properties.get(
+                                "deleted-data-files", "0"
+                            ) or 0
+                        ) > 0:
+                            return False
+                    except (TypeError, ValueError):
+                        return False
+            return True
+
+        def _netted_cdc_partitions(self, t, s_id, e_id, fields, batch_rows):
+            """Range-netted CDC planning: diff the START state against
+            the END state directly (two metadata plans total) instead of
+            expanding every commit in between — the streaming promotion
+            of examples/cdc_consumer.catch_up. Emitted events are the
+            NET effect of the range, identical to folding the
+            per-commit stream's events per _row_id:
+
+              * file live at e but not at s → its rows live AT E as
+                inserts (deletions the range already applied to the new
+                file are subtracted BEFORE emission — per-commit would
+                emit them as insert then delete, which nets to nothing);
+              * file live at both → dead(e) minus dead(s) as deletes
+                (DV growth and new eq-delete files union executor-side);
+              * file live at s but not at e → its s-live rows as deletes
+                (whole-file drop; rewrites were excluded by
+                _cdc_nettable).
+
+            Driver cost: two plans, O(live files); executors read only
+            files with changes. The eq-key plan-time bound applies per
+            partition exactly as in per-commit mode."""
+            from .iceberg.manifest import DataFileContent
+            from .iceberg.table import strip_scheme
+
+            def descriptor(d):
+                if d.content_offset is not None:
+                    return ("dv", d.file_path, d.content_offset,
+                            d.content_size_in_bytes)
+                return ("pos", d.file_path)
+
+            try:
+                eq_keys_max = int(self._options.get(
+                    "cdc_eq_keys_max_rows",
+                    t.metadata.properties.get(
+                        "read.cdc.eq-keys-max-rows", "2000000"
+                    ),
+                ))
+            except (TypeError, ValueError):
+                eq_keys_max = 2_000_000
+            eq_nrows: dict[str, int] = {}
+
+            def eq_descs(delete_files, exclude=None):
+                out = []
+                for d in delete_files:
+                    if d.content != DataFileContent.EQUALITY_DELETES:
+                        continue
+                    if exclude is not None and d.file_path in exclude:
+                        continue
+                    eq_nrows[d.file_path] = int(d.record_count or 0)
+                    out.append((d.file_path, list(d.equality_ids or [])))
+                return out
+
+            def check_eq_bound(path, *desc_lists):
+                total = sum(
+                    eq_nrows.get(p, 0)
+                    for descs in desc_lists
+                    for p, _ in descs
+                )
+                if total > eq_keys_max:
+                    raise ValueError(
+                        f"cdc stream (netted): the range ({s_id}, {e_id}]"
+                        f" loads {total} equality-delete key rows into "
+                        f"each task reading {path} — above read.cdc.eq-"
+                        f"keys-max-rows={eq_keys_max}. Consume via "
+                        "changelog_poll (distributed anti-join, bounded "
+                        "memory) or run convert_equality_deletes first; "
+                        "raise the property to override"
+                    )
+
+            prior_by_path: dict[str, tuple] = {}
+            if s_id != -1:
+                for task in t.scan(snapshot_id=s_id).plan_files():
+                    prior_by_path[strip_scheme(task.file.file_path)] = (
+                        task.file.file_path,
+                        [
+                            descriptor(d)
+                            for d in task.delete_files
+                            if d.content == DataFileContent.POSITION_DELETES
+                        ],
+                        eq_descs(task.delete_files),
+                        task.file.first_row_id,
+                    )
+            parts = []
+            for task in t.scan(snapshot_id=e_id).plan_files():
+                key = strip_scheme(task.file.file_path)
+                e_pos = [
+                    descriptor(d)
+                    for d in task.delete_files
+                    if d.content == DataFileContent.POSITION_DELETES
+                ]
+                e_eqs = eq_descs(task.delete_files)
+                frid = task.file.first_row_id
+                if key not in prior_by_path:
+                    # added during the range and still live: emit its
+                    # live-at-e rows as inserts (whole_file live-read,
+                    # labeled insert)
+                    if e_pos or e_eqs:
+                        check_eq_bound(task.file.file_path, e_eqs)
+                        parts.append(_CdcFilePartition(
+                            task.file.file_path, fields, self._cfg,
+                            batch_rows, "insert",
+                            prior_deletes=e_pos, eq_prior=e_eqs,
+                            whole_file=True, first_row_id=frid,
+                        ))
+                    else:
+                        parts.append(_CdcFilePartition(
+                            task.file.file_path, fields, self._cfg,
+                            batch_rows, "insert", first_row_id=frid,
+                        ))
+                    continue
+                _, s_pos, s_eqs, s_frid = prior_by_path.pop(key)
+                s_eq_paths = {p for p, _ in s_eqs}
+                eq_new = [pe for pe in e_eqs if pe[0] not in s_eq_paths]
+                if not e_pos and not eq_new:
+                    continue  # no delete growth on this file in range
+                # cumulative DVs: dead(e) ⊇ dead(s); the executor diff
+                # (new ∪ eq_new matches) − (prior ∪ s_eq matches) is
+                # exactly the range's newly-dead rows
+                check_eq_bound(task.file.file_path, s_eqs, eq_new)
+                parts.append(_CdcFilePartition(
+                    task.file.file_path, fields, self._cfg, batch_rows,
+                    "delete",
+                    new_deletes=e_pos, prior_deletes=s_pos,
+                    eq_new=eq_new, eq_prior=s_eqs,
+                    first_row_id=s_frid,
+                ))
+            for key, (path, s_pos, s_eqs, frid) in prior_by_path.items():
+                # live at s, gone at e: a genuine whole-file drop
+                # (rewrites were excluded by _cdc_nettable)
+                check_eq_bound(path, s_eqs)
+                parts.append(_CdcFilePartition(
+                    path, fields, self._cfg, batch_rows, "delete",
+                    prior_deletes=s_pos, eq_prior=s_eqs,
+                    whole_file=True, first_row_id=frid,
+                ))
+            return parts
+
         def read(self, partition):
             from .iceberg import fileio
 
@@ -1060,7 +1284,17 @@ try:  # pyspark >= 4: Python Data Source API
             batch_rows = getattr(partition, "batch_rows", 8192)
             with fileio.parquet_file(partition.path) as pf:
                 plan, read_cols = _resolve_read_plan(pf, partition.fields)
-                if change == "delete":
+                if change == "delete" or (
+                    change == "insert"
+                    and (
+                        getattr(partition, "whole_file", False)
+                        or getattr(partition, "prior_deletes", None)
+                        or getattr(partition, "eq_prior", None)
+                    )
+                ):
+                    # delete diffs AND the netted planner's live-rows-
+                    # as-inserts partitions (a file added mid-range with
+                    # range-end deletions applied before emission)
                     yield from _read_change_deletes(
                         pf, partition, plan, read_cols, batch_rows
                     )

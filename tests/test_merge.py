@@ -987,3 +987,153 @@ def test_scan_filter_tasks_matches_planned_subset(fs_catalog, spark):
     )
     planned = sorted(x.file.file_path for x in t.scan(flt).plan_files())
     assert derived == planned and len(planned) == 1
+
+
+def test_compile_sql_condition_subset(fs_catalog, spark):
+    """The by-source condition compiler: supported subset compiles,
+    anything else degrades to None (no pruning, never an error)."""
+    from iceberg_go_distributed_spark.iceberg.write import (
+        _by_source_prune_filter,
+        _compile_sql_condition,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import (
+        DateType, DoubleType, LongType, NestedField, Schema, StringType,
+    )
+
+    sch = Schema(0, (
+        NestedField(1, "id", LongType(), required=False),
+        NestedField(2, "owner", StringType(), required=False),
+        NestedField(3, "updated_at", DateType(), required=False),
+        NestedField(4, "v", DoubleType(), required=False),
+    ))
+    compiles = [
+        "target.updated_at < date '2024-01-01'",
+        "target.id >= 38",
+        "id >= 38 AND owner = 'x'",
+        "target.id IN (1, 2, 3) OR target.owner IS NULL",
+        "NOT (target.v > 5.5)",
+        "owner IS NOT NULL",
+    ]
+    rejects = [
+        "target.id % 9973 = 0",       # arithmetic
+        "length(owner) > 3",          # function
+        "source.id = 1",              # wrong side
+        "target.id = target.v",       # column-to-column
+        "target.nope = 1",            # unknown column
+    ]
+    for sql in compiles:
+        assert _compile_sql_condition(sql, sch) is not None, sql
+    for sql in rejects:
+        assert _compile_sql_condition(sql, sch) is None, sql
+    # an unconditional active clause disables pruning entirely
+    assert _by_source_prune_filter(sch, True, None, False, None) is None
+    assert _by_source_prune_filter(sch, True, "id >= 38", True, None) is None
+    assert _by_source_prune_filter(sch, True, "id >= 38", False, None) is not None
+
+
+def test_merge_by_source_condition_prunes_scan(fs_catalog, spark, monkeypatch):
+    """A compilable by-source condition must prune the by-source scan
+    (plan-asserted: minority of files planned) while producing exactly
+    the unpruned twin's table."""
+    from iceberg_go_distributed_spark.iceberg import table as TBL
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_ROWS", 1)
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_FILES", 1)
+
+    def mk(name):
+        df = spark.createDataFrame(
+            [(i, "live", float(i)) for i in range(100)],
+            "id long, owner string, balance double",
+        )
+        t = fs_catalog.create_table(name, schema_from_spark(df.schema))
+        for s in range(5):  # id-clustered files: [0,20) [20,40) ...
+            t.append(df.where((F.col("id") >= s * 20) & (F.col("id") < (s + 1) * 20)).coalesce(1))
+        t.refresh()
+        return t
+
+    src = spark.createDataFrame(
+        [(1, "u1", -1.0)], "id long, owner string, balance double"
+    )
+
+    scans = []
+    real_to_df = TBL.Scan.to_df
+
+    def spy_to_df(self, spark_, tasks=None):
+        if tasks is not None:
+            scans.append((str(self.row_filter), len(tasks)))
+        return real_to_df(self, spark_, tasks)
+
+    monkeypatch.setattr(TBL.Scan, "to_df", spy_to_df)
+
+    t = mk("db.bsc_p")
+    assert t.merge(
+        spark, src, on=["id"],
+        matched_update="*",
+        not_matched_insert=False,
+        not_matched_by_source_delete_condition="target.id >= 80",
+    )
+    # the by-source scan planned a MINORITY of the 5 files: the id>=80
+    # condition keeps only the [80,100) file (+ the key-bounded sibling
+    # scan, itself a minority)
+    by_cond = [n for f, n in scans if "gt_eq" in f and "80" in f]
+    assert by_cond and all(n == 1 for n in by_cond), scans
+
+    monkeypatch.setattr(TBL.Scan, "to_df", real_to_df)
+    t2 = mk("db.bsc_u")
+    assert t2.merge(
+        spark, src, on=["id"],
+        matched_update="*",
+        not_matched_insert=False,
+        not_matched_by_source_delete_condition="target.id >= 80",
+        prune_target=False,
+    )
+    t.refresh(); t2.refresh()
+    a = sorted((r.id, r.owner, r.balance) for r in t.scan().to_df(spark).collect())
+    b = sorted((r.id, r.owner, r.balance) for r in t2.scan().to_df(spark).collect())
+    assert a == b
+    assert len(a) == 80 and (1, "u1", -1.0) in a
+
+
+def test_merge_by_source_pruning_spares_duplicate_key_siblings(
+    fs_catalog, spark, monkeypatch
+):
+    """THE sibling-hazard gate for condition pruning: a duplicate-key
+    row that FAILS the by-source condition may live in a file the
+    condition prunes, while its key is still equality-deleted (another
+    row of the key satisfied the condition). The sibling must be
+    re-emitted from the separate key-bounded scan — a (wrong)
+    cond-pruned-only implementation silently loses it."""
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_ROWS", 1)
+    monkeypatch.setattr(W, "MERGE_PRUNE_MIN_TARGET_FILES", 1)
+
+    t = fs_catalog.create_table(
+        "db.bsc_sib",
+        schema_from_spark(
+            spark.createDataFrame([(1, "a", 1.0)], "id long, owner string, v double").schema
+        ),
+    )
+    # file 1: the condition-satisfying dup (v=100) + padding
+    t.append(spark.createDataFrame(
+        [(1, "hot", 100.0), (10, "pad", 150.0)], "id long, owner string, v double"
+    ).coalesce(1))
+    # file 2: the SIBLING (same key id=1, v=0 fails cond) + padding —
+    # file bounds v in [0, 5]: pruned by v >= 100
+    t.append(spark.createDataFrame(
+        [(1, "cold", 0.0), (20, "pad", 5.0)], "id long, owner string, v double"
+    ).coalesce(1))
+    t.refresh()
+
+    src = spark.createDataFrame([(99, "s", 0.0)], "id long, owner string, v double")
+    assert t.merge(
+        spark, src, on=["id"],
+        not_matched_insert=False,
+        not_matched_by_source_delete_condition="target.v >= 100.0",
+    )
+    t.refresh()
+    got = sorted((r.id, r.owner, r.v) for r in t.scan().to_df(spark).collect())
+    # (1,'hot',100) deleted; (10,'pad',150) deleted; the sibling
+    # (1,'cold',0) re-emitted; (20,'pad',5) untouched
+    assert got == [(1, "cold", 0.0), (20, "pad", 5.0)], got

@@ -204,8 +204,12 @@ def test_auto_route_to_distributed_planning(big_table, spark, monkeypatch):
     auto = {t.file.file_path for t in scan.plan_files_auto(spark)}
     assert auto == local and not calls
 
-    # lowered threshold: the same call fans out to executors
+    # lowered threshold: the same call fans out to executors. Clear the
+    # plan memo first — a repeated identical scan would (by design) be
+    # served from it before the router ever runs, and this test is
+    # about the ROUTER.
     big_table.metadata.properties["read.distributed-planning.min-manifests"] = "2"
+    table_mod._PLAN_CACHE.clear()
     auto2 = {t.file.file_path for t in scan.plan_files_auto(spark)}
     assert auto2 == local and calls
     # the metadata-only count fast path rides the same router
@@ -289,3 +293,61 @@ def test_auto_route_triggers_on_file_count_for_fat_manifests(tmp_path, spark):
     finally:
         table_mod.plan_files_distributed = orig
     assert not calls and len(got2) == n_match
+
+
+def test_plan_cache_repeat_scan_skips_manifest_reads(tmp_path, spark, monkeypatch):
+    """Planning memoizes per (metadata location, snapshot, filter): a
+    repeated scan of an unchanged table reads zero manifests, returns
+    the identical file set, and any commit invalidates by construction
+    (new metadata location). Distinct filters get distinct entries."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg import table as TBL
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    TBL._PLAN_CACHE.clear()
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], "id long, v double")
+    cat = FileSystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.pc", schema_from_spark(df.schema))
+    for s in range(4):
+        t.append(df.where((df.id >= s * 10) & (df.id < (s + 1) * 10)).coalesce(1))
+    t.refresh()
+
+    reads = []
+    real = TBL.read_manifest
+
+    def spy(path, **kw):
+        reads.append(path)
+        return real(path, **kw)
+
+    monkeypatch.setattr(TBL, "read_manifest", spy)
+
+    first = t.scan().plan_files()
+    assert len(first) == 4 and reads, "first plan must read manifests"
+    n = len(reads)
+    second = t.scan().plan_files()
+    assert len(reads) == n, "repeat plan re-read manifests (cache miss)"
+    assert [x.file.file_path for x in second] == [x.file.file_path for x in first]
+
+    # a different filter is a different entry — and prunes correctly
+    flt = E.and_(E.greater_than_or_equal("id", 10), E.less_than("id", 20))
+    filtered = t.scan(flt).plan_files()
+    assert len(filtered) == 1 and len(reads) > n
+    n = len(reads)
+    assert len(t.scan(flt).plan_files()) == 1 and len(reads) == n  # hit
+
+    # commit → new metadata location → miss → the new file is planned
+    t.append(df.where("id < 5").coalesce(1))
+    t.refresh()
+    assert len(t.scan().plan_files()) == 5 and len(reads) > n
+
+    # property kill switch
+    tx = t.transaction()
+    tx.set_properties({"read.plan-cache.enabled": "false"})
+    tx.commit()
+    t.refresh()
+    t.scan().plan_files()
+    n = len(reads)
+    t.scan().plan_files()
+    assert len(reads) > n, "disabled cache must re-plan"
+    TBL._PLAN_CACHE.clear()

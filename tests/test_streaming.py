@@ -1323,3 +1323,109 @@ def test_iceberg_stream_cdc_refuses_oversized_eq_keys(tmp_path, spark):
     kinds = {(r[0], r[2]) for r in seen}
     assert (1, "delete") in kinds and (1, "insert") in kinds
     assert sum(1 for r in seen if r[2] == "delete") == 3
+
+
+def test_iceberg_stream_cdc_netted_catch_up(tmp_path, spark):
+    """cdc_catch_up_snapshots=N (examples/cdc_consumer.catch_up promoted
+    into the source): a stream resuming more than N commits behind
+    plans ONE range-netted batch. Events must equal changelog_scan over
+    the same range (the netted oracle), and a hot key merged 4 times in
+    the gap costs exactly one delete+insert pair — the per-commit
+    expansion would emit four. A compaction inside a later gap makes the
+    range non-nettable: the source falls back to per-commit expansion
+    (replace skipped), and the mirror reconstructed from ALL events
+    still equals the live table."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+    from iceberg_go_distributed_spark.iceberg.write import rewrite_data_files
+    from iceberg_go_distributed_spark.streaming import iceberg_stream
+
+    wh = str(tmp_path / "wh")
+    cat = FileSystemCatalog(wh)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    t = cat.create_table("db.cdcn", schema_from_spark(df.schema))
+    t.upgrade_format_version(3)
+    t.append(df.coalesce(1))
+
+    seen: list[tuple] = []
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            iceberg_stream(
+                spark, wh, "db.cdcn", mode="cdc",
+                cdc_catch_up_snapshots="2",
+            )
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(
+                    tuple(r)
+                    for r in b.select("id", "v", "_change_type", "_row_id").collect()
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert len(seen) == 10 and all(r[2] == "insert" for r in seen)
+    t.refresh()
+    s_mid = t.current_snapshot().snapshot_id
+
+    # gap churn while the stream is down: hot key re-merged 4×, two new
+    # keys appended, a predicate delete — 6 commits > threshold 2
+    for k in range(4):
+        t.upsert(
+            spark.createDataFrame([(1, f"hot{k}")], "id long, v string"),
+            key_columns=["id"],
+        )
+    t.append(
+        spark.createDataFrame([(20, "t"), (21, "u")], "id long, v string").coalesce(1)
+    )
+    t.delete_where(
+        spark,
+        E.and_(E.greater_than_or_equal("id", 8), E.less_than("id", 10)),
+    )
+    t.refresh()
+    e_id = t.current_snapshot().snapshot_id
+
+    n0 = len(seen)
+    run_once()
+    got = sorted(seen[n0:])
+    oracle = sorted(
+        tuple(r)
+        for r in t.changelog_scan(spark, s_mid, e_id)
+        .select("id", "v", "_change_type", "_row_id")
+        .collect()
+    )
+    assert got == oracle, (got, oracle)
+    # THE netting win: one delete (v0 version) + one insert (final) for
+    # the hot key — per-commit expansion would emit four pairs
+    hot = sorted(r for r in got if r[0] == 1)
+    assert len(hot) == 2, hot
+    assert {r[2] for r in hot} == {"insert", "delete"}
+    assert next(r[1] for r in hot if r[2] == "insert") == "hot3"
+
+    # compaction inside the next gap → range not nettable → per-commit
+    # fallback (replace skipped); one more churn commit after it
+    assert rewrite_data_files(t, spark)
+    t.refresh()
+    t.upsert(
+        spark.createDataFrame([(20, "T2")], "id long, v string"),
+        key_columns=["id"],
+    )
+    t.refresh()
+    run_once()
+
+    # mirror reconstruction over ALL delivered events equals the table
+    mirror: dict = {}
+    for rid_ev in seen:
+        _id, v, ch, rid = rid_ev
+        if ch == "insert":
+            mirror[rid] = (_id, v)
+        else:
+            mirror.pop(rid, None)
+    live = sorted((r.id, r.v) for r in t.scan().to_df(spark).collect())
+    assert sorted(mirror.values()) == live, (sorted(mirror.values()), live)
