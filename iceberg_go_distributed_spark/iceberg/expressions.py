@@ -857,3 +857,79 @@ def to_spark_column(expr: Expression):
     if isinstance(expr, UnboundPredicate):
         raise ValueError("bind the expression before compiling to Spark")
     raise TypeError(f"cannot compile {expr!r}")
+
+
+def to_arrow_expression(expr: Expression):
+    """Compile a BOUND expression to a pyarrow.dataset filter expression
+    — the residual bridge for executor-side Arrow reads (spj.py's
+    in-task join, where rows never pass through a Spark Column).  Same
+    SQL ternary semantics as to_spark_column: a predicate over null
+    evaluates to null and Table.filter drops it."""
+    import pyarrow.compute as pc
+
+    from .conversions import days_to_date, micros_to_datetime
+    from .types import DateType as _Date
+    from .types import TimestampType as _Ts
+    from .types import TimestampTzType as _TsTz
+
+    def conv_value(v, t):
+        if isinstance(t, _Date):
+            return days_to_date(v)
+        if isinstance(t, _TsTz):
+            return micros_to_datetime(v, tz=True)
+        if isinstance(t, _Ts):
+            return micros_to_datetime(v, tz=False)
+        return v
+
+    if isinstance(expr, AlwaysTrue):
+        return pc.scalar(True)
+    if isinstance(expr, AlwaysFalse):
+        return pc.scalar(False)
+    if isinstance(expr, And):
+        return to_arrow_expression(expr.left) & to_arrow_expression(expr.right)
+    if isinstance(expr, Or):
+        return to_arrow_expression(expr.left) | to_arrow_expression(expr.right)
+    if isinstance(expr, Not):
+        return ~to_arrow_expression(expr.child)
+    if isinstance(expr, BoundUnaryPredicate):
+        f = pc.field(expr.term.name)
+        if expr.op_ == Operation.IS_NULL:
+            return f.is_null()
+        if expr.op_ == Operation.NOT_NULL:
+            return f.is_valid()
+        if expr.op_ == Operation.IS_NAN:
+            return f.is_nan()
+        if expr.op_ == Operation.NOT_NAN:
+            return ~f.is_nan()
+    if isinstance(expr, BoundLiteralPredicate):
+        f = pc.field(expr.term.name)
+        v = conv_value(expr.literal.value, expr.literal.type)
+        op = expr.op_
+        if op == Operation.EQ:
+            return f == v
+        if op == Operation.NOT_EQ:
+            return f != v
+        if op == Operation.LT:
+            return f < v
+        if op == Operation.LT_EQ:
+            return f <= v
+        if op == Operation.GT:
+            return f > v
+        if op == Operation.GT_EQ:
+            return f >= v
+        if op == Operation.STARTS_WITH:
+            return pc.starts_with(f, str(expr.literal.value))
+        if op == Operation.NOT_STARTS_WITH:
+            return ~pc.starts_with(f, str(expr.literal.value))
+    if isinstance(expr, BoundSetPredicate):
+        f = pc.field(expr.term.name)
+        vals = [conv_value(v, expr.term.type) for v in expr.values]
+        isin = f.isin(vals)
+        if expr.op_ == Operation.IN:
+            return isin
+        # Arrow's isin maps null → false (not null), so a bare ~isin
+        # would KEEP null rows; SQL NOT IN drops them
+        return ~isin & f.is_valid()
+    if isinstance(expr, UnboundPredicate):
+        raise ValueError("bind the expression before compiling to Arrow")
+    raise TypeError(f"cannot compile {expr!r} to an Arrow expression")

@@ -1,0 +1,489 @@
+"""Storage-partitioned join & aggregation over bucket-partitioned tables.
+
+The reference engine has no joins (SURVEY §0: scan-side filter/project/
+limit only) — Spark supplies them.  But a plain ``to_df().join()``
+shuffles BOTH fact tables on the join key even when both tables were
+written with the same ``bucket[N]`` partition transform on that key,
+i.e. when the storage layout already co-locates matching rows.  Spark's
+own storage-partitioned join (SPARK-37375) exploits that for V2
+datasources; our table format is metadata-driven on the Python side, so
+we implement the same idea directly over planned file tasks:
+
+  1. plan both scans (full four-level pruning applies),
+  2. group the planned files of each side by their bucket partition
+     value — Iceberg's bucket transform is deterministic murmur3, so
+     equal keys land in equal buckets on both sides,
+  3. one Spark task per bucket reads that bucket's files from both
+     sides (Arrow), applies positional deletes / DVs, and joins
+     locally — no exchange of table data, ever.  The only shuffle in
+     the plan is the O(buckets) task-descriptor repartition.
+
+Memory per task is one bucket pair, bounded up front from manifest
+file sizes (``join.spj.max-bucket-bytes``, default 4 GiB) with the
+shuffle join named as the alternative — same bounded-or-refused
+discipline as the CDC eq-key and eq-convert bounds.
+
+``storage_partitioned_agg`` reuses the layout for exact groupBy on the
+bucketed key: every group lives wholly inside one bucket, so each task
+computes FINAL aggregates locally — no partial/merge, no exchange.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from .manifest import DataFileContent
+from .transforms import BucketTransform
+from .types import (
+    BinaryType,
+    DateType,
+    DecimalType,
+    FixedType,
+    IntegerType,
+    LongType,
+    Schema,
+    StringType,
+    TimestampNsType,
+    TimestampType,
+    TimestampTzNsType,
+    TimestampTzType,
+    schema_to_spark_struct,
+)
+
+DEFAULT_MAX_BUCKET_BYTES = 4 << 30  # join.spj.max-bucket-bytes
+
+
+def _hash_family(t) -> str:
+    """Iceberg bucket hashing groups types into families that hash
+    identically for equal values (spec: int/long/date hash as long;
+    timestamp/timestamptz as micros; string/binary as utf8/bytes).
+    Cross-family joins cannot reuse bucket co-location."""
+    if isinstance(t, (IntegerType, LongType, DateType)):
+        return "long"
+    if isinstance(t, (TimestampType, TimestampTzType)):
+        return "micros"
+    if isinstance(t, (TimestampNsType, TimestampTzNsType)):
+        return "nanos"
+    if isinstance(t, StringType):
+        return "string"
+    if isinstance(t, (BinaryType, FixedType)):
+        return "bytes"
+    if isinstance(t, DecimalType):
+        return f"decimal[{t.scale}]"
+    return f"other[{type(t).__name__}]"
+
+
+def _bucket_partition_field(table, key: str):
+    """The (partition_field, source_field) pair proving `key` is
+    bucket-partitioned under the table's default spec."""
+    schema = table.schema()
+    ident = getattr(table, "identifier", "<table>")
+    src = schema.find_field(key)
+    if src is None:
+        raise ValueError(f"{ident}: no column {key!r}")
+    for pf in table.spec().fields:
+        if pf.source_id == src.field_id and isinstance(pf.transform, BucketTransform):
+            return pf, src
+    raise ValueError(
+        f"{ident}: column {key!r} is not bucket-partitioned "
+        f"under the default spec; storage-partitioned join needs "
+        f"bucket[N] on the join key on both sides (use a regular "
+        f"to_df().join() otherwise)"
+    )
+
+
+def _side_tasks(table, key: str, row_filter):
+    """Plan one side: partition field, source field, tasks grouped by
+    bucket value, and the bound residual row filter (None when no
+    filter) — applied in-task on the Arrow rows, since pruning only
+    eliminates FILES (other keys share the bucket's files)."""
+    from .expressions import AlwaysTrue, bind_expr, rewrite_not
+
+    pf, src = _bucket_partition_field(table, key)
+    scan = table.scan(row_filter=row_filter) if row_filter is not None else table.scan()
+    tasks = scan.plan_files()
+    resid = None
+    if row_filter is not None:
+        bound = bind_expr(rewrite_not(row_filter), table.schema())
+        if not isinstance(bound, AlwaysTrue):
+            resid = bound
+    for t in tasks:
+        for d in t.delete_files:
+            if d.content == DataFileContent.EQUALITY_DELETES:
+                raise ValueError(
+                    "storage-partitioned join does not read equality "
+                    "deletes; run convert_equality_deletes() first or "
+                    "use a regular to_df().join()"
+                )
+    by_bucket: dict = {}
+    for t in tasks:
+        b = t.file.partition.get(pf.name)
+        by_bucket.setdefault(b, []).append(t)
+    return pf, src, by_bucket, resid
+
+
+def _task_json(tasks) -> str:
+    return json.dumps(
+        [
+            {
+                "path": t.file.file_path,
+                "dels": [
+                    {
+                        "path": d.file_path,
+                        "dv": (
+                            [d.content_offset, d.content_size_in_bytes]
+                            if d.content_offset is not None
+                            else None
+                        ),
+                    }
+                    for d in t.delete_files
+                    if d.content == DataFileContent.POSITION_DELETES
+                ],
+            }
+            for t in tasks
+        ]
+    )
+
+
+def _bucket_bytes(tasks) -> int:
+    return sum(t.file.file_size_in_bytes for t in tasks)
+
+
+def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, resid=None):
+    """One bucket side as a pyarrow Table: per-file read in file order
+    (positions are file-order row indexes, like _read_with_deletes_arrow,
+    table.py:1458), positional deletes / DVs dropped via a take-mask,
+    evolved files null-filled by name with the target arrow type, then
+    the bound residual row filter applied per file (pruning removed
+    FILES; other keys still share the bucket's files)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_filter = None
+    if resid is not None:
+        from .expressions import to_arrow_expression
+
+        arrow_filter = to_arrow_expression(resid)
+    parts = []
+    for f in files:
+        with fileio.open_input(f["path"]) as fh:
+            present = set(pq.read_schema(fh).names)
+        cols = [c for c in col_names if c in present]
+        tbl = fileio.read_parquet_table(f["path"], columns=cols)
+        drop: set = set()
+        for d in f["dels"]:
+            if d["dv"] is not None:
+                from . import puffin
+
+                drop.update(
+                    int(p)
+                    for p in puffin.read_deletion_vector(d["path"], d["dv"][0], d["dv"][1])
+                )
+            else:
+                dt = fileio.read_parquet_table(d["path"]).to_pandas()
+                drop.update(int(p) for p in dt.loc[dt["file_path"] == f["path"], "pos"])
+        if drop:
+            keep = np.setdiff1d(np.arange(len(tbl), dtype=np.int64), np.fromiter(drop, np.int64))
+            tbl = tbl.take(pa.array(keep))
+        # null-fill columns the file predates, cast, then order columns
+        arrays, names = [], []
+        for c in col_names:
+            names.append(c)
+            want = arrow_types[c]
+            if c in tbl.column_names:
+                col = tbl.column(c)
+                arrays.append(col.cast(want) if col.type != want else col)
+            else:
+                arrays.append(pa.nulls(len(tbl), want))
+        out = pa.table(dict(zip(names, arrays)))
+        if arrow_filter is not None:
+            out = out.filter(arrow_filter)
+        parts.append(out)
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
+def _out_struct(left_schema: Schema, right_schema: Schema, key, left_cols, right_cols):
+    from pyspark.sql import types as st
+
+    ls = {f.name: f for f in schema_to_spark_struct(left_schema).fields}
+    rs = {f.name: f for f in schema_to_spark_struct(right_schema).fields}
+    fields = [st.StructField(c, ls[c].dataType, True) for c in left_cols]
+    fields += [st.StructField(c, rs[c].dataType, True) for c in right_cols if c != key]
+    return st.StructType(fields)
+
+
+def storage_partitioned_join(
+    spark,
+    left,
+    right,
+    on,
+    how: str = "inner",
+    left_filter=None,
+    right_filter=None,
+    left_select: Optional[list] = None,
+    right_select: Optional[list] = None,
+    max_bucket_bytes: Optional[int] = None,
+):
+    """Join two tables bucket-partitioned on the join key without
+    shuffling either side: one Spark task per bucket does an in-task
+    Arrow join of that bucket's (pruned, delete-applied) files.
+
+    on: a column name present in both tables, or a
+    ``(left_key, right_key)`` pair (e.g. ``("c_custkey", "o_custkey")``);
+    the output keeps the LEFT key column.
+
+    how: 'inner' or 'left'.  NULL join keys live in the NULL bucket
+    (Iceberg bucket-transforms null to a null partition value) and
+    never match — inner drops them file-level, left emits them with a
+    null right side, both without reading the other side's files.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected inner|left")
+    lkey, rkey = (on, on) if isinstance(on, str) else (on[0], on[1])
+    lpf, lsrc, lbuckets, l_resid = _side_tasks(left, lkey, left_filter)
+    rpf, rsrc, rbuckets, r_resid = _side_tasks(right, rkey, right_filter)
+    if lpf.transform.num_buckets != rpf.transform.num_buckets:
+        raise ValueError(
+            f"bucket counts differ ({lpf.transform.num_buckets} vs "
+            f"{rpf.transform.num_buckets}); co-location needs equal N"
+        )
+    lf, rf = _hash_family(lsrc.field_type), _hash_family(rsrc.field_type)
+    if lf != rf or lf.startswith("other"):
+        raise ValueError(
+            f"join-key hash families differ or unsupported ({lf} vs {rf}); "
+            "equal keys would not share buckets"
+        )
+
+    left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
+    if lkey not in left_cols:
+        left_cols = [lkey] + left_cols
+    right_cols = list(right_select) if right_select else [f.name for f in right.schema().fields]
+    if rkey not in right_cols:
+        right_cols = [rkey] + right_cols
+    out_names = left_cols + [c for c in right_cols if c != rkey]
+    dup = {c for c in out_names if out_names.count(c) > 1}
+    if dup:
+        raise ValueError(
+            f"output column collision {sorted(dup)}; project with "
+            "left_select/right_select to disjoint names"
+        )
+
+    limit = max_bucket_bytes
+    if limit is None:
+        limit = int(
+            left.properties.get("join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES)
+        )
+
+    # task list: one row per bucket that can produce output
+    rows = []
+    if how == "inner":
+        buckets = {b for b in lbuckets if b in rbuckets and b is not None}
+    else:  # left: every left bucket; null bucket joins nothing
+        buckets = set(lbuckets)
+    for b in sorted(buckets, key=lambda x: (x is None, x)):
+        lt = lbuckets.get(b, [])
+        rt = rbuckets.get(b, []) if b is not None else []
+        if not lt:
+            continue
+        total = _bucket_bytes(lt) + _bucket_bytes(rt)
+        if total > limit:
+            raise ValueError(
+                f"bucket {b}: {total} bytes exceeds join.spj.max-bucket-bytes"
+                f"={limit}; raise the property, rewrite with more buckets, "
+                "or use a regular to_df().join()"
+            )
+        rows.append((int(b) if b is not None else -1, _task_json(lt), _task_json(rt)))
+
+    out_struct = _out_struct(left.schema(), right.schema(), rkey, left_cols, right_cols)
+    if not rows:
+        return spark.createDataFrame([], out_struct)
+
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
+    task_df = spark.createDataFrame(
+        rows, "bucket int, left_files string, right_files string"
+    ).repartition(len(rows))
+    right_data_cols = [c for c in right_cols if c != rkey]
+    out_name_list = [f.name for f in out_struct.fields]
+
+    # per-side read types; widen a long-family key to int64 on BOTH
+    # sides so int/long bucket siblings join on one physical type (the
+    # final cast narrows the key back to the left schema's type)
+    import pyarrow as _pa
+    from pyspark.sql.pandas.types import to_arrow_schema as _taschema
+
+    l_types = {
+        f.name: f.type for f in _taschema(schema_to_spark_struct(left.schema()))
+    }
+    r_types = {
+        f.name: f.type for f in _taschema(schema_to_spark_struct(right.schema()))
+    }
+    if lf == "long":
+        l_types[lkey] = r_types[rkey] = _pa.int64()
+
+    # residual filters may reference columns outside the projection:
+    # read them too, filter, then project back to the selected columns
+    from .expressions import extract_field_names
+
+    l_read = left_cols + sorted(
+        (extract_field_names(l_resid) if l_resid is not None else set()) - set(left_cols)
+    )
+    r_read = right_cols + sorted(
+        (extract_field_names(r_resid) if r_resid is not None else set()) - set(right_cols)
+    )
+
+    def join_task(batches):
+        import pyarrow as pa
+
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        for batch in batches:
+            for row in batch.to_pylist():
+                lt = _read_bucket_arrow(
+                    json.loads(row["left_files"]), l_read, l_types, fileio, l_resid
+                )
+                if lt is None or len(lt) == 0:
+                    continue
+                lt = lt.select(left_cols)
+                rt = (
+                    _read_bucket_arrow(
+                        json.loads(row["right_files"]), r_read, r_types, fileio, r_resid
+                    )
+                    if row["right_files"] != "[]"
+                    else None
+                )
+                if rt is not None:
+                    rt = rt.select(right_cols)
+                if rt is None or len(rt) == 0:
+                    if how == "inner":
+                        continue
+                    # left join, empty right: null-fill right columns
+                    arrays = [lt.column(c) for c in left_cols] + [
+                        pa.nulls(len(lt), target.field(c).type) for c in right_data_cols
+                    ]
+                    joined = pa.table(dict(zip(out_name_list, arrays)))
+                else:
+                    jt = "inner" if how == "inner" else "left outer"
+                    joined = lt.join(rt, keys=[lkey], right_keys=[rkey], join_type=jt)
+                    joined = joined.select(out_name_list)
+                joined = joined.cast(target)
+                yield from joined.to_batches(max_chunksize=1 << 16)
+
+    return task_df.mapInArrow(join_task, out_struct)
+
+
+def storage_partitioned_agg(
+    spark,
+    table,
+    on: str,
+    aggs: dict,
+    row_filter=None,
+    max_bucket_bytes: Optional[int] = None,
+):
+    """Exact groupBy(on).agg(...) without any exchange: the bucket
+    layout guarantees each key's rows live in exactly one bucket, so a
+    per-bucket Arrow group_by computes FINAL aggregates (count / sum /
+    min / max / mean supported).
+
+    aggs: {output_name: (column, fn)} with fn in count|sum|min|max|mean.
+    """
+    allowed = {"count", "sum", "min", "max", "mean"}
+    for name, (col, fn) in aggs.items():
+        if fn not in allowed:
+            raise ValueError(f"{name}: fn {fn!r} not in {sorted(allowed)}")
+    pf, src, by_bucket, resid = _side_tasks(table, on, row_filter)
+    from .expressions import extract_field_names
+
+    need = sorted(
+        {on}
+        | {c for (c, _) in aggs.values()}
+        | (extract_field_names(resid) if resid is not None else set())
+    )
+    limit = max_bucket_bytes
+    if limit is None:
+        limit = int(
+            table.properties.get("join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES)
+        )
+    rows = []
+    for b, tasks in sorted(by_bucket.items(), key=lambda kv: (kv[0] is None, kv[0])):
+        total = _bucket_bytes(tasks)
+        if total > limit:
+            raise ValueError(
+                f"bucket {b}: {total} bytes exceeds join.spj.max-bucket-bytes"
+                f"={limit}; rewrite with more buckets or use df.groupBy()"
+            )
+        rows.append((int(b) if b is not None else -1, _task_json(tasks)))
+
+    from pyspark.sql import types as st
+
+    key_type = {
+        f.name: f for f in schema_to_spark_struct(table.schema()).fields
+    }
+    out_fields = [st.StructField(on, key_type[on].dataType, True)]
+    for name, (col, fn) in aggs.items():
+        if fn == "count":
+            t = st.LongType()
+        elif fn == "mean":
+            t = st.DoubleType()
+        elif fn == "sum":
+            # widen like SQL: integral sums overflow their input type
+            src_t = key_type[col].dataType
+            if isinstance(src_t, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)):
+                t = st.LongType()
+            elif isinstance(src_t, st.DecimalType):
+                t = st.DecimalType(38, src_t.scale)
+            else:
+                t = st.DoubleType()
+        else:
+            t = key_type[col].dataType
+        out_fields.append(st.StructField(name, t, True))
+    out_struct = st.StructType(out_fields)
+    if not rows:
+        return spark.createDataFrame([], out_struct)
+
+    from . import fileio as _fileio
+    from pyspark.sql.pandas.types import to_arrow_schema as _taschema
+
+    t_types = {
+        f.name: f.type for f in _taschema(schema_to_spark_struct(table.schema()))
+    }
+    fileio_cfg = _fileio.env_config()
+    task_df = spark.createDataFrame(rows, "bucket int, files string").repartition(len(rows))
+    agg_items = [(name, col, fn) for name, (col, fn) in aggs.items()]
+    out_name_list = [f.name for f in out_struct.fields]
+
+    def agg_task(batches):
+        import pyarrow as pa
+
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        for batch in batches:
+            for row in batch.to_pylist():
+                tbl = _read_bucket_arrow(
+                    json.loads(row["files"]), need, t_types, fileio, resid
+                )
+                if tbl is None or len(tbl) == 0:
+                    continue
+                spec = [(col, fn) for (_, col, fn) in agg_items]
+                res = tbl.group_by([on]).aggregate(spec)
+                # arrow names results f"{col}_{fn}"; rename to out names
+                cols = {on: res.column(on)}
+                for name, col, fn in agg_items:
+                    cols[name] = res.column(f"{col}_{fn}")
+                out = pa.table(cols).select(out_name_list).cast(target)
+                yield from out.to_batches(max_chunksize=1 << 16)
+
+    return task_df.mapInArrow(agg_task, out_struct)

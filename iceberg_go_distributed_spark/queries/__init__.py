@@ -87,7 +87,12 @@ _PRIORITY = [
     "ice_overwrite",
     "ice_equality_deletes",
     "ice_nan_roundtrip",
-    "ice_upsert",
+    # ice_upsert rotated r11 (driver-green r2–r10; upsert IS a
+    # two-clause MERGE, whose in-window ice_merge row pins the same
+    # equality-delete + re-append pipeline with strictly more clauses)
+    # — its slot admits the new storage-partitioned join so the
+    # zero-exchange bucket join gets a driver row in round one.
+    "ice_spj",
     "ice_deletion_vector",
     "ice_v3_write",
     "ice_row_lineage",
@@ -238,6 +243,9 @@ ROTATED_OUT: dict[str, dict] = {
     "ice_snapshot_summary": _r(8, None, "snapshot summary counters; 6 driver-green rounds (r2-r7); the running total-* counters are also fuzzed against full manifest recomputation every round, and the local oracle keeps verifying values"),
     # round 8 rotation — to admit ice_eq_convert into the window
     "ice_positional_deletes": _r(8, "ice_deletion_vector", "6 driver-green rounds (r2-r7); positional-delete matching stays in-window via ice_deletion_vector and the MOR round trip"),
+    # round 11 rotation — to admit ice_spj (the storage-partitioned
+    # join oracle) into the window in its first round
+    "ice_upsert": _r(11, "ice_merge", "9 driver-green rounds (r2-r10); upsert is a two-clause MERGE — the in-window ice_merge row exercises the same equality-delete + re-append pipeline with strictly more clauses, and the local oracle keeps verifying upsert's values every round"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),

@@ -1277,3 +1277,73 @@ def ice_eq_convert(spark, sf_dir):
             ).alias("total"),
         )
     )
+
+
+@query(
+    "ice_spj",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE NOT (o_totalprice > 400000.0)
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "storage-partitioned join: bucket[8]-co-located orders⋈customer "
+        "joined per-bucket in-task (zero table exchange), MOR deletes "
+        "applied during the bucket read"
+    ),
+)
+def ice_spj(spark, sf_dir):
+    """Write customer and orders bucket[8] on the customer key, delete
+    the priciest orders (merge-on-read), then join the two tables with
+    the storage-partitioned join (iceberg/spj.py): each bucket's files
+    from both sides meet in ONE task, so the plan holds no join operator
+    and no hashpartitioning of table data — the shuffle a fact⋈fact join
+    pays at 100 TB is eliminated by the write-time layout.  The
+    per-bucket no-exchange aggregate is cross-checked in-query against
+    the table's own scan count."""
+    from ..iceberg import expressions as E
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.spj import storage_partitioned_agg, storage_partitioned_join
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_spj", sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cs = schema_from_spark(cust.schema)
+    osch = schema_from_spark(orders.schema)
+    tc = cat.create_table("db.cust_spj", cs, spec=spec_from(cs, ("c_custkey", "bucket[8]")))
+    to = cat.create_table("db.ord_spj", osch, spec=spec_from(osch, ("o_custkey", "bucket[8]")))
+    tc.append(cust)
+    to.append(orders)
+    to.delete_where(spark, E.greater_than("o_totalprice", 400000.0))
+    assert any(t.delete_files for t in to.scan().plan_files()), "expected MOR tasks"
+
+    df = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan, "SPJ must not exchange table data"
+
+    # layout cross-check: the per-bucket (no-exchange) agg accounts for
+    # every surviving order exactly once
+    per_key = storage_partitioned_agg(
+        spark, to, on="o_custkey", aggs={"n": ("o_orderkey", "count")}
+    )
+    total = per_key.agg(F.sum("n")).first()[0]
+    assert total == to.scan().count(spark), "per-bucket agg lost/duplicated rows"
+
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias("tot"),
+    )

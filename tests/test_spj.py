@@ -1,0 +1,371 @@
+"""Storage-partitioned join / aggregation over the engine's own
+bucket-partitioned tables (iceberg/spj.py).
+
+Unlike test_bucketed_join.py (Spark-managed bucketBy tables), these run
+on OUR table format: the bucket co-location comes from the Iceberg
+bucket[N] partition transform (bit-exact murmur3, transforms.py), the
+reads honor positional deletes / DVs, and both scan sides prune through
+the normal four-level cascade before bucket grouping.  The plan never
+exchanges table data — only the O(buckets) task-descriptor repartition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.datasets import load_table
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.spj import (
+    storage_partitioned_agg,
+    storage_partitioned_join,
+)
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+def _bucketed(catalog, name, df, key, n=8):
+    schema = schema_from_spark(df.schema)
+    t = catalog.create_table(f"db.{name}", schema, spec=spec_from(schema, (key, f"bucket[{n}]")))
+    t.append(df)
+    return t
+
+
+@pytest.fixture()
+def cust_orders(spark, sf_dir, catalog):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tc = _bucketed(catalog, "cust", cust, "c_custkey")
+    to = _bucketed(catalog, "ord", orders, "o_custkey")
+    return tc, to, cust, orders
+
+
+def _agg_rows(df, seg_col="c_mktsegment"):
+    return [
+        tuple(r)
+        for r in df.groupBy(seg_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("tot"),
+        )
+        .orderBy(seg_col)
+        .collect()
+    ]
+
+
+def test_spj_inner_matches_shuffle_join(spark, cust_orders):
+    tc, to, cust, orders = cust_orders
+    got = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    exp = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    assert _agg_rows(got) == _agg_rows(exp)
+
+
+def test_spj_left_join_and_null_keys(spark, catalog):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nullkey"), (9, "nomatch")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "rk int, rv double"
+    )
+    tl = _bucketed(catalog, "l", left, "k", n=4)
+    tr = _bucketed(catalog, "r", right, "rk", n=4)
+    got = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how="left")
+    rows = sorted(
+        [tuple(r) for r in got.collect()], key=lambda r: (r[1] or "", r[2] or 0)
+    )
+    # k=1 matches twice, k=2 once, null key and 9 unmatched with null rv
+    assert (1, "a", 10.0) in rows and (1, "a", 11.0) in rows
+    assert (2, "b", 20.0) in rows
+    assert (None, "nullkey", None) in rows
+    assert (9, "nomatch", None) in rows
+    assert len(rows) == 5
+    # inner drops the unmatched rows (and never reads the null bucket)
+    inner = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how="inner")
+    assert inner.count() == 3
+
+
+def test_spj_applies_positional_deletes(spark, sf_dir, catalog):
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    to = _bucketed(catalog, "ord_mor", orders, "o_custkey")
+    tc = _bucketed(catalog, "cust_mor", cust, "c_custkey")
+    to.delete_where(spark, E.greater_than("o_totalprice", 150000.0))
+    assert any(
+        t.delete_files for t in to.scan().plan_files()
+    ), "expected MOR tasks with delete files"
+    got = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    exp = (
+        orders.where("NOT (o_totalprice > 150000.0)")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    )
+    assert _agg_rows(got) == _agg_rows(exp)
+
+
+def test_spj_refuses_equality_deletes(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    to = _bucketed(catalog, "ord_eq", orders, "o_custkey")
+    tc = _bucketed(catalog, "cust_eq", cust, "c_custkey")
+    keys = orders.select("o_orderkey").limit(5)
+    to.delete_by_keys(keys, ["o_orderkey"])
+    with pytest.raises(ValueError, match="equality"):
+        storage_partitioned_join(spark, to, tc, on=("o_custkey", "c_custkey"))
+
+
+def test_spj_refuses_incompatible_layouts(spark, catalog):
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    t4 = _bucketed(catalog, "b4", df, "k", n=4)
+    t8 = _bucketed(catalog, "b8", df.withColumnRenamed("v", "w"), "k", n=8)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        storage_partitioned_join(spark, t4, t8, on="k")
+    # unpartitioned side
+    schema = schema_from_spark(df.schema)
+    tu = catalog.create_table("db.unpart", schema)
+    tu.append(df)
+    with pytest.raises(ValueError, match="not bucket-partitioned"):
+        storage_partitioned_join(spark, t4, tu, on="k")
+    # cross-family key types (long vs string) cannot share buckets
+    sdf = spark.createDataFrame([("1", 1.0)], "sk string, sv double")
+    ts = _bucketed(catalog, "bs", sdf, "sk", n=4)
+    with pytest.raises(ValueError, match="hash families"):
+        storage_partitioned_join(spark, t4, ts, on=("k", "sk"))
+
+
+def test_spj_int_long_key_family_joins(spark, catalog):
+    """int and long keys hash identically (Iceberg spec: int buckets
+    hash as long), so the families join — the key is widened to int64
+    in-task and the output keeps the left schema's type."""
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, 7.0)], "rk long, rv double")
+    tl = _bucketed(catalog, "il", left, "k", n=4)
+    tr = _bucketed(catalog, "ir", right, "rk", n=4)
+    got = storage_partitioned_join(spark, tl, tr, on=("k", "rk"))
+    assert got.schema["k"].dataType.simpleString() == "int"
+    assert [tuple(r) for r in got.collect()] == [(1, "a", 7.0)]
+
+
+def test_spj_bucket_byte_bound_refuses(spark, cust_orders):
+    tc, to, _, _ = cust_orders
+    with pytest.raises(ValueError, match="join.spj.max-bucket-bytes"):
+        storage_partitioned_join(
+            spark, to, tc, on=("o_custkey", "c_custkey"), max_bucket_bytes=1024
+        )
+
+
+def test_spj_filters_prune_before_grouping(spark, cust_orders):
+    """A key-equality filter prunes to ONE bucket's files on both
+    sides (the bucket transform projects the predicate), so the task
+    list is a single bucket — pruning happens before any read."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.transforms import BucketTransform
+    from iceberg_go_distributed_spark.iceberg.types import LongType
+
+    tc, to, cust, orders = cust_orders
+    key = 7
+    got = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_filter=E.equal("o_custkey", key),
+        right_filter=E.equal("c_custkey", key),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    exp = (
+        orders.where(F.col("o_custkey") == key)
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_custkey", "o_totalprice", "c_mktsegment")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # the planned task frame holds exactly the probed bucket
+    b = BucketTransform(8).apply(key, LongType())
+    tasks = to.scan(row_filter=E.equal("o_custkey", key)).plan_files()
+    assert tasks and all(t.file.partition["o_custkey_bucket"] == b for t in tasks)
+
+
+def test_spj_plan_has_no_table_exchange(spark, cust_orders):
+    """The ONLY exchange in the SPJ plan is the round-robin repartition
+    of the O(buckets) task-descriptor rows; no hashpartitioning of table
+    data, no SortMergeJoin/ShuffledHashJoin operators at all."""
+    tc, to, _, _ = cust_orders
+    df = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 2  # the task-list RoundRobin only
+    assert "RoundRobinPartitioning" in plan
+    assert "MapInArrow" in plan
+
+
+def test_spj_agg_matches_groupby(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    to = _bucketed(catalog, "ord_agg", orders, "o_custkey")
+    got = storage_partitioned_agg(
+        spark,
+        to,
+        on="o_custkey",
+        aggs={
+            "n": ("o_orderkey", "count"),
+            "tot": ("o_totalprice", "sum"),
+            "mx": ("o_totalprice", "max"),
+        },
+    )
+    exp = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n2"),
+        F.sum("o_totalprice").alias("tot2"),
+        F.max("o_totalprice").alias("mx2"),
+    )
+    assert got.count() == exp.count()
+    bad = (
+        got.join(exp, "o_custkey")
+        .where("n != n2 OR abs(tot - tot2) > 1e-6 OR mx != mx2")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_spj_agg_output_types_widen_sums(spark, catalog):
+    df = spark.createDataFrame([(1, 2_000_000_000), (1, 2_000_000_000)], "k int, v int")
+    t = _bucketed(catalog, "wide", df, "k", n=2)
+    got = storage_partitioned_agg(spark, t, on="k", aggs={"s": ("v", "sum")})
+    [row] = got.collect()
+    assert row.s == 4_000_000_000  # would overflow int32
+    assert got.schema["s"].dataType.simpleString() == "bigint"
+
+
+def test_spj_residual_filter_on_unselected_column(spark, cust_orders):
+    """The residual may reference a column outside the projection — it
+    is read for the filter, applied, then dropped."""
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    tc, to, cust, orders = cust_orders
+    got = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_filter=E.greater_than("o_totalprice", 100000.0),
+        left_select=["o_custkey", "o_orderkey"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    assert "o_totalprice" not in got.columns
+    exp = (
+        orders.where("o_totalprice > 100000.0")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    )
+    assert got.count() == exp.count()
+
+
+def test_spj_agg_with_row_filter(spark, sf_dir, catalog):
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _bucketed(catalog, "ord_fagg", orders, "o_custkey")
+    got = storage_partitioned_agg(
+        spark,
+        t,
+        on="o_custkey",
+        aggs={"n": ("o_orderkey", "count")},
+        row_filter=E.less_than("o_totalprice", 50000.0),
+    )
+    exp = (
+        orders.where("o_totalprice < 50000.0")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n2"))
+    )
+    assert got.count() == exp.count()
+    assert got.join(exp, "o_custkey").where("n != n2").count() == 0
+
+
+def test_to_arrow_expression_sql_null_semantics():
+    """Arrow residual compile: predicates over null drop the row (SQL
+    ternary), including NOT IN — arrow's isin maps null to false, so the
+    compiler adds the explicit validity guard."""
+    import pyarrow as pa
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.expressions import (
+        bind_expr,
+        rewrite_not,
+        to_arrow_expression,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import (
+        DoubleType,
+        LongType,
+        NestedField,
+        Schema,
+        StringType,
+    )
+
+    schema = Schema.of(
+        0,
+        NestedField(1, "k", LongType(), False),
+        NestedField(2, "s", StringType(), False),
+        NestedField(3, "x", DoubleType(), False),
+    )
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None], pa.int64()),
+            "s": ["ab", "cd", None],
+            "x": [1.0, float("nan"), None],
+        }
+    )
+
+    def run(expr):
+        bound = bind_expr(rewrite_not(expr), schema)
+        return t.filter(to_arrow_expression(bound))["k"].to_pylist()
+
+    assert run(E.not_in("s", ["cd"])) == [1]  # null s dropped, SQL NOT IN
+    assert run(E.is_in("s", ["ab", "cd"])) == [1, 2]
+    assert run(E.equal("k", 2)) == [2]
+    assert run(E.not_equal("k", 2)) == [1]  # null k dropped
+    assert run(E.is_null("k")) == [None]
+    assert run(E.not_null("k")) == [1, 2]
+    assert run(E.is_nan("x")) == [2]
+    assert run(E.not_nan("x")) == [1]  # null x dropped
+    assert run(E.starts_with("s", "a")) == [1]
+    assert run(E.and_(E.greater_than("k", 0), E.less_than("k", 2))) == [1]
+    assert run(E.or_(E.equal("k", 1), E.equal("k", 2))) == [1, 2]
