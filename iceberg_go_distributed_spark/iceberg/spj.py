@@ -19,9 +19,12 @@ we implement the same idea directly over planned file tasks:
      the plan is the O(buckets) task-descriptor repartition.
 
 Memory per task is one bucket pair, bounded up front from manifest
-file sizes (``join.spj.max-bucket-bytes``, default 4 GiB) with the
-shuffle join named as the alternative — same bounded-or-refused
-discipline as the CDC eq-key and eq-convert bounds.
+file sizes (``join.spj.max-bucket-bytes``, default 4 GiB).  A skewed
+bucket above the bound SPLITS (fragment-replicate: one side's files
+fan out across tasks, the other side's bucket replicates) instead of
+refusing; only a bucket whose replicated side alone exceeds the budget
+refuses, naming the shuffle join — same bounded-or-refused discipline
+as the CDC eq-key and eq-convert bounds.
 
 ``storage_partitioned_agg`` reuses the layout for exact groupBy on the
 bucketed key: every group lives wholly inside one bucket, so each task
@@ -278,7 +281,13 @@ def storage_partitioned_join(
             left.properties.get("join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES)
         )
 
-    # task list: one row per bucket that can produce output
+    # task list: one row per bucket that can produce output; an
+    # oversized (skewed) bucket SPLITS instead of refusing — fragment
+    # one side's files across tasks, replicate the other side's bucket
+    # (fragment-replicate): each split-side row lands in exactly ONE
+    # task, so no output duplicates.  For 'left', only the left side
+    # may split (splitting the right would re-emit unmatched left rows
+    # per fragment); inner joins split whichever side is bigger.
     rows = []
     if how == "inner":
         buckets = {b for b in lbuckets if b in rbuckets and b is not None}
@@ -289,14 +298,41 @@ def storage_partitioned_join(
         rt = rbuckets.get(b, []) if b is not None else []
         if not lt:
             continue
-        total = _bucket_bytes(lt) + _bucket_bytes(rt)
-        if total > limit:
+        bid = int(b) if b is not None else -1
+        lb, rb = _bucket_bytes(lt), _bucket_bytes(rt)
+        if lb + rb <= limit:
+            rows.append((bid, _task_json(lt), _task_json(rt)))
+            continue
+        split_left = how == "left" or lb >= rb
+        frag, keep = (lt, rt) if split_left else (rt, lt)
+        keep_bytes = rb if split_left else lb
+        budget = limit - keep_bytes
+        biggest = max(t.file.file_size_in_bytes for t in frag)
+        if budget < biggest:
             raise ValueError(
-                f"bucket {b}: {total} bytes exceeds join.spj.max-bucket-bytes"
-                f"={limit}; raise the property, rewrite with more buckets, "
-                "or use a regular to_df().join()"
+                f"bucket {b}: replicated side holds {keep_bytes} bytes and "
+                f"the largest fragment file is {biggest} — no split fits "
+                f"join.spj.max-bucket-bytes={limit}; raise the property, "
+                "rewrite with more buckets, or use a regular to_df().join()"
             )
-        rows.append((int(b) if b is not None else -1, _task_json(lt), _task_json(rt)))
+        chunk, chunk_bytes = [], 0
+        for t in frag:
+            sz = t.file.file_size_in_bytes
+            if chunk and chunk_bytes + sz > budget:
+                rows.append(
+                    (bid, _task_json(chunk), _task_json(rt))
+                    if split_left
+                    else (bid, _task_json(lt), _task_json(chunk))
+                )
+                chunk, chunk_bytes = [], 0
+            chunk.append(t)
+            chunk_bytes += sz
+        if chunk:
+            rows.append(
+                (bid, _task_json(chunk), _task_json(rt))
+                if split_left
+                else (bid, _task_json(lt), _task_json(chunk))
+            )
 
     out_struct = _out_struct(left.schema(), right.schema(), rkey, left_cols, right_cols)
     if not rows:

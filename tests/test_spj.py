@@ -369,3 +369,76 @@ def test_to_arrow_expression_sql_null_semantics():
     assert run(E.starts_with("s", "a")) == [1]
     assert run(E.and_(E.greater_than("k", 0), E.less_than("k", 2))) == [1]
     assert run(E.or_(E.equal("k", 1), E.equal("k", 2))) == [1, 2]
+
+
+def test_spj_oversized_bucket_splits_fragment_replicate(spark, catalog):
+    """A skewed bucket larger than the byte bound splits: one side's
+    files fragment across tasks, the other side's bucket replicates —
+    results identical, each split-side row in exactly one task."""
+    import pyspark.sql.functions as SF
+
+    left = spark.range(0, 2000).select(
+        (SF.col("id") % 10).cast("int").alias("k"), SF.col("id").alias("lv")
+    )
+    right = spark.createDataFrame(
+        [(i, float(i * 100)) for i in range(10)], "rk int, rv double"
+    )
+    tl = _bucketed(catalog, "sk_l", left.limit(0), "k", n=2)
+    # many small left files per bucket (one append → one file per bucket)
+    for i in range(6):
+        tl.append(left.where((SF.col("lv") % 6) == i))
+    tr = _bucketed(catalog, "sk_r", right, "rk", n=2)
+
+    full = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how="inner")
+    exp_n = 2000
+    assert full.count() == exp_n
+    # force splitting: per-bucket left bytes >> tiny budget that still
+    # fits (right bucket + one left file)
+    one_left = max(
+        t.file.file_size_in_bytes for t in tl.scan().plan_files()
+    )
+    right_b = max(
+        t.file.file_size_in_bytes for t in tr.scan().plan_files()
+    )
+    tight = one_left + right_b + 256
+    split = storage_partitioned_join(
+        spark, tl, tr, on=("k", "rk"), how="inner", max_bucket_bytes=tight
+    )
+    assert split.count() == exp_n
+    agg_full = sorted(map(tuple, full.groupBy("k").count().collect()))
+    agg_split = sorted(map(tuple, split.groupBy("k").count().collect()))
+    assert agg_full == agg_split
+    # left join splits too (left side only) — row multiplicity preserved
+    lsplit = storage_partitioned_join(
+        spark, tl, tr, on=("k", "rk"), how="left", max_bucket_bytes=tight
+    )
+    assert lsplit.count() == exp_n
+    # but when the REPLICATED side alone blows the budget, refuse
+    with pytest.raises(ValueError, match="no split fits"):
+        storage_partitioned_join(
+            spark, tl, tr, on=("k", "rk"), max_bucket_bytes=right_b
+        )
+
+
+def test_spj_inner_splits_bigger_side_right(spark, catalog):
+    """Inner joins fragment whichever side is bigger — here the right —
+    replicating the small left bucket; output pairs stay unique because
+    each right row lands in exactly one task."""
+    import pyspark.sql.functions as SF
+
+    left = spark.createDataFrame([(i, f"L{i}") for i in range(4)], "k int, lv string")
+    right = spark.range(0, 1000).select(
+        (SF.col("id") % 4).cast("int").alias("rk"), SF.col("id").alias("rv")
+    )
+    tl = _bucketed(catalog, "rs_l", left, "k", n=2)
+    tr = _bucketed(catalog, "rs_r", right.limit(0), "rk", n=2)
+    for i in range(5):
+        tr.append(right.where((SF.col("rv") % 5) == i))
+    one_right = max(t.file.file_size_in_bytes for t in tr.scan().plan_files())
+    left_b = sum(t.file.file_size_in_bytes for t in tl.scan().plan_files())
+    tight = one_right + left_b + 256
+    got = storage_partitioned_join(
+        spark, tl, tr, on=("k", "rk"), how="inner", max_bucket_bytes=tight
+    )
+    assert got.count() == 1000
+    assert got.select("rv").distinct().count() == 1000
