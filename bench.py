@@ -321,6 +321,100 @@ def main() -> None:
         "counts_stable": d_attempts[0][1] == d_attempts[1][1],
     }
 
+    # ---- storage-partitioned join (NOT in the headline total): the
+    # write-time bucket layout vs the runtime shuffle, on the one join
+    # shape that cannot broadcast at 100 TB — fact⋈fact (lineitem ⋈
+    # orders on orderkey). Both tables written bucket[16] once (build
+    # time excluded: the layout is paid at write, amortized over every
+    # subsequent join); then best-of-2 of (a) the per-bucket in-task
+    # SPJ and (b) the same join through to_df() with auto-broadcast
+    # disabled, which is what a fact⋈fact shuffle costs.
+    from iceberg_go_distributed_spark.iceberg.spj import storage_partitioned_join
+
+    swh = tempfile.mkdtemp(prefix="spj-bench-")
+    try:
+        from pyspark.sql import functions as SF
+
+        from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+
+        scat = FileSystemCatalog(swh)
+        li_cols = li.select("l_orderkey", "l_quantity", "l_extendedprice")
+        ords = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_totalprice"
+        )
+        li_sch = schema_from_spark(li_cols.schema)
+        o_sch = schema_from_spark(ords.schema)
+        st_li = scat.create_table(
+            "db.spj_li", li_sch, spec=spec_from(li_sch, ("l_orderkey", "bucket[16]"))
+        )
+        st_o = scat.create_table(
+            "db.spj_o", o_sch, spec=spec_from(o_sch, ("o_orderkey", "bucket[16]"))
+        )
+        st_li.append(li_cols)
+        st_o.append(ords)
+
+        # identical downstream work on both paths: a revenue-style
+        # aggregate over the SAME projected columns, so neither side
+        # gets a count-only column-pruning freebie
+        agg_expr = SF.sum(
+            SF.col("l_quantity") * SF.col("o_totalprice")
+        ).alias("v")
+
+        def run_spj_once():
+            t0 = time.perf_counter()
+            row = (
+                storage_partitioned_join(
+                    spark,
+                    st_li,
+                    st_o,
+                    on=("l_orderkey", "o_orderkey"),
+                    left_select=["l_orderkey", "l_quantity"],
+                    right_select=["o_orderkey", "o_totalprice"],
+                )
+                .agg(agg_expr)
+                .first()
+            )
+            return round(time.perf_counter() - t0, 4), round(float(row.v), 2)
+
+        def run_shuffle_once():
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                t0 = time.perf_counter()
+                row = (
+                    st_li.scan()
+                    .select("l_orderkey", "l_quantity")
+                    .to_df(spark)
+                    .join(
+                        st_o.scan().select("o_orderkey", "o_totalprice").to_df(spark),
+                        SF.col("l_orderkey") == SF.col("o_orderkey"),
+                        "inner",
+                    )
+                    .agg(agg_expr)
+                    .first()
+                )
+                return round(time.perf_counter() - t0, 4), round(float(row.v), 2)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        s_attempts = [run_spj_once() for _ in range(2)]
+        h_attempts = [run_shuffle_once() for _ in range(2)]
+        spj_sec = min(a[0] for a in s_attempts)
+        shuf_sec = min(a[0] for a in h_attempts)
+        spj = {
+            "spj_join_sec": spj_sec,
+            "shuffle_join_sec": shuf_sec,
+            "speedup": round(shuf_sec / spj_sec, 3) if spj_sec else None,
+            "attempts": {
+                "spj": [a[0] for a in s_attempts],
+                "shuffle": [a[0] for a in h_attempts],
+            },
+            "agg_value": s_attempts[0][1],
+            "values_match": len({a[1] for a in s_attempts + h_attempts}) == 1,
+        }
+    finally:
+        shutil.rmtree(swh, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     # Contention diagnostic over attempts 2+ only: a query's FIRST
     # attempt pays its plan-specific whole-stage-codegen compile (the
@@ -351,6 +445,9 @@ def main() -> None:
                 # flagship-MERGE wall time (NOT in the headline total):
                 # banded pruned multi-action merge, best-of-2 + counts
                 "dml": dml,
+                # bucket-layout join vs forced shuffle join (NOT in the
+                # headline total): fact⋈fact on orderkey, best-of-2
+                "spj": spj,
             }
         )
     )
@@ -370,6 +467,7 @@ def main() -> None:
                 "planning_distributed_sec": planning.get("distributed_sec"),
                 "maintenance_eq_convert_sec": maintenance.get("eq_convert_sec"),
                 "dml_merge_sec": dml.get("merge_sec"),
+                "spj_speedup": spj.get("speedup"),
                 "sf": sf,
             }
         )
