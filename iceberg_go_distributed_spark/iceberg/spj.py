@@ -10,13 +10,16 @@ datasources; our table format is metadata-driven on the Python side, so
 we implement the same idea directly over planned file tasks:
 
   1. plan both scans (full four-level pruning applies),
-  2. group the planned files of each side by their bucket partition
-     value — Iceberg's bucket transform is deterministic murmur3, so
-     equal keys land in equal buckets on both sides,
-  3. one Spark task per bucket reads that bucket's files from both
-     sides (Arrow), applies positional deletes / DVs, and joins
+  2. group the planned files of each side by their partition value
+     under a SHARED transform on the join key — any deterministic
+     transform proves co-location (equal keys ⇒ equal transform
+     values): bucket[N] (bit-exact murmur3), identity, truncate[W],
+     hour/day/month/year all qualify, and the finest shared transform
+     wins when several fields derive from the key,
+  3. one Spark task per partition value reads that group's files from
+     both sides (Arrow), applies positional deletes / DVs, and joins
      locally — no exchange of table data, ever.  The only shuffle in
-     the plan is the O(buckets) task-descriptor repartition.
+     the plan is the O(groups) task-descriptor repartition.
 
 Memory per task is one bucket pair, bounded up front from manifest
 file sizes (``join.spj.max-bucket-bytes``, default 4 GiB).  A skewed
@@ -37,7 +40,6 @@ import json
 from typing import Optional
 
 from .manifest import DataFileContent
-from .transforms import BucketTransform
 from .types import (
     BinaryType,
     DateType,
@@ -77,33 +79,76 @@ def _hash_family(t) -> str:
     return f"other[{type(t).__name__}]"
 
 
-def _bucket_partition_field(table, key: str):
-    """The (partition_field, source_field) pair proving `key` is
-    bucket-partitioned under the table's default spec."""
+# pick the finest matching transform when several fields derive from
+# the join key (more groups = more parallelism; identity is finest)
+_TRANSFORM_PREFERENCE = {
+    "identity": 0,
+    "bucket": 1,
+    "hour": 2,
+    "day": 3,
+    "month": 4,
+    "year": 5,
+    "truncate": 6,
+}
+
+
+def _partition_fields_on(table, key: str):
+    """All non-void partition fields deriving from `key` under the
+    table's default spec, plus the source field."""
+    from .transforms import VoidTransform
+
     schema = table.schema()
     ident = getattr(table, "identifier", "<table>")
     src = schema.find_field(key)
     if src is None:
         raise ValueError(f"{ident}: no column {key!r}")
-    for pf in table.spec().fields:
-        if pf.source_id == src.field_id and isinstance(pf.transform, BucketTransform):
-            return pf, src
-    raise ValueError(
-        f"{ident}: column {key!r} is not bucket-partitioned "
-        f"under the default spec; storage-partitioned join needs "
-        f"bucket[N] on the join key on both sides (use a regular "
-        f"to_df().join() otherwise)"
+    fields = [
+        pf
+        for pf in table.spec().fields
+        if pf.source_id == src.field_id and not isinstance(pf.transform, VoidTransform)
+    ]
+    if not fields:
+        raise ValueError(
+            f"{ident}: column {key!r} is not bucket-partitioned "
+            f"under the default spec; storage-partitioned join needs "
+            f"the same partition transform (bucket[N] / identity / "
+            f"truncate[W] / hour / day / month / year) on the join key "
+            f"on both sides (use a regular to_df().join() otherwise)"
+        )
+    return fields, src
+
+
+def _pick_copart_pair(lfields, rfields):
+    """The matching (left_field, right_field) transform pair — equal
+    keys map to equal values under ANY deterministic transform, so any
+    SHARED transform proves co-location; prefer the finest."""
+    pairs = [
+        (lp, rp)
+        for lp in lfields
+        for rp in rfields
+        if str(lp.transform) == str(rp.transform)
+    ]
+    if not pairs:
+        raise ValueError(
+            "no shared partition transform on the join keys: left has "
+            f"{[str(f.transform) for f in lfields]}, right has "
+            f"{[str(f.transform) for f in rfields]}; bucket counts "
+            "differ or the transforms do not match — co-location needs "
+            "the identical transform on both sides"
+        )
+    return min(
+        pairs,
+        key=lambda p: _TRANSFORM_PREFERENCE.get(str(p[0].transform).split("[")[0], 9),
     )
 
 
-def _side_tasks(table, key: str, row_filter):
-    """Plan one side: partition field, source field, tasks grouped by
-    bucket value, and the bound residual row filter (None when no
+def _side_tasks(table, pf, row_filter):
+    """Plan one side under its chosen co-partition field: tasks grouped
+    by partition value, and the bound residual row filter (None when no
     filter) — applied in-task on the Arrow rows, since pruning only
-    eliminates FILES (other keys share the bucket's files)."""
+    eliminates FILES (other keys share a partition's files)."""
     from .expressions import AlwaysTrue, bind_expr, rewrite_not
 
-    pf, src = _bucket_partition_field(table, key)
     scan = table.scan(row_filter=row_filter) if row_filter is not None else table.scan()
     tasks = scan.plan_files()
     resid = None
@@ -123,7 +168,7 @@ def _side_tasks(table, key: str, row_filter):
     for t in tasks:
         b = t.file.partition.get(pf.name)
         by_bucket.setdefault(b, []).append(t)
-    return pf, src, by_bucket, resid
+    return by_bucket, resid
 
 
 def _task_json(tasks) -> str:
@@ -247,19 +292,17 @@ def storage_partitioned_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: expected inner|left")
     lkey, rkey = (on, on) if isinstance(on, str) else (on[0], on[1])
-    lpf, lsrc, lbuckets, l_resid = _side_tasks(left, lkey, left_filter)
-    rpf, rsrc, rbuckets, r_resid = _side_tasks(right, rkey, right_filter)
-    if lpf.transform.num_buckets != rpf.transform.num_buckets:
-        raise ValueError(
-            f"bucket counts differ ({lpf.transform.num_buckets} vs "
-            f"{rpf.transform.num_buckets}); co-location needs equal N"
-        )
+    lfields, lsrc = _partition_fields_on(left, lkey)
+    rfields, rsrc = _partition_fields_on(right, rkey)
+    lpf, rpf = _pick_copart_pair(lfields, rfields)
     lf, rf = _hash_family(lsrc.field_type), _hash_family(rsrc.field_type)
     if lf != rf or lf.startswith("other"):
         raise ValueError(
             f"join-key hash families differ or unsupported ({lf} vs {rf}); "
-            "equal keys would not share buckets"
+            "equal keys would not share partitions"
         )
+    lbuckets, l_resid = _side_tasks(left, lpf, left_filter)
+    rbuckets, r_resid = _side_tasks(right, rpf, right_filter)
 
     left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
     if lkey not in left_cols:
@@ -298,7 +341,7 @@ def storage_partitioned_join(
         rt = rbuckets.get(b, []) if b is not None else []
         if not lt:
             continue
-        bid = int(b) if b is not None else -1
+        bid = repr(b)  # partition value label (int bucket, date ordinal, string prefix)
         lb, rb = _bucket_bytes(lt), _bucket_bytes(rt)
         if lb + rb <= limit:
             rows.append((bid, _task_json(lt), _task_json(rt)))
@@ -342,7 +385,7 @@ def storage_partitioned_join(
 
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(
-        rows, "bucket int, left_files string, right_files string"
+        rows, "part string, left_files string, right_files string"
     ).repartition(len(rows))
     right_data_cols = [c for c in right_cols if c != rkey]
     out_name_list = [f.name for f in out_struct.fields]
@@ -436,7 +479,12 @@ def storage_partitioned_agg(
     for name, (col, fn) in aggs.items():
         if fn not in allowed:
             raise ValueError(f"{name}: fn {fn!r} not in {sorted(allowed)}")
-    pf, src, by_bucket, resid = _side_tasks(table, on, row_filter)
+    fields, _src = _partition_fields_on(table, on)
+    pf = min(
+        fields,
+        key=lambda f: _TRANSFORM_PREFERENCE.get(str(f.transform).split("[")[0], 9),
+    )
+    by_bucket, resid = _side_tasks(table, pf, row_filter)
     from .expressions import extract_field_names
 
     need = sorted(
@@ -457,7 +505,7 @@ def storage_partitioned_agg(
                 f"bucket {b}: {total} bytes exceeds join.spj.max-bucket-bytes"
                 f"={limit}; rewrite with more buckets or use df.groupBy()"
             )
-        rows.append((int(b) if b is not None else -1, _task_json(tasks)))
+        rows.append((repr(b), _task_json(tasks)))
 
     from pyspark.sql import types as st
 
@@ -493,7 +541,7 @@ def storage_partitioned_agg(
         f.name: f.type for f in _taschema(schema_to_spark_struct(table.schema()))
     }
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(rows, "bucket int, files string").repartition(len(rows))
+    task_df = spark.createDataFrame(rows, "part string, files string").repartition(len(rows))
     agg_items = [(name, col, fn) for name, (col, fn) in aggs.items()]
     out_name_list = [f.name for f in out_struct.fields]
 

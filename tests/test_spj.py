@@ -442,3 +442,84 @@ def test_spj_inner_splits_bigger_side_right(spark, catalog):
     )
     assert got.count() == 1000
     assert got.select("rv").distinct().count() == 1000
+
+
+def test_spj_copartitioned_day_transform(spark, catalog):
+    """SPJ generalizes beyond bucket[N]: ANY shared transform on the
+    join key proves co-location (equal keys map to equal transform
+    values) — here two event tables day-partitioned on the timestamp
+    join on it with zero table exchange."""
+    import datetime
+
+    rows_l = [
+        (datetime.datetime(2024, 1, d, h), f"L{d}-{h}")
+        for d in (1, 2, 3)
+        for h in (0, 6, 12)
+    ]
+    rows_r = [
+        (datetime.datetime(2024, 1, d, h), d * 100 + h)
+        for d in (1, 2)
+        for h in (0, 12, 18)
+    ]
+    left = spark.createDataFrame(rows_l, "ts timestamp, lv string")
+    right = spark.createDataFrame(rows_r, "rts timestamp, rv int")
+    schema_l = schema_from_spark(left.schema)
+    schema_r = schema_from_spark(right.schema)
+    tl = catalog.create_table(
+        "db.ev_l", schema_l, spec=spec_from(schema_l, ("ts", "day"))
+    )
+    tr = catalog.create_table(
+        "db.ev_r", schema_r, spec=spec_from(schema_r, ("rts", "day"))
+    )
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_join(spark, tl, tr, on=("ts", "rts"), how="inner")
+    exp = left.join(right, left.ts == right.rts, "inner").select("ts", "lv", "rv")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "SortMergeJoin" not in plan
+
+
+def test_spj_copartitioned_identity_and_truncate(spark, catalog):
+    # identity partition on an int key
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, lv string")
+    right = spark.createDataFrame([(1, 1.5), (3, 3.5)], "rk int, rv double")
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table("db.id_l", sl, spec=spec_from(sl, ("k", "identity")))
+    tr = catalog.create_table("db.id_r", sr, spec=spec_from(sr, ("rk", "identity")))
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_join(spark, tl, tr, on=("k", "rk"))
+    assert sorted(map(tuple, got.collect())) == [(1, "a", 1.5), (3, "c", 3.5)]
+    # truncate[2] on a string key
+    lefts = spark.createDataFrame([("aaX", 1), ("bbY", 2)], "s string, lv int")
+    rights = spark.createDataFrame([("aaX", 9.0), ("bbZ", 8.0)], "rs string, rv double")
+    ssl, ssr = schema_from_spark(lefts.schema), schema_from_spark(rights.schema)
+    tls = catalog.create_table("db.tr_l", ssl, spec=spec_from(ssl, ("s", "truncate[2]")))
+    trs = catalog.create_table("db.tr_r", ssr, spec=spec_from(ssr, ("rs", "truncate[2]")))
+    tls.append(lefts)
+    trs.append(rights)
+    got2 = storage_partitioned_join(spark, tls, trs, on=("s", "rs"))
+    assert sorted(map(tuple, got2.collect())) == [("aaX", 1, 9.0)]
+    # mismatched transforms refuse (day vs identity, truncate widths)
+    with pytest.raises(ValueError, match="no shared partition transform"):
+        storage_partitioned_join(spark, tl, trs, on=("k", "rs"))
+
+
+def test_spj_agg_on_identity_partition(spark, catalog):
+    """Exact no-exchange groupBy holds for any transform: all rows of a
+    key share its transform value, so per-partition aggs are final."""
+    import pyspark.sql.functions as SF
+
+    df = spark.range(0, 300).select(
+        (SF.col("id") % 7).cast("int").alias("k"), SF.col("id").alias("v")
+    )
+    s = schema_from_spark(df.schema)
+    t = catalog.create_table("db.id_agg", s, spec=spec_from(s, ("k", "identity")))
+    t.append(df)
+    got = storage_partitioned_agg(
+        spark, t, on="k", aggs={"n": ("v", "count"), "s": ("v", "sum")}
+    )
+    exp = df.groupBy("k").agg(SF.count("v").alias("n2"), SF.sum("v").alias("s2"))
+    assert got.count() == 7
+    assert got.join(exp, "k").where("n != n2 OR s != s2").count() == 0
