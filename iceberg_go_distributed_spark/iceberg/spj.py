@@ -17,9 +17,11 @@ we implement the same idea directly over planned file tasks:
      hour/day/month/year all qualify, and the finest shared transform
      wins when several fields derive from the key,
   3. one Spark task per partition value reads that group's files from
-     both sides (Arrow), applies positional deletes / DVs, and joins
-     locally — no exchange of table data, ever.  The only shuffle in
-     the plan is the O(groups) task-descriptor repartition.
+     both sides (Arrow), applies positional deletes / DVs and equality
+     deletes (key frames LRU-cached per worker, NULL==NULL matching —
+     the conversion's own matcher), and joins locally — no exchange of
+     table data, ever.  The only shuffle in the plan is the O(groups)
+     task-descriptor repartition.
 
 Memory per task is one bucket pair, bounded up front from manifest
 file sizes (``join.spj.max-bucket-bytes``, default 4 GiB).  A skewed
@@ -156,14 +158,6 @@ def _side_tasks(table, pf, row_filter):
         bound = bind_expr(rewrite_not(row_filter), table.schema())
         if not isinstance(bound, AlwaysTrue):
             resid = bound
-    for t in tasks:
-        for d in t.delete_files:
-            if d.content == DataFileContent.EQUALITY_DELETES:
-                raise ValueError(
-                    "storage-partitioned join does not read equality "
-                    "deletes; run convert_equality_deletes() first or "
-                    "use a regular to_df().join()"
-                )
     by_bucket: dict = {}
     for t in tasks:
         b = t.file.partition.get(pf.name)
@@ -188,6 +182,11 @@ def _task_json(tasks) -> str:
                     for d in t.delete_files
                     if d.content == DataFileContent.POSITION_DELETES
                 ],
+                "eqs": [
+                    {"path": d.file_path, "ids": list(d.equality_ids or [])}
+                    for d in t.delete_files
+                    if d.content == DataFileContent.EQUALITY_DELETES
+                ],
             }
             for t in tasks
         ]
@@ -195,7 +194,12 @@ def _task_json(tasks) -> str:
 
 
 def _bucket_bytes(tasks) -> int:
-    return sum(t.file.file_size_in_bytes for t in tasks)
+    # budget the delete files too: eq key frames and positional files
+    # are materialized in-task alongside the data
+    return sum(
+        t.file.file_size_in_bytes + sum(d.file_size_in_bytes for d in t.delete_files)
+        for t in tasks
+    )
 
 
 def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, resid=None):
@@ -232,6 +236,18 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
             else:
                 dt = fileio.read_parquet_table(d["path"]).to_pandas()
                 drop.update(int(p) for p in dt.loc[dt["file_path"] == f["path"], "pos"])
+        if f.get("eqs"):
+            # equality deletes: key frames LRU-cached per worker, rows
+            # matched by field id with NULL==NULL semantics — the same
+            # matcher the eq→DV conversion uses (maintenance.py)
+            from .maintenance import _eq_convert_key_frame, _eq_matched_positions
+
+            eq_sets = [
+                (tuple(e["ids"]), _eq_convert_key_frame(e["path"], e["ids"]))
+                for e in f["eqs"]
+            ]
+            with fileio.parquet_file(f["path"]) as pf:
+                drop.update(int(p) for p in _eq_matched_positions(pf, eq_sets))
         if drop:
             keep = np.setdiff1d(np.arange(len(tbl), dtype=np.int64), np.fromiter(drop, np.int64))
             tbl = tbl.take(pa.array(keep))

@@ -130,17 +130,31 @@ def test_spj_applies_positional_deletes(spark, sf_dir, catalog):
     assert _agg_rows(got) == _agg_rows(exp)
 
 
-def test_spj_refuses_equality_deletes(spark, sf_dir, catalog):
+def test_spj_applies_equality_deletes(spark, sf_dir, catalog):
+    """Equality deletes (the MERGE/upsert debt shape) are matched
+    in-task by field id with NULL==NULL semantics — a hot MERGE table
+    joins without waiting for eq→DV conversion."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     to = _bucketed(catalog, "ord_eq", orders, "o_custkey")
     tc = _bucketed(catalog, "cust_eq", cust, "c_custkey")
-    keys = orders.select("o_orderkey").limit(5)
+    keys = orders.where("o_orderkey % 5 = 0").select("o_orderkey")
     to.delete_by_keys(keys, ["o_orderkey"])
-    with pytest.raises(ValueError, match="equality"):
-        storage_partitioned_join(spark, to, tc, on=("o_custkey", "c_custkey"))
+    got = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    exp = (
+        orders.where("o_orderkey % 5 != 0")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    )
+    assert _agg_rows(got) == _agg_rows(exp)
 
 
 def test_spj_refuses_incompatible_layouts(spark, catalog):
@@ -523,3 +537,58 @@ def test_spj_agg_on_identity_partition(spark, catalog):
     exp = df.groupBy("k").agg(SF.count("v").alias("n2"), SF.sum("v").alias("s2"))
     assert got.count() == 7
     assert got.join(exp, "k").where("n != n2 OR s != s2").count() == 0
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_spj_fuzz_matches_spark_join(spark, catalog, seed):
+    """Randomized parity: random key domains (with nulls and heavy
+    multiplicity), random transform, random join side/how, random
+    positional + equality deletes, and a tight byte budget that forces
+    fragment-replicate splits — the SPJ result must equal Spark's own
+    join over the MOR-scanned frames, row for row."""
+    import random
+
+    rnd = random.Random(seed)
+    n_l, n_r = rnd.randint(200, 600), rnd.randint(50, 300)
+    dom = rnd.randint(5, 40)
+    lrows = [
+        (rnd.randrange(dom) if rnd.random() > 0.05 else None, rnd.randrange(1000))
+        for _ in range(n_l)
+    ]
+    rrows = [
+        (rnd.randrange(dom) if rnd.random() > 0.05 else None, rnd.random())
+        for _ in range(n_r)
+    ]
+    left = spark.createDataFrame(lrows, "k int, lv int")
+    right = spark.createDataFrame(rrows, "rk int, rv double")
+    transform = rnd.choice([f"bucket[{rnd.choice([2, 4, 8])}]", "identity"])
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table(
+        f"db.fz_l{seed}", sl, spec=spec_from(sl, ("k", transform))
+    )
+    tr = catalog.create_table(
+        f"db.fz_r{seed}", sr, spec=spec_from(sr, ("rk", transform))
+    )
+    # several appends → several files per partition (split fodder)
+    for i in range(rnd.randint(1, 3)):
+        tl.append(left.where(f"lv % 3 = {i}" if i < 2 else "lv % 3 >= 2"))
+    tl.append(left.where("lv IS NULL"))  # no-op, keeps count exact
+    tr.append(right)
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+
+    if rnd.random() < 0.7:  # positional deletes / DVs
+        tl.delete_where(spark, E.greater_than("lv", rnd.randrange(500, 900)))
+    if rnd.random() < 0.7:  # equality deletes
+        tr.delete_by_keys(
+            right.where(f"rv < {rnd.random() * 0.3}").select("rk").distinct(), ["rk"]
+        )
+    how = rnd.choice(["inner", "left"])
+    got = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how=how)
+    exp = tl.scan().to_df(spark).join(
+        tr.scan().to_df(spark), F.col("k") == F.col("rk"), how
+    ).select("k", "lv", "rv")
+    assert sorted(
+        map(tuple, got.collect()), key=lambda t: tuple((x is None, x) for x in t)
+    ) == sorted(
+        map(tuple, exp.collect()), key=lambda t: tuple((x is None, x) for x in t)
+    )
