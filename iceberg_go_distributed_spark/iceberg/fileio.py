@@ -246,13 +246,17 @@ def read_parquet_metadata(path: str):
         return pq.read_metadata(f)
 
 
-def read_parquet_table(path: str, columns: Optional[list] = None):
+def read_parquet_table(path: str, columns: Optional[list] = None, filters=None):
+    """filters: optional pyarrow compute Expression pushed into the read
+    (row-group statistics pruning + exact row filtering). Callers that
+    need FILE-ORDER row positions (positional-delete application) must
+    not pass filters — filtering renumbers rows."""
     import pyarrow.parquet as pq
 
     if is_local(path):
-        return pq.read_table(local_path(path), columns=columns)
+        return pq.read_table(local_path(path), columns=columns, filters=filters)
     fs, p = resolve(path)
-    return pq.read_table(p, columns=columns, filesystem=fs)
+    return pq.read_table(p, columns=columns, filesystem=fs, filters=filters)
 
 
 class _OwnedParquetFile:

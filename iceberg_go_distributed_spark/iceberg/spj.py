@@ -214,16 +214,29 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
     import pyarrow.parquet as pq
 
     arrow_filter = None
+    filter_cols: set = set()
     if resid is not None:
-        from .expressions import to_arrow_expression
+        from .expressions import extract_field_names, to_arrow_expression
 
         arrow_filter = to_arrow_expression(resid)
+        filter_cols = extract_field_names(resid)
     parts = []
     for f in files:
         with fileio.open_input(f["path"]) as fh:
             present = set(pq.read_schema(fh).names)
         cols = [c for c in col_names if c in present]
-        tbl = fileio.read_parquet_table(f["path"], columns=cols)
+        # push the residual into the parquet read (row-group pruning)
+        # when it cannot disturb positional-delete row numbering and
+        # every filtered column physically exists in the file
+        pushed = (
+            arrow_filter is not None
+            and not f["dels"]
+            and not f.get("eqs")
+            and filter_cols <= present
+        )
+        tbl = fileio.read_parquet_table(
+            f["path"], columns=cols, filters=arrow_filter if pushed else None
+        )
         drop: set = set()
         for d in f["dels"]:
             if d["dv"] is not None:
@@ -262,7 +275,7 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
             else:
                 arrays.append(pa.nulls(len(tbl), want))
         out = pa.table(dict(zip(names, arrays)))
-        if arrow_filter is not None:
+        if arrow_filter is not None and not pushed:
             out = out.filter(arrow_filter)
         parts.append(out)
     if not parts:
