@@ -313,13 +313,15 @@ def storage_partitioned_join(
     ``(left_key, right_key)`` pair (e.g. ``("c_custkey", "o_custkey")``);
     the output keeps the LEFT key column.
 
-    how: 'inner' or 'left'.  NULL join keys live in the NULL bucket
-    (Iceberg bucket-transforms null to a null partition value) and
-    never match — inner drops them file-level, left emits them with a
-    null right side, both without reading the other side's files.
+    how: 'inner', 'left', 'semi' (left semi: left rows with a match,
+    left columns only) or 'anti' (left anti: left rows with NO match,
+    left columns only — null-key rows are unmatched by definition and
+    kept).  NULL join keys live in the NULL bucket (transforms map null
+    to a null partition value) and never match — inner/semi drop them
+    file-level, left/anti emit them without reading the other side.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: expected inner|left")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
     lkey, rkey = (on, on) if isinstance(on, str) else (on[0], on[1])
     lfields, lsrc = _partition_fields_on(left, lkey)
     rfields, rsrc = _partition_fields_on(right, rkey)
@@ -336,9 +338,14 @@ def storage_partitioned_join(
     left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
     if lkey not in left_cols:
         left_cols = [lkey] + left_cols
-    right_cols = list(right_select) if right_select else [f.name for f in right.schema().fields]
-    if rkey not in right_cols:
-        right_cols = [rkey] + right_cols
+    if how in ("semi", "anti"):
+        right_cols = [rkey]  # the key is all a semi/anti probe needs
+    else:
+        right_cols = (
+            list(right_select) if right_select else [f.name for f in right.schema().fields]
+        )
+        if rkey not in right_cols:
+            right_cols = [rkey] + right_cols
     out_names = left_cols + [c for c in right_cols if c != rkey]
     dup = {c for c in out_names if out_names.count(c) > 1}
     if dup:
@@ -361,9 +368,9 @@ def storage_partitioned_join(
     # may split (splitting the right would re-emit unmatched left rows
     # per fragment); inner joins split whichever side is bigger.
     rows = []
-    if how == "inner":
+    if how in ("inner", "semi"):
         buckets = {b for b in lbuckets if b in rbuckets and b is not None}
-    else:  # left: every left bucket; null bucket joins nothing
+    else:  # left/anti: every left bucket; null bucket joins nothing
         buckets = set(lbuckets)
     for b in sorted(buckets, key=lambda x: (x is None, x)):
         lt = lbuckets.get(b, [])
@@ -375,7 +382,10 @@ def storage_partitioned_join(
         if lb + rb <= limit:
             rows.append((bid, _task_json(lt), _task_json(rt)))
             continue
-        split_left = how == "left" or lb >= rb
+        # left/semi/anti need the COMPLETE right bucket per task (a
+        # fragmented right would re-emit unmatched rows per fragment /
+        # emit semi matches once per matching fragment)
+        split_left = how != "inner" or lb >= rb
         frag, keep = (lt, rt) if split_left else (rt, lt)
         keep_bytes = rb if split_left else lb
         budget = limit - keep_bytes
@@ -472,15 +482,24 @@ def storage_partitioned_join(
                 if rt is not None:
                     rt = rt.select(right_cols)
                 if rt is None or len(rt) == 0:
-                    if how == "inner":
+                    if how in ("inner", "semi"):
                         continue
-                    # left join, empty right: null-fill right columns
-                    arrays = [lt.column(c) for c in left_cols] + [
-                        pa.nulls(len(lt), target.field(c).type) for c in right_data_cols
-                    ]
-                    joined = pa.table(dict(zip(out_name_list, arrays)))
+                    if how == "anti":  # nothing to match: keep all left
+                        joined = lt.select(out_name_list)
+                    else:
+                        # left join, empty right: null-fill right columns
+                        arrays = [lt.column(c) for c in left_cols] + [
+                            pa.nulls(len(lt), target.field(c).type)
+                            for c in right_data_cols
+                        ]
+                        joined = pa.table(dict(zip(out_name_list, arrays)))
                 else:
-                    jt = "inner" if how == "inner" else "left outer"
+                    jt = {
+                        "inner": "inner",
+                        "left": "left outer",
+                        "semi": "left semi",
+                        "anti": "left anti",
+                    }[how]
                     joined = lt.join(rt, keys=[lkey], right_keys=[rkey], join_type=jt)
                     joined = joined.select(out_name_list)
                 joined = joined.cast(target)
@@ -495,14 +514,18 @@ def storage_partitioned_agg(
     on: str,
     aggs: dict,
     row_filter=None,
+    extra_keys: Optional[list] = None,
     max_bucket_bytes: Optional[int] = None,
 ):
-    """Exact groupBy(on).agg(...) without any exchange: the bucket
-    layout guarantees each key's rows live in exactly one bucket, so a
-    per-bucket Arrow group_by computes FINAL aggregates (count / sum /
-    min / max / mean supported).
+    """Exact groupBy(on, *extra_keys).agg(...) without any exchange:
+    the layout guarantees each `on` value's rows live in exactly one
+    partition, and every finer group tuple containing `on` inherits
+    that containment, so a per-partition Arrow group_by computes FINAL
+    aggregates (count / sum / min / max / mean supported).
 
     aggs: {output_name: (column, fn)} with fn in count|sum|min|max|mean.
+    extra_keys: additional group-by columns (need not be partition
+    columns — any tuple including the partitioned key stays in-bucket).
     """
     allowed = {"count", "sum", "min", "max", "mean"}
     for name, (col, fn) in aggs.items():
@@ -516,8 +539,9 @@ def storage_partitioned_agg(
     by_bucket, resid = _side_tasks(table, pf, row_filter)
     from .expressions import extract_field_names
 
+    group_keys = [on] + list(extra_keys or [])
     need = sorted(
-        {on}
+        set(group_keys)
         | {c for (c, _) in aggs.values()}
         | (extract_field_names(resid) if resid is not None else set())
     )
@@ -541,7 +565,7 @@ def storage_partitioned_agg(
     key_type = {
         f.name: f for f in schema_to_spark_struct(table.schema()).fields
     }
-    out_fields = [st.StructField(on, key_type[on].dataType, True)]
+    out_fields = [st.StructField(k, key_type[k].dataType, True) for k in group_keys]
     for name, (col, fn) in aggs.items():
         if fn == "count":
             t = st.LongType()
@@ -591,9 +615,9 @@ def storage_partitioned_agg(
                 if tbl is None or len(tbl) == 0:
                     continue
                 spec = [(col, fn) for (_, col, fn) in agg_items]
-                res = tbl.group_by([on]).aggregate(spec)
+                res = tbl.group_by(group_keys).aggregate(spec)
                 # arrow names results f"{col}_{fn}"; rename to out names
-                cols = {on: res.column(on)}
+                cols = {k: res.column(k) for k in group_keys}
                 for name, col, fn in agg_items:
                     cols[name] = res.column(f"{col}_{fn}")
                 out = pa.table(cols).select(out_name_list).cast(target)

@@ -2009,6 +2009,20 @@ class Table(StaticTable):
 
         return convert_position_deletes(self, spark)
 
+    def storage_partitioned_join(self, spark, other, on, **kwargs):
+        """Zero-exchange join with another table sharing a partition
+        transform on the join key (see spj.storage_partitioned_join)."""
+        from .spj import storage_partitioned_join
+
+        return storage_partitioned_join(spark, self, other, on, **kwargs)
+
+    def storage_partitioned_agg(self, spark, on, aggs, **kwargs):
+        """Exact no-exchange groupBy on a partition-transformed key
+        (see spj.storage_partitioned_agg)."""
+        from .spj import storage_partitioned_agg
+
+        return storage_partitioned_agg(spark, self, on, aggs, **kwargs)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files

@@ -592,3 +592,65 @@ def test_spj_fuzz_matches_spark_join(spark, catalog, seed):
     ) == sorted(
         map(tuple, exp.collect()), key=lambda t: tuple((x is None, x) for x in t)
     )
+
+
+def test_spj_semi_and_anti(spark, catalog):
+    """Semi/anti modes: probe-only right side (key column only is read),
+    left columns out; anti keeps null-key rows (never matched), semi
+    drops them; results equal Spark's leftsemi/leftanti."""
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b"), (None, "n"), (9, "x")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 0.0)], "rk int, rv double")
+    tl = _bucketed(catalog, "sa_l", left, "k", n=4)
+    tr = _bucketed(catalog, "sa_r", right, "rk", n=4)
+    semi = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how="semi")
+    anti = storage_partitioned_join(spark, tl, tr, on=("k", "rk"), how="anti")
+    assert semi.columns == ["k", "lv"] and anti.columns == ["k", "lv"]
+    exp_semi = left.join(right, left.k == right.rk, "leftsemi")
+    exp_anti = left.join(right, left.k == right.rk, "leftanti")
+
+    def norm(df):
+        return sorted(
+            map(tuple, df.collect()), key=lambda t: tuple((x is None, x) for x in t)
+        )
+
+    assert norm(semi) == norm(exp_semi)
+    assert norm(anti) == norm(exp_anti)
+    # anti under a left-side split stays exact (right bucket complete
+    # per task); semi multiplicity: duplicate left rows all kept, each once
+    one = max(t.file.file_size_in_bytes for t in tl.scan().plan_files())
+    rb = sum(t.file.file_size_in_bytes for t in tr.scan().plan_files())
+    for h, exp in (("semi", exp_semi), ("anti", exp_anti)):
+        got = storage_partitioned_join(
+            spark, tl, tr, on=("k", "rk"), how=h, max_bucket_bytes=one + rb + 128
+        )
+        assert norm(got) == norm(exp)
+
+
+def test_spj_agg_extra_keys_and_table_methods(spark, catalog):
+    """Finer group tuples containing the partitioned key stay in-bucket
+    (final per-task aggs); Table exposes both operators directly."""
+    import pyspark.sql.functions as SF
+
+    df = spark.range(0, 400).select(
+        (SF.col("id") % 5).cast("int").alias("k"),
+        (SF.col("id") % 3).cast("int").alias("g"),
+        SF.col("id").alias("v"),
+    )
+    s = schema_from_spark(df.schema)
+    t = catalog.create_table("db.mk_agg", s, spec=spec_from(s, ("k", "bucket[4]")))
+    t.append(df)
+    got = t.storage_partitioned_agg(
+        spark, on="k", aggs={"n": ("v", "count"), "s": ("v", "sum")}, extra_keys=["g"]
+    )
+    exp = df.groupBy("k", "g").agg(SF.count("v").alias("n2"), SF.sum("v").alias("s2"))
+    assert got.count() == exp.count() == 15
+    assert got.join(exp, ["k", "g"]).where("n != n2 OR s != s2").count() == 0
+    # table-level join method
+    other = spark.createDataFrame([(0, "zero"), (1, "one")], "rk int, name string")
+    so = schema_from_spark(other.schema)
+    tr = catalog.create_table("db.mk_dim", so, spec=spec_from(so, ("rk", "bucket[4]")))
+    tr.append(other)
+    j = t.storage_partitioned_join(spark, tr, on=("k", "rk"), how="semi")
+    assert j.count() == df.where("k IN (0, 1)").count()
