@@ -624,3 +624,219 @@ def storage_partitioned_agg(
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(agg_task, out_struct)
+
+
+def storage_partitioned_asof_join(
+    spark,
+    left,
+    right,
+    on,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[list] = None,
+    tolerance_us: Optional[int] = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    max_bucket_bytes: Optional[int] = None,
+):
+    """As-of join over co-partitioned tables with ZERO table exchange:
+    each partition-value task merge-joins its bucket pair locally
+    (sorted probe, pandas-style backward/forward semantics matching
+    operators.asof.asof_join / DuckDB ASOF JOIN), where the DataFrame
+    formulation shuffles BOTH inputs on the key once.
+
+    on: key column name, or (left_key, right_key); both sides must
+    share a partition transform on it (same rule as
+    storage_partitioned_join).  LEFT semantics: left rows always
+    survive; matches farther than `tolerance_us` are nulled out.
+    Output: all left columns, matched `right_cols` (suffixed on
+    collision), and `_asof_gap_us` (null when unmatched).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    lkey, rkey = (on, on) if isinstance(on, str) else (on[0], on[1])
+    lfields, lsrc = _partition_fields_on(left, lkey)
+    rfields, rsrc = _partition_fields_on(right, rkey)
+    lpf, rpf = _pick_copart_pair(lfields, rfields)
+    lf, rf = _hash_family(lsrc.field_type), _hash_family(rsrc.field_type)
+    if lf != rf or lf.startswith("other"):
+        raise ValueError(
+            f"join-key hash families differ or unsupported ({lf} vs {rf})"
+        )
+    lbuckets, _ = _side_tasks(left, lpf, None)
+    rbuckets, _ = _side_tasks(right, rpf, None)
+
+    left_cols = [f.name for f in left.schema().fields]
+    right_cols = list(right_cols or [])
+    out_right = [(c, c + suffix if c in left_cols else c) for c in right_cols]
+    r_read = [rkey, right_ts] + [c for c in right_cols if c not in (rkey, right_ts)]
+
+    limit = max_bucket_bytes
+    if limit is None:
+        limit = int(
+            left.properties.get("join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES)
+        )
+
+    rows = []
+    for b in sorted(set(lbuckets), key=lambda x: (x is None, x)):
+        lt = lbuckets[b]
+        rt = rbuckets.get(b, []) if b is not None else []
+        lb, rb = _bucket_bytes(lt), _bucket_bytes(rt)
+        if lb + rb <= limit:
+            rows.append((repr(b), _task_json(lt), _task_json(rt)))
+            continue
+        budget = limit - rb  # the right bucket must stay complete
+        biggest = max(t.file.file_size_in_bytes for t in lt)
+        if budget < biggest:
+            raise ValueError(
+                f"bucket {b}: right side holds {rb} bytes and the largest "
+                f"left file is {biggest} — no split fits "
+                f"join.spj.max-bucket-bytes={limit}"
+            )
+        chunk, cb = [], 0
+        for t in lt:
+            sz = t.file.file_size_in_bytes
+            if chunk and cb + sz > budget:
+                rows.append((repr(b), _task_json(chunk), _task_json(rt)))
+                chunk, cb = [], 0
+            chunk.append(t)
+            cb += sz
+        if chunk:
+            rows.append((repr(b), _task_json(chunk), _task_json(rt)))
+
+    from pyspark.sql import types as st
+
+    lstruct = {f.name: f for f in schema_to_spark_struct(left.schema()).fields}
+    rstruct = {f.name: f for f in schema_to_spark_struct(right.schema()).fields}
+    out_fields = [st.StructField(c, lstruct[c].dataType, True) for c in left_cols]
+    out_fields += [
+        st.StructField(oname, rstruct[c].dataType, True) for c, oname in out_right
+    ]
+    out_fields.append(st.StructField("_asof_gap_us", st.LongType(), True))
+    out_struct = st.StructType(out_fields)
+    if not rows:
+        return spark.createDataFrame([], out_struct)
+
+    from . import fileio as _fileio
+    import pyarrow as _pa
+    from pyspark.sql.pandas.types import to_arrow_schema as _taschema
+
+    l_types = {f.name: f.type for f in _taschema(schema_to_spark_struct(left.schema()))}
+    r_types = {f.name: f.type for f in _taschema(schema_to_spark_struct(right.schema()))}
+    if lf == "long":
+        # int/long key siblings must merge on ONE pandas dtype
+        l_types[lkey] = r_types[rkey] = _pa.int64()
+    fileio_cfg = _fileio.env_config()
+    task_df = spark.createDataFrame(
+        rows, "part string, left_files string, right_files string"
+    ).repartition(len(rows))
+    out_name_list = [f.name for f in out_struct.fields]
+
+    def asof_task(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+
+        def ts_us(tbl, col):
+            c = tbl.column(col)
+            if pa.types.is_timestamp(c.type):
+                unit = c.type.unit
+                mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+                v = c.cast(pa.int64())
+                if unit == "ns":
+                    return pc.divide(v, 1000)
+                return pc.multiply(v, mult) if mult != 1 else v
+            return c.cast(pa.int64())
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                lt = _read_bucket_arrow(
+                    json.loads(row["left_files"]), left_cols, l_types, fileio
+                )
+                if lt is None or len(lt) == 0:
+                    continue
+                rt = (
+                    _read_bucket_arrow(
+                        json.loads(row["right_files"]), r_read, r_types, fileio
+                    )
+                    if row["right_files"] != "[]"
+                    else None
+                )
+                # sort left by ts (stable) so merge_asof's contract holds
+                l_us = ts_us(lt, left_ts)
+                lsort = pc.sort_indices(
+                    pa.table({"t": l_us}), sort_keys=[("t", "ascending")]
+                )
+                lt = lt.take(lsort)
+                l_us = ts_us(lt, left_ts)
+                if rt is None or len(rt) == 0:
+                    idx = pa.array([None] * len(lt), pa.int64())
+                    gap = pa.array([None] * len(lt), pa.int64())
+                    rt_take = None
+                else:
+                    r_us = ts_us(rt, right_ts)
+                    rsort = pc.sort_indices(
+                        pa.table({"t": r_us}), sort_keys=[("t", "ascending")]
+                    )
+                    rt = rt.take(rsort)
+                    r_us = ts_us(rt, right_ts)
+                    lpd = pd.DataFrame(
+                        {
+                            "k": lt.column(lkey).to_pandas(),
+                            "t": l_us.to_pandas(),
+                            "__li": np.arange(len(lt), dtype=np.int64),
+                        }
+                    )
+                    rpd = pd.DataFrame(
+                        {
+                            "k": rt.column(rkey).to_pandas(),
+                            "t": r_us.to_pandas(),
+                            "__ri": np.arange(len(rt), dtype=np.int64),
+                        }
+                    )
+                    merged = pd.merge_asof(
+                        lpd,
+                        rpd,
+                        on="t",
+                        by="k",
+                        direction=direction,
+                        suffixes=("", "_r"),
+                    )
+                    merged = merged.sort_values("__li")
+                    ridx = merged["__ri"].to_numpy()
+                    mask = ~pd.isna(ridx)
+                    idx_np = np.where(mask, np.nan_to_num(ridx, nan=0), 0).astype(
+                        np.int64
+                    )
+                    idx = pa.array(
+                        [int(i) if m else None for i, m in zip(idx_np, mask)],
+                        pa.int64(),
+                    )
+                    matched_ts = pc.take(r_us, idx)
+                    gap = pc.abs(pc.subtract(l_us, matched_ts))
+                    if tolerance_us is not None:
+                        ok = pc.less_equal(gap, tolerance_us)
+                        keep = pc.and_kleene(ok, pc.is_valid(idx))
+                        idx = pc.if_else(keep, idx, pa.scalar(None, pa.int64()))
+                        gap = pc.if_else(keep, gap, pa.scalar(None, pa.int64()))
+                    rt_take = rt.take(idx)
+                cols = {c: lt.column(c) for c in left_cols}
+                for c, oname in out_right:
+                    cols[oname] = (
+                        rt_take.column(c)
+                        if rt_take is not None
+                        else pa.nulls(len(lt), r_types[c])
+                    )
+                cols["_asof_gap_us"] = gap
+                out = pa.table(cols).select(out_name_list).cast(target)
+                yield from out.to_batches(max_chunksize=1 << 16)
+
+    return task_df.mapInArrow(asof_task, out_struct)

@@ -2023,6 +2023,13 @@ class Table(StaticTable):
 
         return storage_partitioned_agg(spark, self, on, aggs, **kwargs)
 
+    def storage_partitioned_asof_join(self, spark, other, on, **kwargs):
+        """Zero-exchange as-of join with a co-partitioned table
+        (see spj.storage_partitioned_asof_join)."""
+        from .spj import storage_partitioned_asof_join
+
+        return storage_partitioned_asof_join(spark, self, other, on, **kwargs)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files

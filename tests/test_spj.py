@@ -654,3 +654,121 @@ def test_spj_agg_extra_keys_and_table_methods(spark, catalog):
     tr.append(other)
     j = t.storage_partitioned_join(spark, tr, on=("k", "rk"), how="semi")
     assert j.count() == df.where("k IN (0, 1)").count()
+
+
+def test_spj_asof_join_matches_operator(spark, catalog):
+    """The zero-exchange as-of join equals the DataFrame operator
+    (operators.asof.asof_join, itself DuckDB-ASOF-verified): backward
+    and forward, tolerance nulling, unmatched keys, tie handling."""
+    import datetime
+
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_asof_join,
+    )
+    from iceberg_go_distributed_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    quotes = spark.createDataFrame(
+        [
+            (1, ts(0), 10.0),
+            (1, ts(10), 11.0),
+            (2, ts(5), 20.0),
+            (3, ts(0), 30.0),  # key with no trades
+        ],
+        "qk int, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, ts(3), 100),
+            (1, ts(10), 200),  # exact-ts match (backward inclusive)
+            (1, ts(40), 300),  # beyond tolerance when set
+            (2, ts(4), 400),  # before any quote: backward unmatched
+            (9, ts(1), 500),  # key with no quotes
+        ],
+        "tk int, ts timestamp, qty int",
+    )
+    sq, st_ = schema_from_spark(quotes.schema), schema_from_spark(trades.schema)
+    tq = catalog.create_table("db.quotes", sq, spec=spec_from(sq, ("qk", "bucket[4]")))
+    tt = catalog.create_table("db.trades", st_, spec=spec_from(st_, ("tk", "bucket[4]")))
+    tq.append(quotes)
+    tt.append(trades)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 600_000_000):  # 10 min in µs
+            got = storage_partitioned_asof_join(
+                spark,
+                tt,
+                tq,
+                on=("tk", "qk"),
+                left_ts="ts",
+                right_ts="ts",
+                right_cols=["px"],
+                direction=direction,
+                tolerance_us=tol,
+            ).select("tk", "ts", "qty", "px", "_asof_gap_us")
+            # operator API joins on same-named keys: rename to align
+            exp = asof_join(
+                trades.withColumnRenamed("tk", "k"),
+                quotes.withColumnRenamed("qk", "k"),
+                on="k",
+                left_ts="ts",
+                right_ts="ts",
+                right_cols=["px"],
+                direction=direction,
+                tolerance_us=tol,
+            ).select(
+                F.col("k").alias("tk"), "ts", "qty", "px", "_asof_gap_us"
+            )
+            key = lambda t: tuple((x is None, x) for x in t)
+            assert sorted(map(tuple, got.collect()), key=key) == sorted(
+                map(tuple, exp.collect()), key=key
+            ), f"direction={direction} tol={tol}"
+
+
+def test_spj_asof_fuzz_and_plan(spark, catalog):
+    import datetime
+    import random
+
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_asof_join,
+    )
+    from iceberg_go_distributed_spark.operators.asof import asof_join
+
+    rnd = random.Random(42)
+    base = datetime.datetime(2024, 3, 1)
+    # unique (key, ts) pairs right-side so ties cannot occur
+    rpairs = random.Random(7).sample(
+        [(k, m) for k in range(8) for m in range(0, 2000, 3)], 150
+    )
+    lrows = [
+        (rnd.randrange(10), base + datetime.timedelta(minutes=rnd.randrange(2000)), rnd.random())
+        for _ in range(400)
+    ]
+    rrows = [(k, base + datetime.timedelta(minutes=m), float(k * 1000 + m)) for k, m in rpairs]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, v double")
+    right = spark.createDataFrame(rrows, "rk int, rts timestamp, rv double")
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table("db.af_l", sl, spec=spec_from(sl, ("k", "bucket[4]")))
+    tr = catalog.create_table("db.af_r", sr, spec=spec_from(sr, ("rk", "bucket[4]")))
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_asof_join(
+        spark, tl, tr, on=("k", "rk"), left_ts="ts", right_ts="rts",
+        right_cols=["rv"], tolerance_us=90 * 60 * 1_000_000,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "Window" not in plan
+    exp = asof_join(
+        left.withColumnRenamed("k", "kk"),
+        right.withColumnRenamed("rk", "kk").withColumnRenamed("rts", "ts"),
+        on="kk", left_ts="ts", right_ts="ts", right_cols=["rv"],
+        tolerance_us=90 * 60 * 1_000_000,
+    ).select(F.col("kk").alias("k"), "ts", "v", "rv", "_asof_gap_us")
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.select("k", "ts", "v", "rv", "_asof_gap_us").collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
