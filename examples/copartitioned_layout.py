@@ -1,0 +1,88 @@
+"""Co-partitioned layout recipe — pay the clustering shuffle ONCE at
+write time, then run every join / rollup / as-of attribution on that
+key with ZERO table exchange.
+
+The pattern a feature-store or training-data join farm runs: the fact
+and dimension tables are written `bucket[N]` on the entity key (the
+one clustering shuffle each), after which
+
+  - fact ⋈ dim            → storage_partitioned_join   (per-bucket task)
+  - per-entity rollups    → storage_partitioned_agg    (final aggs, no
+                            partial/merge pass)
+  - point-in-time labels  → storage_partitioned_asof_join (no keyed
+                            exchange, the classic leakage-safe
+                            feature-label pairing)
+  - decontamination       → how='anti' (probe reads the key column only)
+
+At 100 TB the shuffle this removes is the single largest network cost
+in the pipeline; SCALE.md's round-11 probe measures 3.6-3.9× over the
+forced-shuffle join at 8-32M rows on one box, and the gap widens with
+cluster size because only task descriptors move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+
+def write_copartitioned(catalog, name: str, df, key: str, buckets: int = 32):
+    """One clustering write: bucket[N] fanout on the entity key."""
+    schema = schema_from_spark(df.schema)
+    spec = spec_from(schema, (key, f"bucket[{buckets}]"))
+    t = catalog.create_table(f"db.{name}", schema, spec=spec)
+    t.append(df)
+    return t
+
+
+def entity_features(spark, facts, dims, entity_key=("f_entity", "d_entity")):
+    """fact ⋈ dim enrichment + per-entity rollup, both exchange-free."""
+    enriched = facts.storage_partitioned_join(
+        spark,
+        dims,
+        on=entity_key,
+        left_select=[entity_key[0], "f_value"],
+        right_select=[entity_key[1], "d_segment"],
+    )
+    rollup = facts.storage_partitioned_agg(
+        spark,
+        on=entity_key[0],
+        aggs={
+            "n_events": ("f_value", "count"),
+            "total": ("f_value", "sum"),
+            "peak": ("f_value", "max"),
+        },
+    )
+    return enriched, rollup
+
+
+def point_in_time_labels(spark, labels, features, entity_key, label_ts, feature_ts):
+    """Leakage-safe feature attachment: each label row takes the most
+    recent feature row at-or-before its timestamp, same entity."""
+    return labels.storage_partitioned_asof_join(
+        spark,
+        features,
+        on=entity_key,
+        left_ts=label_ts,
+        right_ts=feature_ts,
+        right_cols=["f_value"],
+        direction="backward",
+    )
+
+
+def decontaminate(spark, corpus, benchmark, key=("doc_key", "bench_key")):
+    """Anti probe: corpus rows whose key appears in the benchmark are
+    dropped; only the benchmark's key column is ever read."""
+    return corpus.storage_partitioned_join(spark, benchmark, on=key, how="anti")
+
+
+def demo(spark, catalog, facts_df, dims_df):
+    tf = write_copartitioned(catalog, "facts", facts_df, "f_entity")
+    td = write_copartitioned(catalog, "dims", dims_df, "d_entity")
+    enriched, rollup = entity_features(spark, tf, td)
+    return (
+        enriched.groupBy("d_segment").agg(F.count("*").alias("n")),
+        rollup,
+    )

@@ -59,6 +59,11 @@ from .types import (
 )
 
 DEFAULT_MAX_BUCKET_BYTES = 4 << 30  # join.spj.max-bucket-bytes
+# identity/day layouts can yield one task row per distinct partition
+# value; cap the Spark partition count so a worker streams several
+# bucket tasks sequentially (memory stays one bucket pair) instead of
+# paying one Python-worker round per tiny task
+_MAX_TASK_PARTITIONS = 2048
 
 
 def _hash_family(t) -> str:
@@ -425,7 +430,7 @@ def storage_partitioned_join(
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(
         rows, "part string, left_files string, right_files string"
-    ).repartition(len(rows))
+    ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     right_data_cols = [c for c in right_cols if c != rkey]
     out_name_list = [f.name for f in out_struct.fields]
 
@@ -594,7 +599,7 @@ def storage_partitioned_agg(
         f.name: f.type for f in _taschema(schema_to_spark_struct(table.schema()))
     }
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(rows, "part string, files string").repartition(len(rows))
+    task_df = spark.createDataFrame(rows, "part string, files string").repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     agg_items = [(name, col, fn) for name, (col, fn) in aggs.items()]
     out_name_list = [f.name for f in out_struct.fields]
 
@@ -729,7 +734,7 @@ def storage_partitioned_asof_join(
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(
         rows, "part string, left_files string, right_files string"
-    ).repartition(len(rows))
+    ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     out_name_list = [f.name for f in out_struct.fields]
 
     def asof_task(batches):
