@@ -149,6 +149,19 @@ def _pick_copart_pair(lfields, rfields):
     )
 
 
+def _key_pairs(on) -> list:
+    """Normalize the `on` argument to [(left_key, right_key), ...]:
+    a string, a 2-tuple (left, right), or a list of strings/2-tuples."""
+    if isinstance(on, str):
+        return [(on, on)]
+    if isinstance(on, tuple):
+        return [(on[0], on[1])]
+    out = []
+    for k in on:
+        out.append((k, k) if isinstance(k, str) else (k[0], k[1]))
+    return out
+
+
 def _side_tasks(table, pf, row_filter):
     """Plan one side under its chosen co-partition field: tasks grouped
     by partition value, and the bound residual row filter (None when no
@@ -288,13 +301,13 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
     return pa.concat_tables(parts)
 
 
-def _out_struct(left_schema: Schema, right_schema: Schema, key, left_cols, right_cols):
+def _out_struct(left_schema: Schema, right_schema: Schema, rkeys, left_cols, right_cols):
     from pyspark.sql import types as st
 
     ls = {f.name: f for f in schema_to_spark_struct(left_schema).fields}
     rs = {f.name: f for f in schema_to_spark_struct(right_schema).fields}
     fields = [st.StructField(c, ls[c].dataType, True) for c in left_cols]
-    fields += [st.StructField(c, rs[c].dataType, True) for c in right_cols if c != key]
+    fields += [st.StructField(c, rs[c].dataType, True) for c in right_cols if c not in rkeys]
     return st.StructType(fields)
 
 
@@ -314,44 +327,64 @@ def storage_partitioned_join(
     shuffling either side: one Spark task per bucket does an in-task
     Arrow join of that bucket's (pruned, delete-applied) files.
 
-    on: a column name present in both tables, or a
-    ``(left_key, right_key)`` pair (e.g. ``("c_custkey", "o_custkey")``);
-    the output keeps the LEFT key column.
+    on: a column name present in both tables, a ``(left_key,
+    right_key)`` pair (e.g. ``("c_custkey", "o_custkey")``), or a LIST
+    of names/pairs for composite keys — co-location only needs a
+    shared transform on ONE of the key pairs (tasks group by it); the
+    remaining pairs join as plain equality conditions in-task.  The
+    output keeps the LEFT key columns.
 
     how: 'inner', 'left', 'semi' (left semi: left rows with a match,
     left columns only) or 'anti' (left anti: left rows with NO match,
     left columns only — null-key rows are unmatched by definition and
-    kept).  NULL join keys live in the NULL bucket (transforms map null
-    to a null partition value) and never match — inner/semi drop them
-    file-level, left/anti emit them without reading the other side.
+    kept).  NULL values of the PARTITIONED key live in the NULL bucket
+    (transforms map null to a null partition value) and never match —
+    inner/semi drop them file-level, left/anti emit them without
+    reading the other side; nulls in secondary keys never match inside
+    the task join, standard SQL equality.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
-    lkey, rkey = (on, on) if isinstance(on, str) else (on[0], on[1])
-    lfields, lsrc = _partition_fields_on(left, lkey)
-    rfields, rsrc = _partition_fields_on(right, rkey)
-    lpf, rpf = _pick_copart_pair(lfields, rfields)
-    lf, rf = _hash_family(lsrc.field_type), _hash_family(rsrc.field_type)
-    if lf != rf or lf.startswith("other"):
-        raise ValueError(
-            f"join-key hash families differ or unsupported ({lf} vs {rf}); "
-            "equal keys would not share partitions"
-        )
+    pairs = _key_pairs(on)
+    lkeys = [p[0] for p in pairs]
+    rkeys = [p[1] for p in pairs]
+    picked = None
+    errors = []
+    for i, (lk, rk) in enumerate(pairs):
+        try:
+            lfields, lsrc = _partition_fields_on(left, lk)
+            rfields, rsrc = _partition_fields_on(right, rk)
+            lpf, rpf = _pick_copart_pair(lfields, rfields)
+        except ValueError as e:
+            errors.append(str(e))
+            continue
+        lf, rf = _hash_family(lsrc.field_type), _hash_family(rsrc.field_type)
+        if lf != rf or lf.startswith("other"):
+            errors.append(
+                f"join-key hash families differ or unsupported ({lf} vs {rf}); "
+                "equal keys would not share partitions"
+            )
+            continue
+        picked = (i, lpf, rpf, lf)
+        break
+    if picked is None:
+        raise ValueError("; ".join(errors))
+    _, lpf, rpf, lf = picked
+    # the grouping pair drives partition semantics (null-bucket rules)
+    lkey, rkey = pairs[picked[0]]
     lbuckets, l_resid = _side_tasks(left, lpf, left_filter)
     rbuckets, r_resid = _side_tasks(right, rpf, right_filter)
 
     left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
-    if lkey not in left_cols:
-        left_cols = [lkey] + left_cols
+    left_cols = [k for k in lkeys if k not in left_cols] + left_cols
     if how in ("semi", "anti"):
-        right_cols = [rkey]  # the key is all a semi/anti probe needs
+        right_cols = list(rkeys)  # the keys are all a semi/anti probe needs
     else:
         right_cols = (
             list(right_select) if right_select else [f.name for f in right.schema().fields]
         )
-        if rkey not in right_cols:
-            right_cols = [rkey] + right_cols
-    out_names = left_cols + [c for c in right_cols if c != rkey]
+        right_cols = [k for k in rkeys if k not in right_cols] + right_cols
+    out_names = left_cols + [c for c in right_cols if c not in rkeys]
     dup = {c for c in out_names if out_names.count(c) > 1}
     if dup:
         raise ValueError(
@@ -421,7 +454,7 @@ def storage_partitioned_join(
                 else (bid, _task_json(lt), _task_json(chunk))
             )
 
-    out_struct = _out_struct(left.schema(), right.schema(), rkey, left_cols, right_cols)
+    out_struct = _out_struct(left.schema(), right.schema(), set(rkeys), left_cols, right_cols)
     if not rows:
         return spark.createDataFrame([], out_struct)
 
@@ -431,7 +464,7 @@ def storage_partitioned_join(
     task_df = spark.createDataFrame(
         rows, "part string, left_files string, right_files string"
     ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
-    right_data_cols = [c for c in right_cols if c != rkey]
+    right_data_cols = [c for c in right_cols if c not in rkeys]
     out_name_list = [f.name for f in out_struct.fields]
 
     # per-side read types; widen a long-family key to int64 on BOTH
@@ -446,8 +479,16 @@ def storage_partitioned_join(
     r_types = {
         f.name: f.type for f in _taschema(schema_to_spark_struct(right.schema()))
     }
-    if lf == "long":
-        l_types[lkey] = r_types[rkey] = _pa.int64()
+    for lk, rk in pairs:
+        flk = _hash_family(left.schema().find_field(lk).field_type)
+        frk = _hash_family(right.schema().find_field(rk).field_type)
+        if flk != frk:
+            raise ValueError(
+                f"key pair ({lk!r}, {rk!r}): hash families differ "
+                f"({flk} vs {frk}); equal values cannot exist"
+            )
+        if flk == "long":
+            l_types[lk] = r_types[rk] = _pa.int64()
 
     # residual filters may reference columns outside the projection:
     # read them too, filter, then project back to the selected columns
@@ -505,7 +546,7 @@ def storage_partitioned_join(
                         "semi": "left semi",
                         "anti": "left anti",
                     }[how]
-                    joined = lt.join(rt, keys=[lkey], right_keys=[rkey], join_type=jt)
+                    joined = lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=jt)
                     joined = joined.select(out_name_list)
                 joined = joined.cast(target)
                 yield from joined.to_batches(max_chunksize=1 << 16)
@@ -641,6 +682,7 @@ def storage_partitioned_asof_join(
     right_cols: Optional[list] = None,
     tolerance_us: Optional[int] = None,
     direction: str = "backward",
+    tie_break: Optional[str] = None,
     suffix: str = "_r",
     max_bucket_bytes: Optional[int] = None,
 ):
@@ -656,6 +698,10 @@ def storage_partitioned_asof_join(
     survive; matches farther than `tolerance_us` are nulled out.
     Output: all left columns, matched `right_cols` (suffixed on
     collision), and `_asof_gap_us` (null when unmatched).
+
+    tie_break: right column ordering equal-timestamp candidates — the
+    LARGEST value wins, matching operators.asof.asof_join's "last in
+    (ts, tie_break) order" in both directions.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -675,6 +721,8 @@ def storage_partitioned_asof_join(
     right_cols = list(right_cols or [])
     out_right = [(c, c + suffix if c in left_cols else c) for c in right_cols]
     r_read = [rkey, right_ts] + [c for c in right_cols if c not in (rkey, right_ts)]
+    if tie_break is not None and tie_break not in r_read:
+        r_read.append(tie_break)
 
     limit = max_bucket_bytes
     if limit is None:
@@ -788,9 +836,22 @@ def storage_partitioned_asof_join(
                     rt_take = None
                 else:
                     r_us = ts_us(rt, right_ts)
-                    rsort = pc.sort_indices(
-                        pa.table({"t": r_us}), sort_keys=[("t", "ascending")]
-                    )
+                    # equal-ts candidates: the LARGEST tie_break must win.
+                    # merge_asof picks the LAST preceding row (backward)
+                    # but the FIRST following row (forward), so the tie
+                    # column sorts ascending/descending respectively.
+                    if tie_break is not None:
+                        tie_dir = (
+                            "ascending" if direction == "backward" else "descending"
+                        )
+                        rsort = pc.sort_indices(
+                            pa.table({"t": r_us, "tb": rt.column(tie_break)}),
+                            sort_keys=[("t", "ascending"), ("tb", tie_dir)],
+                        )
+                    else:
+                        rsort = pc.sort_indices(
+                            pa.table({"t": r_us}), sort_keys=[("t", "ascending")]
+                        )
                     rt = rt.take(rsort)
                     r_us = ts_us(rt, right_ts)
                     lpd = pd.DataFrame(

@@ -772,3 +772,96 @@ def test_spj_asof_fuzz_and_plan(spark, catalog):
     assert sorted(map(tuple, got.select("k", "ts", "v", "rv", "_asof_gap_us").collect()), key=key) == sorted(
         map(tuple, exp.collect()), key=key
     )
+
+
+def test_spj_asof_tie_break(spark, catalog):
+    """Equal-timestamp candidates: the largest tie_break value wins in
+    BOTH directions, matching operators.asof.asof_join."""
+    import datetime
+
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_asof_join,
+    )
+    from iceberg_go_distributed_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 3, 1)
+    ts = lambda m: base + datetime.timedelta(minutes=m)
+    quotes = spark.createDataFrame(
+        [(1, ts(10), 11.0, 1), (1, ts(10), 11.5, 2), (1, ts(20), 12.0, 3)],
+        "qk int, ts timestamp, px double, seq int",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(15), 100), (1, ts(10), 200)], "tk int, ts timestamp, qty int"
+    )
+    sq, st_ = schema_from_spark(quotes.schema), schema_from_spark(trades.schema)
+    tq = catalog.create_table("db.tb_q", sq, spec=spec_from(sq, ("qk", "bucket[2]")))
+    tt = catalog.create_table("db.tb_t", st_, spec=spec_from(st_, ("tk", "bucket[2]")))
+    tq.append(quotes)
+    tt.append(trades)
+    for direction in ("backward", "forward"):
+        got = storage_partitioned_asof_join(
+            spark, tt, tq, on=("tk", "qk"), left_ts="ts", right_ts="ts",
+            right_cols=["px"], direction=direction, tie_break="seq",
+        ).select("tk", "ts", "qty", "px")
+        exp = asof_join(
+            trades.withColumnRenamed("tk", "k"),
+            quotes.withColumnRenamed("qk", "k"),
+            on="k", left_ts="ts", right_ts="ts", right_cols=["px"],
+            direction=direction, tie_break="seq",
+        ).select(F.col("k").alias("tk"), "ts", "qty", "px")
+        key = lambda t: tuple((x is None, x) for x in t)
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, exp.collect()), key=key
+        ), direction
+        # the ts(10) trade must see the max-seq equal-ts quote (backward)
+        if direction == "backward":
+            m = {r.qty: r.px for r in got.collect()}
+            assert m[200] == 11.5
+
+
+def test_spj_composite_keys(spark, catalog):
+    """Composite join keys: co-location needs a shared transform on ONE
+    pair; the rest join as plain equality in-task (nulls never match)."""
+    left = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 11), (2, "x", 12), (2, None, 13)],
+        "k int, sub string, lv int",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 2.0), (2, "z", 3.0), (1, None, 9.0)],
+        "rk int, rsub string, rv double",
+    )
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table("db.ck_l", sl, spec=spec_from(sl, ("k", "bucket[4]")))
+    tr = catalog.create_table("db.ck_r", sr, spec=spec_from(sr, ("rk", "bucket[4]")))
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_join(
+        spark, tl, tr, on=[("k", "rk"), ("sub", "rsub")], how="inner"
+    )
+    exp = left.join(
+        right, (left.k == right.rk) & (left.sub == right.rsub), "inner"
+    ).select("k", "sub", "lv", "rv")
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+    # left join: null secondary keys come back unmatched, rows kept
+    gl = storage_partitioned_join(
+        spark, tl, tr, on=[("k", "rk"), ("sub", "rsub")], how="left"
+    )
+    el = left.join(
+        right, (left.k == right.rk) & (left.sub == right.rsub), "left"
+    ).select("k", "sub", "lv", "rv")
+    assert sorted(map(tuple, gl.collect()), key=key) == sorted(
+        map(tuple, el.collect()), key=key
+    )
+    # anti with composite keys
+    ga = storage_partitioned_join(
+        spark, tl, tr, on=[("k", "rk"), ("sub", "rsub")], how="anti"
+    )
+    ea = left.join(
+        right, (left.k == right.rk) & (left.sub == right.rsub), "leftanti"
+    )
+    assert sorted(map(tuple, ga.collect()), key=key) == sorted(
+        map(tuple, ea.collect()), key=key
+    )
