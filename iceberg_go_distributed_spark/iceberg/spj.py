@@ -177,9 +177,25 @@ def _side_tasks(table, pf, row_filter):
         if not isinstance(bound, AlwaysTrue):
             resid = bound
     by_bucket: dict = {}
+    foreign = 0
     for t in tasks:
+        # a file written under an OLDER spec (pre-evolution) has no
+        # entry for this field at all — that is "layout unknown", not
+        # "null key"; grouping it into the null bucket would silently
+        # drop its rows from inner joins
+        if pf.name not in t.file.partition:
+            foreign += 1
+            continue
         b = t.file.partition.get(pf.name)
         by_bucket.setdefault(b, []).append(t)
+    if foreign:
+        raise ValueError(
+            f"{foreign} planned file(s) predate the {pf.name!r} partition "
+            "field (partition-spec evolution): their layout is unknown, so "
+            "the storage-partitioned path cannot co-locate them. Run "
+            "rewrite_data_files() to rewrite the table under the current "
+            "spec, or use a regular to_df().join()"
+        )
     return by_bucket, resid
 
 

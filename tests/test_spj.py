@@ -865,3 +865,36 @@ def test_spj_composite_keys(spark, catalog):
     assert sorted(map(tuple, ga.collect()), key=key) == sorted(
         map(tuple, ea.collect()), key=key
     )
+
+
+def test_spj_refuses_mixed_spec_files_then_works_after_rewrite(spark, catalog):
+    """Files written before the bucket field existed have no layout —
+    grouping them as 'null bucket' would silently drop rows from inner
+    joins. SPJ refuses until the table is rewritten under the current
+    spec, after which it runs and matches the plain join."""
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 20, 2)], "rk int, rv double"
+    )
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    # left table starts UNPARTITIONED, then evolves to bucket[4]
+    tl = catalog.create_table("db.evo_l", sl)
+    tl.append(left.where("k < 10"))
+    tl.update_spec().add_field("k", "bucket[4]").commit()
+    tl.refresh()
+    tl.append(left.where("k >= 10"))
+    tr = catalog.create_table("db.evo_r", sr, spec=spec_from(sr, ("rk", "bucket[4]")))
+    tr.append(right)
+    with pytest.raises(ValueError, match="predate"):
+        storage_partitioned_join(spark, tl, tr, on=("k", "rk"))
+    # rewrite materializes every row under the current (bucketed) spec
+    tl.rewrite_data_files(spark)
+    tl.refresh()
+    got = storage_partitioned_join(spark, tl, tr, on=("k", "rk"))
+    exp = left.join(right, left.k == right.rk, "inner").select("k", "lv", "rv")
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
