@@ -355,9 +355,15 @@ def main() -> None:
 
         # identical downstream work on both paths: a revenue-style
         # aggregate over the SAME projected columns, so neither side
-        # gets a count-only column-pruning freebie
+        # gets a count-only column-pruning freebie. DECIMAL, not double:
+        # fp addition order differs between the two plans, so a double
+        # sum over 600k rows disagrees in the last bits — decimal is
+        # associative and must match EXACTLY.
         agg_expr = SF.sum(
-            SF.col("l_quantity") * SF.col("o_totalprice")
+            (
+                SF.col("l_quantity").cast("decimal(12,2)")
+                * SF.col("o_totalprice").cast("decimal(12,2)")
+            ).cast("decimal(30,4)")
         ).alias("v")
 
         def run_spj_once():
@@ -397,8 +403,13 @@ def main() -> None:
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
-        s_attempts = [run_spj_once() for _ in range(2)]
-        h_attempts = [run_shuffle_once() for _ in range(2)]
+        # round-robin the attempts so a host load wave degrades one
+        # pass of BOTH paths (the per-path minimum discards it) instead
+        # of every attempt of one path
+        s_attempts, h_attempts = [], []
+        for _ in range(3):
+            s_attempts.append(run_spj_once())
+            h_attempts.append(run_shuffle_once())
         spj_sec = min(a[0] for a in s_attempts)
         shuf_sec = min(a[0] for a in h_attempts)
         spj = {
