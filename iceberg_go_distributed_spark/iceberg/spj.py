@@ -922,3 +922,194 @@ def storage_partitioned_asof_join(
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(asof_task, out_struct)
+
+
+def storage_partitioned_star_join(
+    spark,
+    sides: list,
+    max_bucket_bytes: Optional[int] = None,
+):
+    """N-way inner join of tables co-partitioned on one entity key, all
+    in ONE task pass — chaining two-way joins would shuffle after the
+    first (its output is a plain DataFrame), so the star shape (fact ⋈
+    dim₁ ⋈ … ⋈ dimₖ, every side keyed by the same entity) gets its own
+    operator: each task reads its partition value's files from EVERY
+    side and left-deep inner-joins them in Arrow.
+
+    sides: list of dicts — [{"table": t, "key": "user_id",
+    "select": [...], "filter": expr}, ...]; `select`/`filter` optional.
+    Side 0 is the fact: its rows drive output multiplicity, so only it
+    fragments under the byte budget (each fact row in exactly one task,
+    dimension buckets replicate).  Output keeps side 0's key column;
+    other sides' key columns drop.  All sides must share one partition
+    transform on their key (the finest shared one groups the tasks).
+    """
+    if len(sides) < 2:
+        raise ValueError("need at least two sides")
+    norm = []
+    for s in sides:
+        norm.append(
+            {
+                "table": s["table"],
+                "key": s["key"],
+                "select": s.get("select"),
+                "filter": s.get("filter"),
+            }
+        )
+
+    # the transform every side shares on its key (finest wins)
+    per_side = []
+    for s in norm:
+        fields, src = _partition_fields_on(s["table"], s["key"])
+        per_side.append((fields, src))
+    shared = set(str(f.transform) for f in per_side[0][0])
+    for fields, _ in per_side[1:]:
+        shared &= {str(f.transform) for f in fields}
+    if not shared:
+        raise ValueError(
+            "no partition transform shared by ALL sides on their keys: "
+            + str([[str(f.transform) for f in fs] for fs, _ in per_side])
+        )
+    chosen = min(
+        shared, key=lambda t: _TRANSFORM_PREFERENCE.get(t.split("[")[0], 9)
+    )
+    fam0 = _hash_family(per_side[0][1].field_type)
+    if fam0.startswith("other"):
+        raise ValueError(f"unsupported key type family {fam0}")
+    for _, src in per_side[1:]:
+        if _hash_family(src.field_type) != fam0:
+            raise ValueError("key hash families differ across sides")
+
+    buckets_per_side = []
+    resids = []
+    for s, (fields, _src) in zip(norm, per_side):
+        pf = next(f for f in fields if str(f.transform) == chosen)
+        by_bucket, resid = _side_tasks(s["table"], pf, s["filter"])
+        buckets_per_side.append(by_bucket)
+        resids.append(resid)
+
+    # column planning: side 0 keeps its key; later sides drop theirs
+    import pyarrow as _pa
+    from pyspark.sql import types as st
+    from pyspark.sql.pandas.types import to_arrow_schema as _taschema
+
+    from .expressions import extract_field_names
+
+    side_cols, side_read, side_types, out_fields, out_names = [], [], [], [], []
+    for i, s in enumerate(norm):
+        tbl = s["table"]
+        cols = list(s["select"]) if s["select"] else [f.name for f in tbl.schema().fields]
+        if s["key"] not in cols:
+            cols = [s["key"]] + cols
+        struct = {f.name: f for f in schema_to_spark_struct(tbl.schema()).fields}
+        types = {f.name: f.type for f in _taschema(schema_to_spark_struct(tbl.schema()))}
+        if fam0 == "long":
+            types[s["key"]] = _pa.int64()
+        read = cols + sorted(
+            (extract_field_names(resids[i]) if resids[i] is not None else set())
+            - set(cols)
+        )
+        for c in cols:
+            if i > 0 and c == s["key"]:
+                continue
+            out_names.append(c)
+            out_fields.append(st.StructField(c, struct[c].dataType, True))
+        side_cols.append(cols)
+        side_read.append(read)
+        side_types.append(types)
+    dup = {c for c in out_names if out_names.count(c) > 1}
+    if dup:
+        raise ValueError(
+            f"output column collision {sorted(dup)}; project with per-side "
+            "'select' to disjoint names"
+        )
+    out_struct = st.StructType(out_fields)
+
+    limit = max_bucket_bytes
+    if limit is None:
+        limit = int(
+            norm[0]["table"].properties.get(
+                "join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES
+            )
+        )
+
+    # inner: only buckets present on every side can produce output
+    common = set(buckets_per_side[0]) - {None}
+    for bb in buckets_per_side[1:]:
+        common &= set(bb)
+    rows = []
+    for b in sorted(common):
+        per = [bb[b] for bb in buckets_per_side]
+        dims_bytes = sum(_bucket_bytes(p) for p in per[1:])
+        fact = per[0]
+        if dims_bytes + _bucket_bytes(fact) <= limit:
+            rows.append((repr(b), json.dumps([_task_json(p) for p in per])))
+            continue
+        budget = limit - dims_bytes
+        biggest = max(t.file.file_size_in_bytes for t in fact)
+        if budget < biggest:
+            raise ValueError(
+                f"bucket {b}: dimension sides hold {dims_bytes} bytes and "
+                f"the largest fact file is {biggest} — no split fits "
+                f"join.spj.max-bucket-bytes={limit}"
+            )
+        chunk, cb = [], 0
+        for t in fact:
+            sz = t.file.file_size_in_bytes
+            if chunk and cb + sz > budget:
+                rows.append(
+                    (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
+                )
+                chunk, cb = [], 0
+            chunk.append(t)
+            cb += sz
+        if chunk:
+            rows.append(
+                (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
+            )
+    if not rows:
+        return spark.createDataFrame([], out_struct)
+
+    from . import fileio as _fileio
+
+    fileio_cfg = _fileio.env_config()
+    task_df = spark.createDataFrame(rows, "part string, sides string").repartition(
+        min(len(rows), _MAX_TASK_PARTITIONS)
+    )
+    keys = [s["key"] for s in norm]
+
+    def star_task(batches):
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        for batch in batches:
+            for row in batch.to_pylist():
+                side_jsons = json.loads(row["sides"])
+                acc = None
+                empty = False
+                for i, sj in enumerate(side_jsons):
+                    tbl = _read_bucket_arrow(
+                        json.loads(sj), side_read[i], side_types[i], fileio, resids[i]
+                    )
+                    if tbl is None or len(tbl) == 0:
+                        empty = True
+                        break
+                    tbl = tbl.select(side_cols[i])
+                    if acc is None:
+                        acc = tbl
+                    else:
+                        acc = acc.join(
+                            tbl, keys=[keys[0]], right_keys=[keys[i]], join_type="inner"
+                        )
+                        if len(acc) == 0:
+                            empty = True
+                            break
+                if empty or acc is None or len(acc) == 0:
+                    continue
+                out = acc.select(out_names).cast(target)
+                yield from out.to_batches(max_chunksize=1 << 16)
+
+    return task_df.mapInArrow(star_task, out_struct)

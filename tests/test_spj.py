@@ -898,3 +898,78 @@ def test_spj_refuses_mixed_spec_files_then_works_after_rewrite(spark, catalog):
     assert sorted(map(tuple, got.collect()), key=key) == sorted(
         map(tuple, exp.collect()), key=key
     )
+
+
+def test_spj_star_join_three_tables(spark, catalog):
+    """N-way star join: fact ⋈ dim1 ⋈ dim2 all bucketed on the entity
+    key run in ONE task pass (chaining two-way SPJs would shuffle after
+    the first); parity with the plain double join, including a dim
+    filter, fact deletes, and a forced fact split."""
+    import pyspark.sql.functions as SF
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_star_join,
+    )
+
+    fact = spark.range(0, 2000).select(
+        (SF.col("id") % 30).cast("int").alias("user_id"),
+        (SF.col("id") % 50).cast("double").alias("amount"),
+        SF.col("id").alias("eid"),
+    )
+    profile = spark.createDataFrame(
+        [(u, f"u{u}", u % 4) for u in range(30)], "p_user int, uname string, tier int"
+    )
+    subs = spark.createDataFrame(
+        [(u, u % 2 == 0) for u in range(25)], "s_user int, active boolean"
+    )
+    tf = _bucketed(catalog, "st_f", fact.limit(0), "user_id", n=4)
+    for i in range(4):
+        tf.append(fact.where(f"eid % 4 = {i}"))
+    tp = _bucketed(catalog, "st_p", profile, "p_user", n=4)
+    ts_ = _bucketed(catalog, "st_s", subs, "s_user", n=4)
+    tf.delete_where(spark, E.greater_than("amount", 40.0))
+
+    got = storage_partitioned_star_join(
+        spark,
+        [
+            {"table": tf, "key": "user_id", "select": ["user_id", "amount"]},
+            {"table": tp, "key": "p_user", "select": ["p_user", "tier"],
+             "filter": E.less_than("tier", 3)},
+            {"table": ts_, "key": "s_user", "select": ["s_user", "active"]},
+        ],
+    )
+    assert got.columns == ["user_id", "amount", "tier", "active"]
+    exp = (
+        fact.where("NOT (amount > 40.0)")
+        .join(profile.where("tier < 3"), fact.user_id == profile.p_user)
+        .join(subs, fact.user_id == subs.s_user)
+        .select("user_id", "amount", "tier", "active")
+    )
+    key = lambda t: tuple((x is None, x) for x in t)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "SortMergeJoin" not in plan
+    # forced fact split: same answer
+    one = max(t.file.file_size_in_bytes for t in tf.scan().plan_files())
+    dims = sum(
+        t.file.file_size_in_bytes
+        for tt in (tp, ts_)
+        for t in tt.scan().plan_files()
+    )
+    tight = one + dims + 512
+    got2 = storage_partitioned_star_join(
+        spark,
+        [
+            {"table": tf, "key": "user_id", "select": ["user_id", "amount"]},
+            {"table": tp, "key": "p_user", "select": ["p_user", "tier"],
+             "filter": E.less_than("tier", 3)},
+            {"table": ts_, "key": "s_user", "select": ["s_user", "active"]},
+        ],
+        max_bucket_bytes=tight,
+    )
+    assert sorted(map(tuple, got2.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
