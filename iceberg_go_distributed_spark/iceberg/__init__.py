@@ -37,3 +37,10 @@ from .types import (  # noqa: F401
     UUIDType,
     type_from_json,
 )
+
+from .spj import (  # noqa: F401
+    storage_partitioned_agg,
+    storage_partitioned_asof_join,
+    storage_partitioned_join,
+    storage_partitioned_star_join,
+)
