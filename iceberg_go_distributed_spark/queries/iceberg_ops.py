@@ -1284,15 +1284,17 @@ def ice_eq_convert(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot,
+           CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vip
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE NOT (o_totalprice > 400000.0)
     GROUP BY c_mktsegment
     """,
     doc=(
-        "storage-partitioned join: bucket[8]-co-located orders⋈customer "
-        "joined per-bucket in-task (zero table exchange), MOR deletes "
-        "applied during the bucket read"
+        "storage-partitioned join + 3-way star join: bucket[8]-co-located "
+        "orders⋈customer⋈flags joined per-bucket in-task (zero table "
+        "exchange), MOR deletes applied during the bucket read"
     ),
 )
 def ice_spj(spark, sf_dir):
@@ -1306,7 +1308,11 @@ def ice_spj(spark, sf_dir):
     the table's own scan count."""
     from ..iceberg import expressions as E
     from ..iceberg.partitioning import spec_from
-    from ..iceberg.spj import storage_partitioned_agg, storage_partitioned_join
+    from ..iceberg.spj import (
+        storage_partitioned_agg,
+        storage_partitioned_join,
+        storage_partitioned_star_join,
+    )
     from ..iceberg.types import schema_from_spark
 
     cat = _fresh_catalog("ice_spj", sf_dir)
@@ -1314,12 +1320,19 @@ def ice_spj(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    flags = cust.select(
+        F.col("c_custkey").alias("f_custkey"),
+        (F.col("c_custkey") % 3 == 0).alias("vip"),
+    )
     cs = schema_from_spark(cust.schema)
     osch = schema_from_spark(orders.schema)
+    fs = schema_from_spark(flags.schema)
     tc = cat.create_table("db.cust_spj", cs, spec=spec_from(cs, ("c_custkey", "bucket[8]")))
     to = cat.create_table("db.ord_spj", osch, spec=spec_from(osch, ("o_custkey", "bucket[8]")))
+    tf = cat.create_table("db.flag_spj", fs, spec=spec_from(fs, ("f_custkey", "bucket[8]")))
     tc.append(cust)
     to.append(orders)
+    tf.append(flags)
     to.delete_where(spark, E.greater_than("o_totalprice", 400000.0))
     assert any(t.delete_files for t in to.scan().plan_files()), "expected MOR tasks"
 
@@ -1343,7 +1356,21 @@ def ice_spj(spark, sf_dir):
     total = per_key.agg(F.sum("n")).first()[0]
     assert total == to.scan().count(spark), "per-bucket agg lost/duplicated rows"
 
-    return df.groupBy("c_mktsegment").agg(
+    # 3-way star (orders⋈customer⋈flags, one task pass) carries the vip
+    # count into the oracle-hashed output; the flags side has every
+    # custkey, so row multiplicity equals the 2-way join's
+    star = storage_partitioned_star_join(
+        spark,
+        [
+            {"table": to, "key": "o_custkey",
+             "select": ["o_custkey", "o_totalprice"]},
+            {"table": tc, "key": "c_custkey",
+             "select": ["c_custkey", "c_mktsegment"]},
+            {"table": tf, "key": "f_custkey", "select": ["f_custkey", "vip"]},
+        ],
+    )
+    return star.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias("tot"),
+        F.expr("CAST(SUM(CASE WHEN vip THEN 1 ELSE 0 END) AS BIGINT)").alias("n_vip"),
     )
