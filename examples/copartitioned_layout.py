@@ -78,6 +78,18 @@ def decontaminate(spark, corpus, benchmark, key=("doc_key", "bench_key")):
     return corpus.storage_partitioned_join(spark, benchmark, on=key, how="anti")
 
 
+def star_features(spark, fact, *dims):
+    """fact ⋈ dim₁ ⋈ … ⋈ dimₖ in ONE task pass — chaining two-way joins
+    would shuffle after the first. Each dim is (table, key, select)."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_star_join,
+    )
+
+    sides = [{"table": fact[0], "key": fact[1], "select": fact[2]}]
+    sides += [{"table": t, "key": k, "select": s} for (t, k, s) in dims]
+    return storage_partitioned_star_join(spark, sides)
+
+
 def demo(spark, catalog, facts_df, dims_df):
     tf = write_copartitioned(catalog, "facts", facts_df, "f_entity")
     td = write_copartitioned(catalog, "dims", dims_df, "d_entity")

@@ -79,3 +79,37 @@ def test_copartitioned_layout_recipe(tmp_path, spark):
     clean = cl.decontaminate(spark, tc, tb)
     assert clean.count() == 15
     assert clean.where("doc_key % 4 = 0").count() == 0
+
+
+def test_copartitioned_star_recipe(tmp_path, spark):
+    import copartitioned_layout as cl
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+    catalog = FileSystemCatalog(str(tmp_path / "wh2"))
+    fact = spark.range(0, 1200).select(
+        (F.col("id") % 16).cast("int").alias("e"), F.col("id").alias("v")
+    )
+    d1 = spark.createDataFrame([(i, i % 3) for i in range(16)], "e1 int, g int")
+    d2 = spark.createDataFrame([(i, float(i)) for i in range(16)], "e2 int, w double")
+    tf = cl.write_copartitioned(catalog, "sf", fact, "e", buckets=4)
+    t1 = cl.write_copartitioned(catalog, "sd1", d1, "e1", buckets=4)
+    t2 = cl.write_copartitioned(catalog, "sd2", d2, "e2", buckets=4)
+    got = cl.star_features(
+        spark,
+        (tf, "e", ["e", "v"]),
+        (t1, "e1", ["e1", "g"]),
+        (t2, "e2", ["e2", "w"]),
+    )
+    exp = (
+        fact.join(d1, fact.e == d1.e1)
+        .join(d2, fact.e == d2.e2)
+        .select("e", "v", "g", "w")
+    )
+    assert got.count() == exp.count() == 1200
+    assert (
+        got.groupBy("g").agg(F.sum("w").alias("s")).join(
+            exp.groupBy("g").agg(F.sum("w").alias("s2")), "g"
+        ).where("abs(s - s2) > 1e-9").count()
+        == 0
+    )
