@@ -227,13 +227,16 @@ def _task_json(tasks) -> str:
     )
 
 
-def _bucket_bytes(tasks) -> int:
+def _task_bytes(t) -> int:
     # budget the delete files too: eq key frames and positional files
     # are materialized in-task alongside the data
-    return sum(
-        t.file.file_size_in_bytes + sum(d.file_size_in_bytes for d in t.delete_files)
-        for t in tasks
+    return t.file.file_size_in_bytes + sum(
+        d.file_size_in_bytes for d in t.delete_files
     )
+
+
+def _bucket_bytes(tasks) -> int:
+    return sum(_task_bytes(t) for t in tasks)
 
 
 def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, resid=None):
@@ -443,7 +446,7 @@ def storage_partitioned_join(
         frag, keep = (lt, rt) if split_left else (rt, lt)
         keep_bytes = rb if split_left else lb
         budget = limit - keep_bytes
-        biggest = max(t.file.file_size_in_bytes for t in frag)
+        biggest = max(_task_bytes(t) for t in frag)
         if budget < biggest:
             raise ValueError(
                 f"bucket {b}: replicated side holds {keep_bytes} bytes and "
@@ -453,7 +456,7 @@ def storage_partitioned_join(
             )
         chunk, chunk_bytes = [], 0
         for t in frag:
-            sz = t.file.file_size_in_bytes
+            sz = _task_bytes(t)
             if chunk and chunk_bytes + sz > budget:
                 rows.append(
                     (bid, _task_json(chunk), _task_json(rt))
@@ -755,7 +758,7 @@ def storage_partitioned_asof_join(
             rows.append((repr(b), _task_json(lt), _task_json(rt)))
             continue
         budget = limit - rb  # the right bucket must stay complete
-        biggest = max(t.file.file_size_in_bytes for t in lt)
+        biggest = max(_task_bytes(t) for t in lt)
         if budget < biggest:
             raise ValueError(
                 f"bucket {b}: right side holds {rb} bytes and the largest "
@@ -764,7 +767,7 @@ def storage_partitioned_asof_join(
             )
         chunk, cb = [], 0
         for t in lt:
-            sz = t.file.file_size_in_bytes
+            sz = _task_bytes(t)
             if chunk and cb + sz > budget:
                 rows.append((repr(b), _task_json(chunk), _task_json(rt)))
                 chunk, cb = [], 0
@@ -1046,7 +1049,7 @@ def storage_partitioned_star_join(
             rows.append((repr(b), json.dumps([_task_json(p) for p in per])))
             continue
         budget = limit - dims_bytes
-        biggest = max(t.file.file_size_in_bytes for t in fact)
+        biggest = max(_task_bytes(t) for t in fact)
         if budget < biggest:
             raise ValueError(
                 f"bucket {b}: dimension sides hold {dims_bytes} bytes and "
@@ -1055,7 +1058,7 @@ def storage_partitioned_star_join(
             )
         chunk, cb = [], 0
         for t in fact:
-            sz = t.file.file_size_in_bytes
+            sz = _task_bytes(t)
             if chunk and cb + sz > budget:
                 rows.append(
                     (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))

@@ -952,12 +952,13 @@ def test_spj_star_join_three_tables(spark, catalog):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan and "SortMergeJoin" not in plan
-    # forced fact split: same answer
-    one = max(t.file.file_size_in_bytes for t in tf.scan().plan_files())
+    # forced fact split: same answer (budget accounting includes the
+    # delete files a task materializes, so size tasks the same way)
+    from iceberg_go_distributed_spark.iceberg.spj import _task_bytes
+
+    one = max(_task_bytes(t) for t in tf.scan().plan_files())
     dims = sum(
-        t.file.file_size_in_bytes
-        for tt in (tp, ts_)
-        for t in tt.scan().plan_files()
+        _task_bytes(t) for tt in (tp, ts_) for t in tt.scan().plan_files()
     )
     tight = one + dims + 512
     got2 = storage_partitioned_star_join(
