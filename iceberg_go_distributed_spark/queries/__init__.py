@@ -117,8 +117,13 @@ _PRIORITY = [
     # corpus-ngram audit so it gets a driver row.
     "llm_dedup_exact",
     "llm_dedup_minhash",
-    "llm_dedup_simhash",
-    "llm_ngram_topk",
+    # llm_dedup_simhash + llm_ngram_topk rotated r12 (TEN consecutive
+    # driver-green rounds each, r2-r11; simhash's pigeonhole bucket-join
+    # near-dup stays value-pinned by the local oracle and its golden
+    # pytest, ngram machinery stays in-window via llm_corpus_ngrams) —
+    # their slots admit the two of the four never-driver-verified TPC-H
+    # queries (q2, q11) so the bar "every operator has a CORRECTNESS
+    # row" closes with zero exceptions (VERDICT r11 task 1).
     "llm_decontaminate",
     "llm_sample_stratified",
     "llm_pack_sequences",
@@ -133,7 +138,9 @@ _PRIORITY = [
     "llm_pii_scan",
     "llm_term_cooccurrence",
     "llm_quality_filter",
-    "llm_langid_accuracy",
+    # llm_langid_accuracy rotated r12 (ten driver-green rounds r2-r11;
+    # the n-gram language-ID heuristic keeps its accuracy-floor pytest
+    # and local oracle) — slot admits q16.
     "llm_multimodal_features",
     "llm_frame_sample",
     "llm_dedup_embedding",
@@ -160,7 +167,12 @@ _PRIORITY = [
     # wide agg) yield their slots to the round-6 statistics operators
     # ev_value_quantiles / ev_value_histogram — the only oracle-backed
     # operators that had never had a driver row.
-    "ev_stream_sessionize",
+    # ev_stream_sessionize rotated r12: it is permanently `no_oracle`
+    # (session windows are not SQL-expressible), so it occupied a window
+    # slot that could never go hash-green while oracle-bearing queries
+    # had no driver row. Its verification home is the stream/batch
+    # parity pytest (tests/test_streaming.py), documented in the ledger
+    # below — the window is now 100% oracle-bearing.
     "ev_asof_attribution",
     "ev_range_count",
     "ev_funnel",
@@ -179,6 +191,14 @@ _PRIORITY = [
     # aggregate) — each get a driver row in their first round.
     "q12_late_priority_lines",
     "q21_suppliers_kept_waiting",
+    # New r12: the four adapted TPC-H queries added in r8-s2 that had
+    # never appeared in any CORRECTNESS window (VERDICT r11 "What's
+    # missing" #3). Local oracle green since r8; these rows close the
+    # "every operator has a driver row" bar.
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_part_supplier_relation",
+    "q20_dominant_suppliers",
 ]
 
 
@@ -248,6 +268,22 @@ ROTATED_OUT: dict[str, dict] = {
     "ice_upsert": _r(11, "ice_merge", "9 driver-green rounds (r2-r10); upsert is a two-clause MERGE — the in-window ice_merge row exercises the same equality-delete + re-append pipeline with strictly more clauses, and the local oracle keeps verifying upsert's values every round"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
+    # round 12 rotations — to admit the four never-driver-verified TPC-H
+    # queries (q2, q11, q16, q20; registered r8-s2, local-oracle green
+    # every round since) so every oracle-bearing operator finally has a
+    # CORRECTNESS row (VERDICT r11 task 1)
+    "llm_dedup_simhash": _r(12, None, "pigeonhole-chunked SimHash near-dup; 10 driver-green rounds (r2-r11); hamming-distance goldens + local oracle keep verifying values every round"),
+    "llm_ngram_topk": _r(12, "llm_corpus_ngrams", "10 driver-green rounds (r2-r11); the in-window corpus-ngram audit exercises the same explode+count ngram machinery corpus-wide"),
+    "llm_langid_accuracy": _r(12, None, "n-gram language-ID heuristic; 10 driver-green rounds (r2-r11); accuracy-floor pytest + local oracle every round"),
+    # POLICY NOTE (VERDICT r11 task 6): ev_stream_sessionize is
+    # permanently `no_oracle` — streaming session windows are not
+    # SQL-expressible, so its window row could only ever be a weak
+    # rows-only check. Its verification home is the stream/batch parity
+    # test (tests/test_streaming.py pins the streamed session rows
+    # byte-equal to the batch ev_sessionization values, which ARE
+    # oracle-verified), plus 9 rows-only-green driver rounds (r3-r11).
+    # Rotating it keeps the driver window 100% oracle-bearing.
+    "ev_stream_sessionize": _r(12, None, "streaming sessionization; not SQL-expressible (permanent no_oracle) — 9 rows-only-green driver rounds (r3-r11); stream/batch parity pytest pins its values against the oracle-verified batch sessionization every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),
     "q18_large_volume_customers": _r(7, None, "semi-join-on-agg + fact-fact exchange; 5 green rounds; BENCH headline"),
 }

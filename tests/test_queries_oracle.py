@@ -119,6 +119,12 @@ def test_registry_priority_window():
         # round-8 additions — never driver-verified, so in-window
         "q12_late_priority_lines",
         "q21_suppliers_kept_waiting",
+        # round-12 additions — the last four never-driver-verified
+        # queries, rotated in per VERDICT r11 task 1
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q16_part_supplier_relation",
+        "q20_dominant_suppliers",
     ):
         assert n in window, f"{n} outside the driver window"
     assert len(names) == len(set(names))
