@@ -239,6 +239,60 @@ def _bucket_bytes(tasks) -> int:
     return sum(_task_bytes(t) for t in tasks)
 
 
+def _ts_to_us(c):
+    """A timestamp (any unit) or integer column as int64 microseconds.
+    ns→us must FLOOR: Arrow's integer divide truncates toward zero,
+    which rounds pre-epoch (negative) values the wrong way — an
+    off-by-one microsecond that can flip a boundary as-of match or
+    tolerance check. Shifting negatives down by 999 makes truncation
+    equal floor for every value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(c.type):
+        unit = c.type.unit
+        mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+        v = c.cast(pa.int64())
+        if unit == "ns":
+            adj = pc.if_else(pc.less(v, 0), pc.subtract(v, 999), v)
+            return pc.divide(adj, 1000)
+        return pc.multiply(v, mult) if mult != 1 else v
+    return c.cast(pa.int64())
+
+
+def _cast_bridge(col, want):
+    """Cast an Arrow column to `want`, bridging casts Arrow has no
+    direct kernel for: date32<->int64 (a date bucket-joined against an
+    int/long sibling widens to int64) goes through int32, date32's
+    physical day-number representation, so values stay bit-exact."""
+    import pyarrow as pa
+
+    if col.type == want:
+        return col
+    try:
+        return col.cast(want)
+    except pa.lib.ArrowNotImplementedError:
+        if pa.types.is_date32(col.type):
+            return col.cast(pa.int32()).cast(want)
+        if pa.types.is_date32(want):
+            return col.cast(pa.int32()).cast(pa.date32())
+        raise
+
+
+def _cast_to_schema(tbl, target):
+    """Column-wise `tbl.cast(target)` that routes each column through
+    _cast_bridge (a widened int64 key narrows back to the output
+    schema's date32/int32 type)."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            f.name: _cast_bridge(tbl.column(f.name), f.type)
+            for f in target
+        }
+    )
+
+
 def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, resid=None):
     """One bucket side as a pyarrow Table: per-file read in file order
     (positions are file-order row indexes, like _read_with_deletes_arrow,
@@ -307,8 +361,7 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
             names.append(c)
             want = arrow_types[c]
             if c in tbl.column_names:
-                col = tbl.column(c)
-                arrays.append(col.cast(want) if col.type != want else col)
+                arrays.append(_cast_bridge(tbl.column(c), want))
             else:
                 arrays.append(pa.nulls(len(tbl), want))
         out = pa.table(dict(zip(names, arrays)))
@@ -486,9 +539,13 @@ def storage_partitioned_join(
     right_data_cols = [c for c in right_cols if c not in rkeys]
     out_name_list = [f.name for f in out_struct.fields]
 
-    # per-side read types; widen a long-family key to int64 on BOTH
-    # sides so int/long bucket siblings join on one physical type (the
-    # final cast narrows the key back to the left schema's type)
+    # per-side read types; when the two sides' physical key types
+    # DIFFER (int vs long vs date bucket siblings — the Iceberg spec
+    # hashes all three as long), widen both to int64 so the Arrow join
+    # runs on one physical type; equal types (date32==date32,
+    # int32==int32) join natively, avoiding casts Arrow lacks kernels
+    # for. The final cast narrows a widened key back to the left
+    # schema's type (date32 bridges through int32, _cast_bridge).
     import pyarrow as _pa
     from pyspark.sql.pandas.types import to_arrow_schema as _taschema
 
@@ -506,7 +563,7 @@ def storage_partitioned_join(
                 f"key pair ({lk!r}, {rk!r}): hash families differ "
                 f"({flk} vs {frk}); equal values cannot exist"
             )
-        if flk == "long":
+        if flk == "long" and l_types[lk] != r_types[rk]:
             l_types[lk] = r_types[rk] = _pa.int64()
 
     # residual filters may reference columns outside the projection:
@@ -567,7 +624,7 @@ def storage_partitioned_join(
                     }[how]
                     joined = lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=jt)
                     joined = joined.select(out_name_list)
-                joined = joined.cast(target)
+                joined = _cast_to_schema(joined, target)
                 yield from joined.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(join_task, out_struct)
@@ -593,9 +650,15 @@ def storage_partitioned_agg(
     columns — any tuple including the partitioned key stays in-bucket).
     """
     allowed = {"count", "sum", "min", "max", "mean"}
+    _group_keys = [on] + list(extra_keys or [])
     for name, (col, fn) in aggs.items():
         if fn not in allowed:
             raise ValueError(f"{name}: fn {fn!r} not in {sorted(allowed)}")
+        if name in _group_keys:
+            raise ValueError(
+                f"agg output name {name!r} collides with a group key; "
+                "it would silently overwrite the key column — rename it"
+            )
     fields, _src = _partition_fields_on(table, on)
     pf = min(
         fields,
@@ -604,7 +667,7 @@ def storage_partitioned_agg(
     by_bucket, resid = _side_tasks(table, pf, row_filter)
     from .expressions import extract_field_names
 
-    group_keys = [on] + list(extra_keys or [])
+    group_keys = _group_keys
     need = sorted(
         set(group_keys)
         | {c for (c, _) in aggs.values()}
@@ -679,13 +742,17 @@ def storage_partitioned_agg(
                 )
                 if tbl is None or len(tbl) == 0:
                     continue
-                spec = [(col, fn) for (_, col, fn) in agg_items]
+                # dedupe the (column, fn) spec: two outputs over the
+                # same pair would make Arrow emit duplicate
+                # '<col>_<fn>' result columns and res.column() fail;
+                # both output names read the single computed column
+                spec = list(dict.fromkeys((col, fn) for (_, col, fn) in agg_items))
                 res = tbl.group_by(group_keys).aggregate(spec)
                 # arrow names results f"{col}_{fn}"; rename to out names
                 cols = {k: res.column(k) for k in group_keys}
                 for name, col, fn in agg_items:
                     cols[name] = res.column(f"{col}_{fn}")
-                out = pa.table(cols).select(out_name_list).cast(target)
+                out = _cast_to_schema(pa.table(cols).select(out_name_list), target)
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(agg_task, out_struct)
@@ -795,8 +862,9 @@ def storage_partitioned_asof_join(
 
     l_types = {f.name: f.type for f in _taschema(schema_to_spark_struct(left.schema()))}
     r_types = {f.name: f.type for f in _taschema(schema_to_spark_struct(right.schema()))}
-    if lf == "long":
-        # int/long key siblings must merge on ONE pandas dtype
+    if lf == "long" and l_types[lkey] != r_types[rkey]:
+        # int/long/date key siblings must merge on ONE pandas dtype;
+        # equal types merge natively (date32 has no direct int64 cast)
         l_types[lkey] = r_types[rkey] = _pa.int64()
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(
@@ -818,15 +886,7 @@ def storage_partitioned_asof_join(
         target = to_arrow_schema(out_struct)
 
         def ts_us(tbl, col):
-            c = tbl.column(col)
-            if pa.types.is_timestamp(c.type):
-                unit = c.type.unit
-                mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
-                v = c.cast(pa.int64())
-                if unit == "ns":
-                    return pc.divide(v, 1000)
-                return pc.multiply(v, mult) if mult != 1 else v
-            return c.cast(pa.int64())
+            return _ts_to_us(tbl.column(col))
 
         for batch in batches:
             for row in batch.to_pylist():
@@ -842,6 +902,27 @@ def storage_partitioned_asof_join(
                     if row["right_files"] != "[]"
                     else None
                 )
+                # null timestamps are legal data, but pd.merge_asof
+                # refuses them ("Merge keys contain null values"):
+                # null-ts LEFT rows split out and emit unmatched (null
+                # right columns and gap); null-ts RIGHT rows can never
+                # be an as-of match and drop before the merge.
+                l_ts_valid = pc.is_valid(lt.column(left_ts))
+                lt_null = lt.filter(pc.invert(l_ts_valid))
+                lt = lt.filter(l_ts_valid)
+                if rt is not None and len(rt):
+                    rt = rt.filter(pc.is_valid(rt.column(right_ts)))
+                if len(lt_null):
+                    ncols = {c: lt_null.column(c) for c in left_cols}
+                    for c, oname in out_right:
+                        ncols[oname] = pa.nulls(len(lt_null), r_types[c])
+                    ncols["_asof_gap_us"] = pa.nulls(len(lt_null), pa.int64())
+                    nout = _cast_to_schema(
+                        pa.table(ncols).select(out_name_list), target
+                    )
+                    yield from nout.to_batches(max_chunksize=1 << 16)
+                if len(lt) == 0:
+                    continue
                 # sort left by ts (stable) so merge_asof's contract holds
                 l_us = ts_us(lt, left_ts)
                 lsort = pc.sort_indices(
@@ -921,7 +1002,7 @@ def storage_partitioned_asof_join(
                         else pa.nulls(len(lt), r_types[c])
                     )
                 cols["_asof_gap_us"] = gap
-                out = pa.table(cols).select(out_name_list).cast(target)
+                out = _cast_to_schema(pa.table(cols).select(out_name_list), target)
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(asof_task, out_struct)
@@ -998,6 +1079,21 @@ def storage_partitioned_star_join(
 
     from .expressions import extract_field_names
 
+    # widen long-family keys to one physical int64 ONLY when the sides'
+    # natural arrow key types differ (int32/int64/date32 siblings);
+    # uniform types join natively — date32 has no direct int64 cast
+    widen_keys = False
+    if fam0 == "long":
+        key_arrow = {
+            str(
+                _taschema(schema_to_spark_struct(s["table"].schema()))
+                .field(s["key"])
+                .type
+            )
+            for s in norm
+        }
+        widen_keys = len(key_arrow) > 1
+
     side_cols, side_read, side_types, out_fields, out_names = [], [], [], [], []
     for i, s in enumerate(norm):
         tbl = s["table"]
@@ -1006,7 +1102,7 @@ def storage_partitioned_star_join(
             cols = [s["key"]] + cols
         struct = {f.name: f for f in schema_to_spark_struct(tbl.schema()).fields}
         types = {f.name: f.type for f in _taschema(schema_to_spark_struct(tbl.schema()))}
-        if fam0 == "long":
+        if widen_keys:
             types[s["key"]] = _pa.int64()
         read = cols + sorted(
             (extract_field_names(resids[i]) if resids[i] is not None else set())
@@ -1112,7 +1208,7 @@ def storage_partitioned_star_join(
                             break
                 if empty or acc is None or len(acc) == 0:
                     continue
-                out = acc.select(out_names).cast(target)
+                out = _cast_to_schema(acc.select(out_names), target)
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(star_task, out_struct)

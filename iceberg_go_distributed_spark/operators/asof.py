@@ -75,6 +75,12 @@ def asof_join(
     # unmatched, exactly as DuckDB ASOF / merge_asof behave.
     for k in keys:
         right = right.where(F.col(k).isNotNull())
+    # a null right timestamp can never satisfy the as-of inequality
+    # (SQL: ts <= x is NULL, not true) — drop it up front; otherwise it
+    # sorts NULLS FIRST in the window and its payload leaks into
+    # null-ts left rows. Null-ts LEFT rows order before every real
+    # right row and come out unmatched, the SQL-consistent result.
+    right = right.where(F.col(right_ts).isNotNull())
     payload = F.struct(
         F.unix_micros(F.col(right_ts)).alias("__asof_ats"),
         *[F.col(c).alias(c) for c in right_cols],

@@ -974,3 +974,145 @@ def test_spj_star_join_three_tables(spark, catalog):
     assert sorted(map(tuple, got2.collect()), key=key) == sorted(
         map(tuple, exp.collect()), key=key
     )
+
+
+# ---------------------------------------------------------------- r12 fixes
+
+
+def test_spj_date_key_join(spark, catalog):
+    """Date join keys (ADVICE r11, medium): equal date32 types must
+    join natively — the old code widened every long-family key to
+    int64, and pyarrow has no date32<->int64 cast kernel, so ANY
+    date-keyed SPJ crashed at task execution."""
+    import datetime
+
+    d = datetime.date
+    left = spark.createDataFrame(
+        [(d(2024, 1, i), i) for i in range(1, 9)], "dk date, lv int"
+    )
+    right = spark.createDataFrame(
+        [(d(2024, 1, i), i * 10) for i in range(1, 6)], "rk date, rv int"
+    )
+    tl = _bucketed(catalog, "date_l", left, "dk", n=4)
+    tr = _bucketed(catalog, "date_r", right, "rk", n=4)
+    got = storage_partitioned_join(spark, tl, tr, on=("dk", "rk"))
+    exp = left.join(right, left.dk == right.rk, "inner").select("dk", "lv", "rv")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # left join: unmatched dates survive with null right columns
+    gotl = storage_partitioned_join(spark, tl, tr, on=("dk", "rk"), how="left")
+    assert gotl.count() == 8
+    assert gotl.where(F.col("rv").isNull()).count() == 3
+    # output key column keeps its DATE type end to end
+    assert dict(got.dtypes)["dk"] == "date"
+
+
+def test_spj_date_int_sibling_key_join(spark, catalog):
+    """A date key CAN bucket-join an int key holding the same day
+    ordinals (Iceberg hashes int/long/date identically): differing
+    physical types widen to int64, with date32 bridged through int32
+    on read and narrowed back for the output."""
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    days = [19970 + i for i in range(8)]
+    left = spark.createDataFrame(
+        [(epoch + datetime.timedelta(days=n), n) for n in days],
+        "dk date, lv long",
+    )
+    right = spark.createDataFrame(
+        [(n, n * 10) for n in days[:5]], "rk int, rv int"
+    )
+    tl = _bucketed(catalog, "di_l", left, "dk", n=4)
+    tr = _bucketed(catalog, "di_r", right, "rk", n=4)
+    got = storage_partitioned_join(spark, tl, tr, on=("dk", "rk"))
+    assert got.count() == 5
+    rows = {r["dk"]: r["rv"] for r in got.collect()}
+    for n in days[:5]:
+        assert rows[epoch + datetime.timedelta(days=n)] == n * 10
+    assert dict(got.dtypes)["dk"] == "date"
+
+
+def test_spj_asof_null_timestamps(spark, catalog):
+    """Null timestamps are legal data (ADVICE r11): null-ts left rows
+    emit unmatched instead of aborting pd.merge_asof; null-ts right
+    rows silently drop. Matches operators.asof.asof_join."""
+    import datetime
+
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_asof_join,
+    )
+    from iceberg_go_distributed_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 3, 1)
+    ts = lambda m: base + datetime.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, ts(5), 10.0), (1, None, 11.0), (2, None, 12.0), (3, ts(9), 13.0)],
+        "k int, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(1), 100.0), (1, None, 999.0), (3, ts(2), 300.0)],
+        "rk int, rts timestamp, rv double",
+    )
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table("db.nts_l", sl, spec=spec_from(sl, ("k", "bucket[4]")))
+    tr = catalog.create_table("db.nts_r", sr, spec=spec_from(sr, ("rk", "bucket[4]")))
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_asof_join(
+        spark, tl, tr, on=("k", "rk"), left_ts="ts", right_ts="rts",
+        right_cols=["rv"],
+    ).select("k", "ts", "v", "rv", "_asof_gap_us")
+    exp = asof_join(
+        left.withColumnRenamed("k", "jk"),
+        right.withColumnRenamed("rk", "jk"),
+        on="jk", left_ts="ts", right_ts="rts", right_cols=["rv"],
+    ).select(F.col("jk").alias("k"), "ts", "v", "rv", "_asof_gap_us")
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+    # all four left rows survive; the two null-ts ones are unmatched
+    assert got.count() == 4
+    assert got.where(F.col("ts").isNull() & F.col("rv").isNotNull()).count() == 0
+
+
+def test_spj_agg_rejects_key_collision_and_dedupes_spec(spark, catalog):
+    """ADVICE r11: an agg output named like a group key silently
+    overwrote the key column; duplicate (column, fn) pairs made Arrow
+    emit duplicate result columns and crash."""
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(40)], "k int, v double"
+    )
+    t = _bucketed(catalog, "aggcol", df, "k", n=2)
+    with pytest.raises(ValueError, match="collides with a group key"):
+        storage_partitioned_agg(spark, t, "k", {"k": ("v", "sum")})
+    # two outputs over the SAME (column, fn) pair: both get the value
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in storage_partitioned_agg(
+            spark, t, "k", {"a": ("v", "sum"), "b": ("v", "sum")}
+        ).collect()
+    }
+    exp = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == {k: (v, v) for k, v in exp.items()}
+
+
+def test_spj_ts_to_us_floors_negative_ns():
+    """ADVICE r11: ns→us conversion must floor, not truncate toward
+    zero — pre-epoch nanoseconds were off by one microsecond."""
+    import pyarrow as pa
+
+    from iceberg_go_distributed_spark.iceberg.spj import _ts_to_us
+
+    ns = [-1, -999, -1000, -1001, -1500, 0, 1, 999, 1000, 1500, 2001]
+    col = pa.chunked_array([pa.array(ns, pa.int64()).cast(pa.timestamp("ns"))])
+    got = _ts_to_us(col).to_pylist()
+    assert got == [v // 1000 for v in ns]  # python // floors
+    # µs passthrough and ms upscale stay exact
+    us = pa.chunked_array([pa.array([-5, 7], pa.int64()).cast(pa.timestamp("us"))])
+    assert _ts_to_us(us).to_pylist() == [-5, 7]
+    ms = pa.chunked_array([pa.array([-5, 7], pa.int64()).cast(pa.timestamp("ms"))])
+    assert _ts_to_us(ms).to_pylist() == [-5000, 7000]
