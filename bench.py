@@ -107,9 +107,16 @@ def main() -> None:
     )
     from iceberg_go_distributed_spark.iceberg.table import plan_files_distributed
 
-    def bench_planning_shape(n_manifests, files_per_manifest, attempts):
+    def bench_planning_shape(
+        n_manifests, files_per_manifest, attempts, attempts_local=None
+    ):
         """One wide-metadata shape: build, warm, time local vs
-        distributed (equality-asserted) and the auto route."""
+        distributed (equality-asserted) and the auto route.
+        `attempts_local` lets the slow O(files) local baseline run
+        fewer attempts than the ~seconds-scale distributed/auto paths
+        (r11 lesson: the 500k point ran everything single-shot, and one
+        contended attempt read as a 2.4x planner regression — the
+        cheap paths are now always best-of-N)."""
         wh = tempfile.mkdtemp(prefix="plan-wide-")
         try:
             pt = build_wide_metadata_table(wh, n_manifests, files_per_manifest)
@@ -119,31 +126,36 @@ def main() -> None:
 
             from iceberg_go_distributed_spark.iceberg import table as TBL
 
-            def best_of(fn):
+            raw_attempts = {}
+
+            def best_of(fn, n=None, label=None):
                 # best-of-N: the planning block is not round-robined with
                 # the headline set, so a single host-steal stall would
                 # otherwise masquerade as a planner regression. The plan
                 # memo is cleared per attempt — these rows measure the
                 # PLANNERS; the memo gets its own plan_cached_sec row.
                 times, out = [], None
-                for _ in range(attempts):
+                for _ in range(n or attempts):
                     TBL._PLAN_CACHE.clear()
                     t0 = time.perf_counter()
                     out = fn()
                     times.append(time.perf_counter() - t0)
+                if label:
+                    raw_attempts[label] = [round(t, 4) for t in times]
                 return out, round(min(times), 4)
 
-            local_tasks, local_sec = best_of(scan.plan_files)
+            local_tasks, local_sec = best_of(
+                scan.plan_files, n=attempts_local, label="local"
+            )
             dist_tasks, dist_sec = best_of(
-                lambda: plan_files_distributed(scan, spark)
+                lambda: plan_files_distributed(scan, spark), label="distributed"
             )
             assert sorted(t.file.file_path for t in local_tasks) == sorted(
                 t.file.file_path for t in dist_tasks
             ), "distributed planner diverged from local"
-            TBL._PLAN_CACHE.clear()
-            t0 = time.perf_counter()
-            auto_tasks = scan.plan_files_auto(spark)
-            auto_sec = round(time.perf_counter() - t0, 4)
+            auto_tasks, auto_sec = best_of(
+                lambda: scan.plan_files_auto(spark), label="auto"
+            )
             assert len(auto_tasks) == len(local_tasks)
             # repeat-scan memo (read.plan-cache, default on): the second
             # plan of an unchanged table version is near-free — the
@@ -165,6 +177,7 @@ def main() -> None:
                 "distributed_sec": dist_sec,
                 "auto_route_sec": auto_sec,
                 "plan_cached_sec": cached_sec,
+                "attempts": raw_attempts,
                 # which planner plan_files_auto structurally picks here
                 "auto_route": "distributed" if n_manifests >= threshold else "local",
             }
@@ -172,13 +185,16 @@ def main() -> None:
             shutil.rmtree(wh, ignore_errors=True)
 
     # primary shape (best-of-2, round-over-round comparable) plus a 5×
-    # shape (best-of-1: the local planner alone costs ~40 s here) so the
-    # "distributed planning stays near-flat in file count" claim is a
-    # measured slope, not a single point
+    # shape so the "distributed planning stays near-flat in file count"
+    # claim is a measured slope, not a single point. At 5× the local
+    # planner alone costs ~40 s per attempt, so only IT stays
+    # single-shot; the seconds-scale distributed/auto paths run
+    # best-of-3 there (r11's single-shot 500k point turned one
+    # contended attempt into a phantom 2.4× planner regression).
     planning = bench_planning_shape(400, 250, attempts=2)
     planning["curve"] = [
         {k: v for k, v in planning.items() if k != "curve"},
-        bench_planning_shape(2000, 250, attempts=1),
+        bench_planning_shape(2000, 250, attempts=3, attempts_local=1),
     ]
 
     # ---- MAINTENANCE wall time (separate block; NOT in the headline
