@@ -373,13 +373,21 @@ def _read_bucket_arrow(files: list, col_names: list, arrow_types: dict, fileio, 
     return pa.concat_tables(parts)
 
 
-def _out_struct(left_schema: Schema, right_schema: Schema, rkeys, left_cols, right_cols):
+def _out_struct(
+    left_schema: Schema, right_schema: Schema, rkeys, left_cols, right_cols,
+    r_out_name=None,
+):
     from pyspark.sql import types as st
 
+    rn = r_out_name or {}
     ls = {f.name: f for f in schema_to_spark_struct(left_schema).fields}
     rs = {f.name: f for f in schema_to_spark_struct(right_schema).fields}
     fields = [st.StructField(c, ls[c].dataType, True) for c in left_cols]
-    fields += [st.StructField(c, rs[c].dataType, True) for c in right_cols if c not in rkeys]
+    fields += [
+        st.StructField(rn.get(c, c), rs[c].dataType, True)
+        for c in right_cols
+        if c not in rkeys
+    ]
     return st.StructType(fields)
 
 
@@ -394,6 +402,7 @@ def storage_partitioned_join(
     left_select: Optional[list] = None,
     right_select: Optional[list] = None,
     max_bucket_bytes: Optional[int] = None,
+    right_prefix: Optional[str] = None,
 ):
     """Join two tables bucket-partitioned on the join key without
     shuffling either side: one Spark task per bucket does an in-task
@@ -414,6 +423,11 @@ def storage_partitioned_join(
     inner/semi drop them file-level, left/anti emit them without
     reading the other side; nulls in secondary keys never match inside
     the task join, standard SQL equality.
+
+    right_prefix: rename every non-key right output column to
+    ``<prefix><name>`` — lets two same-schema tables join without
+    projecting to disjoint names (the storage-partitioned MERGE path
+    joins target and source this way).
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}: expected inner|left|semi|anti")
@@ -456,12 +470,17 @@ def storage_partitioned_join(
             list(right_select) if right_select else [f.name for f in right.schema().fields]
         )
         right_cols = [k for k in rkeys if k not in right_cols] + right_cols
-    out_names = left_cols + [c for c in right_cols if c not in rkeys]
+    r_out_name = {
+        c: (right_prefix + c if right_prefix and c not in rkeys else c)
+        for c in right_cols
+    }
+    out_names = left_cols + [r_out_name[c] for c in right_cols if c not in rkeys]
     dup = {c for c in out_names if out_names.count(c) > 1}
     if dup:
         raise ValueError(
             f"output column collision {sorted(dup)}; project with "
-            "left_select/right_select to disjoint names"
+            "left_select/right_select to disjoint names (or set "
+            "right_prefix)"
         )
 
     limit = max_bucket_bytes
@@ -526,7 +545,9 @@ def storage_partitioned_join(
                 else (bid, _task_json(lt), _task_json(chunk))
             )
 
-    out_struct = _out_struct(left.schema(), right.schema(), set(rkeys), left_cols, right_cols)
+    out_struct = _out_struct(
+        left.schema(), right.schema(), set(rkeys), left_cols, right_cols, r_out_name
+    )
     if not rows:
         return spark.createDataFrame([], out_struct)
 
@@ -536,7 +557,8 @@ def storage_partitioned_join(
     task_df = spark.createDataFrame(
         rows, "part string, left_files string, right_files string"
     ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
-    right_data_cols = [c for c in right_cols if c not in rkeys]
+    right_data_cols = [r_out_name[c] for c in right_cols if c not in rkeys]
+    right_read_names = [r_out_name[c] for c in right_cols]
     out_name_list = [f.name for f in out_struct.fields]
 
     # per-side read types; when the two sides' physical key types
@@ -602,7 +624,7 @@ def storage_partitioned_join(
                     else None
                 )
                 if rt is not None:
-                    rt = rt.select(right_cols)
+                    rt = rt.select(right_cols).rename_columns(right_read_names)
                 if rt is None or len(rt) == 0:
                     if how in ("inner", "semi"):
                         continue

@@ -2820,6 +2820,116 @@ class MergeCardinalityError(ValueError):
     MERGE and the reference's conflict detection reject."""
 
 
+_SPJ_MERGE_SRC_PREFIX = "__spjsrc_"
+
+
+def _spj_merge_route(table, spark, source, on):
+    """Storage-partitioned MERGE routing: when the source is itself an
+    Iceberg table co-partitioned with the target on the merge key, the
+    three MERGE joins (matched inner, insert anti, by-source anti) run
+    as SPJ task passes — ZERO exchange or broadcast of either side's
+    data; only O(buckets) task descriptors move. Upsert-heavy 100 TB
+    tables are bucketed on the merge key for exactly this shape (the
+    same co-location proof storage_partitioned_join uses for reads).
+
+    Returns a provider dict of join builders (struct-shaped frames with
+    `target`/`source` columns so the clause SQL in _merge_body resolves
+    unchanged) or None → the regular broadcast/AQE path. Gates:
+
+      * `source` is a Table (duck-typed on .scan/.spec);
+      * every key field is REQUIRED (non-null) on both sides — MERGE
+        joins with eqNullSafe (NULL keys match each other) while the
+        SPJ in-task Arrow join uses SQL equality; with no null keys
+        possible the two semantics coincide;
+      * at least one key pair shares a partition transform and every
+        key's hash family matches (checked by the SPJ planner itself —
+        probed here so incompatibility falls back instead of raising).
+    """
+    from pyspark.sql import functions as F
+
+    if not (hasattr(source, "scan") and hasattr(source, "spec")):
+        return None
+    from .spj import (
+        _hash_family,
+        _partition_fields_on,
+        _pick_copart_pair,
+        storage_partitioned_agg,
+        storage_partitioned_join,
+    )
+
+    t_schema, s_schema = table.schema(), source.schema()
+    copart = False
+    for k in on:
+        tf, sf = t_schema.find_field(k), s_schema.find_field(k)
+        if tf is None or sf is None or not (tf.required and sf.required):
+            return None
+        if _hash_family(tf.field_type) != _hash_family(sf.field_type):
+            return None
+        if not copart:
+            try:
+                lf, _ = _partition_fields_on(table, k)
+                rf, _ = _partition_fields_on(source, k)
+                _pick_copart_pair(lf, rf)
+                copart = True
+            except ValueError:
+                pass
+    if not copart:
+        return None
+
+    tcols = [f.name for f in t_schema.fields]
+    src_cols = [f.name for f in s_schema.fields]
+    pfx = _SPJ_MERGE_SRC_PREFIX
+    keyset = set(on)
+
+    def matched():
+        flat = storage_partitioned_join(
+            spark, table, source, on=list(on), how="inner", right_prefix=pfx
+        )
+        s_fields = [
+            F.col(c if c in keyset else pfx + c).alias(c) for c in src_cols
+        ]
+        return flat.select(
+            F.struct(*[F.col(c).alias(c) for c in tcols]).alias("target"),
+            F.struct(*s_fields).alias("source"),
+        )
+
+    def unmatched():
+        flat = storage_partitioned_join(
+            spark, source, table, on=list(on), how="anti"
+        )
+        return flat.select(
+            F.struct(*[F.col(c).alias(c) for c in src_cols]).alias("source")
+        )
+
+    def bysrc():
+        flat = storage_partitioned_join(
+            spark, table, source, on=list(on), how="anti"
+        )
+        return flat.select(
+            F.struct(*[F.col(c).alias(c) for c in tcols]).alias("target")
+        )
+
+    def dup_key_row():
+        # zero-exchange cardinality probe: per-key counts are exact
+        # within one bucket task (the layout contains each key)
+        agg = storage_partitioned_agg(
+            spark,
+            source,
+            on[0],
+            {"__merge_cnt": (on[0], "count")},
+            extra_keys=list(on[1:]),
+        )
+        return agg.where(F.col("__merge_cnt") > 1).limit(1).collect()
+
+    return {
+        "matched": matched,
+        "unmatched": unmatched,
+        "bysrc": bysrc,
+        "dup_key_row": dup_key_row,
+        "src_cols": src_cols,
+    }
+
+
 @_retry_dml_on_conflict
 def merge(
     table,
@@ -2883,6 +2993,15 @@ def merge(
     prefer `delete_where` (whole-file drops via the strict evaluator +
     DVs); keep by-source deletes for the sync shape where removals are
     a modest fraction of the target.
+
+    Storage-partitioned route: when `source` is ITSELF a Table
+    co-partitioned with the target on the merge key (shared transform,
+    required keys on both sides — see _spj_merge_route), every MERGE
+    join runs as an SPJ task pass: zero exchange or broadcast of
+    either side, the shape upsert-heavy bucketed tables exist for
+    (measured 2.0× vs the broadcast path at 8M⋈800k, SCALE.md r12).
+    An incompatible table source falls back to a scan + the regular
+    path below.
 
     Spark-first shape: ONE pruned target scan joined with the source
     (Catalyst broadcasts a small source; AQE picks the join strategy),
@@ -2984,10 +3103,21 @@ def merge(
     # cached the source keep ownership (we never unpersist theirs).
     from pyspark import StorageLevel
 
-    sl = source.storageLevel
-    owned_cache = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
-    if owned_cache:
-        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    # Table-typed source: try the storage-partitioned route (zero
+    # exchange/broadcast when co-partitioned on the key); otherwise
+    # scan it into a DataFrame and run the regular path. A table
+    # source is storage-backed, so no persist either way.
+    spj = None
+    if hasattr(source, "scan") and hasattr(source, "spec"):
+        spj = _spj_merge_route(table, spark, source, on)
+        if spj is None:
+            source = source.scan().to_df(spark)
+    owned_cache = False
+    if spj is None:
+        sl = source.storageLevel
+        owned_cache = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
+        if owned_cache:
+            source = source.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _merge_body(
             table, spark, source, on, schema, md, fields,
@@ -2999,6 +3129,7 @@ def merge(
             not_matched_by_source_delete_condition,
             not_matched_by_source_update_condition,
             check_cardinality, prune_target,
+            spj=spj,
         )
     finally:
         if owned_cache:
@@ -3013,6 +3144,7 @@ def _merge_body(
     not_matched_by_source_delete_condition,
     not_matched_by_source_update_condition,
     check_cardinality, prune_target,
+    spj=None,
 ):
     from pyspark.sql import functions as F
 
@@ -3020,7 +3152,9 @@ def _merge_body(
 
     if check_cardinality:
         dup = (
-            source.groupBy(*on).count().where(F.col("count") > 1).limit(1).collect()
+            spj["dup_key_row"]()
+            if spj is not None
+            else source.groupBy(*on).count().where(F.col("count") > 1).limit(1).collect()
         )
         if dup:
             key = {k: dup[0][k] for k in on}
@@ -3032,7 +3166,10 @@ def _merge_body(
     struct = schema_to_spark_struct(schema)
     cols = [f.name for f in schema.fields]
     src_stats: dict = {}
-    prune_merited = prune_target and _target_merits_pruning(md)
+    # the SPJ route prunes by bucket co-location in its own planner;
+    # key-stats pruning, the shared planning pass, and the broadcast
+    # gate all belong to the shuffle/broadcast path only
+    prune_merited = spj is None and prune_target and _target_merits_pruning(md)
     scan_filter = (
         _source_key_prune_filter(source, fields, stats_out=src_stats)
         if prune_merited
@@ -3065,7 +3202,9 @@ def _merge_body(
         # whole manifest planning pass once per view.
         full_scan = table.scan()
         full_tasks = full_scan.plan_files_auto(spark)
-    if full_tasks is not None and scan_filter is not None:
+    if spj is not None:
+        tgt = None  # every target view is an SPJ task pass, no scan here
+    elif full_tasks is not None and scan_filter is not None:
         pruned_scan = table.scan(scan_filter)
         tgt = pruned_scan.to_df(
             spark, tasks=pruned_scan.filter_tasks(full_tasks)
@@ -3107,14 +3246,16 @@ def _merge_body(
         )
     except (TypeError, ValueError):
         bcast_bytes = MERGE_BROADCAST_MAX_BYTES_DEFAULT
-    src = source.alias("source")
-    if bcast_max > 0:
-        if "rows" not in src_stats:
-            src_stats = _source_size_stats(source)
-        if src_stats["rows"] <= bcast_max and (
-            bcast_bytes <= 0 or src_stats["est_bytes"] <= bcast_bytes
-        ):
-            src = F.broadcast(source).alias("source")
+    src = None
+    if spj is None:
+        src = source.alias("source")
+        if bcast_max > 0:
+            if "rows" not in src_stats:
+                src_stats = _source_size_stats(source)
+            if src_stats["rows"] <= bcast_max and (
+                bcast_bytes <= 0 or src_stats["est_bytes"] <= bcast_bytes
+            ):
+                src = F.broadcast(source).alias("source")
     join_cond = None
     for k in on:
         c = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
@@ -3140,7 +3281,7 @@ def _merge_body(
         # reaches the set algebra below.
         return F.expr(sql).eqNullSafe(F.lit(True))
 
-    matched = tgt.join(src, join_cond, "inner")
+    matched = spj["matched"]() if spj is not None else tgt.join(src, join_cond, "inner")
     del_cond = (
         cond(matched_delete_condition)
         if matched_delete_condition is not None
@@ -3184,30 +3325,37 @@ def _merge_body(
         )
         pieces.append(siblings)
     if not_matched_insert:
+        src_col_names = spj["src_cols"] if spj is not None else source.columns
         ins_exprs = (
-            {c: f"source.{c}" for c in cols if c in source.columns}
+            {c: f"source.{c}" for c in cols if c in src_col_names}
             if not_matched_insert is True
             else dict(not_matched_insert)
         )
-        # Anti-join against the MATCHED source keys, not the target's:
-        # `matched` already contains exactly the source keys present in
-        # the target (pruning is inclusive w.r.t. source keys, so
-        # matched-over-pruned == matched-over-full), and that frame is
-        # bounded by the SOURCE's size — the previous target-keys
-        # anti-join shuffled the whole (pruned) target's key projection
-        # just to find which source rows are new. eqNullSafe keeps the
-        # NULL-key contract.
-        mk = matched.select(
-            *[F.col(f"source.{k}").alias(f"__mk_{k}") for k in on]
-        ).dropDuplicates()
-        mk_cond = None
-        for k in on:
-            # frame-bound references: `matched`'s lineage also carries
-            # the "source" alias, so a string `source.k` would be
-            # ambiguous in this self-join-shaped condition
-            c = src[k].eqNullSafe(mk[f"__mk_{k}"])
-            mk_cond = c if mk_cond is None else (mk_cond & c)
-        unmatched = src.join(mk, mk_cond, "left_anti")
+        if spj is not None:
+            # source-minus-target as an SPJ anti task pass: same bucket
+            # pairs, zero exchange (keys are required, so plain-equality
+            # anti equals the eqNullSafe contract below)
+            unmatched = spj["unmatched"]()
+        else:
+            # Anti-join against the MATCHED source keys, not the target's:
+            # `matched` already contains exactly the source keys present in
+            # the target (pruning is inclusive w.r.t. source keys, so
+            # matched-over-pruned == matched-over-full), and that frame is
+            # bounded by the SOURCE's size — the previous target-keys
+            # anti-join shuffled the whole (pruned) target's key projection
+            # just to find which source rows are new. eqNullSafe keeps the
+            # NULL-key contract.
+            mk = matched.select(
+                *[F.col(f"source.{k}").alias(f"__mk_{k}") for k in on]
+            ).dropDuplicates()
+            mk_cond = None
+            for k in on:
+                # frame-bound references: `matched`'s lineage also carries
+                # the "source" alias, so a string `source.k` would be
+                # ambiguous in this self-join-shaped condition
+                c = src[k].eqNullSafe(mk[f"__mk_{k}"])
+                mk_cond = c if mk_cond is None else (mk_cond & c)
+            unmatched = src.join(mk, mk_cond, "left_anti")
         if not_matched_insert_condition is not None:
             # where() already drops NULLs (no insert — correct per ANSI);
             # cond() only for uniformity with the other clause gates
@@ -3235,18 +3383,21 @@ def _merge_body(
         # satisfies one of them. The anti-join side is the (small)
         # source: broadcast, so the pass stays shuffle-free. All scan
         # views derive from the SAME single planning pass (full_tasks).
-        if bs_filter is not None:
-            cscan = table.scan(bs_filter)
-            bysrc_base = cscan.to_df(
-                spark, tasks=cscan.filter_tasks(full_tasks)
-            ).alias("target")
-        elif scan_filter is None:
-            bysrc_base = tgt
+        if spj is not None:
+            bysrc = spj["bysrc"]()
         else:
-            bysrc_base = full_scan.to_df(spark, tasks=full_tasks).alias(
-                "target"
-            )
-        bysrc = bysrc_base.join(src, join_cond, "left_anti")
+            if bs_filter is not None:
+                cscan = table.scan(bs_filter)
+                bysrc_base = cscan.to_df(
+                    spark, tasks=cscan.filter_tasks(full_tasks)
+                ).alias("target")
+            elif scan_filter is None:
+                bysrc_base = tgt
+            else:
+                bysrc_base = full_scan.to_df(spark, tasks=full_tasks).alias(
+                    "target"
+                )
+            bysrc = bysrc_base.join(src, join_cond, "left_anti")
         bs_del_cond = (
             cond(not_matched_by_source_delete_condition)
             if not_matched_by_source_delete_condition is not None

@@ -1,0 +1,217 @@
+"""Storage-partitioned MERGE (round 12, VERDICT r11 task 3).
+
+When the MERGE source is itself an Iceberg table co-partitioned with
+the target on the merge key, `merge()` routes its three joins (matched
+inner, insert anti, by-source anti) through storage-partitioned task
+passes — zero exchange or broadcast of either side's data. These tests
+pin:
+
+  * result parity with the regular broadcast/AQE path across the full
+    clause surface (upsert, conditional update/delete, insert
+    condition, by-source delete/update, sibling re-emit);
+  * the route gates: nullable keys / non-co-partitioned layouts fall
+    back (and still produce correct results via the scan fallback);
+  * the plan: no hashpartitioning / sort-merge / broadcast of table
+    data in the SPJ-built join frames;
+  * the zero-exchange cardinality probe still rejects duplicate keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_go_distributed_spark.iceberg.partitioning import spec_from
+from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+from iceberg_go_distributed_spark.iceberg.write import (
+    MergeCardinalityError,
+    _spj_merge_route,
+    merge,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),  # required merge key
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("tag", T.StringType(), True),
+    ]
+)
+
+_TGT_ROWS = [(i, float(i), "old") for i in range(0, 20)]
+# overlaps 10..19 (matched), new keys 20..27 (inserts); 0..9 by-source
+_SRC_ROWS = [(i, i * 10.0, "new") for i in range(10, 28)]
+
+
+def _mk(catalog, spark, name, src_rows=_SRC_ROWS, n=4, src_n=None):
+    tgt_df = spark.createDataFrame(_TGT_ROWS, _SCHEMA)
+    src_df = spark.createDataFrame(src_rows, _SCHEMA)
+    ice_t = schema_from_spark(tgt_df.schema)
+    ice_s = schema_from_spark(src_df.schema)
+    t = catalog.create_table(
+        f"db.{name}_t", ice_t, spec=spec_from(ice_t, ("k", f"bucket[{n}]"))
+    )
+    t.append(tgt_df)
+    t2 = catalog.create_table(
+        f"db.{name}_twin", ice_t, spec=spec_from(ice_t, ("k", f"bucket[{n}]"))
+    )
+    t2.append(tgt_df)
+    s = catalog.create_table(
+        f"db.{name}_s",
+        ice_s,
+        spec=spec_from(ice_s, ("k", f"bucket[{src_n or n}]")),
+    )
+    s.append(src_df)
+    return t, t2, s, src_df
+
+
+def _rows(table, spark):
+    key = lambda r: tuple((x is None, str(x)) for x in r)
+    return sorted(
+        (tuple(r) for r in table.scan().to_df(spark).collect()), key=key
+    )
+
+
+CLAUSE_CASES = [
+    # classic upsert
+    dict(matched_update="*", not_matched_insert=True),
+    # conditional update + gated insert
+    dict(
+        matched_update={"v": "target.v + source.v"},
+        matched_update_condition="source.v > 120",
+        not_matched_insert=True,
+        not_matched_insert_condition="source.k % 2 = 0",
+    ),
+    # conditional delete beats update; siblings re-emit
+    dict(
+        matched_delete_condition="source.v >= 150",
+        matched_update="*",
+        not_matched_insert=False,
+    ),
+    # full sync: upsert + by-source delete
+    dict(
+        matched_update="*",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    ),
+    # by-source conditional update (references target only)
+    dict(
+        matched_update="*",
+        not_matched_insert=False,
+        not_matched_by_source_update={"tag": "'stale'"},
+        not_matched_by_source_update_condition="target.k < 5",
+    ),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CLAUSE_CASES)))
+def test_spj_merge_matches_regular_merge(spark, catalog, case):
+    actions = CLAUSE_CASES[case]
+    t, t2, s, src_df = _mk(catalog, spark, f"par{case}")
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    merge(t, spark, s, on=["k"], **actions)
+    merge(t2, spark, src_df, on=["k"], **actions)
+    assert _rows(t, spark) == _rows(t2, spark)
+
+
+def test_spj_merge_plan_has_no_table_exchange(spark, catalog):
+    """The matched / insert-anti / by-source-anti frames move only
+    O(buckets) task descriptors — no hashpartitioning of table data,
+    no sort-merge or broadcast-hash join."""
+    t, _, s, _ = _mk(catalog, spark, "plan")
+    route = _spj_merge_route(t, spark, s, ["k"])
+    assert route is not None
+    for leg in ("matched", "unmatched", "bysrc"):
+        plan = route[leg]()._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, leg
+        assert "BroadcastHashJoin" not in plan, leg
+        assert "hashpartitioning(k" not in plan, leg
+
+
+def test_spj_merge_route_gates(spark, catalog):
+    # nullable key → no route (eqNullSafe vs SQL equality would differ)
+    nullable = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("tag", T.StringType(), True),
+        ]
+    )
+    tgt_df = spark.createDataFrame(_TGT_ROWS, nullable)
+    ice = schema_from_spark(tgt_df.schema)
+    tn = catalog.create_table(
+        "db.null_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    tn.append(tgt_df)
+    sn = catalog.create_table(
+        "db.null_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    sn.append(spark.createDataFrame(_SRC_ROWS, nullable))
+    assert _spj_merge_route(tn, spark, sn, ["k"]) is None
+    # nullable-key table source still merges correctly via the fallback
+    assert merge(tn, spark, sn, on=["k"], matched_update="*", not_matched_insert=True)
+    got = {r["k"]: r["v"] for r in tn.scan().to_df(spark).collect()}
+    assert got[15] == 150.0 and got[27] == 270.0 and got[3] == 3.0
+
+    # mismatched bucket counts → no route, fallback still correct
+    t, _, s, _ = _mk(catalog, spark, "buck", src_n=8)
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
+    assert merge(t, spark, s, on=["k"], matched_update="*", not_matched_insert=True)
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[15] == 150.0 and got[27] == 270.0
+
+
+def test_spj_merge_cardinality_probe(spark, catalog):
+    dup_rows = _SRC_ROWS + [(10, 1.0, "dup")]
+    t, _, s, _ = _mk(catalog, spark, "card", src_rows=dup_rows)
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        merge(t, spark, s, on=["k"], matched_update="*")
+    # and check_cardinality=False accepts (nondeterministic pick aside,
+    # the commit itself must succeed)
+    assert merge(
+        t, spark, s, on=["k"], matched_update=None,
+        matched_delete_condition="source.v >= 0", check_cardinality=False,
+    )
+
+
+def test_spj_merge_composite_key(spark, catalog):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("k2", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    tgt = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)], schema
+    )
+    src = spark.createDataFrame(
+        [(i, i % 3, i * 10.0) for i in range(6, 18)], schema
+    )
+    ice = schema_from_spark(schema)
+    t = catalog.create_table(
+        "db.comp_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t.append(tgt)
+    t2 = catalog.create_table(
+        "db.comp_twin", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t2.append(tgt)
+    s = catalog.create_table(
+        "db.comp_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s.append(src)
+    # co-located on k; k2 joins as plain in-task equality
+    assert _spj_merge_route(t, spark, s, ["k", "k2"]) is not None
+    merge(t, spark, s, on=["k", "k2"], matched_update="*", not_matched_insert=True)
+    merge(t2, spark, src, on=["k", "k2"], matched_update="*", not_matched_insert=True)
+    assert _rows(t, spark) == _rows(t2, spark)
