@@ -42,5 +42,6 @@ from .spj import (  # noqa: F401
     storage_partitioned_agg,
     storage_partitioned_asof_join,
     storage_partitioned_join,
+    storage_partitioned_join_agg,
     storage_partitioned_star_join,
 )

@@ -403,6 +403,7 @@ def storage_partitioned_join(
     right_select: Optional[list] = None,
     max_bucket_bytes: Optional[int] = None,
     right_prefix: Optional[str] = None,
+    _fused_agg: Optional[dict] = None,
 ):
     """Join two tables bucket-partitioned on the join key without
     shuffling either side: one Spark task per bucket does an in-task
@@ -482,6 +483,36 @@ def storage_partitioned_join(
             "left_select/right_select to disjoint names (or set "
             "right_prefix)"
         )
+    if _fused_agg is not None:
+        # fused join→aggregate (storage_partitioned_join_agg): final
+        # per-group aggregates are only sound when every group lives
+        # wholly inside one task — the grouping tuple must contain the
+        # co-located key, the join must not multiply left rows beyond
+        # its bucket (inner/left), and oversized buckets must refuse
+        # instead of fragment-splitting (a split group would emit
+        # partial aggregates)
+        if how not in ("inner", "left"):
+            raise ValueError(f"fused aggregate supports inner|left, got {how!r}")
+        fg_keys = list(_fused_agg["group_keys"])
+        fg_aggs = dict(_fused_agg["aggs"])
+        if lkey not in fg_keys:
+            raise ValueError(
+                f"fused aggregate group keys must include the co-located "
+                f"join key {lkey!r} (got {fg_keys}); any coarser grouping "
+                "spans buckets and needs a shuffle — use df.groupBy()"
+            )
+        missing = [c for c in fg_keys if c not in out_names]
+        if missing:
+            raise ValueError(f"group keys {missing} not in join output {out_names}")
+        for name, (col, fn) in fg_aggs.items():
+            if fn not in _AGG_FNS:
+                raise ValueError(f"{name}: fn {fn!r} not in {sorted(_AGG_FNS)}")
+            if col not in out_names:
+                raise ValueError(f"{name}: column {col!r} not in join output")
+            if name in fg_keys:
+                raise ValueError(
+                    f"agg output name {name!r} collides with a group key"
+                )
 
     limit = max_bucket_bytes
     if limit is None:
@@ -511,6 +542,13 @@ def storage_partitioned_join(
         if lb + rb <= limit:
             rows.append((bid, _task_json(lt), _task_json(rt)))
             continue
+        if _fused_agg is not None:
+            raise ValueError(
+                f"bucket {b}: {lb + rb} bytes exceeds join.spj.max-bucket-"
+                f"bytes={limit} and a fused aggregate cannot fragment-split "
+                "(a split group would emit partial aggregates); raise the "
+                "property, rewrite with more buckets, or join then groupBy"
+            )
         # left/semi/anti need the COMPLETE right bucket per task (a
         # fragmented right would re-emit unmatched rows per fragment /
         # emit semi matches once per matching fragment)
@@ -548,8 +586,20 @@ def storage_partitioned_join(
     out_struct = _out_struct(
         left.schema(), right.schema(), set(rkeys), left_cols, right_cols, r_out_name
     )
+    fused_struct = None
+    if _fused_agg is not None:
+        from pyspark.sql import types as st
+
+        out_types = {f.name: f.dataType for f in out_struct.fields}
+        f_fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
+        for name, (col, fn) in fg_aggs.items():
+            f_fields.append(
+                st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
+            )
+        fused_struct = st.StructType(f_fields)
+    result_struct = fused_struct if fused_struct is not None else out_struct
     if not rows:
-        return spark.createDataFrame([], out_struct)
+        return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
@@ -599,6 +649,9 @@ def storage_partitioned_join(
         (extract_field_names(r_resid) if r_resid is not None else set()) - set(right_cols)
     )
 
+    fg_items = list(fg_aggs.items()) if _fused_agg is not None else None
+    fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
+
     def join_task(batches):
         import pyarrow as pa
 
@@ -608,6 +661,7 @@ def storage_partitioned_join(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(out_struct)
+        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
         for batch in batches:
             for row in batch.to_pylist():
                 lt = _read_bucket_arrow(
@@ -646,10 +700,103 @@ def storage_partitioned_join(
                     }[how]
                     joined = lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=jt)
                     joined = joined.select(out_name_list)
+                if fused_target is not None:
+                    # FINAL aggregates in the same task pass: every
+                    # group tuple contains the co-located key, so the
+                    # whole group is in this bucket (and buckets never
+                    # split in fused mode — enforced at planning)
+                    if len(joined) == 0:
+                        continue
+                    spec = list(dict.fromkeys((c, f) for (_, (c, f)) in fg_items))
+                    res = joined.group_by(fg_keys).aggregate(spec)
+                    cols = {k: res.column(k) for k in fg_keys}
+                    for name, (c, f) in fg_items:
+                        cols[name] = res.column(f"{c}_{f}")
+                    out = _cast_to_schema(
+                        pa.table(cols).select(fused_names), fused_target
+                    )
+                    yield from out.to_batches(max_chunksize=1 << 16)
+                    continue
                 joined = _cast_to_schema(joined, target)
                 yield from joined.to_batches(max_chunksize=1 << 16)
 
-    return task_df.mapInArrow(join_task, out_struct)
+    return task_df.mapInArrow(join_task, result_struct)
+
+
+def storage_partitioned_join_agg(
+    spark,
+    left,
+    right,
+    on,
+    aggs: dict,
+    group_keys: Optional[list] = None,
+    how: str = "inner",
+    left_filter=None,
+    right_filter=None,
+    left_select: Optional[list] = None,
+    right_select: Optional[list] = None,
+    max_bucket_bytes: Optional[int] = None,
+    right_prefix: Optional[str] = None,
+):
+    """Join + FINAL aggregate in ONE task pass — the chained-pipeline
+    closer for SPJ (VERDICT r11 task 5): `storage_partitioned_join`
+    returns a plain DataFrame, so a downstream groupBy on the join key
+    re-shuffles rows that were already co-located. Fusing the aggregate
+    into the join task removes that exchange entirely: each bucket task
+    joins its pair in Arrow and immediately folds it to per-group
+    aggregates, so only FINISHED aggregate rows leave the task.
+
+    Soundness: `group_keys` (default: the left join key alone) must
+    include the co-located join key — every group tuple containing it
+    lives wholly inside one bucket, making per-task aggregates final —
+    and fused buckets never fragment-split (oversized buckets refuse
+    with the byte-budget error instead of emitting partial aggregates).
+    `how` is inner|left. `aggs`: {output_name: (column, fn)} over the
+    JOIN's output columns (left names + right names, prefixed when
+    `right_prefix` is set), fn in count|sum|min|max|mean.
+    """
+    pairs = _key_pairs(on)
+    # default: group by every left join key — always contains the
+    # co-located key whichever pair the planner picks
+    gk = list(group_keys) if group_keys is not None else [p[0] for p in pairs]
+    return storage_partitioned_join(
+        spark,
+        left,
+        right,
+        on,
+        how=how,
+        left_filter=left_filter,
+        right_filter=right_filter,
+        left_select=left_select,
+        right_select=right_select,
+        max_bucket_bytes=max_bucket_bytes,
+        right_prefix=right_prefix,
+        _fused_agg={"group_keys": gk, "aggs": dict(aggs)},
+    )
+
+
+_AGG_FNS = {"count", "sum", "min", "max", "mean"}
+
+
+def _agg_out_spark_type(fn, src_spark_type):
+    """Output Spark type of a per-bucket Arrow aggregate, widened like
+    SQL: integral sums overflow their input type, means are double."""
+    from pyspark.sql import types as st
+
+    if fn == "count":
+        return st.LongType()
+    if fn == "mean":
+        return st.DoubleType()
+    if fn == "sum":
+        if isinstance(
+            src_spark_type,
+            (st.ByteType, st.ShortType, st.IntegerType, st.LongType),
+        ):
+            return st.LongType()
+        if isinstance(src_spark_type, st.DecimalType):
+            return st.DecimalType(38, src_spark_type.scale)
+        return st.DoubleType()
+    return src_spark_type
 
 
 def storage_partitioned_agg(
@@ -717,22 +864,9 @@ def storage_partitioned_agg(
     }
     out_fields = [st.StructField(k, key_type[k].dataType, True) for k in group_keys]
     for name, (col, fn) in aggs.items():
-        if fn == "count":
-            t = st.LongType()
-        elif fn == "mean":
-            t = st.DoubleType()
-        elif fn == "sum":
-            # widen like SQL: integral sums overflow their input type
-            src_t = key_type[col].dataType
-            if isinstance(src_t, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)):
-                t = st.LongType()
-            elif isinstance(src_t, st.DecimalType):
-                t = st.DecimalType(38, src_t.scale)
-            else:
-                t = st.DoubleType()
-        else:
-            t = key_type[col].dataType
-        out_fields.append(st.StructField(name, t, True))
+        out_fields.append(
+            st.StructField(name, _agg_out_spark_type(fn, key_type[col].dataType), True)
+        )
     out_struct = st.StructType(out_fields)
     if not rows:
         return spark.createDataFrame([], out_struct)

@@ -1116,3 +1116,147 @@ def test_spj_ts_to_us_floors_negative_ns():
     assert _ts_to_us(us).to_pylist() == [-5, 7]
     ms = pa.chunked_array([pa.array([-5, 7], pa.int64()).cast(pa.timestamp("ms"))])
     assert _ts_to_us(ms).to_pylist() == [-5000, 7000]
+
+
+# ------------------------------------------------- r12: fused join→aggregate
+
+
+def test_spj_join_agg_matches_join_then_groupby(spark, sf_dir, catalog):
+    """storage_partitioned_join_agg == join → groupBy, values exact
+    (decimal-exact sums), across inner and left joins and extra
+    (non-partition) group keys."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_join_agg,
+    )
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    to = _bucketed(catalog, "ja_ord", orders, "o_custkey")
+    tc = _bucketed(catalog, "ja_cust", cust, "c_custkey")
+
+    got = storage_partitioned_join_agg(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        aggs={
+            "n": ("o_orderkey", "count"),
+            "tot": ("o_totalprice", "sum"),
+            "seg_n": ("c_mktsegment", "count"),
+        },
+        group_keys=["o_custkey", "c_mktsegment"],
+    )
+    exp = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.sum("o_totalprice").alias("tot"),
+            F.count("c_mktsegment").alias("seg_n"),
+        )
+    )
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    g = sorted((tuple(r) for r in got.collect()), key=key)
+    e = sorted((tuple(r) for r in exp.collect()), key=key)
+    assert len(g) == len(e)
+    for (gk, gs, gn, gt, gsn), (ek, es, en, et, esn) in zip(g, e):
+        assert (gk, gs, gn, gsn) == (ek, es, en, esn)
+        assert abs(gt - et) < 1e-6
+
+    # left join: customers keep their row even with zero orders
+    got_l = storage_partitioned_join_agg(
+        spark,
+        tc,
+        to,
+        on=("c_custkey", "o_custkey"),
+        aggs={"n_ord": ("o_orderkey", "count")},
+        how="left",
+    )
+    exp_l = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_ord"))
+    )
+    assert sorted(map(tuple, got_l.collect())) == sorted(
+        map(tuple, exp_l.collect())
+    )
+
+
+def test_spj_join_agg_plan_no_post_join_exchange(spark, sf_dir, catalog):
+    """The fused plan's only shuffle is the O(buckets) task-descriptor
+    repartition — no hashpartitioning on the data key, no aggregate
+    exchange after the join (the star-join probe measured that cost)."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_join_agg,
+    )
+    from iceberg_go_distributed_spark.datasets import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    to = _bucketed(catalog, "jp_ord", orders, "o_custkey")
+    tc = _bucketed(catalog, "jp_cust", cust, "c_custkey")
+    df = storage_partitioned_join_agg(
+        spark, to, tc, on=("o_custkey", "c_custkey"),
+        aggs={"tot": ("o_totalprice", "sum")},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_spj_join_agg_validation_and_no_split(spark, catalog):
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_join_agg,
+    )
+
+    left = spark.createDataFrame(
+        [(i % 8, float(i)) for i in range(64)], "k int, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 2.0) for i in range(8)], "rk int, w double"
+    )
+    tl = _bucketed(catalog, "jv_l", left, "k", n=4)
+    tr = _bucketed(catalog, "jv_r", right, "rk", n=4)
+    with pytest.raises(ValueError, match="must include the co-located"):
+        storage_partitioned_join_agg(
+            spark, tl, tr, on=("k", "rk"),
+            aggs={"s": ("v", "sum")}, group_keys=["w"],
+        )
+    with pytest.raises(ValueError, match="collides with a group key"):
+        storage_partitioned_join_agg(
+            spark, tl, tr, on=("k", "rk"), aggs={"k": ("v", "sum")},
+        )
+    with pytest.raises(ValueError, match="inner\\|left"):
+        storage_partitioned_join_agg(
+            spark, tl, tr, on=("k", "rk"), aggs={"s": ("v", "sum")},
+            how="anti",
+        )
+    # oversized bucket: fused mode refuses instead of fragment-splitting
+    with pytest.raises(ValueError, match="cannot fragment-split"):
+        storage_partitioned_join_agg(
+            spark, tl, tr, on=("k", "rk"), aggs={"s": ("v", "sum")},
+            max_bucket_bytes=64,
+        )
+    # duplicate (column, fn) pairs: both outputs carry the value
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in storage_partitioned_join_agg(
+            spark, tl, tr, on=("k", "rk"),
+            aggs={"a": ("v", "sum"), "b": ("v", "sum")},
+        ).collect()
+    }
+    exp = {
+        r["k"]: r["s"]
+        for r in left.join(right, left.k == right.rk)
+        .groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == {k: (v, v) for k, v in exp.items()}
