@@ -208,11 +208,32 @@ class RestCatalog(Catalog):
         )
         return self.load_table(dst)
 
-    def list_tables(self, namespace: str):
-        resp = self._get(f"/v1/namespaces/{self._ns_path(namespace)}/tables")
-        return [
-            (".".join(t["namespace"]), t["name"]) for t in resp.get("identifiers", [])
-        ]
+    def _paged_identifiers(self, path: str, page_size: Optional[int]):
+        """Follow `next-page-token` until the listing is exhausted —
+        ref catalog/rest/rest.go:679-700 (ListTables) / 1055-1078
+        (ListViews): pageToken/pageSize go out as query params, the
+        server's `next-page-token` drives the loop, an absent/empty
+        token ends it. A server that ignores paging returns everything
+        with no token — one round trip, same result."""
+        out, token = [], None
+        while True:
+            q = {}
+            if page_size is not None:
+                q["pageSize"] = str(page_size)
+            if token:
+                q["pageToken"] = token
+            qs = ("?" + urllib.parse.urlencode(q)) if q else ""
+            resp = self._get(f"{path}{qs}")
+            out.extend(resp.get("identifiers", []))
+            token = resp.get("next-page-token") or ""
+            if not token:
+                return out
+
+    def list_tables(self, namespace: str, page_size: Optional[int] = None):
+        idents = self._paged_identifiers(
+            f"/v1/namespaces/{self._ns_path(namespace)}/tables", page_size
+        )
+        return [(".".join(t["namespace"]), t["name"]) for t in idents]
 
     def commit_table(self, identifier, base_metadata_location, new_metadata) -> str:
         """The REST commit is updates+requirements, not a metadata blob:
@@ -233,6 +254,75 @@ class RestCatalog(Catalog):
             "POST", f"/v1/namespaces/{self._ns_path(ns)}/tables/{tbl}", body
         )
         return TableMetadata.from_json(resp["metadata"])
+
+    # ---------------------------------------------------------------- views
+    # ref catalog/rest/rest.go view surface: CreateView (1173-1213,
+    # createViewRequest 1156-1163), ListViews (1055-1078, paged),
+    # DropView (doDelete 1132), CheckViewExists (doHead 1144). Load is
+    # the spec's GET on the same route (the Go client reads views
+    # through the loadView response shape it shares with create).
+
+    def create_view(
+        self,
+        identifier,
+        sql: str,
+        schema: Optional[Schema] = None,
+        properties: Optional[dict] = None,
+        dialect: str = "spark",
+    ):
+        from .view import View, ViewMetadata
+
+        ns, name = _identifier(identifier)
+        schema = schema or Schema(0, ())
+        body = {
+            "name": name,
+            "schema": schema.to_json(),
+            "sql": sql,
+            "properties": dict(properties or {}),
+            "view-version": {
+                "version-id": 1,
+                "timestamp-ms": int(time.time() * 1000),
+                "schema-id": schema.schema_id,
+                "summary": {"sql": sql},
+                "representations": [
+                    {"type": "sql", "sql": sql, "dialect": dialect}
+                ],
+                "default-namespace": [ns],
+            },
+        }
+        resp = self._req(
+            "POST", f"/v1/namespaces/{self._ns_path(ns)}/views", body
+        )
+        return View(identifier, ViewMetadata.from_json(resp["metadata"]))
+
+    def load_view(self, identifier):
+        from .view import View, ViewMetadata
+
+        ns, name = _identifier(identifier)
+        resp = self._get(f"/v1/namespaces/{self._ns_path(ns)}/views/{name}")
+        return View(identifier, ViewMetadata.from_json(resp["metadata"]))
+
+    def drop_view(self, identifier) -> None:
+        ns, name = _identifier(identifier)
+        self._req(
+            "DELETE", f"/v1/namespaces/{self._ns_path(ns)}/views/{name}"
+        )
+
+    def view_exists(self, identifier) -> bool:
+        ns, name = _identifier(identifier)
+        try:
+            self._req(
+                "HEAD", f"/v1/namespaces/{self._ns_path(ns)}/views/{name}"
+            )
+            return True
+        except (NoSuchTableError, NoSuchNamespaceError):
+            return False
+
+    def list_views(self, namespace: str, page_size: Optional[int] = None):
+        idents = self._paged_identifiers(
+            f"/v1/namespaces/{self._ns_path(namespace)}/views", page_size
+        )
+        return [(".".join(v["namespace"]), v["name"]) for v in idents]
 
     # ----------------------------------------------------------- namespaces
 

@@ -32,7 +32,9 @@ from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
 class _State:
     def __init__(self, require_oauth: bool = False):
         self.tables: dict[tuple[str, str], dict] = {}
+        self.views: dict[tuple[str, str], dict] = {}
         self.namespaces: dict[str, dict] = {"default": {}}
+        self.list_requests: list[str] = []  # paging audit trail
         # oauth mode: client-credentials exchange mints tokens; every
         # catalog endpoint 401s without a currently-valid one
         self.require_oauth = require_oauth
@@ -113,8 +115,30 @@ def _make_handler(state: _State):
                 and auth[len("Bearer ") :] in state.issued_tokens
             )
 
+        def _split(self):
+            """(path parts, query dict) — list endpoints take paging
+            query params, so the raw path may carry a query string."""
+            import urllib.parse as _up
+
+            s = _up.urlsplit(self.path)
+            return [p for p in s.path.split("/") if p], dict(_up.parse_qsl(s.query))
+
+        def _paged_ids(self, ids, q):
+            """Slice an identifier listing per pageSize/pageToken and
+            emit next-page-token while more remain (the client must
+            loop — this is what the pagination tests verify)."""
+            state.list_requests.append(self.path)
+            if "pageSize" not in q:
+                return {"identifiers": ids}
+            size = max(1, int(q["pageSize"]))
+            start = int(q.get("pageToken") or 0)
+            out = {"identifiers": ids[start : start + size]}
+            if start + size < len(ids):
+                out["next-page-token"] = str(start + size)
+            return out
+
         def do_GET(self):
-            parts = [p for p in self.path.split("/") if p]
+            parts, q = self._split()
             if not self._authorized():
                 return self._send(401, {"error": "unauthorized"})
             if parts == ["v1", "config"]:
@@ -128,14 +152,15 @@ def _make_handler(state: _State):
                 if ns not in state.namespaces:
                     return self._send(404, {"error": "no such namespace"})
                 return self._send(200, {"namespace": [ns], "properties": state.namespaces[ns]})
-            if len(parts) == 4 and parts[3] == "tables":
+            if len(parts) == 4 and parts[3] in ("tables", "views"):
                 ns = parts[2]
+                store = state.tables if parts[3] == "tables" else state.views
                 ids = [
                     {"namespace": [n], "name": t}
-                    for (n, t) in sorted(state.tables)
+                    for (n, t) in sorted(store)
                     if n == ns
                 ]
-                return self._send(200, {"identifiers": ids})
+                return self._send(200, self._paged_ids(ids, q))
             if len(parts) == 5 and parts[3] == "tables":
                 key = (parts[2], parts[4])
                 if key not in state.tables:
@@ -144,7 +169,28 @@ def _make_handler(state: _State):
                     200,
                     {"metadata": state.tables[key], "metadata-location": f"mem://{key}"},
                 )
+            if len(parts) == 5 and parts[3] == "views":
+                key = (parts[2], parts[4])
+                if key not in state.views:
+                    return self._send(404, {"error": "no such view"})
+                return self._send(
+                    200,
+                    {"metadata": state.views[key], "metadata-location": f"mem://{key}"},
+                )
             return self._send(404, {"error": "unknown"})
+
+        def do_HEAD(self):
+            parts, _ = self._split()
+            if len(parts) == 5 and parts[3] == "views":
+                key = (parts[2], parts[4])
+                code = 200 if key in state.views else 404
+                self.send_response(code)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_POST(self):
             parts = [p for p in self.path.split("/") if p]
@@ -223,6 +269,35 @@ def _make_handler(state: _State):
                 return self._send(
                     200, {"metadata": state.tables[key], "metadata-location": f"mem://{key}"}
                 )
+            if len(parts) == 4 and parts[3] == "views":
+                ns, name = parts[2], body["name"]
+                key = (ns, name)
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                if key in state.views:
+                    return self._send(409, {"error": "view already exists"})
+                import uuid as _u
+
+                vv = dict(body["view-version"])
+                state.views[key] = {
+                    "view-uuid": str(_u.uuid4()),
+                    "format-version": 1,
+                    "location": f"mem://{ns}/{name}",
+                    "current-version-id": vv.get("version-id", 1),
+                    "versions": [vv],
+                    "version-log": [
+                        {
+                            "timestamp-ms": vv.get("timestamp-ms", 0),
+                            "version-id": vv.get("version-id", 1),
+                        }
+                    ],
+                    "schemas": [body["schema"]],
+                    "properties": body.get("properties", {}),
+                }
+                return self._send(
+                    200,
+                    {"metadata": state.views[key], "metadata-location": f"mem://{key}"},
+                )
             if len(parts) == 4 and parts[3] == "properties":
                 ns = parts[2]
                 props = state.namespaces.setdefault(ns, {})
@@ -241,6 +316,12 @@ def _make_handler(state: _State):
                 if key not in state.tables:
                     return self._send(404, {"error": "no such table"})
                 del state.tables[key]
+                return self._send(204)
+            if len(parts) == 5 and parts[3] == "views":
+                key = (parts[2], parts[4])
+                if key not in state.views:
+                    return self._send(404, {"error": "no such view"})
+                del state.views[key]
                 return self._send(204)
             if len(parts) == 3:
                 ns = parts[2]
@@ -495,3 +576,56 @@ def test_rest_register_table(rest_server, tmp_path, spark):
     ) == [(1, "a"), (2, "b")]
     with pytest.raises(TableAlreadyExistsError):
         cat.register_table("regdb.adopted", src.metadata_location)
+
+
+def test_rest_list_pagination():
+    """list_tables/list_views follow next-page-token until exhausted —
+    ref catalog/rest/rest.go:679-700/1055-1078 page loops. Uses a
+    local server handle so the request log proves the client was
+    driven page by page rather than getting one lucky full response."""
+    state = _State()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{server.server_port}", token="t")
+        cat.create_namespace("pg")
+        for i in range(7):
+            cat.create_table(f"pg.t{i}", SCHEMA)
+        # unpaged: one request, everything back
+        state.list_requests.clear()
+        assert len(cat.list_tables("pg")) == 7
+        assert len(state.list_requests) == 1
+        # paged: the client loops pageToken; union equals the full listing
+        state.list_requests.clear()
+        got = cat.list_tables("pg", page_size=3)
+        assert sorted(got) == sorted(("pg", f"t{i}") for i in range(7))
+        assert len(state.list_requests) == 3  # 3 + 3 + 1
+        assert "pageToken=3" in state.list_requests[1]
+        assert "pageToken=6" in state.list_requests[2]
+    finally:
+        server.shutdown()
+
+
+def test_rest_view_crud_and_paging(rest_server):
+    cat = RestCatalog(rest_server, token="t")
+    cat.create_namespace("vw")
+    v = cat.create_view(
+        "vw.rev", "SELECT o_orderkey FROM orders", properties={"team": "data"}
+    )
+    assert v.sql("spark") == "SELECT o_orderkey FROM orders"
+    assert cat.view_exists("vw.rev")
+    assert not cat.view_exists("vw.nope")
+    loaded = cat.load_view("vw.rev")
+    assert loaded.sql("spark") == "SELECT o_orderkey FROM orders"
+    assert loaded.metadata.current_version_id == 1
+    assert loaded.metadata.properties == {"team": "data"}
+    for i in range(4):
+        cat.create_view(f"vw.v{i}", f"SELECT {i}")
+    assert len(cat.list_views("vw")) == 5
+    assert sorted(cat.list_views("vw", page_size=2)) == sorted(
+        cat.list_views("vw")
+    )
+    cat.drop_view("vw.rev")
+    assert not cat.view_exists("vw.rev")
+    with pytest.raises(NoSuchTableError):
+        cat.load_view("vw.rev")
