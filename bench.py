@@ -419,25 +419,79 @@ def main() -> None:
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
+        # fused join→aggregate (r12): the per-KEY grouped aggregate is
+        # the shape where plain SPJ still pays a post-join exchange —
+        # the fused operator folds final aggregates into the join task.
+        # count-only aggs so both paths do identical exact-integer work
+        # (a float sum's addition order differs between plans).
+        from iceberg_go_distributed_spark.iceberg.spj import (
+            storage_partitioned_join_agg,
+        )
+
+        def run_fused_once():
+            t0 = time.perf_counter()
+            row = (
+                storage_partitioned_join_agg(
+                    spark,
+                    st_li,
+                    st_o,
+                    on=("l_orderkey", "o_orderkey"),
+                    aggs={"n": ("l_quantity", "count")},
+                    left_select=["l_orderkey", "l_quantity"],
+                    right_select=["o_orderkey"],
+                )
+                .agg(SF.sum("n").alias("t"), SF.count("*").alias("g"))
+                .first()
+            )
+            return round(time.perf_counter() - t0, 4), (int(row.t), int(row.g))
+
+        def run_twostep_once():
+            t0 = time.perf_counter()
+            row = (
+                storage_partitioned_join(
+                    spark,
+                    st_li,
+                    st_o,
+                    on=("l_orderkey", "o_orderkey"),
+                    left_select=["l_orderkey", "l_quantity"],
+                    right_select=["o_orderkey"],
+                )
+                .groupBy("l_orderkey")
+                .agg(SF.count("l_quantity").alias("n"))
+                .agg(SF.sum("n").alias("t"), SF.count("*").alias("g"))
+                .first()
+            )
+            return round(time.perf_counter() - t0, 4), (int(row.t), int(row.g))
+
         # round-robin the attempts so a host load wave degrades one
         # pass of BOTH paths (the per-path minimum discards it) instead
         # of every attempt of one path
-        s_attempts, h_attempts = [], []
+        s_attempts, h_attempts, f_attempts, t_attempts = [], [], [], []
         for _ in range(3):
             s_attempts.append(run_spj_once())
             h_attempts.append(run_shuffle_once())
+            f_attempts.append(run_fused_once())
+            t_attempts.append(run_twostep_once())
         spj_sec = min(a[0] for a in s_attempts)
         shuf_sec = min(a[0] for a in h_attempts)
+        fused_sec = min(a[0] for a in f_attempts)
+        two_sec = min(a[0] for a in t_attempts)
         spj = {
             "spj_join_sec": spj_sec,
             "shuffle_join_sec": shuf_sec,
             "speedup": round(shuf_sec / spj_sec, 3) if spj_sec else None,
+            "fused_join_agg_sec": fused_sec,
+            "join_then_groupby_sec": two_sec,
+            "fused_speedup": round(two_sec / fused_sec, 3) if fused_sec else None,
             "attempts": {
                 "spj": [a[0] for a in s_attempts],
                 "shuffle": [a[0] for a in h_attempts],
+                "fused": [a[0] for a in f_attempts],
+                "twostep": [a[0] for a in t_attempts],
             },
             "agg_value": s_attempts[0][1],
             "values_match": len({a[1] for a in s_attempts + h_attempts}) == 1,
+            "fused_values_match": len({a[1] for a in f_attempts + t_attempts}) == 1,
         }
     finally:
         shutil.rmtree(swh, ignore_errors=True)

@@ -2030,6 +2030,14 @@ class Table(StaticTable):
 
         return storage_partitioned_asof_join(spark, self, other, on, **kwargs)
 
+    def storage_partitioned_join_agg(self, spark, other, on, aggs, **kwargs):
+        """Join a co-partitioned table and fold FINAL per-group
+        aggregates in the same task pass — no post-join exchange
+        (see spj.storage_partitioned_join_agg)."""
+        from .spj import storage_partitioned_join_agg
+
+        return storage_partitioned_join_agg(spark, self, other, on, aggs, **kwargs)
+
     def add_files(self, paths: list) -> None:
         """Register existing parquet files (stats from footers)."""
         from .write import add_files
