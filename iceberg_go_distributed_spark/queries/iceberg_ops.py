@@ -1292,9 +1292,10 @@ def ice_eq_convert(spark, sf_dir):
     GROUP BY c_mktsegment
     """,
     doc=(
-        "storage-partitioned join + 3-way star join: bucket[8]-co-located "
-        "orders⋈customer⋈flags joined per-bucket in-task (zero table "
-        "exchange), MOR deletes applied during the bucket read"
+        "storage-partitioned join + 3-way star join + fused join→agg: "
+        "bucket[8]-co-located orders⋈customer⋈flags joined per-bucket "
+        "in-task (zero table exchange), MOR deletes applied during the "
+        "bucket read, fused per-key aggregate cross-checked exactly"
     ),
 )
 def ice_spj(spark, sf_dir):
@@ -1311,6 +1312,7 @@ def ice_spj(spark, sf_dir):
     from ..iceberg.spj import (
         storage_partitioned_agg,
         storage_partitioned_join,
+        storage_partitioned_join_agg,
         storage_partitioned_star_join,
     )
     from ..iceberg.types import schema_from_spark
@@ -1355,6 +1357,23 @@ def ice_spj(spark, sf_dir):
     )
     total = per_key.agg(F.sum("n")).first()[0]
     assert total == to.scan().count(spark), "per-bucket agg lost/duplicated rows"
+
+    # fused join→aggregate (r12): join + final per-key counts in ONE
+    # task pass; must account for exactly the 2-way join's rows, and
+    # its plan must hold no join/aggregate exchange either
+    fused = storage_partitioned_join_agg(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        aggs={"n": ("o_totalprice", "count")},
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey"],
+    )
+    fplan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" not in fplan and "SortMergeJoin" not in fplan
+    fused_total = fused.agg(F.sum("n")).first()[0]
+    assert fused_total == df.count(), "fused join→agg lost/duplicated rows"
 
     # 3-way star (orders⋈customer⋈flags, one task pass) carries the vip
     # count into the oracle-hashed output; the flags side has every
