@@ -98,3 +98,34 @@ def demo(spark, catalog, facts_df, dims_df):
         enriched.groupBy("d_segment").agg(F.count("*").alias("n")),
         rollup,
     )
+
+
+def rollup_per_entity(spark, fact, dim, entity_key=("f_entity", "d_entity")):
+    """Round-12: join + FINAL per-entity aggregate in one task pass —
+    `storage_partitioned_join(...).groupBy(key)` would re-shuffle the
+    co-located rows; the fused operator never lets them leave the
+    bucket task (1.8× measured at 8M rows, SCALE.md r12)."""
+    return fact.storage_partitioned_join_agg(
+        spark,
+        dim,
+        on=entity_key,
+        aggs={"n": ("f_value", "count"), "total": ("f_value", "sum")},
+        group_keys=[entity_key[0], "d_segment"],
+    )
+
+
+def sync_from_upstream(spark, target, source_table, key="f_entity"):
+    """Round-12: MERGE with a co-partitioned TABLE source routes every
+    join through SPJ task passes — zero exchange or broadcast of either
+    side (2.0× vs the broadcast path at 8M⋈800k, SCALE.md r12). The
+    same call with a DataFrame source (or an incompatible layout) runs
+    the regular broadcast/AQE path — the API is identical.
+    Requires the key column REQUIRED (non-null) on both sides."""
+    return target.merge(
+        spark,
+        source_table,
+        on=[key],
+        matched_update="*",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
