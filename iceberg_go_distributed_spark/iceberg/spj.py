@@ -162,15 +162,22 @@ def _key_pairs(on) -> list:
     return out
 
 
-def _side_tasks(table, pf, row_filter):
+def _side_tasks(table, pf, row_filter, spark=None):
     """Plan one side under its chosen co-partition field: tasks grouped
     by partition value, and the bound residual row filter (None when no
     filter) — applied in-task on the Arrow rows, since pruning only
-    eliminates FILES (other keys share a partition's files)."""
+    eliminates FILES (other keys share a partition's files).
+
+    With a `spark` handle the planning itself routes through
+    `plan_files_auto`: small snapshots plan on the driver, wide ones
+    (the 100 TB case SPJ exists for) fan the manifest decode out across
+    executors and hit the plan memo on repeated joins — the bucketed
+    fact table's 500k-file planning drops from ~40 s local to ~4 s
+    distributed (SCALE.md r12)."""
     from .expressions import AlwaysTrue, bind_expr, rewrite_not
 
     scan = table.scan(row_filter=row_filter) if row_filter is not None else table.scan()
-    tasks = scan.plan_files()
+    tasks = scan.plan_files_auto(spark) if spark is not None else scan.plan_files()
     resid = None
     if row_filter is not None:
         bound = bind_expr(rewrite_not(row_filter), table.schema())
@@ -459,8 +466,8 @@ def storage_partitioned_join(
     _, lpf, rpf, lf = picked
     # the grouping pair drives partition semantics (null-bucket rules)
     lkey, rkey = pairs[picked[0]]
-    lbuckets, l_resid = _side_tasks(left, lpf, left_filter)
-    rbuckets, r_resid = _side_tasks(right, rpf, right_filter)
+    lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
+    rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
 
     left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
     left_cols = [k for k in lkeys if k not in left_cols] + left_cols
@@ -833,7 +840,7 @@ def storage_partitioned_agg(
         fields,
         key=lambda f: _TRANSFORM_PREFERENCE.get(str(f.transform).split("[")[0], 9),
     )
-    by_bucket, resid = _side_tasks(table, pf, row_filter)
+    by_bucket, resid = _side_tasks(table, pf, row_filter, spark)
     from .expressions import extract_field_names
 
     group_keys = _group_keys
@@ -956,8 +963,8 @@ def storage_partitioned_asof_join(
         raise ValueError(
             f"join-key hash families differ or unsupported ({lf} vs {rf})"
         )
-    lbuckets, _ = _side_tasks(left, lpf, None)
-    rbuckets, _ = _side_tasks(right, rpf, None)
+    lbuckets, _ = _side_tasks(left, lpf, None, spark)
+    rbuckets, _ = _side_tasks(right, rpf, None, spark)
 
     left_cols = [f.name for f in left.schema().fields]
     right_cols = list(right_cols or [])
@@ -1224,7 +1231,7 @@ def storage_partitioned_star_join(
     resids = []
     for s, (fields, _src) in zip(norm, per_side):
         pf = next(f for f in fields if str(f.transform) == chosen)
-        by_bucket, resid = _side_tasks(s["table"], pf, s["filter"])
+        by_bucket, resid = _side_tasks(s["table"], pf, s["filter"], spark)
         buckets_per_side.append(by_bucket)
         resids.append(resid)
 

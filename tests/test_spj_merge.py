@@ -215,3 +215,70 @@ def test_spj_merge_composite_key(spark, catalog):
     merge(t, spark, s, on=["k", "k2"], matched_update="*", not_matched_insert=True)
     merge(t2, spark, src, on=["k", "k2"], matched_update="*", not_matched_insert=True)
     assert _rows(t, spark) == _rows(t2, spark)
+
+
+def test_spj_merge_fuzz_parity(spark, catalog):
+    """Seeded random targets/sources/clauses: the SPJ route and the
+    regular broadcast path must produce identical table states."""
+    import random
+
+    rnd = random.Random(1207)
+    for trial in range(4):
+        n_t, n_s = rnd.randrange(5, 40), rnd.randrange(5, 40)
+        lo = rnd.randrange(0, 30)
+        tgt_rows = [
+            (k, round(rnd.uniform(-50, 50), 2), rnd.choice(["a", "b", None]))
+            for k in rnd.sample(range(0, 60), n_t)
+        ]
+        src_rows = [
+            (k, round(rnd.uniform(-50, 50), 2), rnd.choice(["x", "y", None]))
+            for k in rnd.sample(range(lo, lo + 60), n_s)
+        ]
+        actions = {}
+        if rnd.random() < 0.8:
+            actions["matched_update"] = rnd.choice(
+                ["*", {"v": "target.v + source.v"}]
+            )
+            if rnd.random() < 0.5:
+                actions["matched_update_condition"] = "source.v > 0"
+        if rnd.random() < 0.5:
+            actions["matched_delete_condition"] = "source.v < -10"
+        actions["not_matched_insert"] = rnd.random() < 0.8
+        if actions["not_matched_insert"] and rnd.random() < 0.5:
+            actions["not_matched_insert_condition"] = "source.k % 2 = 0"
+        if rnd.random() < 0.5:
+            actions["not_matched_by_source_delete"] = True
+        elif rnd.random() < 0.5:
+            actions["not_matched_by_source_update"] = {"tag": "'stale'"}
+            actions["not_matched_by_source_update_condition"] = "target.v < 0"
+        if not any(
+            actions.get(k)
+            for k in (
+                "matched_update",
+                "matched_delete_condition",
+                "not_matched_insert",
+                "not_matched_by_source_delete",
+                "not_matched_by_source_update",
+            )
+        ):
+            actions["not_matched_insert"] = True
+        tgt_df = spark.createDataFrame(tgt_rows, _SCHEMA)
+        src_df = spark.createDataFrame(src_rows, _SCHEMA)
+        ice = schema_from_spark(_SCHEMA)
+        t = catalog.create_table(
+            f"db.fz{trial}_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+        )
+        t.append(tgt_df)
+        t2 = catalog.create_table(
+            f"db.fz{trial}_twin", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+        )
+        t2.append(tgt_df)
+        s = catalog.create_table(
+            f"db.fz{trial}_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+        )
+        s.append(src_df)
+        assert _spj_merge_route(t, spark, s, ["k"]) is not None, trial
+        r1 = merge(t, spark, s, on=["k"], **actions)
+        r2 = merge(t2, spark, src_df, on=["k"], **actions)
+        assert r1 == r2, (trial, actions)
+        assert _rows(t, spark) == _rows(t2, spark), (trial, actions)
