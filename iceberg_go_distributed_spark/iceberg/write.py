@@ -2858,22 +2858,22 @@ def _spj_merge_route(table, spark, source, on):
     )
 
     t_schema, s_schema = table.schema(), source.schema()
-    copart = False
+    copart_key = None
     for k in on:
         tf, sf = t_schema.find_field(k), s_schema.find_field(k)
         if tf is None or sf is None or not (tf.required and sf.required):
             return None
         if _hash_family(tf.field_type) != _hash_family(sf.field_type):
             return None
-        if not copart:
+        if copart_key is None:
             try:
                 lf, _ = _partition_fields_on(table, k)
                 rf, _ = _partition_fields_on(source, k)
                 _pick_copart_pair(lf, rf)
-                copart = True
+                copart_key = k
             except ValueError:
                 pass
-    if not copart:
+    if copart_key is None:
         return None
 
     tcols = [f.name for f in t_schema.fields]
@@ -2911,13 +2911,16 @@ def _spj_merge_route(table, spark, source, on):
 
     def dup_key_row():
         # zero-exchange cardinality probe: per-key counts are exact
-        # within one bucket task (the layout contains each key)
+        # within one bucket task. Grouped on the key that PROVED
+        # co-location (which need not be on[0]) with the remaining
+        # keys as extra group columns — any tuple containing the
+        # bucketed key stays in-bucket, so the counts are final.
         agg = storage_partitioned_agg(
             spark,
             source,
-            on[0],
-            {"__merge_cnt": (on[0], "count")},
-            extra_keys=list(on[1:]),
+            copart_key,
+            {"__merge_cnt": (copart_key, "count")},
+            extra_keys=[k for k in on if k != copart_key],
         )
         return agg.where(F.col("__merge_cnt") > 1).limit(1).collect()
 

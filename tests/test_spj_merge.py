@@ -282,3 +282,45 @@ def test_spj_merge_fuzz_parity(spark, catalog):
         r2 = merge(t2, spark, src_df, on=["k"], **actions)
         assert r1 == r2, (trial, actions)
         assert _rows(t, spark) == _rows(t2, spark), (trial, actions)
+
+
+def test_spj_merge_composite_key_colocated_on_second(spark, catalog):
+    """The co-location proof may come from ANY key in `on`, not the
+    first: with on=["k2", "k"] and only k bucketed, the route must
+    still engage (and the cardinality probe must group on k, the
+    bucketed key — grouping on k2 would raise)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("k2", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    tgt = spark.createDataFrame([(i, i % 3, float(i)) for i in range(12)], schema)
+    src = spark.createDataFrame(
+        [(i, i % 3, i * 10.0) for i in range(6, 18)], schema
+    )
+    ice = schema_from_spark(schema)
+    t = catalog.create_table(
+        "db.c2_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t.append(tgt)
+    t2 = catalog.create_table(
+        "db.c2_twin", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t2.append(tgt)
+    s = catalog.create_table(
+        "db.c2_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s.append(src)
+    assert _spj_merge_route(t, spark, s, ["k2", "k"]) is not None
+    merge(t, spark, s, on=["k2", "k"], matched_update="*", not_matched_insert=True)
+    merge(t2, spark, src, on=["k2", "k"], matched_update="*", not_matched_insert=True)
+    assert _rows(t, spark) == _rows(t2, spark)
+    # duplicate (k2, k) tuples still rejected through the probe
+    s2 = catalog.create_table(
+        "db.c2_dup", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s2.append(spark.createDataFrame([(6, 0, 1.0), (6, 0, 2.0)], schema))
+    with pytest.raises(MergeCardinalityError):
+        merge(t, spark, s2, on=["k2", "k"], matched_update="*")
