@@ -215,7 +215,7 @@ class RestCatalog(Catalog):
         server's `next-page-token` drives the loop, an absent/empty
         token ends it. A server that ignores paging returns everything
         with no token — one round trip, same result."""
-        out, token = [], None
+        out, token, seen = [], None, set()
         while True:
             q = {}
             if page_size is not None:
@@ -228,6 +228,11 @@ class RestCatalog(Catalog):
             token = resp.get("next-page-token") or ""
             if not token:
                 return out
+            if token in seen:  # a buggy server must not loop us forever
+                raise RestError(
+                    200, f"server repeated page token {token!r} on {path}"
+                )
+            seen.add(token)
 
     def list_tables(self, namespace: str, page_size: Optional[int] = None):
         idents = self._paged_identifiers(
