@@ -934,6 +934,8 @@ def storage_partitioned_asof_join(
     tie_break: Optional[str] = None,
     suffix: str = "_r",
     max_bucket_bytes: Optional[int] = None,
+    left_filter=None,
+    right_filter=None,
 ):
     """As-of join over co-partitioned tables with ZERO table exchange:
     each partition-value task merge-joins its bucket pair locally
@@ -951,6 +953,12 @@ def storage_partitioned_asof_join(
     tie_break: right column ordering equal-timestamp candidates — the
     LARGEST value wins, matching operators.asof.asof_join's "last in
     (ts, tie_break) order" in both directions.
+
+    left_filter / right_filter: Iceberg row-filter expressions — files
+    prune through the four-level cascade, survivors re-filter row-level
+    in-task. The right filter applies BEFORE matching (a filtered-out
+    right row is not an as-of candidate), same as filtering the input
+    to the DataFrame operator.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -963,8 +971,10 @@ def storage_partitioned_asof_join(
         raise ValueError(
             f"join-key hash families differ or unsupported ({lf} vs {rf})"
         )
-    lbuckets, _ = _side_tasks(left, lpf, None, spark)
-    rbuckets, _ = _side_tasks(right, rpf, None, spark)
+    lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
+    rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
+
+    from .expressions import extract_field_names
 
     left_cols = [f.name for f in left.schema().fields]
     right_cols = list(right_cols or [])
@@ -972,6 +982,11 @@ def storage_partitioned_asof_join(
     r_read = [rkey, right_ts] + [c for c in right_cols if c not in (rkey, right_ts)]
     if tie_break is not None and tie_break not in r_read:
         r_read.append(tie_break)
+    # residual filters may reference columns outside the projection
+    r_read += sorted(
+        (extract_field_names(r_resid) if r_resid is not None else set())
+        - set(r_read)
+    )
 
     limit = max_bucket_bytes
     if limit is None:
@@ -1054,13 +1069,15 @@ def storage_partitioned_asof_join(
         for batch in batches:
             for row in batch.to_pylist():
                 lt = _read_bucket_arrow(
-                    json.loads(row["left_files"]), left_cols, l_types, fileio
+                    json.loads(row["left_files"]), left_cols, l_types, fileio,
+                    l_resid,
                 )
                 if lt is None or len(lt) == 0:
                     continue
                 rt = (
                     _read_bucket_arrow(
-                        json.loads(row["right_files"]), r_read, r_types, fileio
+                        json.loads(row["right_files"]), r_read, r_types, fileio,
+                        r_resid,
                     )
                     if row["right_files"] != "[]"
                     else None
@@ -1175,6 +1192,8 @@ def storage_partitioned_star_join(
     spark,
     sides: list,
     max_bucket_bytes: Optional[int] = None,
+    aggs: Optional[dict] = None,
+    group_keys: Optional[list] = None,
 ):
     """N-way inner join of tables co-partitioned on one entity key, all
     in ONE task pass — chaining two-way joins would shuffle after the
@@ -1190,6 +1209,14 @@ def storage_partitioned_star_join(
     dimension buckets replicate).  Output keeps side 0's key column;
     other sides' key columns drop.  All sides must share one partition
     transform on their key (the finest shared one groups the tasks).
+
+    aggs (optional): {output_name: (column, fn)} fuses FINAL per-group
+    aggregates into the star task (fn in count|sum|min|max|mean) —
+    star-then-groupBy would re-shuffle the co-located join output.
+    `group_keys` defaults to [fact key] and must include it (any group
+    tuple containing the co-located key lives wholly in one task); in
+    fused mode an over-budget bucket refuses instead of splitting the
+    fact (a split group would emit partial aggregates).
     """
     if len(sides) < 2:
         raise ValueError("need at least two sides")
@@ -1287,6 +1314,38 @@ def storage_partitioned_star_join(
         )
     out_struct = st.StructType(out_fields)
 
+    fused_struct = fg_keys = fg_items = None
+    fact_key = norm[0]["key"]
+    if aggs is not None:
+        fg_keys = list(group_keys) if group_keys is not None else [fact_key]
+        fg_aggs = dict(aggs)
+        if fact_key not in fg_keys:
+            raise ValueError(
+                f"fused aggregate group keys must include the fact key "
+                f"{fact_key!r} (got {fg_keys}); a coarser grouping spans "
+                "buckets and needs a shuffle — use df.groupBy()"
+            )
+        out_types = {f.name: f.dataType for f in out_struct.fields}
+        missing = [c for c in fg_keys if c not in out_types]
+        if missing:
+            raise ValueError(f"group keys {missing} not in star output {out_names}")
+        f_fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
+        for name, (col, fn) in fg_aggs.items():
+            if fn not in _AGG_FNS:
+                raise ValueError(f"{name}: fn {fn!r} not in {sorted(_AGG_FNS)}")
+            if col not in out_types:
+                raise ValueError(f"{name}: column {col!r} not in star output")
+            if name in fg_keys:
+                raise ValueError(
+                    f"agg output name {name!r} collides with a group key"
+                )
+            f_fields.append(
+                st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
+            )
+        fused_struct = st.StructType(f_fields)
+        fg_items = list(fg_aggs.items())
+    result_struct = fused_struct if fused_struct is not None else out_struct
+
     limit = max_bucket_bytes
     if limit is None:
         limit = int(
@@ -1307,6 +1366,14 @@ def storage_partitioned_star_join(
         if dims_bytes + _bucket_bytes(fact) <= limit:
             rows.append((repr(b), json.dumps([_task_json(p) for p in per])))
             continue
+        if fused_struct is not None:
+            raise ValueError(
+                f"bucket {b}: {dims_bytes + _bucket_bytes(fact)} bytes "
+                f"exceeds join.spj.max-bucket-bytes={limit} and a fused "
+                "aggregate cannot fragment-split the fact (a split group "
+                "would emit partial aggregates); raise the property, "
+                "rewrite with more buckets, or star-join then groupBy"
+            )
         budget = limit - dims_bytes
         biggest = max(_task_bytes(t) for t in fact)
         if budget < biggest:
@@ -1330,7 +1397,7 @@ def storage_partitioned_star_join(
                 (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
             )
     if not rows:
-        return spark.createDataFrame([], out_struct)
+        return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
@@ -1339,14 +1406,18 @@ def storage_partitioned_star_join(
         min(len(rows), _MAX_TASK_PARTITIONS)
     )
     keys = [s["key"] for s in norm]
+    fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
 
     def star_task(batches):
+        import pyarrow as pa
+
         from . import fileio
 
         fileio.apply_config(fileio_cfg)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(out_struct)
+        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
         for batch in batches:
             for row in batch.to_pylist():
                 side_jsons = json.loads(row["sides"])
@@ -1371,7 +1442,22 @@ def storage_partitioned_star_join(
                             break
                 if empty or acc is None or len(acc) == 0:
                     continue
+                if fused_target is not None:
+                    # FINAL aggregates in the star task: every group
+                    # tuple contains the fact key, whose bucket never
+                    # splits in fused mode
+                    acc = acc.select(out_names)
+                    spec = list(dict.fromkeys((c, f) for (_, (c, f)) in fg_items))
+                    res = acc.group_by(fg_keys).aggregate(spec)
+                    cols = {k: res.column(k) for k in fg_keys}
+                    for name, (c, f) in fg_items:
+                        cols[name] = res.column(f"{c}_{f}")
+                    out = _cast_to_schema(
+                        pa.table(cols).select(fused_names), fused_target
+                    )
+                    yield from out.to_batches(max_chunksize=1 << 16)
+                    continue
                 out = _cast_to_schema(acc.select(out_names), target)
                 yield from out.to_batches(max_chunksize=1 << 16)
 
-    return task_df.mapInArrow(star_task, out_struct)
+    return task_df.mapInArrow(star_task, result_struct)

@@ -1260,3 +1260,94 @@ def test_spj_join_agg_validation_and_no_split(spark, catalog):
         .groupBy("k").agg(F.sum("v").alias("s")).collect()
     }
     assert got == {k: (v, v) for k, v in exp.items()}
+
+
+def test_spj_asof_filters(spark, catalog):
+    """r12: as-of join accepts per-side row filters — right rows failing
+    the filter are not as-of candidates (equal to pre-filtering the
+    operator's inputs)."""
+    import datetime
+
+    from iceberg_go_distributed_spark.iceberg import expressions as E
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_asof_join,
+    )
+    from iceberg_go_distributed_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 5, 1)
+    ts = lambda m: base + datetime.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(k, ts(m), float(k * 100 + m)) for k in range(4) for m in (5, 15, 25)],
+        "k int, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), float(m), m % 2 == 0) for k in range(4) for m in range(0, 30, 4)],
+        "rk int, rts timestamp, rv double, keep boolean",
+    )
+    sl, sr = schema_from_spark(left.schema), schema_from_spark(right.schema)
+    tl = catalog.create_table("db.af2_l", sl, spec=spec_from(sl, ("k", "bucket[4]")))
+    tr = catalog.create_table("db.af2_r", sr, spec=spec_from(sr, ("rk", "bucket[4]")))
+    tl.append(left)
+    tr.append(right)
+    got = storage_partitioned_asof_join(
+        spark, tl, tr, on=("k", "rk"), left_ts="ts", right_ts="rts",
+        right_cols=["rv"],
+        left_filter=E.greater_than("v", 105.0),
+        right_filter=E.equal("keep", True),
+    ).select("k", "ts", "v", "rv", "_asof_gap_us")
+    exp = asof_join(
+        left.where("v > 105.0").withColumnRenamed("k", "jk"),
+        right.where("keep").withColumnRenamed("rk", "jk"),
+        on="jk", left_ts="ts", right_ts="rts", right_cols=["rv"],
+    ).select(F.col("jk").alias("k"), "ts", "v", "rv", "_asof_gap_us")
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+
+
+def test_spj_star_join_fused_agg(spark, catalog):
+    """r12: star join with fused per-group aggregates equals
+    star-then-groupBy exactly; oversize refuses instead of splitting."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_star_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 16, float(i)) for i in range(800)], "user_id int, amount double"
+    )
+    dim1 = spark.createDataFrame(
+        [(i, i % 3) for i in range(16)], "p_user int, tier int"
+    )
+    dim2 = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(16)], "s_user int, active boolean"
+    )
+    tf = _bucketed(catalog, "sf_f", fact, "user_id", n=4)
+    tp = _bucketed(catalog, "sf_p", dim1, "p_user", n=4)
+    ts_ = _bucketed(catalog, "sf_s", dim2, "s_user", n=4)
+    sides = [
+        {"table": tf, "key": "user_id", "select": ["user_id", "amount"]},
+        {"table": tp, "key": "p_user", "select": ["p_user", "tier"]},
+        {"table": ts_, "key": "s_user", "select": ["s_user", "active"]},
+    ]
+    got = storage_partitioned_star_join(
+        spark, sides,
+        aggs={"n": ("amount", "count"), "mx": ("amount", "max")},
+        group_keys=["user_id", "tier", "active"],
+    )
+    exp = (
+        storage_partitioned_star_join(spark, sides)
+        .groupBy("user_id", "tier", "active")
+        .agg(F.count("amount").alias("n"), F.max("amount").alias("mx"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "hashpartitioning(user_id" not in plan
+    with pytest.raises(ValueError, match="must include the fact key"):
+        storage_partitioned_star_join(
+            spark, sides, aggs={"n": ("amount", "count")}, group_keys=["tier"]
+        )
+    with pytest.raises(ValueError, match="cannot fragment-split"):
+        storage_partitioned_star_join(
+            spark, sides, aggs={"n": ("amount", "count")}, max_bucket_bytes=64
+        )
