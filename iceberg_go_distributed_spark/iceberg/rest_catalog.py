@@ -26,7 +26,6 @@ from typing import Optional
 from .catalog import (
     Catalog,
     CommitConflictError,
-    NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
     _identifier,
@@ -275,25 +274,27 @@ class RestCatalog(Catalog):
         properties: Optional[dict] = None,
         dialect: str = "spark",
     ):
-        from .view import View, ViewMetadata
+        from .view import SQLRepresentation, View, ViewMetadata, ViewVersion
 
         ns, name = _identifier(identifier)
         schema = schema or Schema(0, ())
+        # one source of truth for the version wire shape (view.py);
+        # the spec wants the namespace as a LIST OF LEVELS, matching
+        # the level-split route the request posts to
+        vv = ViewVersion(
+            1,
+            int(time.time() * 1000),
+            schema.schema_id,
+            (SQLRepresentation(sql, dialect),),
+            summary={"sql": sql},
+        ).to_json()
+        vv["default-namespace"] = ns.split(".")
         body = {
             "name": name,
             "schema": schema.to_json(),
             "sql": sql,
             "properties": dict(properties or {}),
-            "view-version": {
-                "version-id": 1,
-                "timestamp-ms": int(time.time() * 1000),
-                "schema-id": schema.schema_id,
-                "summary": {"sql": sql},
-                "representations": [
-                    {"type": "sql", "sql": sql, "dialect": dialect}
-                ],
-                "default-namespace": [ns],
-            },
+            "view-version": vv,
         }
         resp = self._req(
             "POST", f"/v1/namespaces/{self._ns_path(ns)}/views", body
@@ -320,7 +321,7 @@ class RestCatalog(Catalog):
                 "HEAD", f"/v1/namespaces/{self._ns_path(ns)}/views/{name}"
             )
             return True
-        except (NoSuchTableError, NoSuchNamespaceError):
+        except NoSuchTableError:  # _req maps every 404 here
             return False
 
     def list_views(self, namespace: str, page_size: Optional[int] = None):

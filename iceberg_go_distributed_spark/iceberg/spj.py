@@ -490,36 +490,16 @@ def storage_partitioned_join(
             "left_select/right_select to disjoint names (or set "
             "right_prefix)"
         )
-    if _fused_agg is not None:
+    if _fused_agg is not None and how not in ("inner", "left"):
         # fused join→aggregate (storage_partitioned_join_agg): final
         # per-group aggregates are only sound when every group lives
         # wholly inside one task — the grouping tuple must contain the
-        # co-located key, the join must not multiply left rows beyond
-        # its bucket (inner/left), and oversized buckets must refuse
-        # instead of fragment-splitting (a split group would emit
-        # partial aggregates)
-        if how not in ("inner", "left"):
-            raise ValueError(f"fused aggregate supports inner|left, got {how!r}")
-        fg_keys = list(_fused_agg["group_keys"])
-        fg_aggs = dict(_fused_agg["aggs"])
-        if lkey not in fg_keys:
-            raise ValueError(
-                f"fused aggregate group keys must include the co-located "
-                f"join key {lkey!r} (got {fg_keys}); any coarser grouping "
-                "spans buckets and needs a shuffle — use df.groupBy()"
-            )
-        missing = [c for c in fg_keys if c not in out_names]
-        if missing:
-            raise ValueError(f"group keys {missing} not in join output {out_names}")
-        for name, (col, fn) in fg_aggs.items():
-            if fn not in _AGG_FNS:
-                raise ValueError(f"{name}: fn {fn!r} not in {sorted(_AGG_FNS)}")
-            if col not in out_names:
-                raise ValueError(f"{name}: column {col!r} not in join output")
-            if name in fg_keys:
-                raise ValueError(
-                    f"agg output name {name!r} collides with a group key"
-                )
+        # co-located key (validated in _fused_agg_plan below), the
+        # join must not multiply left rows beyond its bucket
+        # (inner/left), and oversized buckets must refuse instead of
+        # fragment-splitting (a split group would emit partial
+        # aggregates — enforced in the planning loop)
+        raise ValueError(f"fused aggregate supports inner|left, got {how!r}")
 
     limit = max_bucket_bytes
     if limit is None:
@@ -593,17 +573,15 @@ def storage_partitioned_join(
     out_struct = _out_struct(
         left.schema(), right.schema(), set(rkeys), left_cols, right_cols, r_out_name
     )
-    fused_struct = None
+    fused_struct = fg_keys = fg_items = None
     if _fused_agg is not None:
-        from pyspark.sql import types as st
-
-        out_types = {f.name: f.dataType for f in out_struct.fields}
-        f_fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
-        for name, (col, fn) in fg_aggs.items():
-            f_fields.append(
-                st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
-            )
-        fused_struct = st.StructType(f_fields)
+        fused_struct, fg_keys, fg_items = _fused_agg_plan(
+            out_struct,
+            _fused_agg["group_keys"],
+            _fused_agg["aggs"],
+            lkey,
+            "co-located join key",
+        )
     result_struct = fused_struct if fused_struct is not None else out_struct
     if not rows:
         return spark.createDataFrame([], result_struct)
@@ -656,7 +634,6 @@ def storage_partitioned_join(
         (extract_field_names(r_resid) if r_resid is not None else set()) - set(right_cols)
     )
 
-    fg_items = list(fg_aggs.items()) if _fused_agg is not None else None
     fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
 
     def join_task(batches):
@@ -714,13 +691,8 @@ def storage_partitioned_join(
                     # split in fused mode — enforced at planning)
                     if len(joined) == 0:
                         continue
-                    spec = list(dict.fromkeys((c, f) for (_, (c, f)) in fg_items))
-                    res = joined.group_by(fg_keys).aggregate(spec)
-                    cols = {k: res.column(k) for k in fg_keys}
-                    for name, (c, f) in fg_items:
-                        cols[name] = res.column(f"{c}_{f}")
-                    out = _cast_to_schema(
-                        pa.table(cols).select(fused_names), fused_target
+                    out = _fold_fused_agg(
+                        joined, fg_keys, fg_items, fused_names, fused_target
                     )
                     yield from out.to_batches(max_chunksize=1 << 16)
                     continue
@@ -783,6 +755,60 @@ def storage_partitioned_join_agg(
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "mean"}
+
+
+def _fused_agg_plan(out_struct, group_keys, aggs, anchor_key, anchor_desc):
+    """Validate a fused-aggregate spec against a join's output schema
+    and build its output StructType. `anchor_key` must be among the
+    group keys — it is the co-located key whose bucket containment
+    makes per-task aggregates FINAL. Returns (fused_struct, fg_keys,
+    fg_items) with fg_items as [(output_name, (column, fn)), ...]."""
+    from pyspark.sql import types as st
+
+    fg_keys = list(group_keys)
+    fg_aggs = dict(aggs)
+    if anchor_key not in fg_keys:
+        raise ValueError(
+            f"fused aggregate group keys must include the {anchor_desc} "
+            f"{anchor_key!r} (got {fg_keys}); any coarser grouping "
+            "spans buckets and needs a shuffle — use df.groupBy()"
+        )
+    out_types = {f.name: f.dataType for f in out_struct.fields}
+    missing = [c for c in fg_keys if c not in out_types]
+    if missing:
+        raise ValueError(
+            f"group keys {missing} not in join output {list(out_types)}"
+        )
+    f_fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
+    for name, (col, fn) in fg_aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"{name}: fn {fn!r} not in {sorted(_AGG_FNS)}")
+        if col not in out_types:
+            raise ValueError(f"{name}: column {col!r} not in join output")
+        if name in fg_keys:
+            raise ValueError(
+                f"agg output name {name!r} collides with a group key"
+            )
+        f_fields.append(
+            st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
+        )
+    return st.StructType(f_fields), fg_keys, list(fg_aggs.items())
+
+
+def _fold_fused_agg(acc, fg_keys, fg_items, fused_names, fused_target):
+    """One task's FINAL aggregates: group the in-task Arrow table,
+    dedupe the (column, fn) spec (two outputs over the same pair would
+    make Arrow emit duplicate '<col>_<fn>' columns), map Arrow's
+    result names back to the requested output names, cast via the
+    date32 bridge."""
+    import pyarrow as pa
+
+    spec = list(dict.fromkeys((c, f) for (_, (c, f)) in fg_items))
+    res = acc.group_by(fg_keys).aggregate(spec)
+    cols = {k: res.column(k) for k in fg_keys}
+    for name, (c, f) in fg_items:
+        cols[name] = res.column(f"{c}_{f}")
+    return _cast_to_schema(pa.table(cols).select(fused_names), fused_target)
 
 
 def _agg_out_spark_type(fn, src_spark_type):
@@ -886,12 +912,10 @@ def storage_partitioned_agg(
     }
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(rows, "part string, files string").repartition(min(len(rows), _MAX_TASK_PARTITIONS))
-    agg_items = [(name, col, fn) for name, (col, fn) in aggs.items()]
+    agg_items = list(aggs.items())
     out_name_list = [f.name for f in out_struct.fields]
 
     def agg_task(batches):
-        import pyarrow as pa
-
         from . import fileio
 
         fileio.apply_config(fileio_cfg)
@@ -905,17 +929,9 @@ def storage_partitioned_agg(
                 )
                 if tbl is None or len(tbl) == 0:
                     continue
-                # dedupe the (column, fn) spec: two outputs over the
-                # same pair would make Arrow emit duplicate
-                # '<col>_<fn>' result columns and res.column() fail;
-                # both output names read the single computed column
-                spec = list(dict.fromkeys((col, fn) for (_, col, fn) in agg_items))
-                res = tbl.group_by(group_keys).aggregate(spec)
-                # arrow names results f"{col}_{fn}"; rename to out names
-                cols = {k: res.column(k) for k in group_keys}
-                for name, col, fn in agg_items:
-                    cols[name] = res.column(f"{col}_{fn}")
-                out = _cast_to_schema(pa.table(cols).select(out_name_list), target)
+                out = _fold_fused_agg(
+                    tbl, group_keys, agg_items, out_name_list, target
+                )
                 yield from out.to_batches(max_chunksize=1 << 16)
 
     return task_df.mapInArrow(agg_task, out_struct)
@@ -1317,33 +1333,13 @@ def storage_partitioned_star_join(
     fused_struct = fg_keys = fg_items = None
     fact_key = norm[0]["key"]
     if aggs is not None:
-        fg_keys = list(group_keys) if group_keys is not None else [fact_key]
-        fg_aggs = dict(aggs)
-        if fact_key not in fg_keys:
-            raise ValueError(
-                f"fused aggregate group keys must include the fact key "
-                f"{fact_key!r} (got {fg_keys}); a coarser grouping spans "
-                "buckets and needs a shuffle — use df.groupBy()"
-            )
-        out_types = {f.name: f.dataType for f in out_struct.fields}
-        missing = [c for c in fg_keys if c not in out_types]
-        if missing:
-            raise ValueError(f"group keys {missing} not in star output {out_names}")
-        f_fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
-        for name, (col, fn) in fg_aggs.items():
-            if fn not in _AGG_FNS:
-                raise ValueError(f"{name}: fn {fn!r} not in {sorted(_AGG_FNS)}")
-            if col not in out_types:
-                raise ValueError(f"{name}: column {col!r} not in star output")
-            if name in fg_keys:
-                raise ValueError(
-                    f"agg output name {name!r} collides with a group key"
-                )
-            f_fields.append(
-                st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
-            )
-        fused_struct = st.StructType(f_fields)
-        fg_items = list(fg_aggs.items())
+        fused_struct, fg_keys, fg_items = _fused_agg_plan(
+            out_struct,
+            group_keys if group_keys is not None else [fact_key],
+            aggs,
+            fact_key,
+            "fact key",
+        )
     result_struct = fused_struct if fused_struct is not None else out_struct
 
     limit = max_bucket_bytes
@@ -1446,14 +1442,9 @@ def storage_partitioned_star_join(
                     # FINAL aggregates in the star task: every group
                     # tuple contains the fact key, whose bucket never
                     # splits in fused mode
-                    acc = acc.select(out_names)
-                    spec = list(dict.fromkeys((c, f) for (_, (c, f)) in fg_items))
-                    res = acc.group_by(fg_keys).aggregate(spec)
-                    cols = {k: res.column(k) for k in fg_keys}
-                    for name, (c, f) in fg_items:
-                        cols[name] = res.column(f"{c}_{f}")
-                    out = _cast_to_schema(
-                        pa.table(cols).select(fused_names), fused_target
+                    out = _fold_fused_agg(
+                        acc.select(out_names), fg_keys, fg_items,
+                        fused_names, fused_target,
                     )
                     yield from out.to_batches(max_chunksize=1 << 16)
                     continue

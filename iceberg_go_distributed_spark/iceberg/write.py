@@ -2859,22 +2859,56 @@ def _spj_merge_route(table, spark, source, on):
 
     t_schema, s_schema = table.schema(), source.schema()
     copart_key = None
+    copart_fields = None
     for k in on:
         tf, sf = t_schema.find_field(k), s_schema.find_field(k)
         if tf is None or sf is None or not (tf.required and sf.required):
             return None
-        if _hash_family(tf.field_type) != _hash_family(sf.field_type):
+        fam = _hash_family(tf.field_type)
+        if fam != _hash_family(sf.field_type) or fam.startswith("other"):
+            # mismatched OR unsupported family (float/bool/uuid keys):
+            # the SPJ planner itself would reject the pair — fall back
+            # instead of routing into a crash
             return None
         if copart_key is None:
             try:
                 lf, _ = _partition_fields_on(table, k)
                 rf, _ = _partition_fields_on(source, k)
-                _pick_copart_pair(lf, rf)
-                copart_key = k
+                tpf, spf = _pick_copart_pair(lf, rf)
+                copart_key, copart_fields = k, (tpf, spf)
             except ValueError:
                 pass
     if copart_key is None:
         return None
+
+    # Byte-budget pre-check: the merge legs cannot all fragment-split
+    # (the cardinality probe and the anti legs need complete buckets),
+    # so an over-budget bucket PAIR must mean "fall back to the
+    # broadcast/AQE path", not a mid-merge ValueError telling the user
+    # to rewrite their table. Planning here is not wasted work — the
+    # plan memo hands the same task lists to the join legs for free.
+    from .spj import DEFAULT_MAX_BUCKET_BYTES, _bucket_bytes, _side_tasks
+
+    try:
+        limit = int(
+            table.properties.get(
+                "join.spj.max-bucket-bytes", DEFAULT_MAX_BUCKET_BYTES
+            )
+        )
+    except (TypeError, ValueError):
+        limit = DEFAULT_MAX_BUCKET_BYTES
+    try:
+        t_buckets, _ = _side_tasks(table, copart_fields[0], None, spark)
+        s_buckets, _ = _side_tasks(source, copart_fields[1], None, spark)
+    except ValueError:
+        # e.g. files predating the partition field (spec evolution):
+        # layout unknown → the regular path handles it
+        return None
+    t_bytes = {b: _bucket_bytes(ts) for b, ts in t_buckets.items()}
+    s_bytes = {b: _bucket_bytes(ts) for b, ts in s_buckets.items()}
+    for b in set(t_bytes) | set(s_bytes):
+        if t_bytes.get(b, 0) + s_bytes.get(b, 0) > limit:
+            return None
 
     tcols = [f.name for f in t_schema.fields]
     src_cols = [f.name for f in s_schema.fields]

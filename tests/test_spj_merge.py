@@ -324,3 +324,54 @@ def test_spj_merge_composite_key_colocated_on_second(spark, catalog):
     s2.append(spark.createDataFrame([(6, 0, 1.0), (6, 0, 2.0)], schema))
     with pytest.raises(MergeCardinalityError):
         merge(t, spark, s2, on=["k2", "k"], matched_update="*")
+
+
+def test_spj_merge_over_budget_falls_back(spark, catalog):
+    """An over-budget bucket pair must mean 'use the regular path',
+    never a mid-merge ValueError (the cardinality probe and anti legs
+    cannot fragment-split)."""
+    tgt_df = spark.createDataFrame(_TGT_ROWS, _SCHEMA)
+    src_df = spark.createDataFrame(_SRC_ROWS, _SCHEMA)
+    ice = schema_from_spark(_SCHEMA)
+    t = catalog.create_table(
+        "db.ob_t",
+        ice,
+        spec=spec_from(ice, ("k", "bucket[4]")),
+        properties={"join.spj.max-bucket-bytes": "64"},
+    )
+    t.append(tgt_df)
+    s = catalog.create_table(
+        "db.ob_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s.append(src_df)
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
+    assert merge(t, spark, s, on=["k"], matched_update="*", not_matched_insert=True)
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[15] == 150.0 and got[27] == 270.0 and got[3] == 3.0
+
+
+def test_spj_merge_unsupported_key_family_falls_back(spark, catalog):
+    """A required double key identity-partitioned on both sides passes
+    the transform proof but its hash family is unsupported — the route
+    must decline (the SPJ planner would reject the pair mid-merge)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.DoubleType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    tgt = spark.createDataFrame([(float(i), float(i)) for i in range(8)], schema)
+    src = spark.createDataFrame([(float(i), i * 10.0) for i in range(4, 12)], schema)
+    ice = schema_from_spark(schema)
+    t = catalog.create_table(
+        "db.dk_t", ice, spec=spec_from(ice, ("k", "identity"))
+    )
+    t.append(tgt)
+    s = catalog.create_table(
+        "db.dk_s", ice, spec=spec_from(ice, ("k", "identity"))
+    )
+    s.append(src)
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
+    assert merge(t, spark, s, on=["k"], matched_update="*", not_matched_insert=True)
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[6.0] == 60.0 and got[11.0] == 110.0 and got[2.0] == 2.0
