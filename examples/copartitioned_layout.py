@@ -129,3 +129,21 @@ def sync_from_upstream(spark, target, source_table, key="f_entity"):
         not_matched_insert=True,
         not_matched_by_source_delete=True,
     )
+
+
+def star_rollup(spark, fact, dims, group_cols):
+    """Round-12: N-way star join with the aggregate fused into the same
+    task pass — star_features(...).groupBy(...) would re-shuffle the
+    co-located star output (1.4× measured at 8M rows, SCALE.md r12)."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_star_join,
+    )
+
+    sides = [{"table": fact[0], "key": fact[1], "select": fact[2]}]
+    sides += [{"table": t, "key": k, "select": s} for (t, k, s) in dims]
+    return storage_partitioned_star_join(
+        spark,
+        sides,
+        aggs={"n": (fact[2][1], "count"), "total": (fact[2][1], "sum")},
+        group_keys=group_cols,
+    )
