@@ -49,6 +49,14 @@ class NoSuchNamespaceError(Exception):
     pass
 
 
+class NoSuchViewError(Exception):
+    """ref catalog/catalog.go:61 (ErrNoSuchView)."""
+
+
+class ViewAlreadyExistsError(Exception):
+    """ref catalog/catalog.go:62 (ErrViewAlreadyExists)."""
+
+
 class CommitConflictError(Exception):
     """Optimistic-concurrency CAS failure — caller may refresh + retry."""
 

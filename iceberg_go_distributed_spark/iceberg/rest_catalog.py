@@ -26,8 +26,11 @@ from typing import Optional
 from .catalog import (
     Catalog,
     CommitConflictError,
+    NoSuchNamespaceError,
     NoSuchTableError,
+    NoSuchViewError,
     TableAlreadyExistsError,
+    ViewAlreadyExistsError,
     _identifier,
 )
 from .metadata import TableMetadata
@@ -113,8 +116,18 @@ class RestCatalog(Catalog):
     # ------------------------------------------------------------ plumbing
 
     def _req(
-        self, method: str, path: str, body: Optional[dict] = None, _retry_auth: bool = True
+        self,
+        method: str,
+        path: str,
+        body: Optional[dict] = None,
+        _retry_auth: bool = True,
+        error_map: Optional[dict] = None,
     ) -> dict:
+        """`error_map` overrides the default status→exception mapping
+        per call (status code → exception class), the same shape as the
+        reference's per-route errorMap argument (catalog/rest/rest.go:
+        722,769,1133,1206) — so view routes can raise NoSuchViewError /
+        NoSuchNamespaceError instead of the table defaults."""
         self._ensure_token()
         url = f"{self.uri}{path}"
         data = json.dumps(body).encode() if body is not None else None
@@ -131,7 +144,12 @@ class RestCatalog(Catalog):
             if e.code == 401 and self.credential and _retry_auth:
                 # token revoked/expired server-side: re-exchange and retry once
                 self.token = None
-                return self._req(method, path, body, _retry_auth=False)
+                return self._req(
+                    method, path, body, _retry_auth=False, error_map=error_map
+                )
+            override = (error_map or {}).get(e.code)
+            if override is not None:
+                raise override(body_s) from None
             if e.code == 404:
                 raise NoSuchTableError(body_s) from None
             if e.code == 409:
@@ -213,8 +231,12 @@ class RestCatalog(Catalog):
         (ListViews): pageToken/pageSize go out as query params, the
         server's `next-page-token` drives the loop, an absent/empty
         token ends it. A server that ignores paging returns everything
-        with no token — one round trip, same result."""
-        out, token, seen = [], None, set()
+        with no token — one round trip, same result.
+
+        A buggy server must not loop us forever: a REPEATED token, a
+        stream of >10k distinct tokens, or 100 consecutive empty pages
+        each abort with RestError instead of spinning."""
+        out, token, seen, empty_run = [], None, set(), 0
         while True:
             q = {}
             if page_size is not None:
@@ -223,13 +245,21 @@ class RestCatalog(Catalog):
                 q["pageToken"] = token
             qs = ("?" + urllib.parse.urlencode(q)) if q else ""
             resp = self._get(f"{path}{qs}")
-            out.extend(resp.get("identifiers", []))
+            page = resp.get("identifiers", [])
+            out.extend(page)
+            empty_run = 0 if page else empty_run + 1
             token = resp.get("next-page-token") or ""
             if not token:
                 return out
-            if token in seen:  # a buggy server must not loop us forever
+            if token in seen:
                 raise RestError(
                     200, f"server repeated page token {token!r} on {path}"
+                )
+            if len(seen) >= 10_000:
+                raise RestError(200, f"paging exceeded 10000 pages on {path}")
+            if empty_run >= 100:
+                raise RestError(
+                    200, f"100 consecutive empty pages with tokens on {path}"
                 )
             seen.add(token)
 
@@ -297,31 +327,46 @@ class RestCatalog(Catalog):
             "view-version": vv,
         }
         resp = self._req(
-            "POST", f"/v1/namespaces/{self._ns_path(ns)}/views", body
+            "POST",
+            f"/v1/namespaces/{self._ns_path(ns)}/views",
+            body,
+            # ref rest.go:1204-1207: 404 means the NAMESPACE is missing,
+            # 409 means the VIEW exists — not the table defaults
+            error_map={404: NoSuchNamespaceError, 409: ViewAlreadyExistsError},
         )
         return View(identifier, ViewMetadata.from_json(resp["metadata"]))
+
+    _VIEW_404 = {404: NoSuchViewError}  # ref rest.go:1133,1145
 
     def load_view(self, identifier):
         from .view import View, ViewMetadata
 
         ns, name = _identifier(identifier)
-        resp = self._get(f"/v1/namespaces/{self._ns_path(ns)}/views/{name}")
+        resp = self._req(
+            "GET",
+            f"/v1/namespaces/{self._ns_path(ns)}/views/{name}",
+            error_map=self._VIEW_404,
+        )
         return View(identifier, ViewMetadata.from_json(resp["metadata"]))
 
     def drop_view(self, identifier) -> None:
         ns, name = _identifier(identifier)
         self._req(
-            "DELETE", f"/v1/namespaces/{self._ns_path(ns)}/views/{name}"
+            "DELETE",
+            f"/v1/namespaces/{self._ns_path(ns)}/views/{name}",
+            error_map=self._VIEW_404,
         )
 
     def view_exists(self, identifier) -> bool:
         ns, name = _identifier(identifier)
         try:
             self._req(
-                "HEAD", f"/v1/namespaces/{self._ns_path(ns)}/views/{name}"
+                "HEAD",
+                f"/v1/namespaces/{self._ns_path(ns)}/views/{name}",
+                error_map=self._VIEW_404,
             )
             return True
-        except NoSuchTableError:  # _req maps every 404 here
+        except NoSuchViewError:  # ref rest.go:1147 (CheckViewExists)
             return False
 
     def list_views(self, namespace: str, page_size: Optional[int] = None):
@@ -342,8 +387,19 @@ class RestCatalog(Catalog):
     def drop_namespace(self, namespace: str) -> None:
         self._req("DELETE", f"/v1/namespaces/{self._ns_path(namespace)}")
 
-    def list_namespaces(self):
-        resp = self._get("/v1/namespaces")
+    def list_namespaces(self, parent: Optional[str] = None):
+        """ref catalog/rest/rest.go:962-977 (ListNamespaces): a non-empty
+        `parent` goes out as a query param (levels joined by the unit
+        separator) and restricts the listing to that namespace's
+        children; 404 means the parent namespace doesn't exist."""
+        path = "/v1/namespaces"
+        if parent:
+            path += "?" + urllib.parse.urlencode(
+                {"parent": parent.replace(".", "\x1f")}
+            )
+        resp = self._req(
+            "GET", path, error_map={404: NoSuchNamespaceError}
+        )
         return [".".join(n) for n in resp.get("namespaces", [])]
 
     def load_namespace_properties(self, namespace: str) -> dict:

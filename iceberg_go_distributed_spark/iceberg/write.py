@@ -2913,11 +2913,22 @@ def _spj_merge_route(table, spark, source, on):
     tcols = [f.name for f in t_schema.fields]
     src_cols = [f.name for f in s_schema.fields]
     pfx = _SPJ_MERGE_SRC_PREFIX
+    if any(c.startswith(pfx) for c in tcols):
+        # a target column already carrying the source prefix would make
+        # the matched() output collide — storage_partitioned_join raises
+        # at action time; fall back here instead of routing into it
+        return None
     keyset = set(on)
 
     def matched():
         flat = storage_partitioned_join(
-            spark, table, source, on=list(on), how="inner", right_prefix=pfx
+            spark,
+            table,
+            source,
+            on=list(on),
+            how="inner",
+            right_prefix=pfx,
+            max_bucket_bytes=limit,
         )
         s_fields = [
             F.col(c if c in keyset else pfx + c).alias(c) for c in src_cols
@@ -2928,8 +2939,12 @@ def _spj_merge_route(table, spark, source, on):
         )
 
     def unmatched():
+        # left=source here: pass the TARGET-derived limit explicitly so
+        # this leg plans against the same budget the pre-check used (a
+        # smaller source-side property must not flip it into a raise)
         flat = storage_partitioned_join(
-            spark, source, table, on=list(on), how="anti"
+            spark, source, table, on=list(on), how="anti",
+            max_bucket_bytes=limit,
         )
         return flat.select(
             F.struct(*[F.col(c).alias(c) for c in src_cols]).alias("source")
@@ -2937,7 +2952,8 @@ def _spj_merge_route(table, spark, source, on):
 
     def bysrc():
         flat = storage_partitioned_join(
-            spark, table, source, on=list(on), how="anti"
+            spark, table, source, on=list(on), how="anti",
+            max_bucket_bytes=limit,
         )
         return flat.select(
             F.struct(*[F.col(c).alias(c) for c in tcols]).alias("target")
@@ -2955,6 +2971,7 @@ def _spj_merge_route(table, spark, source, on):
             copart_key,
             {"__merge_cnt": (copart_key, "count")},
             extra_keys=[k for k in on if k != copart_key],
+            max_bucket_bytes=limit,
         )
         return agg.where(F.col("__merge_cnt") > 1).limit(1).collect()
 

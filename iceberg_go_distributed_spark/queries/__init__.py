@@ -265,7 +265,7 @@ ROTATED_OUT: dict[str, dict] = {
     "ice_positional_deletes": _r(8, "ice_deletion_vector", "6 driver-green rounds (r2-r7); positional-delete matching stays in-window via ice_deletion_vector and the MOR round trip"),
     # round 11 rotation — to admit ice_spj (the storage-partitioned
     # join oracle) into the window in its first round
-    "ice_upsert": _r(11, "ice_merge", "9 driver-green rounds (r2-r10); upsert is a two-clause MERGE — the in-window ice_merge row exercises the same equality-delete + re-append pipeline with strictly more clauses, and the local oracle keeps verifying upsert's values every round"),
+    "ice_upsert": _r(11, "ice_merge", "8 driver-green rounds (r2-r4, r6-r10; out of the r5 window); upsert is a two-clause MERGE — the in-window ice_merge row exercises the same equality-delete + re-append pipeline with strictly more clauses, and the local oracle keeps verifying upsert's values every round"),
     # round 7 rotations — driver-green r2–r6 (5 rounds)
     "ev_skew_salted_agg": _r(7, None, "salted two-phase agg, no in-window twin; 5 green rounds, local oracle every round"),
     # round 12 rotations — to admit the four never-driver-verified TPC-H

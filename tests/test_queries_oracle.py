@@ -207,3 +207,23 @@ def test_rotation_ledger_policy():
         assert is_green(last.get(name)), (
             f"{name}: not driver-green in the round before its rotation"
         )
+        # numeric streak claims in `why` must match the artifacts exactly
+        # (VERDICT r12 task 7: a miscounted streak is a drifted ledger)
+        import re
+
+        m = re.search(
+            r"(\d+) (?:driver-green rounds|green rounds|"
+            r"rows-only-green driver rounds)",
+            row["why"],
+        )
+        if m is not None:
+            claimed = int(m.group(1))
+            actual = sum(
+                1
+                for r in range(1, since)
+                if is_green((round_results(r) or {}).get(name))
+            )
+            assert claimed == actual, (
+                f"{name}: ledger claims {claimed} green rounds but the "
+                f"CORRECTNESS artifacts record {actual}"
+            )

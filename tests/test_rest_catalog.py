@@ -16,8 +16,11 @@ import pytest
 from iceberg_go_distributed_spark.iceberg import types as ty
 from iceberg_go_distributed_spark.iceberg.catalog import (
     CommitConflictError,
+    NoSuchNamespaceError,
     NoSuchTableError,
+    NoSuchViewError,
     TableAlreadyExistsError,
+    ViewAlreadyExistsError,
 )
 from iceberg_go_distributed_spark.iceberg.metadata import (
     MetadataBuilder,
@@ -25,7 +28,7 @@ from iceberg_go_distributed_spark.iceberg.metadata import (
     new_table_metadata,
 )
 from iceberg_go_distributed_spark.iceberg.partitioning import PartitionSpec
-from iceberg_go_distributed_spark.iceberg.rest_catalog import RestCatalog
+from iceberg_go_distributed_spark.iceberg.rest_catalog import RestCatalog, RestError
 from iceberg_go_distributed_spark.iceberg.types import NestedField, Schema
 
 
@@ -144,6 +147,16 @@ def _make_handler(state: _State):
             if parts == ["v1", "config"]:
                 return self._send(200, {"overrides": {}, "defaults": {}})
             if parts == ["v1", "namespaces"]:
+                if "parent" in q:
+                    parent = q["parent"].replace("\x1f", ".")
+                    if parent not in state.namespaces:
+                        return self._send(404, {"error": "no such namespace"})
+                    kids = [
+                        n.split(".")
+                        for n in sorted(state.namespaces)
+                        if n.startswith(parent + ".")
+                    ]
+                    return self._send(200, {"namespaces": kids})
                 return self._send(
                     200, {"namespaces": [[n] for n in sorted(state.namespaces)]}
                 )
@@ -627,5 +640,58 @@ def test_rest_view_crud_and_paging(rest_server):
     )
     cat.drop_view("vw.rev")
     assert not cat.view_exists("vw.rev")
-    with pytest.raises(NoSuchTableError):
+    with pytest.raises(NoSuchViewError):
         cat.load_view("vw.rev")
+
+
+def test_rest_view_error_mapping(rest_server):
+    """View routes carry their own 404/409 meanings — ref
+    catalog/rest/rest.go:1133,1145 (ErrNoSuchView on load/drop/head)
+    and 1204-1207 (create: 404=ErrNoSuchNamespace, 409=
+    ErrViewAlreadyExists) — distinct from the table defaults."""
+    cat = RestCatalog(rest_server, token="t")
+    cat.create_namespace("ve")
+    cat.create_view("ve.v1", "SELECT 1")
+    with pytest.raises(ViewAlreadyExistsError):
+        cat.create_view("ve.v1", "SELECT 2")
+    with pytest.raises(NoSuchNamespaceError):
+        cat.create_view("ghostns.v1", "SELECT 1")
+    with pytest.raises(NoSuchViewError):
+        cat.load_view("ve.missing")
+    with pytest.raises(NoSuchViewError):
+        cat.drop_view("ve.missing")
+
+
+def test_rest_list_namespaces_parent(rest_server):
+    """`parent` query param restricts the listing to children of that
+    namespace — ref catalog/rest/rest.go:962-977; a missing parent is
+    a NoSuchNamespaceError, not an empty list."""
+    cat = RestCatalog(rest_server, token="t")
+    cat.create_namespace("acct")
+    cat.create_namespace("acct.sales")
+    cat.create_namespace("acct.eng")
+    cat.create_namespace("other")
+    assert sorted(cat.list_namespaces(parent="acct")) == [
+        "acct.eng",
+        "acct.sales",
+    ]
+    # unscoped listing still returns everything
+    assert "other" in cat.list_namespaces()
+    with pytest.raises(NoSuchNamespaceError):
+        cat.list_namespaces(parent="ghost")
+
+
+def test_rest_paging_runaway_server_bounded(rest_server):
+    """A misbehaving server emitting endless DISTINCT tokens with empty
+    pages must abort, not loop forever (ADVICE r12)."""
+    cat = RestCatalog(rest_server, token="t")
+    calls = {"n": 0}
+
+    def fake_get(path):
+        calls["n"] += 1
+        return {"identifiers": [], "next-page-token": f"t{calls['n']}"}
+
+    cat._get = fake_get
+    with pytest.raises(RestError, match="empty pages"):
+        cat._paged_identifiers("/v1/namespaces/x/tables", page_size=10)
+    assert calls["n"] <= 101

@@ -375,3 +375,71 @@ def test_spj_merge_unsupported_key_family_falls_back(spark, catalog):
     assert merge(t, spark, s, on=["k"], matched_update="*", not_matched_insert=True)
     got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
     assert got[6.0] == 60.0 and got[11.0] == 110.0 and got[2.0] == 2.0
+
+
+def test_spj_merge_prefixed_target_column_falls_back(spark, catalog):
+    """A target column already carrying the source prefix would make
+    the matched() output collide inside storage_partitioned_join at
+    action time — the route must decline up front (ADVICE r12)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("__spjsrc_v", T.DoubleType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    tgt = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(8)], schema
+    )
+    src = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0) for i in range(4, 12)], schema
+    )
+    ice = schema_from_spark(schema)
+    t = catalog.create_table(
+        "db.pfx_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t.append(tgt)
+    s = catalog.create_table(
+        "db.pfx_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s.append(src)
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
+    assert merge(t, spark, s, on=["k"], matched_update="*", not_matched_insert=True)
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[6] == 60.0 and got[11] == 110.0 and got[2] == 2.0
+
+
+def test_spj_merge_source_side_budget_uses_precheck_limit(spark, catalog):
+    """The byte-budget pre-check reads the TARGET's limit; the legs that
+    plan with left=source must use that SAME limit rather than re-derive
+    a smaller one from the source's properties and raise mid-merge
+    (ADVICE r12). Source declares a 64-byte budget; the target's default
+    budget passes the pre-check, so the whole merge must run on the SPJ
+    route without a ValueError."""
+    tgt_df = spark.createDataFrame(_TGT_ROWS, _SCHEMA)
+    src_df = spark.createDataFrame(_SRC_ROWS, _SCHEMA)
+    ice = schema_from_spark(_SCHEMA)
+    t = catalog.create_table(
+        "db.sb_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t.append(tgt_df)
+    s = catalog.create_table(
+        "db.sb_s",
+        ice,
+        spec=spec_from(ice, ("k", "bucket[4]")),
+        properties={"join.spj.max-bucket-bytes": "64"},
+    )
+    s.append(src_df)
+    # pre-check passes against the target's (default) budget
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    assert merge(
+        t,
+        spark,
+        s,
+        on=["k"],
+        matched_update="*",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[15] == 150.0 and got[27] == 270.0 and 3 not in got
