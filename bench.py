@@ -5,10 +5,24 @@ JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": .
 The metric value is the total wall time of the headline set (lower is
 better). Each query is fully materialized via a cheap count() so the whole
 plan executes; results are not collected to the driver.
+
+CLI (VERDICT r12 task 4 — single blocks are re-measurable):
+
+    python bench.py                          # all blocks (driver default)
+    python bench.py --blocks planning        # one block, ~1 min
+    python bench.py --blocks headline,spj    # any comma subset
+
+Every block records the 1-minute /proc/loadavg at its start and end
+("loadavg": [start, end]) plus its raw per-attempt walls, so a number
+taken on a contended box is self-diagnosing. The planning block also
+reports the distributed/local RATIO per shape — the round-over-round
+comparable signal (absolute planning walls scale with host speed; the
+ratio only moves when the planners' relative cost moves).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -35,18 +49,20 @@ HEADLINE = [
     "llm_ann_bruteforce",
 ]
 
+BLOCKS = ("headline", "planning", "maintenance", "dml", "spj")
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def _loadavg() -> float:
     try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = 0.1
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
 
+
+def run_headline(spark, sf_dir):
     from iceberg_go_distributed_spark.queries import all_queries
-    from iceberg_go_distributed_spark.session import build_spark
 
-    spark = build_spark(app_name="bench")
     reg = all_queries()
 
     # Warm the fixed startup costs so timings measure the engine, not
@@ -83,7 +99,10 @@ def main() -> None:
             raw[name].append(round(time.perf_counter() - t0, 4))
             spark.catalog.clearCache()
     timings = {name: round(min(a), 4) for name, a in raw.items()}
+    return timings, raw
 
+
+def run_planning(spark):
     # ---- scan-PLANNING wall time at wide metadata (separate block; NOT
     # part of the headline total so round-over-round totals stay
     # comparable). Driver-side metadata planning is the one credible
@@ -177,6 +196,13 @@ def main() -> None:
                 "distributed_sec": dist_sec,
                 "auto_route_sec": auto_sec,
                 "plan_cached_sec": cached_sec,
+                # distributed/local ratio: host speed cancels out, so
+                # THIS is the number to compare across rounds (r11/r12's
+                # phantom planning regressions were absolute walls moving
+                # with host load while the ratio held)
+                "dist_local_ratio": (
+                    round(dist_sec / local_sec, 4) if local_sec else None
+                ),
                 "attempts": raw_attempts,
                 # which planner plan_files_auto structurally picks here
                 "auto_route": "distributed" if n_manifests >= threshold else "local",
@@ -196,7 +222,14 @@ def main() -> None:
         {k: v for k, v in planning.items() if k != "curve"},
         bench_planning_shape(2000, 250, attempts=3, attempts_local=1),
     ]
+    return planning
 
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def run_maintenance(spark, sf_dir):
     # ---- MAINTENANCE wall time (separate block; NOT in the headline
     # total): the delete-debt ops this engine runs between queries at
     # production scale, measured once per round on a lineitem-sized v3
@@ -204,11 +237,14 @@ def main() -> None:
     # convert_equality_deletes (key matching + DV write, no data
     # rewrite), delete_where scatter → rewrite_position_deletes (DV
     # repack), and a full z-order recluster (the expensive tier).
+    import shutil
+    import tempfile
+
     from iceberg_go_distributed_spark.iceberg import expressions as E
     from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
     from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _lineitem(spark, sf_dir)
     li_rows = li.count()
 
     def run_maintenance_once():
@@ -270,7 +306,7 @@ def main() -> None:
     # number is measuring different work
     m_attempts = [run_maintenance_once() for _ in range(2)]
     (t1, c1), (t2, c2) = m_attempts
-    maintenance = {
+    return {
         "rows": li_rows,
         **{
             k: (
@@ -285,11 +321,21 @@ def main() -> None:
         "counts_stable": c1 == c2,
     }
 
+
+def run_dml(spark, sf_dir):
     # ---- DML wall time (separate block; NOT in the headline total):
     # the flagship MERGE shape — banded source into a range-clustered
     # target (pruning active), matched update + delete + insert + a
     # by-source purge — best-of-2 over fresh builds, with the planned-
     # file fraction recorded so a timing swing is self-diagnosing.
+    import shutil
+    import tempfile
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = _lineitem(spark, sf_dir)
+
     def run_merge_once():
         mwh = tempfile.mkdtemp(prefix="dml-bench-")
         try:
@@ -330,13 +376,15 @@ def main() -> None:
             shutil.rmtree(mwh, ignore_errors=True)
 
     d_attempts = [run_merge_once() for _ in range(2)]
-    dml = {
+    return {
         "merge_sec": round(min(a[0] for a in d_attempts), 4),
         "attempts": [a[0] for a in d_attempts],
         "counts": d_attempts[0][1],
         "counts_stable": d_attempts[0][1] == d_attempts[1][1],
     }
 
+
+def run_spj(spark, sf_dir):
     # ---- storage-partitioned join (NOT in the headline total): the
     # write-time bucket layout vs the runtime shuffle, on the one join
     # shape that cannot broadcast at 100 TB — fact⋈fact (lineitem ⋈
@@ -345,7 +393,14 @@ def main() -> None:
     # subsequent join); then best-of-2 of (a) the per-bucket in-task
     # SPJ and (b) the same join through to_df() with auto-broadcast
     # disabled, which is what a fact⋈fact shuffle costs.
+    import shutil
+    import tempfile
+
+    from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
     from iceberg_go_distributed_spark.iceberg.spj import storage_partitioned_join
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    li = _lineitem(spark, sf_dir)
 
     swh = tempfile.mkdtemp(prefix="spj-bench-")
     try:
@@ -476,7 +531,7 @@ def main() -> None:
         shuf_sec = min(a[0] for a in h_attempts)
         fused_sec = min(a[0] for a in f_attempts)
         two_sec = min(a[0] for a in t_attempts)
-        spj = {
+        return {
             "spj_join_sec": spj_sec,
             "shuffle_join_sec": shuf_sec,
             "speedup": round(shuf_sec / spj_sec, 3) if spj_sec else None,
@@ -496,63 +551,99 @@ def main() -> None:
     finally:
         shutil.rmtree(swh, ignore_errors=True)
 
-    total = round(sum(timings.values()), 4)
-    # Contention diagnostic over attempts 2+ only: a query's FIRST
-    # attempt pays its plan-specific whole-stage-codegen compile (the
-    # session warm-up above covers JVM/footers/worker-pool, not each
-    # plan's janino pass), so run 1 is structurally slower on any
-    # machine and would mislabel warm-up as contention. The full
-    # raw_runs still expose it.
-    spread = round(sum(max(a[1:]) - min(a[1:]) for a in raw.values()), 4)
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(
+        description=(
+            "iceberg-go-distributed-spark benchmark. Default runs every "
+            "block and prints a detail JSON line followed by the compact "
+            "summary line the driver parses (LAST line)."
+        )
+    )
+    ap.add_argument(
+        "--blocks",
+        default=",".join(BLOCKS),
+        help=f"comma-separated subset of {','.join(BLOCKS)} (default: all)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="testdata directory (default: $SPARK_GRAFT_SF_DIR or sf0.1)",
+    )
+    args = ap.parse_args(argv)
+    blocks = [b.strip() for b in args.blocks.split(",") if b.strip()]
+    unknown = [b for b in blocks if b not in BLOCKS]
+    if unknown:
+        ap.error(f"unknown blocks {unknown}; valid: {', '.join(BLOCKS)}")
+
+    sf_dir = args.sf_dir
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from iceberg_go_distributed_spark.session import build_spark
+
+    spark = build_spark(app_name="bench")
+
+    def timed_block(name, fn):
+        """Run one block with loadavg markers: [start, end] 1-min load —
+        a high or rising load marks the measurement as taken on a
+        contended box (r12's planning artifact was; nobody could tell)."""
+        la0 = _loadavg()
+        out = fn()
+        la1 = _loadavg()
+        if isinstance(out, dict):
+            out["loadavg"] = [la0, la1]
+        return out
+
+    detail: dict = {"detail": True}
+    summary: dict = {"metric": "headline_total_sec", "unit": "sec", "sf": sf}
+
+    if "headline" in blocks:
+        la0 = _loadavg()
+        timings, raw = run_headline(spark, sf_dir)
+        total = round(sum(timings.values()), 4)
+        # Contention diagnostic over attempts 2+ only: a query's FIRST
+        # attempt pays its plan-specific whole-stage-codegen compile (the
+        # session warm-up above covers JVM/footers/worker-pool, not each
+        # plan's janino pass), so run 1 is structurally slower on any
+        # machine and would mislabel warm-up as contention. The full
+        # raw_runs still expose it.
+        spread = round(sum(max(a[1:]) - min(a[1:]) for a in raw.values()), 4)
+        detail["raw_runs"] = raw
+        detail["headline_loadavg"] = [la0, _loadavg()]
+        summary["value"] = total
+        summary["queries"] = timings
+        summary["spread_sec"] = spread
+    if "planning" in blocks:
+        planning = timed_block("planning", lambda: run_planning(spark))
+        detail["planning"] = planning
+        summary["planning_distributed_sec"] = planning.get("distributed_sec")
+        summary["planning_dist_local_ratio"] = planning.get("dist_local_ratio")
+    if "maintenance" in blocks:
+        maintenance = timed_block(
+            "maintenance", lambda: run_maintenance(spark, sf_dir)
+        )
+        detail["maintenance"] = maintenance
+        summary["maintenance_eq_convert_sec"] = maintenance.get("eq_convert_sec")
+    if "dml" in blocks:
+        dml = timed_block("dml", lambda: run_dml(spark, sf_dir))
+        detail["dml"] = dml
+        summary["dml_merge_sec"] = dml.get("merge_sec")
+    if "spj" in blocks:
+        spj = timed_block("spj", lambda: run_spj(spark, sf_dir))
+        detail["spj"] = spj
+        summary["spj_speedup"] = spj.get("speedup")
+
     # Two JSON lines. The driver tail-captures stdout and parses the
     # LAST line, so the detail blob (raw_runs, the planning curve,
     # maintenance/dml attempts) goes FIRST and the compact summary —
     # metric/value/queries/spread/sf plus one-number rollups of the
     # detail blocks — goes LAST and stays small (r10's single fat line
     # outgrew the capture window and recorded parsed:null).
-    print(
-        json.dumps(
-            {
-                "detail": True,
-                # per-query raw attempts (best-of-3; attempt 1 pays
-                # per-plan whole-stage-codegen compile)
-                "raw_runs": raw,
-                # metadata-plane planning wall time (NOT in the headline
-                # total): local vs distributed planner growth curve
-                "planning": planning,
-                # delete-debt maintenance wall time (NOT in the headline
-                # total): eq→DV conversion, DV consolidation, z-order
-                "maintenance": maintenance,
-                # flagship-MERGE wall time (NOT in the headline total):
-                # banded pruned multi-action merge, best-of-2 + counts
-                "dml": dml,
-                # bucket-layout join vs forced shuffle join (NOT in the
-                # headline total): fact⋈fact on orderkey, best-of-2
-                "spj": spj,
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # sum over queries of (max - min) across attempts 2+:
-                # high spread relative to the total flags a contended
-                # machine (attempt 1 is excluded — it pays per-plan
-                # codegen, which is warm-up, not contention)
-                "spread_sec": spread,
-                # one-number rollups of the detail line's blocks
-                "planning_distributed_sec": planning.get("distributed_sec"),
-                "maintenance_eq_convert_sec": maintenance.get("eq_convert_sec"),
-                "dml_merge_sec": dml.get("merge_sec"),
-                "spj_speedup": spj.get("speedup"),
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(detail))
+    print(json.dumps(summary))
     sys.stdout.flush()
     spark.stop()
 
