@@ -127,10 +127,17 @@ def from_bytes(t: IcebergType, b: Optional[bytes]) -> Any:
     if isinstance(t, IntegerType) or isinstance(t, DateType):
         return struct.unpack("<i", b)[0]
     if isinstance(t, (LongType, TimeType, TimestampType, TimestampTzType)):
+        if len(b) == 4:
+            # bounds written before an int→long promotion stay 4-byte in
+            # old manifests (spec: single-value serialization is fixed at
+            # write time); decode by width so promoted scans still prune
+            return struct.unpack("<i", b)[0]
         return struct.unpack("<q", b)[0]
     if isinstance(t, FloatType):
         return struct.unpack("<f", b)[0]
     if isinstance(t, DoubleType):
+        if len(b) == 4:  # float→double promotion, same rule
+            return struct.unpack("<f", b)[0]
         return struct.unpack("<d", b)[0]
     if isinstance(t, StringType):
         return b.decode("utf-8")

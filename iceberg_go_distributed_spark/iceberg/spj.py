@@ -494,11 +494,11 @@ def storage_partitioned_join(
         # fused join→aggregate (storage_partitioned_join_agg): final
         # per-group aggregates are only sound when every group lives
         # wholly inside one task — the grouping tuple must contain the
-        # co-located key (validated in _fused_agg_plan below), the
+        # co-located key (validated in _fused_agg_plan below) and the
         # join must not multiply left rows beyond its bucket
-        # (inner/left), and oversized buckets must refuse instead of
-        # fragment-splitting (a split group would emit partial
-        # aggregates — enforced in the planning loop)
+        # (inner/left). Oversized buckets fragment-split with TWO-PHASE
+        # aggregation (decomposed partials + one Spark combine over just
+        # those buckets' groups) — see the planning loop below.
         raise ValueError(f"fused aggregate supports inner|left, got {how!r}")
 
     limit = max_bucket_bytes
@@ -514,7 +514,14 @@ def storage_partitioned_join(
     # task, so no output duplicates.  For 'left', only the left side
     # may split (splitting the right would re-emit unmatched left rows
     # per fragment); inner joins split whichever side is bigger.
+    # In FUSED mode a split bucket's groups span fragments, so its
+    # fragments route to `partial_rows`: those tasks emit DECOMPOSED
+    # partial aggregates (count/sum/min/max as themselves, mean as
+    # sum+count) and a Spark-side combine finalizes them — an exchange
+    # over only the oversized buckets' groups, never the join rows
+    # (VERDICT r12 task 2). Unsplit buckets stay exchange-free.
     rows = []
+    partial_rows = []
     if how in ("inner", "semi"):
         buckets = {b for b in lbuckets if b in rbuckets and b is not None}
     else:  # left/anti: every left bucket; null bucket joins nothing
@@ -529,13 +536,6 @@ def storage_partitioned_join(
         if lb + rb <= limit:
             rows.append((bid, _task_json(lt), _task_json(rt)))
             continue
-        if _fused_agg is not None:
-            raise ValueError(
-                f"bucket {b}: {lb + rb} bytes exceeds join.spj.max-bucket-"
-                f"bytes={limit} and a fused aggregate cannot fragment-split "
-                "(a split group would emit partial aggregates); raise the "
-                "property, rewrite with more buckets, or join then groupBy"
-            )
         # left/semi/anti need the COMPLETE right bucket per task (a
         # fragmented right would re-emit unmatched rows per fragment /
         # emit semi matches once per matching fragment)
@@ -551,11 +551,12 @@ def storage_partitioned_join(
                 f"join.spj.max-bucket-bytes={limit}; raise the property, "
                 "rewrite with more buckets, or use a regular to_df().join()"
             )
+        sink = rows if _fused_agg is None else partial_rows
         chunk, chunk_bytes = [], 0
         for t in frag:
             sz = _task_bytes(t)
             if chunk and chunk_bytes + sz > budget:
-                rows.append(
+                sink.append(
                     (bid, _task_json(chunk), _task_json(rt))
                     if split_left
                     else (bid, _task_json(lt), _task_json(chunk))
@@ -564,7 +565,7 @@ def storage_partitioned_join(
             chunk.append(t)
             chunk_bytes += sz
         if chunk:
-            rows.append(
+            sink.append(
                 (bid, _task_json(chunk), _task_json(rt))
                 if split_left
                 else (bid, _task_json(lt), _task_json(chunk))
@@ -583,15 +584,16 @@ def storage_partitioned_join(
             "co-located join key",
         )
     result_struct = fused_struct if fused_struct is not None else out_struct
-    if not rows:
+    if not rows and not partial_rows:
         return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
     task_df = spark.createDataFrame(
-        rows, "part string, left_files string, right_files string"
-    ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
+        rows or [],
+        "part string, left_files string, right_files string",
+    ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
     right_data_cols = [r_out_name[c] for c in right_cols if c not in rkeys]
     right_read_names = [r_out_name[c] for c in right_cols]
     out_name_list = [f.name for f in out_struct.fields]
@@ -636,16 +638,9 @@ def storage_partitioned_join(
 
     fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
 
-    def join_task(batches):
-        import pyarrow as pa
-
-        from . import fileio
-
-        fileio.apply_config(fileio_cfg)
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(out_struct)
-        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
+    def _joined_buckets(batches, fileio, pa, target):
+        """Shared per-task join: yield one joined Arrow table (selected
+        to the flat output columns) per bucket/fragment row."""
         for batch in batches:
             for row in batch.to_pylist():
                 lt = _read_bucket_arrow(
@@ -684,22 +679,84 @@ def storage_partitioned_join(
                     }[how]
                     joined = lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=jt)
                     joined = joined.select(out_name_list)
-                if fused_target is not None:
-                    # FINAL aggregates in the same task pass: every
-                    # group tuple contains the co-located key, so the
-                    # whole group is in this bucket (and buckets never
-                    # split in fused mode — enforced at planning)
-                    if len(joined) == 0:
-                        continue
-                    out = _fold_fused_agg(
-                        joined, fg_keys, fg_items, fused_names, fused_target
-                    )
-                    yield from out.to_batches(max_chunksize=1 << 16)
-                    continue
-                joined = _cast_to_schema(joined, target)
-                yield from joined.to_batches(max_chunksize=1 << 16)
+                yield joined
 
-    return task_df.mapInArrow(join_task, result_struct)
+    def join_task(batches):
+        import pyarrow as pa
+
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
+        for joined in _joined_buckets(batches, fileio, pa, target):
+            if fused_target is not None:
+                # FINAL aggregates in the same task pass: every group
+                # tuple contains the co-located key, so the whole group
+                # is in this bucket (split buckets route to the partial
+                # task instead — planning keeps them out of `rows`)
+                if len(joined) == 0:
+                    continue
+                out = _fold_fused_agg(
+                    joined, fg_keys, fg_items, fused_names, fused_target
+                )
+                yield from out.to_batches(max_chunksize=1 << 16)
+                continue
+            joined = _cast_to_schema(joined, target)
+            yield from joined.to_batches(max_chunksize=1 << 16)
+
+    final_df = task_df.mapInArrow(join_task, result_struct)
+    if not partial_rows:
+        return final_df
+
+    # two-phase path for the oversized buckets (fused mode only):
+    # fragments emit decomposed partials; one Spark groupBy combines —
+    # the exchange carries only these buckets' aggregate rows
+    partial_struct, p_items = _fused_partial_plan(out_struct, fg_keys, fg_items)
+    p_names = [f.name for f in partial_struct.fields]
+    ptask_df = spark.createDataFrame(
+        partial_rows, "part string, left_files string, right_files string"
+    ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
+
+    def join_task_partial(batches):
+        import pyarrow as pa
+
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        p_target = to_arrow_schema(partial_struct)
+        for joined in _joined_buckets(batches, fileio, pa, target):
+            if len(joined) == 0:
+                continue
+            out = _fold_fused_partial(joined, fg_keys, p_items, p_names, p_target)
+            yield from out.to_batches(max_chunksize=1 << 16)
+
+    from pyspark.sql import functions as F
+
+    fused_types = {f.name: f.dataType for f in fused_struct.fields}
+    combine = []
+    for name, (_col, fn) in fg_items:
+        if fn in ("count", "sum"):
+            expr = F.sum(name)
+        elif fn == "min":
+            expr = F.min(name)
+        elif fn == "max":
+            expr = F.max(name)
+        else:  # mean = sum of partial sums / sum of partial counts
+            expr = F.sum(f"__ps_{name}").cast("double") / F.sum(f"__pc_{name}")
+        combine.append(expr.cast(fused_types[name]).alias(name))
+    combined = (
+        ptask_df.mapInArrow(join_task_partial, partial_struct)
+        .groupBy(*fg_keys)
+        .agg(*combine)
+        .select(fused_names)
+    )
+    return final_df.unionByName(combined)
 
 
 def storage_partitioned_join_agg(
@@ -727,9 +784,13 @@ def storage_partitioned_join_agg(
 
     Soundness: `group_keys` (default: the left join key alone) must
     include the co-located join key — every group tuple containing it
-    lives wholly inside one bucket, making per-task aggregates final —
-    and fused buckets never fragment-split (oversized buckets refuse
-    with the byte-budget error instead of emitting partial aggregates).
+    lives wholly inside one bucket, making per-task aggregates final.
+    An over-budget bucket fragment-splits with TWO-PHASE aggregation
+    (r12 task 2): its fragments emit decomposed partials (count/sum/
+    min/max self-decompose; mean becomes an exact sum+count pair) and
+    one Spark-side groupBy finalizes them — the exchange carries only
+    the oversized buckets' aggregate rows, never join rows; unsplit
+    buckets stay exchange-free and final.
     `how` is inner|left. `aggs`: {output_name: (column, fn)} over the
     JOIN's output columns (left names + right names, prefixed when
     `right_prefix` is set), fn in count|sum|min|max|mean.
@@ -809,6 +870,52 @@ def _fold_fused_agg(acc, fg_keys, fg_items, fused_names, fused_target):
     for name, (c, f) in fg_items:
         cols[name] = res.column(f"{c}_{f}")
     return _cast_to_schema(pa.table(cols).select(fused_names), fused_target)
+
+
+def _fused_partial_plan(out_struct, fg_keys, fg_items):
+    """Decomposed PARTIAL-aggregate schema for fragment-split buckets
+    (VERDICT r12 task 2): count/sum/min/max are self-decomposing (their
+    partials combine with sum/sum/min/max); mean decomposes into
+    exact __ps_<name>/__pc_<name> sum+count pairs finalized as one
+    division. Returns (partial_struct, [(partial_col, src_col,
+    arrow_fn), ...])."""
+    from pyspark.sql import types as st
+
+    out_types = {f.name: f.dataType for f in out_struct.fields}
+    fields = [st.StructField(k, out_types[k], True) for k in fg_keys]
+    items = []
+    for name, (col, fn) in fg_items:
+        if fn == "mean":
+            fields.append(
+                st.StructField(
+                    f"__ps_{name}",
+                    _agg_out_spark_type("sum", out_types[col]),
+                    True,
+                )
+            )
+            fields.append(st.StructField(f"__pc_{name}", st.LongType(), True))
+            items.append((f"__ps_{name}", col, "sum"))
+            items.append((f"__pc_{name}", col, "count"))
+        else:
+            fields.append(
+                st.StructField(name, _agg_out_spark_type(fn, out_types[col]), True)
+            )
+            items.append((name, col, fn))
+    return st.StructType(fields), items
+
+
+def _fold_fused_partial(acc, fg_keys, p_items, p_names, p_target):
+    """One fragment task's PARTIAL aggregates, same shape discipline as
+    _fold_fused_agg (dedupe the (column, fn) spec, map Arrow's result
+    names back, cast via the bridge)."""
+    import pyarrow as pa
+
+    spec = list(dict.fromkeys((c, f) for (_, c, f) in p_items))
+    res = acc.group_by(fg_keys).aggregate(spec)
+    cols = {k: res.column(k) for k in fg_keys}
+    for pname, c, f in p_items:
+        cols[pname] = res.column(f"{c}_{f}")
+    return _cast_to_schema(pa.table(cols).select(p_names), p_target)
 
 
 def _agg_out_spark_type(fn, src_spark_type):

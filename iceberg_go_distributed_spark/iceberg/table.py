@@ -198,6 +198,12 @@ def match_deletes(data_seq: int, data_path: str, delete_rows) -> tuple:
 # URI schemes byte-identically, so the pattern lives in exactly one place
 SCHEME_RE = "^[a-z0-9]+:(//)?"
 
+# read.spark.max-listed-files: above this many matched files, plain scans
+# stop passing a path list to spark.read.parquet (py4j + driver file
+# index are O(files): 72 s at 100k files) and stream the paths to
+# executors as a DataFrame instead (_read_files_arrow_distributed)
+_DEFAULT_MAX_LISTED_FILES = 100_000
+
 
 def strip_scheme(path: str) -> str:
     import re as _re
@@ -747,7 +753,27 @@ class Scan:
             # contain add_files-registered files WITHOUT field ids —
             # those resolve by (mapped) name instead.
             has_defaults = any(f.initial_default is not None for f in schema.fields)
-            if "schema.name-mapping.default" in self.table.metadata.properties:
+            try:
+                max_listed = int(
+                    self.table.metadata.properties.get(
+                        "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
+                    )
+                )
+            except (TypeError, ValueError):
+                max_listed = _DEFAULT_MAX_LISTED_FILES
+            if (
+                0 < max_listed < len(files)
+                and "schema.name-mapping.default"
+                not in self.table.metadata.properties
+            ):
+                # wide scan: a path-list read would ship O(files) strings
+                # through py4j and build a driver file index (72 s at
+                # 100k files, SCALE.md r13) — stream the paths to
+                # executors as a DataFrame instead. Defaults are filled
+                # in-task (file identity is free there), so the outer
+                # defaults pass is skipped.
+                df = self._read_files_arrow_distributed(spark, files, schema)
+            elif "schema.name-mapping.default" in self.table.metadata.properties:
                 # No Arrow fallback here: it resolves columns by a single
                 # physical name and applies no defaults, so rerouting a
                 # name-mapped table would return wrong data (nulls for
@@ -1421,6 +1447,166 @@ class Scan:
                     )
 
         return desc_df.mapInArrow(decode, "_fp string, _pos long")
+
+    def _read_files_arrow_distributed(
+        self, spark, files: list, schema: Schema, with_fp: bool = False
+    ):
+        """DataFrame-fed scan execution for very wide file sets —
+        VERDICT r12 task 1 (the last unproven 100× leg).
+
+        `spark.read.parquet(*paths)` ships an O(files) argument list
+        through py4j and builds a driver-side InMemoryFileIndex over it:
+        measured 72 s at 100k matched files on local[32] BEFORE the
+        first row moves (SCALE.md r13), i.e. >10 min at 1M files. The
+        reference streams per-file tasks to workers instead
+        (table/arrow_scanner.go:557-607). This path does the Spark
+        equivalent: the matched paths become a DataFrame (one Arrow
+        batch, no py4j list) and executors read their partition's files
+        with pyarrow via mapInArrow — plan-to-first-row is O(1) on the
+        driver in file count.
+
+        Semantics match the JVM field-id read:
+          * columns resolve BY FIELD ID (rename-safe); files with no
+            ids (foreign writers) fall back to name resolution;
+          * physically missing columns fill with the field's
+            initial-default (v3) or null — the same when(missing,
+            default) rule `_apply_initial_defaults` applies, evaluated
+            in-task where file identity is free;
+          * physical types promote by casting to the table type
+            (int32→long etc., the same promotions the evolution rules
+            allow);
+          * the residual row filter is pushed into each pyarrow read
+            (row-group stats pruning) whenever every referenced column
+            resolves to its current name in that file; the outer
+            to_df() `.where` still applies, so pushdown is purely an
+            optimization and can never change results.
+        `with_fp` appends the scheme-stripped file path (for MOR /
+        lineage callers that need per-row file identity)."""
+        import pandas as pd
+
+        from . import fileio as _fileio
+        from .types import TimestampTzType, schema_to_spark_struct
+        from .write import _arrow_type as _w_arrow_type
+
+        fileio_cfg = _fileio.env_config()
+        # one Arrow batch to the JVM — never a py4j argument list
+        files_df = spark.createDataFrame(
+            pd.DataFrame({"data_file": files}), "data_file string"
+        )
+        par = spark.sparkContext.defaultParallelism
+        files_df = files_df.repartition(min(len(files), max(64, par * 4)))
+
+        fields = []
+        for f in schema.fields:
+            t = _w_arrow_type(f.field_type)
+            if isinstance(f.field_type, TimestampTzType):
+                import pyarrow as pa
+
+                t = pa.timestamp("us", tz="UTC")
+            fields.append((f.field_id, f.name, t, f.initial_default))
+        # schema_to_spark_struct, not DDL: the listed path's frames carry
+        # parquet.field.id field metadata, and downstream schema equality
+        # must hold whichever route served the scan. All-nullable for the
+        # same reason — Spark file scans are always nullable.
+        from pyspark.sql import types as _st0
+
+        out_struct = _st0.StructType(
+            [
+                _st0.StructField(f.name, f.dataType, True, f.metadata)
+                for f in schema_to_spark_struct(schema).fields
+            ]
+        )
+        if with_fp:
+            from pyspark.sql import types as _st
+
+            out_struct = _st.StructType(
+                list(out_struct.fields)
+                + [_st.StructField("_fp", _st.StringType(), True)]
+            )
+        bound_filter = None
+        if not isinstance(self.row_filter, AlwaysTrue):
+            from .expressions import bind_expr, rewrite_not
+
+            bound_filter = bind_expr(
+                rewrite_not(self.row_filter), schema, self.case_sensitive
+            )
+
+        def read_task(batches):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from . import fileio
+            from .expressions import extract_field_names, to_arrow_expression
+
+            fileio.apply_config(fileio_cfg)
+            arrow_filter = (
+                to_arrow_expression(bound_filter)
+                if bound_filter is not None
+                else None
+            )
+            filter_names = (
+                extract_field_names(bound_filter)
+                if bound_filter is not None
+                else set()
+            )
+            out_schema = pa.schema(
+                [pa.field(n, t) for _, n, t, _d in fields]
+                + ([pa.field("_fp", pa.string())] if with_fp else [])
+            )
+            for batch in batches:
+                for path in batch.column("data_file").to_pylist():
+                    with fileio.open_input(path) as f:
+                        phys = pq.read_schema(f)
+                    by_id, names = {}, set(phys.names)
+                    for fld in phys:
+                        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                        if fid is not None:
+                            by_id[int(fid)] = fld.name
+                    # field-id resolution; name fallback for id-less files
+                    resolve = {
+                        fid: (
+                            by_id.get(fid)
+                            if by_id
+                            else (name if name in names else None)
+                        )
+                        for fid, name, _t, _d in fields
+                    }
+                    cols = [p for p in resolve.values() if p is not None]
+                    # push the residual only when every referenced column
+                    # physically carries its CURRENT name in this file —
+                    # the compiled expression addresses physical names
+                    pushable = arrow_filter is not None and all(
+                        resolve.get(fid) == name
+                        for fid, name, _t, _d in fields
+                        if name in filter_names
+                    )
+                    tbl = fileio.read_parquet_table(
+                        path,
+                        columns=cols,
+                        filters=arrow_filter if pushable else None,
+                    )
+                    n = tbl.num_rows
+                    arrays = []
+                    for fid, name, t, dflt in fields:
+                        p = resolve[fid]
+                        if p is None:
+                            if dflt is not None:
+                                arrays.append(pa.array([dflt] * n, type=t))
+                            else:
+                                arrays.append(pa.nulls(n, type=t))
+                        else:
+                            col = tbl.column(p)
+                            if col.type != t:
+                                col = col.cast(t)  # int32→long etc.
+                            arrays.append(col.combine_chunks())
+                    if with_fp:
+                        arrays.append(
+                            pa.array([strip_scheme(path)] * n, pa.string())
+                        )
+                    out = pa.table(arrays, schema=out_schema)
+                    yield from out.to_batches(max_chunksize=1 << 16)
+
+        return files_df.mapInArrow(read_task, out_struct)
 
     def _read_files_arrow(self, spark, files: list, schema: Schema):
         """Distributed per-file Arrow read for URIs the JVM has no

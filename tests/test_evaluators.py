@@ -385,3 +385,19 @@ def test_case_insensitive_binding_in_evaluator():
     assert ev(FILE_STR)
     with pytest.raises(ValueError):
         EV.inclusive_metrics_evaluator(MSCHEMA2, E.equal("ALWAYS_5", 5))(FILE_STR)
+
+
+def test_promoted_bounds_decode_by_width():
+    """Manifest bounds written before an int->long (or float->double)
+    promotion stay 4-byte; from_bytes must decode by width so promoted
+    scans keep pruning instead of crashing (found by the wide-scan
+    parity tests, r13)."""
+    import struct
+
+    from iceberg_go_distributed_spark.iceberg import types as ty
+    from iceberg_go_distributed_spark.iceberg.conversions import from_bytes
+
+    assert from_bytes(ty.LongType(), struct.pack("<i", 41)) == 41
+    assert from_bytes(ty.LongType(), struct.pack("<q", 42)) == 42
+    assert from_bytes(ty.DoubleType(), struct.pack("<f", 1.5)) == 1.5
+    assert from_bytes(ty.DoubleType(), struct.pack("<d", 2.5)) == 2.5

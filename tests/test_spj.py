@@ -1240,8 +1240,9 @@ def test_spj_join_agg_validation_and_no_split(spark, catalog):
             spark, tl, tr, on=("k", "rk"), aggs={"s": ("v", "sum")},
             how="anti",
         )
-    # oversized bucket: fused mode refuses instead of fragment-splitting
-    with pytest.raises(ValueError, match="cannot fragment-split"):
+    # a budget no fragmentation can satisfy (replicated side + biggest
+    # file exceed it) still refuses — two-phase needs a feasible split
+    with pytest.raises(ValueError, match="no split fits"):
         storage_partitioned_join_agg(
             spark, tl, tr, on=("k", "rk"), aggs={"s": ("v", "sum")},
             max_bucket_bytes=64,
@@ -1351,3 +1352,126 @@ def test_spj_star_join_fused_agg(spark, catalog):
         storage_partitioned_star_join(
             spark, sides, aggs={"n": ("amount", "count")}, max_bucket_bytes=64
         )
+
+
+# -------------------------------- r13: fused fragment split (two-phase agg)
+
+
+def _bucket_layout(table):
+    """{partition_tuple: (total_bytes, biggest_file_bytes)} from the plan."""
+    sizes = {}
+    for t in table.scan().plan_files():
+        k = tuple(sorted(t.file.partition.items()))
+        tot, big = sizes.get(k, (0, 0))
+        sz = t.file.file_size_in_bytes
+        sizes[k] = (tot + sz, max(big, sz))
+    return sizes
+
+
+def _split_budget(tl, tr):
+    """A byte budget that forces the LARGEST combined bucket to
+    fragment-split while every (fragment + replicated side) still
+    fits: max(lb+rb) - 1, which leaves budget >= lb-1 >= biggest
+    left file whenever buckets hold >=2 files."""
+    lsz, rsz = _bucket_layout(tl), _bucket_layout(tr)
+    combined = {
+        k: lsz[k][0] + rsz.get(k, (0, 0))[0] for k in lsz
+    }
+    return max(combined.values()) - 1
+
+
+def test_spj_join_agg_fragment_split_two_phase(spark, catalog):
+    """An over-budget bucket fragment-splits with two-phase aggregation
+    (VERDICT r12 task 2): partial per fragment, final combine — results
+    BIT-IDENTICAL to the unconstrained fused run and to join→groupBy,
+    across count/sum/min/max and exact integer mean."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_join_agg,
+    )
+
+    left = spark.createDataFrame(
+        [(i % 16, i, i * 3) for i in range(4096)], "k long, v long, w long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(16)], "rk long, grp string"
+    )
+    tl = _bucketed(catalog, "fs_l", left.repartition(1), "k", n=4)
+    # several appends -> several files per bucket, so fragments exist
+    for i in range(3):
+        tl.append(left.where(f"v % 3 = {i}").repartition(1))
+    tr = _bucketed(catalog, "fs_r", right, "rk", n=4)
+
+    aggs = {
+        "n": ("v", "count"),
+        "s": ("v", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+        "m": ("w", "mean"),
+    }
+    kw = dict(on=("k", "rk"), aggs=aggs, group_keys=["k", "grp"])
+    unconstrained = storage_partitioned_join_agg(spark, tl, tr, **kw)
+    budget = _split_budget(tl, tr)
+    split_df = storage_partitioned_join_agg(
+        spark, tl, tr, max_bucket_bytes=budget, **kw
+    )
+    # the two-phase leg is in the plan: a union with one aggregate over
+    # ONLY the split buckets' partials (the unconstrained plan has none)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "HashAggregate" in plan
+    u_plan = unconstrained._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in u_plan
+
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    got = sorted(map(tuple, split_df.collect()), key=key)
+    exp = sorted(map(tuple, unconstrained.collect()), key=key)
+    assert got == exp  # bit-identical (integer aggs + exact int mean)
+
+    # union the 4 appends the table actually holds
+    full = left.unionByName(left.where("v % 3 = 0")).unionByName(
+        left.where("v % 3 = 1")
+    ).unionByName(left.where("v % 3 = 2"))
+    two_step = (
+        full.join(right, full.k == right.rk, "inner")
+        .groupBy("k", "grp")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("w").alias("m"),
+        )
+    )
+    assert got == sorted(map(tuple, two_step.collect()), key=key)
+
+
+def test_spj_join_agg_fragment_split_left_join(spark, catalog):
+    """Two-phase split under how='left': unmatched left rows land in
+    exactly one fragment, so counts and means stay exact."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_join_agg,
+    )
+
+    left = spark.createDataFrame(
+        [(i % 8, i) for i in range(2048)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 10) for i in range(4)], "rk long, w long"  # keys 4..7 unmatched
+    )
+    tl = _bucketed(catalog, "fsl_l", left.repartition(1), "k", n=4)
+    for i in range(3):
+        tl.append(left.where(f"v % 3 = {i}").repartition(1))
+    tr = _bucketed(catalog, "fsl_r", right, "rk", n=4)
+
+    kw = dict(on=("k", "rk"), aggs={"n": ("w", "count"), "c": ("k", "count")}, how="left")
+    unconstrained = storage_partitioned_join_agg(spark, tl, tr, **kw)
+    budget = _split_budget(tl, tr)
+    split_df = storage_partitioned_join_agg(
+        spark, tl, tr, max_bucket_bytes=budget, **kw
+    )
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    assert sorted(map(tuple, split_df.collect()), key=key) == sorted(
+        map(tuple, unconstrained.collect()), key=key
+    )
+    # unmatched keys keep their group (count of right col = 0)
+    by_k = {r["k"]: r["n"] for r in split_df.collect()}
+    assert by_k[5] == 0 and by_k[1] > 0

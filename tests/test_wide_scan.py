@@ -1,0 +1,202 @@
+"""DataFrame-fed scan execution for wide file sets (VERDICT r12 task 1).
+
+Above `read.spark.max-listed-files` matched files, plain scans stop
+passing a python path list to spark.read.parquet (py4j + driver
+InMemoryFileIndex are O(files): 72 s at 100k files, SCALE.md r13) and
+stream the paths to executors as a DataFrame; each task reads its files
+with pyarrow, resolving columns BY FIELD ID like the JVM path. These
+tests force the route with max-listed-files=1 and pin parity against
+the listed path on the shapes that distinguish the two:
+
+  * schema evolution: renamed column + int→long promotion — field-id
+    resolution must return the stored values under the NEW name, never
+    name-matched nulls (the difference from the old name-based
+    `_read_files_arrow` fallback);
+  * post-evolution null-fill for files predating an added column;
+  * residual filters (pushed per-file when names align; outer .where
+    guarantees semantics either way) and column projection;
+  * route selection: small scans stay on the JVM listed path, wide
+    scans switch (asserted from the executed plan, not internals).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_go_distributed_spark.iceberg import expressions as E
+from iceberg_go_distributed_spark.iceberg import types as ty
+from iceberg_go_distributed_spark.iceberg.catalog import FileSystemCatalog
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FileSystemCatalog(str(tmp_path / "wh"))
+
+
+def _sorted_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+def _evolved_table(catalog, spark, name="db.wide_evolved"):
+    """Two generations of files: gen-1 written as (id int, qty long,
+    name string), then rename name→label, promote id→long, add note;
+    gen-2 written under the new schema. A correct field-id read must
+    stitch both."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    g1 = spark.createDataFrame(
+        [(i, i * 10, f"n{i}") for i in range(50)],
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),
+                T.StructField("qty", T.LongType(), True),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    t = catalog.create_table(name, schema_from_spark(g1.schema))
+    t.append(g1.repartition(4))
+    (
+        t.update_schema()
+        .rename_column("name", "label")
+        .update_column("id", field_type=ty.LongType())
+        .add_column("note", ty.StringType())
+        .commit()
+    )
+    t.refresh()
+    g2 = spark.createDataFrame(
+        [(int(i), i * 10, f"n{i}", f"x{i}") for i in range(50, 80)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("qty", T.LongType(), True),
+                T.StructField("label", T.StringType(), True),
+                T.StructField("note", T.StringType(), True),
+            ]
+        ),
+    )
+    t.append(g2.repartition(3))
+    t.refresh()
+    return t
+
+
+def test_distributed_read_matches_listed_on_evolved_table(spark, catalog):
+    t = _evolved_table(catalog, spark)
+    listed = t.scan().to_df(spark)
+    t.properties["read.spark.max-listed-files"] = "1"
+    dist = t.scan().to_df(spark)
+    assert "MapInArrow" in dist._jdf.queryExecution().executedPlan().toString()
+    assert dist.schema == listed.schema
+    assert _sorted_rows(dist) == _sorted_rows(listed)
+    # renamed column carries gen-1 stored values (field-id resolution),
+    # null-fill only for the genuinely added column
+    rows = {r["id"]: (r["label"], r["note"]) for r in dist.collect()}
+    assert rows[7] == ("n7", None)
+    assert rows[77] == ("n77", "x77")
+
+
+def test_distributed_read_filter_and_projection(spark, catalog):
+    t = _evolved_table(catalog, spark, name="db.wide_filter")
+    t.properties["read.spark.max-listed-files"] = "1"
+    flt = E.and_(E.greater_than_or_equal("id", 40), E.less_than("id", 60))
+    dist = t.scan(row_filter=flt).select("id", "label").to_df(spark)
+    assert dist.columns == ["id", "label"]
+    got = _sorted_rows(dist)
+    assert got == [(i, f"n{i}") for i in range(40, 60)]
+    # filter referencing the RENAMED column: gen-1 files store it under
+    # the old physical name, so pushdown must skip there (resolve-name
+    # mismatch) while the outer .where still filters correctly
+    lbl = t.scan(row_filter=E.equal("label", "n7")).to_df(spark)
+    assert [r["id"] for r in lbl.collect()] == [7]
+
+
+def test_route_selection_by_threshold(spark, catalog):
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "a long, b double")
+    t = catalog.create_table("db.route_sel", schema_from_spark(df.schema))
+    t.append(df.repartition(4))
+    # default threshold (100k): small scan stays on the JVM listed path
+    plan = (
+        t.scan().to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" not in plan and "Scan parquet" in plan
+    # property forces the distributed route; results identical
+    listed_rows = _sorted_rows(t.scan().to_df(spark))
+    t.properties["read.spark.max-listed-files"] = "1"
+    dist_df = t.scan().to_df(spark)
+    assert "MapInArrow" in dist_df._jdf.queryExecution().executedPlan().toString()
+    assert _sorted_rows(dist_df) == listed_rows
+    # 0 disables the route entirely
+    t.properties["read.spark.max-listed-files"] = "0"
+    plan = (
+        t.scan().to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" not in plan
+
+
+def test_distributed_read_initial_defaults(spark, catalog):
+    """v3 initial-default: files predating the added column take the
+    default on the distributed route exactly as on the listed route
+    (filled in-task, where file identity is free)."""
+    from iceberg_go_distributed_spark.iceberg.types import (
+        NestedField,
+        Schema,
+        schema_from_spark,
+    )
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(30)], "id long, v string")
+    t = catalog.create_table("db.wide_defaults", schema_from_spark(df.schema))
+    t.upgrade_format_version(3)
+    t.refresh()
+    t.append(df.repartition(3))
+    t.refresh()
+    # add a defaulted column the way the metadata layer records it
+    base = t.schema()
+    new_schema = Schema(
+        base.schema_id + 1,
+        tuple(base.fields)
+        + (
+            NestedField(
+                base.highest_field_id() + 1,
+                "cat",
+                ty.StringType(),
+                initial_default="unknown",
+                write_default="unknown",
+            ),
+        ),
+    )
+    from iceberg_go_distributed_spark.iceberg.transaction import (
+        AddSchemaUpdate,
+        SetCurrentSchema,
+    )
+
+    tx = t.transaction()
+    tx.apply(
+        [AddSchemaUpdate(new_schema), SetCurrentSchema(new_schema.schema_id)],
+        [],
+    )
+    tx.commit()
+    t.refresh()
+    listed = _sorted_rows(t.scan().to_df(spark))
+    t.properties["read.spark.max-listed-files"] = "1"
+    dist_df = t.scan().to_df(spark)
+    assert "MapInArrow" in dist_df._jdf.queryExecution().executedPlan().toString()
+    assert _sorted_rows(dist_df) == listed
+    assert {r["cat"] for r in dist_df.collect()} == {"unknown"}
+
+
+def test_distributed_read_empty_and_limit(spark, catalog):
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "a long")
+    t = catalog.create_table("db.wide_limit", schema_from_spark(df.schema))
+    t.append(df.repartition(2))
+    t.properties["read.spark.max-listed-files"] = "1"
+    assert t.scan(row_filter=E.greater_than("a", 1000)).to_df(spark).count() == 0
+    assert t.scan(limit=3).to_df(spark).count() == 3
