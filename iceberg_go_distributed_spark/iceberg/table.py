@@ -674,6 +674,64 @@ class Scan:
                 return tasks
         return self.plan_files()
 
+    def _stream_plan_read(self, spark):
+        """Streaming plan→read for full-table scans of very wide
+        snapshots (r13): the pruned-descriptor frame from
+        `_distributed_prune_frame` feeds the distributed Arrow reader
+        directly — file descriptors NEVER collect to the driver. The
+        1M-file probe measured the collected plan at ~140 s and 2.9 GB
+        driver RSS; this path keeps the driver at O(manifests).
+
+        Eligible only when: no row filter (filtered scans usually match
+        far fewer files than the snapshot holds, and the collected plan
+        sizes its driver cost by MATCHED files), no deletes, no lineage,
+        no name mapping, snapshot file count above
+        read.spark.max-listed-files, and distributed planning enabled.
+        Returns the raw frame (caller applies select/limit) or None."""
+        from pyspark.sql import functions as F
+
+        if not self._stream_plan_eligible():
+            return None
+        frame, _n_del = _distributed_prune_frame(self, spark)
+        if frame is None:
+            return None
+        paths = frame.where(F.col("kind") == 0).select(
+            F.get_json_object("descriptor", "$.file_path").alias("data_file")
+        )
+        return self._read_files_arrow_distributed(
+            spark, None, self._scan_schema(), files_df=paths
+        )
+
+    def _stream_plan_eligible(self) -> bool:
+        if type(self) is not Scan:
+            # subclasses (IncrementalAppendScan) plan their own file
+            # sets; the snapshot-wide prune frame would over-read
+            return False
+        if self.include_row_lineage or self.snapshot() is None:
+            return False
+        if not isinstance(self.row_filter, AlwaysTrue):
+            return False
+        props = self.table.metadata.properties
+        if "schema.name-mapping.default" in props:
+            return False
+        if props.get("read.distributed-planning.enabled", "true") == "false":
+            return False
+        try:
+            max_listed = int(
+                props.get("read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES)
+            )
+        except (TypeError, ValueError):
+            max_listed = _DEFAULT_MAX_LISTED_FILES
+        if max_listed <= 0:
+            return False
+        manifests = self.snapshot().manifests()
+        if any(m.content == ManifestContent.DELETES for m in manifests):
+            return False
+        n_files = sum(
+            m.added_files_count + m.existing_files_count for m in manifests
+        )
+        return n_files > max_listed
+
     def to_df(self, spark, tasks=None):
         """Data-plane execution — SURVEY §3.1 step 7. The driver/executor
         boundary is exactly here: everything above was metadata-only.
@@ -681,6 +739,16 @@ class Scan:
         from pyspark.sql import functions as F
 
         if tasks is None:
+            sdf = self._stream_plan_read(spark)
+            if sdf is not None:
+                # no row filter by eligibility; project + limit and done
+                if self.selected_fields != ("*",):
+                    sdf = sdf.select(
+                        *[F.col(f.name) for f in self.projection().fields]
+                    )
+                if self.limit is not None:
+                    sdf = sdf.limit(self.limit)
+                return sdf
             tasks = self.plan_files_auto(spark)
         proj = self.projection()
         schema = self._scan_schema()
@@ -860,6 +928,27 @@ class Scan:
         operation, zero executor work at any table size. Any filter,
         delete file, or limit falls back to the executed plan."""
         if isinstance(self.row_filter, AlwaysTrue) and self.limit is None:
+            if self._stream_plan_eligible():
+                # million-file snapshots: sum record counts inside the
+                # prune job itself — descriptors never collect (the 1M
+                # probe measured the collected plan at ~140 s / 2.9 GB)
+                from pyspark.sql import functions as F
+
+                frame, _n_del = _distributed_prune_frame(self, spark)
+                if frame is None:
+                    return 0
+                row = (
+                    frame.where(F.col("kind") == 0)
+                    .agg(
+                        F.sum(
+                            F.get_json_object(
+                                "descriptor", "$.record_count"
+                            ).cast("long")
+                        )
+                    )
+                    .first()
+                )
+                return int(row[0] or 0)
             tasks = self.plan_files_auto(spark)
             if not any(t.delete_files for t in tasks):
                 return sum(t.file.record_count for t in tasks)
@@ -1449,7 +1538,12 @@ class Scan:
         return desc_df.mapInArrow(decode, "_fp string, _pos long")
 
     def _read_files_arrow_distributed(
-        self, spark, files: list, schema: Schema, with_fp: bool = False
+        self,
+        spark,
+        files: Optional[list],
+        schema: Schema,
+        with_fp: bool = False,
+        files_df=None,
     ):
         """DataFrame-fed scan execution for very wide file sets —
         VERDICT r12 task 1 (the last unproven 100× leg).
@@ -1489,12 +1583,17 @@ class Scan:
         from .write import _arrow_type as _w_arrow_type
 
         fileio_cfg = _fileio.env_config()
-        # one Arrow batch to the JVM — never a py4j argument list
-        files_df = spark.createDataFrame(
-            pd.DataFrame({"data_file": files}), "data_file string"
-        )
         par = spark.sparkContext.defaultParallelism
-        files_df = files_df.repartition(min(len(files), max(64, par * 4)))
+        if files_df is None:
+            # one Arrow batch to the JVM — never a py4j argument list
+            files_df = spark.createDataFrame(
+                pd.DataFrame({"data_file": files}), "data_file string"
+            )
+            files_df = files_df.repartition(min(len(files), max(64, par * 4)))
+        else:
+            # pre-built paths frame (the streaming plan→read route):
+            # this repartition shuffles PATH STRINGS only, never data
+            files_df = files_df.repartition(max(64, par * 4))
 
         fields = []
         for f in schema.fields:
@@ -2390,19 +2489,20 @@ class Table(StaticTable):
         return spark.createDataFrame(rows, "name string, type string, snapshot_id bigint")
 
 
-def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
-    """Distributed scan planning — SURVEY P4: when a snapshot's manifest
-    set exceeds driver memory, entry-level pruning (levels 3+4) runs in
-    executors via mapInPandas over manifest paths; the driver keeps only
-    manifest-level pruning (level 2, O(manifests)) and receives the
-    surviving DataFile descriptors (O(matching files)).
+def _distributed_prune_frame(scan: Scan, spark):
+    """The executor side of distributed planning WITHOUT the driver
+    collect: manifest-level pruning (level 2) on the driver, then one
+    mapInPandas job entry-decodes + prunes (levels 3+4) and returns a
+    DataFrame of surviving descriptors — (kind, seq, descriptor JSON).
+    `plan_files_distributed` collects it into FileScanTasks; the
+    STREAMING read path (Scan._stream_plan_read) instead feeds the
+    frame's file paths straight into the distributed Arrow reader, so
+    a full-table scan of a million files never materializes a
+    million descriptors on the driver (r13; the 1M-file probe measured
+    the collect at ~140 s and 2.9 GB driver RSS).
 
-    Pure-Python codec + evaluators ship to executors as pickled
-    closures; no Avro package or JVM reader is needed. Returns the same
-    tasks as Scan.plan_files (asserted by tests), so callers can switch
-    on snapshot size."""
-    import json as _json
-
+    Returns (frame, n_delete_manifests) — None frame when the snapshot
+    is empty or nothing survives manifest pruning."""
     import pandas as pd
 
     from .evaluators import (
@@ -2411,12 +2511,12 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
         inclusive_projection,
         manifest_evaluator,
     )
-    from .write import _decode_descriptor, _encode_descriptor
+    from .write import _encode_descriptor
 
     md = scan.table.metadata
     snap = scan.snapshot()
     if snap is None:
-        return []
+        return None, 0
     schema = scan._scan_schema()
     all_manifests = snap.manifests()
     manifests = [m for m in all_manifests if m.content == ManifestContent.DATA]
@@ -2434,7 +2534,7 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
         )
     survivors = [m for m in manifests if man_eval_by_spec[m.partition_spec_id](m)]
     if not survivors:
-        return []
+        return None, 0
 
     # delete manifests gated by the lower bound on any surviving data
     # entry's sequence number (manifest min_sequence_number): a delete
@@ -2511,7 +2611,29 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
                     out.append(_encode_descriptor(e.data_file))
         yield pd.DataFrame({"kind": kinds, "seq": seqs, "descriptor": out})
 
-    rows = work.mapInPandas(prune, "kind int, seq bigint, descriptor string").collect()
+    frame = work.mapInPandas(prune, "kind int, seq bigint, descriptor string")
+    return frame, len(live_delete_manifests)
+
+
+def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
+    """Distributed scan planning — SURVEY P4: when a snapshot's manifest
+    set exceeds driver memory, entry-level pruning (levels 3+4) runs in
+    executors via mapInPandas over manifest paths; the driver keeps only
+    manifest-level pruning (level 2, O(manifests)) and receives the
+    surviving DataFile descriptors (O(matching files)).
+
+    Pure-Python codec + evaluators ship to executors as pickled
+    closures; no Avro package or JVM reader is needed. Returns the same
+    tasks as Scan.plan_files (asserted by tests), so callers can switch
+    on snapshot size. Full-table scans of very wide snapshots can skip
+    this collect entirely — Scan._stream_plan_read feeds the pruned
+    frame straight into the distributed Arrow reader."""
+    from .write import _decode_descriptor
+
+    frame, _n_del = _distributed_prune_frame(scan, spark)
+    if frame is None:
+        return []
+    rows = frame.collect()
     data_rows = [(r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 0]
     delete_rows = sorted(
         ((r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 1),

@@ -2837,10 +2837,12 @@ def _spj_merge_route(table, spark, source, on):
     unchanged) or None → the regular broadcast/AQE path. Gates:
 
       * `source` is a Table (duck-typed on .scan/.spec);
-      * every key field is REQUIRED (non-null) on both sides — MERGE
-        joins with eqNullSafe (NULL keys match each other) while the
-        SPJ in-task Arrow join uses SQL equality; with no null keys
-        possible the two semantics coincide;
+      * every key field is null-free on both sides — REQUIRED by
+        schema, or optional with the planned files' null_value_counts
+        summing to zero (metadata-proven, r12 task 3). MERGE joins with
+        eqNullSafe (NULL keys match each other) while the SPJ in-task
+        Arrow join uses SQL equality; with no null keys possible the
+        two semantics coincide;
       * at least one key pair shares a partition transform and every
         key's hash family matches (checked by the SPJ planner itself —
         probed here so incompatibility falls back instead of raising).
@@ -2860,10 +2862,18 @@ def _spj_merge_route(table, spark, source, on):
     t_schema, s_schema = table.schema(), source.schema()
     copart_key = None
     copart_fields = None
+    # (table_field_id, source_field_id) per key declared OPTIONAL on
+    # either side: eligible only if metadata PROVES the data null-free
+    # (checked below against the planned files' null_value_counts —
+    # VERDICT r12 task 3: most real tables declare keys optional even
+    # when the data never holds null)
+    optional_keys: list[tuple[int, int]] = []
     for k in on:
         tf, sf = t_schema.find_field(k), s_schema.find_field(k)
-        if tf is None or sf is None or not (tf.required and sf.required):
+        if tf is None or sf is None:
             return None
+        if not (tf.required and sf.required):
+            optional_keys.append((tf.field_id, sf.field_id))
         fam = _hash_family(tf.field_type)
         if fam != _hash_family(sf.field_type) or fam.startswith("other"):
             # mismatched OR unsupported family (float/bool/uuid keys):
@@ -2904,6 +2914,26 @@ def _spj_merge_route(table, spark, source, on):
         # e.g. files predating the partition field (spec evolution):
         # layout unknown → the regular path handles it
         return None
+    if optional_keys:
+        # optional keys are SPJ-safe only when the live files' stats
+        # prove zero nulls on BOTH sides (MERGE joins with eqNullSafe;
+        # the in-task join uses SQL equality — with no null keys the
+        # semantics coincide; deletes only remove rows, so data-file
+        # null counts bound the post-MOR truth). A file missing the
+        # stat is unprovable → fall back.
+        def _null_free(buckets, fid):
+            for ts in buckets.values():
+                for t in ts:
+                    nvc = t.file.null_value_counts
+                    if not nvc or nvc.get(fid) is None or nvc[fid] > 0:
+                        return False
+            return True
+
+        for t_fid, s_fid in optional_keys:
+            if not (
+                _null_free(t_buckets, t_fid) and _null_free(s_buckets, s_fid)
+            ):
+                return None
     t_bytes = {b: _bucket_bytes(ts) for b, ts in t_buckets.items()}
     s_bytes = {b: _bucket_bytes(ts) for b, ts in s_buckets.items()}
     for b in set(t_bytes) | set(s_bytes):

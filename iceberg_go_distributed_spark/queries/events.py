@@ -312,7 +312,10 @@ def ev_stream_sessionize(spark, sf_dir):
     """,
     doc="as-of join: each purchase attributed to the latest preceding click "
     "(union+window merge — one key shuffle, no range join); oracle is "
-    "DuckDB's native ASOF LEFT JOIN",
+    "DuckDB's native ASOF LEFT JOIN. The storage-partitioned as-of "
+    "(iceberg/spj.py) is cross-checked in-query against the operator "
+    "result over bucket[8]-co-located purchase/click tables (r12 task 5: "
+    "driver evidence for the SPJ as-of family member)",
 )
 def ev_asof(spark, sf_dir):
     from ..operators.asof import asof_join
@@ -323,9 +326,46 @@ def ev_asof(spark, sf_dir):
     )
     c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts")
-    return out.select(
+    out = out.select(
         "purchase_id", "user_id", F.col("_asof_gap_us").alias("gap_us")
     )
+
+    # in-query cross-check: the SAME attribution through the
+    # storage-partitioned as-of join (zero table exchange) must match
+    # the operator row-for-row — tie-broken on purchase_id so equal-ts
+    # duplicates compare deterministically on both paths
+    from .iceberg_ops import _fresh_catalog
+    from ..iceberg.partitioning import spec_from
+    from ..iceberg.spj import storage_partitioned_asof_join
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ev_asof_spj", sf_dir)
+    ps, cs = schema_from_spark(p.schema), schema_from_spark(c.schema)
+    tp = cat.create_table(
+        "db.purch", ps, spec=spec_from(ps, ("user_id", "bucket[8]"))
+    )
+    tc = cat.create_table(
+        "db.click", cs, spec=spec_from(cs, ("user_id", "bucket[8]"))
+    )
+    tp.append(p)
+    tc.append(c)
+    spj = storage_partitioned_asof_join(
+        spark, tp, tc, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[],
+    )
+    plan = spj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "hashpartitioning" not in plan, (
+        "SPJ as-of must not exchange table data"
+    )
+    spj_rows = sorted(
+        (r["purchase_id"], r["user_id"], r["_asof_gap_us"])
+        for r in spj.collect()
+    )
+    op_rows = sorted(
+        (r["purchase_id"], r["user_id"], r["gap_us"]) for r in out.collect()
+    )
+    assert spj_rows == op_rows, "SPJ as-of diverged from the operator"
+    return out
 
 
 @query(

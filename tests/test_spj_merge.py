@@ -9,8 +9,10 @@ pin:
   * result parity with the regular broadcast/AQE path across the full
     clause surface (upsert, conditional update/delete, insert
     condition, by-source delete/update, sibling re-emit);
-  * the route gates: nullable keys / non-co-partitioned layouts fall
-    back (and still produce correct results via the scan fallback);
+  * the route gates: null-BEARING keys / non-co-partitioned layouts
+    fall back (and still produce correct results via the scan
+    fallback), while optional-typed keys whose file stats prove zero
+    nulls take the route (r13);
   * the plan: no hashpartitioning / sort-merge / broadcast of table
     data in the SPJ-built join frames;
   * the zero-exchange cardinality probe still rejects duplicate keys.
@@ -137,7 +139,8 @@ def test_spj_merge_plan_has_no_table_exchange(spark, catalog):
 
 
 def test_spj_merge_route_gates(spark, catalog):
-    # nullable key → no route (eqNullSafe vs SQL equality would differ)
+    # nullable key holding an ACTUAL null → no route (eqNullSafe vs SQL
+    # equality differ on null keys; metadata cannot prove null-freedom)
     nullable = T.StructType(
         [
             T.StructField("k", T.LongType(), True),
@@ -145,7 +148,9 @@ def test_spj_merge_route_gates(spark, catalog):
             T.StructField("tag", T.StringType(), True),
         ]
     )
-    tgt_df = spark.createDataFrame(_TGT_ROWS, nullable)
+    tgt_df = spark.createDataFrame(
+        _TGT_ROWS + [(None, -1.0, "old-null")], nullable
+    )
     ice = schema_from_spark(tgt_df.schema)
     tn = catalog.create_table(
         "db.null_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
@@ -160,6 +165,7 @@ def test_spj_merge_route_gates(spark, catalog):
     assert merge(tn, spark, sn, on=["k"], matched_update="*", not_matched_insert=True)
     got = {r["k"]: r["v"] for r in tn.scan().to_df(spark).collect()}
     assert got[15] == 150.0 and got[27] == 270.0 and got[3] == 3.0
+    assert got[None] == -1.0  # the null-key row survived untouched
 
     # mismatched bucket counts → no route, fallback still correct
     t, _, s, _ = _mk(catalog, spark, "buck", src_n=8)
@@ -443,3 +449,54 @@ def test_spj_merge_source_side_budget_uses_precheck_limit(spark, catalog):
     )
     got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
     assert got[15] == 150.0 and got[27] == 270.0 and 3 not in got
+
+
+def test_spj_merge_optional_nullfree_keys_take_route(spark, catalog):
+    """Optional-typed keys whose planned files' null_value_counts prove
+    zero nulls on both sides TAKE the SPJ route (VERDICT r12 task 3);
+    a twin whose source later gains a null-key row falls back. The
+    eligible merge's values match the _mk fixture's required-key runs."""
+    nullable = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),  # optional by schema
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("tag", T.StringType(), True),
+        ]
+    )
+    tgt_df = spark.createDataFrame(_TGT_ROWS, nullable)
+    src_df = spark.createDataFrame(_SRC_ROWS, nullable)
+    ice = schema_from_spark(nullable)
+    t = catalog.create_table(
+        "db.opt_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t.append(tgt_df)
+    s = catalog.create_table(
+        "db.opt_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s.append(src_df)
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    assert merge(
+        t,
+        spark,
+        s,
+        on=["k"],
+        matched_update="*",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    got = {r["k"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[15] == 150.0 and got[27] == 270.0 and 3 not in got
+
+    # twin: one null-key source row makes null-freedom unprovable
+    t2 = catalog.create_table(
+        "db.opt2_t", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    t2.append(tgt_df)
+    s2 = catalog.create_table(
+        "db.opt2_s", ice, spec=spec_from(ice, ("k", "bucket[4]"))
+    )
+    s2.append(src_df)
+    assert _spj_merge_route(t2, spark, s2, ["k"]) is not None
+    s2.append(spark.createDataFrame([(None, 0.0, "null-key")], nullable))
+    s2.refresh()
+    assert _spj_merge_route(t2, spark, s2, ["k"]) is None

@@ -200,3 +200,55 @@ def test_distributed_read_empty_and_limit(spark, catalog):
     t.properties["read.spark.max-listed-files"] = "1"
     assert t.scan(row_filter=E.greater_than("a", 1000)).to_df(spark).count() == 0
     assert t.scan(limit=3).to_df(spark).count() == 3
+
+
+def test_streaming_plan_read_matches_listed(spark, catalog):
+    """Full-table scans above the threshold stream the pruned
+    descriptor frame straight into the distributed reader — descriptors
+    never collect to the driver. Results identical to the listed path;
+    the plan shows the prune job (MapInPandas) feeding the read
+    (MapInArrow), which the collected wide route does not have."""
+    t = _evolved_table(catalog, spark, name="db.stream_scan")
+    listed_rows = _sorted_rows(t.scan().to_df(spark))
+    t.properties["read.spark.max-listed-files"] = "1"
+    df = t.scan().to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "MapInPandas" in plan
+    assert _sorted_rows(df) == listed_rows
+    # projection + limit still apply on the streamed frame
+    assert t.scan().select("id").to_df(spark).columns == ["id"]
+    assert t.scan(limit=5).to_df(spark).count() == 5
+    # a filtered scan does NOT stream (matched files usually << total):
+    # it plans normally, then the wide threshold routes the read
+    fdf = t.scan(row_filter=E.less_than("id", 10)).to_df(spark)
+    fplan = fdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in fplan
+    assert sorted(r["id"] for r in fdf.select("id").collect()) == list(range(10))
+
+
+def test_streaming_plan_read_skips_deletes(spark, catalog):
+    """A snapshot carrying delete manifests is ineligible — the MOR
+    anti-join needs the collected per-file delete matching."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    t = catalog.create_table("db.stream_mor", schema_from_spark(df.schema))
+    t.upgrade_format_version(3)
+    t.refresh()
+    t.append(df.repartition(4))
+    t.refresh()
+    t.delete_where(spark, E.less_than("id", 5))
+    t.refresh()
+    t.properties["read.spark.max-listed-files"] = "1"
+    assert t.scan()._stream_plan_read(spark) is None
+    got = sorted(r["id"] for r in t.scan().to_df(spark).collect())
+    assert got == list(range(5, 40))
+
+
+def test_streaming_metadata_count(spark, catalog):
+    """Filter-free count() on a streaming-eligible snapshot sums record
+    counts inside the prune job — no descriptor collect, no data read."""
+    t = _evolved_table(catalog, spark, name="db.stream_count")
+    t.properties["read.spark.max-listed-files"] = "1"
+    assert t.scan()._stream_plan_eligible()
+    assert t.scan().count(spark) == 80
