@@ -736,20 +736,7 @@ def storage_partitioned_join(
             out = _fold_fused_partial(joined, fg_keys, p_items, p_names, p_target)
             yield from out.to_batches(max_chunksize=1 << 16)
 
-    from pyspark.sql import functions as F
-
-    fused_types = {f.name: f.dataType for f in fused_struct.fields}
-    combine = []
-    for name, (_col, fn) in fg_items:
-        if fn in ("count", "sum"):
-            expr = F.sum(name)
-        elif fn == "min":
-            expr = F.min(name)
-        elif fn == "max":
-            expr = F.max(name)
-        else:  # mean = sum of partial sums / sum of partial counts
-            expr = F.sum(f"__ps_{name}").cast("double") / F.sum(f"__pc_{name}")
-        combine.append(expr.cast(fused_types[name]).alias(name))
+    combine = _fused_combine_exprs(fused_struct, fg_items)
     combined = (
         ptask_df.mapInArrow(join_task_partial, partial_struct)
         .groupBy(*fg_keys)
@@ -902,6 +889,27 @@ def _fused_partial_plan(out_struct, fg_keys, fg_items):
             )
             items.append((name, col, fn))
     return st.StructType(fields), items
+
+
+def _fused_combine_exprs(fused_struct, fg_items):
+    """Spark-side finalizers for the decomposed partials, cast back to
+    the fused output types: count/sum→sum, min→min, max→max, mean→
+    sum(__ps_)/sum(__pc_)."""
+    from pyspark.sql import functions as F
+
+    fused_types = {f.name: f.dataType for f in fused_struct.fields}
+    combine = []
+    for name, (_col, fn) in fg_items:
+        if fn in ("count", "sum"):
+            expr = F.sum(name)
+        elif fn == "min":
+            expr = F.min(name)
+        elif fn == "max":
+            expr = F.max(name)
+        else:  # mean = sum of partial sums / sum of partial counts
+            expr = F.sum(f"__ps_{name}").cast("double") / F.sum(f"__pc_{name}")
+        combine.append(expr.cast(fused_types[name]).alias(name))
+    return combine
 
 
 def _fold_fused_partial(acc, fg_keys, p_items, p_names, p_target):
@@ -1461,7 +1469,12 @@ def storage_partitioned_star_join(
     common = set(buckets_per_side[0]) - {None}
     for bb in buckets_per_side[1:]:
         common &= set(bb)
+    # fused mode: a split bucket's groups span fact fragments, so its
+    # fragments route to `partial_rows` and take the two-phase path
+    # (decomposed partials + one Spark combine — r13, same machinery as
+    # the two-way join); unsplit buckets stay final and exchange-free
     rows = []
+    partial_rows = []
     for b in sorted(common):
         per = [bb[b] for bb in buckets_per_side]
         dims_bytes = sum(_bucket_bytes(p) for p in per[1:])
@@ -1469,14 +1482,6 @@ def storage_partitioned_star_join(
         if dims_bytes + _bucket_bytes(fact) <= limit:
             rows.append((repr(b), json.dumps([_task_json(p) for p in per])))
             continue
-        if fused_struct is not None:
-            raise ValueError(
-                f"bucket {b}: {dims_bytes + _bucket_bytes(fact)} bytes "
-                f"exceeds join.spj.max-bucket-bytes={limit} and a fused "
-                "aggregate cannot fragment-split the fact (a split group "
-                "would emit partial aggregates); raise the property, "
-                "rewrite with more buckets, or star-join then groupBy"
-            )
         budget = limit - dims_bytes
         biggest = max(_task_bytes(t) for t in fact)
         if budget < biggest:
@@ -1485,42 +1490,36 @@ def storage_partitioned_star_join(
                 f"the largest fact file is {biggest} — no split fits "
                 f"join.spj.max-bucket-bytes={limit}"
             )
+        sink = rows if fused_struct is None else partial_rows
         chunk, cb = [], 0
         for t in fact:
             sz = _task_bytes(t)
             if chunk and cb + sz > budget:
-                rows.append(
+                sink.append(
                     (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
                 )
                 chunk, cb = [], 0
             chunk.append(t)
             cb += sz
         if chunk:
-            rows.append(
+            sink.append(
                 (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
             )
-    if not rows:
+    if not rows and not partial_rows:
         return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(rows, "part string, sides string").repartition(
-        min(len(rows), _MAX_TASK_PARTITIONS)
-    )
+    task_df = spark.createDataFrame(
+        rows or [], "part string, sides string"
+    ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
     keys = [s["key"] for s in norm]
     fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
 
-    def star_task(batches):
-        import pyarrow as pa
-
-        from . import fileio
-
-        fileio.apply_config(fileio_cfg)
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(out_struct)
-        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
+    def _star_joined(batches, fileio):
+        """Shared per-task star join: yield the joined Arrow table
+        (selected to the flat output columns) per bucket/fragment row."""
         for batch in batches:
             for row in batch.to_pylist():
                 side_jsons = json.loads(row["sides"])
@@ -1545,17 +1544,55 @@ def storage_partitioned_star_join(
                             break
                 if empty or acc is None or len(acc) == 0:
                     continue
-                if fused_target is not None:
-                    # FINAL aggregates in the star task: every group
-                    # tuple contains the fact key, whose bucket never
-                    # splits in fused mode
-                    out = _fold_fused_agg(
-                        acc.select(out_names), fg_keys, fg_items,
-                        fused_names, fused_target,
-                    )
-                    yield from out.to_batches(max_chunksize=1 << 16)
-                    continue
-                out = _cast_to_schema(acc.select(out_names), target)
-                yield from out.to_batches(max_chunksize=1 << 16)
+                yield acc.select(out_names)
 
-    return task_df.mapInArrow(star_task, result_struct)
+    def star_task(batches):
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(out_struct)
+        fused_target = to_arrow_schema(fused_struct) if fused_struct else None
+        for joined in _star_joined(batches, fileio):
+            if fused_target is not None:
+                # FINAL aggregates in the star task: every group tuple
+                # contains the fact key, and split buckets route to the
+                # partial task instead
+                out = _fold_fused_agg(
+                    joined, fg_keys, fg_items, fused_names, fused_target
+                )
+                yield from out.to_batches(max_chunksize=1 << 16)
+                continue
+            out = _cast_to_schema(joined, target)
+            yield from out.to_batches(max_chunksize=1 << 16)
+
+    final_df = task_df.mapInArrow(star_task, result_struct)
+    if not partial_rows:
+        return final_df
+
+    partial_struct, p_items = _fused_partial_plan(out_struct, fg_keys, fg_items)
+    p_names = [f.name for f in partial_struct.fields]
+    ptask_df = spark.createDataFrame(
+        partial_rows, "part string, sides string"
+    ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
+
+    def star_task_partial(batches):
+        from . import fileio
+
+        fileio.apply_config(fileio_cfg)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        p_target = to_arrow_schema(partial_struct)
+        for joined in _star_joined(batches, fileio):
+            out = _fold_fused_partial(joined, fg_keys, p_items, p_names, p_target)
+            yield from out.to_batches(max_chunksize=1 << 16)
+
+    combine = _fused_combine_exprs(fused_struct, fg_items)
+    combined = (
+        ptask_df.mapInArrow(star_task_partial, partial_struct)
+        .groupBy(*fg_keys)
+        .agg(*combine)
+        .select(fused_names)
+    )
+    return final_df.unionByName(combined)

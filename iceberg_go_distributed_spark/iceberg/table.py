@@ -1202,16 +1202,38 @@ class Scan:
             nm_schema = _lineage_ext_schema(schema) if keep_pos else schema
             df = self._read_with_name_mapping(spark, files, nm_schema, with_pos=True)
         else:
-            _ensure_field_id_reads(spark)
-            # keep_pos ⇒ a row-lineage read: also request the reserved
-            # materialized lineage columns (null-filled where absent)
-            struct = _lineage_read_struct(schema) if keep_pos else schema_to_spark_struct(schema)
-            reader = spark.read.schema(struct)
-            df = (
-                reader.parquet(*files)
-                .withColumn("_fp", strip(F.col("_metadata.file_path")))
-                .withColumn("_pos", F.col("_metadata.row_index"))
-            )
+            try:
+                max_listed = int(
+                    self.table.metadata.properties.get(
+                        "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
+                    )
+                )
+            except (TypeError, ValueError):
+                max_listed = _DEFAULT_MAX_LISTED_FILES
+            if 0 < max_listed < len(files) and not keep_pos:
+                # wide MOR scan: the same O(files) path-list cost as the
+                # plain read (SCALE.md r13) — stream the paths instead;
+                # the reader emits (_fp, _pos) in-task, file-order exact
+                # (lineage reads keep the JVM path: they need the
+                # reserved materialized lineage columns)
+                df = self._read_files_arrow_distributed(
+                    spark, files, schema, with_fp=True, with_pos=True
+                )
+            else:
+                _ensure_field_id_reads(spark)
+                # keep_pos ⇒ a row-lineage read: also request the reserved
+                # materialized lineage columns (null-filled where absent)
+                struct = (
+                    _lineage_read_struct(schema)
+                    if keep_pos
+                    else schema_to_spark_struct(schema)
+                )
+                reader = spark.read.schema(struct)
+                df = (
+                    reader.parquet(*files)
+                    .withColumn("_fp", strip(F.col("_metadata.file_path")))
+                    .withColumn("_pos", F.col("_metadata.row_index"))
+                )
         # The delete side's cardinality is KNOWN at plan time (manifest
         # record_count = positions per delete file / DV cardinality), but
         # Spark can't estimate it — the frame comes out of a mapInArrow
@@ -1544,6 +1566,7 @@ class Scan:
         schema: Schema,
         with_fp: bool = False,
         files_df=None,
+        with_pos: bool = False,
     ):
         """DataFrame-fed scan execution for very wide file sets —
         VERDICT r12 task 1 (the last unproven 100× leg).
@@ -1574,8 +1597,11 @@ class Scan:
             resolves to its current name in that file; the outer
             to_df() `.where` still applies, so pushdown is purely an
             optimization and can never change results.
-        `with_fp` appends the scheme-stripped file path (for MOR /
-        lineage callers that need per-row file identity)."""
+        `with_fp` appends the scheme-stripped file path; `with_pos`
+        appends the FILE-ORDER row position (and disables filter
+        pushdown, which would renumber rows) — together they give MOR
+        callers the (_fp, _pos) identity the positional anti-join
+        keys on."""
         import pandas as pd
 
         from . import fileio as _fileio
@@ -1615,13 +1641,15 @@ class Scan:
                 for f in schema_to_spark_struct(schema).fields
             ]
         )
-        if with_fp:
+        if with_fp or with_pos:
             from pyspark.sql import types as _st
 
-            out_struct = _st.StructType(
-                list(out_struct.fields)
-                + [_st.StructField("_fp", _st.StringType(), True)]
-            )
+            extra = []
+            if with_fp:
+                extra.append(_st.StructField("_fp", _st.StringType(), True))
+            if with_pos:
+                extra.append(_st.StructField("_pos", _st.LongType(), True))
+            out_struct = _st.StructType(list(out_struct.fields) + extra)
         bound_filter = None
         if not isinstance(self.row_filter, AlwaysTrue):
             from .expressions import bind_expr, rewrite_not
@@ -1651,6 +1679,7 @@ class Scan:
             out_schema = pa.schema(
                 [pa.field(n, t) for _, n, t, _d in fields]
                 + ([pa.field("_fp", pa.string())] if with_fp else [])
+                + ([pa.field("_pos", pa.int64())] if with_pos else [])
             )
             for batch in batches:
                 for path in batch.column("data_file").to_pylist():
@@ -1674,10 +1703,16 @@ class Scan:
                     # push the residual only when every referenced column
                     # physically carries its CURRENT name in this file —
                     # the compiled expression addresses physical names
-                    pushable = arrow_filter is not None and all(
-                        resolve.get(fid) == name
-                        for fid, name, _t, _d in fields
-                        if name in filter_names
+                    # a positional read must see every row in file
+                    # order — in-file filtering would renumber _pos
+                    pushable = (
+                        arrow_filter is not None
+                        and not with_pos
+                        and all(
+                            resolve.get(fid) == name
+                            for fid, name, _t, _d in fields
+                            if name in filter_names
+                        )
                     )
                     tbl = fileio.read_parquet_table(
                         path,
@@ -1702,6 +1737,8 @@ class Scan:
                         arrays.append(
                             pa.array([strip_scheme(path)] * n, pa.string())
                         )
+                    if with_pos:
+                        arrays.append(pa.array(range(n), pa.int64()))
                     out = pa.table(arrays, schema=out_schema)
                     yield from out.to_batches(max_chunksize=1 << 16)
 

@@ -1348,7 +1348,10 @@ def test_spj_star_join_fused_agg(spark, catalog):
         storage_partitioned_star_join(
             spark, sides, aggs={"n": ("amount", "count")}, group_keys=["tier"]
         )
-    with pytest.raises(ValueError, match="cannot fragment-split"):
+    # a budget even the dimensions alone exceed still refuses (fused
+    # splits now take the two-phase path, but an infeasible split must
+    # name the property, not emit garbage)
+    with pytest.raises(ValueError, match="no split fits"):
         storage_partitioned_star_join(
             spark, sides, aggs={"n": ("amount", "count")}, max_bucket_bytes=64
         )
@@ -1475,3 +1478,44 @@ def test_spj_join_agg_fragment_split_left_join(spark, catalog):
     # unmatched keys keep their group (count of right col = 0)
     by_k = {r["k"]: r["n"] for r in split_df.collect()}
     assert by_k[5] == 0 and by_k[1] > 0
+
+
+def test_spj_star_agg_fragment_split_two_phase(spark, catalog):
+    """The star join's fused aggregate fragment-splits with the same
+    two-phase machinery: over-budget fact bucket → partial fragments +
+    one combine, bit-identical to the unconstrained fused star run."""
+    from iceberg_go_distributed_spark.iceberg.spj import (
+        storage_partitioned_star_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 16, i) for i in range(4096)], "k long, v long"
+    )
+    d1 = spark.createDataFrame([(i, f"g{i % 3}") for i in range(16)], "k1 long, grp string")
+    d2 = spark.createDataFrame([(i, i * 2) for i in range(16)], "k2 long, w long")
+    tf = _bucketed(catalog, "st_f", fact.repartition(1), "k", n=4)
+    for i in range(3):
+        tf.append(fact.where(f"v % 3 = {i}").repartition(1))
+    t1 = _bucketed(catalog, "st_d1", d1, "k1", n=4)
+    t2 = _bucketed(catalog, "st_d2", d2, "k2", n=4)
+
+    sides = [
+        {"table": tf, "key": "k", "select": ["k", "v"]},
+        {"table": t1, "key": "k1", "select": ["grp"]},
+        {"table": t2, "key": "k2", "select": ["w"]},
+    ]
+    kw = dict(
+        aggs={"n": ("v", "count"), "s": ("v", "sum"), "m": ("w", "mean")},
+        group_keys=["k", "grp"],
+    )
+    unconstrained = storage_partitioned_star_join(spark, sides, **kw)
+    budget = _split_budget(tf, t1)  # largest combined fact+d1 bucket - 1
+    split_df = storage_partitioned_star_join(
+        spark, sides, max_bucket_bytes=budget, **kw
+    )
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "HashAggregate" in plan
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    assert sorted(map(tuple, split_df.collect()), key=key) == sorted(
+        map(tuple, unconstrained.collect()), key=key
+    )

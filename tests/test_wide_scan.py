@@ -252,3 +252,41 @@ def test_streaming_metadata_count(spark, catalog):
     t.properties["read.spark.max-listed-files"] = "1"
     assert t.scan()._stream_plan_eligible()
     assert t.scan().count(spark) == 80
+
+
+def test_wide_mor_read_matches_listed(spark, catalog):
+    """MOR scans above the threshold stream paths too: the reader emits
+    (_fp, _pos) in-task (file-order exact, pushdown disabled) and the
+    positional anti-join applies unchanged. Parity across DV deletes +
+    equality deletes, plus a residual filter."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(500)], "id long, g long, v string"
+    )
+    t = catalog.create_table("db.wide_mor", schema_from_spark(df.schema))
+    t.upgrade_format_version(3)
+    t.refresh()
+    t.append(df.repartition(5))
+    t.refresh()
+    t.delete_where(spark, E.less_than("id", 50))  # deletion vectors
+    t.refresh()
+    t.upsert(
+        spark.createDataFrame([(60, 60 % 7, "UP60")], "id long, g long, v string"),
+        ["id"],
+    )  # equality delete + re-append
+    t.refresh()
+    listed = _sorted_rows(t.scan().to_df(spark))
+    flt_listed = _sorted_rows(
+        t.scan(row_filter=E.greater_than_or_equal("id", 400)).to_df(spark)
+    )
+    t.properties["read.spark.max-listed-files"] = "1"
+    wide_df = t.scan().to_df(spark)
+    plan = wide_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert _sorted_rows(wide_df) == listed
+    assert {r["v"] for r in wide_df.where("id = 60").collect()} == {"UP60"}
+    assert wide_df.where("id < 50").count() == 0
+    assert _sorted_rows(
+        t.scan(row_filter=E.greater_than_or_equal("id", 400)).to_df(spark)
+    ) == flt_listed
