@@ -49,7 +49,7 @@ HEADLINE = [
     "llm_ann_bruteforce",
 ]
 
-BLOCKS = ("headline", "planning", "maintenance", "dml", "spj")
+BLOCKS = ("headline", "planning", "maintenance", "dml", "spj", "widescan")
 
 
 def _loadavg() -> float:
@@ -552,6 +552,72 @@ def run_spj(spark, sf_dir):
         shutil.rmtree(swh, ignore_errors=True)
 
 
+def run_widescan(spark):
+    # ---- wide-scan EXECUTION (separate block; NOT in the headline
+    # total): the r13 million-file leg, sampled at 30k real files so
+    # the round-over-round signal exists without the 1M build cost
+    # (SCALE.md r13 holds the full curve). Measures the streaming
+    # plan→read (descriptors never collect), the collected plan + wide
+    # read, and metadata-only count. The LISTED path is not timed here
+    # — it is O(files) driver-side (~40 s at 30k) and its curve is
+    # pinned in SCALE.md.
+    import shutil
+    import tempfile
+
+    from iceberg_go_distributed_spark.iceberg.planbench import (
+        build_wide_data_table,
+    )
+
+    n_files = 30_000
+    wh = tempfile.mkdtemp(prefix="widescan-bench-")
+    try:
+        t = build_wide_data_table(wh, spark, n_files, files_per_manifest=500)
+        # the sample sits below the production default (100k) — lower
+        # the threshold so the wide routes engage at bench scale
+        t.properties["read.spark.max-listed-files"] = str(n_files // 3)
+
+        def best_of(fn, n=2):
+            times, out = [], None
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn()
+                times.append(round(time.perf_counter() - t0, 4))
+            return out, min(times), times
+
+        assert t.scan()._stream_plan_eligible()
+        rows, stream_sec, stream_attempts = best_of(
+            lambda: t.scan().to_df(spark).count()
+        )
+        assert rows == 2 * n_files, rows
+        cnt, meta_count_sec, meta_attempts = best_of(
+            lambda: t.scan().count(spark)
+        )
+        assert cnt == rows
+
+        # collected plan + wide read (the filtered-scan shape): force by
+        # disabling streaming via a row filter that keeps every row
+        from iceberg_go_distributed_spark.iceberg import expressions as E
+
+        scan = t.scan(row_filter=E.greater_than_or_equal("v", 0))
+        _, collected_sec, collected_attempts = best_of(
+            lambda: scan.to_df(spark).count()
+        )
+        return {
+            "files": n_files,
+            "rows": rows,
+            "stream_count_sec": stream_sec,
+            "metadata_count_sec": meta_count_sec,
+            "collected_count_sec": collected_sec,
+            "attempts": {
+                "stream": stream_attempts,
+                "metadata": meta_attempts,
+                "collected": collected_attempts,
+            },
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(
         description=(
@@ -635,6 +701,10 @@ def main(argv=None) -> None:
         spj = timed_block("spj", lambda: run_spj(spark, sf_dir))
         detail["spj"] = spj
         summary["spj_speedup"] = spj.get("speedup")
+    if "widescan" in blocks:
+        widescan = timed_block("widescan", lambda: run_widescan(spark))
+        detail["widescan"] = widescan
+        summary["widescan_stream_count_sec"] = widescan.get("stream_count_sec")
 
     # Two JSON lines. The driver tail-captures stdout and parses the
     # LAST line, so the detail blob (raw_runs, the planning curve,
