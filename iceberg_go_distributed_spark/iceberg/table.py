@@ -1725,7 +1725,10 @@ class Scan:
                         p = resolve[fid]
                         if p is None:
                             if dflt is not None:
-                                arrays.append(pa.array([dflt] * n, type=t))
+                                # pa.repeat: O(1) python objects per file
+                                arrays.append(
+                                    pa.repeat(pa.scalar(dflt, type=t), n)
+                                )
                             else:
                                 arrays.append(pa.nulls(n, type=t))
                         else:
@@ -1735,10 +1738,12 @@ class Scan:
                             arrays.append(col.combine_chunks())
                     if with_fp:
                         arrays.append(
-                            pa.array([strip_scheme(path)] * n, pa.string())
+                            pa.repeat(pa.scalar(strip_scheme(path)), n)
                         )
                     if with_pos:
-                        arrays.append(pa.array(range(n), pa.int64()))
+                        import numpy as _np
+
+                        arrays.append(pa.array(_np.arange(n, dtype="int64")))
                     out = pa.table(arrays, schema=out_schema)
                     yield from out.to_batches(max_chunksize=1 << 16)
 

@@ -1361,10 +1361,12 @@ def test_spj_star_join_fused_agg(spark, catalog):
 
 
 def _bucket_layout(table):
-    """{partition_tuple: (total_bytes, biggest_file_bytes)} from the plan."""
+    """{partition_value: (total_bytes, biggest_file_bytes)} from the
+    plan — keyed by VALUE, not field name (the two sides' partition
+    field names differ: k_bucket vs rk_bucket)."""
     sizes = {}
     for t in table.scan().plan_files():
-        k = tuple(sorted(t.file.partition.items()))
+        k = next(iter(t.file.partition.values()))
         tot, big = sizes.get(k, (0, 0))
         sz = t.file.file_size_in_bytes
         sizes[k] = (tot + sz, max(big, sz))

@@ -290,3 +290,50 @@ def test_wide_mor_read_matches_listed(spark, catalog):
     assert _sorted_rows(
         t.scan(row_filter=E.greater_than_or_equal("id", 400)).to_df(spark)
     ) == flt_listed
+
+
+def test_distributed_read_full_type_surface(spark, catalog):
+    """Parity across the type surface the arrow reader must carry:
+    timestamp (ntz), date, decimal, float, boolean, binary — the
+    listed JVM read and the forced distributed read return identical
+    rows and identical schemas."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("tstz", T.TimestampType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("dec", T.DecimalType(12, 2), True),
+            T.StructField("f", T.FloatType(), True),
+            T.StructField("b", T.BooleanType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+        ]
+    )
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + i % 27, 12, 30, i % 60, 123456),
+            dt.datetime(2024, 5, 1, 10, 0, i % 60),
+            dt.date(2024, 2, 1 + i % 27),
+            Decimal(f"{i}.25"),
+            float(i) * 0.5,
+            i % 2 == 0,
+            bytes([i % 256, 255 - i % 256]),
+        )
+        for i in range(40)
+    ] + [(999, None, None, None, None, None, None, None)]
+    df = spark.createDataFrame(rows, schema)
+    t = catalog.create_table("db.wide_types", schema_from_spark(df.schema))
+    t.append(df.repartition(3))
+    listed = t.scan().to_df(spark)
+    listed_rows = _sorted_rows(listed)
+    t.properties["read.spark.max-listed-files"] = "1"
+    dist = t.scan().to_df(spark)
+    assert "MapInArrow" in dist._jdf.queryExecution().executedPlan().toString()
+    assert dist.schema == listed.schema
+    assert _sorted_rows(dist) == listed_rows
