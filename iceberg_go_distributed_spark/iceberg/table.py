@@ -2435,82 +2435,180 @@ class Table(StaticTable):
             "added_rows_count bigint",
         )
 
+    # distribute per-entry metadata tables at the same manifest count
+    # the planner fans out at — a million-file snapshot's `files` table
+    # would otherwise decode every manifest SEQUENTIALLY on the driver
+    def _inspect_fanout(self, spark, work_rows, decode, out_ddl):
+        """Decode manifest entries into metadata-table rows: executor
+        fan-out (mapInPandas over manifests, like the distributed
+        planner) when the snapshot has >= read.distributed-planning.
+        min-manifests manifests; otherwise None (caller decodes on the
+        driver)."""
+        try:
+            min_manifests = int(
+                self.metadata.properties.get(
+                    "read.distributed-planning.min-manifests", "64"
+                )
+            )
+        except (TypeError, ValueError):
+            min_manifests = 64
+        if min_manifests <= 0 or len(work_rows) < min_manifests:
+            return None
+        from . import fileio as _fileio
+
+        cfg = _fileio.env_config()
+        work = spark.createDataFrame(
+            work_rows, "path string, seq bigint, spec_id int"
+        ).repartition(min(len(work_rows), 64))
+
+        def task(batches):
+            import pandas as pd
+
+            from . import fileio
+
+            fileio.apply_config(cfg)
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    out.extend(decode(row.path, int(row.seq), int(row.spec_id)))
+                yield pd.DataFrame(
+                    out,
+                    columns=[c.split()[0] for c in out_ddl.split(", ")],
+                )
+
+        return work.mapInPandas(task, out_ddl)
+
     def inspect_files(self, spark):
         snap = self.current_snapshot()
+        ddl = (
+            "file_path string, file_format string, content int, "
+            "record_count bigint, file_size_in_bytes bigint, partition string"
+        )
+
+        def decode(path, _seq, _spec):
+            from .manifest import read_manifest as rm
+
+            return [
+                (
+                    e.data_file.file_path,
+                    e.data_file.file_format,
+                    int(e.data_file.content),
+                    e.data_file.record_count,
+                    e.data_file.file_size_in_bytes,
+                    str(e.data_file.partition),
+                )
+                for e in rm(path)
+            ]
+
+        if snap is not None:
+            manifests = snap.manifests()
+            fanned = self._inspect_fanout(
+                spark,
+                [(m.manifest_path, m.sequence_number, m.partition_spec_id) for m in manifests],
+                decode,
+                ddl,
+            )
+            if fanned is not None:
+                return fanned
         rows = []
         if snap is not None:
             for m in snap.manifests():
-                for e in read_manifest(m.manifest_path):
-                    df_ = e.data_file
-                    rows.append(
-                        (
-                            df_.file_path,
-                            df_.file_format,
-                            int(df_.content),
-                            df_.record_count,
-                            df_.file_size_in_bytes,
-                            str(df_.partition),
-                        )
-                    )
-        return spark.createDataFrame(
-            rows,
-            "file_path string, file_format string, content int, "
-            "record_count bigint, file_size_in_bytes bigint, partition string",
-        )
+                rows.extend(decode(m.manifest_path, 0, 0))
+        return spark.createDataFrame(rows, ddl)
 
     def inspect_entries(self, spark):
         """Manifest entries of the current snapshot with their status
         and sequence numbers (the `entries` metadata table)."""
         snap = self.current_snapshot()
+        ddl = (
+            "status int, snapshot_id bigint, sequence_number bigint, "
+            "file_sequence_number bigint, file_path string, content int, "
+            "record_count bigint"
+        )
+
+        def decode(path, seq, _spec):
+            from .manifest import read_manifest as rm
+
+            return [
+                (
+                    int(e.status),
+                    e.snapshot_id,
+                    e.sequence_number,
+                    e.file_sequence_number,
+                    e.data_file.file_path,
+                    int(e.data_file.content),
+                    e.data_file.record_count,
+                )
+                for e in rm(path, discard_deleted=False, inherit_sequence_number=seq)
+            ]
+
+        if snap is not None:
+            manifests = snap.manifests()
+            fanned = self._inspect_fanout(
+                spark,
+                [(m.manifest_path, m.sequence_number, m.partition_spec_id) for m in manifests],
+                decode,
+                ddl,
+            )
+            if fanned is not None:
+                return fanned
         rows = []
         if snap is not None:
             for m in snap.manifests():
-                for e in read_manifest(
-                    m.manifest_path,
-                    discard_deleted=False,
-                    inherit_sequence_number=m.sequence_number,
-                ):
-                    rows.append(
-                        (
-                            int(e.status),
-                            e.snapshot_id,
-                            e.sequence_number,
-                            e.file_sequence_number,
-                            e.data_file.file_path,
-                            int(e.data_file.content),
-                            e.data_file.record_count,
-                        )
-                    )
-        return spark.createDataFrame(
-            rows,
-            "status int, snapshot_id bigint, sequence_number bigint, "
-            "file_sequence_number bigint, file_path string, content int, "
-            "record_count bigint",
-        )
+                rows.extend(decode(m.manifest_path, m.sequence_number, 0))
+        return spark.createDataFrame(rows, ddl)
 
     def inspect_partitions(self, spark):
         """Per-partition rollup of the current snapshot (the
         `partitions` metadata table): live data-file count, record
-        count, and bytes per distinct partition tuple."""
+        count, and bytes per distinct partition tuple. The per-file
+        rows fan out across executors on wide snapshots; the rollup is
+        a plain Spark aggregate either way."""
         snap = self.current_snapshot()
-        rows = []
-        if snap is not None:
-            for m in snap.manifests():
-                if m.content != ManifestContent.DATA:
-                    continue
-                for e in read_manifest(m.manifest_path):
-                    df_ = e.data_file
-                    key = str(
-                        dict(sorted(df_.partition.items()))
-                    ) if df_.partition else "{}"
-                    rows.append(
-                        (key, m.partition_spec_id, df_.record_count, df_.file_size_in_bytes)
-                    )
-        base = spark.createDataFrame(
-            rows,
+        ddl = (
             "partition string, spec_id int, record_count bigint, "
-            "file_size_in_bytes bigint",
+            "file_size_in_bytes bigint"
         )
+
+        def decode(path, _seq, spec_id):
+            from .manifest import read_manifest as rm
+
+            out = []
+            for e in rm(path):
+                df_ = e.data_file
+                key = (
+                    str(dict(sorted(df_.partition.items())))
+                    if df_.partition
+                    else "{}"
+                )
+                out.append(
+                    (key, spec_id, df_.record_count, df_.file_size_in_bytes)
+                )
+            return out
+
+        base = None
+        if snap is not None:
+            data_manifests = [
+                m for m in snap.manifests() if m.content == ManifestContent.DATA
+            ]
+            base = self._inspect_fanout(
+                spark,
+                [
+                    (m.manifest_path, m.sequence_number, m.partition_spec_id)
+                    for m in data_manifests
+                ],
+                decode,
+                ddl,
+            )
+            if base is None:
+                rows = []
+                for m in data_manifests:
+                    rows.extend(
+                        decode(m.manifest_path, 0, m.partition_spec_id)
+                    )
+                base = spark.createDataFrame(rows, ddl)
+        else:
+            base = spark.createDataFrame([], ddl)
         from pyspark.sql import functions as F
 
         return base.groupBy("partition", "spec_id").agg(

@@ -337,3 +337,30 @@ def test_distributed_read_full_type_surface(spark, catalog):
     assert "MapInArrow" in dist._jdf.queryExecution().executedPlan().toString()
     assert dist.schema == listed.schema
     assert _sorted_rows(dist) == listed_rows
+
+
+def test_metadata_tables_fan_out(spark, catalog):
+    """files/entries/partitions metadata tables decode manifests on
+    executors above read.distributed-planning.min-manifests — identical
+    rows to the driver-local decode."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(200)], "id long, g long"
+    )
+    t = catalog.create_table("db.meta_fan", schema_from_spark(df.schema))
+    for i in range(4):  # several snapshots -> several manifests
+        t.append(df.where(f"id % 4 = {i}").repartition(2))
+        t.refresh()
+    local_files = sorted(map(tuple, t.inspect_files(spark).collect()))
+    local_entries = sorted(map(tuple, t.inspect_entries(spark).collect()))
+    local_parts = sorted(map(tuple, t.inspect_partitions(spark).collect()))
+    t.properties["read.distributed-planning.min-manifests"] = "1"
+    assert sorted(map(tuple, t.inspect_files(spark).collect())) == local_files
+    assert (
+        sorted(map(tuple, t.inspect_entries(spark).collect())) == local_entries
+    )
+    assert (
+        sorted(map(tuple, t.inspect_partitions(spark).collect())) == local_parts
+    )
+    assert len(local_files) >= 8
