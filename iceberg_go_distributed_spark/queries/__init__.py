@@ -58,7 +58,13 @@ def sum_d(col: str, alias: str) -> str:
 # oracle suite (tests/test_queries_oracle.py), which runs ALL entries.
 _PRIORITY = [
     # Iceberg table layer — scan, prune, time travel, write plane, v3.
-    "ice_write_scan_filter",
+    # ice_write_scan_filter rotated r13 (ELEVEN consecutive driver-green
+    # rounds r2–r12; it stays a BENCH headline timed every round and the
+    # local oracle keeps verifying its values) — its slot admits the new
+    # wide-scan read routes (streaming plan→read, collected wide read,
+    # in-prune-job count) so the r13 scan-execution work gets a driver
+    # row in its first round.
+    "ice_wide_scan",
     # ice_partition_prune rotated r8 (six driver-green rounds r2–r7;
     # ice_partition_evolution asserts the same transform-aware pruning
     # in-query, now across TWO specs) — slot admits partition evolution.
@@ -286,6 +292,10 @@ ROTATED_OUT: dict[str, dict] = {
     "ev_stream_sessionize": _r(12, None, "streaming sessionization; not SQL-expressible (permanent no_oracle) — 9 rows-only-green driver rounds (r3-r11); stream/batch parity pytest pins its values against the oracle-verified batch sessionization every round"),
     "q9_product_profit": _r(7, None, "wide multi-join profit agg; 5 green rounds; BENCH headline"),
     "q18_large_volume_customers": _r(7, None, "semi-join-on-agg + fact-fact exchange; 5 green rounds; BENCH headline"),
+    # round 13 rotation — to admit ice_wide_scan (the streaming
+    # plan→read / wide-read / in-prune-job-count driver row) in its
+    # first round
+    "ice_write_scan_filter": _r(13, None, "11 driver-green rounds (r2-r12); write + filtered pruned scan; stays a BENCH headline timed every round, and the local oracle verifies its values every round"),
 }
 
 

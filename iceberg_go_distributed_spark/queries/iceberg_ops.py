@@ -1393,3 +1393,74 @@ def ice_spj(spark, sf_dir):
         F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias("tot"),
         F.expr("CAST(SUM(CASE WHEN vip THEN 1 ELSE 0 END) AS BIGINT)").alias("n_vip"),
     )
+
+
+@query(
+    "ice_wide_scan",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "wide-scan read routes (r13): a multi-file table above "
+        "read.spark.max-listed-files takes the STREAMING plan→read "
+        "(pruned-descriptor frame → mapInArrow, descriptors never "
+        "collect — plan-asserted), the filtered twin takes the "
+        "collected-plan wide read, and filter-free count() folds "
+        "record counts inside the prune job; all three cross-checked "
+        "in-query"
+    ),
+)
+def ice_wide_scan(spark, sf_dir):
+    """Driver evidence for the r13 scan-execution work (SCALE.md r13:
+    1M files, plan-to-first-row 146 s → 13 s, driver RSS 2.9 GB → flat).
+    The threshold property is lowered so the routes engage at test
+    scale; the routes themselves are the production code paths."""
+    from ..iceberg import expressions as E
+    from ..iceberg.types import schema_from_spark
+
+    cat = _fresh_catalog("ice_wide_scan", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey"
+    )
+    t = cat.create_table("db.wide", schema_from_spark(li.schema))
+    for i in range(3):  # several snapshots → several manifests + files
+        t.append(li.where(F.col("l_orderkey") % 3 == i).repartition(4))
+        t.refresh()
+    t.properties["read.spark.max-listed-files"] = "1"
+
+    scan = t.scan()
+    assert scan._stream_plan_eligible(), "expected streaming eligibility"
+    df = scan.to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "MapInPandas" in plan, (
+        "expected the streaming plan→read route (prune job feeding the "
+        "distributed Arrow reader)"
+    )
+    # metadata-only count folds record counts inside the prune job —
+    # must equal the executed count exactly
+    assert t.scan().count(spark) == df.count(), "metadata count diverged"
+    # the filtered twin plans collected (matched << total in general)
+    # and reads through the wide DataFrame-fed route
+    fdf = t.scan(
+        row_filter=E.greater_than_or_equal("l_quantity", 25.0)
+    ).to_df(spark)
+    fplan = fdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in fplan and "MapInPandas" not in fplan, (
+        "expected the collected-plan wide read for the filtered scan"
+    )
+    n_heavy = fdf.count()
+    out = df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum((F.col("l_quantity") >= 25).cast("long")).alias("n_heavy"),
+    )
+    assert out.agg(F.sum("n_heavy")).first()[0] == n_heavy, (
+        "collected wide read diverged from the streamed scan"
+    )
+    return out
