@@ -822,11 +822,29 @@ class SqlCatalog(Catalog):
                 )
 
 
-_CATALOG_REGISTRY = {"fs": FileSystemCatalog, "sql": SqlCatalog}
+def _make_rest(**kwargs) -> "Catalog":
+    from .rest_catalog import RestCatalog
+
+    return RestCatalog(**kwargs)
+
+
+def _make_glue(**kwargs) -> "Catalog":
+    from .glue_catalog import GlueCatalog
+
+    return GlueCatalog(**kwargs)
+
+
+_CATALOG_REGISTRY = {
+    "fs": FileSystemCatalog,
+    "sql": SqlCatalog,
+    "rest": _make_rest,
+    "glue": _make_glue,
+}
 
 
 def load_catalog(kind: str, **kwargs) -> Catalog:
-    """scheme→factory registry — ref catalog/registry.go:80-131."""
+    """scheme→factory registry — ref catalog/registry.go:80-131 (the
+    reference registers glue/rest/sql the same way via init())."""
     if kind not in _CATALOG_REGISTRY:
         raise ValueError(f"unknown catalog kind {kind!r}; have {sorted(_CATALOG_REGISTRY)}")
     return _CATALOG_REGISTRY[kind](**kwargs)
