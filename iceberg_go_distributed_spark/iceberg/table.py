@@ -714,14 +714,16 @@ class Scan:
         props = self.table.metadata.properties
         if "schema.name-mapping.default" in props:
             return False
-        if props.get("read.distributed-planning.enabled", "true") == "false":
-            return False
-        try:
-            max_listed = int(
-                props.get("read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES)
-            )
-        except (TypeError, ValueError):
-            max_listed = _DEFAULT_MAX_LISTED_FILES
+
+        def prop_int(key, default):
+            try:
+                return int(props.get(key, default))
+            except (TypeError, ValueError):
+                return int(default)
+
+        max_listed = prop_int(
+            "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
+        )
         if max_listed <= 0:
             return False
         manifests = self.snapshot().manifests()
@@ -730,6 +732,15 @@ class Scan:
         n_files = sum(
             m.added_files_count + m.existing_files_count for m in manifests
         )
+        # streaming rides the distributed prune machinery, so the same
+        # knobs that disable distributed planning (both minima set to 0,
+        # the codebase's convention) disable it; a snapshot past the
+        # wide-read threshold but under the minima still streams — the
+        # prune job just degrades to a few tasks
+        min_manifests = prop_int("read.distributed-planning.min-manifests", "64")
+        min_files = prop_int("read.distributed-planning.min-files", "50000")
+        if min_manifests <= 0 and min_files <= 0:
+            return False
         return n_files > max_listed
 
     def to_df(self, spark, tasks=None):
@@ -1725,10 +1736,18 @@ class Scan:
                         p = resolve[fid]
                         if p is None:
                             if dflt is not None:
-                                # pa.repeat: O(1) python objects per file
-                                arrays.append(
-                                    pa.repeat(pa.scalar(dflt, type=t), n)
-                                )
+                                # pa.repeat: O(1) python objects per file.
+                                # Spec single-value JSON serializes date/
+                                # timestamp/decimal defaults as STRINGS —
+                                # cast like the JVM path's lit().cast()
+                                try:
+                                    s = pa.scalar(dflt, type=t)
+                                except (pa.ArrowInvalid, TypeError) as _e:
+                                    try:
+                                        s = pa.array([dflt]).cast(t)[0]
+                                    except Exception:  # noqa: BLE001
+                                        raise _e from None
+                                arrays.append(pa.repeat(s, n))
                             else:
                                 arrays.append(pa.nulls(n, type=t))
                         else:

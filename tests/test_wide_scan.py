@@ -169,6 +169,14 @@ def test_distributed_read_initial_defaults(spark, catalog):
                 initial_default="unknown",
                 write_default="unknown",
             ),
+            # spec single-value JSON serializes date defaults as strings
+            NestedField(
+                base.highest_field_id() + 2,
+                "since",
+                ty.DateType(),
+                initial_default="2021-01-01",
+                write_default="2021-01-01",
+            ),
         ),
     )
     from iceberg_go_distributed_spark.iceberg.transaction import (
@@ -189,6 +197,9 @@ def test_distributed_read_initial_defaults(spark, catalog):
     assert "MapInArrow" in dist_df._jdf.queryExecution().executedPlan().toString()
     assert _sorted_rows(dist_df) == listed
     assert {r["cat"] for r in dist_df.collect()} == {"unknown"}
+    import datetime as dt
+
+    assert {r["since"] for r in dist_df.collect()} == {dt.date(2021, 1, 1)}
 
 
 def test_distributed_read_empty_and_limit(spark, catalog):
