@@ -1,7 +1,10 @@
 """`python -m iceberg_go_distributed_spark` — the reference CLI's
 command set (cmd/iceberg/main.go:39-93): list / describe / schema /
 spec / uuid / location / create / drop / files / rename /
-properties get|set|remove, against an fs or sql catalog."""
+properties get|set|remove, against an fs, sql, rest, or glue catalog
+(the reference's --catalog switch, main.go:169-199; rest takes --uri
+and --credential, glue reads region/credentials from glue.* env-style
+properties passed as --prop k=v)."""
 
 from __future__ import annotations
 
@@ -15,6 +18,18 @@ def _catalog(args):
 
     if args.catalog == "sql":
         return load_catalog("sql", db_path=args.db, warehouse=args.warehouse)
+    if args.catalog == "rest":
+        if not args.uri:
+            raise SystemExit("--catalog rest requires --uri")
+        kwargs = {"uri": args.uri}
+        if args.credential:
+            kwargs["credential"] = args.credential
+        return load_catalog("rest", **kwargs)
+    if args.catalog == "glue":
+        props = dict(kv.split("=", 1) for kv in (args.prop or []))
+        return load_catalog(
+            "glue", warehouse=args.warehouse, properties=props
+        )
     return load_catalog("fs", warehouse=args.warehouse)
 
 
@@ -25,8 +40,16 @@ def _print(obj) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="iceberg", description=__doc__)
     p.add_argument("--warehouse", default="./warehouse")
-    p.add_argument("--catalog", choices=("fs", "sql"), default="fs")
+    p.add_argument("--catalog", choices=("fs", "sql", "rest", "glue"), default="fs")
     p.add_argument("--db", default="./catalog.db", help="sqlite path for --catalog sql")
+    p.add_argument("--uri", help="REST catalog endpoint for --catalog rest")
+    p.add_argument("--credential", help="client_id:client_secret for --catalog rest")
+    p.add_argument(
+        "--prop",
+        action="append",
+        metavar="K=V",
+        help="catalog property (repeatable); glue.* keys configure --catalog glue",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("list", help="list namespaces or tables")

@@ -431,3 +431,28 @@ def test_glue_in_catalog_registry(tmp_path):
     cat.create_namespace("db")
     cat.create_table("db.t", SCHEMA)
     assert cat.table_exists("db.t")
+
+
+def test_cli_catalog_switch(tmp_path, monkeypatch):
+    """--catalog rest/glue route through load_catalog like the
+    reference CLI's switch (main.go:169-199)."""
+    import iceberg_go_distributed_spark.cli as cli
+    from iceberg_go_distributed_spark.iceberg import catalog as catmod
+
+    seen = {}
+
+    def fake_load(kind, **kwargs):
+        seen["kind"], seen["kwargs"] = kind, kwargs
+        raise SystemExit(0)  # stop before touching any backend
+
+    monkeypatch.setattr(catmod, "load_catalog", fake_load)
+    with pytest.raises(SystemExit):
+        cli.main(["--catalog", "glue", "--warehouse", str(tmp_path),
+                  "--prop", "glue.region=us-east-1", "list"])
+    assert seen["kind"] == "glue"
+    assert seen["kwargs"]["properties"] == {"glue.region": "us-east-1"}
+    with pytest.raises(SystemExit):
+        cli.main(["--catalog", "rest", "--uri", "http://x", "list"])
+    assert seen["kind"] == "rest" and seen["kwargs"]["uri"] == "http://x"
+    with pytest.raises(SystemExit, match="requires --uri"):
+        cli.main(["--catalog", "rest", "list"])
