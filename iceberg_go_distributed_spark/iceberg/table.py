@@ -685,9 +685,11 @@ class Scan:
         Eligible only when: no row filter (filtered scans usually match
         far fewer files than the snapshot holds, and the collected plan
         sizes its driver cost by MATCHED files), no deletes, no lineage,
-        no name mapping, snapshot file count above
-        read.spark.max-listed-files, and distributed planning enabled.
-        Returns the raw frame (caller applies select/limit) or None."""
+        snapshot file count above read.spark.max-listed-files, and
+        distributed planning not explicitly disabled. Name-mapped
+        (add_files) tables qualify — the reader resolves their columns
+        per file. Returns the raw frame (caller applies select/limit)
+        or None."""
         from pyspark.sql import functions as F
 
         if not self._stream_plan_eligible():
@@ -712,8 +714,6 @@ class Scan:
         if not isinstance(self.row_filter, AlwaysTrue):
             return False
         props = self.table.metadata.properties
-        if "schema.name-mapping.default" in props:
-            return False
 
         def prop_int(key, default):
             try:
@@ -840,17 +840,14 @@ class Scan:
                 )
             except (TypeError, ValueError):
                 max_listed = _DEFAULT_MAX_LISTED_FILES
-            if (
-                0 < max_listed < len(files)
-                and "schema.name-mapping.default"
-                not in self.table.metadata.properties
-            ):
+            if 0 < max_listed < len(files):
                 # wide scan: a path-list read would ship O(files) strings
                 # through py4j and build a driver file index (72 s at
                 # 100k files, SCALE.md r13) — stream the paths to
                 # executors as a DataFrame instead. Defaults are filled
                 # in-task (file identity is free there), so the outer
-                # defaults pass is skipped.
+                # defaults pass is skipped; name-mapped (add_files)
+                # columns resolve per file inside the reader.
                 df = self._read_files_arrow_distributed(spark, files, schema)
             elif "schema.name-mapping.default" in self.table.metadata.properties:
                 # No Arrow fallback here: it resolves columns by a single
@@ -1204,7 +1201,25 @@ class Scan:
         )
         files = [t.file.file_path for t in tasks]
         strip = strip_scheme_col
-        if "schema.name-mapping.default" in self.table.metadata.properties:
+        try:
+            max_listed = int(
+                self.table.metadata.properties.get(
+                    "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
+                )
+            )
+        except (TypeError, ValueError):
+            max_listed = _DEFAULT_MAX_LISTED_FILES
+        if 0 < max_listed < len(files) and not keep_pos:
+            # wide MOR scan: the same O(files) path-list cost as the
+            # plain read (SCALE.md r13) — stream the paths instead;
+            # the reader emits (_fp, _pos) in-task, file-order exact,
+            # and resolves name-mapped columns per file (lineage reads
+            # keep the JVM path: they need the reserved materialized
+            # lineage columns)
+            df = self._read_files_arrow_distributed(
+                spark, files, schema, with_fp=True, with_pos=True
+            )
+        elif "schema.name-mapping.default" in self.table.metadata.properties:
             # grouped multi-name read: ID-less files may carry any
             # mapped (pre-rename) column name; _fp/_pos selected inside
             # each group before the union. keep_pos ⇒ a row-lineage read:
@@ -1213,38 +1228,20 @@ class Scan:
             nm_schema = _lineage_ext_schema(schema) if keep_pos else schema
             df = self._read_with_name_mapping(spark, files, nm_schema, with_pos=True)
         else:
-            try:
-                max_listed = int(
-                    self.table.metadata.properties.get(
-                        "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
-                    )
-                )
-            except (TypeError, ValueError):
-                max_listed = _DEFAULT_MAX_LISTED_FILES
-            if 0 < max_listed < len(files) and not keep_pos:
-                # wide MOR scan: the same O(files) path-list cost as the
-                # plain read (SCALE.md r13) — stream the paths instead;
-                # the reader emits (_fp, _pos) in-task, file-order exact
-                # (lineage reads keep the JVM path: they need the
-                # reserved materialized lineage columns)
-                df = self._read_files_arrow_distributed(
-                    spark, files, schema, with_fp=True, with_pos=True
-                )
-            else:
-                _ensure_field_id_reads(spark)
-                # keep_pos ⇒ a row-lineage read: also request the reserved
-                # materialized lineage columns (null-filled where absent)
-                struct = (
-                    _lineage_read_struct(schema)
-                    if keep_pos
-                    else schema_to_spark_struct(schema)
-                )
-                reader = spark.read.schema(struct)
-                df = (
-                    reader.parquet(*files)
-                    .withColumn("_fp", strip(F.col("_metadata.file_path")))
-                    .withColumn("_pos", F.col("_metadata.row_index"))
-                )
+            _ensure_field_id_reads(spark)
+            # keep_pos ⇒ a row-lineage read: also request the reserved
+            # materialized lineage columns (null-filled where absent)
+            struct = (
+                _lineage_read_struct(schema)
+                if keep_pos
+                else schema_to_spark_struct(schema)
+            )
+            reader = spark.read.schema(struct)
+            df = (
+                reader.parquet(*files)
+                .withColumn("_fp", strip(F.col("_metadata.file_path")))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
         # The delete side's cardinality is KNOWN at plan time (manifest
         # record_count = positions per delete file / DV cardinality), but
         # Spark can't estimate it — the frame comes out of a mapInArrow
@@ -1595,7 +1592,10 @@ class Scan:
 
         Semantics match the JVM field-id read:
           * columns resolve BY FIELD ID (rename-safe); files with no
-            ids (foreign writers) fall back to name resolution;
+            ids resolve through the table's name mapping when one is
+            declared (add_files imports — any mapped pre-rename name
+            counts, per-file, the same rule _read_with_name_mapping
+            applies group-wise), else by current name;
           * physically missing columns fill with the field's
             initial-default (v3) or null — the same when(missing,
             default) rule `_apply_initial_defaults` applies, evaluated
@@ -1640,6 +1640,21 @@ class Scan:
 
                 t = pa.timestamp("us", tz="UTC")
             fields.append((f.field_id, f.name, t, f.initial_default))
+        # id-less files (add_files imports) resolve by mapped name —
+        # ANY of a field's mapped (pre-rename) names may be the
+        # physical column (ref name_mapping.go:144)
+        mapped_names: dict[int, list] = {}
+        nm_json = self.table.metadata.properties.get(
+            "schema.name-mapping.default"
+        )
+        if nm_json:
+            from .sanitize import name_mapping_from_json
+
+            mapped_names = {
+                m.field_id: list(m.names)
+                for m in name_mapping_from_json(nm_json)
+                if m.field_id is not None
+            }
         # schema_to_spark_struct, not DDL: the listed path's frames carry
         # parquet.field.id field metadata, and downstream schema equality
         # must hold whichever route served the scan. All-nullable for the
@@ -1701,13 +1716,18 @@ class Scan:
                         fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                         if fid is not None:
                             by_id[int(fid)] = fld.name
-                    # field-id resolution; name fallback for id-less files
+                    # field-id resolution; id-less files resolve by the
+                    # first mapped name present, then the current name
+                    def _resolve_one(fid, name):
+                        if by_id:
+                            return by_id.get(fid)
+                        for alias in mapped_names.get(fid, ()):
+                            if alias in names:
+                                return alias
+                        return name if name in names else None
+
                     resolve = {
-                        fid: (
-                            by_id.get(fid)
-                            if by_id
-                            else (name if name in names else None)
-                        )
+                        fid: _resolve_one(fid, name)
                         for fid, name, _t, _d in fields
                     }
                     cols = [p for p in resolve.values() if p is not None]

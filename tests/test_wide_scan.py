@@ -375,3 +375,60 @@ def test_metadata_tables_fan_out(spark, catalog):
         sorted(map(tuple, t.inspect_partitions(spark).collect())) == local_parts
     )
     assert len(local_files) >= 8
+
+
+def test_wide_read_name_mapped_table(spark, catalog, tmp_path):
+    """Name-mapped (add_files) tables take the wide routes too (r13):
+    the reader resolves ID-less files through the mapping per file —
+    a renamed column returns the stored values under its NEW name, and
+    a mixed table (imported ID-less files + native ID-ed files) stitches
+    both kinds. Streaming and listed routes row-equal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg.types import (
+        NestedField,
+        Schema,
+    )
+
+    schema = Schema.of(
+        1,
+        NestedField(1, "id", ty.LongType(), required=True),
+        NestedField(2, "payload", ty.StringType()),
+    )
+    t = catalog.create_table("db.wide_nm", schema)
+    # two external files WITHOUT field ids → name mapping
+    for i in range(2):
+        ext = str(tmp_path / f"ext{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([10 * i + 1, 10 * i + 2], pa.int64()),
+                    "payload": [f"a{i}", f"b{i}"],
+                }
+            ),
+            ext,
+        )
+        t.add_files([ext])
+        t.refresh()
+    # rename: ID-less files keep the OLD physical name; the mapping
+    # carries both
+    t.update_schema().rename_column("payload", "body").commit()
+    t.refresh()
+    # plus a native append under the new schema (files WITH field ids)
+    t.append(
+        spark.createDataFrame([(100, "native")], "id long, body string")
+    )
+    t.refresh()
+    listed = _sorted_rows(t.scan().to_df(spark))
+    t.properties["read.spark.max-listed-files"] = "1"
+    # streaming plan→read route (unfiltered)
+    dist = t.scan().to_df(spark)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "MapInPandas" in plan
+    assert _sorted_rows(dist) == listed
+    rows = {r["id"]: r["body"] for r in dist.collect()}
+    assert rows[1] == "a0" and rows[12] == "b1" and rows[100] == "native"
+    # filtered (collected + wide read) route
+    flt = t.scan(row_filter=E.greater_than_or_equal("id", 11)).to_df(spark)
+    assert sorted(r["id"] for r in flt.collect()) == [11, 12, 100]
