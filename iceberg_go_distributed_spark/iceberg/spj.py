@@ -206,8 +206,16 @@ def _side_tasks(table, pf, row_filter, spark=None):
     return by_bucket, resid
 
 
+# compress large task descriptors: one bucket of a 1M-file table holds
+# tens of thousands of file entries whose paths share long prefixes —
+# raw JSON is ~10 MB per task row ("very large task" warnings and an
+# O(buckets × MB) driver→executor ship), zlib shrinks it 10-20×. Small
+# buckets stay plain JSON (readable, and "[]" keeps meaning empty).
+_TASK_COMPRESS_MIN = 8 << 10
+
+
 def _task_json(tasks) -> str:
-    return json.dumps(
+    payload = json.dumps(
         [
             {
                 "path": t.file.file_path,
@@ -232,6 +240,23 @@ def _task_json(tasks) -> str:
             for t in tasks
         ]
     )
+    if len(payload) >= _TASK_COMPRESS_MIN:
+        import base64
+        import zlib
+
+        return "zb64:" + base64.b64encode(
+            zlib.compress(payload.encode(), level=6)
+        ).decode()
+    return payload
+
+
+def _task_loads(s: str) -> list:
+    if s.startswith("zb64:"):
+        import base64
+        import zlib
+
+        return json.loads(zlib.decompress(base64.b64decode(s[5:])))
+    return json.loads(s)
 
 
 def _task_bytes(t) -> int:
@@ -644,14 +669,14 @@ def storage_partitioned_join(
         for batch in batches:
             for row in batch.to_pylist():
                 lt = _read_bucket_arrow(
-                    json.loads(row["left_files"]), l_read, l_types, fileio, l_resid
+                    _task_loads(row["left_files"]), l_read, l_types, fileio, l_resid
                 )
                 if lt is None or len(lt) == 0:
                     continue
                 lt = lt.select(left_cols)
                 rt = (
                     _read_bucket_arrow(
-                        json.loads(row["right_files"]), r_read, r_types, fileio, r_resid
+                        _task_loads(row["right_files"]), r_read, r_types, fileio, r_resid
                     )
                     if row["right_files"] != "[]"
                     else None
@@ -1040,7 +1065,7 @@ def storage_partitioned_agg(
         for batch in batches:
             for row in batch.to_pylist():
                 tbl = _read_bucket_arrow(
-                    json.loads(row["files"]), need, t_types, fileio, resid
+                    _task_loads(row["files"]), need, t_types, fileio, resid
                 )
                 if tbl is None or len(tbl) == 0:
                     continue
@@ -1200,14 +1225,14 @@ def storage_partitioned_asof_join(
         for batch in batches:
             for row in batch.to_pylist():
                 lt = _read_bucket_arrow(
-                    json.loads(row["left_files"]), left_cols, l_types, fileio,
+                    _task_loads(row["left_files"]), left_cols, l_types, fileio,
                     l_resid,
                 )
                 if lt is None or len(lt) == 0:
                     continue
                 rt = (
                     _read_bucket_arrow(
-                        json.loads(row["right_files"]), r_read, r_types, fileio,
+                        _task_loads(row["right_files"]), r_read, r_types, fileio,
                         r_resid,
                     )
                     if row["right_files"] != "[]"
@@ -1527,7 +1552,7 @@ def storage_partitioned_star_join(
                 empty = False
                 for i, sj in enumerate(side_jsons):
                     tbl = _read_bucket_arrow(
-                        json.loads(sj), side_read[i], side_types[i], fileio, resids[i]
+                        _task_loads(sj), side_read[i], side_types[i], fileio, resids[i]
                     )
                     if tbl is None or len(tbl) == 0:
                         empty = True
