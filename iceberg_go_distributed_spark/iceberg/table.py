@@ -193,6 +193,72 @@ def match_deletes(data_seq: int, data_path: str, delete_rows) -> tuple:
     return tuple(picked)
 
 
+def _arrow_read_file(path, fields, mapped_names, arrow_filter, filter_names, with_pos):
+    """One file of a wide/streaming Arrow read: resolve columns by
+    field id (name-mapped / current-name fallback for id-less files)
+    and read ONLY the resolved pruned columns — through a SINGLE open
+    handle serving both the schema probe and the data read (a second
+    open would double object-store round trips at million-file scale,
+    VERDICT r13 task 4). Returns (table, {field_id: physical_name}).
+
+    `fields` is [(field_id, name, arrow_type, initial_default)] for the
+    PRUNED read schema; executors call this from
+    Scan._read_files_arrow_distributed's mapInArrow task, and the unit
+    suite calls it directly to assert open-count and column pruning."""
+    import pyarrow.parquet as pq
+
+    from . import fileio
+
+    handle = fileio.open_input(path)
+    try:
+        phys = pq.read_schema(handle)
+        by_id, names = {}, set(phys.names)
+        for fld in phys:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+
+        # field-id resolution; id-less files resolve by the first
+        # mapped name present, then the current name
+        def _resolve_one(fid, name):
+            if by_id:
+                return by_id.get(fid)
+            for alias in mapped_names.get(fid, ()):
+                if alias in names:
+                    return alias
+            return name if name in names else None
+
+        resolve = {
+            fid: _resolve_one(fid, name) for fid, name, _t, _d in fields
+        }
+        cols = [p for p in resolve.values() if p is not None]
+        # push the residual only when every referenced column physically
+        # carries its CURRENT name in this file — the compiled
+        # expression addresses physical names. A positional read must
+        # see every row in file order — in-file filtering would
+        # renumber _pos
+        pushable = (
+            arrow_filter is not None
+            and not with_pos
+            and all(
+                resolve.get(fid) == name
+                for fid, name, _t, _d in fields
+                if name in filter_names
+            )
+        )
+        handle.seek(0)
+        return (
+            pq.read_table(
+                handle,
+                columns=cols,
+                filters=arrow_filter if pushable else None,
+            ),
+            resolve,
+        )
+    finally:
+        handle.close()
+
+
 # scheme/authority-insensitive path comparison: EVERY _fp equi-join
 # (lineage map <-> data frame <-> delete frame <-> DV decoder) must strip
 # URI schemes byte-identically, so the pattern lives in exactly one place
@@ -335,6 +401,34 @@ class Scan:
         if self.selected_fields == ("*",):
             return schema
         return schema.select(*self.selected_fields, case_sensitive=self.case_sensitive)
+
+    def _read_schema(self) -> Schema:
+        """Columns the PHYSICAL read must materialize: the projection
+        plus every field the residual row filter references (the outer
+        ``.where`` runs before the projection narrows the frame).
+        Catalyst prunes the JVM routes on its own, but a projection
+        cannot be pushed through ``mapInArrow`` — the wide/streaming
+        Arrow routes read exactly this schema, so a 3-column scan of a
+        100-column table never materializes the other 97 (the reference
+        prunes reader columns by field id the same way,
+        table/arrow_scanner.go:227-250)."""
+        schema = self._scan_schema()
+        if self.selected_fields == ("*",):
+            return schema
+        needed = {f.name for f in self.projection().fields}
+        if not isinstance(self.row_filter, AlwaysTrue):
+            from .expressions import bind_expr, extract_field_names, rewrite_not
+
+            needed |= extract_field_names(
+                bind_expr(
+                    rewrite_not(self.row_filter), schema, self.case_sensitive
+                )
+            )
+        # nested references keep their whole top-level column
+        top = {n.split(".")[0] for n in needed}
+        return Schema(
+            schema.schema_id, tuple(f for f in schema.fields if f.name in top)
+        )
 
     # ------------------------------------------------------------ planning
 
@@ -674,35 +768,107 @@ class Scan:
                 return tasks
         return self.plan_files()
 
-    def _stream_plan_read(self, spark):
-        """Streaming plan→read for full-table scans of very wide
-        snapshots (r13): the pruned-descriptor frame from
+    def _stream_plan_route(self, spark):
+        """Streaming plan→read for scans of very wide snapshots (r13,
+        widened r14): the pruned-descriptor frame from
         `_distributed_prune_frame` feeds the distributed Arrow reader
         directly — file descriptors NEVER collect to the driver. The
         1M-file probe measured the collected plan at ~140 s and 2.9 GB
         driver RSS; this path keeps the driver at O(manifests).
 
-        Eligible only when: no row filter (filtered scans usually match
-        far fewer files than the snapshot holds, and the collected plan
-        sizes its driver cost by MATCHED files), no deletes, no lineage,
-        snapshot file count above read.spark.max-listed-files, and
-        distributed planning not explicitly disabled. Name-mapped
-        (add_files) tables qualify — the reader resolves their columns
-        per file. Returns the raw frame (caller applies select/limit)
-        or None."""
+        r14 extensions (VERDICT r13 tasks 3+6): FILTERED scans stream
+        too, gated on the MATCHED file count from the prune job itself
+        rather than on filter presence (the frame persists across the
+        stats job and the read, so the gate costs one cheap count); and
+        positional-delete / DV snapshots stream with the delete side
+        planned driver-side — the delete-descriptor set is O(small)
+        next to a 100 TB data set, and positional deletes name exact
+        data-file paths, so the shared global (_fp, _pos) anti-join
+        applies. Equality deletes still take the collected plan (their
+        matching is sequence-grouped per data file).
+
+        Returns ``(df, tasks)``: a DataFrame when the scan streams
+        (raw — the caller applies filter/select/limit); a task list
+        when the prune job already ran but collecting is the better
+        plan (small matched set, or equality deletes) — reused, never
+        re-planned; ``(None, None)`` when ineligible."""
         from pyspark.sql import functions as F
 
         if not self._stream_plan_eligible():
-            return None
-        frame, _n_del = _distributed_prune_frame(self, spark)
+            return None, None
+        frame, n_del_manifests = _distributed_prune_frame(self, spark)
         if frame is None:
-            return None
-        paths = frame.where(F.col("kind") == 0).select(
-            F.get_json_object("descriptor", "$.file_path").alias("data_file")
+            # nothing survives manifest pruning: an empty, final plan
+            return None, []
+
+        def paths_of(fr):
+            return fr.where(F.col("kind") == 0).select(
+                F.get_json_object("descriptor", "$.file_path").alias(
+                    "data_file"
+                )
+            )
+
+        read_schema = self._read_schema()
+        if n_del_manifests == 0 and isinstance(self.row_filter, AlwaysTrue):
+            # full scan of a delete-free snapshot: matched == snapshot
+            # file count, already known > max-listed-files by
+            # eligibility — stream in a single pass, no stats job
+            return (
+                self._read_files_arrow_distributed(
+                    spark, None, read_schema, files_df=paths_of(frame)
+                ),
+                None,
+            )
+        # the gate needs the matched count and the read needs the same
+        # frame — persist so the prune job runs once, not twice
+        frame = _keep_persisted(frame)
+        n_matched = frame.where(F.col("kind") == 0).count()
+        delete_rows = []
+        if n_del_manifests:
+            from .write import _decode_descriptor
+
+            delete_rows = [
+                _decode_descriptor(r.descriptor)
+                for r in frame.where(F.col("kind") == 1).collect()
+            ]
+        from .manifest import DataFileContent
+
+        has_eq = any(
+            d.content == DataFileContent.EQUALITY_DELETES for d in delete_rows
         )
-        return self._read_files_arrow_distributed(
-            spark, None, self._scan_schema(), files_df=paths
+        try:
+            max_listed = int(
+                self.table.metadata.properties.get(
+                    "read.spark.max-listed-files", _DEFAULT_MAX_LISTED_FILES
+                )
+            )
+        except (TypeError, ValueError):
+            max_listed = _DEFAULT_MAX_LISTED_FILES
+        if n_matched <= max_listed or has_eq:
+            # small matched set (the JVM routes with Catalyst pushdown
+            # win there) or eq deletes: collect the already-pruned
+            # frame into tasks — O(matched) rows, the plan work reuses
+            return None, _descriptor_rows_to_tasks(frame.collect())
+        if not delete_rows:
+            return (
+                self._read_files_arrow_distributed(
+                    spark, None, read_schema, files_df=paths_of(frame)
+                ),
+                None,
+            )
+        # wide MOR (positional deletes / DVs only): stream the data
+        # paths; the reader emits (_fp, _pos) in-task, and the shared
+        # delete-side anti-join drops deleted rows
+        df = self._read_files_arrow_distributed(
+            spark,
+            None,
+            read_schema,
+            with_fp=True,
+            with_pos=True,
+            files_df=paths_of(frame),
         )
+        df = self._anti_join_pos_deletes(spark, df, delete_rows)
+        return df.drop("_fp", "_pos"), None
 
     def _stream_plan_eligible(self) -> bool:
         if type(self) is not Scan:
@@ -710,8 +876,6 @@ class Scan:
             # sets; the snapshot-wide prune frame would over-read
             return False
         if self.include_row_lineage or self.snapshot() is None:
-            return False
-        if not isinstance(self.row_filter, AlwaysTrue):
             return False
         props = self.table.metadata.properties
 
@@ -726,9 +890,11 @@ class Scan:
         )
         if max_listed <= 0:
             return False
-        manifests = self.snapshot().manifests()
-        if any(m.content == ManifestContent.DELETES for m in manifests):
-            return False
+        manifests = [
+            m
+            for m in self.snapshot().manifests()
+            if m.content == ManifestContent.DATA
+        ]
         n_files = sum(
             m.added_files_count + m.existing_files_count for m in manifests
         )
@@ -750,9 +916,19 @@ class Scan:
         from pyspark.sql import functions as F
 
         if tasks is None:
-            sdf = self._stream_plan_read(spark)
+            sdf, pre_tasks = self._stream_plan_route(spark)
             if sdf is not None:
-                # no row filter by eligibility; project + limit and done
+                if not isinstance(self.row_filter, AlwaysTrue):
+                    # the reader pushes the residual per file when it
+                    # can; this outer filter is the correctness layer
+                    from .expressions import bind_expr, rewrite_not
+
+                    bound = bind_expr(
+                        rewrite_not(self.row_filter),
+                        self._scan_schema(),
+                        self.case_sensitive,
+                    )
+                    sdf = sdf.where(to_spark_column(bound))
                 if self.selected_fields != ("*",):
                     sdf = sdf.select(
                         *[F.col(f.name) for f in self.projection().fields]
@@ -760,7 +936,11 @@ class Scan:
                 if self.limit is not None:
                     sdf = sdf.limit(self.limit)
                 return sdf
-            tasks = self.plan_files_auto(spark)
+            tasks = (
+                pre_tasks
+                if pre_tasks is not None
+                else self.plan_files_auto(spark)
+            )
         proj = self.projection()
         schema = self._scan_schema()
 
@@ -801,8 +981,22 @@ class Scan:
                 raise ValueError("_row_id requires a format-version 3 table")
             lineage = lineage_map_frame(spark, tasks)
         if has_pos or eq_files:
+            # prune the MOR read too: projection ∪ filter fields, plus
+            # every equality-delete key column (the eq anti-join matches
+            # on them; _anti_join_eq_keys keeps the dropped-key check)
+            read_schema = self._read_schema()
+            if eq_files:
+                keep = {f.field_id for f in read_schema.fields} | {
+                    i
+                    for d in eq_files.values()
+                    for i in (d.equality_ids or [])
+                }
+                read_schema = Schema(
+                    schema.schema_id,
+                    tuple(f for f in schema.fields if f.field_id in keep),
+                )
             df = self._read_with_deletes(
-                spark, tasks, schema, eq_files, keep_pos=lineage is not None
+                spark, tasks, read_schema, eq_files, keep_pos=lineage is not None
             )
         elif lineage is not None:
             if "schema.name-mapping.default" in self.table.metadata.properties:
@@ -847,8 +1041,12 @@ class Scan:
                 # executors as a DataFrame instead. Defaults are filled
                 # in-task (file identity is free there), so the outer
                 # defaults pass is skipped; name-mapped (add_files)
-                # columns resolve per file inside the reader.
-                df = self._read_files_arrow_distributed(spark, files, schema)
+                # columns resolve per file inside the reader. The read
+                # schema is PRUNED to projection ∪ filter fields —
+                # Catalyst cannot push a projection through mapInArrow
+                df = self._read_files_arrow_distributed(
+                    spark, files, self._read_schema()
+                )
             elif "schema.name-mapping.default" in self.table.metadata.properties:
                 # No Arrow fallback here: it resolves columns by a single
                 # physical name and applies no defaults, so rerouting a
@@ -945,6 +1143,10 @@ class Scan:
                 frame, _n_del = _distributed_prune_frame(self, spark)
                 if frame is None:
                     return 0
+                if _n_del:
+                    # deleted rows are invisible to record counts — the
+                    # streamed MOR read (anti-join) must execute
+                    return self.to_df(spark).count()
                 row = (
                     frame.where(F.col("kind") == 0)
                     .agg(
@@ -1175,30 +1377,12 @@ class Scan:
         from .manifest import DataFileContent
         from .types import schema_to_spark_struct
 
-        pos_files = sorted(
-            {
-                d.file_path
-                for t in tasks
-                for d in t.delete_files
-                if d.content == DataFileContent.POSITION_DELETES
-                and d.content_offset is None
-            }
-        )
-        # v3 deletion vectors: (target data file, puffin path, offset, size)
-        dv_descriptors = sorted(
-            {
-                (
-                    d.referenced_data_file,
-                    d.file_path,
-                    d.content_offset,
-                    d.content_size_in_bytes,
-                )
-                for t in tasks
-                for d in t.delete_files
-                if d.content == DataFileContent.POSITION_DELETES
-                and d.content_offset is not None
-            }
-        )
+        delete_files = [
+            d
+            for t in tasks
+            for d in t.delete_files
+            if d.content == DataFileContent.POSITION_DELETES
+        ]
         files = [t.file.file_path for t in tasks]
         strip = strip_scheme_col
         try:
@@ -1242,20 +1426,51 @@ class Scan:
                 .withColumn("_fp", strip(F.col("_metadata.file_path")))
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
-        # The delete side's cardinality is KNOWN at plan time (manifest
-        # record_count = positions per delete file / DV cardinality), but
-        # Spark can't estimate it — the frame comes out of a mapInArrow
-        # decode — so on its own it would plan a sort-merge join and
-        # shuffle EVERY data row (all columns) just to drop the deleted
-        # ones. Below the threshold: (a) decode DVs on the DRIVER (pure
-        # Python puffin reads — skips a whole Spark job + Python-worker
-        # round-trip that costs more than the decode at small delete
-        # debt) and (b) broadcast the anti-join side, keeping the scan
-        # shuffle-free end-to-end. Above it (delete-heavy table at
-        # 100 TB): executor-side decode and a shuffle anti-join — the
-        # only shapes that survive billions of positions. Tunable per
-        # table via read.mor.broadcast-deletes-max-positions (rows; 0
-        # disables both small-side paths).
+        df = self._anti_join_pos_deletes(spark, df, delete_files)
+        df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
+        return df if keep_pos else df.drop("_fp", "_pos")
+
+    def _anti_join_pos_deletes(self, spark, df, delete_files):
+        """Drop positionally-deleted rows from a (_fp, _pos)-carrying
+        frame: the delete side (parquet positional files + v3 DVs)
+        becomes one (_fp, _pos) frame, left-anti joined. Shared by the
+        task-planned JVM MOR read and the streaming plan→read, which
+        plans the delete side driver-side — it is O(small) next to the
+        data it deletes from.
+
+        The delete side's cardinality is KNOWN at plan time (manifest
+        record_count = positions per delete file / DV cardinality), but
+        Spark can't estimate it — the frame comes out of a mapInArrow
+        decode — so on its own it would plan a sort-merge join and
+        shuffle EVERY data row (all columns) just to drop the deleted
+        ones. Below the threshold: (a) decode DVs on the DRIVER (pure
+        Python puffin reads — skips a whole Spark job + Python-worker
+        round-trip that costs more than the decode at small delete
+        debt) and (b) broadcast the anti-join side, keeping the scan
+        shuffle-free end-to-end. Above it (delete-heavy table at
+        100 TB): executor-side decode and a shuffle anti-join — the
+        only shapes that survive billions of positions. Tunable per
+        table via read.mor.broadcast-deletes-max-positions (rows; 0
+        disables both small-side paths)."""
+        from pyspark.sql import functions as F
+
+        # dedup: one v2 delete file can match many tasks
+        uniq = {(d.file_path, d.content_offset): d for d in delete_files}
+        if not uniq:
+            return df
+        strip = strip_scheme_col
+        pos_files = sorted(p for (p, off) in uniq if off is None)
+        # v3 deletion vectors: (target data file, puffin path, offset, size)
+        dv_descriptors = sorted(
+            (
+                d.referenced_data_file,
+                d.file_path,
+                d.content_offset,
+                d.content_size_in_bytes,
+            )
+            for d in uniq.values()
+            if d.content_offset is not None
+        )
         try:
             max_small = int(
                 self.table.metadata.properties.get(
@@ -1264,14 +1479,7 @@ class Scan:
             )
         except (TypeError, ValueError):
             max_small = 2_000_000
-        n_del_positions = sum(
-            {
-                (d.file_path, d.content_offset): d.record_count
-                for t in tasks
-                for d in t.delete_files
-                if d.content == DataFileContent.POSITION_DELETES
-            }.values()  # dedup: one v2 delete file can match many tasks
-        )
+        n_del_positions = sum(d.record_count for d in uniq.values())
         small_deletes = 0 < n_del_positions <= max_small
         dels = None
         if pos_files:
@@ -1315,8 +1523,7 @@ class Scan:
             if small_deletes:
                 dels = F.broadcast(dels)
             df = df.join(dels, ["_fp", "_pos"], "left_anti")
-        df = self._apply_initial_defaults(spark, df, files, schema, F.col("_fp"))
-        return df if keep_pos else df.drop("_fp", "_pos")
+        return df
 
     def _read_with_name_mapping(self, spark, files, schema: Schema, with_pos=False):
         """Read for tables carrying `schema.name-mapping.default`
@@ -1709,46 +1916,13 @@ class Scan:
             )
             for batch in batches:
                 for path in batch.column("data_file").to_pylist():
-                    with fileio.open_input(path) as f:
-                        phys = pq.read_schema(f)
-                    by_id, names = {}, set(phys.names)
-                    for fld in phys:
-                        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                        if fid is not None:
-                            by_id[int(fid)] = fld.name
-                    # field-id resolution; id-less files resolve by the
-                    # first mapped name present, then the current name
-                    def _resolve_one(fid, name):
-                        if by_id:
-                            return by_id.get(fid)
-                        for alias in mapped_names.get(fid, ()):
-                            if alias in names:
-                                return alias
-                        return name if name in names else None
-
-                    resolve = {
-                        fid: _resolve_one(fid, name)
-                        for fid, name, _t, _d in fields
-                    }
-                    cols = [p for p in resolve.values() if p is not None]
-                    # push the residual only when every referenced column
-                    # physically carries its CURRENT name in this file —
-                    # the compiled expression addresses physical names
-                    # a positional read must see every row in file
-                    # order — in-file filtering would renumber _pos
-                    pushable = (
-                        arrow_filter is not None
-                        and not with_pos
-                        and all(
-                            resolve.get(fid) == name
-                            for fid, name, _t, _d in fields
-                            if name in filter_names
-                        )
-                    )
-                    tbl = fileio.read_parquet_table(
+                    tbl, resolve = _arrow_read_file(
                         path,
-                        columns=cols,
-                        filters=arrow_filter if pushable else None,
+                        fields,
+                        mapped_names,
+                        arrow_filter,
+                        filter_names,
+                        with_pos,
                     )
                     n = tbl.num_rows
                     arrays = []
@@ -2674,7 +2848,7 @@ def _distributed_prune_frame(scan: Scan, spark):
     mapInPandas job entry-decodes + prunes (levels 3+4) and returns a
     DataFrame of surviving descriptors — (kind, seq, descriptor JSON).
     `plan_files_distributed` collects it into FileScanTasks; the
-    STREAMING read path (Scan._stream_plan_read) instead feeds the
+    STREAMING read path (Scan._stream_plan_route) instead feeds the
     frame's file paths straight into the distributed Arrow reader, so
     a full-table scan of a million files never materializes a
     million descriptors on the driver (r13; the 1M-file probe measured
@@ -2805,14 +2979,21 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
     closures; no Avro package or JVM reader is needed. Returns the same
     tasks as Scan.plan_files (asserted by tests), so callers can switch
     on snapshot size. Full-table scans of very wide snapshots can skip
-    this collect entirely — Scan._stream_plan_read feeds the pruned
+    this collect entirely — Scan._stream_plan_route feeds the pruned
     frame straight into the distributed Arrow reader."""
-    from .write import _decode_descriptor
-
     frame, _n_del = _distributed_prune_frame(scan, spark)
     if frame is None:
         return []
-    rows = frame.collect()
+    return _descriptor_rows_to_tasks(frame.collect())
+
+
+def _descriptor_rows_to_tasks(rows) -> list[FileScanTask]:
+    """Collected (kind, seq, descriptor) prune-frame rows →
+    FileScanTasks with sequence-gated delete matching — shared by
+    `plan_files_distributed` and the streaming route's collected
+    fallback (which reuses its persisted frame instead of re-planning)."""
+    from .write import _decode_descriptor
+
     data_rows = [(r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 0]
     delete_rows = sorted(
         ((r.seq, _decode_descriptor(r.descriptor)) for r in rows if r.kind == 1),
@@ -2829,3 +3010,23 @@ def plan_files_distributed(scan: Scan, spark) -> list[FileScanTask]:
             )
         )
     return tasks
+
+
+# prune frames persisted across the streaming route's stats job and the
+# read it feeds (the read may execute long after planning, so eager
+# unpersist would just re-run the prune job) — a small FIFO bounds the
+# executor storage to the few most recent scans
+_PERSISTED_FRAMES: list = []
+_PERSISTED_FRAMES_MAX = 4
+
+
+def _keep_persisted(frame):
+    frame = frame.persist()
+    _PERSISTED_FRAMES.append(frame)
+    while len(_PERSISTED_FRAMES) > _PERSISTED_FRAMES_MAX:
+        old = _PERSISTED_FRAMES.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
+    return frame

@@ -1407,13 +1407,13 @@ def ice_spj(spark, sf_dir):
     GROUP BY l_returnflag
     """,
     doc=(
-        "wide-scan read routes (r13): a multi-file table above "
-        "read.spark.max-listed-files takes the STREAMING plan→read "
-        "(pruned-descriptor frame → mapInArrow, descriptors never "
-        "collect — plan-asserted), the filtered twin takes the "
-        "collected-plan wide read, and filter-free count() folds "
-        "record counts inside the prune job; all three cross-checked "
-        "in-query"
+        "wide-scan read routes (r13, extended r14): a multi-file table "
+        "above read.spark.max-listed-files takes the STREAMING "
+        "plan→read (pruned-descriptor frame → mapInArrow, descriptors "
+        "never collect — plan-asserted); the filtered twin streams too "
+        "(gate on MATCHED count, r14); a projected scan hands the "
+        "reader a PRUNED schema (r14); filter-free count() folds "
+        "record counts inside the prune job; all cross-checked in-query"
     ),
 )
 def ice_wide_scan(spark, sf_dir):
@@ -1445,16 +1445,32 @@ def ice_wide_scan(spark, sf_dir):
     # metadata-only count folds record counts inside the prune job —
     # must equal the executed count exactly
     assert t.scan().count(spark) == df.count(), "metadata count diverged"
-    # the filtered twin plans collected (matched << total in general)
-    # and reads through the wide DataFrame-fed route
+    # the filtered twin STREAMS too (r14): its matched set still
+    # exceeds the listing threshold, so the gate on MATCHED count keeps
+    # it on the streaming route rather than collecting descriptors
     fdf = t.scan(
         row_filter=E.greater_than_or_equal("l_quantity", 25.0)
     ).to_df(spark)
     fplan = fdf._jdf.queryExecution().executedPlan().toString()
-    assert "MapInArrow" in fplan and "MapInPandas" not in fplan, (
-        "expected the collected-plan wide read for the filtered scan"
+    assert "MapInArrow" in fplan and "MapInPandas" in fplan, (
+        "expected the streaming plan→read route for the wide-matched "
+        "filtered scan"
     )
     n_heavy = fdf.count()
+    # projected streamed scan: the reader receives a PRUNED schema
+    # (projection ∪ filter fields — Catalyst cannot push a projection
+    # through mapInArrow); cross-check its aggregate against the full
+    # read
+    rs = t.scan(
+        row_filter=E.greater_than_or_equal("l_quantity", 25.0)
+    ).select("l_returnflag")
+    assert {f.name for f in rs._read_schema().fields} == {
+        "l_returnflag",
+        "l_quantity",
+    }, "expected the pruned reader schema on the projected scan"
+    pdf = rs.to_df(spark)
+    assert pdf.columns == ["l_returnflag"], "projection lost"
+    assert pdf.count() == n_heavy, "projected streamed scan diverged"
     out = df.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("l_quantity").alias("sum_qty"),

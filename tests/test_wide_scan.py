@@ -229,17 +229,47 @@ def test_streaming_plan_read_matches_listed(spark, catalog):
     # projection + limit still apply on the streamed frame
     assert t.scan().select("id").to_df(spark).columns == ["id"]
     assert t.scan(limit=5).to_df(spark).count() == 5
-    # a filtered scan does NOT stream (matched files usually << total):
-    # it plans normally, then the wide threshold routes the read
+    # a filtered scan STREAMS too when it still matches more files than
+    # the listing threshold (r14: the gate is the MATCHED count from
+    # the prune job, not filter presence)
     fdf = t.scan(row_filter=E.less_than("id", 10)).to_df(spark)
     fplan = fdf._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in fplan
+    assert "MapInPandas" in fplan and "MapInArrow" in fplan
     assert sorted(r["id"] for r in fdf.select("id").collect()) == list(range(10))
 
 
-def test_streaming_plan_read_skips_deletes(spark, catalog):
-    """A snapshot carrying delete manifests is ineligible — the MOR
-    anti-join needs the collected per-file delete matching."""
+def test_streaming_filtered_gate_on_matched_count(spark, catalog):
+    """The streaming gate counts MATCHED files: a selective filter whose
+    matched set fits under the threshold collects the (already-pruned)
+    frame into tasks and takes the JVM/listed route — the prune work is
+    reused, never re-planned; a low-selectivity filter streams."""
+    from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(400)], "id long, bucket long, v string"
+    )
+    t = catalog.create_table("db.stream_gate", schema_from_spark(df.schema))
+    # one file per id-range so metrics pruning can isolate small matches
+    for lo in range(0, 400, 100):
+        t.append(df.where((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1))
+        t.refresh()
+    t.properties["read.spark.max-listed-files"] = "2"
+    # matches one file (id bounds) → collected: no prune job in the plan
+    sel = t.scan(row_filter=E.less_than("id", 50)).to_df(spark)
+    splan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in splan
+    assert sel.count() == 50
+    # matches all four files (> threshold) → streams
+    wide = t.scan(row_filter=E.greater_than_or_equal("id", 0)).to_df(spark)
+    wplan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in wplan and "MapInArrow" in wplan
+    assert wide.count() == 400
+
+
+def test_streaming_plan_read_mor(spark, catalog):
+    """Positional deletes / DVs stream too (r14): the delete side plans
+    driver-side (O(small)) and anti-joins the streamed (_fp, _pos)
+    frame; equality deletes still fall back to the collected plan."""
     from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
 
     df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
@@ -248,12 +278,27 @@ def test_streaming_plan_read_skips_deletes(spark, catalog):
     t.refresh()
     t.append(df.repartition(4))
     t.refresh()
-    t.delete_where(spark, E.less_than("id", 5))
+    t.delete_where(spark, E.less_than("id", 5))  # deletion vectors
     t.refresh()
     t.properties["read.spark.max-listed-files"] = "1"
-    assert t.scan()._stream_plan_read(spark) is None
-    got = sorted(r["id"] for r in t.scan().to_df(spark).collect())
-    assert got == list(range(5, 40))
+    sdf, pre = t.scan()._stream_plan_route(spark)
+    assert sdf is not None and pre is None
+    mor = t.scan().to_df(spark)
+    plan = mor._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "MapInArrow" in plan
+    assert sorted(r["id"] for r in mor.collect()) == list(range(5, 40))
+    # count() must NOT answer from record counts while deletes exist
+    assert t.scan().count(spark) == 35
+    # an equality delete flips the route to the collected plan
+    t.upsert(
+        spark.createDataFrame([(7, "UP7")], "id long, v string"), ["id"]
+    )
+    t.refresh()
+    t.properties["read.spark.max-listed-files"] = "1"
+    sdf2, pre2 = t.scan()._stream_plan_route(spark)
+    assert sdf2 is None and pre2 is not None
+    got = {r["id"]: r["v"] for r in t.scan().to_df(spark).collect()}
+    assert got[7] == "UP7" and len(got) == 35
 
 
 def test_streaming_metadata_count(spark, catalog):
@@ -432,3 +477,74 @@ def test_wide_read_name_mapped_table(spark, catalog, tmp_path):
     # filtered (collected + wide read) route
     flt = t.scan(row_filter=E.greater_than_or_equal("id", 11)).to_df(spark)
     assert sorted(r["id"] for r in flt.collect()) == [11, 12, 100]
+
+
+def test_wide_read_schema_pruned(spark, catalog, monkeypatch):
+    """A projected scan hands the Arrow reader a PRUNED schema —
+    projection ∪ filter-referenced fields — so mapInArrow tasks never
+    materialize unselected columns (VERDICT r13 task 1: Catalyst cannot
+    push a projection through mapInArrow)."""
+    from iceberg_go_distributed_spark.iceberg.table import Scan
+
+    t = _evolved_table(catalog, spark, name="db.wide_pruned")
+    t.properties["read.spark.max-listed-files"] = "1"
+    captured = []
+    orig = Scan._read_files_arrow_distributed
+
+    def spy(self, spark_, files, schema, **kw):
+        captured.append([f.name for f in schema.fields])
+        return orig(self, spark_, files, schema, **kw)
+
+    monkeypatch.setattr(Scan, "_read_files_arrow_distributed", spy)
+    df = (
+        t.scan(row_filter=E.greater_than_or_equal("id", 40))
+        .select("label")
+        .to_df(spark)
+    )
+    assert captured and set(captured[-1]) == {"id", "label"}
+    assert df.columns == ["label"]
+    assert sorted(r["label"] for r in df.collect()) == sorted(
+        f"n{i}" for i in range(40, 80)
+    )
+    # unprojected scans still read the full schema
+    captured.clear()
+    t.scan().to_df(spark)
+    assert captured and set(captured[-1]) == {"id", "qty", "label", "note"}
+
+
+def test_arrow_read_file_single_open_and_pruned_columns(tmp_path, monkeypatch):
+    """The per-file reader serves the schema probe AND the data read
+    from ONE open handle (VERDICT r13 task 4) and physically reads only
+    the pruned column set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_go_distributed_spark.iceberg import fileio
+    from iceberg_go_distributed_spark.iceberg.table import _arrow_read_file
+
+    path = str(tmp_path / "f.parquet")
+    schema = pa.schema(
+        [
+            pa.field("a", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("b", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("c", pa.float64(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [1.0, 2.0, 3.0]},
+            schema=schema,
+        ),
+        path,
+    )
+    opens = []
+    orig = fileio.open_input
+    monkeypatch.setattr(
+        fileio, "open_input", lambda p: (opens.append(p) or orig(p))
+    )
+    fields = [(1, "a", pa.int64(), None), (2, "b", pa.string(), None)]
+    tbl, resolve = _arrow_read_file(path, fields, {}, None, set(), False)
+    assert len(opens) == 1, f"expected a single open, saw {len(opens)}"
+    assert set(tbl.column_names) == {"a", "b"}  # column c never read
+    assert resolve == {1: "a", 2: "b"}
+    assert tbl.column("a").to_pylist() == [1, 2, 3]
