@@ -60,6 +60,19 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _canary_sec(spark) -> float:
+    """Fixed pure-CPU Spark job (range→sum, no I/O, no shuffle) timed
+    at block start: calibrates the host's speed envelope for THIS
+    measurement. loadavg catches outside contention but not VM
+    clock/steal drift — identical builds have measured 20%+ apart on
+    an idle box — so cross-round comparisons should read query walls
+    as query/canary RATIOS, the way planning already uses dist/local.
+    main() warms the job's codegen once before any block measures."""
+    t0 = time.perf_counter()
+    spark.range(500_000_000).selectExpr("sum(id * 2)").collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def run_headline(spark, sf_dir):
     from iceberg_go_distributed_spark.queries import all_queries
 
@@ -652,21 +665,27 @@ def main(argv=None) -> None:
 
     spark = build_spark(app_name="bench")
 
+    _canary_sec(spark)  # warm the canary's codegen once
+
     def timed_block(name, fn):
-        """Run one block with loadavg markers: [start, end] 1-min load —
+        """Run one block with loadavg markers ([start, end] 1-min load —
         a high or rising load marks the measurement as taken on a
-        contended box (r12's planning artifact was; nobody could tell)."""
+        contended box; r12's planning artifact was, and nobody could
+        tell) and a canary_sec host-speed sample at block start."""
+        canary = _canary_sec(spark)
         la0 = _loadavg()
         out = fn()
         la1 = _loadavg()
         if isinstance(out, dict):
             out["loadavg"] = [la0, la1]
+            out["canary_sec"] = canary
         return out
 
     detail: dict = {"detail": True}
     summary: dict = {"metric": "headline_total_sec", "unit": "sec", "sf": sf}
 
     if "headline" in blocks:
+        canary = _canary_sec(spark)
         la0 = _loadavg()
         timings, raw = run_headline(spark, sf_dir)
         total = round(sum(timings.values()), 4)
@@ -679,7 +698,9 @@ def main(argv=None) -> None:
         spread = round(sum(max(a[1:]) - min(a[1:]) for a in raw.values()), 4)
         detail["raw_runs"] = raw
         detail["headline_loadavg"] = [la0, _loadavg()]
+        detail["headline_canary_sec"] = canary
         summary["value"] = total
+        summary["canary_sec"] = canary
         summary["queries"] = timings
         summary["spread_sec"] = spread
     if "planning" in blocks:
