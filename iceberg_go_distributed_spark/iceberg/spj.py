@@ -206,6 +206,239 @@ def _side_tasks(table, pf, row_filter, spark=None):
     return by_bucket, resid
 
 
+def _spj_wide(table, spark) -> bool:
+    """True when this side's snapshot is wide enough that grouping its
+    planned tasks in driver Python would be the O(files) collect the
+    streaming plan→read eliminated for plain scans (VERDICT r13
+    task 2). Same thresholds as distributed planning, so the prune
+    job the blobs path rides was going to run anyway."""
+    if spark is None:
+        return False
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return False
+    props = table.metadata.properties
+
+    def prop_int(key, default):
+        try:
+            return int(props.get(key, default))
+        except (TypeError, ValueError):
+            return int(default)
+
+    min_manifests = prop_int("read.distributed-planning.min-manifests", "64")
+    min_files = prop_int("read.distributed-planning.min-files", "50000")
+    from .manifest import ManifestContent
+
+    manifests = [
+        m for m in snap.manifests() if m.content == ManifestContent.DATA
+    ]
+    n_files = sum(
+        m.added_files_count + m.existing_files_count for m in manifests
+    )
+    return (0 < min_manifests <= len(manifests)) or (0 < min_files <= n_files)
+
+
+def _side_blobs(table, pf, row_filter, spark):
+    """Executor-side bucket grouping for WIDE sides (VERDICT r13
+    task 2): the distributed prune frame's descriptors group by
+    partition value in a Spark job and come back as ONE compressed
+    blob row per bucket — (part, files, bytes, nfiles) — so the driver
+    never materializes O(files) descriptors per join side (the same
+    move `_stream_plan_route` made for plain scans). Delete
+    descriptors are O(small) and collect driver-side; sequence-gated
+    matching (`match_deletes`) runs inside the grouping task.
+
+    Returns (frame, residual) — the same residual contract as
+    `_side_tasks`."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .expressions import AlwaysTrue, bind_expr, rewrite_not
+    from .table import _distributed_prune_frame, _keep_persisted
+    from .write import _decode_descriptor
+
+    scan = (
+        table.scan(row_filter=row_filter)
+        if row_filter is not None
+        else table.scan()
+    )
+    resid = None
+    if row_filter is not None:
+        bound = bind_expr(rewrite_not(row_filter), table.schema())
+        if not isinstance(bound, AlwaysTrue):
+            resid = bound
+    out_schema = "part string, files string, bytes long, nfiles long"
+    frame, n_del = _distributed_prune_frame(scan, spark)
+    if frame is None:
+        return spark.createDataFrame([], out_schema), resid
+    delete_rows = []
+    if n_del:
+        # the frame feeds two jobs (delete collect + grouping): persist
+        frame = _keep_persisted(frame)
+        delete_rows = sorted(
+            (
+                (r.seq, _decode_descriptor(r.descriptor))
+                for r in frame.where(F.col("kind") == 1).collect()
+            ),
+            key=lambda t: t[0],
+        )
+    pf_name = pf.name
+    data = frame.where(F.col("kind") == 0).select("seq", "descriptor")
+
+    def add_part(batches):
+        from .write import _decode_descriptor as dec
+
+        for pdf in batches:
+            parts = []
+            for desc in pdf["descriptor"]:
+                d = dec(desc)
+                if pf_name not in (d.partition or {}):
+                    # same refusal as _side_tasks: a file written under
+                    # an older spec has unknown layout for this field
+                    raise ValueError(
+                        f"planned file(s) predate the {pf_name!r} "
+                        "partition field (partition-spec evolution): "
+                        "their layout is unknown, so the storage-"
+                        "partitioned path cannot co-locate them. Run "
+                        "rewrite_data_files() to rewrite the table under "
+                        "the current spec, or use a regular "
+                        "to_df().join()"
+                    )
+                parts.append(repr(d.partition.get(pf_name)))
+            yield pd.DataFrame(
+                {
+                    "part": parts,
+                    "seq": pdf["seq"],
+                    "descriptor": pdf["descriptor"],
+                }
+            )
+
+    keyed = data.mapInPandas(
+        add_part, "part string, seq long, descriptor string"
+    )
+
+    def to_blob(pdf):
+        from .table import match_deletes
+        from .write import _decode_descriptor as dec
+
+        entries, total = [], 0
+        for seq, desc in zip(pdf["seq"], pdf["descriptor"]):
+            d = dec(desc)
+            matched = match_deletes(int(seq), d.file_path, delete_rows)
+            dels, eqs = _delete_entries(matched)
+            nbytes = d.file_size_in_bytes + sum(
+                x.file_size_in_bytes for x in matched
+            )
+            entries.append(
+                {"path": d.file_path, "dels": dels, "eqs": eqs, "bytes": nbytes}
+            )
+            total += nbytes
+        return pd.DataFrame(
+            {
+                "part": [pdf["part"].iloc[0]],
+                "files": [_entries_json(entries)],
+                "bytes": [total],
+                "nfiles": [len(entries)],
+            }
+        )
+
+    return keyed.groupBy("part").applyInPandas(to_blob, out_schema), resid
+
+
+def _bucket_task_frame(spark, lframe, rframe, how, limit):
+    """Join the two sides' per-bucket blob frames Spark-side and apply
+    the fragment-split budget in an executor pass — the distributed
+    twin of the driver planning loop in `storage_partitioned_join`.
+    Emits (part, left_files, right_files, split) where split=1 marks
+    fragment rows of an over-budget bucket (fused callers route those
+    to the partial-aggregate pipeline; plain joins treat them as
+    ordinary tasks). The only data that ever moves here is O(buckets)
+    compressed descriptor blobs — never file descriptors to the
+    driver, never table rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    none_part = repr(None)
+    lf = lframe.select(
+        F.col("part"),
+        F.col("files").alias("lf"),
+        F.col("bytes").alias("lb"),
+    )
+    rf = rframe.select(
+        F.col("part"),
+        F.col("files").alias("rf"),
+        F.col("bytes").alias("rb"),
+    ).where(F.col("part") != none_part)
+    if how in ("inner", "semi"):
+        joined = lf.where(F.col("part") != none_part).join(rf, "part", "inner")
+    else:  # left/anti: every left bucket; the null bucket joins nothing
+        joined = lf.join(rf, "part", "left")
+
+    def plan_rows(batches):
+        cols = {"part": [], "left_files": [], "right_files": [], "split": []}
+
+        def emit(part, ljson, rjson, split):
+            cols["part"].append(part)
+            cols["left_files"].append(ljson)
+            cols["right_files"].append(rjson)
+            cols["split"].append(split)
+
+        for pdf in batches:
+            for part, ljson, lb, rjson, rb in zip(
+                pdf["part"], pdf["lf"], pdf["lb"], pdf["rf"], pdf["rb"]
+            ):
+                if rjson is None or not isinstance(rjson, str):
+                    rjson, rb = "[]", 0
+                lb, rb = int(lb), int(rb or 0)
+                if lb + rb <= limit:
+                    emit(part, ljson, rjson, 0)
+                    continue
+                # fragment-replicate, same rules as the driver loop:
+                # left/semi/anti need the COMPLETE right bucket per task
+                lentries = _task_loads(ljson)
+                rentries = _task_loads(rjson)
+                split_left = how != "inner" or lb >= rb
+                frag, keep = (
+                    (lentries, rjson) if split_left else (rentries, ljson)
+                )
+                keep_bytes = rb if split_left else lb
+                budget = limit - keep_bytes
+                biggest = max(e["bytes"] for e in frag)
+                if budget < biggest:
+                    raise ValueError(
+                        f"bucket {part}: replicated side holds "
+                        f"{keep_bytes} bytes and the largest fragment "
+                        f"file is {biggest} — no split fits "
+                        f"join.spj.max-bucket-bytes={limit}; raise the "
+                        "property, rewrite with more buckets, or use a "
+                        "regular to_df().join()"
+                    )
+
+                def emit_chunk(chunk):
+                    cj = _entries_json(chunk)
+                    if split_left:
+                        emit(part, cj, keep, 1)
+                    else:
+                        emit(part, keep, cj, 1)
+
+                chunk, cb = [], 0
+                for e in frag:
+                    if chunk and cb + e["bytes"] > budget:
+                        emit_chunk(chunk)
+                        chunk, cb = [], 0
+                    chunk.append(e)
+                    cb += e["bytes"]
+                if chunk:
+                    emit_chunk(chunk)
+            yield pd.DataFrame(cols)
+            cols = {k: [] for k in cols}
+
+    return joined.mapInPandas(
+        plan_rows,
+        "part string, left_files string, right_files string, split int",
+    )
+
+
 # compress large task descriptors: one bucket of a 1M-file table holds
 # tens of thousands of file entries whose paths share long prefixes —
 # raw JSON is ~10 MB per task row ("very large task" warnings and an
@@ -214,32 +447,52 @@ def _side_tasks(table, pf, row_filter, spark=None):
 _TASK_COMPRESS_MIN = 8 << 10
 
 
-def _task_json(tasks) -> str:
-    payload = json.dumps(
+def _delete_entries(delete_files):
+    """The per-file delete descriptor lists the task JSON carries —
+    shared by the driver-side encoder (FileScanTasks) and the
+    executor-side bucket grouper (matched descriptor lists)."""
+    return (
         [
             {
-                "path": t.file.file_path,
-                "dels": [
-                    {
-                        "path": d.file_path,
-                        "dv": (
-                            [d.content_offset, d.content_size_in_bytes]
-                            if d.content_offset is not None
-                            else None
-                        ),
-                    }
-                    for d in t.delete_files
-                    if d.content == DataFileContent.POSITION_DELETES
-                ],
-                "eqs": [
-                    {"path": d.file_path, "ids": list(d.equality_ids or [])}
-                    for d in t.delete_files
-                    if d.content == DataFileContent.EQUALITY_DELETES
-                ],
+                "path": d.file_path,
+                "dv": (
+                    [d.content_offset, d.content_size_in_bytes]
+                    if d.content_offset is not None
+                    else None
+                ),
             }
-            for t in tasks
-        ]
+            for d in delete_files
+            if d.content == DataFileContent.POSITION_DELETES
+        ],
+        [
+            {"path": d.file_path, "ids": list(d.equality_ids or [])}
+            for d in delete_files
+            if d.content == DataFileContent.EQUALITY_DELETES
+        ],
     )
+
+
+def _task_entries(tasks) -> list:
+    """FileScanTasks → the task-JSON entry dicts. `bytes` (data +
+    delete sizes) rides along so executor-side fragment splitting can
+    budget without re-decoding descriptors; the bucket reader ignores
+    unknown keys."""
+    out = []
+    for t in tasks:
+        dels, eqs = _delete_entries(t.delete_files)
+        out.append(
+            {
+                "path": t.file.file_path,
+                "dels": dels,
+                "eqs": eqs,
+                "bytes": _task_bytes(t),
+            }
+        )
+    return out
+
+
+def _entries_json(entries) -> str:
+    payload = json.dumps(entries)
     if len(payload) >= _TASK_COMPRESS_MIN:
         import base64
         import zlib
@@ -248,6 +501,10 @@ def _task_json(tasks) -> str:
             zlib.compress(payload.encode(), level=6)
         ).decode()
     return payload
+
+
+def _task_json(tasks) -> str:
+    return _entries_json(_task_entries(tasks))
 
 
 def _task_loads(s: str) -> list:
@@ -491,8 +748,17 @@ def storage_partitioned_join(
     _, lpf, rpf, lf = picked
     # the grouping pair drives partition semantics (null-bucket rules)
     lkey, rkey = pairs[picked[0]]
-    lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
-    rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
+    # wide sides group their buckets executor-side (blob frames); small
+    # ones plan on the driver exactly as before — mixing is never
+    # needed because the blobs path handles small snapshots too
+    distributed = _spj_wide(left, spark) or _spj_wide(right, spark)
+    if distributed:
+        lframe, l_resid = _side_blobs(left, lpf, left_filter, spark)
+        rframe, r_resid = _side_blobs(right, rpf, right_filter, spark)
+        lbuckets = rbuckets = None
+    else:
+        lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
+        rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
 
     left_cols = list(left_select) if left_select else [f.name for f in left.schema().fields]
     left_cols = [k for k in lkeys if k not in left_cols] + left_cols
@@ -547,7 +813,9 @@ def storage_partitioned_join(
     # (VERDICT r12 task 2). Unsplit buckets stay exchange-free.
     rows = []
     partial_rows = []
-    if how in ("inner", "semi"):
+    if distributed:
+        buckets = []  # planned Spark-side below (_bucket_task_frame)
+    elif how in ("inner", "semi"):
         buckets = {b for b in lbuckets if b in rbuckets and b is not None}
     else:  # left/anti: every left bucket; null bucket joins nothing
         buckets = set(lbuckets)
@@ -609,16 +877,35 @@ def storage_partitioned_join(
             "co-located join key",
         )
     result_struct = fused_struct if fused_struct is not None else out_struct
-    if not rows and not partial_rows:
+    if not distributed and not rows and not partial_rows:
         return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(
-        rows or [],
-        "part string, left_files string, right_files string",
-    ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
+    ptask_df = None
+    if distributed:
+        task_frame = _bucket_task_frame(spark, lframe, rframe, how, limit)
+        if _fused_agg is not None:
+            # split rows route to the partial pipeline; persist so the
+            # two filters share one planning pass (O(buckets) rows)
+            from .table import _keep_persisted
+
+            task_frame = _keep_persisted(task_frame)
+            task_df = task_frame.where("split = 0").drop("split")
+            pdf_frame = task_frame.where("split = 1").drop("split")
+            has_partials = pdf_frame.limit(1).count() > 0
+            if has_partials:
+                ptask_df = pdf_frame
+        else:
+            task_df = task_frame.drop("split")
+            has_partials = False
+    else:
+        task_df = spark.createDataFrame(
+            rows or [],
+            "part string, left_files string, right_files string",
+        ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
+        has_partials = bool(partial_rows)
     right_data_cols = [r_out_name[c] for c in right_cols if c not in rkeys]
     right_read_names = [r_out_name[c] for c in right_cols]
     out_name_list = [f.name for f in out_struct.fields]
@@ -733,7 +1020,7 @@ def storage_partitioned_join(
             yield from joined.to_batches(max_chunksize=1 << 16)
 
     final_df = task_df.mapInArrow(join_task, result_struct)
-    if not partial_rows:
+    if not has_partials:
         return final_df
 
     # two-phase path for the oversized buckets (fused mode only):
@@ -741,9 +1028,10 @@ def storage_partitioned_join(
     # the exchange carries only these buckets' aggregate rows
     partial_struct, p_items = _fused_partial_plan(out_struct, fg_keys, fg_items)
     p_names = [f.name for f in partial_struct.fields]
-    ptask_df = spark.createDataFrame(
-        partial_rows, "part string, left_files string, right_files string"
-    ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
+    if ptask_df is None:
+        ptask_df = spark.createDataFrame(
+            partial_rows, "part string, left_files string, right_files string"
+        ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
 
     def join_task_partial(batches):
         import pyarrow as pa
@@ -1006,7 +1294,12 @@ def storage_partitioned_agg(
         fields,
         key=lambda f: _TRANSFORM_PREFERENCE.get(str(f.transform).split("[")[0], 9),
     )
-    by_bucket, resid = _side_tasks(table, pf, row_filter, spark)
+    distributed = _spj_wide(table, spark)
+    if distributed:
+        blob_frame, resid = _side_blobs(table, pf, row_filter, spark)
+        by_bucket = {}
+    else:
+        by_bucket, resid = _side_tasks(table, pf, row_filter, spark)
     from .expressions import extract_field_names
 
     group_keys = _group_keys
@@ -1041,7 +1334,7 @@ def storage_partitioned_agg(
             st.StructField(name, _agg_out_spark_type(fn, key_type[col].dataType), True)
         )
     out_struct = st.StructType(out_fields)
-    if not rows:
+    if not distributed and not rows:
         return spark.createDataFrame([], out_struct)
 
     from . import fileio as _fileio
@@ -1051,7 +1344,27 @@ def storage_partitioned_agg(
         f.name: f.type for f in _taschema(schema_to_spark_struct(table.schema()))
     }
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(rows, "part string, files string").repartition(min(len(rows), _MAX_TASK_PARTITIONS))
+    if distributed:
+        # byte-budget validation rides the blob frame executor-side —
+        # an over-budget bucket raises the same refusal as the driver
+        # loop (single-side aggs cannot fragment: a split group would
+        # emit partial aggregates from a FINAL-aggregate operator)
+        import pandas as pd
+
+        def check_rows(batches):
+            for pdf in batches:
+                for part, total in zip(pdf["part"], pdf["bytes"]):
+                    if int(total) > limit:
+                        raise ValueError(
+                            f"bucket {part}: {total} bytes exceeds "
+                            f"join.spj.max-bucket-bytes={limit}; rewrite "
+                            "with more buckets or use df.groupBy()"
+                        )
+                yield pdf[["part", "files"]]
+
+        task_df = blob_frame.mapInPandas(check_rows, "part string, files string")
+    else:
+        task_df = spark.createDataFrame(rows, "part string, files string").repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     agg_items = list(aggs.items())
     out_name_list = [f.name for f in out_struct.fields]
 
@@ -1127,8 +1440,14 @@ def storage_partitioned_asof_join(
         raise ValueError(
             f"join-key hash families differ or unsupported ({lf} vs {rf})"
         )
-    lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
-    rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
+    distributed = _spj_wide(left, spark) or _spj_wide(right, spark)
+    if distributed:
+        lframe, l_resid = _side_blobs(left, lpf, left_filter, spark)
+        rframe, r_resid = _side_blobs(right, rpf, right_filter, spark)
+        lbuckets = rbuckets = None
+    else:
+        lbuckets, l_resid = _side_tasks(left, lpf, left_filter, spark)
+        rbuckets, r_resid = _side_tasks(right, rpf, right_filter, spark)
 
     from .expressions import extract_field_names
 
@@ -1151,7 +1470,7 @@ def storage_partitioned_asof_join(
         )
 
     rows = []
-    for b in sorted(set(lbuckets), key=lambda x: (x is None, x)):
+    for b in sorted(set(lbuckets or ()), key=lambda x: (x is None, x)):
         lt = lbuckets[b]
         rt = rbuckets.get(b, []) if b is not None else []
         lb, rb = _bucket_bytes(lt), _bucket_bytes(rt)
@@ -1187,7 +1506,7 @@ def storage_partitioned_asof_join(
     ]
     out_fields.append(st.StructField("_asof_gap_us", st.LongType(), True))
     out_struct = st.StructType(out_fields)
-    if not rows:
+    if not distributed and not rows:
         return spark.createDataFrame([], out_struct)
 
     from . import fileio as _fileio
@@ -1201,9 +1520,18 @@ def storage_partitioned_asof_join(
         # equal types merge natively (date32 has no direct int64 cast)
         l_types[lkey] = r_types[rkey] = _pa.int64()
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(
-        rows, "part string, left_files string, right_files string"
-    ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
+    if distributed:
+        # as-of keeps every left bucket and may only split the left
+        # side (the right bucket must stay complete per task — a
+        # fragmented right would lose as-of candidates): exactly the
+        # 'left' planning mode
+        task_df = _bucket_task_frame(spark, lframe, rframe, "left", limit).drop(
+            "split"
+        )
+    else:
+        task_df = spark.createDataFrame(
+            rows, "part string, left_files string, right_files string"
+        ).repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     out_name_list = [f.name for f in out_struct.fields]
 
     def asof_task(batches):
