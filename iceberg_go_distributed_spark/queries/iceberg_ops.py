@@ -1047,7 +1047,13 @@ def ice_zorder_prune(spark, sf_dir):
     SELECT st AS o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
     FROM merged GROUP BY st
     """,
-    doc="multi-action MERGE INTO: conditional update + delete + insert + NOT MATCHED BY SOURCE delete in one snapshot",
+    doc=(
+        "multi-action MERGE INTO: conditional update + delete + insert "
+        "+ NOT MATCHED BY SOURCE delete in one snapshot — r14: target "
+        "and source co-partitioned bucket[8] on the key, so the merge "
+        "joins run as storage-partitioned task passes (route + "
+        "no-shuffle plan asserted in-query)"
+    ),
 )
 def ice_merge(spark, sf_dir):
     """MERGE round trip: every third order gets +10.00 on its total
@@ -1055,12 +1061,29 @@ def ice_merge(spark, sf_dir):
     orders insert, and unmatched-by-source orders divisible by 7 are
     purged (WHEN NOT MATCHED BY SOURCE AND ... THEN DELETE) — all in
     ONE merge-on-read snapshot; the scan-back aggregate must equal
-    DuckDB reconstructing the same end state from the raw parquet."""
+    DuckDB reconstructing the same end state from the raw parquet.
+
+    r14: target and source are both Iceberg tables bucket[8] on the
+    merge key, so the MERGE routes through the storage-partitioned
+    legs (`_spj_merge_route`): the matched/insert/by-source joins run
+    as per-bucket task passes with ZERO exchange or broadcast of
+    either side — cross-checked in-query (route engaged + the matched
+    leg's physical plan holds no shuffle join). The merge keys are
+    declared OPTIONAL, so eligibility rests on the planned files'
+    null_value_counts proving both sides null-free (metadata proof,
+    r12). The end state is route-invariant — the oracle is unchanged."""
+    from ..iceberg.partitioning import spec_from
     from ..iceberg.types import schema_from_spark
+    from ..iceberg.write import _spj_merge_route
 
     cat = _fresh_catalog("ice_merge", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
-    t = cat.create_table("db.ice_merge", schema_from_spark(orders.schema))
+    oschema = schema_from_spark(orders.schema)
+    t = cat.create_table(
+        "db.ice_merge",
+        oschema,
+        spec=spec_from(oschema, ("o_orderkey", "bucket[8]")),
+    )
     t.append(orders.repartition(4))
     src = (
         orders.where("o_orderkey % 3 = 0")
@@ -1074,9 +1097,24 @@ def ice_merge(spark, sf_dir):
             )
         )
     )
+    sschema = schema_from_spark(src.schema)
+    ts = cat.create_table(
+        "db.ice_merge_src",
+        sschema,
+        spec=spec_from(sschema, ("o_orderkey", "bucket[8]")),
+    )
+    ts.append(src)
+    # in-query cross-check: the co-partitioned table source must route
+    # through the SPJ merge legs, and the matched leg's plan must hold
+    # no shuffle join of table data (only O(buckets) task descriptors)
+    spj = _spj_merge_route(t, spark, ts, ["o_orderkey"])
+    assert spj is not None, "SPJ merge route did not engage"
+    mplan = spj["matched"]()._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in mplan and "ShuffledHashJoin" not in mplan
+    assert "BroadcastHashJoin" not in mplan, "SPJ merge must not broadcast"
     assert t.merge(
         spark,
-        src,
+        ts,
         on=["o_orderkey"],
         matched_update={
             "o_totalprice": (
