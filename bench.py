@@ -388,12 +388,83 @@ def run_dml(spark, sf_dir):
         finally:
             shutil.rmtree(mwh, ignore_errors=True)
 
+    def run_spj_merge_once():
+        # the same MERGE through the storage-partitioned legs: target
+        # and source are Iceberg tables bucket[8] on l_orderkey, so
+        # the matched/anti joins run as per-bucket task passes with no
+        # exchange or broadcast (timed so the SPJ-merge path has a
+        # round-over-round signal; the route is asserted, not assumed)
+        from pyspark.sql import functions as SF
+
+        from iceberg_go_distributed_spark.iceberg.partitioning import (
+            spec_from,
+        )
+        from iceberg_go_distributed_spark.iceberg.write import (
+            _spj_merge_route,
+        )
+
+        mwh = tempfile.mkdtemp(prefix="dml-spj-bench-")
+        try:
+            mcat = FileSystemCatalog(mwh)
+            schema = schema_from_spark(li.schema)
+            mt = mcat.create_table(
+                "db.dml_spj",
+                schema,
+                spec=spec_from(schema, ("l_orderkey", "bucket[8]")),
+            )
+            mt.upgrade_format_version(3)
+            mt.append(li)
+            mt.refresh()
+            lo = li.agg(SF.max("l_orderkey")).collect()[0][0] // 10
+            src_df = (
+                li.where(SF.col("l_orderkey").between(lo, lo + lo // 4))
+                .select("l_orderkey", "l_linenumber")
+                .dropDuplicates(["l_orderkey", "l_linenumber"])
+                .withColumn("bump", SF.lit(1.0))
+            )
+            sschema = schema_from_spark(src_df.schema)
+            st = mcat.create_table(
+                "db.dml_spj_src",
+                sschema,
+                spec=spec_from(sschema, ("l_orderkey", "bucket[8]")),
+            )
+            st.append(src_df)
+            st.refresh()
+            assert (
+                _spj_merge_route(mt, spark, st, ["l_orderkey", "l_linenumber"])
+                is not None
+            ), "SPJ merge route did not engage"
+            t0 = time.perf_counter()
+            mt.merge(
+                spark, st, on=["l_orderkey", "l_linenumber"],
+                matched_update={"l_quantity": "target.l_quantity + source.bump"},
+                matched_delete_condition="source.l_orderkey % 97 = 0",
+                not_matched_insert=False,
+                not_matched_by_source_delete_condition=(
+                    "target.l_orderkey % 9973 = 0"
+                ),
+            )
+            sec = round(time.perf_counter() - t0, 4)
+            mt.refresh()
+            sm = mt.current_snapshot().summary.properties
+            return sec, {
+                "added_records": int(sm.get("added-records", "0")),
+                "eq_deletes": int(sm.get("added-equality-deletes", "0")),
+            }
+        finally:
+            shutil.rmtree(mwh, ignore_errors=True)
+
     d_attempts = [run_merge_once() for _ in range(2)]
+    s_attempts = [run_spj_merge_once() for _ in range(2)]
     return {
         "merge_sec": round(min(a[0] for a in d_attempts), 4),
         "attempts": [a[0] for a in d_attempts],
         "counts": d_attempts[0][1],
         "counts_stable": d_attempts[0][1] == d_attempts[1][1],
+        "spj_merge_sec": round(min(a[0] for a in s_attempts), 4),
+        "spj_attempts": [a[0] for a in s_attempts],
+        "spj_counts": s_attempts[0][1],
+        "spj_counts_stable": s_attempts[0][1] == s_attempts[1][1],
     }
 
 
@@ -718,6 +789,7 @@ def main(argv=None) -> None:
         dml = timed_block("dml", lambda: run_dml(spark, sf_dir))
         detail["dml"] = dml
         summary["dml_merge_sec"] = dml.get("merge_sec")
+        summary["dml_spj_merge_sec"] = dml.get("spj_merge_sec")
     if "spj" in blocks:
         spj = timed_block("spj", lambda: run_spj(spark, sf_dir))
         detail["spj"] = spj

@@ -254,7 +254,7 @@ def _side_blobs(table, pf, row_filter, spark):
     from pyspark.sql import functions as F
 
     from .expressions import AlwaysTrue, bind_expr, rewrite_not
-    from .table import _distributed_prune_frame, _keep_persisted
+    from .table import _distributed_prune_frame_cached
     from .write import _decode_descriptor
 
     scan = (
@@ -268,13 +268,13 @@ def _side_blobs(table, pf, row_filter, spark):
         if not isinstance(bound, AlwaysTrue):
             resid = bound
     out_schema = "part string, files string, bytes long, nfiles long"
-    frame, n_del = _distributed_prune_frame(scan, spark)
+    # the memoized frame is persisted, so the several SPJ legs a MERGE
+    # plans (and the delete collect below) share ONE prune job per side
+    frame, n_del = _distributed_prune_frame_cached(scan, spark)
     if frame is None:
         return spark.createDataFrame([], out_schema), resid
     delete_rows = []
     if n_del:
-        # the frame feeds two jobs (delete collect + grouping): persist
-        frame = _keep_persisted(frame)
         delete_rows = sorted(
             (
                 (r.seq, _decode_descriptor(r.descriptor))
@@ -433,9 +433,184 @@ def _bucket_task_frame(spark, lframe, rframe, how, limit):
             yield pd.DataFrame(cols)
             cols = {k: [] for k in cols}
 
-    return joined.mapInPandas(
-        plan_rows,
-        "part string, left_files string, right_files string, split int",
+    return _spread_tasks(
+        joined.mapInPandas(
+            plan_rows,
+            "part string, left_files string, right_files string, split int",
+        ),
+        spark,
+    )
+
+
+def _spread_tasks(df, spark):
+    """One bucket task per Spark task: the planned task frame is tiny
+    (O(buckets) rows of a few KB), so AQE coalesces its exchange into
+    one or two partitions — and the heavy per-bucket file reads of the
+    downstream mapInArrow pipeline into them, serializing a
+    million-file join behind a single core (measured: the 1M-file
+    probe's first dist run sat 9+ min in ONE task). An explicit
+    repartition count is exempt from AQE coalescing and round-robins
+    the task rows; empty partitions at small scale are scheduling
+    noise only. Mirrors the driver path's repartition(min(len(rows),
+    _MAX_TASK_PARTITIONS)) without needing a driver-side row count."""
+    n = min(
+        _MAX_TASK_PARTITIONS,
+        max(64, spark.sparkContext.defaultParallelism * 4),
+    )
+    return df.repartition(n)
+
+
+def _wide_merge_precheck(table, source, t_pf, s_pf, optional_fids, limit, spark):
+    """Executor-side twin of the MERGE pre-check's driver loops
+    (write.py `_spj_merge_route`) for WIDE sides: per-bucket byte sums
+    come from the blob frames (O(buckets) rows, matched delete sizes
+    included, the prune job shared with the merge legs via the
+    prune-frame memo) and the optional-key null proof is one decode
+    pass over the memoized descriptor frame — the driver never holds a
+    file descriptor. optional_fids: [(table_fid, source_fid), ...].
+    Returns False → the caller falls back to the regular merge path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .manifest import ManifestContent
+    from .table import _distributed_prune_frame_cached
+    from .write import _decode_descriptor
+
+    # spec-evolution eligibility, manifest-level: a manifest whose spec
+    # lacks the co-partition field holds files of unknown layout. The
+    # driver path learns this from _side_tasks' per-file ValueError;
+    # here it must be known BEFORE a Spark job would raise it from an
+    # executor (merge wants a fallback, not a crash).
+    for t, pf in ((table, t_pf), (source, s_pf)):
+        md = t.metadata
+        snap = md.current_snapshot()
+        if snap is None:
+            continue
+        for m in snap.manifests():
+            if m.content != ManifestContent.DATA:
+                continue
+            spec = md.spec_by_id(m.partition_spec_id)
+            if spec is None or all(f.name != pf.name for f in spec.fields):
+                return False
+
+    tframe, _ = _side_blobs(table, t_pf, None, spark)
+    sframe, _ = _side_blobs(source, s_pf, None, spark)
+    worst = (
+        tframe.select("part", F.col("bytes").alias("tb"))
+        .join(
+            sframe.select("part", F.col("bytes").alias("sb")), "part", "outer"
+        )
+        .agg(
+            F.max(
+                F.coalesce(F.col("tb"), F.lit(0))
+                + F.coalesce(F.col("sb"), F.lit(0))
+            )
+        )
+        .first()[0]
+    )
+    if worst is not None and worst > limit:
+        return False
+
+    if optional_fids:
+        for t, fids in (
+            (table, tuple(p[0] for p in optional_fids)),
+            (source, tuple(p[1] for p in optional_fids)),
+        ):
+            frame, _n = _distributed_prune_frame_cached(t.scan(), spark)
+            if frame is None:
+                continue
+
+            def check(batches, _fids=fids):
+                ok = True
+                for pdf in batches:
+                    for desc in pdf["descriptor"]:
+                        nvc = _decode_descriptor(desc).null_value_counts
+                        for fid in _fids:
+                            if not nvc or nvc.get(fid) is None or nvc[fid] > 0:
+                                ok = False
+                yield pd.DataFrame({"ok": [ok]})
+
+            flags = (
+                frame.where("kind = 0")
+                .select("descriptor")
+                .mapInPandas(check, "ok boolean")
+                .collect()
+            )
+            if not all(r.ok for r in flags):
+                return False
+    return True
+
+
+def _star_task_frame(spark, frames, limit):
+    """N-way star planning Spark-side: inner-join every side's blob
+    frame on the bucket value (a star is inner on all sides; null
+    buckets never match) and apply the fact-only fragment budget in
+    the same executor pass — the distributed twin of the driver loop
+    in `storage_partitioned_star_join`. Emits (part, sides, split)
+    where `sides` is the task row's JSON list of per-side file sets
+    and split=1 marks fact fragments of an over-budget bucket (fused
+    callers route those to the partial pipeline; plain stars treat
+    them as ordinary tasks). Only O(buckets) blob rows ever move."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    none_part = repr(None)
+    n = len(frames)
+    joined = None
+    for i, fr in enumerate(frames):
+        side = fr.select(
+            F.col("part"),
+            F.col("files").alias(f"f{i}"),
+            F.col("bytes").alias(f"b{i}"),
+        ).where(F.col("part") != none_part)
+        joined = side if joined is None else joined.join(side, "part", "inner")
+
+    def plan_rows(batches):
+        cols = {"part": [], "sides": [], "split": []}
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                part = row["part"]
+                side_jsons = [row[f"f{i}"] for i in range(n)]
+                dims_bytes = sum(int(row[f"b{i}"]) for i in range(1, n))
+                if dims_bytes + int(row["b0"]) <= limit:
+                    cols["part"].append(part)
+                    cols["sides"].append(json.dumps(side_jsons))
+                    cols["split"].append(0)
+                    continue
+                budget = limit - dims_bytes
+                fact = _task_loads(side_jsons[0])
+                biggest = max(e["bytes"] for e in fact)
+                if budget < biggest:
+                    raise ValueError(
+                        f"bucket {part}: dimension sides hold "
+                        f"{dims_bytes} bytes and the largest fact file "
+                        f"is {biggest} — no split fits "
+                        f"join.spj.max-bucket-bytes={limit}"
+                    )
+                dims_tail = side_jsons[1:]
+
+                def emit_chunk(chunk):
+                    cols["part"].append(part)
+                    cols["sides"].append(
+                        json.dumps([_entries_json(chunk)] + dims_tail)
+                    )
+                    cols["split"].append(1)
+
+                chunk, cb = [], 0
+                for e in fact:
+                    if chunk and cb + e["bytes"] > budget:
+                        emit_chunk(chunk)
+                        chunk, cb = [], 0
+                    chunk.append(e)
+                    cb += e["bytes"]
+                if chunk:
+                    emit_chunk(chunk)
+            yield pd.DataFrame(cols)
+            cols = {k: [] for k in cols}
+
+    return _spread_tasks(
+        joined.mapInPandas(plan_rows, "part string, sides string, split int"),
+        spark,
     )
 
 
@@ -1362,7 +1537,10 @@ def storage_partitioned_agg(
                         )
                 yield pdf[["part", "files"]]
 
-        task_df = blob_frame.mapInPandas(check_rows, "part string, files string")
+        task_df = _spread_tasks(
+            blob_frame.mapInPandas(check_rows, "part string, files string"),
+            spark,
+        )
     else:
         task_df = spark.createDataFrame(rows, "part string, files string").repartition(min(len(rows), _MAX_TASK_PARTITIONS))
     agg_items = list(aggs.items())
@@ -1738,12 +1916,21 @@ def storage_partitioned_star_join(
         if _hash_family(src.field_type) != fam0:
             raise ValueError("key hash families differ across sides")
 
+    # any wide side flips ALL sides to executor-side blob grouping —
+    # the blobs path handles small snapshots too, so mixing is never
+    # needed (same rule as the two-way join)
+    distributed = any(_spj_wide(s["table"], spark) for s in norm)
     buckets_per_side = []
+    blob_frames = []
     resids = []
     for s, (fields, _src) in zip(norm, per_side):
         pf = next(f for f in fields if str(f.transform) == chosen)
-        by_bucket, resid = _side_tasks(s["table"], pf, s["filter"], spark)
-        buckets_per_side.append(by_bucket)
+        if distributed:
+            frame, resid = _side_blobs(s["table"], pf, s["filter"], spark)
+            blob_frames.append(frame)
+        else:
+            by_bucket, resid = _side_tasks(s["table"], pf, s["filter"], spark)
+            buckets_per_side.append(by_bucket)
         resids.append(resid)
 
     # column planning: side 0 keeps its key; later sides drop theirs
@@ -1819,9 +2006,11 @@ def storage_partitioned_star_join(
         )
 
     # inner: only buckets present on every side can produce output
-    common = set(buckets_per_side[0]) - {None}
-    for bb in buckets_per_side[1:]:
-        common &= set(bb)
+    common = set()
+    if not distributed:
+        common = set(buckets_per_side[0]) - {None}
+        for bb in buckets_per_side[1:]:
+            common &= set(bb)
     # fused mode: a split bucket's groups span fact fragments, so its
     # fragments route to `partial_rows` and take the two-phase path
     # (decomposed partials + one Spark combine — r13, same machinery as
@@ -1858,15 +2047,32 @@ def storage_partitioned_star_join(
             sink.append(
                 (repr(b), json.dumps([_task_json(chunk)] + [_task_json(p) for p in per[1:]]))
             )
-    if not rows and not partial_rows:
+    if not distributed and not rows and not partial_rows:
         return spark.createDataFrame([], result_struct)
 
     from . import fileio as _fileio
 
     fileio_cfg = _fileio.env_config()
-    task_df = spark.createDataFrame(
-        rows or [], "part string, sides string"
-    ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
+    ptask_df = None
+    if distributed:
+        task_frame = _star_task_frame(spark, blob_frames, limit)
+        if fused_struct is not None:
+            from .table import _keep_persisted
+
+            task_frame = _keep_persisted(task_frame)
+            task_df = task_frame.where("split = 0").drop("split")
+            pframe = task_frame.where("split = 1").drop("split")
+            has_partials = pframe.limit(1).count() > 0
+            if has_partials:
+                ptask_df = pframe
+        else:
+            task_df = task_frame.drop("split")
+            has_partials = False
+    else:
+        task_df = spark.createDataFrame(
+            rows or [], "part string, sides string"
+        ).repartition(min(max(len(rows), 1), _MAX_TASK_PARTITIONS))
+        has_partials = bool(partial_rows)
     keys = [s["key"] for s in norm]
     fused_names = [f.name for f in fused_struct.fields] if fused_struct else None
 
@@ -1921,14 +2127,15 @@ def storage_partitioned_star_join(
             yield from out.to_batches(max_chunksize=1 << 16)
 
     final_df = task_df.mapInArrow(star_task, result_struct)
-    if not partial_rows:
+    if not has_partials:
         return final_df
 
     partial_struct, p_items = _fused_partial_plan(out_struct, fg_keys, fg_items)
     p_names = [f.name for f in partial_struct.fields]
-    ptask_df = spark.createDataFrame(
-        partial_rows, "part string, sides string"
-    ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
+    if ptask_df is None:
+        ptask_df = spark.createDataFrame(
+            partial_rows, "part string, sides string"
+        ).repartition(min(len(partial_rows), _MAX_TASK_PARTITIONS))
 
     def star_task_partial(batches):
         from . import fileio

@@ -3030,3 +3030,40 @@ def _keep_persisted(frame):
         except Exception:  # noqa: BLE001 — a stopped session is fine
             pass
     return frame
+
+
+# Bounded prune-frame memo for the SPJ family: one MERGE through the
+# storage-partitioned legs plans each side several times (pre-check,
+# matched, insert-anti, by-source-anti, cardinality probe), and each
+# `_side_blobs` call would otherwise re-run the manifest-decode prune
+# job. Keyed like _PLAN_CACHE — metadata LOCATION + snapshot id makes
+# commits invalidate by construction — plus the Spark applicationId
+# (a persisted frame dies with its session). The memoized frame is
+# persisted; if the FIFO above unpersists it early, reuse silently
+# recomputes (correct, just unamortized).
+_PRUNE_FRAME_MEMO: dict = {}
+_PRUNE_FRAME_MEMO_MAX = 4
+
+
+def _distributed_prune_frame_cached(scan: Scan, spark):
+    snap = scan.snapshot()
+    loc = getattr(scan.table, "metadata_location", None)
+    if snap is None or loc is None:
+        return _distributed_prune_frame(scan, spark)
+    key = (
+        spark.sparkContext.applicationId,
+        loc,
+        snap.snapshot_id,
+        repr(scan.row_filter),
+        scan.case_sensitive,
+    )
+    hit = _PRUNE_FRAME_MEMO.get(key)
+    if hit is not None:
+        return hit
+    frame, n_del = _distributed_prune_frame(scan, spark)
+    if frame is not None:
+        frame = _keep_persisted(frame)
+    _PRUNE_FRAME_MEMO[key] = (frame, n_del)
+    while len(_PRUNE_FRAME_MEMO) > _PRUNE_FRAME_MEMO_MAX:
+        _PRUNE_FRAME_MEMO.pop(next(iter(_PRUNE_FRAME_MEMO)))
+    return frame, n_del

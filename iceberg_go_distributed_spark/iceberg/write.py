@@ -2897,7 +2897,13 @@ def _spj_merge_route(table, spark, source, on):
     # broadcast/AQE path", not a mid-merge ValueError telling the user
     # to rewrite their table. Planning here is not wasted work — the
     # plan memo hands the same task lists to the join legs for free.
-    from .spj import DEFAULT_MAX_BUCKET_BYTES, _bucket_bytes, _side_tasks
+    from .spj import (
+        DEFAULT_MAX_BUCKET_BYTES,
+        _bucket_bytes,
+        _side_tasks,
+        _spj_wide,
+        _wide_merge_precheck,
+    )
 
     try:
         limit = int(
@@ -2907,6 +2913,24 @@ def _spj_merge_route(table, spark, source, on):
         )
     except (TypeError, ValueError):
         limit = DEFAULT_MAX_BUCKET_BYTES
+    if _spj_wide(table, spark) or _spj_wide(source, spark):
+        # wide sides: the same checks run as Spark jobs over the
+        # memoized prune frames (O(buckets) to the driver) instead of
+        # collecting O(files) task lists per side; the legs reuse the
+        # prune work through the frame memo
+        if not _wide_merge_precheck(
+            table,
+            source,
+            copart_fields[0],
+            copart_fields[1],
+            optional_keys,
+            limit,
+            spark,
+        ):
+            return None
+        return _spj_merge_providers(
+            table, source, spark, on, copart_key, limit, t_schema, s_schema
+        )
     try:
         t_buckets, _ = _side_tasks(table, copart_fields[0], None, spark)
         s_buckets, _ = _side_tasks(source, copart_fields[1], None, spark)
@@ -2939,6 +2963,19 @@ def _spj_merge_route(table, spark, source, on):
     for b in set(t_bytes) | set(s_bytes):
         if t_bytes.get(b, 0) + s_bytes.get(b, 0) > limit:
             return None
+    return _spj_merge_providers(
+        table, source, spark, on, copart_key, limit, t_schema, s_schema
+    )
+
+
+def _spj_merge_providers(
+    table, source, spark, on, copart_key, limit, t_schema, s_schema
+):
+    """The SPJ merge-leg builders — shared by the driver-grouped and
+    wide (executor-grouped) pre-check paths of `_spj_merge_route`."""
+    from pyspark.sql import functions as F
+
+    from .spj import storage_partitioned_agg, storage_partitioned_join
 
     tcols = [f.name for f in t_schema.fields]
     src_cols = [f.name for f in s_schema.fields]

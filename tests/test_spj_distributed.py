@@ -29,6 +29,7 @@ from iceberg_go_distributed_spark.iceberg.spj import (
     storage_partitioned_asof_join,
     storage_partitioned_join,
     storage_partitioned_join_agg,
+    storage_partitioned_star_join,
 )
 from iceberg_go_distributed_spark.iceberg.types import schema_from_spark
 
@@ -207,6 +208,98 @@ def test_spj_distributed_fused_agg_two_phase(spark, catalog):
         )
     )
     assert got == exp
+
+
+def test_spj_distributed_star_join(spark, catalog):
+    """N-way star through the blob-frame route: parity with the driver
+    plan, both plain and fused-with-forced-fact-split."""
+    fact = spark.createDataFrame(
+        [(i % 5, i, float(i % 7)) for i in range(500)],
+        "k long, id long, amt double",
+    )
+    d1 = spark.createDataFrame([(k, f"a{k}") for k in range(5)], "k1 long, a string")
+    d2 = spark.createDataFrame([(k, k * 10) for k in range(5)], "k2 long, b long")
+    tf = _bucketed(catalog, "stf", fact, "k")
+    t1 = _bucketed(catalog, "std1", d1, "k1")
+    t2 = _bucketed(catalog, "std2", d2, "k2")
+    sides = [
+        {"table": tf, "key": "k", "select": ["k", "id", "amt"]},
+        {"table": t1, "key": "k1", "select": ["k1", "a"]},
+        {"table": t2, "key": "k2", "select": ["k2", "b"]},
+    ]
+    exp = _rows(storage_partitioned_star_join(spark, sides))
+    exp_agg = _rows(
+        storage_partitioned_star_join(
+            spark, sides, aggs={"n": ("id", "count"), "s": ("amt", "sum")},
+            group_keys=["k", "a"],
+        )
+    )
+    _force_wide(tf, t1, t2)
+    got_df = storage_partitioned_star_join(spark, sides)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # the star tasks read via mapInArrow; the only join operators in
+    # the plan are the O(buckets) blob-frame planning joins on `part`
+    # — no exchange may carry table data columns
+    assert "MapInArrow" in plan
+    assert "hashpartitioning(k#" not in plan and "hashpartitioning(id#" not in plan
+    assert _rows(got_df) == exp
+    # fused star with a budget forcing the fact bucket to fragment:
+    # split rows route to the partial pipeline, values identical
+    assert exp_agg == _rows(
+        storage_partitioned_star_join(
+            spark, sides, aggs={"n": ("id", "count"), "s": ("amt", "sum")},
+            group_keys=["k", "a"], max_bucket_bytes=7000,
+        )
+    )
+
+
+def test_spj_merge_wide_precheck(spark, catalog):
+    """MERGE with wide co-partitioned sides: the pre-check runs as
+    Spark jobs (no O(files) driver collect), the SPJ legs engage, and
+    the end state matches the driver-grouped twin."""
+    from iceberg_go_distributed_spark.iceberg.write import _spj_merge_route
+
+    def build(suffix):
+        tgt = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(300)], "id long, v string"
+        )
+        src = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(0, 300, 3)]
+            + [(1000 + i, f"n{i}") for i in range(5)],
+            "id long, v string",
+        )
+        tt = _bucketed(catalog, f"mt{suffix}", tgt, "id")
+        ts = _bucketed(catalog, f"ms{suffix}", src, "id")
+        return tt, ts
+
+    def run_merge(tt, ts):
+        assert tt.merge(
+            spark,
+            ts,
+            on=["id"],
+            matched_update={"v": "source.v"},
+            not_matched_insert={"id": "source.id", "v": "source.v"},
+        )
+        tt.refresh()
+        return _rows(tt.scan().to_df(spark))
+
+    tt_d, ts_d = build("drv")
+    exp = run_merge(tt_d, ts_d)
+
+    tt_w, ts_w = build("wide")
+    _force_wide(tt_w, ts_w)
+    assert _spj_wide(tt_w, spark)
+    spj = _spj_merge_route(tt_w, spark, ts_w, ["id"])
+    assert spj is not None, "wide pre-check refused an eligible merge"
+    assert run_merge(tt_w, ts_w) == exp
+
+    # over-budget bucket pair → pre-check returns None (falls back to
+    # the regular path) instead of raising from an executor
+    tt_o, ts_o = build("over")
+    _force_wide(tt_o, ts_o)
+    tt_o.properties["join.spj.max-bucket-bytes"] = "10"
+    assert _spj_merge_route(tt_o, spark, ts_o, ["id"]) is None
+    assert run_merge(tt_o, ts_o) == exp
 
 
 def test_spj_distributed_agg_and_asof(spark, catalog):
