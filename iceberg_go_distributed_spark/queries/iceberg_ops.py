@@ -1333,7 +1333,10 @@ def ice_eq_convert(spark, sf_dir):
         "storage-partitioned join + 3-way star join + fused join→agg: "
         "bucket[8]-co-located orders⋈customer⋈flags joined per-bucket "
         "in-task (zero table exchange), MOR deletes applied during the "
-        "bucket read, fused per-key aggregate cross-checked exactly"
+        "bucket read, fused per-key aggregate cross-checked exactly — "
+        "r14: distributed (executor-grouped blob-frame) planning "
+        "cross-checked in-query against the driver-planned join, and "
+        "the oracle-hashed star output rides the distributed route"
     ),
 )
 def ice_spj(spark, sf_dir):
@@ -1413,9 +1416,41 @@ def ice_spj(spark, sf_dir):
     fused_total = fused.agg(F.sum("n")).first()[0]
     assert fused_total == df.count(), "fused join→agg lost/duplicated rows"
 
+    # r14: the same join above the distributed-planning threshold must
+    # route through executor-side bucket grouping (blob frames — the
+    # driver never collects a file descriptor) and return exactly the
+    # driver-planned rows: count + price checksum cross-checked
+    from ..iceberg.spj import _spj_wide
+
+    for t in (to, tc, tf):
+        t.properties["read.distributed-planning.min-manifests"] = "1"
+    assert _spj_wide(to, spark), "distributed SPJ planning did not engage"
+    dist_df = storage_partitioned_join(
+        spark,
+        to,
+        tc,
+        on=("o_custkey", "c_custkey"),
+        left_select=["o_custkey", "o_totalprice"],
+        right_select=["c_custkey", "c_mktsegment"],
+    )
+    dplan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in dplan
+    assert "hashpartitioning(o_custkey" not in dplan
+    chk = [
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2))"
+        ).alias("s"),
+    ]
+    assert dist_df.agg(*chk).collect() == df.agg(*chk).collect(), (
+        "distributed SPJ planning diverged from the driver-planned join"
+    )
+
     # 3-way star (orders⋈customer⋈flags, one task pass) carries the vip
     # count into the oracle-hashed output; the flags side has every
-    # custkey, so row multiplicity equals the 2-way join's
+    # custkey, so row multiplicity equals the 2-way join's. The sides
+    # are still above the lowered threshold, so the star's buckets ALSO
+    # group executor-side — the oracle hash rides the r14 route.
     star = storage_partitioned_star_join(
         spark,
         [
