@@ -285,14 +285,21 @@ def _side_blobs(table, pf, row_filter, spark):
     pf_name = pf.name
     data = frame.where(F.col("kind") == 0).select("seq", "descriptor")
 
+    # the blob entries need only (partition value, path, size); one
+    # light json parse per descriptor extracts them and the grouping
+    # shuffle carries ~100-byte rows instead of full ~1 KB descriptors
+    # (a full DataFile decode converts bounds/stats maps nobody reads)
     def add_part(batches):
-        from .write import _decode_descriptor as dec
+        import json as _json
+
+        from .write import _decode_partition
 
         for pdf in batches:
-            parts = []
+            parts, paths, sizes = [], [], []
             for desc in pdf["descriptor"]:
-                d = dec(desc)
-                if pf_name not in (d.partition or {}):
+                d = _json.loads(desc)
+                p = _decode_partition(d.get("partition"))
+                if pf_name not in p:
                     # same refusal as _side_tasks: a file written under
                     # an older spec has unknown layout for this field
                     raise ValueError(
@@ -304,33 +311,34 @@ def _side_blobs(table, pf, row_filter, spark):
                         "the current spec, or use a regular "
                         "to_df().join()"
                     )
-                parts.append(repr(d.partition.get(pf_name)))
+                parts.append(repr(p.get(pf_name)))
+                paths.append(d["file_path"])
+                sizes.append(d["file_size_in_bytes"])
             yield pd.DataFrame(
                 {
                     "part": parts,
                     "seq": pdf["seq"],
-                    "descriptor": pdf["descriptor"],
+                    "path": paths,
+                    "size": sizes,
                 }
             )
 
     keyed = data.mapInPandas(
-        add_part, "part string, seq long, descriptor string"
+        add_part, "part string, seq long, path string, size long"
     )
 
     def to_blob(pdf):
         from .table import match_deletes
-        from .write import _decode_descriptor as dec
 
         entries, total = [], 0
-        for seq, desc in zip(pdf["seq"], pdf["descriptor"]):
-            d = dec(desc)
-            matched = match_deletes(int(seq), d.file_path, delete_rows)
+        for seq, path, size in zip(pdf["seq"], pdf["path"], pdf["size"]):
+            matched = match_deletes(int(seq), path, delete_rows)
             dels, eqs = _delete_entries(matched)
-            nbytes = d.file_size_in_bytes + sum(
+            nbytes = int(size) + sum(
                 x.file_size_in_bytes for x in matched
             )
             entries.append(
-                {"path": d.file_path, "dels": dels, "eqs": eqs, "bytes": nbytes}
+                {"path": path, "dels": dels, "eqs": eqs, "bytes": nbytes}
             )
             total += nbytes
         return pd.DataFrame(
