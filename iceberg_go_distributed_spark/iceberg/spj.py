@@ -65,6 +65,12 @@ DEFAULT_MAX_BUCKET_BYTES = 4 << 30  # join.spj.max-bucket-bytes
 # paying one Python-worker round per tiny task
 _MAX_TASK_PARTITIONS = 2048
 
+# blob-frame memo (see _side_blobs): keyed like the plan cache —
+# metadata location + snapshot id invalidate on commit — plus the
+# Spark applicationId (persisted frames die with their session)
+_BLOB_FRAME_MEMO: dict = {}
+_BLOB_FRAME_MEMO_MAX = 8
+
 
 def _hash_family(t) -> str:
     """Iceberg bucket hashing groups types into families that hash
@@ -254,7 +260,7 @@ def _side_blobs(table, pf, row_filter, spark):
     from pyspark.sql import functions as F
 
     from .expressions import AlwaysTrue, bind_expr, rewrite_not
-    from .table import _distributed_prune_frame_cached
+    from .table import _distributed_prune_frame_cached, _keep_persisted
     from .write import _decode_descriptor
 
     scan = (
@@ -267,6 +273,24 @@ def _side_blobs(table, pf, row_filter, spark):
         bound = bind_expr(rewrite_not(row_filter), table.schema())
         if not isinstance(bound, AlwaysTrue):
             resid = bound
+    # memo the (persisted, O(buckets)) blob frame alongside the prune
+    # frame: the several legs a MERGE plans (pre-check, matched,
+    # insert-anti, by-source-anti, cardinality probe) then share ONE
+    # grouping job per side on top of the one prune job
+    memo_key = None
+    snap = table.metadata.current_snapshot()
+    loc = getattr(table, "metadata_location", None)
+    if snap is not None and loc is not None:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            loc,
+            snap.snapshot_id,
+            repr(row_filter),
+            pf.name,
+        )
+        hit = _BLOB_FRAME_MEMO.get(memo_key)
+        if hit is not None:
+            return hit, resid
     out_schema = "part string, files string, bytes long, nfiles long"
     # the memoized frame is persisted, so the several SPJ legs a MERGE
     # plans (and the delete collect below) share ONE prune job per side
@@ -350,7 +374,13 @@ def _side_blobs(table, pf, row_filter, spark):
             }
         )
 
-    return keyed.groupBy("part").applyInPandas(to_blob, out_schema), resid
+    blob = keyed.groupBy("part").applyInPandas(to_blob, out_schema)
+    if memo_key is not None:
+        blob = _keep_persisted(blob)
+        _BLOB_FRAME_MEMO[memo_key] = blob
+        while len(_BLOB_FRAME_MEMO) > _BLOB_FRAME_MEMO_MAX:
+            _BLOB_FRAME_MEMO.pop(next(iter(_BLOB_FRAME_MEMO)))
+    return blob, resid
 
 
 def _bucket_task_frame(spark, lframe, rframe, how, limit):

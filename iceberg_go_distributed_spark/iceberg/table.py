@@ -3017,7 +3017,10 @@ def _descriptor_rows_to_tasks(rows) -> list[FileScanTask]:
 # unpersist would just re-run the prune job) — a small FIFO bounds the
 # executor storage to the few most recent scans
 _PERSISTED_FRAMES: list = []
-_PERSISTED_FRAMES_MAX = 4
+# 8: one SPJ MERGE holds up to two prune frames, two blob frames, and
+# a task frame at once; a FIFO smaller than the working set would
+# unpersist frames mid-operation and silently re-run their jobs
+_PERSISTED_FRAMES_MAX = 8
 
 
 def _keep_persisted(frame):
