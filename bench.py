@@ -393,7 +393,12 @@ def run_dml(spark, sf_dir):
         # and source are Iceberg tables bucket[8] on l_orderkey, so
         # the matched/anti joins run as per-bucket task passes with no
         # exchange or broadcast (timed so the SPJ-merge path has a
-        # round-over-round signal; the route is asserted, not assumed)
+        # round-over-round signal; the route is asserted, not assumed).
+        # A like-for-like control merges the SAME bucketed source
+        # through the regular path (scan().to_df — what a user without
+        # the route would run) into a fresh identical target; the pair
+        # of walls compares route vs no-route on identical data, and
+        # identical snapshot counts prove identical work.
         from pyspark.sql import functions as SF
 
         from iceberg_go_distributed_spark.iceberg.partitioning import (
@@ -407,14 +412,22 @@ def run_dml(spark, sf_dir):
         try:
             mcat = FileSystemCatalog(mwh)
             schema = schema_from_spark(li.schema)
-            mt = mcat.create_table(
-                "db.dml_spj",
-                schema,
-                spec=spec_from(schema, ("l_orderkey", "bucket[8]")),
-            )
-            mt.upgrade_format_version(3)
-            mt.append(li)
-            mt.refresh()
+
+            def fresh_target(name):
+                mt = mcat.create_table(
+                    name,
+                    schema,
+                    spec=spec_from(schema, ("l_orderkey", "bucket[8]")),
+                )
+                mt.upgrade_format_version(3)
+                # the r14 source-size gate would broadcast this sf-sized
+                # source; force the SPJ legs — the control leg IS the
+                # gate's broadcast path, so the pair shows the crossover
+                mt.properties["write.merge.spj.min-source-rows"] = "0"
+                mt.append(li)
+                mt.refresh()
+                return mt
+
             lo = li.agg(SF.max("l_orderkey")).collect()[0][0] // 10
             src_df = (
                 li.where(SF.col("l_orderkey").between(lo, lo + lo // 4))
@@ -430,27 +443,40 @@ def run_dml(spark, sf_dir):
             )
             st.append(src_df)
             st.refresh()
+
+            def merge_into(mt, source):
+                t0 = time.perf_counter()
+                mt.merge(
+                    spark, source, on=["l_orderkey", "l_linenumber"],
+                    matched_update={
+                        "l_quantity": "target.l_quantity + source.bump"
+                    },
+                    matched_delete_condition="source.l_orderkey % 97 = 0",
+                    not_matched_insert=False,
+                    not_matched_by_source_delete_condition=(
+                        "target.l_orderkey % 9973 = 0"
+                    ),
+                )
+                sec = round(time.perf_counter() - t0, 4)
+                mt.refresh()
+                sm = mt.current_snapshot().summary.properties
+                return sec, {
+                    "added_records": int(sm.get("added-records", "0")),
+                    "eq_deletes": int(sm.get("added-equality-deletes", "0")),
+                }
+
+            mt = fresh_target("db.dml_spj")
             assert (
                 _spj_merge_route(mt, spark, st, ["l_orderkey", "l_linenumber"])
                 is not None
             ), "SPJ merge route did not engage"
-            t0 = time.perf_counter()
-            mt.merge(
-                spark, st, on=["l_orderkey", "l_linenumber"],
-                matched_update={"l_quantity": "target.l_quantity + source.bump"},
-                matched_delete_condition="source.l_orderkey % 97 = 0",
-                not_matched_insert=False,
-                not_matched_by_source_delete_condition=(
-                    "target.l_orderkey % 9973 = 0"
-                ),
+            spj_sec, spj_counts = merge_into(mt, st)
+            mt2 = fresh_target("db.dml_spj_ctl")
+            reg_sec, reg_counts = merge_into(mt2, st.scan().to_df(spark))
+            assert spj_counts == reg_counts, (
+                f"route changed the work: {spj_counts} vs {reg_counts}"
             )
-            sec = round(time.perf_counter() - t0, 4)
-            mt.refresh()
-            sm = mt.current_snapshot().summary.properties
-            return sec, {
-                "added_records": int(sm.get("added-records", "0")),
-                "eq_deletes": int(sm.get("added-equality-deletes", "0")),
-            }
+            return spj_sec, reg_sec, spj_counts
         finally:
             shutil.rmtree(mwh, ignore_errors=True)
 
@@ -462,9 +488,10 @@ def run_dml(spark, sf_dir):
         "counts": d_attempts[0][1],
         "counts_stable": d_attempts[0][1] == d_attempts[1][1],
         "spj_merge_sec": round(min(a[0] for a in s_attempts), 4),
-        "spj_attempts": [a[0] for a in s_attempts],
-        "spj_counts": s_attempts[0][1],
-        "spj_counts_stable": s_attempts[0][1] == s_attempts[1][1],
+        "spj_merge_regular_sec": round(min(a[1] for a in s_attempts), 4),
+        "spj_attempts": [[a[0], a[1]] for a in s_attempts],
+        "spj_counts": s_attempts[0][2],
+        "spj_counts_stable": s_attempts[0][2] == s_attempts[1][2],
     }
 
 

@@ -2822,6 +2822,11 @@ class MergeCardinalityError(ValueError):
 
 _SPJ_MERGE_SRC_PREFIX = "__spjsrc_"
 
+# None → default the SPJ-merge source-size gate to the target's
+# write.merge.broadcast-source-max-rows (tests patch this to 0 to
+# force the route on tiny fixtures)
+_SPJ_MERGE_MIN_SRC_DEFAULT = None
+
 
 def _spj_merge_route(table, spark, source, on):
     """Storage-partitioned MERGE routing: when the source is itself an
@@ -2851,6 +2856,42 @@ def _spj_merge_route(table, spark, source, on):
 
     if not (hasattr(source, "scan") and hasattr(source, "spec")):
         return None
+    # Source-size gate: a source small enough to broadcast merges
+    # cheaper on the regular path (the broadcast joins read the target
+    # once through the JVM vectorized reader with no exchange either;
+    # measured at sf0.1: regular 2.5 s vs SPJ legs 4.7 s on the same
+    # bucketed 15k-row source). The SPJ legs exist for the 100 TB
+    # shape where NEITHER side broadcasts and every merge join would
+    # otherwise shuffle both sides, so route only when the source
+    # exceeds the broadcast threshold. The row count folds from the
+    # source's manifest-list metadata — no job. Override with
+    # write.merge.spj.min-source-rows on the target (0 = always route).
+    min_src = _SPJ_MERGE_MIN_SRC_DEFAULT
+    try:
+        raw = table.properties.get("write.merge.spj.min-source-rows")
+        if raw is not None:
+            min_src = int(raw)
+        elif min_src is None:
+            min_src = int(
+                table.properties.get(
+                    "write.merge.broadcast-source-max-rows", "1000000"
+                )
+            )
+    except (TypeError, ValueError):
+        min_src = 1000000
+    if min_src and min_src > 0:
+        from .manifest import ManifestContent
+
+        ssnap = source.metadata.current_snapshot()
+        if ssnap is None:
+            return None
+        src_rows = sum(
+            m.added_rows_count + m.existing_rows_count
+            for m in ssnap.manifests()
+            if m.content == ManifestContent.DATA
+        )
+        if src_rows < min_src:
+            return None
     from .spj import (
         _hash_family,
         _partition_fields_on,

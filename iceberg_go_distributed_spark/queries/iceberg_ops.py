@@ -1104,6 +1104,9 @@ def ice_merge(spark, sf_dir):
         spec=spec_from(sschema, ("o_orderkey", "bucket[8]")),
     )
     ts.append(src)
+    # the r14 source-size gate would broadcast this small-SF source;
+    # force the SPJ legs so the driver row keeps exercising them
+    t.properties["write.merge.spj.min-source-rows"] = "0"
     # in-query cross-check: the co-partitioned table source must route
     # through the SPJ merge legs, and the matched leg's plan must hold
     # no shuffle join of table data (only O(buckets) task descriptors)

@@ -270,6 +270,8 @@ def test_spj_merge_wide_precheck(spark, catalog):
         )
         tt = _bucketed(catalog, f"mt{suffix}", tgt, "id")
         ts = _bucketed(catalog, f"ms{suffix}", src, "id")
+        # defeat the r14 source-size gate (tiny fixture would broadcast)
+        tt.properties["write.merge.spj.min-source-rows"] = "0"
         return tt, ts
 
     def run_merge(tt, ts):

@@ -40,6 +40,16 @@ def catalog(tmp_path):
     return FileSystemCatalog(str(tmp_path / "wh"))
 
 
+@pytest.fixture(autouse=True)
+def _force_spj_route(monkeypatch):
+    # the source-size gate (r14) would send every tiny fixture here to
+    # the regular broadcast path; zero the default so these tests keep
+    # exercising the SPJ legs (the gate itself is tested separately)
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    monkeypatch.setattr(W, "_SPJ_MERGE_MIN_SRC_DEFAULT", 0)
+
+
 _SCHEMA = T.StructType(
     [
         T.StructField("k", T.LongType(), False),  # required merge key
@@ -136,6 +146,24 @@ def test_spj_merge_plan_has_no_table_exchange(spark, catalog):
         assert "SortMergeJoin" not in plan, leg
         assert "BroadcastHashJoin" not in plan, leg
         assert "hashpartitioning(k" not in plan, leg
+
+
+def test_spj_merge_source_size_gate(spark, catalog, monkeypatch):
+    """A broadcastable source merges cheaper on the regular path, so
+    the route refuses under the threshold by default; the target
+    property opts back in (0 = always) or tunes the floor."""
+    from iceberg_go_distributed_spark.iceberg import write as W
+
+    monkeypatch.setattr(W, "_SPJ_MERGE_MIN_SRC_DEFAULT", None)
+    t, _t2, s, _src = _mk(catalog, spark, "szgate")
+    # 18-row source is far below write.merge.broadcast-source-max-rows
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
+    t.properties["write.merge.spj.min-source-rows"] = "0"
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    t.properties["write.merge.spj.min-source-rows"] = "5"  # 18 >= 5
+    assert _spj_merge_route(t, spark, s, ["k"]) is not None
+    t.properties["write.merge.spj.min-source-rows"] = "100"
+    assert _spj_merge_route(t, spark, s, ["k"]) is None
 
 
 def test_spj_merge_route_gates(spark, catalog):
