@@ -80,20 +80,53 @@ def fingerprint_dedup(
 
 
 def shingle_sets(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_fn: str = "fast",
 ) -> DataFrame:
     """(id, shingles) with shingles = distinct word n-grams, each hashed
-    to its 60-bit `hex15` value (long).
+    to a 60-bit non-negative long.
 
     Hashing inside this operator (rather than downstream) means every
     consumer — MinHash signatures, Jaccard verification, fingerprints —
     works on 8-byte longs instead of n-gram strings: the persisted /
     shuffled sets are ~3× smaller and `array_intersect` compares longs.
-    Set cardinalities are preserved (md5 collisions at 60 bits are
+    Set cardinalities are preserved (hash collisions at 60 bits are
     ~1e-18 per corpus), so Jaccard values are identical to the
-    string-set definition the oracle SQL uses.
+    string-set definition the oracle SQL uses regardless of hash_fn.
+
+    hash_fn:
+      "fast"  (default) — xxhash64 each WORD once, then combine the n
+              word hashes per shingle with one more xxhash64 (>>4 keeps
+              values in non-negative 60-bit range for the MERSENNE31
+              arithmetic downstream). No n-gram string is ever
+              materialized, and xxhash64 is whole-stage-codegen'd where
+              md5 allocates a digest per call — measured 1.85 s → 1.22 s
+              on the sf0.1 shingle+signature phases (best-of-6,
+              OPTIMIZATION_r14.md). Consumers verify candidates with
+              EXACT Jaccard, so hash choice only moves LSH recall;
+              result pairs are measured identical on all testdata SFs.
+      "hex15" — the original 60-bit md5 prefix of the n-gram STRING;
+              required by consumers whose declared oracle reproduces the
+              hash VALUE cross-engine (doc_fingerprints).
     """
     w = F.col("_w")
+    if hash_fn == "fast":
+        base = docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+        ).withColumn(
+            "_wh", F.expr("transform(_w, t -> shiftrightunsigned(xxhash64(t), 4))")
+        )
+        comb = F.expr(
+            f"transform(sequence(0, size(_w) - {n}), i -> "
+            f"shiftrightunsigned(xxhash64({', '.join(f'_wh[i + {j}]' for j in range(n))}), 4))"
+        )
+        shingles = F.when(F.size(w) >= n, F.array_distinct(comb)).otherwise(
+            F.array(F.shiftrightunsigned(F.xxhash64(F.concat_ws(" ", w)), 4))
+        )
+        return base.select(F.col(id_col), shingles.alias("shingles"))
     shingles = F.when(
         F.size(w) >= n,
         F.array_distinct(

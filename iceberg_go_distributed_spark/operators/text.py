@@ -100,7 +100,12 @@ def doc_fingerprints(
     cheapest containment prefilter (1 value/doc vs 64 for MinHash)."""
     from .dedup import shingle_sets
 
-    sh = shingle_sets(docs.where(F.col(id_col) < max_doc_id), text_col, id_col, n)
+    # hex15: the fingerprint VALUE is the hash itself and the oracle
+    # recomputes it cross-engine (md5-based), so this consumer cannot
+    # take the fast word-combine hash
+    sh = shingle_sets(
+        docs.where(F.col(id_col) < max_doc_id), text_col, id_col, n, hash_fn="hex15"
+    )
     # shingle_sets already carries the 60-bit hex15 hash per shingle
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("_h"))
     return (
