@@ -220,6 +220,115 @@ def read_datum(buf: BinaryIO, schema: Any) -> Any:
     raise TypeError(f"unsupported avro type {t!r}")
 
 
+# ------------------------------------------------------- compiled reader
+
+def compile_reader(schema: Any):
+    """Compile a schema into a closure tree read function.
+
+    `read_datum` re-walks the schema JSON (dict lookups, type dispatch,
+    isinstance checks) for EVERY datum; at manifest scale that walk is
+    the planner's hot loop — ~100 µs per manifest entry, all driver-side
+    (or GIL-serialized thread-pool side). Compiling the walk once into
+    nested closures decodes the same bytes into the same generic datum
+    model (records ↔ dicts, arrays ↔ lists) with only per-value work
+    left. Byte-level semantics are pinned by the wire-format golden
+    tests, which decode reference-shipped manifests through this path.
+    """
+    t = _schema_type(schema)
+    if t == "union":
+        branches = [compile_reader(b) for b in schema]
+
+        def read_union(buf, _branches=branches, _rl=_read_long):
+            return _branches[_rl(buf)](buf)
+
+        return read_union
+    if t == "null":
+        return lambda buf: None
+    if t == "boolean":
+
+        def read_bool(buf):
+            b = buf.read(1)
+            if not b:
+                raise EOFError("unexpected end of avro data")
+            return b != b"\x00"
+
+        return read_bool
+    if t in ("int", "long"):
+        return _read_long
+    if t == "float":
+        unpack = struct.Struct("<f").unpack
+
+        def read_float(buf, _u=unpack, _rx=_read_exact):
+            return _u(_rx(buf, 4))[0]
+
+        return read_float
+    if t == "double":
+        unpack = struct.Struct("<d").unpack
+
+        def read_double(buf, _u=unpack, _rx=_read_exact):
+            return _u(_rx(buf, 8))[0]
+
+        return read_double
+    if t == "string":
+
+        def read_string(buf, _rb=_read_bytes):
+            return _rb(buf).decode("utf-8")
+
+        return read_string
+    if t == "bytes":
+        return _read_bytes
+    if t == "fixed":
+        size = schema["size"]
+
+        def read_fixed(buf, _n=size, _rx=_read_exact):
+            return _rx(buf, _n)
+
+        return read_fixed
+    if t == "record":
+        field_readers = [
+            (f["name"], compile_reader(f["type"])) for f in schema["fields"]
+        ]
+
+        def read_record(buf, _frs=field_readers):
+            return {name: r(buf) for name, r in _frs}
+
+        return read_record
+    if t == "array":
+        item_reader = compile_reader(schema["items"])
+
+        def read_array(buf, _ir=item_reader, _rl=_read_long):
+            out = []
+            while True:
+                n = _rl(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte size prefix
+                    _rl(buf)
+                    n = -n
+                for _ in range(n):
+                    out.append(_ir(buf))
+
+        return read_array
+    if t == "map":
+        value_reader = compile_reader(schema["values"])
+
+        def read_map(buf, _vr=value_reader, _rl=_read_long, _rb=_read_bytes):
+            out = {}
+            while True:
+                n = _rl(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _rl(buf)
+                    n = -n
+                for _ in range(n):
+                    k = _rb(buf).decode("utf-8")
+                    out[k] = _vr(buf)
+
+        return read_map
+    raise TypeError(f"unsupported avro type {t!r}")
+
+
 # ----------------------------------------------------------------- OCF IO
 
 def write_ocf(
@@ -306,7 +415,11 @@ def read_ocf(path_or_file) -> tuple[dict, dict[str, bytes], list[dict]]:
         schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
         sync = f.read(SYNC_SIZE)
+        # compiled once per file: the schema walk leaves the per-record
+        # loop (the manifest planner's hot path)
+        read_one = compile_reader(schema)
         records: list[dict] = []
+        append = records.append
         while True:
             try:
                 count = _read_long(f)
@@ -320,7 +433,7 @@ def read_ocf(path_or_file) -> tuple[dict, dict[str, bytes], list[dict]]:
                 raise ValueError(f"unsupported codec {codec!r}")
             body = io.BytesIO(payload)
             for _ in range(count):
-                records.append(read_datum(body, schema))
+                append(read_one(body))
             if f.read(SYNC_SIZE) != sync:
                 raise ValueError("sync marker mismatch")
         return schema, meta, records

@@ -211,7 +211,14 @@ def _arrow_read_file(path, fields, mapped_names, arrow_filter, filter_names, wit
 
     handle = fileio.open_input(path)
     try:
-        phys = pq.read_schema(handle)
+        # ParquetFile parses the footer ONCE and serves both the schema
+        # probe and the data read. The pq.read_table(handle, ...) it
+        # replaces spun up the whole pyarrow Dataset machinery per call
+        # AND re-parsed the footer: measured 8.96 ms → 1.51 ms per small
+        # file (OPTIMIZATION_r14.md) — the dominant per-file cost of a
+        # million-small-file scan.
+        pf = pq.ParquetFile(handle)
+        phys = pf.schema_arrow
         by_id, names = {}, set(phys.names)
         for fld in phys:
             fid = (fld.metadata or {}).get(b"PARQUET:field_id")
@@ -246,15 +253,15 @@ def _arrow_read_file(path, fields, mapped_names, arrow_filter, filter_names, wit
                 if name in filter_names
             )
         )
-        handle.seek(0)
-        return (
-            pq.read_table(
-                handle,
-                columns=cols,
-                filters=arrow_filter if pushable else None,
-            ),
-            resolve,
-        )
+        if pushable:
+            # row-group stats pruning needs the Dataset reader; selective
+            # filters on big files win back far more than its fixed cost
+            handle.seek(0)
+            return (
+                pq.read_table(handle, columns=cols, filters=arrow_filter),
+                resolve,
+            )
+        return pf.read(columns=cols), resolve
     finally:
         handle.close()
 
@@ -1914,6 +1921,29 @@ class Scan:
                 + ([pa.field("_fp", pa.string())] if with_fp else [])
                 + ([pa.field("_pos", pa.int64())] if with_pos else [])
             )
+            # Small-file coalescing: every yielded batch crosses the
+            # Python→JVM Arrow boundary with fixed per-batch cost, so a
+            # million-small-file scan emitting one batch PER FILE pays
+            # that cost a million times (measured: the 30k-file widescan
+            # bench spends most of its wall in per-batch overhead).
+            # Buffer per-file tables and emit combined ~64k-row batches;
+            # large files bypass the buffer untouched.
+            buf: list = []
+            buf_rows = 0
+            buf_bytes = 0
+            FLUSH_ROWS = 1 << 16
+            FLUSH_BYTES = 32 << 20
+
+            def flush():
+                nonlocal buf, buf_rows, buf_bytes
+                if not buf:
+                    return
+                tbl = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+                buf, buf_rows, buf_bytes = [], 0, 0
+                yield from tbl.combine_chunks().to_batches(
+                    max_chunksize=FLUSH_ROWS
+                )
+
             for batch in batches:
                 for path in batch.column("data_file").to_pylist():
                     tbl, resolve = _arrow_read_file(
@@ -1958,7 +1988,18 @@ class Scan:
 
                         arrays.append(pa.array(_np.arange(n, dtype="int64")))
                     out = pa.table(arrays, schema=out_schema)
-                    yield from out.to_batches(max_chunksize=1 << 16)
+                    if out.num_rows >= FLUSH_ROWS or out.nbytes >= FLUSH_BYTES:
+                        # big file: drain the buffer first (preserves
+                        # file order for _pos consumers), then stream it
+                        yield from flush()
+                        yield from out.to_batches(max_chunksize=FLUSH_ROWS)
+                        continue
+                    buf.append(out)
+                    buf_rows += out.num_rows
+                    buf_bytes += out.nbytes
+                    if buf_rows >= FLUSH_ROWS or buf_bytes >= FLUSH_BYTES:
+                        yield from flush()
+            yield from flush()
 
         return files_df.mapInArrow(read_task, out_struct)
 

@@ -36,6 +36,13 @@ EMBED_DIM = 64
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
+    # Deliberately the higher-order fold, NOT an unrolled 64-term
+    # `a[0]*b[0] + …` expression: the unrolled tree was measured 3×
+    # SLOWER end-to-end (llm_ann_bruteforce 1.03 s → 3.11 s at sf0.1,
+    # OPTIMIZATION_r14.md) — a ~500-node expression per dot product
+    # blows the whole-stage-codegen method budget and the stage falls
+    # back to interpreted evaluation of the giant tree, which costs
+    # more than the aggregate() loop it was meant to replace.
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
