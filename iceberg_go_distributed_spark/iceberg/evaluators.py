@@ -39,6 +39,7 @@ from .expressions import (
     UnboundPredicate,
     and_,
     bind_expr,
+    compile_evaluator,
     evaluate,
     literal,
     or_,
@@ -392,15 +393,18 @@ def inclusive_metrics_evaluator(
 
     DataFile duck type: record_count, value_counts / null_value_counts /
     nan_value_counts / lower_bounds / upper_bounds dicts keyed by field
-    id (bounds are serialized bytes)."""
-    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
+    id (bounds are serialized bytes).
 
-    def eval_file(f) -> bool:
-        if not include_empty_files and f.record_count == 0:
-            return ROWS_CANNOT_MATCH
-        if f.record_count < 0:
-            return ROWS_MIGHT_MATCH
-        return _eval(bound, f)
+    The bound expression is COMPILED into a closure tree once per scan
+    (same technique as avro.compile_reader): the planner calls the
+    returned function once per manifest entry, and re-walking the
+    expression per file (isinstance dispatch, op_ comparisons, getattr
+    on bound names) was the per-entry hot spot once the avro decode was
+    compiled. Each predicate closure captures its field id, type and
+    literal; per-file work is dict lookups + bound decode + compare.
+    Semantics are pinned by the reference truth-table port
+    (tests/test_evaluators.py) and the prune fuzz suite."""
+    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
 
     def contains_nulls_only(f, fid: int) -> bool:
         vc = (f.value_counts or {}).get(fid)
@@ -412,140 +416,185 @@ def inclusive_metrics_evaluator(
         vc = (f.value_counts or {}).get(fid)
         return nanc is not None and vc is not None and nanc == vc
 
-    def bound_val(f, which: str, fid: int, t: IcebergType):
-        b = (getattr(f, which) or {}).get(fid)
-        return None if b is None else from_bytes(t, b)
-
-    def _eval(e: Expression, f) -> bool:
+    def compile_node(e: Expression) -> Callable[[Any], bool]:
         if isinstance(e, AlwaysTrue):
-            return ROWS_MIGHT_MATCH
+            return lambda f: ROWS_MIGHT_MATCH
         if isinstance(e, AlwaysFalse):
-            return ROWS_CANNOT_MATCH
+            return lambda f: ROWS_CANNOT_MATCH
         if isinstance(e, And):
-            return _eval(e.left, f) and _eval(e.right, f)
+            left, right = compile_node(e.left), compile_node(e.right)
+            return lambda f: left(f) and right(f)
         if isinstance(e, Or):
-            return _eval(e.left, f) or _eval(e.right, f)
+            left, right = compile_node(e.left), compile_node(e.right)
+            return lambda f: left(f) or right(f)
         if isinstance(e, Not):
-            return not _eval(e.child, f)
+            child = compile_node(e.child)
+            return lambda f: not child(f)
 
         assert isinstance(e, BoundPredicate)
         fid = e.term.field.field_id
         t = e.term.type
         op = e.op_
 
+        def lower(f):
+            lb = f.lower_bounds
+            b = lb.get(fid) if lb else None
+            return None if b is None else from_bytes(t, b)
+
+        def upper(f):
+            ub = f.upper_bounds
+            b = ub.get(fid) if ub else None
+            return None if b is None else from_bytes(t, b)
+
         if op == Operation.IS_NULL:
-            nc = (f.null_value_counts or {}).get(fid)
-            return ROWS_CANNOT_MATCH if nc == 0 else ROWS_MIGHT_MATCH
+            def p_is_null(f):
+                nc = (f.null_value_counts or {}).get(fid)
+                return ROWS_CANNOT_MATCH if nc == 0 else ROWS_MIGHT_MATCH
+            return p_is_null
         if op == Operation.NOT_NULL:
-            return ROWS_CANNOT_MATCH if contains_nulls_only(f, fid) else ROWS_MIGHT_MATCH
+            def p_not_null(f):
+                return ROWS_CANNOT_MATCH if contains_nulls_only(f, fid) else ROWS_MIGHT_MATCH
+            return p_not_null
         if op == Operation.IS_NAN:
-            nanc = (f.nan_value_counts or {}).get(fid)
-            if nanc == 0:
-                return ROWS_CANNOT_MATCH
-            if contains_nulls_only(f, fid):
-                return ROWS_CANNOT_MATCH
-            return ROWS_MIGHT_MATCH
+            def p_is_nan(f):
+                if (f.nan_value_counts or {}).get(fid) == 0:
+                    return ROWS_CANNOT_MATCH
+                if contains_nulls_only(f, fid):
+                    return ROWS_CANNOT_MATCH
+                return ROWS_MIGHT_MATCH
+            return p_is_nan
         if op == Operation.NOT_NAN:
-            return ROWS_CANNOT_MATCH if contains_nans_only(f, fid) else ROWS_MIGHT_MATCH
+            def p_not_nan(f):
+                return ROWS_CANNOT_MATCH if contains_nans_only(f, fid) else ROWS_MIGHT_MATCH
+            return p_not_nan
 
         if isinstance(e, BoundLiteralPredicate):
-            if contains_nulls_only(f, fid) or (
-                op != Operation.STARTS_WITH
-                and op != Operation.NOT_STARTS_WITH
-                and contains_nans_only(f, fid)
-            ):
-                if op in (
-                    Operation.LT,
-                    Operation.LT_EQ,
-                    Operation.GT,
-                    Operation.GT_EQ,
-                    Operation.EQ,
-                ):
-                    return ROWS_CANNOT_MATCH
-                if op in (Operation.STARTS_WITH,):
-                    return ROWS_CANNOT_MATCH
-            if op == Operation.STARTS_WITH and contains_nulls_only(f, fid):
-                return ROWS_CANNOT_MATCH
             lit = e.literal.value
             if op == Operation.LT:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None and not _is_nan_lit(lo) and lo >= lit:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                def p_lt(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    lo = lower(f)
+                    if lo is not None and not _is_nan_lit(lo) and lo >= lit:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_lt
             if op == Operation.LT_EQ:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None and not _is_nan_lit(lo) and lo > lit:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                def p_lt_eq(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    lo = lower(f)
+                    if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_lt_eq
             if op == Operation.GT:
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None and not _is_nan_lit(hi) and hi <= lit:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                def p_gt(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    hi = upper(f)
+                    if hi is not None and not _is_nan_lit(hi) and hi <= lit:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_gt
             if op == Operation.GT_EQ:
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None and not _is_nan_lit(hi) and hi < lit:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                def p_gt_eq(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    hi = upper(f)
+                    if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_gt_eq
             if op == Operation.EQ:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None and not _is_nan_lit(lo) and lo > lit:
-                    return ROWS_CANNOT_MATCH
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None and not _is_nan_lit(hi) and hi < lit:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                def p_eq(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    lo = lower(f)
+                    if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                        return ROWS_CANNOT_MATCH
+                    hi = upper(f)
+                    if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_eq
             if op == Operation.NOT_EQ:
-                return ROWS_MIGHT_MATCH
+                return lambda f: ROWS_MIGHT_MATCH
             if op == Operation.STARTS_WITH:
                 prefix = _as_str(lit)
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None and _as_str(lo)[: len(prefix)] > prefix:
-                    return ROWS_CANNOT_MATCH
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None and _as_str(hi)[: len(prefix)] < prefix:
-                    return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                np = len(prefix)
+                def p_sw(f):
+                    if contains_nulls_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    lo = lower(f)
+                    if lo is not None and _as_str(lo)[:np] > prefix:
+                        return ROWS_CANNOT_MATCH
+                    hi = upper(f)
+                    if hi is not None and _as_str(hi)[:np] < prefix:
+                        return ROWS_CANNOT_MATCH
+                    return ROWS_MIGHT_MATCH
+                return p_sw
             if op == Operation.NOT_STARTS_WITH:
                 # ref evaluators.go:1143-1195
-                if (f.null_value_counts or {}).get(fid, 1) > 0:
-                    return ROWS_MIGHT_MATCH
                 prefix = _as_str(lit)
-                lo = bound_val(f, "lower_bounds", fid, t)
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if lo is None or hi is None:
+                np = len(prefix)
+                def p_nsw(f):
+                    if (f.null_value_counts or {}).get(fid, 1) > 0:
+                        return ROWS_MIGHT_MATCH
+                    lo = lower(f)
+                    hi = upper(f)
+                    if lo is None or hi is None:
+                        return ROWS_MIGHT_MATCH
+                    lo_s, hi_s = _as_str(lo), _as_str(hi)
+                    if len(lo_s) >= np and lo_s.startswith(prefix):
+                        if len(hi_s) >= np and hi_s.startswith(prefix):
+                            return ROWS_CANNOT_MATCH
                     return ROWS_MIGHT_MATCH
-                lo_s, hi_s = _as_str(lo), _as_str(hi)
-                if len(lo_s) >= len(prefix) and lo_s.startswith(prefix):
-                    if len(hi_s) >= len(prefix) and hi_s.startswith(prefix):
-                        return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                return p_nsw
 
         if isinstance(e, BoundSetPredicate):
             if op == Operation.IN:
-                if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
-                    return ROWS_CANNOT_MATCH
                 if len(e.values) > IN_PREDICATE_LIMIT:
+                    # the nulls/nans gate still applies before the
+                    # over-limit bail (order matches the interpreter)
+                    def p_in_big(f):
+                        if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                            return ROWS_CANNOT_MATCH
+                        return ROWS_MIGHT_MATCH
+                    return p_in_big
+                base_values = set(e.values)
+                def p_in(f):
+                    if contains_nulls_only(f, fid) or contains_nans_only(f, fid):
+                        return ROWS_CANNOT_MATCH
+                    values = base_values
+                    lo = lower(f)
+                    if lo is not None:
+                        if _is_nan_lit(lo):
+                            return ROWS_MIGHT_MATCH
+                        values = {v for v in values if v >= lo}
+                        if not values:
+                            return ROWS_CANNOT_MATCH
+                    hi = upper(f)
+                    if hi is not None:
+                        if _is_nan_lit(hi):
+                            return ROWS_MIGHT_MATCH
+                        values = {v for v in values if v <= hi}
+                        if not values:
+                            return ROWS_CANNOT_MATCH
                     return ROWS_MIGHT_MATCH
-                values = set(e.values)
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None:
-                    if _is_nan_lit(lo):
-                        return ROWS_MIGHT_MATCH
-                    values = {v for v in values if v >= lo}
-                    if not values:
-                        return ROWS_CANNOT_MATCH
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None:
-                    if _is_nan_lit(hi):
-                        return ROWS_MIGHT_MATCH
-                    values = {v for v in values if v <= hi}
-                    if not values:
-                        return ROWS_CANNOT_MATCH
-                return ROWS_MIGHT_MATCH
+                return p_in
             if op == Operation.NOT_IN:
-                return ROWS_MIGHT_MATCH
+                return lambda f: ROWS_MIGHT_MATCH
         raise TypeError(f"metrics evaluator cannot handle {e!r}")
+
+    root = compile_node(bound)
+
+    def eval_file(f) -> bool:
+        if not include_empty_files and f.record_count == 0:
+            return ROWS_CANNOT_MATCH
+        if f.record_count < 0:
+            return ROWS_MIGHT_MATCH
+        return root(f)
 
     return eval_file
 
@@ -555,13 +604,11 @@ def inclusive_metrics_evaluator(
 def expression_evaluator(
     schema: Schema, expr: Expression, case_sensitive: bool = True
 ) -> Callable[[dict], bool]:
-    """Row-level evaluator over partition dicts — SURVEY §3.1 step 5a."""
+    """Row-level evaluator over partition dicts — SURVEY §3.1 step 5a.
+    Compiled once (expressions.compile_evaluator): the planner calls
+    this per manifest entry."""
     bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
-
-    def eval_row(row: dict) -> bool:
-        return evaluate(bound, row)
-
-    return eval_row
+    return compile_evaluator(bound)
 
 
 # --------------------------------------------------------- strict evaluator
@@ -575,14 +622,13 @@ def strict_metrics_evaluator(
     """Strict evaluation: True only when EVERY row in the file matches —
     ref evaluators.go:1200-1563 (newStrictMetricsEvaluator). Used for
     whole-file delete/rewrite decisions (a file that must-match a delete
-    predicate is dropped without rewriting)."""
-    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
+    predicate is dropped without rewriting).
 
-    def eval_file(f) -> bool:
-        if f.record_count <= 0:
-            # empty files trivially match every predicate
-            return ROWS_MUST_MATCH if f.record_count == 0 else ROWS_MIGHT_NOT_MATCH
-        return _eval(bound, f)
+    Compiled to a closure tree at construction (same technique as
+    inclusive_metrics_evaluator): delete_where/overwrite call this once
+    per candidate data file, so per-file work is dict lookups + bound
+    decode + compare, no expression re-walk."""
+    bound = bind_expr(rewrite_not(expr), schema, case_sensitive)
 
     # ref evaluators.go:1555-1565 — missing counts are treated as
     # "known no nulls/nans" for strict evaluation
@@ -604,39 +650,52 @@ def strict_metrics_evaluator(
         vc = (f.value_counts or {}).get(fid)
         return nanc is not None and vc is not None and nanc == vc
 
-    def bound_val(f, which: str, fid: int, t: IcebergType):
-        b = (getattr(f, which) or {}).get(fid)
-        return None if b is None else from_bytes(t, b)
-
-    def _eval(e: Expression, f) -> bool:
+    def compile_node(e: Expression) -> Callable[[Any], bool]:
         if isinstance(e, AlwaysTrue):
-            return ROWS_MUST_MATCH
+            return lambda f: ROWS_MUST_MATCH
         if isinstance(e, AlwaysFalse):
-            return ROWS_MIGHT_NOT_MATCH
+            return lambda f: ROWS_MIGHT_NOT_MATCH
         if isinstance(e, And):
-            return _eval(e.left, f) and _eval(e.right, f)
+            left, right = compile_node(e.left), compile_node(e.right)
+            return lambda f: left(f) and right(f)
         if isinstance(e, Or):
-            return _eval(e.left, f) or _eval(e.right, f)
+            left, right = compile_node(e.left), compile_node(e.right)
+            return lambda f: left(f) or right(f)
         if isinstance(e, Not):
-            return not _eval(e.child, f)
+            child = compile_node(e.child)
+            return lambda f: not child(f)
 
         assert isinstance(e, BoundPredicate)
         fid = e.term.field.field_id
         t = e.term.type
         op = e.op_
 
+        def lower(f):
+            lb = f.lower_bounds
+            b = lb.get(fid) if lb else None
+            return None if b is None else from_bytes(t, b)
+
+        def upper(f):
+            ub = f.upper_bounds
+            b = ub.get(fid) if ub else None
+            return None if b is None else from_bytes(t, b)
+
         if op == Operation.IS_NULL:
-            return contains_nulls_only(f, fid)
+            return lambda f: contains_nulls_only(f, fid)
         if op == Operation.NOT_NULL:
-            nc = (f.null_value_counts or {}).get(fid)
-            return nc == 0
+            def p_not_null(f):
+                nc = (f.null_value_counts or {}).get(fid)
+                return nc == 0
+            return p_not_null
         if op == Operation.IS_NAN:
-            return contains_nans_only(f, fid)
+            return lambda f: contains_nans_only(f, fid)
         if op == Operation.NOT_NAN:
-            nanc = (f.nan_value_counts or {}).get(fid)
-            if nanc == 0:
-                return ROWS_MUST_MATCH
-            return contains_nulls_only(f, fid)
+            def p_not_nan(f):
+                nanc = (f.nan_value_counts or {}).get(fid)
+                if nanc == 0:
+                    return ROWS_MUST_MATCH
+                return contains_nulls_only(f, fid)
+            return p_not_nan
 
         if isinstance(e, BoundLiteralPredicate):
             lit = e.literal.value
@@ -645,77 +704,118 @@ def strict_metrics_evaluator(
                 # must-match when any null/NaN exists): a null row does
                 # NOT satisfy `x != v`, and this evaluator authorizes
                 # whole-file deletes — soundness wins over fidelity
-                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                def p_ne(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    if lo is not None and not _is_nan_lit(lo) and lo > lit:
+                        return ROWS_MUST_MATCH
+                    hi = upper(f)
+                    if hi is not None and not _is_nan_lit(hi) and hi < lit:
+                        return ROWS_MUST_MATCH
                     return ROWS_MIGHT_NOT_MATCH
-                lo = bound_val(f, "lower_bounds", fid, t)
-                if lo is not None and not _is_nan_lit(lo) and lo > lit:
-                    return ROWS_MUST_MATCH
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if hi is not None and not _is_nan_lit(hi) and hi < lit:
-                    return ROWS_MUST_MATCH
-                return ROWS_MIGHT_NOT_MATCH
+                return p_ne
             # all other value predicates: any null/NaN row breaks must-match
-            if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
-                return ROWS_MIGHT_NOT_MATCH
             if op == Operation.LT:
-                hi = bound_val(f, "upper_bounds", fid, t)
-                return hi is not None and not _is_nan_lit(hi) and hi < lit
+                def p_lt(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    hi = upper(f)
+                    return hi is not None and not _is_nan_lit(hi) and hi < lit
+                return p_lt
             if op == Operation.LT_EQ:
-                hi = bound_val(f, "upper_bounds", fid, t)
-                return hi is not None and not _is_nan_lit(hi) and hi <= lit
+                def p_le(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    hi = upper(f)
+                    return hi is not None and not _is_nan_lit(hi) and hi <= lit
+                return p_le
             if op == Operation.GT:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                return lo is not None and not _is_nan_lit(lo) and lo > lit
+                def p_gt(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    return lo is not None and not _is_nan_lit(lo) and lo > lit
+                return p_gt
             if op == Operation.GT_EQ:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                return lo is not None and not _is_nan_lit(lo) and lo >= lit
+                def p_ge(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    return lo is not None and not _is_nan_lit(lo) and lo >= lit
+                return p_ge
             if op == Operation.EQ:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                hi = bound_val(f, "upper_bounds", fid, t)
-                return (
-                    lo is not None
-                    and hi is not None
-                    and lo == lit
-                    and hi == lit
-                )
+                def p_eq(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    hi = upper(f)
+                    return (
+                        lo is not None
+                        and hi is not None
+                        and lo == lit
+                        and hi == lit
+                    )
+                return p_eq
             if op == Operation.STARTS_WITH:
-                lo = bound_val(f, "lower_bounds", fid, t)
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if lo is None or hi is None:
-                    return ROWS_MIGHT_NOT_MATCH
-                p = _as_str(lit)
-                lo_s, hi_s = _as_str(lo), _as_str(hi)
-                return (
-                    len(lo_s) >= len(p)
-                    and lo_s.startswith(p)
-                    and len(hi_s) >= len(p)
-                    and hi_s.startswith(p)
-                )
-            return ROWS_MIGHT_NOT_MATCH
+                prefix = _as_str(lit)
+                np = len(prefix)
+                def p_sw(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    hi = upper(f)
+                    if lo is None or hi is None:
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo_s, hi_s = _as_str(lo), _as_str(hi)
+                    return (
+                        len(lo_s) >= np
+                        and lo_s.startswith(prefix)
+                        and len(hi_s) >= np
+                        and hi_s.startswith(prefix)
+                    )
+                return p_sw
+            # remaining literal ops (incl. NOT_STARTS_WITH): the
+            # interpreter gated on null/NaN then fell through to
+            # might-not-match either way
+            return lambda f: ROWS_MIGHT_NOT_MATCH
 
         if isinstance(e, BoundSetPredicate):
+            values = e.values
             if op == Operation.NOT_IN:
                 # same soundness divergence as NOT_EQ above
-                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                def p_not_in(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    hi = upper(f)
+                    if lo is not None and not _is_nan_lit(lo) and all(v < lo for v in values):
+                        return ROWS_MUST_MATCH
+                    if hi is not None and not _is_nan_lit(hi) and all(v > hi for v in values):
+                        return ROWS_MUST_MATCH
                     return ROWS_MIGHT_NOT_MATCH
-                lo = bound_val(f, "lower_bounds", fid, t)
-                hi = bound_val(f, "upper_bounds", fid, t)
-                if lo is not None and not _is_nan_lit(lo) and all(v < lo for v in e.values):
-                    return ROWS_MUST_MATCH
-                if hi is not None and not _is_nan_lit(hi) and all(v > hi for v in e.values):
-                    return ROWS_MUST_MATCH
-                return ROWS_MIGHT_NOT_MATCH
+                return p_not_in
             if op == Operation.IN:
-                if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
-                    return ROWS_MIGHT_NOT_MATCH
-                lo = bound_val(f, "lower_bounds", fid, t)
-                hi = bound_val(f, "upper_bounds", fid, t)
-                return (
-                    lo is not None
-                    and hi is not None
-                    and lo == hi
-                    and lo in e.values
-                )
-        return ROWS_MIGHT_NOT_MATCH
+                def p_in(f):
+                    if can_contain_nulls(f, fid) or can_contain_nans(f, fid):
+                        return ROWS_MIGHT_NOT_MATCH
+                    lo = lower(f)
+                    hi = upper(f)
+                    return (
+                        lo is not None
+                        and hi is not None
+                        and lo == hi
+                        and lo in values
+                    )
+                return p_in
+        return lambda f: ROWS_MIGHT_NOT_MATCH
+
+    root = compile_node(bound)
+
+    def eval_file(f) -> bool:
+        if f.record_count <= 0:
+            # empty files trivially match every predicate
+            return ROWS_MUST_MATCH if f.record_count == 0 else ROWS_MIGHT_NOT_MATCH
+        return root(f)
 
     return eval_file

@@ -700,6 +700,103 @@ def evaluate(expr: Expression, row: dict) -> bool:
     raise TypeError(f"cannot evaluate {expr!r}")
 
 
+def compile_evaluator(expr: Expression):
+    """Compile a bound expression into a closure tree returning the same
+    verdicts as evaluate(row). The planner evaluates the projected
+    filter once per manifest entry's partition tuple; walking the
+    expression per row (isinstance dispatch, op_ chains) is per-entry
+    hot-loop work — the walk happens once here, at scan construction."""
+    if isinstance(expr, AlwaysTrue):
+        return lambda row: True
+    if isinstance(expr, AlwaysFalse):
+        return lambda row: False
+    if isinstance(expr, And):
+        left, right = compile_evaluator(expr.left), compile_evaluator(expr.right)
+        return lambda row: left(row) and right(row)
+    if isinstance(expr, Or):
+        left, right = compile_evaluator(expr.left), compile_evaluator(expr.right)
+        return lambda row: left(row) or right(row)
+    if isinstance(expr, Not):
+        child = compile_evaluator(expr.child)
+        return lambda row: not child(row)
+    if isinstance(expr, BoundUnaryPredicate):
+        name = expr.term.name
+        op = expr.op_
+        if op == Operation.IS_NULL:
+            return lambda row: row.get(name) is None
+        if op == Operation.NOT_NULL:
+            return lambda row: row.get(name) is not None
+        if op == Operation.IS_NAN:
+            def p_is_nan(row):
+                v = row.get(name)
+                return v is not None and isinstance(v, float) and math.isnan(v)
+            return p_is_nan
+        if op == Operation.NOT_NAN:
+            def p_not_nan(row):
+                v = row.get(name)
+                return not (v is not None and isinstance(v, float) and math.isnan(v))
+            return p_not_nan
+    if isinstance(expr, BoundLiteralPredicate):
+        name = expr.term.name
+        lv = expr.literal.value
+        op = expr.op_
+        if op == Operation.EQ:
+            def p_eq(row):
+                v = row.get(name)
+                return v is not None and v == lv
+            return p_eq
+        if op == Operation.NOT_EQ:
+            def p_ne(row):
+                v = row.get(name)
+                return v is not None and v != lv
+            return p_ne
+        if op == Operation.LT:
+            def p_lt(row):
+                v = row.get(name)
+                return v is not None and v < lv
+            return p_lt
+        if op == Operation.LT_EQ:
+            def p_le(row):
+                v = row.get(name)
+                return v is not None and v <= lv
+            return p_le
+        if op == Operation.GT:
+            def p_gt(row):
+                v = row.get(name)
+                return v is not None and v > lv
+            return p_gt
+        if op == Operation.GT_EQ:
+            def p_ge(row):
+                v = row.get(name)
+                return v is not None and v >= lv
+            return p_ge
+        if op == Operation.STARTS_WITH:
+            slv = str(lv)
+            def p_sw(row):
+                v = row.get(name)
+                return v is not None and str(v).startswith(slv)
+            return p_sw
+        if op == Operation.NOT_STARTS_WITH:
+            slv = str(lv)
+            def p_nsw(row):
+                v = row.get(name)
+                return v is not None and not str(v).startswith(slv)
+            return p_nsw
+    if isinstance(expr, BoundSetPredicate):
+        name = expr.term.name
+        values = expr.values
+        if expr.op_ == Operation.IN:
+            def p_in(row):
+                v = row.get(name)
+                return v is not None and v in values
+            return p_in
+        def p_not_in(row):
+            v = row.get(name)
+            return v is not None and v not in values
+        return p_not_in
+    raise TypeError(f"cannot evaluate {expr!r}")
+
+
 # ----------------------------------------------------------- pandas compiler
 
 def to_pandas_mask(expr: Expression, pdf):

@@ -388,6 +388,12 @@ def _entry_to_avro(e: ManifestEntry, spec: PartitionSpec) -> dict:
     }
 
 
+# IntEnum.__call__ costs ~1 µs; at 500k-entry plan scale the two enum
+# constructions per entry are planner hot-loop work — table lookups.
+_STATUS_FROM_CODE = {int(s): s for s in ManifestEntryStatus}
+_CONTENT_FROM_CODE = {int(c): c for c in DataFileContent}
+
+
 def _entry_from_avro(obj: dict) -> ManifestEntry:
     d = obj["data_file"]
     df = DataFile(
@@ -396,7 +402,7 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
         partition=d.get("partition") or {},
         record_count=d["record_count"],
         file_size_in_bytes=d["file_size_in_bytes"],
-        content=DataFileContent(d.get("content", 0)),
+        content=_CONTENT_FROM_CODE[d.get("content", 0)],
         column_sizes=_map_from_avro(d.get("column_sizes")),
         value_counts=_map_from_avro(d.get("value_counts")),
         null_value_counts=_map_from_avro(d.get("null_value_counts")),
@@ -413,7 +419,7 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
         content_size_in_bytes=d.get("content_size_in_bytes"),
     )
     return ManifestEntry(
-        status=ManifestEntryStatus(obj["status"]),
+        status=_STATUS_FROM_CODE[obj["status"]],
         snapshot_id=obj.get("snapshot_id"),
         sequence_number=obj.get("sequence_number"),
         file_sequence_number=obj.get("file_sequence_number"),
@@ -516,9 +522,16 @@ def positional_delete_schema() -> Schema:
     )
 
 
-# Manifests are immutable once written (new state = new file), so raw
-# record caching is safe and makes repeated scans O(entries) in Python
-# with no re-decode. Entries are rebuilt per call (callers mutate them).
+# Manifests are immutable once written (new state = new file), so
+# caching the decoded entries is safe and makes repeated scans
+# O(entries) in Python with no re-decode. The cache holds fully built
+# PROTOTYPE entries (avro decode + _entry_from_avro paid once per
+# manifest); read_manifest hands out per-call copies because callers
+# mutate entry/data_file ATTRIBUTES (status, sequence numbers,
+# first_row_id). The copy is two-level shallow: the inner collections
+# (partition dict, stats maps, split_offsets/equality_ids lists) stay
+# shared — nothing in the repo mutates those on a read entry, they are
+# replaced wholesale only when building NEW DataFiles at write time.
 # The local planner reads manifests from a thread pool (table.py
 # plan_files), so eviction must be guarded: an unlocked
 # pop(next(iter(...))) races another thread's eviction of the same
@@ -528,13 +541,14 @@ _OCF_CACHE_MAX = 256
 _OCF_CACHE_LOCK = threading.Lock()
 
 
-def _read_manifest_records(path: str) -> list:
+def _read_manifest_prototypes(path: str) -> list[ManifestEntry]:
     cached = _OCF_CACHE.get(path)
     if cached is None:
         # decode outside the lock (the slow part; worst case two threads
         # decode the same new manifest once each — benign for an
         # immutable file)
-        _, _, cached = avro_io.read_ocf(path)
+        _, _, records = avro_io.read_ocf(path)
+        cached = [_entry_from_avro(r) for r in records]
         with _OCF_CACHE_LOCK:
             while len(_OCF_CACHE) >= _OCF_CACHE_MAX:
                 _OCF_CACHE.pop(next(iter(_OCF_CACHE)), None)
@@ -558,8 +572,15 @@ def read_manifest(
     EXISTING entries rewritten by a merge-append) and DELETED entries do
     NOT consume from the manifest's range, matching the spec/Java
     assignment rule."""
-    records = _read_manifest_records(path)
-    entries = [_entry_from_avro(r) for r in records]
+    _df_new, _e_new = DataFile.__new__, ManifestEntry.__new__
+    entries = []
+    for p in _read_manifest_prototypes(path):
+        df = _df_new(DataFile)
+        df.__dict__.update(p.data_file.__dict__)
+        e = _e_new(ManifestEntry)
+        e.__dict__.update(p.__dict__)
+        e.data_file = df
+        entries.append(e)
     if inherit_sequence_number is not None:
         for e in entries:
             if e.sequence_number is None:
