@@ -389,8 +389,23 @@ def write_ocf(
             out.close()
 
 
-def read_ocf(path_or_file) -> tuple[dict, dict[str, bytes], list[dict]]:
-    """Returns (schema, metadata, records)."""
+# compiled readers memoized by the file's raw schema JSON bytes: a
+# snapshot's manifests share one writer schema, so a 2000-manifest plan
+# would otherwise re-walk the same schema 2000 times (FIFO-bounded; the
+# schema population of a session is a handful)
+_COMPILED_READER_MEMO: dict[bytes, Any] = {}
+_COMPILED_READER_MEMO_MAX = 64
+
+
+def read_ocf(
+    path_or_file, record_reader_factory=None
+) -> tuple[dict, dict[str, bytes], list]:
+    """Returns (schema, metadata, records).
+
+    `record_reader_factory(schema, raw_schema_bytes)` may supply a
+    specialized per-record reader (e.g. the manifest module's fused
+    schema→ManifestEntry decoder); returning None falls back to the
+    generic compiled reader (records ↔ dicts)."""
     own = isinstance(path_or_file, (str, os.PathLike))
     if own:
         from . import fileio
@@ -412,13 +427,30 @@ def read_ocf(path_or_file) -> tuple[dict, dict[str, bytes], list[dict]]:
             for _ in range(n):
                 k = _read_bytes(f).decode()
                 meta[k] = _read_bytes(f)
-        schema = json.loads(meta["avro.schema"])
+        raw_schema = meta["avro.schema"]
+        schema = json.loads(raw_schema)
         codec = meta.get("avro.codec", b"null").decode()
         sync = f.read(SYNC_SIZE)
-        # compiled once per file: the schema walk leaves the per-record
-        # loop (the manifest planner's hot path)
-        read_one = compile_reader(schema)
-        records: list[dict] = []
+        # compiled once per SCHEMA (memoized): the schema walk leaves
+        # the per-record loop (the manifest planner's hot path)
+        read_one = None
+        if record_reader_factory is not None:
+            read_one = record_reader_factory(schema, raw_schema)
+        if read_one is None:
+            read_one = _COMPILED_READER_MEMO.get(raw_schema)
+            if read_one is None:
+                read_one = compile_reader(schema)
+                # planner threads share this memo; tolerate a racing
+                # eviction of the same oldest key
+                try:
+                    while len(_COMPILED_READER_MEMO) >= _COMPILED_READER_MEMO_MAX:
+                        _COMPILED_READER_MEMO.pop(
+                            next(iter(_COMPILED_READER_MEMO)), None
+                        )
+                except StopIteration:  # emptied by another thread
+                    pass
+                _COMPILED_READER_MEMO[raw_schema] = read_one
+        records: list = []
         append = records.append
         while True:
             try:

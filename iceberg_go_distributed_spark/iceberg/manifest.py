@@ -427,6 +427,215 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
     )
 
 
+# ------------------------------------------- fused entry decoder (read path)
+#
+# The generic avro reader materializes, per entry: a record dict, a
+# data_file dict, and one {"key":…,"value":…} dict PER STATS-MAP ITEM,
+# which _entry_from_avro then re-walks into dataclasses and int-keyed
+# dicts. At plan scale (500k entries = one wide snapshot) that
+# intermediate datum model is most of the cold decode cost. The fused
+# reader compiles the manifest_entry writer schema straight to
+# ManifestEntry objects: k_v map arrays decode directly into int-keyed
+# dicts and the dataclasses are assembled via __dict__, no intermediate
+# dicts. Anything off the expected shape (schema evolution, exotic
+# writers) falls back per-field or wholesale to the generic
+# reader + _entry_from_avro, so semantics can never diverge — and the
+# byte-golden wire-format/reference-manifest suites pin both paths.
+
+_STATS_MAP_FIELDS = frozenset(
+    (
+        "column_sizes",
+        "value_counts",
+        "null_value_counts",
+        "nan_value_counts",
+        "lower_bounds",
+        "upper_bounds",
+    )
+)
+
+# DataFile attribute defaults for fields absent from a writer schema
+# (v1 manifests lack content/equality_ids/…); mirrors the dataclass
+# defaults _entry_from_avro relies on via d.get().
+_DF_DEFAULTS = {
+    "file_path": None,
+    "file_format": "PARQUET",
+    "partition": None,
+    "record_count": 0,
+    "file_size_in_bytes": 0,
+    "content": 0,
+    "column_sizes": None,
+    "value_counts": None,
+    "null_value_counts": None,
+    "nan_value_counts": None,
+    "lower_bounds": None,
+    "upper_bounds": None,
+    "key_metadata": None,
+    "split_offsets": None,
+    "equality_ids": None,
+    "sort_order_id": None,
+    "first_row_id": None,
+    "referenced_data_file": None,
+    "content_offset": None,
+    "content_size_in_bytes": None,
+}
+
+_ENTRY_FIELDS = ("status", "snapshot_id", "sequence_number", "file_sequence_number")
+
+
+def _compile_kv_map_reader(schema):
+    """array-of-k_v-record (Iceberg's int-keyed map encoding, possibly
+    nullable-union-wrapped) → direct {int: value} reader, or None when
+    the shape doesn't match."""
+    read_long = avro_io._read_long
+    t = schema
+    null_idx = None
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t:
+            return None
+        null_idx = t.index("null")
+        t = t[1 - null_idx]
+    if not (isinstance(t, dict) and t.get("type") == "array"):
+        return None
+    items = t.get("items")
+    if not (isinstance(items, dict) and items.get("type") == "record"):
+        return None
+    fields = items.get("fields") or []
+    if len(fields) != 2 or fields[0]["name"] != "key" or fields[1]["name"] != "value":
+        return None
+    kt = fields[0]["type"]
+    if isinstance(kt, dict):
+        kt = kt.get("type")
+    if kt not in ("int", "long"):
+        return None
+    value_reader = avro_io.compile_reader(fields[1]["type"])
+
+    def read_kv(buf, _rl=read_long, _vr=value_reader):
+        out = {}
+        while True:
+            n = _rl(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                _rl(buf)
+                n = -n
+            for _ in range(n):
+                k = _rl(buf)
+                out[k] = _vr(buf)
+
+    if null_idx is None:
+        return read_kv
+
+    def read_nullable_kv(buf, _rl=read_long, _kv=read_kv, _ni=null_idx):
+        return None if _rl(buf) == _ni else _kv(buf)
+
+    return read_nullable_kv
+
+
+def _compile_data_file_reader(schema):
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    steps = []
+    for f in schema.get("fields") or []:
+        nm = f["name"]
+        r = None
+        if nm in _STATS_MAP_FIELDS:
+            r = _compile_kv_map_reader(f["type"])
+            if r is None:
+                # unexpected encoding: decode generically, convert like
+                # _entry_from_avro does
+                generic = avro_io.compile_reader(f["type"])
+
+                def r(buf, _g=generic):
+                    return _map_from_avro(_g(buf))
+
+        else:
+            r = avro_io.compile_reader(f["type"])
+        steps.append((nm, r))
+    decoded = {nm for nm, _ in steps}
+    # writer-only fields (e.g. v1 block_size_in_bytes) are decoded for
+    # stream position but dropped; absent DataFile fields get defaults
+    extras = tuple(nm for nm in decoded if nm not in _DF_DEFAULTS)
+    missing = {k: v for k, v in _DF_DEFAULTS.items() if k not in decoded}
+
+    def read_data_file(buf, _steps=steps, _extras=extras, _missing=missing):
+        d = {name: r(buf) for name, r in _steps}
+        for x in _extras:
+            del d[x]
+        if _missing:
+            d.update(_missing)
+        if d["partition"] is None:
+            d["partition"] = {}
+        d["content"] = _CONTENT_FROM_CODE[d["content"] or 0]
+        df = DataFile.__new__(DataFile)
+        df.__dict__ = d
+        return df
+
+    return read_data_file
+
+
+def _compile_entry_reader(schema):
+    """Writer schema (parsed JSON) → buf→ManifestEntry reader, or None
+    when the schema isn't a manifest_entry record of the known shape."""
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    if schema.get("name") != "manifest_entry":
+        return None
+    steps = []
+    for f in schema.get("fields") or []:
+        nm = f["name"]
+        if nm == "data_file":
+            r = _compile_data_file_reader(f["type"])
+            if r is None:
+                return None
+        elif nm == "status":
+            generic = avro_io.compile_reader(f["type"])
+
+            def r(buf, _g=generic):
+                return _STATUS_FROM_CODE[_g(buf)]
+
+        elif nm in _ENTRY_FIELDS:
+            r = avro_io.compile_reader(f["type"])
+        else:
+            return None  # unknown entry-level field: generic path
+        steps.append((nm, r))
+    names = [nm for nm, _ in steps]
+    if "status" not in names or "data_file" not in names:
+        return None
+
+    def read_entry(buf, _steps=steps):
+        d = {name: r(buf) for name, r in _steps}
+        e = ManifestEntry.__new__(ManifestEntry)
+        e.__dict__ = {
+            "status": d["status"],
+            "snapshot_id": d.get("snapshot_id"),
+            "sequence_number": d.get("sequence_number"),
+            "file_sequence_number": d.get("file_sequence_number"),
+            "data_file": d["data_file"],
+        }
+        return e
+
+    return read_entry
+
+
+# fused readers memoized by raw schema bytes (False = schema rejected,
+# use the generic path); population is one per writer schema version
+_ENTRY_READER_MEMO: dict[bytes, Any] = {}
+_ENTRY_READER_MEMO_MAX = 64
+
+
+def _entry_reader_factory(schema, raw_schema):
+    r = _ENTRY_READER_MEMO.get(raw_schema)
+    if r is None:
+        r = _compile_entry_reader(schema) or False
+        try:
+            while len(_ENTRY_READER_MEMO) >= _ENTRY_READER_MEMO_MAX:
+                _ENTRY_READER_MEMO.pop(next(iter(_ENTRY_READER_MEMO)), None)
+        except StopIteration:  # emptied by a racing planner thread
+            pass
+        _ENTRY_READER_MEMO[raw_schema] = r
+    return r or None
+
+
 # ----------------------------------------------------------------- file IO
 
 def write_manifest(
@@ -536,23 +745,49 @@ def positional_delete_schema() -> Schema:
 # plan_files), so eviction must be guarded: an unlocked
 # pop(next(iter(...))) races another thread's eviction of the same
 # oldest key and dies with KeyError mid-plan.
+#
+# Capacity is bounded by TOTAL CACHED ENTRIES, not manifest count: at
+# ~2.3 KB per prototype entry (measured) the 1M-entry default is
+# ≤ ~2.3 GB — sized for a planner driver with Spark's default heap
+# alongside; override with SPARK_GRAFT_MANIFEST_CACHE_ENTRIES for
+# smaller drivers (0 disables caching). The old 256-manifest cap made
+# repeated plans of snapshots wider than 256 manifests decode every
+# manifest cold on every scan. _OCF_CACHE_MAX stays as a secondary
+# file-count bound for pathological many-tiny-manifest layouts.
 _OCF_CACHE: dict[str, list] = {}
-_OCF_CACHE_MAX = 256
+_OCF_CACHE_MAX = 8192
+_OCF_CACHE_MAX_ENTRIES = int(
+    os.environ.get("SPARK_GRAFT_MANIFEST_CACHE_ENTRIES", "1000000")
+)
+_OCF_CACHE_ENTRY_COUNT = 0  # guarded by _OCF_CACHE_LOCK
 _OCF_CACHE_LOCK = threading.Lock()
 
 
 def _read_manifest_prototypes(path: str) -> list[ManifestEntry]:
+    global _OCF_CACHE_ENTRY_COUNT
     cached = _OCF_CACHE.get(path)
     if cached is None:
         # decode outside the lock (the slow part; worst case two threads
         # decode the same new manifest once each — benign for an
-        # immutable file)
-        _, _, records = avro_io.read_ocf(path)
-        cached = [_entry_from_avro(r) for r in records]
+        # immutable file). The fused reader decodes straight to
+        # ManifestEntry objects; read_ocf falls back to the generic
+        # dict model + _entry_from_avro for unknown schemas.
+        _, _, cached = avro_io.read_ocf(
+            path, record_reader_factory=_entry_reader_factory
+        )
+        if cached and not isinstance(cached[0], ManifestEntry):
+            cached = [_entry_from_avro(r) for r in cached]
         with _OCF_CACHE_LOCK:
-            while len(_OCF_CACHE) >= _OCF_CACHE_MAX:
-                _OCF_CACHE.pop(next(iter(_OCF_CACHE)), None)
-            _OCF_CACHE[path] = cached
+            while _OCF_CACHE and (
+                len(_OCF_CACHE) >= _OCF_CACHE_MAX
+                or _OCF_CACHE_ENTRY_COUNT + len(cached) > _OCF_CACHE_MAX_ENTRIES
+            ):
+                old = _OCF_CACHE.pop(next(iter(_OCF_CACHE)), None)
+                if old is not None:
+                    _OCF_CACHE_ENTRY_COUNT -= len(old)
+            if len(cached) <= _OCF_CACHE_MAX_ENTRIES:
+                _OCF_CACHE[path] = cached
+                _OCF_CACHE_ENTRY_COUNT += len(cached)
     return cached
 
 

@@ -752,6 +752,24 @@ class Scan:
             if (0 < min_manifests <= len(manifests)) or (
                 0 < min_files <= n_files
             ):
+                # re-plan of a cache-warm snapshot (e.g. a NEW filter on
+                # a just-scanned table: plan-memo miss, manifest-cache
+                # hit): the local planner replays decoded prototype
+                # entries at ~2 µs/entry, ~4x faster than the
+                # distributed job's fixed launch cost (bench planning
+                # block, warm attempts) and without spending cluster
+                # resources on planning. Width is no longer the right
+                # routing signal when the decode is already paid.
+                if str(
+                    props.get("read.distributed-planning.skip-when-cached", "true")
+                ).lower() in ("1", "true", "yes"):
+                    from .manifest import _OCF_CACHE
+
+                    cached = sum(
+                        1 for m in manifests if m.manifest_path in _OCF_CACHE
+                    )
+                    if cached >= 0.9 * len(manifests):
+                        return self.plan_files()
                 # same memo as the local planner (the two return the
                 # identical file set — bench-asserted), so a repeated
                 # scan skips the Spark planning job too

@@ -317,3 +317,132 @@ def test_ocf_cache_eviction_thread_safe(tmp_path, monkeypatch):
         t.join()
     assert errors == []
     assert len(M._OCF_CACHE) <= 2
+
+
+# ------------------------- fused entry decoder (r14 optimization round)
+
+def _rich_entries():
+    """Entries exercising every DataFile field the fused schema→entry
+    reader decodes: stats maps with null branches, DV pointers +
+    lineage (forces the v3 writer fields), key_metadata, equality ids."""
+    d1 = DataFile(
+        file_path="/data/a.parquet",
+        partition={"category": "a", "id_bucket": 3},
+        record_count=100,
+        file_size_in_bytes=2048,
+        column_sizes={1: 10, 2: 20},
+        value_counts={1: 100, 2: 100},
+        null_value_counts={1: 0, 2: 5},
+        nan_value_counts={3: 2},
+        lower_bounds={1: to_bytes(ty.LongType(), 7)},
+        upper_bounds={1: to_bytes(ty.LongType(), 99)},
+        key_metadata=b"\x01\x02",
+        split_offsets=[4, 4096],
+        equality_ids=[1],
+        sort_order_id=2,
+        first_row_id=1000,
+    )
+    d2 = DataFile(
+        file_path="/deletes/dv.puffin",
+        file_format="PUFFIN",
+        partition={"category": None, "id_bucket": None},
+        record_count=10,
+        file_size_in_bytes=128,
+        content=2,  # DataFileContent.EQUALITY_DELETES via int
+        referenced_data_file="/data/a.parquet",
+        content_offset=4,
+        content_size_in_bytes=64,
+    )
+    from iceberg_go_distributed_spark.iceberg.manifest import DataFileContent
+
+    d2.content = DataFileContent.EQUALITY_DELETES
+    return [
+        ManifestEntry(ManifestEntryStatus.ADDED, 123, 456, 456, d1),
+        ManifestEntry(ManifestEntryStatus.EXISTING, 122, 455, 455, d2),
+    ]
+
+
+def test_fused_entry_reader_parity(tmp_path):
+    """The fused schema→ManifestEntry reader must produce entries EQUAL
+    to the generic dict-model + _entry_from_avro path on a manifest
+    exercising null/non-null stats maps, DV and lineage fields."""
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        _entry_from_avro,
+        _entry_reader_factory,
+    )
+
+    spec = spec_from(SCHEMA, ("category", "identity"), ("id", "bucket[16]"))
+    path = str(tmp_path / "rich.avro")
+    write_manifest(path, spec, SCHEMA, 123, _rich_entries())
+
+    _, _, generic = A.read_ocf(path)
+    expected = [_entry_from_avro(r) for r in generic]
+    _, _, fused = A.read_ocf(path, record_reader_factory=_entry_reader_factory)
+    assert fused and isinstance(fused[0], ManifestEntry), "fused reader must engage"
+    assert fused == expected
+    # and the public read path returns the same entries
+    assert read_manifest(path, discard_deleted=False) == expected
+
+
+def test_fused_entry_reader_rejects_unknown_shapes():
+    """Schemas off the known manifest_entry shape must compile to None
+    so read_ocf falls back to the generic reader (semantic safety)."""
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        _compile_entry_reader,
+        _compile_kv_map_reader,
+    )
+
+    assert _compile_entry_reader({"type": "record", "name": "other", "fields": []}) is None
+    assert (
+        _compile_entry_reader(
+            {
+                "type": "record",
+                "name": "manifest_entry",
+                "fields": [{"name": "mystery", "type": "long"}],
+            }
+        )
+        is None
+    )
+    # string-keyed avro map is NOT the Iceberg k_v encoding
+    assert _compile_kv_map_reader({"type": "map", "values": "long"}) is None
+    # k_v record with swapped field order must be rejected
+    assert (
+        _compile_kv_map_reader(
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "kv",
+                    "fields": [
+                        {"name": "value", "type": "long"},
+                        {"name": "key", "type": "int"},
+                    ],
+                },
+            }
+        )
+        is None
+    )
+
+
+def test_ocf_cache_entry_count_bound(tmp_path, monkeypatch):
+    """The manifest cache evicts by TOTAL ENTRIES: with a 3-entry
+    budget, two 2-entry manifests cannot coexist."""
+    import iceberg_go_distributed_spark.iceberg.manifest as M
+
+    spec = spec_from(SCHEMA, ("category", "identity"), ("id", "bucket[16]"))
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"m{i}.avro")
+        write_manifest(p, spec, SCHEMA, 1, _rich_entries())
+        paths.append(p)
+
+    monkeypatch.setattr(M, "_OCF_CACHE", {})
+    monkeypatch.setattr(M, "_OCF_CACHE_ENTRY_COUNT", 0)
+    monkeypatch.setattr(M, "_OCF_CACHE_MAX_ENTRIES", 3)
+    first = read_manifest(paths[0], discard_deleted=False)
+    for p in paths[1:]:
+        read_manifest(p, discard_deleted=False)
+        assert len(M._OCF_CACHE) == 1, "2+2 entries exceed the 3-entry budget"
+        assert M._OCF_CACHE_ENTRY_COUNT == 2
+    # reads stay correct through eviction
+    assert read_manifest(paths[0], discard_deleted=False) == first

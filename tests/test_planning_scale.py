@@ -351,3 +351,49 @@ def test_plan_cache_repeat_scan_skips_manifest_reads(tmp_path, spark, monkeypatc
     t.scan().plan_files()
     assert len(reads) > n, "disabled cache must re-plan"
     TBL._PLAN_CACHE.clear()
+
+
+def test_auto_route_prefers_local_when_cache_warm(big_table, spark, monkeypatch):
+    """A re-plan of a snapshot whose manifests are already decoded (an
+    UNFILTERED scan populated the manifest cache) must plan locally —
+    replaying cached prototype entries beats launching a Spark job —
+    unless read.distributed-planning.skip-when-cached is off."""
+    from iceberg_go_distributed_spark.iceberg import manifest as manifest_mod
+    from iceberg_go_distributed_spark.iceberg import table as table_mod
+
+    # broad scan: every manifest survives level-2 pruning → cache warm
+    scan = big_table.scan()
+    local = {t.file.file_path for t in scan.plan_files()}
+    snap = scan.snapshot()
+    assert all(
+        m.manifest_path in manifest_mod._OCF_CACHE for m in snap.manifests()
+    ), "broad plan should have cached every manifest"
+
+    calls = []
+    orig = table_mod.plan_files_distributed
+    monkeypatch.setattr(
+        table_mod,
+        "plan_files_distributed",
+        lambda s, sp: calls.append(1) or orig(s, sp),
+    )
+    big_table.metadata.properties["read.distributed-planning.min-manifests"] = "2"
+    try:
+        table_mod._PLAN_CACHE.clear()
+        auto = {t.file.file_path for t in scan.plan_files_auto(spark)}
+        assert auto == local and not calls, (
+            "warm-cache re-plan must stay on the local planner"
+        )
+        # opting out restores width-based routing
+        big_table.metadata.properties[
+            "read.distributed-planning.skip-when-cached"
+        ] = "false"
+        table_mod._PLAN_CACHE.clear()
+        auto2 = {t.file.file_path for t in scan.plan_files_auto(spark)}
+        assert auto2 == local and calls
+    finally:
+        big_table.metadata.properties.pop(
+            "read.distributed-planning.min-manifests", None
+        )
+        big_table.metadata.properties.pop(
+            "read.distributed-planning.skip-when-cached", None
+        )
