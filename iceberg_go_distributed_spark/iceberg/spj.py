@@ -352,11 +352,12 @@ def _side_blobs(table, pf, row_filter, spark):
     )
 
     def to_blob(pdf):
-        from .table import match_deletes
+        from .table import build_delete_matcher
 
+        match = build_delete_matcher(delete_rows)
         entries, total = [], 0
         for seq, path, size in zip(pdf["seq"], pdf["path"], pdf["size"]):
-            matched = match_deletes(int(seq), path, delete_rows)
+            matched = match(int(seq), path)
             dels, eqs = _delete_entries(matched)
             nbytes = int(size) + sum(
                 x.file_size_in_bytes for x in matched

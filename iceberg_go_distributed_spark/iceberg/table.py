@@ -193,6 +193,60 @@ def match_deletes(data_seq: int, data_path: str, delete_rows) -> tuple:
     return tuple(picked)
 
 
+def build_delete_matcher(delete_rows):
+    """Indexed form of `match_deletes` for matching MANY data files
+    against the same delete set: the linear scan is O(files × deletes),
+    which at DV-heavy scale (one DV per rewritten file) goes quadratic
+    in table size. The index keys DVs by their exact referenced data
+    file (dict hit), bisects equality deletes on the sequence gate, and
+    keeps only path-RANGED positional deletes (the legacy v2 shape) as
+    a linear scan. Output tuples are IDENTICAL to match_deletes —
+    same deletes, same delete_rows order (each candidate carries its
+    input position and matches re-sort on it); equivalence is fuzzed in
+    tests/test_deletes.py."""
+    from bisect import bisect_right
+
+    from .manifest import DataFileContent
+
+    dv_by_path: dict = {}
+    pos_ranged = []
+    eq_rows = sorted(
+        (
+            (d_seq, idx, ddf)
+            for idx, (d_seq, ddf) in enumerate(delete_rows)
+            if ddf.content == DataFileContent.EQUALITY_DELETES
+        ),
+    )
+    eq_seqs = [t[0] for t in eq_rows]
+    for idx, (d_seq, ddf) in enumerate(delete_rows):
+        if ddf.content == DataFileContent.POSITION_DELETES:
+            if ddf.content_offset is not None:
+                dv_by_path.setdefault(ddf.referenced_data_file, []).append(
+                    (idx, d_seq, ddf)
+                )
+            else:
+                pos_ranged.append((idx, d_seq, ddf))
+
+    def match(data_seq: int, data_path: str) -> tuple:
+        picked = [
+            (idx, ddf)
+            for idx, d_seq, ddf in dv_by_path.get(data_path, ())
+            if d_seq >= data_seq
+        ]
+        for idx, d_seq, ddf in pos_ranged:
+            if d_seq >= data_seq and _delete_covers_path(ddf, data_path):
+                picked.append((idx, ddf))
+        k = bisect_right(eq_seqs, data_seq)
+        if k < len(eq_rows):
+            picked.extend((idx, ddf) for _, idx, ddf in eq_rows[k:])
+        if not picked:
+            return ()
+        picked.sort(key=lambda t: t[0])
+        return tuple(d for _, d in picked)
+
+    return match
+
+
 def _arrow_read_file(path, fields, mapped_names, arrow_filter, filter_names, with_pos):
     """One file of a wide/streaming Arrow read: resolve columns by
     field id (name-mapped / current-name fallback for id-less files)
@@ -603,13 +657,14 @@ class Scan:
         delete_rows = [
             (d.sequence_number or 0, d.data_file) for d in delete_entries
         ]
+        match = build_delete_matcher(delete_rows)
         tasks: list[FileScanTask] = []
         for e in data_entries:
             tasks.append(
                 FileScanTask(
                     file=e.data_file,
-                    delete_files=match_deletes(
-                        e.sequence_number or 0, e.data_file.file_path, delete_rows
+                    delete_files=match(
+                        e.sequence_number or 0, e.data_file.file_path
                     ),
                     data_sequence_number=e.sequence_number,
                 )
@@ -3059,12 +3114,13 @@ def _descriptor_rows_to_tasks(rows) -> list[FileScanTask]:
         key=lambda t: t[0],
     )
 
+    match = build_delete_matcher(delete_rows)
     tasks: list[FileScanTask] = []
     for e_seq, dfile in data_rows:
         tasks.append(
             FileScanTask(
                 file=dfile,
-                delete_files=match_deletes(e_seq, dfile.file_path, delete_rows),
+                delete_files=match(e_seq, dfile.file_path),
                 data_sequence_number=e_seq,
             )
         )

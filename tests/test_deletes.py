@@ -746,3 +746,80 @@ def test_eq_delete_on_dropped_key_fails_loudly(fs_catalog, spark):
     t.update_schema().drop_column("region").commit()
     with pytest.raises(ValueError, match="dropped field ids"):
         t.scan().to_df(spark).count()
+
+
+def test_delete_matcher_index_equals_linear_scan():
+    """build_delete_matcher (DV dict + equality bisect + ranged scan)
+    must return exactly match_deletes' tuples — same deletes, same
+    order — across fuzzed delete sets mixing DVs, path-ranged
+    positional deletes, and equality deletes."""
+    import random
+
+    from iceberg_go_distributed_spark.iceberg.conversions import to_bytes
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        POSITIONAL_DELETE_FILE_PATH_ID,
+        DataFile,
+        DataFileContent,
+    )
+    from iceberg_go_distributed_spark.iceberg.table import (
+        build_delete_matcher,
+        match_deletes,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import StringType
+
+    rng = random.Random(42)
+    paths = [f"/data/f{i:03d}.parquet" for i in range(40)]
+
+    def dv(seq, target):
+        return (
+            seq,
+            DataFile(
+                file_path=f"/del/dv-{seq}-{target[-11:-8]}.puffin",
+                content=DataFileContent.POSITION_DELETES,
+                referenced_data_file=target,
+                content_offset=4,
+                content_size_in_bytes=16,
+                record_count=1,
+            ),
+        )
+
+    def ranged(seq, lo, hi):
+        fid = POSITIONAL_DELETE_FILE_PATH_ID
+        return (
+            seq,
+            DataFile(
+                file_path=f"/del/pos-{seq}-{lo[-11:-8]}.parquet",
+                content=DataFileContent.POSITION_DELETES,
+                lower_bounds={fid: to_bytes(StringType(), lo)},
+                upper_bounds={fid: to_bytes(StringType(), hi)},
+                record_count=1,
+            ),
+        )
+
+    def eq(seq):
+        return (
+            seq,
+            DataFile(
+                file_path=f"/del/eq-{seq}.parquet",
+                content=DataFileContent.EQUALITY_DELETES,
+                equality_ids=[1],
+                record_count=1,
+            ),
+        )
+
+    for trial in range(25):
+        rows = []
+        for _ in range(rng.randint(0, 12)):
+            rows.append(dv(rng.randint(1, 20), rng.choice(paths)))
+        for _ in range(rng.randint(0, 6)):
+            lo, hi = sorted(rng.sample(paths, 2))
+            rows.append(ranged(rng.randint(1, 20), lo, hi))
+        for _ in range(rng.randint(0, 8)):
+            rows.append(eq(rng.randint(1, 20)))
+        rows.sort(key=lambda t: t[0])  # planners sort by sequence
+        match = build_delete_matcher(rows)
+        for p in paths:
+            for data_seq in (0, 1, 5, 10, 19, 20, 25):
+                assert match(data_seq, p) == match_deletes(data_seq, p, rows), (
+                    f"trial {trial} seq {data_seq} path {p}"
+                )
