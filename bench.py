@@ -781,6 +781,14 @@ def main(argv=None) -> None:
 
     detail: dict = {"detail": True}
     summary: dict = {"metric": "headline_total_sec", "unit": "sec", "sf": sf}
+    # parallelism contract, echoed so the driver can verify directly that
+    # $SPARK_GRAFT_CPUS took effect (r14's suspect_cpus_ignored fired on
+    # flat headline scaling that is really the single-row-group testdata
+    # floor — see OPTIMIZATION_r14.md "Measurement setup"; these fields
+    # are the direct evidence the heuristic lacked)
+    summary["master"] = spark.sparkContext.master
+    summary["default_parallelism"] = spark.sparkContext.defaultParallelism
+    summary["cpus_env"] = os.environ.get("SPARK_GRAFT_CPUS")
 
     if "headline" in blocks:
         canary = _canary_sec(spark)

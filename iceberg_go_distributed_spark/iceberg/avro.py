@@ -220,113 +220,182 @@ def read_datum(buf: BinaryIO, schema: Any) -> Any:
     raise TypeError(f"unsupported avro type {t!r}")
 
 
-# ------------------------------------------------------- compiled reader
+# --------------------------------------------- codegen'd block reader
+#
+# r14 compiled the schema walk into closure trees; the remaining cold
+# decode cost was the byte walk itself — BytesIO.read(1) per varint byte
+# allocates a bytes object and pays a C-call per BYTE, and every value
+# still costs one closure call. The block reader generates one Python
+# function per writer schema (exec'd once, memoized) that decodes a
+# whole OCF block from a bytes object with a local integer cursor:
+# varints are inlined as direct byte indexing, strings/bytes are single
+# slices, records build dict literals. Same generic datum model
+# (records ↔ dicts, arrays ↔ lists), pinned by the byte-golden
+# wire-format and reference-manifest suites.
 
-def compile_reader(schema: Any):
-    """Compile a schema into a closure tree read function.
 
-    `read_datum` re-walks the schema JSON (dict lookups, type dispatch,
-    isinstance checks) for EVERY datum; at manifest scale that walk is
-    the planner's hot loop — ~100 µs per manifest entry, all driver-side
-    (or GIL-serialized thread-pool side). Compiling the walk once into
-    nested closures decodes the same bytes into the same generic datum
-    model (records ↔ dicts, arrays ↔ lists) with only per-value work
-    left. Byte-level semantics are pinned by the wire-format golden
-    tests, which decode reference-shipped manifests through this path.
+class _SrcGen:
+    """Emits source lines that decode one datum into a target variable.
+
+    Generated code runs over locals `data` (bytes), `pos` (int cursor)
+    and `_dlen` (len(data), bound once); runtime helpers (struct
+    unpack_from, EOFError) are injected via the exec namespace. Length
+    reads guard against truncated data so corrupt files fail loudly
+    (IndexError from direct indexing is mapped to EOFError by read_ocf).
     """
-    t = _schema_type(schema)
-    if t == "union":
-        branches = [compile_reader(b) for b in schema]
 
-        def read_union(buf, _branches=branches, _rl=_read_long):
-            return _branches[_rl(buf)](buf)
+    def __init__(self):
+        self.n = 0
+        self.ns: dict[str, Any] = {"_EOF": EOFError}
 
-        return read_union
-    if t == "null":
-        return lambda buf: None
-    if t == "boolean":
+    def fresh(self, stem="t"):
+        self.n += 1
+        return f"_{stem}{self.n}"
 
-        def read_bool(buf):
-            b = buf.read(1)
-            if not b:
-                raise EOFError("unexpected end of avro data")
-            return b != b"\x00"
+    def bind(self, stem, value):
+        name = self.fresh(stem)
+        self.ns[name] = value
+        return name
 
-        return read_bool
-    if t in ("int", "long"):
-        return _read_long
-    if t == "float":
-        unpack = struct.Struct("<f").unpack
+    def varint(self, lines, ind, var):
+        """zigzag-varint decode into `var` — avro encodes longs, lengths,
+        union indexes and block counts all this way."""
+        b = self.fresh("b")
+        lines.append(f"{ind}{b} = data[pos]; pos += 1")
+        lines.append(f"{ind}if {b} < 128:")
+        lines.append(f"{ind}    {var} = ({b} >> 1) ^ -({b} & 1)")
+        lines.append(f"{ind}else:")
+        lines.append(f"{ind}    _n = {b} & 127; _s = 7")
+        lines.append(f"{ind}    while True:")
+        lines.append(f"{ind}        {b} = data[pos]; pos += 1")
+        lines.append(f"{ind}        _n |= ({b} & 127) << _s")
+        lines.append(f"{ind}        if {b} < 128: break")
+        lines.append(f"{ind}        _s += 7")
+        lines.append(f"{ind}    {var} = (_n >> 1) ^ -(_n & 1)")
 
-        def read_float(buf, _u=unpack, _rx=_read_exact):
-            return _u(_rx(buf, 4))[0]
+    def sized(self, lines, ind, var, length_expr, decode=False):
+        """Bounds-checked slice of `length_expr` bytes into `var`."""
+        end = self.fresh("E")
+        lines.append(f"{ind}{end} = pos + {length_expr}")
+        lines.append(
+            f"{ind}if {end} > _dlen: "
+            "raise _EOF('unexpected end of avro data')"
+        )
+        dec = ".decode()" if decode else ""
+        lines.append(f"{ind}{var} = data[pos:{end}]{dec}; pos = {end}")
 
-        return read_float
-    if t == "double":
-        unpack = struct.Struct("<d").unpack
+    def block_loop(self, lines, ind, body):
+        """Avro array/map block framing: count (negative ⇒ byte-size
+        prefix follows), `body(ind)` per item, 0 terminates."""
+        cnt = self.fresh("n")
+        lines.append(f"{ind}while True:")
+        self.varint(lines, ind + "    ", cnt)
+        lines.append(f"{ind}    if {cnt} == 0: break")
+        lines.append(f"{ind}    if {cnt} < 0:")
+        sk = self.fresh("sk")
+        self.varint(lines, ind + "        ", sk)
+        lines.append(f"{ind}        {cnt} = -{cnt}")
+        lines.append(f"{ind}    for _ in range({cnt}):")
+        body(ind + "        ")
 
-        def read_double(buf, _u=unpack, _rx=_read_exact):
-            return _u(_rx(buf, 8))[0]
+    def emit(self, lines, ind, schema, var):
+        t = _schema_type(schema)
+        if t == "null":
+            lines.append(f"{ind}{var} = None")
+        elif t == "boolean":
+            lines.append(f"{ind}{var} = data[pos] != 0; pos += 1")
+        elif t in ("int", "long"):
+            self.varint(lines, ind, var)
+        elif t == "float":
+            u = self.bind("uf", struct.Struct("<f").unpack_from)
+            lines.append(
+                f"{ind}if pos + 4 > _dlen: "
+                "raise _EOF('unexpected end of avro data')"
+            )
+            lines.append(f"{ind}{var} = {u}(data, pos)[0]; pos += 4")
+        elif t == "double":
+            u = self.bind("ud", struct.Struct("<d").unpack_from)
+            lines.append(
+                f"{ind}if pos + 8 > _dlen: "
+                "raise _EOF('unexpected end of avro data')"
+            )
+            lines.append(f"{ind}{var} = {u}(data, pos)[0]; pos += 8")
+        elif t in ("string", "bytes"):
+            ln = self.fresh("L")
+            self.varint(lines, ind, ln)
+            lines.append(
+                f"{ind}if {ln} < 0: "
+                f"raise ValueError('negative avro bytes length %d' % {ln})"
+            )
+            self.sized(lines, ind, var, ln, decode=(t == "string"))
+        elif t == "fixed":
+            self.sized(lines, ind, var, schema["size"])
+        elif t == "union":
+            idx = self.fresh("u")
+            self.varint(lines, ind, idx)
+            for i, branch in enumerate(schema):
+                kw = "if" if i == 0 else "elif"
+                lines.append(f"{ind}{kw} {idx} == {i}:")
+                self.emit(lines, ind + "    ", branch, var)
+            lines.append(f"{ind}else:")
+            lines.append(
+                f"{ind}    raise IndexError('bad union index %d' % {idx})"
+            )
+        elif t == "record":
+            fvars = []
+            for f in schema["fields"]:
+                fv = self.fresh("f")
+                self.emit(lines, ind, f["type"], fv)
+                fvars.append((f["name"], fv))
+            items = ", ".join(f"{name!r}: {fv}" for name, fv in fvars)
+            lines.append(f"{ind}{var} = {{{items}}}")
+        elif t == "array":
+            item = self.fresh("i")
+            ap = self.fresh("ap")
+            lines.append(f"{ind}{var} = []")
+            lines.append(f"{ind}{ap} = {var}.append")
 
-        return read_double
-    if t == "string":
+            def body(ind2):
+                self.emit(lines, ind2, schema["items"], item)
+                lines.append(f"{ind2}{ap}({item})")
 
-        def read_string(buf, _rb=_read_bytes):
-            return _rb(buf).decode("utf-8")
+            self.block_loop(lines, ind, body)
+        elif t == "map":
+            key, val, kl = self.fresh("k"), self.fresh("v"), self.fresh("KL")
+            lines.append(f"{ind}{var} = {{}}")
 
-        return read_string
-    if t == "bytes":
-        return _read_bytes
-    if t == "fixed":
-        size = schema["size"]
+            def body(ind2):
+                self.varint(lines, ind2, kl)
+                self.sized(lines, ind2, key, kl, decode=True)
+                self.emit(lines, ind2, schema["values"], val)
+                lines.append(f"{ind2}{var}[{key}] = {val}")
 
-        def read_fixed(buf, _n=size, _rx=_read_exact):
-            return _rx(buf, _n)
+            self.block_loop(lines, ind, body)
+        else:
+            raise TypeError(f"unsupported avro type {t!r}")
 
-        return read_fixed
-    if t == "record":
-        field_readers = [
-            (f["name"], compile_reader(f["type"])) for f in schema["fields"]
-        ]
+    def compile(self, lines, name="_decode_block"):
+        src = "\n".join(lines)
+        ns = dict(self.ns)
+        exec(compile(src, f"<avro:{name}>", "exec"), ns)
+        fn = ns[name]
+        fn._src = src  # for debugging/tests
+        return fn
 
-        def read_record(buf, _frs=field_readers):
-            return {name: r(buf) for name, r in _frs}
 
-        return read_record
-    if t == "array":
-        item_reader = compile_reader(schema["items"])
-
-        def read_array(buf, _ir=item_reader, _rl=_read_long):
-            out = []
-            while True:
-                n = _rl(buf)
-                if n == 0:
-                    return out
-                if n < 0:  # block with byte size prefix
-                    _rl(buf)
-                    n = -n
-                for _ in range(n):
-                    out.append(_ir(buf))
-
-        return read_array
-    if t == "map":
-        value_reader = compile_reader(schema["values"])
-
-        def read_map(buf, _vr=value_reader, _rl=_read_long, _rb=_read_bytes):
-            out = {}
-            while True:
-                n = _rl(buf)
-                if n == 0:
-                    return out
-                if n < 0:
-                    _rl(buf)
-                    n = -n
-                for _ in range(n):
-                    k = _rb(buf).decode("utf-8")
-                    out[k] = _vr(buf)
-
-        return read_map
-    raise TypeError(f"unsupported avro type {t!r}")
+def compile_block_reader(schema: Any):
+    """schema → fn(data, pos, count, append) -> end_pos decoding `count`
+    generic datums (records ↔ dicts) from `data` starting at `pos`."""
+    g = _SrcGen()
+    lines = [
+        "def _decode_block(data, pos, count, append):",
+        "    _dlen = len(data)",
+        "    for _ in range(count):",
+    ]
+    g.emit(lines, "        ", schema, "_rec")
+    lines.append("        append(_rec)")
+    lines.append("    return pos")
+    return g.compile(lines)
 
 
 # ----------------------------------------------------------------- OCF IO
@@ -389,12 +458,16 @@ def write_ocf(
             out.close()
 
 
-# compiled readers memoized by the file's raw schema JSON bytes: a
+# compiled block readers memoized by the file's raw schema JSON bytes: a
 # snapshot's manifests share one writer schema, so a 2000-manifest plan
-# would otherwise re-walk the same schema 2000 times (FIFO-bounded; the
-# schema population of a session is a handful)
-_COMPILED_READER_MEMO: dict[bytes, Any] = {}
-_COMPILED_READER_MEMO_MAX = 64
+# would otherwise re-codegen the same schema 2000 times (FIFO-bounded;
+# the schema population of a session is a handful). Eviction runs under
+# a lock: planner threads share this memo, and an unlocked
+# pop(next(iter(...))) can race a concurrent insert into
+# RuntimeError('dictionary changed size during iteration').
+_BLOCK_READER_MEMO: dict[bytes, Any] = {}
+_BLOCK_READER_MEMO_MAX = 64
+_BLOCK_READER_LOCK = __import__("threading").Lock()
 
 
 def read_ocf(
@@ -403,9 +476,10 @@ def read_ocf(
     """Returns (schema, metadata, records).
 
     `record_reader_factory(schema, raw_schema_bytes)` may supply a
-    specialized per-record reader (e.g. the manifest module's fused
-    schema→ManifestEntry decoder); returning None falls back to the
-    generic compiled reader (records ↔ dicts)."""
+    specialized BLOCK reader `fn(data, pos, count, append) -> end_pos`
+    (e.g. the manifest module's fused schema→ManifestEntry decoder);
+    returning None falls back to the generic codegen'd block reader
+    (records ↔ dicts)."""
     own = isinstance(path_or_file, (str, os.PathLike))
     if own:
         from . import fileio
@@ -431,25 +505,22 @@ def read_ocf(
         schema = json.loads(raw_schema)
         codec = meta.get("avro.codec", b"null").decode()
         sync = f.read(SYNC_SIZE)
-        # compiled once per SCHEMA (memoized): the schema walk leaves
-        # the per-record loop (the manifest planner's hot path)
-        read_one = None
+        # codegen'd once per SCHEMA (memoized): both the schema walk AND
+        # the byte walk leave the per-record loop (planner hot path)
+        read_block = None
         if record_reader_factory is not None:
-            read_one = record_reader_factory(schema, raw_schema)
-        if read_one is None:
-            read_one = _COMPILED_READER_MEMO.get(raw_schema)
-            if read_one is None:
-                read_one = compile_reader(schema)
-                # planner threads share this memo; tolerate a racing
-                # eviction of the same oldest key
-                try:
-                    while len(_COMPILED_READER_MEMO) >= _COMPILED_READER_MEMO_MAX:
-                        _COMPILED_READER_MEMO.pop(
-                            next(iter(_COMPILED_READER_MEMO)), None
+            read_block = record_reader_factory(schema, raw_schema)
+        if read_block is None:
+            with _BLOCK_READER_LOCK:
+                read_block = _BLOCK_READER_MEMO.get(raw_schema)
+            if read_block is None:
+                read_block = compile_block_reader(schema)
+                with _BLOCK_READER_LOCK:
+                    while len(_BLOCK_READER_MEMO) >= _BLOCK_READER_MEMO_MAX:
+                        _BLOCK_READER_MEMO.pop(
+                            next(iter(_BLOCK_READER_MEMO)), None
                         )
-                except StopIteration:  # emptied by another thread
-                    pass
-                _COMPILED_READER_MEMO[raw_schema] = read_one
+                    _BLOCK_READER_MEMO[raw_schema] = read_block
         records: list = []
         append = records.append
         while True:
@@ -458,14 +529,15 @@ def read_ocf(
             except EOFError:
                 break
             size = _read_long(f)
-            payload = f.read(size)
+            payload = _read_exact(f, size)
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
             elif codec != "null":
                 raise ValueError(f"unsupported codec {codec!r}")
-            body = io.BytesIO(payload)
-            for _ in range(count):
-                append(read_one(body))
+            try:
+                read_block(payload, 0, count, append)
+            except (IndexError, struct.error):
+                raise EOFError("unexpected end of avro data") from None
             if f.read(SYNC_SIZE) != sync:
                 raise ValueError("sync marker mismatch")
         return schema, meta, records

@@ -402,7 +402,9 @@ def _entry_from_avro(obj: dict) -> ManifestEntry:
         partition=d.get("partition") or {},
         record_count=d["record_count"],
         file_size_in_bytes=d["file_size_in_bytes"],
-        content=_CONTENT_FROM_CODE[d.get("content", 0)],
+        # `or 0` tolerates an off-spec explicit null exactly like the
+        # fused codegen reader does, so the two decode paths agree
+        content=_CONTENT_FROM_CODE[d.get("content") or 0],
         column_sizes=_map_from_avro(d.get("column_sizes")),
         value_counts=_map_from_avro(d.get("value_counts")),
         null_value_counts=_map_from_avro(d.get("null_value_counts")),
@@ -482,11 +484,10 @@ _DF_DEFAULTS = {
 _ENTRY_FIELDS = ("status", "snapshot_id", "sequence_number", "file_sequence_number")
 
 
-def _compile_kv_map_reader(schema):
-    """array-of-k_v-record (Iceberg's int-keyed map encoding, possibly
-    nullable-union-wrapped) → direct {int: value} reader, or None when
-    the shape doesn't match."""
-    read_long = avro_io._read_long
+def _kv_map_shape(schema):
+    """(null_idx, value_schema) when `schema` is Iceberg's int-keyed
+    array-of-{key,value}-record map encoding (possibly nullable-union-
+    wrapped); None when the shape doesn't match."""
     t = schema
     null_idx = None
     if isinstance(t, list):
@@ -507,132 +508,155 @@ def _compile_kv_map_reader(schema):
         kt = kt.get("type")
     if kt not in ("int", "long"):
         return None
-    value_reader = avro_io.compile_reader(fields[1]["type"])
+    return null_idx, fields[1]["type"]
 
-    def read_kv(buf, _rl=read_long, _vr=value_reader):
-        out = {}
-        while True:
-            n = _rl(buf)
-            if n == 0:
-                return out
-            if n < 0:  # block with byte size prefix
-                _rl(buf)
-                n = -n
-            for _ in range(n):
-                k = _rl(buf)
-                out[k] = _vr(buf)
+
+def _compile_kv_map_reader(schema):
+    """Shape gate with the contract the fused-reader tests pin: None
+    when `schema` is not the known k_v int-keyed map encoding, truthy
+    (the parsed shape) when it is."""
+    return _kv_map_shape(schema)
+
+
+def _emit_kv_map_reader(g, schema, lines, ind, var):
+    """Emit codegen decoding `schema` (the k_v map encoding) straight
+    into an int-keyed dict `var`; returns False when the shape doesn't
+    match."""
+    shape = _kv_map_shape(schema)
+    if shape is None:
+        return False
+    null_idx, vt = shape
+
+    def body(ind2):
+        key, val = g.fresh("k"), g.fresh("v")
+        lines.append(f"{ind2}{var} = {{}}")
+
+        def item(ind3):
+            g.varint(lines, ind3, key)
+            g.emit(lines, ind3, vt, val)
+            lines.append(f"{ind3}{var}[{key}] = {val}")
+
+        g.block_loop(lines, ind2, item)
 
     if null_idx is None:
-        return read_kv
-
-    def read_nullable_kv(buf, _rl=read_long, _kv=read_kv, _ni=null_idx):
-        return None if _rl(buf) == _ni else _kv(buf)
-
-    return read_nullable_kv
-
-
-def _compile_data_file_reader(schema):
-    if not (isinstance(schema, dict) and schema.get("type") == "record"):
-        return None
-    steps = []
-    for f in schema.get("fields") or []:
-        nm = f["name"]
-        r = None
-        if nm in _STATS_MAP_FIELDS:
-            r = _compile_kv_map_reader(f["type"])
-            if r is None:
-                # unexpected encoding: decode generically, convert like
-                # _entry_from_avro does
-                generic = avro_io.compile_reader(f["type"])
-
-                def r(buf, _g=generic):
-                    return _map_from_avro(_g(buf))
-
-        else:
-            r = avro_io.compile_reader(f["type"])
-        steps.append((nm, r))
-    decoded = {nm for nm, _ in steps}
-    # writer-only fields (e.g. v1 block_size_in_bytes) are decoded for
-    # stream position but dropped; absent DataFile fields get defaults
-    extras = tuple(nm for nm in decoded if nm not in _DF_DEFAULTS)
-    missing = {k: v for k, v in _DF_DEFAULTS.items() if k not in decoded}
-
-    def read_data_file(buf, _steps=steps, _extras=extras, _missing=missing):
-        d = {name: r(buf) for name, r in _steps}
-        for x in _extras:
-            del d[x]
-        if _missing:
-            d.update(_missing)
-        if d["partition"] is None:
-            d["partition"] = {}
-        d["content"] = _CONTENT_FROM_CODE[d["content"] or 0]
-        df = DataFile.__new__(DataFile)
-        df.__dict__ = d
-        return df
-
-    return read_data_file
+        body(ind)
+    else:
+        u = g.fresh("u")
+        g.varint(lines, ind, u)
+        lines.append(f"{ind}if {u} == {null_idx}:")
+        lines.append(f"{ind}    {var} = None")
+        lines.append(f"{ind}else:")
+        body(ind + "    ")
+    return True
 
 
 def _compile_entry_reader(schema):
-    """Writer schema (parsed JSON) → buf→ManifestEntry reader, or None
-    when the schema isn't a manifest_entry record of the known shape."""
+    """Writer schema (parsed JSON) → codegen'd BLOCK reader
+    `fn(data, pos, count, append)` appending ManifestEntry objects, or
+    None when the schema isn't a manifest_entry record of the known
+    shape (read_ocf then falls back to the generic datum model +
+    _entry_from_avro, so semantics can never diverge).
+
+    Fuses two layers the generic path pays per entry: the intermediate
+    datum dicts ({"key","value"} per stats item, record dicts) and the
+    BytesIO byte walk (the avro._SrcGen codegen decodes from a bytes
+    cursor, varints inlined)."""
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         return None
     if schema.get("name") != "manifest_entry":
         return None
-    steps = []
+    g = avro_io._SrcGen()
+    lines = [
+        "def _decode_entries(data, pos, count, append):",
+        "    _dlen = len(data)",
+        "    for _ in range(count):",
+    ]
+    ind = "        "
+    entry_vars: dict[str, str] = {}
+    df_vars: dict[str, str] = {}
+    saw_data_file = False
     for f in schema.get("fields") or []:
         nm = f["name"]
         if nm == "data_file":
-            r = _compile_data_file_reader(f["type"])
-            if r is None:
+            dfs = f["type"]
+            if not (isinstance(dfs, dict) and dfs.get("type") == "record"):
                 return None
-        elif nm == "status":
-            generic = avro_io.compile_reader(f["type"])
-
-            def r(buf, _g=generic):
-                return _STATUS_FROM_CODE[_g(buf)]
-
-        elif nm in _ENTRY_FIELDS:
-            r = avro_io.compile_reader(f["type"])
+            saw_data_file = True
+            for df_f in dfs.get("fields") or []:
+                dnm = df_f["name"]
+                v = g.fresh("d")
+                if dnm in _STATS_MAP_FIELDS:
+                    if not _emit_kv_map_reader(g, df_f["type"], lines, ind, v):
+                        return None  # unexpected stats encoding: generic path
+                else:
+                    # writer-only fields (e.g. v1 block_size_in_bytes)
+                    # are decoded for stream position but dropped below
+                    g.emit(lines, ind, df_f["type"], v)
+                if dnm in _DF_DEFAULTS:
+                    df_vars[dnm] = v
+        elif nm == "status" or nm in _ENTRY_FIELDS:
+            v = g.fresh("e")
+            g.emit(lines, ind, f["type"], v)
+            entry_vars[nm] = v
         else:
             return None  # unknown entry-level field: generic path
-        steps.append((nm, r))
-    names = [nm for nm, _ in steps]
-    if "status" not in names or "data_file" not in names:
+    if "status" not in entry_vars or not saw_data_file or not df_vars:
         return None
 
-    def read_entry(buf, _steps=steps):
-        d = {name: r(buf) for name, r in _steps}
-        e = ManifestEntry.__new__(ManifestEntry)
-        e.__dict__ = {
-            "status": d["status"],
-            "snapshot_id": d.get("snapshot_id"),
-            "sequence_number": d.get("sequence_number"),
-            "file_sequence_number": d.get("file_sequence_number"),
-            "data_file": d["data_file"],
-        }
-        return e
-
-    return read_entry
+    # absent DataFile fields get their dataclass defaults (v1 manifests
+    # lack content/equality_ids/…), mirroring _entry_from_avro's d.get()
+    df_items = []
+    for k, dflt in _DF_DEFAULTS.items():
+        if k in df_vars:
+            v = df_vars[k]
+            if k == "content":
+                df_items.append(f"'content': _CONTENT[{v} or 0]")
+            elif k == "partition":
+                df_items.append(f"'partition': {v} if {v} is not None else {{}}")
+            else:
+                df_items.append(f"{k!r}: {v}")
+        elif k == "content":
+            df_items.append("'content': _CONTENT[0]")
+        else:
+            df_items.append(f"{k!r}: {dflt!r}")
+    lines.append(f"{ind}_df = _DF_new(_DataFile)")
+    lines.append(f"{ind}_df.__dict__ = {{{', '.join(df_items)}}}")
+    e_items = [f"'status': _STATUS[{entry_vars['status']}]"]
+    for k in ("snapshot_id", "sequence_number", "file_sequence_number"):
+        e_items.append(f"{k!r}: {entry_vars.get(k, None)}")
+    e_items.append("'data_file': _df")
+    lines.append(f"{ind}_e = _ME_new(_ManifestEntry)")
+    lines.append(f"{ind}_e.__dict__ = {{{', '.join(e_items)}}}")
+    lines.append(f"{ind}append(_e)")
+    lines.append("    return pos")
+    g.ns.update(
+        _CONTENT=_CONTENT_FROM_CODE,
+        _STATUS=_STATUS_FROM_CODE,
+        _DF_new=DataFile.__new__,
+        _DataFile=DataFile,
+        _ME_new=ManifestEntry.__new__,
+        _ManifestEntry=ManifestEntry,
+    )
+    return g.compile(lines, name="_decode_entries")
 
 
 # fused readers memoized by raw schema bytes (False = schema rejected,
-# use the generic path); population is one per writer schema version
+# use the generic path); population is one per writer schema version.
+# Locked like avro's block-reader memo: planner threads share it.
 _ENTRY_READER_MEMO: dict[bytes, Any] = {}
 _ENTRY_READER_MEMO_MAX = 64
+_ENTRY_READER_LOCK = threading.Lock()
 
 
 def _entry_reader_factory(schema, raw_schema):
-    r = _ENTRY_READER_MEMO.get(raw_schema)
+    with _ENTRY_READER_LOCK:
+        r = _ENTRY_READER_MEMO.get(raw_schema)
     if r is None:
         r = _compile_entry_reader(schema) or False
-        try:
+        with _ENTRY_READER_LOCK:
             while len(_ENTRY_READER_MEMO) >= _ENTRY_READER_MEMO_MAX:
                 _ENTRY_READER_MEMO.pop(next(iter(_ENTRY_READER_MEMO)), None)
-        except StopIteration:  # emptied by a racing planner thread
-            pass
-        _ENTRY_READER_MEMO[raw_schema] = r
+            _ENTRY_READER_MEMO[raw_schema] = r
     return r or None
 
 
@@ -778,6 +802,12 @@ def _read_manifest_prototypes(path: str) -> list[ManifestEntry]:
         if cached and not isinstance(cached[0], ManifestEntry):
             cached = [_entry_from_avro(r) for r in cached]
         with _OCF_CACHE_LOCK:
+            # two threads can decode the same new manifest concurrently:
+            # the loser must not re-insert, or the entry count inflates
+            # by len(cached) per race and evicts prematurely forever
+            prior = _OCF_CACHE.get(path)
+            if prior is not None:
+                return prior
             while _OCF_CACHE and (
                 len(_OCF_CACHE) >= _OCF_CACHE_MAX
                 or _OCF_CACHE_ENTRY_COUNT + len(cached) > _OCF_CACHE_MAX_ENTRIES
@@ -806,7 +836,13 @@ def read_manifest(
     that were assigned — files carrying an explicit first_row_id (e.g.
     EXISTING entries rewritten by a merge-append) and DELETED entries do
     NOT consume from the manifest's range, matching the spec/Java
-    assignment rule."""
+    assignment rule.
+
+    Mutability contract: entry and data_file ATTRIBUTES are caller-owned
+    (each call returns fresh two-level shallow copies), but the inner
+    collections — partition dict, stats maps, split_offsets/equality_ids
+    lists — are SHARED with the manifest cache's prototypes and must be
+    treated as immutable; replace them wholesale, never mutate in place."""
     _df_new, _e_new = DataFile.__new__, ManifestEntry.__new__
     entries = []
     for p in _read_manifest_prototypes(path):

@@ -193,23 +193,95 @@ def match_deletes(data_seq: int, data_path: str, delete_rows) -> tuple:
     return tuple(picked)
 
 
+def _ranged_delete_bounds(delete_file: DataFile):
+    """Decoded (lo, hi) file_path bounds of a legacy path-ranged
+    positional delete, or None when bounds are absent/undecodable (the
+    delete must then be assumed to cover every path — exactly the
+    `_delete_covers_path` early-outs)."""
+    from .manifest import POSITIONAL_DELETE_FILE_PATH_ID as FP
+
+    lo = (delete_file.lower_bounds or {}).get(FP)
+    hi = (delete_file.upper_bounds or {}).get(FP)
+    if lo is None or hi is None:
+        return None
+    try:
+        return lo.decode("utf-8"), hi.decode("utf-8")
+    except Exception:
+        return None
+
+
+class _IntervalTree:
+    """Static centered interval tree over string intervals [lo, hi]:
+    stab(p) yields every payload whose interval contains p in plain
+    lexicographic order, O(log n + hits). Built once per delete set by
+    build_delete_matcher for the legacy path-RANGED positional deletes
+    (the shape `add_files` of foreign v2 tables imports), which
+    otherwise reintroduce the O(files × deletes) linear scan the DV
+    index removed."""
+
+    __slots__ = ("center", "by_lo", "by_hi", "left", "right")
+
+    def __init__(self, intervals):
+        # intervals: [(lo, hi, payload)]
+        mid = sorted(iv[0] for iv in intervals)[len(intervals) // 2]
+        here, left, right = [], [], []
+        for iv in intervals:
+            if iv[1] < mid:
+                left.append(iv)
+            elif iv[0] > mid:
+                right.append(iv)
+            else:
+                here.append(iv)
+        self.center = mid
+        self.by_lo = sorted(here, key=lambda iv: iv[0])
+        self.by_hi = sorted(here, key=lambda iv: iv[1], reverse=True)
+        self.left = _IntervalTree(left) if left else None
+        self.right = _IntervalTree(right) if right else None
+
+    def stab(self, p, out):
+        node = self
+        while node is not None:
+            if p < node.center:
+                for lo, _hi, payload in node.by_lo:
+                    if lo > p:
+                        break
+                    out.append(payload)  # lo <= p < center <= hi
+                node = node.left
+            elif p > node.center:
+                for _lo, hi, payload in node.by_hi:
+                    if hi < p:
+                        break
+                    out.append(payload)  # lo <= center < p <= hi
+                node = node.right
+            else:
+                for payload in (iv[2] for iv in node.by_lo):
+                    out.append(payload)  # every interval here covers center
+                return
+
+
 def build_delete_matcher(delete_rows):
     """Indexed form of `match_deletes` for matching MANY data files
     against the same delete set: the linear scan is O(files × deletes),
     which at DV-heavy scale (one DV per rewritten file) goes quadratic
     in table size. The index keys DVs by their exact referenced data
     file (dict hit), bisects equality deletes on the sequence gate, and
-    keeps only path-RANGED positional deletes (the legacy v2 shape) as
-    a linear scan. Output tuples are IDENTICAL to match_deletes —
+    resolves legacy path-RANGED positional deletes through an interval
+    tree over their decoded file_path bounds plus two slack structures
+    for `_delete_covers_path`'s truncated-bounds semantics (a data path
+    that is a PREFIX of a lower bound, or an EXTENSION of a truncated
+    upper bound, is covered even though it falls outside [lo, hi] in
+    plain string order). Output tuples are IDENTICAL to match_deletes —
     same deletes, same delete_rows order (each candidate carries its
     input position and matches re-sort on it); equivalence is fuzzed in
-    tests/test_deletes.py."""
-    from bisect import bisect_right
+    tests/test_deletes.py including ranged-heavy prefix-adversarial
+    sets."""
+    from bisect import bisect_left, bisect_right
 
     from .manifest import DataFileContent
 
     dv_by_path: dict = {}
-    pos_ranged = []
+    pos_always = []  # absent/undecodable bounds: cover every path
+    pos_bounded = []  # (lo, hi, (idx, d_seq, ddf))
     eq_rows = sorted(
         (
             (d_seq, idx, ddf)
@@ -225,7 +297,27 @@ def build_delete_matcher(delete_rows):
                     (idx, d_seq, ddf)
                 )
             else:
-                pos_ranged.append((idx, d_seq, ddf))
+                bounds = _ranged_delete_bounds(ddf)
+                if bounds is None:
+                    pos_always.append((idx, d_seq, ddf))
+                else:
+                    pos_bounded.append((*bounds, (idx, d_seq, ddf)))
+    # inverted bounds (hi < lo — corrupt/adversarial metrics) admit no
+    # path in plain string order, only via the prefix-slack structures
+    # below, so they must not enter the tree (and would unbalance it)
+    proper = [iv for iv in pos_bounded if iv[0] <= iv[1]]
+    tree = _IntervalTree(proper) if proper else None
+    # slack structure 1 — data_path is a proper prefix of lo (covered:
+    # lo[:len(path)] == path): all such lo sort in [path, path+∞) and
+    # start with path, a contiguous run in the sorted lo list
+    lo_sorted = sorted(pos_bounded, key=lambda iv: iv[0])
+    lo_keys = [iv[0] for iv in lo_sorted]
+    # slack structure 2 — hi is a proper prefix of data_path (covered:
+    # truncated+incremented upper bound): look up every prefix of the
+    # path in a dict keyed by hi
+    hi_map: dict = {}
+    for lo, hi, payload in pos_bounded:
+        hi_map.setdefault(hi, []).append((lo, payload))
 
     def match(data_seq: int, data_path: str) -> tuple:
         picked = [
@@ -233,9 +325,38 @@ def build_delete_matcher(delete_rows):
             for idx, d_seq, ddf in dv_by_path.get(data_path, ())
             if d_seq >= data_seq
         ]
-        for idx, d_seq, ddf in pos_ranged:
-            if d_seq >= data_seq and _delete_covers_path(ddf, data_path):
+        for idx, d_seq, ddf in pos_always:
+            if d_seq >= data_seq:
                 picked.append((idx, ddf))
+        if tree is not None:
+            hits: list = []
+            tree.stab(data_path, hits)  # lo <= path <= hi: covered as-is
+            seen = set()
+            for idx, d_seq, ddf in hits:
+                if d_seq >= data_seq and idx not in seen:
+                    seen.add(idx)
+                    picked.append((idx, ddf))
+            # prefix-of-lo slack: path < lo but lo startswith path
+            k = bisect_left(lo_keys, data_path)
+            while k < len(lo_keys) and lo_keys[k].startswith(data_path):
+                lo, hi, (idx, d_seq, ddf) = lo_sorted[k]
+                k += 1
+                # the hi side must still pass (mirrors the full check)
+                if (data_path <= hi or data_path.startswith(hi)) and (
+                    d_seq >= data_seq and idx not in seen
+                ):
+                    seen.add(idx)
+                    picked.append((idx, ddf))
+            # hi-is-a-prefix-of-path slack: _delete_covers_path's
+            # `data_path.startswith(hi_s)` branch covers REGARDLESS of
+            # the lower bound (hi was truncated+incremented), so no lo
+            # check here; cut == len(path) included (startswith admits
+            # hi == path even when lo > path)
+            for cut in range(len(data_path) + 1):
+                for _lo, (idx, d_seq, ddf) in hi_map.get(data_path[:cut], ()):
+                    if d_seq >= data_seq and idx not in seen:
+                        seen.add(idx)
+                        picked.append((idx, ddf))
         k = bisect_right(eq_seqs, data_seq)
         if k < len(eq_rows):
             picked.extend((idx, ddf) for _, idx, ddf in eq_rows[k:])

@@ -823,3 +823,104 @@ def test_delete_matcher_index_equals_linear_scan():
                 assert match(data_seq, p) == match_deletes(data_seq, p, rows), (
                     f"trial {trial} seq {data_seq} path {p}"
                 )
+
+
+def test_delete_matcher_ranged_heavy_prefix_adversarial():
+    """The r15 interval-tree index for legacy path-RANGED positional
+    deletes must reproduce match_deletes exactly on ranged-HEAVY sets
+    engineered around `_delete_covers_path`'s truncated-bounds slack:
+    data paths that are prefixes of lower bounds, upper bounds that are
+    prefixes of data paths (truncated+incremented), inverted bounds,
+    bounds equal to paths, missing bounds, and undecodable bound bytes."""
+    import random
+
+    from iceberg_go_distributed_spark.iceberg.conversions import to_bytes
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        POSITIONAL_DELETE_FILE_PATH_ID as FP,
+        DataFile,
+        DataFileContent,
+    )
+    from iceberg_go_distributed_spark.iceberg.table import (
+        build_delete_matcher,
+        match_deletes,
+    )
+    from iceberg_go_distributed_spark.iceberg.types import StringType
+
+    rng = random.Random(515)
+    # prefix-chain paths plus ordinary ones
+    paths = (
+        ["/w/a", "/w/ab", "/w/abc", "/w/abcd", "/w/abcde", "/w/b", "/w/ba"]
+        + [f"/w/f{i:02d}.parquet" for i in range(20)]
+        + ["/w", "/x/zzz"]
+    )
+
+    def ranged(seq, lo_b, hi_b):
+        bounds = {}
+        if lo_b is not None:
+            bounds["lo"] = {FP: lo_b}
+        if hi_b is not None:
+            bounds["hi"] = {FP: hi_b}
+        return (
+            seq,
+            DataFile(
+                file_path=f"/del/pos-{seq}-{rng.randrange(1 << 30):08x}.parquet",
+                content=DataFileContent.POSITION_DELETES,
+                lower_bounds=bounds.get("lo"),
+                upper_bounds=bounds.get("hi"),
+                record_count=1,
+            ),
+        )
+
+    def str_b(s):
+        return to_bytes(StringType(), s)
+
+    for trial in range(12):
+        rows = []
+        for _ in range(200):
+            kind = rng.randrange(8)
+            if kind == 0:  # ordinary in-order bounds
+                lo, hi = sorted(rng.sample(paths, 2))
+                rows.append(ranged(rng.randint(1, 20), str_b(lo), str_b(hi)))
+            elif kind == 1:  # truncated bounds (prefix slack both sides)
+                p = rng.choice(paths)
+                q = rng.choice(paths)
+                rows.append(
+                    ranged(
+                        rng.randint(1, 20),
+                        str_b(p[: rng.randint(0, len(p))]),
+                        str_b(q[: rng.randint(0, len(q))]),
+                    )
+                )
+            elif kind == 2:  # lo extends a real path (path prefix-of-lo)
+                p = rng.choice(paths)
+                rows.append(
+                    ranged(rng.randint(1, 20), str_b(p + "zz"), str_b(p + "zzzz"))
+                )
+            elif kind == 3:  # inverted bounds
+                lo, hi = sorted(rng.sample(paths, 2))
+                rows.append(ranged(rng.randint(1, 20), str_b(hi), str_b(lo)))
+            elif kind == 4:  # bounds equal to a path
+                p = rng.choice(paths)
+                rows.append(ranged(rng.randint(1, 20), str_b(p), str_b(p)))
+            elif kind == 5:  # missing one/both bounds → covers everything
+                p = rng.choice(paths)
+                rows.append(
+                    ranged(
+                        rng.randint(1, 20),
+                        None if rng.random() < 0.5 else str_b(p),
+                        None,
+                    )
+                )
+            elif kind == 6:  # undecodable bound bytes → covers everything
+                rows.append(
+                    ranged(rng.randint(1, 20), b"\xff\xfe\x80", str_b("/w/b"))
+                )
+            else:  # empty-string bounds
+                rows.append(ranged(rng.randint(1, 20), str_b(""), str_b("")))
+        rows.sort(key=lambda t: t[0])
+        match = build_delete_matcher(rows)
+        for p in paths:
+            for data_seq in (0, 1, 10, 20, 21):
+                assert match(data_seq, p) == match_deletes(data_seq, p, rows), (
+                    f"trial {trial} seq {data_seq} path {p}"
+                )
