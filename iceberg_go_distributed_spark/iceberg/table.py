@@ -748,16 +748,39 @@ class Scan:
         data_entries: list[ManifestEntry] = []
         entries_total = pruned_partition = pruned_metrics = 0
         if pruned_manifests:
-            with ThreadPoolExecutor(
-                max_workers=min(self.concurrency, len(pruned_manifests))
-            ) as pool:
-                for entry_list, n_total, n_part, n_metrics in pool.map(
-                    entries_of, pruned_manifests
-                ):
+            # Pool width is for OVERLAPPING REMOTE I/O (object-store
+            # RTTs); the per-entry decode/evaluate work is pure Python
+            # and GIL-serialized, so on local manifests a contended pool
+            # only adds context-switch overhead — measured 19.2 s → 13.6 s
+            # on the 500k-file cold plan (OPTIMIZATION_r15.md). Local ⇒
+            # run serially; any remote manifest keeps the concurrent path.
+            from . import fileio as _fio
+
+            n_workers = min(self.concurrency, len(pruned_manifests))
+            if n_workers > 1 and all(
+                _fio.is_local(m.manifest_path) for m in pruned_manifests
+            ):
+                n_workers = 1
+            results = (
+                map(entries_of, pruned_manifests)
+                if n_workers <= 1
+                else None
+            )
+            if results is not None:
+                for entry_list, n_total, n_part, n_metrics in results:
                     data_entries.extend(entry_list)
                     entries_total += n_total
                     pruned_partition += n_part
                     pruned_metrics += n_metrics
+            else:
+                with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                    for entry_list, n_total, n_part, n_metrics in pool.map(
+                        entries_of, pruned_manifests
+                    ):
+                        data_entries.extend(entry_list)
+                        entries_total += n_total
+                        pruned_partition += n_part
+                        pruned_metrics += n_metrics
 
         # delete matching — ref scanner.go:268-309: gate delete manifests
         # by min data sequence number, then per data file keep deletes
