@@ -871,6 +871,53 @@ def read_manifest(
     return entries
 
 
+def scan_manifest(
+    path: str,
+    keep,
+    inherit_sequence_number: Optional[int] = None,
+    inherit_first_row_id: Optional[int] = None,
+) -> list[ManifestEntry]:
+    """Planner-oriented filtered read: evaluate `keep(prototype_entry)`
+    on the cached PROTOTYPES (read-only — the callback must not mutate
+    them or their collections) and return fresh two-level shallow copies
+    of only the survivors, with sequence-number / first_row_id
+    inheritance applied exactly as `read_manifest` would have. DELETED
+    entries are always discarded (and, per the spec assignment rule,
+    never consume from the manifest's first_row_id range, while
+    non-kept live DATA files still do). A selective plan discards most
+    entries, so copying survivors only removes the dominant per-entry
+    cost of the filtered read — equivalence with
+    read_manifest-then-filter is pinned by
+    tests/test_manifest_io.py::test_scan_manifest_matches_filtered_read."""
+    _df_new, _e_new = DataFile.__new__, ManifestEntry.__new__
+    out = []
+    running = inherit_first_row_id
+    for p in _read_manifest_prototypes(path):
+        deleted = p.status == ManifestEntryStatus.DELETED
+        frid = None
+        if (
+            running is not None
+            and not deleted
+            and p.data_file.content == DataFileContent.DATA
+            and p.data_file.first_row_id is None
+        ):
+            frid = running
+            running += p.data_file.record_count
+        if deleted or not keep(p):
+            continue
+        df = _df_new(DataFile)
+        df.__dict__ = dict(p.data_file.__dict__)
+        e = _e_new(ManifestEntry)
+        e.__dict__ = dict(p.__dict__)
+        e.data_file = df
+        if inherit_sequence_number is not None and e.sequence_number is None:
+            e.sequence_number = inherit_sequence_number
+        if frid is not None:
+            df.first_row_id = frid
+        out.append(e)
+    return out
+
+
 def write_manifest_list(
     path: str,
     manifests: Iterable[ManifestFile],

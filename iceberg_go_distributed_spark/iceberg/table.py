@@ -31,6 +31,7 @@ from .manifest import (
     ManifestEntryStatus,
     ManifestFile,
     read_manifest,
+    scan_manifest,
 )
 from .metadata import MAIN_BRANCH, Snapshot, TableMetadata
 from .partitioning import PartitionSpec
@@ -727,23 +728,32 @@ class Scan:
         # level 3+4: per-entry partition-tuple + metrics pruning, manifests
         # fetched concurrently (ref scanner.go:343-406 errgroup workers)
         def entries_of(m: ManifestFile):
+            # evaluate on the cache PROTOTYPES and copy survivors only
+            # (scan_manifest): a selective plan discards ~everything, so
+            # per-entry copies were most of the filtered-read cost. The
+            # evaluators only READ partition tuples / stats — neither
+            # depends on the inherited sequence numbers applied to the
+            # copies afterwards.
             _, part_eval = evals_for(m.partition_spec_id)
-            out = []
-            n_total = n_part = n_metrics = 0
-            for e in read_manifest(
+            counts = [0, 0, 0]  # total, partition-pruned, metrics-pruned
+
+            def keep(e):
+                counts[0] += 1
+                if not part_eval(e.data_file.partition):
+                    counts[1] += 1
+                    return False
+                if not metrics_eval(e.data_file):
+                    counts[2] += 1
+                    return False
+                return True
+
+            out = scan_manifest(
                 m.manifest_path,
+                keep,
                 inherit_sequence_number=m.sequence_number,
                 inherit_first_row_id=m.first_row_id,
-            ):
-                n_total += 1
-                if not part_eval(e.data_file.partition):
-                    n_part += 1
-                    continue
-                if not metrics_eval(e.data_file):
-                    n_metrics += 1
-                    continue
-                out.append(e)
-            return out, n_total, n_part, n_metrics
+            )
+            return out, counts[0], counts[1], counts[2]
 
         data_entries: list[ManifestEntry] = []
         entries_total = pruned_partition = pruned_metrics = 0
@@ -3183,7 +3193,7 @@ def _distributed_prune_frame(scan: Scan, spark):
 
     def prune(batches):
         from . import fileio
-        from .manifest import read_manifest
+        from .manifest import read_manifest, scan_manifest
 
         fileio.apply_config(fileio_cfg)
         metrics_eval = inclusive_metrics_evaluator(schema_p, row_filter, case_sensitive)
@@ -3208,15 +3218,16 @@ def _distributed_prune_frame(scan: Scan, spark):
                     )
                 part_eval = part_evals[row.spec_id]
                 frid = None if pd.isna(row.first_row_id) else int(row.first_row_id)
-                for e in read_manifest(
+                # evaluate on the worker's cached prototypes, copy only
+                # survivors (same filtered-read shape as the local
+                # planner's entries_of)
+                for e in scan_manifest(
                     row.path,
+                    lambda p: part_eval(p.data_file.partition)
+                    and metrics_eval(p.data_file),
                     inherit_sequence_number=int(row.seq),
                     inherit_first_row_id=frid,
                 ):
-                    if not part_eval(e.data_file.partition):
-                        continue
-                    if not metrics_eval(e.data_file):
-                        continue
                     kinds.append(0)
                     seqs.append(e.sequence_number or 0)
                     out.append(_encode_descriptor(e.data_file))

@@ -446,3 +446,61 @@ def test_ocf_cache_entry_count_bound(tmp_path, monkeypatch):
         assert M._OCF_CACHE_ENTRY_COUNT == 2
     # reads stay correct through eviction
     assert read_manifest(paths[0], discard_deleted=False) == first
+
+
+def test_scan_manifest_matches_filtered_read(tmp_path):
+    """scan_manifest(keep) must equal read_manifest() followed by the
+    same filter — including the first_row_id assignment rule: non-kept
+    live DATA files still consume from the manifest's row-id range, so
+    survivors' assigned ids must be identical whichever path ran."""
+    from iceberg_go_distributed_spark.iceberg.manifest import (
+        ManifestEntryStatus,
+        read_manifest,
+        scan_manifest,
+    )
+
+    spec = spec_from(SCHEMA, ("category", "identity"), ("id", "bucket[16]"))
+    entries = _rich_entries()
+    # add a DELETED entry and extra ADDED data entries so the row-id
+    # accounting has non-kept and non-consuming participants
+    import copy
+
+    d3 = copy.deepcopy(entries[0])
+    d3.status = ManifestEntryStatus.DELETED
+    d3.data_file.file_path = "/data/deleted.parquet"
+    d3.data_file.first_row_id = None
+    d4 = copy.deepcopy(entries[0])
+    d4.data_file.file_path = "/data/b.parquet"
+    d4.data_file.first_row_id = None
+    d4.data_file.record_count = 7
+    d5 = copy.deepcopy(entries[0])
+    d5.data_file.file_path = "/data/c.parquet"
+    d5.data_file.first_row_id = None
+    d5.data_file.record_count = 11
+    entries = entries + [d3, d4, d5]
+    path = str(tmp_path / "scan.avro")
+    write_manifest(path, spec, SCHEMA, 123, entries)
+
+    for keep_fn in (
+        lambda e: True,
+        lambda e: False,
+        lambda e: e.data_file.file_path.endswith("c.parquet"),
+        lambda e: e.data_file.record_count > 8,
+    ):
+        for seq, frid in ((None, None), (9, None), (None, 1000), (9, 1000)):
+            expected = [
+                e
+                for e in read_manifest(
+                    path,
+                    inherit_sequence_number=seq,
+                    inherit_first_row_id=frid,
+                )
+                if keep_fn(e)
+            ]
+            got = scan_manifest(
+                path,
+                keep_fn,
+                inherit_sequence_number=seq,
+                inherit_first_row_id=frid,
+            )
+            assert got == expected, (seq, frid)

@@ -314,13 +314,20 @@ def test_plan_cache_repeat_scan_skips_manifest_reads(tmp_path, spark, monkeypatc
     t.refresh()
 
     reads = []
-    real = TBL.read_manifest
+    real_read = TBL.read_manifest
+    real_scan = TBL.scan_manifest
 
-    def spy(path, **kw):
+    def spy_read(path, **kw):
         reads.append(path)
-        return real(path, **kw)
+        return real_read(path, **kw)
 
-    monkeypatch.setattr(TBL, "read_manifest", spy)
+    def spy_scan(path, keep, **kw):
+        # the planner's filtered read (r15): counts as a manifest read
+        reads.append(path)
+        return real_scan(path, keep, **kw)
+
+    monkeypatch.setattr(TBL, "read_manifest", spy_read)
+    monkeypatch.setattr(TBL, "scan_manifest", spy_scan)
 
     first = t.scan().plan_files()
     assert len(first) == 4 and reads, "first plan must read manifests"
